@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.RefQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one entry per implemented operator from SURVEY.md §2
+  * (re-expressed over the driver's testdata tables); `oracleSql` the
+  * DuckDB-runnable twin with identical column aliases and ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The notebook's top-k-by-mean-aggregate shape (analysis.ipynb cell 4)
+    * over testdata: top-10 parts by revenue.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RefQueries.q8TopK(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_split_part" -> (RefQueries.q1SplitPart _),
+    "q2_cte" -> (RefQueries.q2Cte _),
+    "q3_group_avg" -> (RefQueries.q3GroupAvg _),
+    "q4_round" -> (RefQueries.q4Round _),
+    "q5_join_inner" -> (RefQueries.q5Join _),
+    "q6_view" -> (RefQueries.q6View _),
+    "q7_group_avg_over_join" -> (RefQueries.q7GroupAvgOverJoin _),
+    "q8_topk" -> (RefQueries.q8TopK _),
+    "q9_full_select" -> (RefQueries.q9Select _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_split_part" -> RefQueries.q1Sql,
+    "q2_cte" -> RefQueries.q2Sql,
+    "q3_group_avg" -> RefQueries.q3Sql,
+    "q4_round" -> RefQueries.q4Sql,
+    "q5_join_inner" -> RefQueries.q5Sql,
+    "q6_view" -> RefQueries.q6Sql,
+    "q7_group_avg_over_join" -> RefQueries.q7Sql,
+    "q8_topk" -> RefQueries.q8Sql,
+    "q9_full_select" -> RefQueries.q9Sql,
+  )
 }

@@ -1,0 +1,76 @@
+package graft.etl
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The reference's batch pipeline (reference: airflow_pipeline/dags/
+  * oews_onet_dag.py:31-76 + pipeline/load_data.py:239-303): two parallel
+  * extract→transform→load chains with materialized parquet stage
+  * boundaries, date-partitioned paths, and append-only table loads.
+  *
+  * Observable semantics kept:
+  *   - K1: every stage writes `<base>/<name>/<YYYY-MM-DD>/` and is
+  *     overwrite-idempotent within a run date (load_data.py:244-254).
+  *   - K3: the final load is append-only with NO key and NO dedup —
+  *     rerunning a day duplicates rows (load_data.py:202-213).
+  *   - O2: the run date is an explicit parameter (`runDate`) threaded
+  *     through, never `LocalDate.now()` inside library code
+  *     (load_data.py:239-246 derives "today" — injectable here for tests
+  *     and for backfills).
+  *
+  * Scale notes: stage boundaries as parquet keep each stage restartable
+  * and let 1000 executors re-read with full partition pruning on the
+  * date directory. The extract step (browser scrape / Excel read in the
+  * reference, load_data.py:23-45,282-286) is out of engine scope; raw
+  * parquet is the canonical source of record, exactly as the reference
+  * itself persists it before any cleaning.
+  */
+final case class PipelineConfig(baseDir: String, runDate: LocalDate) {
+  def stageDir(name: String): String = s"$baseDir/$name/$runDate"
+}
+
+object Pipeline {
+
+  /** K1 — overwrite-idempotent, date-partitioned parquet stage write. */
+  def writeStage(df: DataFrame, cfg: PipelineConfig, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(cfg.stageDir(name))
+
+  def readStage(spark: SparkSession, cfg: PipelineConfig, name: String): DataFrame =
+    spark.read.parquet(cfg.stageDir(name))
+
+  /** transform_oews_data (load_data.py:265-272): raw parquet → clean →
+    * cleaned parquet. */
+  def transformOews(spark: SparkSession, cfg: PipelineConfig): Unit =
+    writeStage(OewsCleaner.clean(readStage(spark, cfg, "oews_raw")), cfg, "oews_cleaned")
+
+  /** transform_onet_skills_data (load_data.py:288-295). */
+  def transformOnet(spark: SparkSession, cfg: PipelineConfig): Unit =
+    writeStage(OnetCleaner.clean(readStage(spark, cfg, "onet_skills_raw")), cfg, "onet_skills_cleaned")
+
+  /** K2+K3 — load_oews_data / load_onet_skills_data (load_data.py:274-280,
+    * 297-303): create-if-not-exists + append, no key, no dedup. Backed by
+    * the session catalog (parquet tables) instead of Postgres; `mode
+    * ("append")` preserves the duplicate-on-rerun semantic, which is
+    * observable reference behavior.
+    */
+  def appendLoad(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+
+  def loadOews(spark: SparkSession, cfg: PipelineConfig): Unit =
+    appendLoad(readStage(spark, cfg, "oews_cleaned"), "oews_by_state")
+
+  def loadOnet(spark: SparkSession, cfg: PipelineConfig): Unit =
+    appendLoad(readStage(spark, cfg, "onet_skills_cleaned"), "onet_skills")
+
+  /** O1 — the DAG's two chains (oews_onet_dag.py:75-76). Spark's lazy DAG
+    * subsumes intra-query ordering; the two chains are independent and
+    * could run concurrently on one session.
+    */
+  def run(spark: SparkSession, cfg: PipelineConfig): Unit = {
+    transformOews(spark, cfg)
+    loadOews(spark, cfg)
+    transformOnet(spark, cfg)
+    loadOnet(spark, cfg)
+    WageAnalytics.createViews(spark)
+  }
+}

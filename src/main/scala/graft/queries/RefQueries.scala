@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The reference's nine query operators (SURVEY.md §2.5, from
+  * airflow_pipeline/views.sql + notebooks/analysis.ipynb) re-expressed over
+  * the driver's TPC-H-ish testdata so each has a DuckDB oracle twin.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *   - every query ends with a total ORDER BY (unique key tie-breaks);
+  *   - double aggregates are computed as exact DECIMAL sums cast back to
+  *     double, so partial-aggregation order can never change a bit;
+  *   - aggregate/computed columns are aliased identically here and in the
+  *     oracle SQL.
+  *
+  * Scale notes: joins keep the small side (part/customer/nation) on the
+  * build/broadcast side; aggregates are partial+final HashAggregates with
+  * map-side combine; top-k compiles to TakeOrderedAndProject (no global
+  * sort). The trailing ORDER BY on large outputs exists only for the
+  * oracle's order-stable hash — a production caller would drop it.
+  */
+object RefQueries {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Exact mean: SUM over DECIMAL(18,2) (associative, order-insensitive)
+    * cast to double, divided by COUNT. Bit-identical across engines and
+    * across shuffle orders — unlike AVG(double).
+    */
+  def exactAvg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(c)
+
+  def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Q1 — split_part (views.sql:5,20: `split_part(onet_soc_code,'.',1)`). */
+  def q1SplitPart(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part")
+      .select(
+        col("p_partkey"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("name_head"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("name_tail"))
+      .orderBy("p_partkey")
+
+  val q1Sql: String =
+    """SELECT p_partkey,
+      |       split_part(p_name, ' ', 1) AS name_head,
+      |       split_part(p_name, ' ', 2) AS name_tail
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Q2 — CTE (views.sql:4-7), via SQL text to exercise the parser path. */
+  def q2Cte(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """WITH sized AS (
+        |  SELECT p_brand, p_retailprice FROM part WHERE p_size > 10
+        |)
+        |SELECT p_brand, COUNT(*) AS n_parts
+        |FROM sized GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  val q2Sql: String =
+    """WITH sized AS (
+      |  SELECT p_brand, p_retailprice FROM part WHERE p_size > 10
+      |)
+      |SELECT p_brand, COUNT(*) AS n_parts
+      |FROM sized GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Q3+Q4 — hash aggregate GROUP BY + AVG + ROUND (views.sql:9-14). */
+  def q3GroupAvg(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(exactAvg(col("l_quantity")), 2).as("mean_qty"),
+        round(exactAvg(col("l_extendedprice")), 2).as("mean_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val q3Sql: String =
+    """SELECT l_returnflag,
+      |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 2) AS mean_qty,
+      |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 2) AS mean_price,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q4 — scalar ROUND on its own (views.sql:9-12). */
+  def q4Round(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part")
+      .select(
+        col("p_partkey"),
+        round(col("p_retailprice") / 7, 2).as("price_div7"))
+      .orderBy("p_partkey")
+
+  val q4Sql: String =
+    """SELECT p_partkey, ROUND(p_retailprice / 7, 2) AS price_div7
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Q5 — inner equi-join, fact ⋈ small dim (views.sql:18-27). The dim
+    * (part) broadcasts; no shuffle on the fact side.
+    */
+  def q5Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val p = table(spark, sfDir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("p_name"), col("p_brand"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q5Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand, l_quantity
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Q6 — view definition + select-from-view (views.sql:3,18). */
+  def q6View(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "supplier").createOrReplaceTempView("supplier")
+    table(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW vw_supplier_nation AS
+        |SELECT s_suppkey, s_name, s_acctbal, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin)
+    spark.sql(
+      "SELECT s_suppkey, s_name, s_acctbal, n_name FROM vw_supplier_nation ORDER BY s_suppkey")
+  }
+
+  val q6Sql: String =
+    """SELECT s_suppkey, s_name, s_acctbal, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q7 — group-avg over a join (analysis.ipynb cell 4 shape):
+    * orders ⋈ customer ⋈ nation, mean order price per nation.
+    */
+  def q7GroupAvgOverJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+    val c = table(spark, sfDir, "customer")
+    val n = table(spark, sfDir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(exactAvg(col("o_totalprice")), 2).as("avg_totalprice"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  val q7Sql: String =
+    """SELECT n_name,
+      |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice), 2) AS avg_totalprice,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Q8 — sort + top-k (analysis.ipynb cell 4: top-10 by mean wage).
+    * orderBy(desc).limit(k) → TakeOrderedAndProject: each partition keeps
+    * a k-heap, driver merges k·p rows — no global sort even at 100 TB.
+    * Unique tie-break on p_partkey pins the order.
+    */
+  def q8TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val p = table(spark, sfDir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_partkey", "p_name")
+      .agg(exactSum(col("l_extendedprice")).as("revenue"))
+      .orderBy(desc("revenue"), asc("p_partkey"))
+      .limit(10)
+  }
+
+  val q8Sql: String =
+    """SELECT p_partkey, p_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_partkey, p_name
+      |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin
+
+  /** Q9 — full-table select (analysis.ipynb cells 2-3). */
+  def q9Select(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+
+  val q9Sql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+}
