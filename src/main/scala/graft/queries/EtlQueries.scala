@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.etl.OewsCleaner
+
+/** The reference's row-level ETL transforms (SURVEY.md §2.4: R1 cell
+  * scrub, R2 try-cast coercion, R4 date parse, R5 drop-last-N) exposed as
+  * oracle-checkable queries over testdata. Noisy inputs are synthesized
+  * from integer columns only — double→string formatting differs across
+  * engines, int→string does not.
+  *
+  * The Spark side runs the PRODUCTION expressions (OewsCleaner.scrub etc.);
+  * the oracle SQL restates the same semantics in DuckDB's dialect, so the
+  * gate checks the real cleaning code, not a test-only copy.
+  */
+object EtlQueries {
+  import RefQueries.table
+
+  /** R1+R2 — cell scrub + numeric coercion. Five observed value shapes
+    * (FIXTURES.md A1) keyed off p_partkey % 5: suppression sentinel,
+    * footnote+$+commas, digit footnote, plain number, garbage.
+    */
+  def etlCellScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val noisy = table(spark, sfDir, "part").select(
+      col("p_partkey"),
+      expr("""CASE p_partkey % 5
+             |  WHEN 0 THEN '(' || CAST(p_partkey % 9 + 1 AS STRING) || ')-'
+             |  WHEN 1 THEN '()$' || format_number(p_partkey * 1000L, 0)
+             |  WHEN 2 THEN '(' || CAST(p_partkey % 9 AS STRING) || ')' || CAST(p_size AS STRING)
+             |  WHEN 3 THEN CAST(p_size * 100 AS STRING)
+             |  ELSE 'N/A'
+             |END""".stripMargin).as("noisy"))
+    noisy
+      .withColumn("clean_val", OewsCleaner.scrub(col("noisy")))
+      .withColumn("val_num", expr("try_cast(clean_val AS DOUBLE)"))
+      .orderBy("p_partkey")
+  }
+
+  val etlCellScrubSql: String =
+    """WITH noisy_t AS (
+      |  SELECT p_partkey,
+      |         CASE p_partkey % 5
+      |           WHEN 0 THEN '(' || CAST(p_partkey % 9 + 1 AS VARCHAR) || ')-'
+      |           WHEN 1 THEN '()$' || format('{:,}', p_partkey * 1000)
+      |           WHEN 2 THEN '(' || CAST(p_partkey % 9 AS VARCHAR) || ')' || CAST(p_size AS VARCHAR)
+      |           WHEN 3 THEN CAST(p_size * 100 AS VARCHAR)
+      |           ELSE 'N/A'
+      |         END AS noisy
+      |  FROM part
+      |), scrubbed AS (
+      |  SELECT p_partkey, noisy,
+      |         CASE WHEN noisy IS NULL OR regexp_matches(noisy, '^\(\d+\)-$') THEN NULL
+      |              ELSE replace(replace(
+      |                     CASE WHEN contains(noisy, ')')
+      |                          THEN trim(regexp_replace(noisy, '^[^)]*\)', ''))
+      |                          ELSE noisy END, '$', ''), ',', '')
+      |         END AS clean_val
+      |  FROM noisy_t
+      |)
+      |SELECT p_partkey, noisy, clean_val, TRY_CAST(clean_val AS DOUBLE) AS val_num
+      |FROM scrubbed ORDER BY p_partkey""".stripMargin
+
+  /** R4 — `MM/yyyy` date parse with coerce-to-NULL on garbage
+    * (load_data.py:231 ≙ try_to_timestamp). Date strings synthesized from
+    * o_orderdate; every 13th key is garbage.
+    */
+  def etlDateParse(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        expr("""CASE WHEN o_orderkey % 13 = 0 THEN 'not-a-date'
+               |     ELSE lpad(CAST(month(o_orderdate) AS STRING), 2, '0')
+               |          || '/' || CAST(year(o_orderdate) AS STRING)
+               |END""".stripMargin).as("date_str"))
+      .withColumn("parsed_date",
+        try_to_timestamp(col("date_str"), lit("MM/yyyy")).cast("date"))
+      .orderBy("o_orderkey")
+
+  val etlDateParseSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN 'not-a-date'
+      |              ELSE lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
+      |                   || '/' || CAST(year(o_orderdate) AS VARCHAR)
+      |         END AS date_str
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, date_str,
+      |       CAST(try_strptime(date_str, '%m/%Y') AS DATE) AS parsed_date
+      |FROM s ORDER BY o_orderkey""".stripMargin
+
+  /** R5 — ordered drop-last-N (load_data.py:79 drops 2 scraped footer
+    * rows). Needs an explicit order column; at scale this belongs at
+    * ingest (SURVEY.md §7), here it demonstrates the windowed form.
+    */
+  def etlDropLastN(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("event_id")
+    table(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .where(col("rn") <= col("cnt") - 2)
+      .select("event_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  val etlDropLastNSql: String =
+    """SELECT event_id, event_type FROM (
+      |  SELECT event_id, event_type,
+      |         row_number() OVER (ORDER BY event_id) AS rn,
+      |         count(*) OVER () AS cnt
+      |  FROM events
+      |) WHERE rn <= cnt - 2 ORDER BY event_id""".stripMargin
+}
