@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, RefQueries}
+import graft.queries.{EtlQueries, RefQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,12 @@ object SparkEntry {
     "etl_cell_scrub" -> (EtlQueries.etlCellScrub _),
     "etl_date_parse" -> (EtlQueries.etlDateParse _),
     "etl_drop_last_n" -> (EtlQueries.etlDropLastN _),
+    "text_tokens" -> (TextQueries.textTokens _),
+    "text_quality" -> (TextQueries.textQuality _),
+    "text_langid" -> (TextQueries.textLangid _),
+    "text_fingerprint" -> (TextQueries.textFingerprint _),
+    "dedup_exact" -> (TextQueries.dedupExact _),
+    "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -46,5 +52,11 @@ object SparkEntry {
     "etl_cell_scrub" -> EtlQueries.etlCellScrubSql,
     "etl_date_parse" -> EtlQueries.etlDateParseSql,
     "etl_drop_last_n" -> EtlQueries.etlDropLastNSql,
+    "text_tokens" -> TextQueries.textTokensSql,
+    "text_quality" -> TextQueries.textQualitySql,
+    "text_langid" -> TextQueries.textLangidSql,
+    "text_fingerprint" -> TextQueries.textFingerprintSql,
+    "dedup_exact" -> TextQueries.dedupExactSql,
+    "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
   )
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+
+/** Oracle-gated queries for the text-analysis and dedup operators over the
+  * `documents` table. The Spark side runs the production operators
+  * (TextOps / Dedup); oracle SQL restates them with DuckDB list/lambda
+  * functions. All outputs are integer-derived or exact-division doubles —
+  * deterministic across engines and shuffle orders.
+  */
+object TextQueries {
+  import RefQueries.table
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+
+  /** Shared DuckDB tokenizer CTE (mirrors TextOps.tokens). */
+  private val DuckToks =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  // ---- token counting -------------------------------------------------
+
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.analyze(docs(spark, sfDir))
+      .select("doc_id", "n_chars", "n_tokens", "n_tokens_bpe")
+      .orderBy("doc_id")
+
+  val textTokensSql: String = DuckToks +
+    """
+      |SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+      |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_tokens_bpe
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---- quality scoring ------------------------------------------------
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.analyze(docs(spark, sfDir))
+      .select("doc_id", "avg_token_len", "punct_ratio", "stopword_ratio")
+      .orderBy("doc_id")
+
+  val textQualitySql: String = DuckToks +
+    """
+      |SELECT doc_id,
+      |       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len,
+      |       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+      |       CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is'])) AS DOUBLE) / len(toks) AS stopword_ratio
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---- language ID ----------------------------------------------------
+
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.analyze(docs(spark, sfDir))
+      .select("doc_id", "score_en", "score_de", "score_es", "score_fr",
+        "predicted_lang", "lang")
+      .orderBy("doc_id")
+
+  val textLangidSql: String = DuckToks +
+    """
+      |, scored AS (
+      |  SELECT doc_id, lang,
+      |         len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is'])) AS score_en,
+      |         len(list_intersect(list_distinct(toks), ['der','die','das','und','ist'])) AS score_de,
+      |         len(list_intersect(list_distinct(toks), ['el','la','de','los','y'])) AS score_es,
+      |         len(list_intersect(list_distinct(toks), ['le','les','et','est','un'])) AS score_fr
+      |  FROM d
+      |)
+      |SELECT doc_id, score_en, score_de, score_es, score_fr,
+      |       CASE WHEN score_en >= greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+      |            WHEN score_de >= greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+      |            WHEN score_es >= greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+      |            WHEN score_fr >= greatest(score_en, score_de, score_es, score_fr) THEN 'fr'
+      |            ELSE 'und' END AS predicted_lang,
+      |       lang
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---- fingerprinting -------------------------------------------------
+
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.analyze(docs(spark, sfDir))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String = DuckToks +
+    """
+      |SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(toks, t ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+      |        (a, c) -> (a * 131 + c) % 1000000007))),
+      |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---- dedup ----------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(docs(spark, sfDir))
+      .orderBy("keep_doc_id")
+
+  val dedupExactSql: String =
+    """SELECT text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin
+
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, sfDir), n = 2, threshold = 0.5)
+      .orderBy("d1", "d2")
+
+  val dedupNgramJaccardSql: String = DuckToks +
+    """
+      |, sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS s
+      |  FROM d
+      |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS intersect_size
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+      |SELECT d1, d2, intersect_size, s1.n AS n1, s2.n AS n2,
+      |       CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) AS jaccard
+      |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |WHERE CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny"), // < 2 tokens → empty shingle set
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical text, keeps min id") {
+    val out = Dedup.exact(docs).orderBy("keep_doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.contains((1L, 2L))) // docs 1+4 merged, survivor 1
+    assert(out.length == 4)
+  }
+
+  test("bigram jaccard finds the near-dup pair and the exact pair only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.5)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // doc1⋈doc2: 8 bigrams each, 7 shared → 7/9 ≈ 0.778
+    // doc1⋈doc4: identical → 1.0 ; doc2⋈doc4 same as 1⋈2
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j12 = pairs.find(p => p._1 == 1 && p._2 == 2).get._3
+    assert(math.abs(j12 - 7.0 / 9.0) < 1e-12)
+    assert(pairs.find(p => p._1 == 1 && p._2 == 4).get._3 == 1.0)
+  }
+
+  test("hot-shingle cap prunes candidate generation but keeps distinct pairs") {
+    val capped = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.9,
+      maxShingleBucket = Some(10))
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
+  }
+
+  test("sf0.01 documents: 25 planted near-dup pairs at jaccard ≥ 0.5") {
+    val d = spark.read.parquet(s"${graft.TestSpark.Sf001}/documents.parquet")
+    assert(Dedup.ngramJaccardPairs(d, 2, 0.5).count() == 25L)
+  }
+}
