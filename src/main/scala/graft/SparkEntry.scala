@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, RefQueries, TextQueries}
+import graft.queries.{EtlQueries, RefQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,11 @@ object SparkEntry {
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "sim_topk_bruteforce" -> (SimilarityQueries.simTopK _),
+    "sim_ann_lsh" -> (SimilarityQueries.simAnnLsh _),
+    "sim_ann_ivf" -> (SimilarityQueries.simAnnIvf _),
+    "dedup_minhash_lsh" -> (SimilarityQueries.dedupMinhash _),
+    "dedup_simhash" -> (SimilarityQueries.dedupSimhash _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -58,5 +63,8 @@ object SparkEntry {
     "text_fingerprint" -> TextQueries.textFingerprintSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
+    "sim_topk_bruteforce" -> SimilarityQueries.simTopKSql,
+    "dedup_minhash_lsh" -> SimilarityQueries.dedupMinhashSql,
+    // sim_ann_lsh / dedup_simhash: engine-specific hashing → rows-only
   )
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection — the scale path for n-gram
+  * Jaccard (Dedup.ngramJaccardPairs is the exact baseline; Broder's
+  * MinHash is the classic sketch, Leskovec et al. MMDS ch.3 the banding
+  * analysis).
+  *
+  * Per doc: k minhashes over the shingle set via affine permutations
+  * h_i(x) = (a_i·x + b_i) mod p of a 64-bit base hash (xxhash64 — Spark's
+  * codegen'd native hash; engine-specific, which is fine here because the
+  * oracle for this operator is the exact-Jaccard output it must
+  * reproduce, not a re-implementation of the hashes). Signatures are
+  * banded; docs sharing any band bucket become candidates; candidates are
+  * verified with EXACT set Jaccard. With r rows/band and b bands a pair
+  * of true Jaccard j is caught with p = 1-(1-j^r)^b (r=4, b=32 ⇒
+  * j=0.8 → p≈1-1e-10), and verification removes all false positives, so
+  * on corpora whose near-dups sit above ~0.7 the output equals the exact
+  * algorithm's — at a fraction of the join cost.
+  *
+  * Scale: signature build is a narrow map (k·|shingles| work, no
+  * shuffle); the only shuffle is the band-bucket join, O(docs·b) rows
+  * keyed by (band, bucket-hash), versus the full inverted index's
+  * O(docs·|shingles|) with hot-shingle quadratic blowup.
+  */
+object MinHashDedup {
+
+  // Mersenne prime 2^31-1: with 31-bit base hashes, a·x + b < 2^62 + 2^31
+  // — no long overflow under ANSI arithmetic.
+  private val P = 2147483647L
+
+  /** Deterministic affine permutation constants (splitmix-style mixing of
+    * the permutation index; no RNG state).
+    */
+  private def perm(i: Int): (Long, Long) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Math.floorMod(mix(2L * i), P - 1) + 1 // a ∈ [1, P-1]
+    val b = Math.floorMod(mix(2L * i + 1), P)     // b ∈ [0, P-1]
+    (a, b)
+  }
+
+  /** k-long minhash signature of a string-array column. Base hash is
+    * xxhash64 masked to 31 bits so a·x + b never overflows a long.
+    */
+  def signature(shingleSet: Column, k: Int): Column = {
+    val base = transform(shingleSet,
+      s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
+    val mins = (0 until k).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(base, x => pmod(x * a + b, lit(P))))
+    }
+    array(mins: _*)
+  }
+
+  /** Candidate pairs + exact-Jaccard verification.
+    * Output: (d1, d2, intersect_size, n1, n2, jaccard) for verified
+    * jaccard ≥ threshold — same shape as Dedup.ngramJaccardPairs.
+    */
+  def nearDupPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
+      k: Int = 128, bands: Int = 32): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val sh = Dedup.shingles(docs, n)
+      .where(size(col("shingle_set")) > 0)
+      .withColumn("sig", signature(col("shingle_set"), k))
+      .cache()
+    // band → bucket key: xxhash64 over the band's slice of the signature
+    val bandRows = sh.select(col("doc_id"), col("shingle_set"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * r + lit(1), lit(r)).cast("string")).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("shingle_set"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.shingle_set").as("s1"),
+        col("b.doc_id").as("d2"), col("b.shingle_set").as("s2"))
+      .dropDuplicates("d1", "d2")
+    cands
+      .withColumn("intersect_size", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("n1", size(col("s1")))
+      .withColumn("n2", size(col("s2")))
+      .withColumn("jaccard",
+        col("intersect_size").cast("double") /
+          (col("n1") + col("n2") - col("intersect_size")))
+      .where(col("jaccard") >= threshold)
+      .select("d1", "d2", "intersect_size", "n1", "n2", "jaccard")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection (Charikar 2002; used by Manku et al.
+  * WWW'07 for web-scale dedup).
+  *
+  * 64-bit document signature: bit i is the sign of Σ_tokens (±1 on bit i
+  * of xxhash64(token)). Similar token multisets → small Hamming distance.
+  * Candidate generation uses the pigeonhole banding trick: split the 64
+  * bits into `bands` chunks; pairs within Hamming distance `maxHamming`
+  * must share at least one exact chunk when bands > maxHamming. Verify
+  * with bit_count(xor) ≤ maxHamming.
+  *
+  * Scale: signature is one long per doc (narrow map); the candidate join
+  * shuffles O(docs·bands) skinny rows. Engine-specific hashes → gated by
+  * recall tests against exact Jaccard, not a cross-engine oracle.
+  */
+object SimHashDedup {
+
+  /** 64-bit simhash of a string-array column, as a long. */
+  def simhash(toks: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, t) => acc +
+          when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Near-dup pairs by simhash Hamming distance ≤ maxHamming.
+    * Output: (d1, d2, sim1, sim2, hamming).
+    */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands > maxHamming, "pigeonhole needs bands > maxHamming")
+    require(64 % bands == 0)
+    val width = 64 / bands
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("sim", simhash(col("toks")))
+    val bandRows = sh.select(col("doc_id"), col("sim"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sim"), b * width).bitwiseAND(mask).as("chunk"))): _*))
+        .as("bc"))
+      .select(col("doc_id"), col("sim"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.sim").as("sim1"),
+        col("b.doc_id").as("d2"), col("b.sim").as("sim2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
+      .where(col("hamming") <= maxHamming)
+      .select("d1", "d2", "sim1", "sim2", "hamming")
+  }
+}

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scores use QUANTIZED integer arithmetic: each float is scaled by 1e4
+  * and rounded to a long, dot products and norms are exact integer sums
+  * (all < 2^53, so even when an engine computes them in doubles the
+  * result is exact and order-independent), and only the final
+  * cosine = dot / (√normA·√normB) touches inexact floats — identically
+  * on every engine. This is the product-quantization trade every real
+  * ANN system makes, and it buys bit-identical, shuffle-order-proof
+  * scores (a raw float32 sum would differ per partition order).
+  *
+  * Brute force is the correctness baseline: broadcast the (small) query
+  * set against N vectors — O(Q·N·dim) with no shuffle of the big side.
+  * The scale path is `SimHashAnn`-style bucketing (random hyperplane
+  * signatures) so each query only scans its candidate buckets.
+  */
+object Similarity {
+
+  /** float array → quantized long array (×1e4, half-up; ties cannot occur
+    * because k + 1/2 is dyadic but x·10⁴ with float x never lands on one).
+    */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 10000).cast("long"))
+
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def normQ(a: Column): Column = dotQ(a, a)
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    * `queries`/`corpus` need (`vec_id`, `embedding`). Output:
+    * (q_id, n_id, dot_q, cos_sim), k rows per query, deterministic
+    * (cos desc, n_id asc) order.
+    */
+  def topKCosine(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
+    val c = corpus.select(
+      col("vec_id").as("n_id"), quantize(col("embedding")).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("dot_q", dotQ(col("qv"), col("cv")))
+      .withColumn("cos_sim",
+        col("dot_q").cast("double") /
+          (sqrt(normQ(col("qv")).cast("double")) * sqrt(normQ(col("cv")).cast("double"))))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "dot_q", "cos_sim")
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane
+    * component d of plane i = ±1 from a fixed LCG-style integer mix —
+    * deterministic, no RNG state, computable per-row with no shuffle.
+    */
+  def rhpSignature(qv: Column, bits: Int): Column = {
+    val planeSign: (Int, Column) => Column = (i, d) =>
+      when(((lit(i) * 1315423911L + d * 2654435761L) % 1000003L) % 2 === 0, 1L)
+        .otherwise(-1L)
+    val bitCols = (0 until bits).map { i =>
+      val s = aggregate(
+        zip_with(qv, sequence(lit(0), size(qv) - 1),
+          (x, d) => x * planeSign(i, d)),
+        lit(0L), (acc, x) => acc + x)
+      when(s >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _).as("sig")
+  }
+
+  /** ANN top-k via IVF (inverted-file) cells: pick `nCells` centroids
+    * deterministically from the corpus, assign every vector to its
+    * nearest centroid (one narrow map — the "inverted lists"), and scan
+    * only the `nProbe` nearest cells per query. The classic
+    * coarse-quantizer ANN layout (Jégou et al., IVFADC): at 100 TB the
+    * corpus is hash-partitioned by cell id, so a query touches
+    * nProbe/nCells of the data and the big side never reshuffles per
+    * query. Centroids are a bounded model artifact (nCells rows), so
+    * collecting them to the driver is standard practice, not a
+    * driver-side data loop. Recall is measured against `topKCosine`.
+    */
+  def ivfTopKCosine(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 32, nProbe: Int = 6): DataFrame = {
+    val cents: Array[(Long, Array[Long])] = corpus
+      .orderBy("vec_id").limit(nCells)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // cosine-to-centroid as a literal expression per centroid
+    def cellScores(v: Column): Seq[(Int, Column)] = cents.zipWithIndex.map {
+      case ((_, cv), i) =>
+        val cvLit = array(cv.map(lit).toIndexedSeq: _*)
+        val dot = dotQ(v, cvLit).cast("double")
+        val den = sqrt(normQ(cvLit).cast("double")) * sqrt(normQ(v).cast("double"))
+        (i, dot / den)
+    }
+    // nearest cell for corpus rows: argmax over centroid scores
+    def argmaxCell(v: Column): Column = {
+      val scores = cellScores(v)
+      val best = greatest(scores.map(_._2): _*)
+      scores.foldRight(lit(-1)) { case ((i, s), rest) =>
+        when(s === best, lit(i)).otherwise(rest)
+      }
+    }
+    // top-nProbe cells for queries: rank scores via array sort on
+    // (score, idx) structs
+    def probeCells(v: Column): Column = {
+      val scored = array(cellScores(v).map { case (i, s) =>
+        struct(s.as("s"), lit(i).as("i"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, nProbe)
+    }
+    val c = corpus
+      .select(col("vec_id").as("n_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cell", argmaxCell(col("cv")))
+    val q = queries
+      .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv")).getField("i")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("dot_q", dotQ(col("qv"), col("cv")))
+      .withColumn("cos_sim",
+        col("dot_q").cast("double") /
+          (sqrt(normQ(col("qv")).cast("double")) * sqrt(normQ(col("cv")).cast("double"))))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "dot_q", "cos_sim")
+  }
+
+  /** ANN top-k: bucket by RHP signature bands, exact cosine only within
+    * candidate buckets. Effective when neighbor cosines are high
+    * (θ small); for moderate-cosine regimes prefer `ivfTopKCosine`.
+    * `bands` splits `bits` into equal chunks; a candidate must share ≥1
+    * chunk with the query.
+    */
+  def annTopKCosine(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    def banded(df: DataFrame, idCol: String): DataFrame = {
+      val sig = rhpSignature(col("qv"), bits)
+      df.withColumn("sig", sig)
+        .select(col(idCol), col("qv"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * width).bitwiseAND(mask).as("chunk"))): _*))
+            .as("bc"))
+        .select(col(idCol), col("qv"),
+          col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    }
+    val q = banded(queries.select(col("vec_id").as("q_id"),
+      quantize(col("embedding")).as("qv")), "q_id")
+      .withColumnRenamed("qv", "qvec")
+    val c = banded(corpus.select(col("vec_id").as("n_id"),
+      quantize(col("embedding")).as("qv")), "n_id")
+    val cands = c.join(broadcast(q), Seq("band", "chunk"))
+      .where(col("q_id") =!= col("n_id"))
+      .select("q_id", "qvec", "n_id", "qv").distinct()
+    val scored = cands
+      .withColumn("dot_q", dotQ(col("qvec"), col("qv")))
+      .withColumn("cos_sim",
+        col("dot_q").cast("double") /
+          (sqrt(normQ(col("qvec")).cast("double")) * sqrt(normQ(col("qv")).cast("double"))))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "dot_q", "cos_sim")
+  }
+}
