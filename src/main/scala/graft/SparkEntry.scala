@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, RefQueries, SimilarityQueries, TextQueries}
+import graft.queries.{EtlQueries, RefQueries, SimilarityQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,10 @@ object SparkEntry {
     "sim_ann_ivf" -> (SimilarityQueries.simAnnIvf _),
     "dedup_minhash_lsh" -> (SimilarityQueries.dedupMinhash _),
     "dedup_simhash" -> (SimilarityQueries.dedupSimhash _),
+    "stream_window_agg" -> (StreamQueries.streamWindowAgg _),
+    "stream_sessionize" -> (StreamQueries.streamSessionize _),
+    "multimodal_meta" -> (StreamQueries.multimodalMeta _),
+    "multimodal_features" -> (StreamQueries.multimodalFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -65,6 +69,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "sim_topk_bruteforce" -> SimilarityQueries.simTopKSql,
     "dedup_minhash_lsh" -> SimilarityQueries.dedupMinhashSql,
-    // sim_ann_lsh / dedup_simhash: engine-specific hashing → rows-only
+    // sim_ann_lsh / sim_ann_ivf / dedup_simhash: engine-specific hashing
+    // or approximation → rows-only; gated by recall specs instead
+    "stream_window_agg" -> StreamQueries.streamWindowAggSql,
+    "stream_sessionize" -> StreamQueries.streamSessionizeSql,
+    "multimodal_meta" -> StreamQueries.multimodalMetaSql,
+    // multimodal_features: mapPartitions typed path → rows-only
   )
 }
