@@ -28,12 +28,21 @@ object Dedup {
 
   /** Word-n-gram shingle arrays (distinct), lowercased whitespace tokens.
     * Docs with fewer than n tokens get an empty shingle set.
+    *
+    * Built by zipping n shifted slices of the token array and joining
+    * each struct — NOT by indexing `element_at(toks, i)` inside a
+    * `transform` lambda: a lambda body re-evaluates captured non-trivial
+    * subtrees per element, which turns per-doc work quadratic
+    * (re-tokenize once per shingle). The zip shape touches the token
+    * array a constant number of times per row.
     */
   def shingles(docs: DataFrame, n: Int = 2): DataFrame = {
     val toks = TextOps.tokens(col("text"))
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val zipped = arrays_zip((0 until n).map(k => slice(toks, lit(k + 1), m)): _*)
     val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+      transform(zipped,
+        s => concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))
     ).otherwise(array().cast("array<string>"))
     docs.select(col("doc_id"), array_distinct(grams).as("shingle_set"))
   }
@@ -42,36 +51,81 @@ object Dedup {
     * self-join. Output: (d1, d2, intersect_size, n1, n2, jaccard) with
     * d1 < d2. Jaccard = |A∩B| / (|A|+|B|-|A∩B|), exact integer-derived
     * double.
+    *
+    * Two candidate-generation strategies, same exact output:
+    *
+    *   - `prefixFilter = false` (default): full inverted index; the
+    *     intersection size falls out of the join's pair counts (no
+    *     per-pair array work). Best when the shingle vocabulary is
+    *     SMALL relative to the corpus (every doc pair co-occurs
+    *     somewhere, so pruning can't help and counting is cheapest —
+    *     the testdata corpus is this shape).
+    *   - `prefixFilter = true`: PPJoin-style prefix filtering
+    *     (Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — index only
+    *     each doc's (|s| − ⌈t·|s|⌉ + 1) globally-rarest shingles (a pair
+    *     with Jaccard ≥ t must share one), then verify candidates with
+    *     array_intersect. Lossless; collapses candidates by orders of
+    *     magnitude on realistic large-vocabulary corpora (web text),
+    *     where hot-shingle postings otherwise blow up quadratically.
+    *
+    * `maxShingleBucket` drops postings longer than the cap from
+    * candidate generation (hot-key guard; a documented approximation).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int = 2,
       threshold: Double = 0.5,
-      maxShingleBucket: Option[Int] = None): DataFrame = {
+      maxShingleBucket: Option[Int] = None,
+      prefixFilter: Boolean = false): DataFrame = {
     val sh = shingles(docs, n).cache()
-    val sizes = sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh"))
     val exploded = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
-    val candidates = maxShingleBucket match {
+    def capped(index: DataFrame): DataFrame = maxShingleBucket match {
       case Some(cap) =>
-        // drop super-common shingles from candidate generation (hot-key
-        // guard; documented approximation)
-        val hot = exploded.groupBy("g").count().where(col("count") > cap).select("g")
-        exploded.join(hot, Seq("g"), "left_anti")
-      case None => exploded
+        val hot = index.groupBy("g").count().where(col("count") > cap).select("g")
+        index.join(hot, Seq("g"), "left_anti")
+      case None => index
     }
-    val a = candidates.as("a")
-    val b = candidates.as("b")
-    val pairs = a.join(b,
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("intersect_size"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jaccard",
-        col("intersect_size").cast("double") /
-          (col("n1") + col("n2") - col("intersect_size")))
-      .where(col("jaccard") >= threshold)
-      .select("d1", "d2", "intersect_size", "n1", "n2", "jaccard")
+    val jaccardCols = Seq(
+      col("intersect_size"), col("n1"), col("n2"),
+      (col("intersect_size").cast("double") /
+        (col("n1") + col("n2") - col("intersect_size"))).as("jaccard"))
+
+    if (!prefixFilter) {
+      val sizes = sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh"))
+      val idx = capped(exploded)
+      val pairs = idx.as("a").join(idx.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("intersect_size"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .select(col("d1") +: col("d2") +: jaccardCols: _*)
+        .where(col("jaccard") >= threshold)
+    } else {
+      val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+      val prefixLen = (size(col("shingle_set")) -
+        ceil(size(col("shingle_set")) * threshold).cast("int") + 1)
+      val prefixIndex = exploded.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("by_rarity"))
+        .join(sh, "doc_id")
+        .select(col("doc_id"),
+          explode(slice(transform(col("by_rarity"), s => s.getField("g")),
+            lit(1), prefixLen)).as("g"))
+      val idx = capped(prefixIndex)
+      val cands = idx.as("a").join(idx.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .dropDuplicates("d1", "d2")
+      cands
+        .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")
+        .withColumn("intersect_size", size(array_intersect(col("s1"), col("s2"))))
+        .withColumn("n1", size(col("s1")))
+        .withColumn("n2", size(col("s2")))
+        .select(col("d1") +: col("d2") +: jaccardCols: _*)
+        .where(col("jaccard") >= threshold)
+    }
   }
 }

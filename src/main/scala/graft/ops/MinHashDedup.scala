@@ -46,12 +46,14 @@ object MinHashDedup {
     (a, b)
   }
 
-  /** k-long minhash signature of a string-array column. Base hash is
-    * xxhash64 masked to 31 bits so a·x + b never overflows a long.
+  /** Base hashes: xxhash64 masked to 31 bits so a·x + b never overflows
+    * a long. Hash ONCE per shingle; the k permutations fold over the
+    * result (`signatureFromHashes`) instead of re-hashing k times.
     */
-  def signature(shingleSet: Column, k: Int): Column = {
-    val base = transform(shingleSet,
-      s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
+  def baseHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
+
+  def signatureFromHashes(base: Column, k: Int): Column = {
     val mins = (0 until k).map { i =>
       val (a, b) = perm(i)
       array_min(transform(base, x => pmod(x * a + b, lit(P))))
@@ -59,9 +61,21 @@ object MinHashDedup {
     array(mins: _*)
   }
 
+  /** k-long minhash signature of a string-array column. */
+  def signature(shingleSet: Column, k: Int): Column =
+    signatureFromHashes(baseHashes(shingleSet), k)
+
   /** Candidate pairs + exact-Jaccard verification.
     * Output: (d1, d2, intersect_size, n1, n2, jaccard) for verified
     * jaccard ≥ threshold — same shape as Dedup.ngramJaccardPairs.
+    *
+    * Signatures are built EXPLODE-then-AGGREGATE: one row per (doc,
+    * shingle), hashed once, then a single HashAggregate with k `min`
+    * buffers. Array-lambda folds (`aggregate`/`transform`) are
+    * interpreted, not codegen'd — the agg shape keeps the k·|shingles|
+    * inner loop inside whole-stage codegen and costs exactly one
+    * shuffle by doc_id, which also co-partitions every downstream
+    * per-doc step.
     */
   def nearDupPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
       k: Int = 128, bands: Int = 32): DataFrame = {
@@ -69,25 +83,33 @@ object MinHashDedup {
     val r = k / bands
     val sh = Dedup.shingles(docs, n)
       .where(size(col("shingle_set")) > 0)
-      .withColumn("sig", signature(col("shingle_set"), k))
       .cache()
-    // band → bucket key: xxhash64 over the band's slice of the signature
-    val bandRows = sh.select(col("doc_id"), col("shingle_set"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * r + lit(1), lit(r)).cast("string")).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("shingle_set"),
+    val ex = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .withColumn("h", xxhash64(col("g")).bitwiseAND(lit(0x7fffffffL)))
+    val minCols = (0 until k).map { i =>
+      val (a, b) = perm(i)
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
+    }
+    val sig = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // band → bucket key: xxhash64 over the band's r signature columns
+    val bandRows = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        val slice = (0 until r).map(j => col(s"m${b * r + j}"))
+        struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = bandRows.as("a")
     val b = bandRows.as("b")
     val cands = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("a.shingle_set").as("s1"),
-        col("b.doc_id").as("d2"), col("b.shingle_set").as("s2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
+    // verify candidates with exact set Jaccard (shingle sets re-joined)
     cands
+      .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")
       .withColumn("intersect_size", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("n1", size(col("s1")))
       .withColumn("n2", size(col("s2")))

@@ -19,16 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object SimHashDedup {
 
-  /** 64-bit simhash of a string-array column, as a long. */
-  def simhash(toks: Column): Column = {
+  /** 64-bit simhash from a PRE-HASHED token array (one xxhash64 per
+    * token; the 64 bit-votes then fold over the cached hash array —
+    * hashing inside each vote would cost 64× the hash work).
+    */
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { i =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, t) => acc +
-          when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(vote >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  /** 64-bit simhash of a string-array column, as a long. */
+  def simhash(toks: Column): Column =
+    simhashFromHashes(transform(toks, t => xxhash64(t)))
 
   /** Near-dup pairs by simhash Hamming distance ≤ maxHamming.
     * Output: (d1, d2, sim1, sim2, hamming).
@@ -39,10 +46,22 @@ object SimHashDedup {
     require(64 % bands == 0)
     val width = 64 / bands
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
-    val sh = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .where(size(col("toks")) > 0)
-      .withColumn("sim", simhash(col("toks")))
+    // explode-then-aggregate signature build (same rationale as
+    // MinHashDedup): one xxhash64 per token row, then a codegen'd
+    // HashAggregate with 64 bit-vote sums, folded into the signature.
+    val ex = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i")
+    }
+    val sh = ex.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .withColumn("sim",
+        (0 until 64).map(i =>
+          when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select("doc_id", "sim")
     val bandRows = sh.select(col("doc_id"), col("sim"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

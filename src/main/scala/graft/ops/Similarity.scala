@@ -92,36 +92,42 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    // cosine-to-centroid as a literal expression per centroid
-    def cellScores(v: Column): Seq[(Int, Column)] = cents.zipWithIndex.map {
-      case ((_, cv), i) =>
-        val cvLit = array(cv.map(lit).toIndexedSeq: _*)
-        val dot = dotQ(v, cvLit).cast("double")
-        val den = sqrt(normQ(cvLit).cast("double")) * sqrt(normQ(v).cast("double"))
-        (i, dot / den)
-    }
-    // nearest cell for corpus rows: argmax over centroid scores
-    def argmaxCell(v: Column): Column = {
-      val scores = cellScores(v)
-      val best = greatest(scores.map(_._2): _*)
-      scores.foldRight(lit(-1)) { case ((i, s), rest) =>
-        when(s === best, lit(i)).otherwise(rest)
-      }
-    }
-    // top-nProbe cells for queries: rank scores via array sort on
-    // (score, idx) structs
-    def probeCells(v: Column): Column = {
-      val scored = array(cellScores(v).map { case (i, s) =>
-        struct(s.as("s"), lit(i).as("i"))
-      }: _*)
-      slice(reverse(array_sort(scored)), 1, nProbe)
-    }
+    // One literal array of centroid structs {i, v, nrm}; assignment is a
+    // single fold over it — O(1) codegen regardless of nCells, per-row,
+    // shuffle-free (vs. nCells inlined expression trees, whose codegen
+    // compile time dominated at 32 cells).
+    val centsLit = array(cents.zipWithIndex.map { case ((_, cv), i) =>
+      struct(
+        lit(i).as("i"),
+        array(cv.map(lit).toIndexedSeq: _*).as("v"),
+        lit(math.sqrt(cv.map(x => x.toDouble * x).sum)).as("nrm"))
+    }.toIndexedSeq: _*)
+    def score(v: Column, vnormSqrt: Column, c: Column): Column =
+      dotQ(v, c.getField("v")).cast("double") / (vnormSqrt * c.getField("nrm"))
+    // nearest cell: single aggregate keeping the best (score, idx)
+    def argmaxCell(v: Column, vn: Column): Column =
+      aggregate(centsLit,
+        struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
+        (best, c) => {
+          val s = score(v, vn, c)
+          when(s > best.getField("s"),
+            struct(s.as("s"), c.getField("i").as("i"))).otherwise(best)
+        }).getField("i")
+    // top-nProbe cells: sort the 32 scored structs, slice
+    def probeCells(v: Column, vn: Column): Column =
+      slice(reverse(array_sort(
+        transform(centsLit, c => struct(score(v, vn, c).as("s"), c.getField("i").as("i"))))),
+        1, nProbe)
     val c = corpus
       .select(col("vec_id").as("n_id"), quantize(col("embedding")).as("cv"))
-      .withColumn("cell", argmaxCell(col("cv")))
+      .withColumn("cn", sqrt(normQ(col("cv")).cast("double")))
+      .withColumn("cell", argmaxCell(col("cv"), col("cn")))
+      .drop("cn")
     val q = queries
       .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("cell", explode(probeCells(col("qv")).getField("i")))
+      .withColumn("qn", sqrt(normQ(col("qv")).cast("double")))
+      .withColumn("cell", explode(probeCells(col("qv"), col("qn")).getField("i")))
+      .drop("qn")
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("dot_q", dotQ(col("qv"), col("cv")))

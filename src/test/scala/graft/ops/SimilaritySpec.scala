@@ -38,9 +38,9 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("simhash candidate pairs cover all planted near-dups") {
     val planted = Dedup.ngramJaccardPairs(docs, 2, 0.5).select("d1", "d2")
-    val sh = SimHashDedup.nearDupPairs(docs, maxHamming = 8, bands = 16)
+    val sh = SimHashDedup.nearDupPairs(docs, maxHamming = 6, bands = 8)
       .select("d1", "d2")
     assert(planted.exceptAll(sh).isEmpty,
-      "a jaccard≥0.5 pair is missing from simhash hamming≤8 pairs")
+      "a jaccard≥0.5 pair is missing from simhash hamming≤6 pairs")
   }
 }
