@@ -24,6 +24,7 @@ object SparkEntry {
     "q3_group_avg" -> (RefQueries.q3GroupAvg _),
     "q4_round" -> (RefQueries.q4Round _),
     "q5_join_inner" -> (RefQueries.q5Join _),
+    "q5_salted_join" -> (RefQueries.q5SaltedJoin _),
     "q6_view" -> (RefQueries.q6View _),
     "q7_group_avg_over_join" -> (RefQueries.q7GroupAvgOverJoin _),
     "q8_topk" -> (RefQueries.q8TopK _),
@@ -54,6 +55,7 @@ object SparkEntry {
     "q3_group_avg" -> RefQueries.q3Sql,
     "q4_round" -> RefQueries.q4Sql,
     "q5_join_inner" -> RefQueries.q5Sql,
+    "q5_salted_join" -> RefQueries.q5Sql,
     "q6_view" -> RefQueries.q6Sql,
     "q7_group_avg_over_join" -> RefQueries.q7Sql,
     "q8_topk" -> RefQueries.q8Sql,

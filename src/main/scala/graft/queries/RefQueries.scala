@@ -180,6 +180,20 @@ object RefQueries {
       |GROUP BY p_partkey, p_name
       |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin
 
+  /** Q5 variant — the skew-salted join must be result-identical to the
+    * plain inner equi-join (its oracle IS the plain join): salting is a
+    * physical spread of hot keys, never a semantic change.
+    */
+  def q5SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val p = table(spark, sfDir, "part")
+    graft.ops.SkewJoin.saltedInnerJoin(li, p, "l_partkey", "p_partkey", salts = 8)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("p_name"), col("p_brand"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Q9 — full-table select (analysis.ipynb cells 2-3). */
   def q9Select(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "nation")
