@@ -87,4 +87,59 @@ object EventAnalytics {
 
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventsSchema).parquet(dir)
+
+  // ---- custom stateful streaming: sessionization with explicit state --
+
+  final case class Event(event_id: Long, user_id: Long, us: Long, value: Double)
+  final case class SessionState(
+      sessionSeq: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+  final case class Session(
+      user_id: Long, session_seq: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization via `flatMapGroupsWithState`: per-user
+    * explicit state (open session), emitting a session whenever the gap
+    * rule closes it. The custom-state analog of `sessionize` — see
+    * StreamingSpec for the batch-vs-stream equivalence check on all
+    * sessions closed by end-of-stream.
+    *
+    * State is O(1) per user (one open session), the canonical bounded-
+    * state shape for 100 TB streams; a production deployment adds a
+    * state timeout to flush idle users.
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int): org.apache.spark.sql.Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      // events within a micro-batch are not ordered; sort this batch
+      val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var st = state.getOption.orNull
+      evs.foreach { e =>
+        st match {
+          case null =>
+            st = SessionState(1L, e.us, e.us, 1L, e.value)
+          case s if e.us - s.lastUs > gapUs =>
+            out += Session(userId, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum)
+            st = SessionState(s.sessionSeq + 1, e.us, e.us, 1L, e.value)
+          case s =>
+            st = s.copy(lastUs = e.us, n = s.n + 1, sum = s.sum + e.value)
+        }
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    withEventTime(events)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts_utc")).as("us"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -49,6 +49,35 @@ class StreamingSpec extends AnyFunSuite {
     Files.move(part, Paths.get(s"$watched/$name"))
   }
 
+  test("flatMapGroupsWithState sessionization matches batch sessionize") {
+    import org.apache.spark.sql.functions._
+    val stream = EventAnalytics.readEventsStream(spark, eventsDir)
+    val q = EventAnalytics.sessionizeStream(spark, stream, gapMinutes = 240)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    // one micro-batch → every session except each user's final open one
+    // is emitted; compare boundaries to the batch computation
+    val batch = EventAnalytics.sessionize(
+        spark.read.parquet(s"${TestSpark.Sf001}/events.parquet"), 240)
+      .withColumn("last_seq",
+        max("session_seq").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .where(col("session_seq") < col("last_seq"))
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"), col("n_events"))
+    val got = spark.table("sessions_out")
+      .select(col("user_id"), col("session_seq"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stateful streaming sessions differ from batch sessions")
+  }
+
   test("watermark + append mode emits closed windows across micro-batches") {
     val dir = Files.createTempDirectory("graft-events-2")
     val all = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
