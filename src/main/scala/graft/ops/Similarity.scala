@@ -28,8 +28,12 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 10000).cast("long"))
 
+  /** Quantized dot product — a native Catalyst expression with codegen
+    * (graft.functions.LongArrayDot): the built-in spelling
+    * `aggregate(zip_with(...))` runs interpreted per element.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongArrayDot.dotQ(a, b)
 
   def normQ(a: Column): Column = dotQ(a, a)
 
