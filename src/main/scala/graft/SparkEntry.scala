@@ -32,6 +32,7 @@ object SparkEntry {
     "etl_cell_scrub" -> (EtlQueries.etlCellScrub _),
     "etl_date_parse" -> (EtlQueries.etlDateParse _),
     "etl_drop_last_n" -> (EtlQueries.etlDropLastN _),
+    "etl_json_extract" -> (EtlQueries.etlJsonExtract _),
     "text_tokens" -> (TextQueries.textTokens _),
     "text_quality" -> (TextQueries.textQuality _),
     "text_langid" -> (TextQueries.textLangid _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "etl_cell_scrub" -> EtlQueries.etlCellScrubSql,
     "etl_date_parse" -> EtlQueries.etlDateParseSql,
     "etl_drop_last_n" -> EtlQueries.etlDropLastNSql,
+    "etl_json_extract" -> EtlQueries.etlJsonExtractSql,
     "text_tokens" -> TextQueries.textTokensSql,
     "text_quality" -> TextQueries.textQualitySql,
     "text_langid" -> TextQueries.textLangidSql,

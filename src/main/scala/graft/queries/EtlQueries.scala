@@ -106,6 +106,27 @@ object EtlQueries {
       .orderBy("event_id")
   }
 
+  /** Semi-structured extraction: parse the events `props` JSON column
+    * with Spark's JSON machinery (`from_json` with an explicit schema —
+    * codegen'd Jackson parse, the shape metadata extraction takes in a
+    * training-data pipeline). Oracle uses DuckDB's JSON functions.
+    * Semantics seam on MALFORMED json: Spark from_json coerces to NULL,
+    * DuckDB json_extract_string throws — equivalent only on valid-JSON
+    * corpora like this one (all 10k props parse).
+    */
+  def etlJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("prop_k"))
+      .orderBy("event_id")
+
+  val etlJsonExtractSql: String =
+    """SELECT event_id, event_type,
+      |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin
+
   val etlDropLastNSql: String =
     """SELECT event_id, event_type FROM (
       |  SELECT event_id, event_type,
