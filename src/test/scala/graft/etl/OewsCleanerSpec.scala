@@ -29,6 +29,16 @@ class OewsCleanerSpec extends AnyFunSuite {
     }
   }
 
+  test("golden: clean(oews_raw/2025-09-16) == oews_cleaned/2025-09-16") {
+    val raw = spark.read.parquet(s"${TestSpark.RefData}/oews_raw/2025-09-16/oews_raw.parquet")
+    val want = spark.read.parquet(s"${TestSpark.RefData}/oews_cleaned/2025-09-16/oews_cleaned.parquet")
+    val got = OewsCleaner.clean(raw)
+    assert(got.columns.toSeq == want.columns.toSeq)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "value multiset differs from 09-16 golden")
+  }
+
   test("P1 column-name normalization matches observed headers") {
     assert(OewsCleaner.normalizeName("Occupation (SOC code)") == "occupation_soc_code")
     assert(OewsCleaner.normalizeName("Employment(1)") == "employment")

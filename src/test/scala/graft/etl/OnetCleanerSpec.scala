@@ -24,6 +24,18 @@ class OnetCleanerSpec extends AnyFunSuite {
       "value multiset differs from golden")
   }
 
+  test("golden: clean(onet_skills_raw/2025-09-16) == onet_skills_cleaned/2025-09-16") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.RefData}/onet_skills_raw/2025-09-16/onet_skills_raw.parquet")
+    val want = spark.read.parquet(s"${TestSpark.RefData}/onet_skills_cleaned/2025-09-16/onet_skills_cleaned.parquet")
+      .withColumn("date", timestamp_micros((col("date") / 1000L).cast("long")))
+    val got = OnetCleaner.clean(raw)
+    assert(got.columns.toSeq == want.columns.toSeq)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "value multiset differs from 09-16 golden")
+  }
+
   test("P4 column-name normalization matches observed headers") {
     assert(OnetCleaner.normalizeName("O*NET-SOC Code") == "onet_soc_code")
     assert(OnetCleaner.normalizeName("Element ID") == "element_id")
