@@ -77,17 +77,20 @@ object TextOps {
     val predicted = StopwordSets.map(_._1).foldRight(lit("und"): Column) {
       case (lang, rest) => when(col(s"score_$lang") === maxScore, lang).otherwise(rest)
     }
+    // ratios NULL out on zero denominators (empty/whitespace-only docs):
+    // ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO on a bare `/`
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den)
     scored
       .withColumn("n_chars", length(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_tokens_bpe", bpeishCount(col("text")))
       .withColumn("sum_token_len",
         aggregate(col("toks"), lit(0L), (a, t) => a + length(t)))
-      .withColumn("avg_token_len",
-        col("sum_token_len").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len", ratio(col("sum_token_len"), col("n_tokens")))
       .withColumn("n_punct", punctCount(col("text")))
-      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars"))
-      .withColumn("stopword_ratio", col("score_en").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", ratio(col("n_punct"), col("n_chars")))
+      .withColumn("stopword_ratio", ratio(col("score_en"), col("n_tokens")))
       .withColumn("predicted_lang", predicted)
       .withColumn("fingerprint", fingerprint(col("toks")))
   }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case totality for the text analyzer: empty text, whitespace-only,
+  * single char, unicode — must never throw (ANSI mode turns silent
+  * errors into hard failures, so totality has to be by construction).
+  */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("analyze is total on degenerate documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "x"), (4L, "The The THE the"),
+      (5L, "naïve café — résumé"), (6L, "a\tb\nc"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.analyze(docs).orderBy("doc_id").collect()
+    assert(out.length == 6)
+    def n(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue
+    val byId = out.map(r => n(r, "doc_id") -> r).toMap
+    // empty + whitespace-only: zero tokens, fingerprint 0, no crash
+    assert(n(byId(1L), "n_tokens") == 0)
+    assert(n(byId(2L), "n_tokens") == 0)
+    assert(n(byId(1L), "fingerprint") == 0L)
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("avg_token_len")),
+      "zero-token ratios must be NULL, not an error")
+    // case folding: 4 tokens, all 'the' after lowercasing
+    assert(n(byId(4L), "n_tokens") == 4)
+    assert(n(byId(4L), "score_en") == 1L)
+    // tab/newline are token separators
+    assert(n(byId(6L), "n_tokens") == 3)
+  }
+
+  test("fingerprint is order-sensitive and content-sensitive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"),
+    ).toDF("doc_id", "text")
+    val fp = TextOps.analyze(docs).select("doc_id", "fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L), "identical docs must fingerprint identically")
+    assert(fp(1L) != fp(2L), "token order must change the rolling hash")
+  }
+
+  test("langid picks the language with the best stopword score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat of the mat and all is well"),
+      (2L, "der hund und die katze das ist gut"),
+      (3L, "el perro y la casa de los gatos"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.analyze(docs).select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"))
+  }
+}
