@@ -44,6 +44,7 @@ object SparkEntry {
     "sim_ann_ivf" -> (SimilarityQueries.simAnnIvf _),
     "dedup_minhash_lsh" -> (SimilarityQueries.dedupMinhash _),
     "dedup_simhash" -> (SimilarityQueries.dedupSimhash _),
+    "dedup_embedding_cosine" -> (SimilarityQueries.dedupEmbeddingCosine _),
     "stream_window_agg" -> (StreamQueries.streamWindowAgg _),
     "stream_sessionize" -> (StreamQueries.streamSessionize _),
     "multimodal_meta" -> (StreamQueries.multimodalMeta _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "sim_topk_bruteforce" -> SimilarityQueries.simTopKSql,
     "dedup_minhash_lsh" -> SimilarityQueries.dedupMinhashSql,
+    "dedup_embedding_cosine" -> SimilarityQueries.dedupEmbeddingCosineSql,
     // sim_ann_lsh / sim_ann_ivf / dedup_simhash: engine-specific hashing
     // or approximation → rows-only; gated by recall specs instead
     "stream_window_agg" -> StreamQueries.streamWindowAggSql,

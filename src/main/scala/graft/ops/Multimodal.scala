@@ -27,7 +27,7 @@ object Multimodal {
   final case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long, media_type: String, n_bytes: Int, digest: String,
-      mean_byte: Double, frame_samples: Seq[Int])
+      mean_byte: Double, frame_samples: Seq[Int], thumb: Seq[Double])
 
   /** Deterministic fake decoder — replace with a real decoder off-stub.
     * Real signature preserved: bytes in, features out.
@@ -38,6 +38,22 @@ object Multimodal {
       else content.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / content.length
     val frames = content.take(8).map(b => (b & 0xff): Int).toSeq
     (mean, frames)
+  }
+
+  /** Resize analog: downsample the byte stream into `buckets` mean
+    * values (the 1-D shape of an image resize / audio resample — this
+    * one is REAL logic, not a stub: it's exactly what you'd do to a
+    * PCM buffer or a decoded plane).
+    */
+  def resampleBytes(content: Array[Byte], buckets: Int): Seq[Double] = {
+    if (content.isEmpty) return Seq.fill(buckets)(0.0)
+    (0 until buckets).map { b =>
+      val lo = (b.toLong * content.length / buckets).toInt
+      val hi = math.max(((b + 1).toLong * content.length / buckets).toInt, lo + 1)
+      val span = content.slice(lo, math.min(hi, content.length))
+      if (span.isEmpty) 0.0
+      else span.foldLeft(0L)((a, x) => a + (x & 0xff)).toDouble / span.length
+    }
   }
 
   private def sha256Hex(bytes: Array[Byte]): String =
@@ -61,7 +77,8 @@ object Multimodal {
       it.map { rec =>
         val (mean, frames) = decodeStub(rec.content)
         MediaFeatures(rec.doc_id, rec.media_type, rec.content.length,
-          sha256Hex(rec.content), mean, frames)
+          sha256Hex(rec.content), mean, frames,
+          resampleBytes(rec.content, buckets = 4))
       }
     }
   }

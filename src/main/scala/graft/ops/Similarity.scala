@@ -60,6 +60,25 @@ object Similarity {
       .select("q_id", "n_id", "dot_q", "cos_sim")
   }
 
+  /** Embedding-cosine near-duplicate pairs: every (v1 < v2) pair with
+    * quantized cosine ≥ threshold — the dedup-flavored counterpart of
+    * `topKCosine` (exact all-pairs baseline; the scale path buckets by
+    * IVF cell first so only same-cell pairs are scored). Output:
+    * (d1, d2, cos_sim).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(
+      col("vec_id").as("d1"), quantize(col("embedding")).as("v1"))
+    val b = corpus.select(
+      col("vec_id").as("d2"), quantize(col("embedding")).as("v2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("cos_sim",
+        dotQ(col("v1"), col("v2")).cast("double") /
+          (sqrt(normQ(col("v1")).cast("double")) * sqrt(normQ(col("v2")).cast("double"))))
+      .where(col("cos_sim") >= threshold)
+      .select("d1", "d2", "cos_sim")
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane
     * component d of plane i = ±1 from a fixed LCG-style integer mix —
     * deterministic, no RNG state, computable per-row with no shuffle.

@@ -67,6 +67,26 @@ object SimilarityQueries {
   /** Must equal the exact inverted-index algorithm's output. */
   val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSql
 
+  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineNearDupPairs(table(spark, sfDir, "embeddings"), 0.4)
+      .orderBy("d1", "d2")
+
+  val dedupEmbeddingCosineSql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |       list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+      |         / (sqrt(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[])))
+      |            * sqrt(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])))) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+      |        / (sqrt(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[])))
+      |           * sqrt(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])))) >= 0.4
+      |ORDER BY d1, d2""".stripMargin
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     // maxHamming=6 covers every planted near-dup (observed max 6);
     // bands=8 → 8-bit chunks → 256 buckets/band, vs 16 buckets/band at

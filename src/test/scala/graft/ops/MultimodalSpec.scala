@@ -17,6 +17,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0).mean_byte == 98.0)
     assert(feats(0).frame_samples == Seq(97, 98, 99))
     assert(feats(1).mean_byte == 0.0 && feats(1).frame_samples.isEmpty)
+    // resize analog: 4-bucket byte resample; empty content → zeros
+    assert(feats(0).thumb.length == 4)
+    assert(feats(1).thumb == Seq(0.0, 0.0, 0.0, 0.0))
+    // "abc" (97,98,99) over 4 buckets → bucket means 97,97.5?,98,99 stay
+    // in [97,99] and are ordered
+    assert(feats(0).thumb.forall(v => v >= 97.0 && v <= 99.0))
     // digest matches the well-known sha256("abc")
     assert(feats(0).digest ==
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
