@@ -67,6 +67,7 @@ object Pipeline {
     * could run concurrently on one session.
     */
   def run(spark: SparkSession, cfg: PipelineConfig): Unit = {
+    Schemas.ensureTables(spark) // K2: DDL before loads
     transformOews(spark, cfg)
     loadOews(spark, cfg)
     transformOnet(spark, cfg)

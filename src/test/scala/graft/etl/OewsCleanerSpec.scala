@@ -19,6 +19,9 @@ class OewsCleanerSpec extends AnyFunSuite {
     assert(got.columns.toSeq == want.columns.toSeq, "column names/order")
     assert(got.schema.map(f => (f.name, f.dataType)) ==
       want.schema.map(f => (f.name, f.dataType)), "schema types")
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      Schemas.OewsCleaned.map(f => (f.name, f.dataType)),
+      "declared schema drifted from the cleaner's output")
 
     val sortCols = got.columns.toIndexedSeq.map(col)
     val g = got.orderBy(sortCols: _*).collect().toSeq

@@ -18,6 +18,9 @@ class OnetCleanerSpec extends AnyFunSuite {
     assert(got.columns.toSeq == want.columns.toSeq, "column names/order")
     assert(got.schema.map(f => (f.name, f.dataType)) ==
       want.schema.map(f => (f.name, f.dataType)), "schema types")
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      Schemas.OnetSkillsCleaned.map(f => (f.name, f.dataType)),
+      "declared schema drifted from the cleaner's output")
     assert(got.count() == 62580L)
     // exact multiset equality without collecting 62k wide rows twice
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
