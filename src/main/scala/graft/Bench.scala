@@ -36,12 +36,17 @@ object Bench {
       catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try exec(fn(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9 // capture BEFORE teardown
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -52,7 +57,8 @@ object Bench {
     val parity = results.collect {
       case (k, v) if k.startsWith("q") || k.startsWith("etl_") => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,6 +48,12 @@ object OewsCleaner {
     * `Occupation (SOC code)` → `occupation_soc_code`.
     */
   def normalizeName(name: String): String = {
+    // NOTE: trim runs AFTER spaces→'_' (a trailing space becomes a
+    // trailing underscore that trim does not remove). That mirrors the
+    // reference exactly — pandas applies .str.strip() last too
+    // (load_data.py:102), so a dirty header fails identically in both
+    // systems (downstream column lookup error), which golden parity
+    // requires us to preserve rather than "fix".
     val base =
       if (name.toLowerCase.contains("occupation")) name
       else name.split("\\(")(0).trim

@@ -44,6 +44,10 @@ case class LongArrayDot(left: Expression, right: Expression)
     var i = 0
     var s = 0L
     while (i < n) {
+      // a NULL element nullifies the whole dot product (DuckDB
+      // list_dot_product semantics) — getLong on a null slot would
+      // silently read garbage
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -59,6 +63,7 @@ case class LongArrayDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;

@@ -65,6 +65,16 @@ object MinHashDedup {
   def signature(shingleSet: Column, k: Int): Column =
     signatureFromHashes(baseHashes(shingleSet), k)
 
+  /** The k per-permutation `min` aggregate columns over a 31-bit base
+    * hash column `h` — the codegen'd explode+aggregate spelling of
+    * `signature` (SimilaritySpec pins the two spellings equal so the
+    * permutation constants can never drift between them).
+    */
+  def aggMinCols(k: Int): Seq[Column] = (0 until k).map { i =>
+    val (a, b) = perm(i)
+    min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
+  }
+
   /** Candidate pairs + exact-Jaccard verification.
     * Output: (d1, d2, intersect_size, n1, n2, jaccard) for verified
     * jaccard ≥ threshold — same shape as Dedup.ngramJaccardPairs.
@@ -86,10 +96,7 @@ object MinHashDedup {
       .cache()
     val ex = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
       .withColumn("h", xxhash64(col("g")).bitwiseAND(lit(0x7fffffffL)))
-    val minCols = (0 until k).map { i =>
-      val (a, b) = perm(i)
-      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
-    }
+    val minCols = aggMinCols(k)
     val sig = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // band → bucket key: xxhash64 over the band's r signature columns
     val bandRows = sig.select(col("doc_id"),

