@@ -95,6 +95,11 @@ object EventAnalytics {
   // ---- custom stateful streaming: sessionization with explicit state --
 
   final case class Event(event_id: Long, user_id: Long, us: Long, value: Double)
+  /** Timeout variant keeps the watermarked timestamp column — projecting
+    * it away severs the watermark and EventTimeTimeout refuses to plan.
+    */
+  final case class EventT(event_id: Long, user_id: Long, us: Long,
+      value: Double, ts_utc: java.sql.Timestamp)
   final case class SessionState(
       sessionSeq: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
   final case class Session(
@@ -111,6 +116,59 @@ object EventAnalytics {
     * state shape for 100 TB streams; a production deployment adds a
     * state timeout to flush idle users.
     */
+  /** Production variant of `sessionizeStream`: event-time TIMEOUT flushes
+    * idle sessions once the watermark passes last-event + gap, so state
+    * for inactive users is emitted and dropped instead of held forever —
+    * the bounded-state requirement at stream scale. Input must carry the
+    * watermark (applied here).
+    */
+  def sessionizeStreamWithTimeout(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int, watermark: String): org.apache.spark.sql.Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, it: Iterator[EventT],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // watermark passed last-event + gap with no new events: the open
+        // session is definitively closed — emit and drop the state
+        val s = state.get
+        state.remove()
+        return Iterator.single(
+          Session(userId, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum))
+      }
+      val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var st = state.getOption.orNull
+      evs.foreach { e =>
+        st match {
+          case null =>
+            st = SessionState(1L, e.us, e.us, 1L, e.value)
+          case s if e.us - s.lastUs > gapUs =>
+            out += Session(userId, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum)
+            st = SessionState(s.sessionSeq + 1, e.us, e.us, 1L, e.value)
+          case s =>
+            st = s.copy(lastUs = e.us, n = s.n + 1, sum = s.sum + e.value)
+        }
+      }
+      if (st != null) {
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000L + gapMinutes * 60L * 1000L)
+      }
+      out.iterator
+    }
+
+    withEventTime(events)
+      .withWatermark("ts_utc", watermark)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts_utc")).as("us"), col("value"), col("ts_utc"))
+      .as[EventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   def sessionizeStream(spark: SparkSession, events: DataFrame,
       gapMinutes: Int): org.apache.spark.sql.Dataset[Session] = {
     import spark.implicits._

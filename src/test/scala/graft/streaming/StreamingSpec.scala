@@ -78,6 +78,61 @@ class StreamingSpec extends AnyFunSuite {
       "stateful streaming sessions differ from batch sessions")
   }
 
+  test("event-time timeout flushes idle sessions once the watermark passes") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-events-to")
+    val all = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
+      .orderBy("ts").cache()
+    val n = all.count()
+    stageBatch(all.limit((n / 2).toInt), dir.toString, "b1.parquet")
+
+    val stream = EventAnalytics.readEventsStream(spark, dir.toString)
+    val q = EventAnalytics.sessionizeStreamWithTimeout(spark, stream,
+        gapMinutes = 240, watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_to")
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("sessions_to").count()
+      // batch 2 advances the watermark weeks past batch-1 activity:
+      // every batch-1 session (including each user's LAST, idle one)
+      // must now be flushed by timeout — the no-timeout variant would
+      // hold those last sessions open forever
+      stageBatch(all.exceptAll(all.limit((n / 2).toInt)), dir.toString, "b2.parquet")
+      q.processAllAvailable()
+      val afterB2 = spark.table("sessions_to").count()
+      assert(afterB2 > afterB1)
+      // ground truth is the FULL timeline (sessions straddle the batch
+      // split; state carries them across). The stream must emit every
+      // gap-closed session, plus timeout-flushed finals for users idle
+      // ≥ gap before the last watermark; only still-open finals of
+      // recently-active users may be absent.
+      val wantAll = EventAnalytics.sessionize(all, 240)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      val wantClosed = EventAnalytics.sessionize(all, 240)
+        .withColumn("last_seq", max("session_seq").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+        .where(col("session_seq") < col("last_seq"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      val got = spark.table("sessions_to")
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+      assert(got.exceptAll(wantAll).isEmpty,
+        "stream emitted a session the batch timeline doesn't contain")
+      assert(wantClosed.exceptAll(got).isEmpty,
+        "a gap-closed session is missing from the stream output")
+      val nUsers = all.select("user_id").distinct().count()
+      val missing = wantAll.exceptAll(got).count()
+      assert(missing <= nUsers,
+        s"only per-user still-open finals may be missing, saw $missing > $nUsers")
+      assert(afterB2 > wantClosed.count(),
+        "timeout must flush at least one idle user's final session")
+    } finally q.stop()
+  }
+
   test("watermark + append mode emits closed windows across micro-batches") {
     val dir = Files.createTempDirectory("graft-events-2")
     val all = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
