@@ -23,8 +23,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object RefQueries {
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // defensively set per-session: events.parquet (and the reference's
+    // cleaned O*NET parquet) carry TIMESTAMP(NANOS), which the reader
+    // rejects without this; the conf is runtime-settable, so queries
+    // survive a harness session that didn't configure it at build time
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Exact mean: SUM over DECIMAL(18,2) (associative, order-insensitive)
     * cast to double, divided by COUNT. Bit-identical across engines and
