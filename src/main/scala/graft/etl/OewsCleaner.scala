@@ -54,9 +54,13 @@ object OewsCleaner {
     // (load_data.py:102), so a dirty header fails identically in both
     // systems (downstream column lookup error), which golden parity
     // requires us to preserve rather than "fix".
+    // split with limit -1: a header that IS a footnote, e.g. "(1)",
+    // splits to ["", "1)"] and normalizes to "" exactly like pandas
+    // name.split('(')[0] — the default limit trims empty leading
+    // segments and would throw on element 0
     val base =
       if (name.toLowerCase.contains("occupation")) name
-      else name.split("\\(")(0).trim
+      else name.split("\\(", -1)(0).trim
     base
       .replace(" ", "_")
       .replace(",", "")

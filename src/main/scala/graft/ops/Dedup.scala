@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
   *
+  * Caller contract: the pairwise operators `.cache()` their shingle
+  * frame for reuse within one invocation and do not unpersist (the
+  * returned plan still references it lazily). Long-lived sessions
+  * should `spark.catalog.clearCache()` between operator invocations, as
+  * Verify/Bench do.
+  *
   * Exact dedup is a hash aggregate on the content key — one shuffle,
   * map-side combined, AQE-skew-safe. N-gram Jaccard is the exact
   * pairwise baseline: inverted-index self-join on distinct shingles, so
@@ -90,16 +96,35 @@ object Dedup {
       (col("intersect_size").cast("double") /
         (col("n1") + col("n2") - col("intersect_size"))).as("jaccard"))
 
-    if (!prefixFilter) {
+    if (!prefixFilter && maxShingleBucket.isEmpty) {
+      // full index, no cap: the join's pair counts ARE the intersection
+      // sizes — cheapest exact spelling on small-vocabulary corpora
       val sizes = sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh"))
-      val idx = capped(exploded)
-      val pairs = idx.as("a").join(idx.as("b"),
+      val pairs = exploded.as("a").join(exploded.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("intersect_size"))
       pairs
         .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .select(col("d1") +: col("d2") +: jaccardCols: _*)
+        .where(col("jaccard") >= threshold)
+    } else if (!prefixFilter) {
+      // capped full index: the cap prunes CANDIDATE GENERATION only —
+      // join counts would undercount intersections for pairs that share
+      // capped shingles, so surviving candidates are re-verified exactly
+      // from the full shingle sets
+      val idx = capped(exploded)
+      val cands = idx.as("a").join(idx.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .dropDuplicates("d1", "d2")
+      cands
+        .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")
+        .withColumn("intersect_size", size(array_intersect(col("s1"), col("s2"))))
+        .withColumn("n1", size(col("s1")))
+        .withColumn("n2", size(col("s2")))
         .select(col("d1") +: col("d2") +: jaccardCols: _*)
         .where(col("jaccard") >= threshold)
     } else {

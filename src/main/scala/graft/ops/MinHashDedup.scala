@@ -46,12 +46,15 @@ object MinHashDedup {
     (a, b)
   }
 
-  /** Base hashes: xxhash64 masked to 31 bits so a·x + b never overflows
-    * a long. Hash ONCE per shingle; the k permutations fold over the
-    * result (`signatureFromHashes`) instead of re-hashing k times.
+  /** Base hashes: xxhash64 reduced MOD P so values land uniformly in
+    * [0, P) and a·x + b never overflows a long. (A 31-bit mask would
+    * include the value P itself, which is ≡ 0 mod P — a hash colliding
+    * with 0 under every permutation, a small but real non-uniformity.)
+    * Hash ONCE per shingle; the k permutations fold over the result
+    * (`signatureFromHashes`) instead of re-hashing k times.
     */
   def baseHashes(shingleSet: Column): Column =
-    transform(shingleSet, s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
+    transform(shingleSet, s => pmod(xxhash64(s), lit(P)))
 
   def signatureFromHashes(base: Column, k: Int): Column = {
     val mins = (0 until k).map { i =>
@@ -95,7 +98,7 @@ object MinHashDedup {
       .where(size(col("shingle_set")) > 0)
       .cache()
     val ex = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
-      .withColumn("h", xxhash64(col("g")).bitwiseAND(lit(0x7fffffffL)))
+      .withColumn("h", pmod(xxhash64(col("g")), lit(P)))
     val minCols = aggMinCols(k)
     val sig = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // band → bucket key: xxhash64 over the band's r signature columns

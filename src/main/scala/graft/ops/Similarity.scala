@@ -132,10 +132,13 @@ object Similarity {
     val centsLit = centsLiteral(cents)
     def argmaxCell(v: Column, vn: Column): Column =
       aggregate(centsLit,
-        struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
+        // seed at -2.0 (not MinValue): a zero-norm vector's scores all
+        // coalesce to -2.0, and -2.0 > -2.0 is false, so the row keeps
+        // cell -1 and never enters any inverted list — a MinValue seed
+        // would let the first centroid win and leak the zero vector into
+        // cell 0 as a NULL-scored candidate
+        struct(lit(-2.0).as("s"), lit(-1).as("i")),
         (best, c) => {
-          // coalesce(-2): a NULL score (zero-norm vector) must not
-          // poison the fold — such rows keep cell -1 by construction
           val s = coalesce(cellScore(v, vn, c), lit(-2.0))
           when(s > best.getField("s"),
             struct(s.as("s"), c.getField("i").as("i"))).otherwise(best)
@@ -225,30 +228,32 @@ object Similarity {
     require(bits % bands == 0)
     val width = bits / bands
     val mask = (1L << width) - 1
-    def banded(df: DataFrame, idCol: String): DataFrame = {
+    def banded(df: DataFrame, idCol: String, normCol: String): DataFrame = {
       val sig = rhpSignature(col("qv"), bits)
-      df.withColumn("sig", sig)
-        .select(col(idCol), col("qv"),
+      df.withColumn(normCol, sqrt(normQ(col("qv")).cast("double")))
+        .withColumn("sig", sig)
+        .select(col(idCol), col("qv"), col(normCol),
           explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * width).bitwiseAND(mask).as("chunk"))): _*))
             .as("bc"))
-        .select(col(idCol), col("qv"),
+        .select(col(idCol), col("qv"), col(normCol),
           col("bc.band").as("band"), col("bc.chunk").as("chunk"))
     }
     val q = banded(queries.select(col("vec_id").as("q_id"),
-      quantize(col("embedding")).as("qv")), "q_id")
+      quantize(col("embedding")).as("qv")), "q_id", "qn")
       .withColumnRenamed("qv", "qvec")
     val c = banded(corpus.select(col("vec_id").as("n_id"),
-      quantize(col("embedding")).as("qv")), "n_id")
+      quantize(col("embedding")).as("qv")), "n_id", "cn")
+    // dedupe on the id pair only (distinct over rows would hash both
+    // embedding arrays); norms computed once per vector above
     val cands = c.join(broadcast(q), Seq("band", "chunk"))
       .where(col("q_id") =!= col("n_id"))
-      .select("q_id", "qvec", "n_id", "qv").distinct()
+      .select("q_id", "qvec", "qn", "n_id", "qv", "cn")
+      .dropDuplicates("q_id", "n_id")
     val scored = cands
       .withColumn("dot_q", dotQ(col("qvec"), col("qv")))
-      .withColumn("cos_sim", cosineFrom(col("dot_q"),
-        sqrt(normQ(col("qvec")).cast("double")),
-        sqrt(normQ(col("qv")).cast("double"))))
+      .withColumn("cos_sim", cosineFrom(col("dot_q"), col("qn"), col("cn")))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
     scored
       .withColumn("rnk", row_number().over(w))

@@ -21,7 +21,9 @@ import org.apache.spark.sql.types._
   * operator is small. In streaming, the same aggregation is incremental
   * with watermark-bounded state.
   */
-object EventAnalytics {
+// Serializable: the flatMapGroupsWithState closures call foldSessions and
+// therefore capture this object, which ships to executors
+object EventAnalytics extends Serializable {
 
   /** Explicit read schema (ts as nano-long — see above). */
   val EventsSchema: StructType = StructType(Seq(
@@ -100,11 +102,45 @@ object EventAnalytics {
     */
   final case class EventT(event_id: Long, user_id: Long, us: Long,
       value: Double, ts_utc: java.sql.Timestamp)
+  /** n == 0 marks "no open session, but remember the sequence counter":
+    * a timeout flush keeps this sentinel so a user who reactivates after
+    * an idle flush continues numbering instead of reusing session_seq=1
+    * (duplicate (user_id, session_seq) keys downstream). Per-user state
+    * stays O(1) either way.
+    */
   final case class SessionState(
       sessionSeq: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
   final case class Session(
       user_id: Long, session_seq: Long, start_us: Long, end_us: Long,
       n_events: Long, sum_value: Double)
+
+  /** Shared per-batch session fold (both streaming variants call this —
+    * the gap rule must never drift between them). Late events within the
+    * watermark DO reach flatMapGroupsWithState: an event older than the
+    * open session's lastUs extends the session without regressing lastUs
+    * (a regressed lastUs would inflate the next gap and spuriously split).
+    * Returns (closed sessions to emit, new state or null).
+    */
+  private[streaming] def foldSessions(userId: Long,
+      evs: Seq[(Long, Long, Double)], // (us, event_id, value) — caller sorts
+      init: SessionState, gapUs: Long): (Seq[Session], SessionState) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var st = init
+    evs.foreach { case (us, _, value) =>
+      st match {
+        case null =>
+          st = SessionState(1L, us, us, 1L, value)
+        case s if s.n == 0L => // post-timeout sentinel: resume numbering
+          st = SessionState(s.sessionSeq + 1, us, us, 1L, value)
+        case s if us - s.lastUs > gapUs =>
+          out += Session(userId, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum)
+          st = SessionState(s.sessionSeq + 1, us, us, 1L, value)
+        case s =>
+          st = s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + value)
+      }
+    }
+    (out.toSeq, st)
+  }
 
   /** Streaming sessionization via `flatMapGroupsWithState`: per-user
     * explicit state (open session), emitting a session whenever the gap
@@ -117,8 +153,10 @@ object EventAnalytics {
     * state timeout to flush idle users.
     */
   /** Production variant of `sessionizeStream`: event-time TIMEOUT flushes
-    * idle sessions once the watermark passes last-event + gap, so state
-    * for inactive users is emitted and dropped instead of held forever —
+    * idle sessions once the watermark passes last-event + gap. After a
+    * flush the per-user state shrinks to a sequence-counter sentinel
+    * (n=0) rather than vanishing, so a reactivating user continues
+    * session numbering — state stays O(1) per user either way, which is
     * the bounded-state requirement at stream scale. Input must carry the
     * watermark (applied here).
     */
@@ -132,29 +170,26 @@ object EventAnalytics {
         state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         // watermark passed last-event + gap with no new events: the open
-        // session is definitively closed — emit and drop the state
+        // session is definitively closed — emit, keep a seq-counter
+        // sentinel (n=0) so a reactivating user continues numbering
         val s = state.get
-        state.remove()
+        state.update(s.copy(n = 0L))
         return Iterator.single(
           Session(userId, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum))
       }
       val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-      var st = state.getOption.orNull
-      evs.foreach { e =>
-        st match {
-          case null =>
-            st = SessionState(1L, e.us, e.us, 1L, e.value)
-          case s if e.us - s.lastUs > gapUs =>
-            out += Session(userId, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum)
-            st = SessionState(s.sessionSeq + 1, e.us, e.us, 1L, e.value)
-          case s =>
-            st = s.copy(lastUs = e.us, n = s.n + 1, sum = s.sum + e.value)
-        }
-      }
+        .map(e => (e.us, e.event_id, e.value))
+      val (out, st) = foldSessions(userId, evs, state.getOption.orNull, gapUs)
       if (st != null) {
         state.update(st)
-        state.setTimeoutTimestamp(st.lastUs / 1000L + gapMinutes * 60L * 1000L)
+        if (st.n > 0L) {
+          // clamp above the current watermark: a late-but-admitted event
+          // can leave lastUs + gap behind the watermark, and
+          // setTimeoutTimestamp rejects timestamps the watermark passed
+          val want = st.lastUs / 1000L + gapMinutes * 60L * 1000L
+          val floor = state.getCurrentWatermarkMs() + 1L
+          state.setTimeoutTimestamp(math.max(want, floor))
+        }
       }
       out.iterator
     }
@@ -179,19 +214,8 @@ object EventAnalytics {
         state: GroupState[SessionState]): Iterator[Session] = {
       // events within a micro-batch are not ordered; sort this batch
       val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-      var st = state.getOption.orNull
-      evs.foreach { e =>
-        st match {
-          case null =>
-            st = SessionState(1L, e.us, e.us, 1L, e.value)
-          case s if e.us - s.lastUs > gapUs =>
-            out += Session(userId, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum)
-            st = SessionState(s.sessionSeq + 1, e.us, e.us, 1L, e.value)
-          case s =>
-            st = s.copy(lastUs = e.us, n = s.n + 1, sum = s.sum + e.value)
-        }
-      }
+        .map(e => (e.us, e.event_id, e.value))
+      val (out, st) = foldSessions(userId, evs, state.getOption.orNull, gapUs)
       if (st != null) state.update(st)
       out.iterator
     }

@@ -41,6 +41,19 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
   }
 
+  test("cap prunes candidates but surviving pairs report EXACT jaccard") {
+    // cap=2 drops the 3-doc bigrams (shared by 1,2,4) from candidate
+    // generation; the pair (1,4) still qualifies via rarer shingles and
+    // must report jaccard 1.0 — counting only uncapped join rows would
+    // understate it
+    val capped = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.9,
+      maxShingleBucket = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    capped.foreach { case (d1, d2, j) =>
+      assert(j == 1.0, s"pair ($d1,$d2) reported $j, expected exact 1.0")
+    }
+  }
+
   test("sf0.01 documents: 25 planted near-dup pairs at jaccard ≥ 0.5") {
     val d = spark.read.parquet(s"${graft.TestSpark.Sf001}/documents.parquet")
     assert(Dedup.ngramJaccardPairs(d, 2, 0.5).count() == 25L)

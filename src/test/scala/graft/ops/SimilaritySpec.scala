@@ -49,7 +49,7 @@ class SimilaritySpec extends AnyFunSuite {
     val viaArray = sh.select(col("doc_id"),
       MinHashDedup.signature(col("shingle_set"), 16).as("sig"))
     val ex = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
-      .withColumn("h", xxhash64(col("g")).bitwiseAND(lit(0x7fffffffL)))
+      .withColumn("h", pmod(xxhash64(col("g")), lit(2147483647L)))
     val viaAgg = ex.groupBy("doc_id")
       .agg(MinHashDedup.aggMinCols(16).head, MinHashDedup.aggMinCols(16).tail: _*)
       .select(col("doc_id"),

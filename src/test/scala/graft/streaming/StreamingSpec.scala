@@ -130,6 +130,11 @@ class StreamingSpec extends AnyFunSuite {
         s"only per-user still-open finals may be missing, saw $missing > $nUsers")
       assert(afterB2 > wantClosed.count(),
         "timeout must flush at least one idle user's final session")
+      // post-timeout reactivation must continue numbering: (user, seq)
+      // stays unique across the whole stream output
+      val dupKeys = spark.table("sessions_to")
+        .groupBy("user_id", "session_seq").count().where(col("count") > 1).count()
+      assert(dupKeys == 0L, "duplicate (user_id, session_seq) after timeout flush")
     } finally q.stop()
   }
 
