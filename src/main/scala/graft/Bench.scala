@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * startup; each query executed through the `noop` sink (full plan runs,
   * including final sorts that a `count()` would let the optimizer drop);
   * the block cache is cleared between queries so one query's cached
-  * intermediates can't subsidize another's wall-clock.
+  * intermediates can't subsidize another's wall-clock. Each query runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) and the per-query MEDIAN is
+  * reported — single-run wall-clock swings ±2–30 s with background
+  * machine load (measured in round 1), which would otherwise swamp
+  * round-over-round deltas.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,17 +40,23 @@ object Bench {
       catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val sec = (System.nanoTime() - t0) / 1e9 // capture BEFORE teardown
-      spark.catalog.clearCache()
-      name -> sec
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+        }
+        val sec = (System.nanoTime() - t0) / 1e9 // capture BEFORE teardown
+        spark.catalog.clearCache()
+        sec
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -73,13 +73,15 @@ object SparkEntry {
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "sim_topk_bruteforce" -> SimilarityQueries.simTopKSql,
+    "sim_ann_lsh" -> SimilarityQueries.simAnnLshSql,
     "dedup_minhash_lsh" -> SimilarityQueries.dedupMinhashSql,
     "dedup_embedding_cosine" -> SimilarityQueries.dedupEmbeddingCosineSql,
-    // sim_ann_lsh / sim_ann_ivf / dedup_simhash: engine-specific hashing
-    // or approximation → rows-only; gated by recall specs instead
+    // sim_ann_ivf: deterministic but its k-means seeding/assignment is a
+    // driver-side model artifact — rows-only + recall spec.
+    // dedup_simhash: engine xxhash64 → rows-only + recall/coverage specs
     "stream_window_agg" -> StreamQueries.streamWindowAggSql,
     "stream_sessionize" -> StreamQueries.streamSessionizeSql,
     "multimodal_meta" -> StreamQueries.multimodalMetaSql,
-    // multimodal_features: mapPartitions typed path → rows-only
+    "multimodal_features" -> StreamQueries.multimodalFeaturesSql,
   )
 }

@@ -29,6 +29,17 @@ final case class PipelineConfig(baseDir: String, runDate: LocalDate) {
   def stageDir(name: String): String = s"$baseDir/$name/$runDate"
 }
 
+/** Where the final load lands: the session catalog (parquet tables — the
+  * engine default), or a JDBC database (the reference's actual target,
+  * Postgres at load_data.py:17; tested against embedded Derby since the
+  * sandbox has no server). Both preserve K2 DDL-first + K3 append-no-dedup.
+  */
+sealed trait LoadTarget
+object LoadTarget {
+  case object Catalog extends LoadTarget
+  final case class Jdbc(url: String) extends LoadTarget
+}
+
 object Pipeline {
 
   /** K1 — overwrite-idempotent, date-partitioned parquet stage write. */
@@ -48,30 +59,45 @@ object Pipeline {
     writeStage(OnetCleaner.clean(readStage(spark, cfg, "onet_skills_raw")), cfg, "onet_skills_cleaned")
 
   /** K2+K3 — load_oews_data / load_onet_skills_data (load_data.py:274-280,
-    * 297-303): create-if-not-exists + append, no key, no dedup. Backed by
-    * the session catalog (parquet tables) instead of Postgres; `mode
+    * 297-303): create-if-not-exists + append, no key, no dedup. `mode
     * ("append")` preserves the duplicate-on-rerun semantic, which is
-    * observable reference behavior.
+    * observable reference behavior. Target is the session catalog by
+    * default or JDBC (graft.sources.JdbcLoad) when configured —
+    * reference parity with the Postgres sink.
     */
-  def appendLoad(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+  def appendLoad(df: DataFrame, table: String,
+      target: LoadTarget = LoadTarget.Catalog): Unit = target match {
+    case LoadTarget.Catalog =>
+      df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+    case LoadTarget.Jdbc(url) =>
+      graft.sources.JdbcLoad.append(df, url, table)
+  }
 
-  def loadOews(spark: SparkSession, cfg: PipelineConfig): Unit =
-    appendLoad(readStage(spark, cfg, "oews_cleaned"), "oews_by_state")
+  def loadOews(spark: SparkSession, cfg: PipelineConfig,
+      target: LoadTarget = LoadTarget.Catalog): Unit =
+    appendLoad(readStage(spark, cfg, "oews_cleaned"), "oews_by_state", target)
 
-  def loadOnet(spark: SparkSession, cfg: PipelineConfig): Unit =
-    appendLoad(readStage(spark, cfg, "onet_skills_cleaned"), "onet_skills")
+  def loadOnet(spark: SparkSession, cfg: PipelineConfig,
+      target: LoadTarget = LoadTarget.Catalog): Unit =
+    appendLoad(readStage(spark, cfg, "onet_skills_cleaned"), "onet_skills", target)
 
   /** O1 — the DAG's two chains (oews_onet_dag.py:75-76). Spark's lazy DAG
     * subsumes intra-query ordering; the two chains are independent and
     * could run concurrently on one session.
     */
-  def run(spark: SparkSession, cfg: PipelineConfig): Unit = {
-    Schemas.ensureTables(spark) // K2: DDL before loads
+  def run(spark: SparkSession, cfg: PipelineConfig,
+      target: LoadTarget = LoadTarget.Catalog): Unit = {
+    // K2: DDL before loads, on whichever target receives them
+    target match {
+      case LoadTarget.Catalog => Schemas.ensureTables(spark)
+      case LoadTarget.Jdbc(url) =>
+        graft.sources.JdbcLoad.ensureTable(url, "oews_by_state", Schemas.OewsCleaned)
+        graft.sources.JdbcLoad.ensureTable(url, "onet_skills", Schemas.OnetSkillsCleaned)
+    }
     transformOews(spark, cfg)
-    loadOews(spark, cfg)
+    loadOews(spark, cfg, target)
     transformOnet(spark, cfg)
-    loadOnet(spark, cfg)
-    WageAnalytics.createViews(spark)
+    loadOnet(spark, cfg, target)
+    if (target == LoadTarget.Catalog) WageAnalytics.createViews(spark)
   }
 }

@@ -24,6 +24,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Candidate-generation strategy for exact pairwise n-gram Jaccard —
+    * all three produce IDENTICAL output (spec-asserted); they differ
+    * only in how the quadratic candidate space is navigated, and the
+    * right one depends on corpus shape:
+    *
+    *   - `CountJoin`: full inverted-index self-join; intersection sizes
+    *     fall out of the join's pair counts. Join output is Σ_g df(g)²
+    *     rows — best when shingle document-frequencies are LOW (web-like
+    *     large vocabulary), degenerate when hot shingles dominate
+    *     (measured on the testdata corpus: 931-shingle vocabulary over
+    *     5 k docs ⇒ 73 M join rows at sf0.1, 27 s).
+    *   - `PrefixFilter`: PPJoin prefix filtering (Chaudhuri ICDE'06,
+    *     Xiao WWW'08) — index each doc's globally-rarest
+    *     (|s|−⌈t·|s|⌉+1) shingles, verify candidates with
+    *     array_intersect. Lossless and the right call on LARGE-vocabulary
+    *     corpora; on the small-vocabulary testdata it is strictly worse
+    *     than CountJoin (the "rarest" prefix shingles still have df in
+    *     the hundreds, and the per-candidate string-set intersect is
+    *     expensive: measured 110 s at sf0.1).
+    *   - `Bitmap`: when the vocabulary is small enough to index densely
+    *     (≤ `maxVocab`), encode each doc's shingle set as a packed
+    *     64-bit-word bitmap and score ALL pairs via the blocked
+    *     self-join (see Similarity.cosineNearDupPairs) with a native
+    *     AND+POPCNT kernel — n²/2 pair evaluations at ~(vocab/64) long
+    *     ops each, no inverted-index blowup, no string compares on the
+    *     hot path. The vocabulary is a bounded model artifact (like IVF
+    *     centroids), collected and broadcast.
+    *
+    * At 100 TB: web-scale text has a huge vocabulary ⇒ PrefixFilter (or
+    * MinHashDedup for the sketch path); narrow-domain corpora (logs,
+    * templates, DNA k-mers) have small vocabularies ⇒ Bitmap.
+    */
+  sealed trait JaccardStrategy
+  object JaccardStrategy {
+    case object CountJoin extends JaccardStrategy
+    case object PrefixFilter extends JaccardStrategy
+    case object Bitmap extends JaccardStrategy
+  }
+
   /** Exact dedup: group by the content column, keep the smallest id.
     * Output: one row per distinct content with the survivor id and copy
     * count.
@@ -58,31 +97,22 @@ object Dedup {
     * d1 < d2. Jaccard = |A∩B| / (|A|+|B|-|A∩B|), exact integer-derived
     * double.
     *
-    * Two candidate-generation strategies, same exact output:
-    *
-    *   - `prefixFilter = false` (default): full inverted index; the
-    *     intersection size falls out of the join's pair counts (no
-    *     per-pair array work). Best when the shingle vocabulary is
-    *     SMALL relative to the corpus (every doc pair co-occurs
-    *     somewhere, so pruning can't help and counting is cheapest —
-    *     the testdata corpus is this shape).
-    *   - `prefixFilter = true`: PPJoin-style prefix filtering
-    *     (Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — index only
-    *     each doc's (|s| − ⌈t·|s|⌉ + 1) globally-rarest shingles (a pair
-    *     with Jaccard ≥ t must share one), then verify candidates with
-    *     array_intersect. Lossless; collapses candidates by orders of
-    *     magnitude on realistic large-vocabulary corpora (web text),
-    *     where hot-shingle postings otherwise blow up quadratically.
+    * Strategy selection: see [[JaccardStrategy]] — all strategies are
+    * exact and output-identical; pick by corpus vocabulary shape.
     *
     * `maxShingleBucket` drops postings longer than the cap from
-    * candidate generation (hot-key guard; a documented approximation).
+    * candidate generation (hot-key guard; a documented approximation;
+    * applies to the inverted-index strategies — Bitmap has no postings).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int = 2,
       threshold: Double = 0.5,
       maxShingleBucket: Option[Int] = None,
-      prefixFilter: Boolean = false): DataFrame = {
+      strategy: JaccardStrategy = JaccardStrategy.CountJoin,
+      blocks: Int = 8,
+      maxVocab: Int = 1 << 16): DataFrame = {
+    import JaccardStrategy._
     val sh = shingles(docs, n).cache()
     val exploded = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
     def capped(index: DataFrame): DataFrame = maxShingleBucket match {
@@ -96,7 +126,55 @@ object Dedup {
       (col("intersect_size").cast("double") /
         (col("n1") + col("n2") - col("intersect_size"))).as("jaccard"))
 
-    if (!prefixFilter && maxShingleBucket.isEmpty) {
+    if (strategy == Bitmap) {
+      // vocabulary = bounded model artifact (like IVF centroids):
+      // collected sorted for a deterministic id assignment, broadcast
+      // back. Docs with empty shingle sets never join the index — same
+      // exclusion as the inverted-index strategies (an empty set can't
+      // reach any positive threshold).
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val vocab = sh.select(explode(col("shingle_set")).as("g"))
+        .distinct().orderBy("g").collect().map(_.getString(0))
+      require(vocab.length <= maxVocab,
+        s"Bitmap strategy needs vocabulary ≤ $maxVocab (got ${vocab.length}); " +
+          "use PrefixFilter for large-vocabulary corpora")
+      val nWords = math.max(1, (vocab.length + 63) / 64)
+      val vocabDf = vocab.zipWithIndex.toSeq.toDF("g", "id")
+      // pack per-doc bitmaps with the codegen'd explode→bit_or aggregate
+      // (NOT a per-doc interpreted fold), then materialize the dense
+      // word array from the sparse (word, mask) map
+      // cached: BOTH sides of the self-join scan it — uncached it would
+      // be built twice (two groupBy shuffles each)
+      val packed = exploded.join(broadcast(vocabDf), "g")
+        .withColumn("word", (col("id") / lit(64)).cast("int"))
+        .withColumn("mask",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(id, 64) AS INT))"))
+        .groupBy("doc_id", "word").agg(bit_or(col("mask")).as("m"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("word"), col("m")))).as("wm"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(nWords - 1)),
+            w => coalesce(element_at(col("wm"), w), lit(0L))).as("bm"))
+        .join(sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh")), "doc_id")
+        .cache()
+      // blocked all-pairs equi-join: n² scoring spread over blocks² key
+      // groups, nothing corpus-sized broadcast, no nested loop — the
+      // same shape as Similarity.cosineNearDupPairs (rationale there)
+      val base = packed
+        .withColumn("blk", pmod(hash(col("doc_id")), lit(blocks)))
+      val partners = array((0 until blocks).map(lit): _*)
+      val a = base.select(col("doc_id").as("d1"), col("bm").as("bm1"),
+        col("n_sh").as("n1"), col("blk").as("b1"), explode(partners).as("b2"))
+      val b = base.select(col("doc_id").as("d2"), col("bm").as("bm2"),
+        col("n_sh").as("n2"), col("blk").as("b2"), explode(partners).as("b1"))
+      a.join(b, Seq("b1", "b2"))
+        .where(col("d1") < col("d2"))
+        .withColumn("intersect_size",
+          graft.functions.LongArrayAndPopcount.popcountAnd(col("bm1"), col("bm2")))
+        .select(col("d1") +: col("d2") +: jaccardCols: _*)
+        .where(col("jaccard") >= threshold)
+    } else if (strategy == CountJoin && maxShingleBucket.isEmpty) {
       // full index, no cap: the join's pair counts ARE the intersection
       // sizes — cheapest exact spelling on small-vocabulary corpora
       val sizes = sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh"))
@@ -109,7 +187,7 @@ object Dedup {
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
         .select(col("d1") +: col("d2") +: jaccardCols: _*)
         .where(col("jaccard") >= threshold)
-    } else if (!prefixFilter) {
+    } else if (strategy == CountJoin) {
       // capped full index: the cap prunes CANDIDATE GENERATION only —
       // join counts would undercount intersections for pairs that share
       // capped shingles, so surviving candidates are re-verified exactly

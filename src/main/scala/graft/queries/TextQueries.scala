@@ -107,8 +107,19 @@ object TextQueries {
     """SELECT text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin
 
+  /** Gated spelling is the BITMAP strategy — exact (same output and
+    * oracle as the inverted-index count-join) and the right strategy for
+    * this corpus's shape: a 931-shingle vocabulary over 5 k docs makes
+    * the inverted-index join emit Σ df² ≈ 73 M rows at sf0.1 (27 s in
+    * round 1), and PPJoin prefix filtering is WORSE here (measured
+    * 110 s — "rare" shingles still have df in the hundreds and the
+    * per-candidate string intersect dominates). The bitmap path scores
+    * all pairs through a blocked equi-join with a native AND+POPCNT
+    * kernel instead. See Dedup.JaccardStrategy for the selection rule.
+    */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(spark, sfDir), n = 2, threshold = 0.5)
+    Dedup.ngramJaccardPairs(docs(spark, sfDir), n = 2, threshold = 0.5,
+        strategy = Dedup.JaccardStrategy.Bitmap)
       .orderBy("d1", "d2")
 
   /** Exact-Jaccard oracle at an arbitrary threshold (shared by the exact

@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType, TimestampType}
+
+/** JDBC load layer — the reference's actual sink is Postgres via
+  * SQLAlchemy (load_data.py:147-213: engine at :17, DDL-first
+  * create-if-not-exists at :151-200, `to_sql(if_exists='append')` at
+  * :202-213), and the notebook reads back over the same connection
+  * (analysis.ipynb cells 2-3). This module is the Spark-native
+  * equivalent: `spark.read/write.format("jdbc")` plus an explicit
+  * DDL-first step.
+  *
+  * Observable semantics preserved:
+  *   - K2: table creation is DDL-first and idempotent. Dialects without
+  *     `CREATE TABLE IF NOT EXISTS` (Derby, the embedded engine used in
+  *     tests) get the same semantic via a DatabaseMetaData existence
+  *     probe; the generated DDL mirrors the reference's column typing
+  *     (TEXT→VARCHAR for Derby, BIGINT for the suppression-prone integer
+  *     columns, no keys, no indexes — the reference declares none).
+  *   - K3: loads are `SaveMode.Append` with NO key and NO dedup;
+  *     rerunning a day duplicates rows, exactly like `to_sql(append)`.
+  *
+  * Scale notes: Spark's JDBC writer inserts partition-parallel (one
+  * connection per input partition, `batchsize` rows per round trip);
+  * reads can be split with `partitionColumn`/`numPartitions` bounds.
+  * For 100 TB-scale facts a relational sink is the wrong tool — the
+  * engine keeps parquet/catalog tables as the default target and treats
+  * JDBC as the reference-parity dimension-sized sink it is in the
+  * source system (63 k rows/day).
+  */
+object JdbcLoad {
+
+  /** Reference DDL type mapping (load_data.py:155-199) per dialect:
+    * Postgres TEXT ↔ Derby VARCHAR (Derby has no TEXT); NUMERIC kept as
+    * DOUBLE to match the engine's cleaned schema (Schemas.scala — the
+    * reference's NUMERIC(p,s) is a Postgres declaration detail; values
+    * flow through pandas float64 either way).
+    */
+  private def sqlType(dt: org.apache.spark.sql.types.DataType, url: String): String = dt match {
+    // Derby has no TEXT; CLOB matches what Spark's DerbyDialect binds on
+    // insert (setObject with Types.CLOB — a VARCHAR column rejects it)
+    case StringType if url.startsWith("jdbc:derby") => "CLOB"
+    case StringType => "TEXT"
+    case LongType => "BIGINT"
+    case DoubleType => "DOUBLE"
+    case TimestampType => "TIMESTAMP"
+    case other => other.sql
+  }
+
+  def ddlFor(table: String, schema: StructType, url: String): String =
+    schema.fields
+      .map(f => s""""${f.name}" ${sqlType(f.dataType, url)}""")
+      .mkString(s"""CREATE TABLE "$table" (""", ", ", ")")
+
+  def tableExists(url: String, table: String): Boolean = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      // metadata stores fold unquoted identifiers to upper (Derby) or
+      // lower (Postgres) case — probe both plus verbatim
+      val meta = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
+        val rs = meta.getTables(null, null, t, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
+  }
+
+  /** K2 — idempotent DDL-first create (`CREATE TABLE IF NOT EXISTS`
+    * semantic via existence probe, portable to dialects without the
+    * clause).
+    */
+  def ensureTable(url: String, table: String, schema: StructType): Unit =
+    if (!tableExists(url, table)) {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(ddlFor(table, schema, url)) finally st.close()
+      } finally conn.close()
+    }
+
+  /** K3 — append-only load, no key, no dedup (duplicate-on-rerun is
+    * observable reference behavior).
+    */
+  def append(df: DataFrame, url: String, table: String,
+      props: Properties = new Properties): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, s""""$table"""", props)
+
+  /** S5 — table scan over JDBC (analysis.ipynb reads whole tables). */
+  def read(spark: SparkSession, url: String, table: String,
+      props: Properties = new Properties): DataFrame =
+    spark.read.jdbc(url, s""""$table"""", props)
+}

@@ -62,7 +62,21 @@ class DedupSpec extends AnyFunSuite {
   test("prefix-filtered variant is lossless: identical output to full index") {
     val d = spark.read.parquet(s"${graft.TestSpark.Sf001}/documents.parquet")
     val full = Dedup.ngramJaccardPairs(d, 2, 0.5)
-    val pref = Dedup.ngramJaccardPairs(d, 2, 0.5, prefixFilter = true)
+    val pref = Dedup.ngramJaccardPairs(d, 2, 0.5,
+      strategy = Dedup.JaccardStrategy.PrefixFilter)
     assert(full.exceptAll(pref).isEmpty && pref.exceptAll(full).isEmpty)
+  }
+
+  test("bitmap strategy is exact: identical output to full index") {
+    val d = spark.read.parquet(s"${graft.TestSpark.Sf001}/documents.parquet")
+    val full = Dedup.ngramJaccardPairs(d, 2, 0.5)
+    val bm = Dedup.ngramJaccardPairs(d, 2, 0.5,
+      strategy = Dedup.JaccardStrategy.Bitmap)
+    assert(full.exceptAll(bm).isEmpty && bm.exceptAll(full).isEmpty)
+    // and on the tiny literal corpus, including the empty-shingle doc
+    val bmTiny = Dedup.ngramJaccardPairs(docs, 2, 0.5,
+      strategy = Dedup.JaccardStrategy.Bitmap)
+    val fullTiny = Dedup.ngramJaccardPairs(docs, 2, 0.5)
+    assert(fullTiny.exceptAll(bmTiny).isEmpty && bmTiny.exceptAll(fullTiny).isEmpty)
   }
 }

@@ -30,6 +30,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 40, s"IVF recall $hits/50 < 0.8")
   }
 
+  test("blocked near-dup self-join equals the naive all-pairs join") {
+    // the production spelling (blocked equi-join, no nested loop) must
+    // reproduce the naive quadratic join bit-for-bit — same quantized
+    // scores, same pair set
+    val naiveA = emb.select(col("vec_id").as("d1"),
+      Similarity.quantize(col("embedding")).as("v1"))
+      .withColumn("n1s", sqrt(Similarity.normQ(col("v1")).cast("double")))
+    val naiveB = emb.select(col("vec_id").as("d2"),
+      Similarity.quantize(col("embedding")).as("v2"))
+      .withColumn("n2s", sqrt(Similarity.normQ(col("v2")).cast("double")))
+    val naive = naiveA.join(naiveB, col("d1") < col("d2"))
+      .withColumn("cos_sim", Similarity.cosineFrom(
+        Similarity.dotQ(col("v1"), col("v2")), col("n1s"), col("n2s")))
+      .where(col("cos_sim") >= 0.4)
+      .select("d1", "d2", "cos_sim")
+    val blocked = Similarity.cosineNearDupPairs(emb, 0.4)
+    assert(naive.exceptAll(blocked).isEmpty && blocked.exceptAll(naive).isEmpty)
+    // and the nested loop is actually gone from the production plan
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("native best-cell expression equals the interpreted argmax fold") {
+    // round 1 assigned IVF cells with an aggregate() HOF fold; the native
+    // codegen expression that replaced it must keep bit-identical
+    // semantics (−2.0 seed, strict >, zero-norm → −1)
+    val cents = emb.orderBy("vec_id").limit(8)
+      .select(Similarity.quantize(col("embedding")).as("qv"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val centsLit = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("i"), array(cv.map(lit).toIndexedSeq: _*).as("v"),
+        lit(math.sqrt(cv.map(x => x.toDouble * x).sum)).as("nrm"))
+    }.toIndexedSeq: _*)
+    val base = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(Similarity.normQ(col("cv")).cast("double")))
+    val viaFold = base.withColumn("cell",
+      aggregate(centsLit, struct(lit(-2.0).as("s"), lit(-1).as("i")),
+        (best, c) => {
+          val s = coalesce(
+            Similarity.cosineFrom(Similarity.dotQ(col("cv"), c.getField("v")),
+              col("cn"), c.getField("nrm")), lit(-2.0))
+          when(s > best.getField("s"),
+            struct(s.as("s"), c.getField("i").as("i"))).otherwise(best)
+        }).getField("i")).select("vec_id", "cell")
+    val centsMatrix = array(cents.map(cv =>
+      array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val centNorms = array(cents.map(cv =>
+      lit(math.sqrt(cv.map(x => x.toDouble * x).sum))).toIndexedSeq: _*)
+    val viaExpr = base.withColumn("cell",
+      graft.functions.LongArrayBestCell.bestCell(col("cv"), centsMatrix, centNorms))
+      .select("vec_id", "cell")
+    assert(viaFold.exceptAll(viaExpr).isEmpty && viaExpr.exceptAll(viaFold).isEmpty)
+  }
+
   test("minhash LSH output equals exact jaccard output at the 0.7 gate") {
     // 0.7 is inside the banding scheme's guaranteed-recall region
     // (p≈0.9998 at j=0.7 with r=4/b=32); at 0.5 the sketch is allowed to

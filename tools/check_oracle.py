@@ -63,6 +63,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             c, i, a, b = mismatch
             print(f"FAIL {name}: col {c} row {i}: spark={a!r} duck={b!r}")
             failures += 1
+            continue
+        # dtype KIND seam: the driver's hash canonicalization distinguishes
+        # 1 (int64) from 1.0 (float64) even when values compare equal —
+        # round 1's stream_sessionize failed exactly this way (DuckDB
+        # windowed SUM → HUGEINT → pandas float64 vs Spark int64). int32 vs
+        # int64 is fine (same kind); int vs float is not.
+        kind_mismatch = [
+            (c, g[c].dtype, w[c].dtype) for c in gc
+            if g[c].dtype.kind != w[c].dtype.kind]
+        if kind_mismatch:
+            c, gd, wd = kind_mismatch[0]
+            print(f"FAIL {name}: col {c} dtype kind spark={gd} duck={wd}"
+                  " (values equal; driver hash would differ)")
+            failures += 1
         else:
             print(f"OK   {name}: {len(g)} rows x {len(gc)} cols")
     return failures
