@@ -49,6 +49,22 @@ object Pipeline {
   def readStage(spark: SparkSession, cfg: PipelineConfig, name: String): DataFrame =
     spark.read.parquet(cfg.stageDir(name))
 
+  /** extract_oews_data (load_data.py:256-263): scraped page HTML →
+    * target-table parse (header from thead, drop-last-2 footer) → raw
+    * parquet stage. The browser fetch itself (S1) stays out of engine
+    * scope; callers hand in the page source.
+    */
+  def extractOews(spark: SparkSession, cfg: PipelineConfig, pageHtml: String): Unit =
+    writeStage(graft.sources.HtmlTableSource.toDataFrame(spark, pageHtml),
+      cfg, "oews_raw")
+
+  /** extract_onet_skills_data (load_data.py:282-286): Skills workbook →
+    * typed frame (pandas-inference parity) → raw parquet stage.
+    */
+  def extractOnet(spark: SparkSession, cfg: PipelineConfig, xlsxPath: String): Unit =
+    writeStage(graft.sources.XlsxSource.readTyped(spark, xlsxPath),
+      cfg, "onet_skills_raw")
+
   /** transform_oews_data (load_data.py:265-272): raw parquet → clean →
     * cleaned parquet. */
   def transformOews(spark: SparkSession, cfg: PipelineConfig): Unit =
