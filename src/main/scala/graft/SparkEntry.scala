@@ -74,10 +74,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "sim_topk_bruteforce" -> SimilarityQueries.simTopKSql,
     "sim_ann_lsh" -> SimilarityQueries.simAnnLshSql,
+    "sim_ann_ivf" -> SimilarityQueries.simAnnIvfSql,
     "dedup_minhash_lsh" -> SimilarityQueries.dedupMinhashSql,
     "dedup_embedding_cosine" -> SimilarityQueries.dedupEmbeddingCosineSql,
-    // sim_ann_ivf: deterministic but its k-means seeding/assignment is a
-    // driver-side model artifact — rows-only + recall spec.
     // dedup_simhash: engine xxhash64 → rows-only + recall/coverage specs
     "stream_window_agg" -> StreamQueries.streamWindowAggSql,
     "stream_sessionize" -> StreamQueries.streamSessionizeSql,

@@ -79,14 +79,22 @@ object SimHashDedup {
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
     val a = bandRows.as("a")
     val b = bandRows.as("b")
+    // verify (xor+popcount — two codegen'd ops) BEFORE the pair dedupe:
+    // the hamming filter collapses the candidate stream from
+    // Σ_band Σ_chunk cnt² join emissions down to the near-dup pairs, so
+    // the dropDuplicates shuffle moves hundreds of rows, not millions.
+    // (Round 1 deduped first and shuffled every candidate — the bulk of
+    // this operator's 12.9 s. Dedupe-after is safe here because the
+    // verify is per-pair deterministic: duplicate candidates carry
+    // identical sims and hamming.)
     a.join(b,
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("a.sim").as("sim1"),
         col("b.doc_id").as("d2"), col("b.sim").as("sim2"))
-      .dropDuplicates("d1", "d2")
       .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("d1", "d2")
       .select("d1", "d2", "sim1", "sim2", "hamming")
   }
 }

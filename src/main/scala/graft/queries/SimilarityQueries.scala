@@ -13,10 +13,11 @@ import graft.ops.{MinHashDedup, SimHashDedup, Similarity}
   *   sketch must reproduce the exact algorithm's output (banding chosen
   *   so recall ≈ 1 above the threshold band; verification removes false
   *   positives).
-  * - `sim_ann_lsh` has a full DuckDB twin too: the RHP signature is LCG
-  *   integer arithmetic, engine-neutral by construction.
-  * - `sim_ann_ivf` / `dedup_simhash`: rows-only driver check + recall
-  *   specs in ScalaTest (k-means model artifact / engine xxhash64).
+  * - `sim_ann_lsh` / `sim_ann_ivf` have full DuckDB twins too: the RHP
+  *   signature is LCG integer arithmetic and the gated IVF config
+  *   (lloydIters=0) is deterministic end to end.
+  * - `dedup_simhash`: rows-only driver check + recall/coverage specs in
+  *   ScalaTest (engine xxhash64 has no DuckDB twin).
   */
 object SimilarityQueries {
   import RefQueries.table
@@ -99,6 +100,58 @@ object SimilarityQueries {
     Similarity.ivfTopKCosine(emb.where(col("vec_id") < 10), emb, k = 5)
       .orderBy(col("q_id"), desc("cos_sim"), col("n_id"))
   }
+
+  /** Full DuckDB twin of the IVF pipeline — deterministic end to end at
+    * the gated configuration (lloydIters=0): centroids are the 32
+    * lowest vec_ids, assignment is argmax cosine with seed −2.0 /
+    * strict-> / lowest-index ties (restated as a row_number window),
+    * probing is the top-8 (score, idx)-sorted cells with the SAME
+    * descending-(s, i) tie order as Spark's
+    * reverse(array_sort(struct(s,i))), then exact quantized rescoring
+    * and top-k.
+    */
+  val simAnnIvfSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), vn AS (
+      |  SELECT vec_id, qv,
+      |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS nrm
+      |  FROM v
+      |), cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv,
+      |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS cnrm
+      |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 32)
+      |), scores AS (
+      |  SELECT vn.vec_id, vn.nrm, c.ci,
+      |         CASE WHEN vn.nrm > 0 AND c.cnrm > 0
+      |              THEN list_dot_product(CAST(vn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) / (vn.nrm * c.cnrm)
+      |              ELSE -2.0 END AS s
+      |  FROM vn CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT vec_id, CASE WHEN s > -2.0 THEN ci ELSE -1 END AS cell
+      |  FROM (SELECT vec_id, ci, s,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+      |        FROM scores)
+      |  WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id, unnest(list_transform(
+      |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, 8), r -> r.i)) AS cell
+      |  FROM scores WHERE vec_id < 10 GROUP BY vec_id
+      |), cands AS (
+      |  SELECT p.vec_id AS q_id, a.vec_id AS n_id
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.vec_id <> a.vec_id
+      |), scored AS (
+      |  SELECT cand.q_id, cand.n_id,
+      |         CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot_q,
+      |         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) / (q.nrm * c.nrm) AS cos_sim
+      |  FROM cands cand JOIN vn q ON cand.q_id = q.vec_id JOIN vn c ON cand.n_id = c.vec_id
+      |)
+      |SELECT q_id, n_id, dot_q, cos_sim FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
+      |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
 
   /** Gated at threshold 0.7: with r=4 rows × b=32 bands, a true-Jaccard-j
     * pair survives banding with p = 1-(1-j⁴)³² — ≈0.9998 at j=0.7 but
