@@ -94,6 +94,21 @@ object EventAnalytics extends Serializable {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventsSchema).parquet(dir)
 
+  /** Streaming exact dedup — the streaming form of `Dedup.exact` for an
+    * at-least-once ingest stream (replayed files, retried producers):
+    * keep the FIRST occurrence of each key, with state bounded by the
+    * watermark horizon. `dropDuplicatesWithinWatermark` evicts a key's
+    * state once the watermark passes its event time, so state is
+    * O(keys within horizon); a plain `dropDuplicates` on a stream never
+    * evicts and grows without bound — the difference between a pipeline
+    * that survives a month of uptime and one that OOMs.
+    */
+  def dedupStream(events: DataFrame, watermark: String,
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ---- custom stateful streaming: sessionization with explicit state --
 
   final case class Event(event_id: Long, user_id: Long, us: Long, value: Double)

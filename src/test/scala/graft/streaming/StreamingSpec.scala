@@ -170,4 +170,33 @@ class StreamingSpec extends AnyFunSuite {
         "append-mode rows must be a subset of the batch result")
     } finally q.stop()
   }
+
+  test("streaming dedup suppresses at-least-once replays with bounded state") {
+    val dir = Files.createTempDirectory("graft-events-dd")
+    val all = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet").cache()
+    val n = all.count()
+    stageBatch(all, dir.toString, "delivery1.parquet")
+
+    val stream = EventAnalytics.readEventsStream(spark, dir.toString)
+    val q = EventAnalytics.dedupStream(stream, watermark = "30 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == n)
+      // the producer retries: the SAME file is delivered again — every
+      // row is a duplicate within the watermark horizon and must be
+      // suppressed, emitting nothing new
+      stageBatch(all, dir.toString, "delivery2.parquet")
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == n,
+        "replayed delivery leaked duplicate rows through the stream")
+      // emitted stream == batch exact-dedup of the doubled input
+      val doubled = all.union(all)
+      val batchDedup = doubled.dropDuplicates("event_id")
+      assert(spark.table("dedup_out").select("event_id").exceptAll(
+        batchDedup.select("event_id")).isEmpty)
+    } finally q.stop()
+  }
 }
