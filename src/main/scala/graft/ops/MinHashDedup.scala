@@ -68,6 +68,23 @@ object MinHashDedup {
   def signature(shingleSet: Column, k: Int): Column =
     signatureFromHashes(baseHashes(shingleSet), k)
 
+  /** The permutation constants as arrays (for the native expression and
+    * for specs pinning the spellings together).
+    */
+  def permConstants(k: Int): (Array[Long], Array[Long]) = {
+    val ps = (0 until k).map(perm)
+    (ps.map(_._1).toArray, ps.map(_._2).toArray)
+  }
+
+  /** Native-expression spelling: one codegen'd k×|shingles| loop per
+    * row — a true narrow map, no explode, no aggregate, no shuffle.
+    * Identical values to `signature` / `aggMinCols` (spec-pinned).
+    */
+  def signatureNative(shingleSet: Column, k: Int): Column = {
+    val (a, b) = permConstants(k)
+    graft.functions.LongArrayMinHash.minhash(baseHashes(shingleSet), a, b, P)
+  }
+
   /** The k per-permutation `min` aggregate columns over a 31-bit base
     * hash column `h` — the codegen'd explode+aggregate spelling of
     * `signature` (SimilaritySpec pins the two spellings equal so the
@@ -82,13 +99,14 @@ object MinHashDedup {
     * Output: (d1, d2, intersect_size, n1, n2, jaccard) for verified
     * jaccard ≥ threshold — same shape as Dedup.ngramJaccardPairs.
     *
-    * Signatures are built EXPLODE-then-AGGREGATE: one row per (doc,
-    * shingle), hashed once, then a single HashAggregate with k `min`
-    * buffers. Array-lambda folds (`aggregate`/`transform`) are
-    * interpreted, not codegen'd — the agg shape keeps the k·|shingles|
-    * inner loop inside whole-stage codegen and costs exactly one
-    * shuffle by doc_id, which also co-partitions every downstream
-    * per-doc step.
+    * Signatures are built with the native `LongArrayMinHash` expression
+    * — a genuinely shuffle-free narrow map (round 1 exploded shingles
+    * into a HashAggregate with k min buffers: codegen'd, but it paid a
+    * doc_id exchange before banding; the per-row k·|shingles| loop is
+    * the same, the shuffle is gone — the band-bucket join is now
+    * candidate generation's ONLY shuffle). The interpreted array-fold
+    * and explode-agg spellings remain as cross-checks, spec-pinned to
+    * produce identical signatures.
     */
   def nearDupPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
       k: Int = 128, bands: Int = 32): DataFrame = {
@@ -97,14 +115,12 @@ object MinHashDedup {
     val sh = Dedup.shingles(docs, n)
       .where(size(col("shingle_set")) > 0)
       .cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
-      .withColumn("h", pmod(xxhash64(col("g")), lit(P)))
-    val minCols = aggMinCols(k)
-    val sig = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // band → bucket key: xxhash64 over the band's r signature columns
+    val sig = sh.select(col("doc_id"),
+      signatureNative(col("shingle_set"), k).as("sig"))
+    // band → bucket key: xxhash64 over the band's r signature slots
     val bandRows = sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
-        val slice = (0 until r).map(j => col(s"m${b * r + j}"))
+        val slice = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
         struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"),

@@ -110,6 +110,10 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("doc_id"),
         array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
     assert(viaArray.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaArray).isEmpty)
+    // and the native-expression spelling (the production path) matches both
+    val viaNative = sh.select(col("doc_id"),
+      MinHashDedup.signatureNative(col("shingle_set"), 16).as("sig"))
+    assert(viaArray.exceptAll(viaNative).isEmpty && viaNative.exceptAll(viaArray).isEmpty)
   }
 
   test("explode-agg simhash equals the array-fold spelling") {
