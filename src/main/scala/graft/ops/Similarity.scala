@@ -121,6 +121,9 @@ object Similarity {
   /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane
     * component d of plane i = ±1 from a fixed LCG-style integer mix —
     * deterministic, no RNG state, computable per-row with no shuffle.
+    * This is the REFERENCE spelling (interpreted HOF folds), spec-pinned
+    * equal to the codegen'd production path
+    * `functions.LongArrayRhpSig` used by `annTopKCosine`.
     */
   def rhpSignature(qv: Column, bits: Int): Column = {
     val planeSign: (Int, Column) => Column = (i, d) =>
@@ -256,7 +259,7 @@ object Similarity {
     val width = bits / bands
     val mask = (1L << width) - 1
     def banded(df: DataFrame, idCol: String, normCol: String): DataFrame = {
-      val sig = rhpSignature(col("qv"), bits)
+      val sig = graft.functions.LongArrayRhpSig.rhpSig(col("qv"), bits)
       df.withColumn(normCol, sqrt(normQ(col("qv")).cast("double")))
         .withColumn("sig", sig)
         .select(col(idCol), col("qv"), col(normCol),

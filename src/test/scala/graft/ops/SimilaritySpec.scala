@@ -85,6 +85,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaFold.exceptAll(viaExpr).isEmpty && viaExpr.exceptAll(viaFold).isEmpty)
   }
 
+  test("native RHP signature equals the interpreted fold spelling") {
+    val base = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val viaFold = base.select(col("vec_id"),
+      Similarity.rhpSignature(col("qv"), 16).as("sig"))
+    val viaNative = base.select(col("vec_id"),
+      graft.functions.LongArrayRhpSig.rhpSig(col("qv"), 16).as("sig"))
+    assert(viaFold.exceptAll(viaNative).isEmpty &&
+      viaNative.exceptAll(viaFold).isEmpty)
+  }
+
   test("minhash LSH output equals exact jaccard output at the 0.7 gate") {
     // 0.7 is inside the banding scheme's guaranteed-recall region
     // (p≈0.9998 at j=0.7 with r=4/b=32); at 0.5 the sketch is allowed to
