@@ -50,6 +50,10 @@ object TextOps {
     * Pure integer expressions — reproducible across engines, which is why
     * we don't just call Spark's murmur `hash`/`xxhash64` here (those are
     * engine-specific; see MinHashDedup for where they ARE appropriate).
+    * This HOF spelling is the REFERENCE; `analyze` runs the codegen'd
+    * `functions.StringArrayFingerprint` (spec-pinned value-identical) —
+    * the nested interpreted folds cost a substring+ascii allocation per
+    * character.
     */
   def fingerprint(toks: Column): Column = {
     val tokenHash: Column => Column = t =>
@@ -92,6 +96,7 @@ object TextOps {
       .withColumn("punct_ratio", ratio(col("n_punct"), col("n_chars")))
       .withColumn("stopword_ratio", ratio(col("score_en"), col("n_tokens")))
       .withColumn("predicted_lang", predicted)
-      .withColumn("fingerprint", fingerprint(col("toks")))
+      .withColumn("fingerprint",
+        graft.functions.StringArrayFingerprint.fingerprint(col("toks")))
   }
 }

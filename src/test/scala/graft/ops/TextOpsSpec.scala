@@ -46,6 +46,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fp(1L) != fp(2L), "token order must change the rolling hash")
   }
 
+  test("native fingerprint equals the HOF fold spelling, incl. non-ASCII") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${graft.TestSpark.Sf001}/documents.parquet")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val both = docs.select(
+      TextOps.fingerprint(col("toks")).as("hof"),
+      graft.functions.StringArrayFingerprint.fingerprint(col("toks")).as("native"))
+    assert(both.where(col("hof") =!= col("native")).isEmpty)
+    // codepoint semantics beyond ASCII: multibyte chars and a
+    // supplementary-plane character must hash identically in both
+    import spark.implicits._
+    val uni = Seq((1L, Seq("héllo", "wörld", "日本語", "a😀b")))
+      .toDF("doc_id", "toks")
+    val u = uni.select(
+      TextOps.fingerprint(col("toks")).as("hof"),
+      graft.functions.StringArrayFingerprint.fingerprint(col("toks")).as("native"))
+      .collect()(0)
+    assert(u.getLong(0) == u.getLong(1))
+  }
+
   test("langid picks the language with the best stopword score") {
     import spark.implicits._
     val docs = Seq(
