@@ -40,23 +40,32 @@ object Bench {
       catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val attempts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try exec(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val ok =
+          try { exec(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            }
+            false
           }
-        }
         val sec = (System.nanoTime() - t0) / 1e9 // capture BEFORE teardown
         spark.catalog.clearCache()
-        sec
-      }.sorted
-      name -> times(times.length / 2)
+        (sec, ok)
+      }
+      // median over SUCCESSFUL runs only — a fast-failing run would
+      // otherwise report a misleadingly small "median" for a broken
+      // query (it still lands in `failed` either way)
+      val pool = {
+        val good = attempts.filter(_._2).map(_._1)
+        if (good.nonEmpty) good.sorted else attempts.map(_._1).sorted
+      }
+      name -> pool(pool.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

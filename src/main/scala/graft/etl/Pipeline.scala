@@ -114,6 +114,18 @@ object Pipeline {
     loadOews(spark, cfg, target)
     transformOnet(spark, cfg)
     loadOnet(spark, cfg, target)
-    if (target == LoadTarget.Catalog) WageAnalytics.createViews(spark)
+    // the reference defines views.sql in the same Postgres it loads; the
+    // Spark equivalent registers the loaded tables (JDBC-backed temp
+    // views when the load went over JDBC) and creates the analytic views
+    // on top, so `spark.table("vw_onet_closest_oews")` works either way
+    target match {
+      case LoadTarget.Catalog => ()
+      case LoadTarget.Jdbc(url) =>
+        graft.sources.JdbcLoad.read(spark, url, "oews_by_state")
+          .createOrReplaceTempView("oews_by_state")
+        graft.sources.JdbcLoad.read(spark, url, "onet_skills")
+          .createOrReplaceTempView("onet_skills")
+    }
+    WageAnalytics.createViews(spark)
   }
 }

@@ -25,12 +25,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * reference objects — not inlined literal trees, which at k=128 would
   * bloat codegen (the round-1 centroid lesson).
   *
-  * Semantics: null input → null; a null ELEMENT → null signature (the
-  * array-fold spelling's `array_min` over a null-poisoned transform is
-  * likewise null); empty input → null (callers filter empty shingle
-  * sets — `array_min(transform([], ...))` is null per element too).
-  * Caller guarantees 0 ≤ x < p and a·x+b < 2^62 (31-bit hashes, p =
-  * 2^31−1) so ANSI overflow cannot fire.
+  * Semantics match the array-fold spelling (`array_min` over the
+  * permuted transform) EXACTLY, degenerate inputs included: null input
+  * → null; null ELEMENTS are SKIPPED (`array_min` ignores null entries
+  * — it does not null-poison); an empty array or all-null elements →
+  * an array of k NULL slots (`array_min` of an empty/all-null list is
+  * null, per permutation). Production callers filter empty shingle
+  * sets before signing; the parity matters so the spellings stay
+  * interchangeable. Caller guarantees 0 ≤ x < p and a·x+b < 2^62
+  * (31-bit hashes, p = 2^31−1) so ANSI overflow cannot fire.
   */
 case class LongArrayMinHash(child: Expression, a: Array[Long], b: Array[Long], p: Long)
     extends UnaryExpression {
@@ -41,31 +44,33 @@ case class LongArrayMinHash(child: Expression, a: Array[Long], b: Array[Long], p
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<bigint>, got ${other.sql}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "long_array_minhash"
-  override def nullable: Boolean = true // null/empty input or null element
 
   override def nullSafeEval(v: Any): Any = {
     val xs = v.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    if (n == 0) return null
     val k = a.length
     val res = new Array[Long](k)
     var j = 0
     while (j < k) { res(j) = Long.MaxValue; j += 1 }
+    var any = false
     var i = 0
     while (i < n) {
-      if (xs.isNullAt(i)) return null
-      val x = xs.getLong(i)
-      j = 0
-      while (j < k) {
-        val h = (a(j) * x + b(j)) % p
-        if (h < res(j)) res(j) = h
-        j += 1
+      if (!xs.isNullAt(i)) {
+        any = true
+        val x = xs.getLong(i)
+        j = 0
+        while (j < k) {
+          val h = (a(j) * x + b(j)) % p
+          if (h < res(j)) res(j) = h
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(res)
+    if (any) new GenericArrayData(res)
+    else new GenericArrayData(new Array[Any](k)) // k null slots, like array_min
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -79,23 +84,28 @@ case class LongArrayMinHash(child: Expression, a: Array[Long], b: Array[Long], p
       val j = ctx.freshName("j")
       val x = ctx.freshName("x")
       val h = ctx.freshName("h")
+      val any = ctx.freshName("any")
+      val boxed = ctx.freshName("boxed")
       s"""
          |int $n = $v.numElements();
          |int $k = $aRef.length;
-         |if ($n == 0) { ${ev.isNull} = true; } else {
-         |  long[] $res = new long[$k];
-         |  java.util.Arrays.fill($res, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    long $x = $v.getLong($i);
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      long $h = ($aRef[$j] * $x + $bRef[$j]) % ${p}L;
-         |      if ($h < $res[$j]) $res[$j] = $h;
-         |    }
+         |long[] $res = new long[$k];
+         |java.util.Arrays.fill($res, Long.MAX_VALUE);
+         |boolean $any = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) continue;
+         |  $any = true;
+         |  long $x = $v.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = ($aRef[$j] * $x + $bRef[$j]) % ${p}L;
+         |    if ($h < $res[$j]) $res[$j] = $h;
          |  }
-         |  if (!${ev.isNull}) {
-         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
-         |  }
+         |}
+         |if ($any) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+         |} else {
+         |  Object[] $boxed = new Object[$k];
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
          |}
        """.stripMargin
     })

@@ -20,10 +20,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * of the ANN index, so at 100 TB this is the difference between a
   * codegen'd narrow map and per-element lambda dispatch × bits.
   *
-  * Semantics match the fold spelling: null input → null; null element →
-  * null (a null poisons the zip_with sum, making every bit's vote null
-  * → whole signature null); empty input → signature of all-zero sums =
-  * all bits set (s ≥ 0 for s = 0), exactly like the fold.
+  * Semantics match the fold spelling EXACTLY, degenerate inputs
+  * included: null input → null; an empty array or any null ELEMENT →
+  * signature 0 (in the fold, a null element — or the `sequence(0,-1)`
+  * padding an empty array produces — nulls every bit's sum, and
+  * `when(s >= 0, bit).otherwise(0)` then contributes 0 for every bit).
+  * Round-2 review caught the first version setting all bits on empty
+  * input (s = 0 ≥ 0) — a real divergence from the fold and the DuckDB
+  * twin, which both yield 0.
   */
 case class LongArrayRhpSig(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -36,18 +40,18 @@ case class LongArrayRhpSig(child: Expression, bits: Int)
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_rhp_sig"
-  override def nullable: Boolean = true // null element ⇒ null signature
 
   override def nullSafeEval(v: Any): Any = {
     val xs = v.asInstanceOf[ArrayData]
     val n = xs.numElements()
+    if (n == 0) return 0L
     var sig = 0L
     var i = 0
     while (i < bits) {
       var s = 0L
       var d = 0
       while (d < n) {
-        if (xs.isNullAt(d)) return null
+        if (xs.isNullAt(d)) return 0L
         val sign =
           if (((i * 1315423911L + d * 2654435761L) % 1000003L) % 2 == 0) 1L else -1L
         s += xs.getLong(d) * sign
@@ -67,20 +71,22 @@ case class LongArrayRhpSig(child: Expression, bits: Int)
       val d = ctx.freshName("d")
       val s = ctx.freshName("s")
       val sign = ctx.freshName("sign")
+      val degenerate = ctx.freshName("degenerate")
       s"""
          |int $n = $v.numElements();
          |long $sig = 0L;
-         |for (int $i = 0; $i < $bits && !${ev.isNull}; $i++) {
+         |boolean $degenerate = ($n == 0);
+         |for (int $i = 0; $i < $bits && !$degenerate; $i++) {
          |  long $s = 0L;
          |  for (int $d = 0; $d < $n; $d++) {
-         |    if ($v.isNullAt($d)) { ${ev.isNull} = true; break; }
+         |    if ($v.isNullAt($d)) { $degenerate = true; break; }
          |    long $sign =
          |      ((($i * 1315423911L + $d * 2654435761L) % 1000003L) % 2 == 0) ? 1L : -1L;
          |    $s += $v.getLong($d) * $sign;
          |  }
-         |  if (!${ev.isNull} && $s >= 0) $sig |= 1L << $i;
+         |  if (!$degenerate && $s >= 0) $sig |= 1L << $i;
          |}
-         |${ev.value} = $sig;
+         |${ev.value} = $degenerate ? 0L : $sig;
        """.stripMargin
     })
 

@@ -99,10 +99,14 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       blocks: Int = 8): DataFrame = {
+    // cached: BOTH sides of the self-join scan it (scan + interpreted
+    // quantize transform would otherwise run twice). Caller contract as
+    // in Dedup: cache released by the session's clearCache.
     val base = corpus.select(
       col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("ns", sqrt(normQ(col("v")).cast("double")))
       .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+      .cache()
     val partners = array((0 until blocks).map(lit): _*)
     val a = base.select(
       col("vec_id").as("d1"), col("v").as("v1"), col("ns").as("n1s"),

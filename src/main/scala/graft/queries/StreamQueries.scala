@@ -95,10 +95,14 @@ object StreamQueries {
     * exclusive, hence the +1 shifts).
     */
   val multimodalFeaturesSql: String = {
+    // COALESCE(..., 0.0): an empty document gives Spark's decodeStub /
+    // resampleBytes 0.0 means, while the raw SQL divisions would go
+    // NULL (list_sum of an empty slice) — guard the seam even though
+    // the current corpus has no empty docs
     def thumb(b: Int): String = {
       val lo = s"($b*len(codes))//4"
       val hi = s"greatest((${b + 1}*len(codes))//4, $lo + 1)"
-      s"""CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo) AS thumb_$b"""
+      s"""COALESCE(CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
     }
     s"""WITH m AS (
        |  SELECT doc_id, 'text/utf-8' AS media_type, text,
@@ -108,7 +112,7 @@ object StreamQueries {
        |SELECT doc_id, media_type,
        |       octet_length(encode(text)) AS n_bytes,
        |       sha256(text) AS digest,
-       |       CAST(list_sum(codes) AS DOUBLE) / len(codes) AS mean_byte,
+       |       COALESCE(CAST(list_sum(codes) AS DOUBLE) / NULLIF(len(codes), 0), 0.0) AS mean_byte,
        |       CAST(to_json(codes[1:8]) AS VARCHAR) AS frame_samples_json,
        |       ${thumb(0)},
        |       ${thumb(1)},

@@ -47,7 +47,11 @@ object HtmlTableSource {
     */
   private[sources] def text(inner: String): String = {
     val noTags = inner.replaceAll("(?s)<[^>]*>", "")
-    val decoded = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(noTags, m => {
+    // numeric entities go through Character.toChars so supplementary-
+    // plane codepoints (&#128512;) decode to their surrogate pair
+    // instead of a truncated BMP char
+    def cp(n: Int): String = new String(Character.toChars(n))
+    val decoded = "&(#[xX][0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);".r.replaceAllIn(noTags, m => {
       val e = m.group(1)
       val repl = e match {
         case "amp" => "&"
@@ -57,8 +61,8 @@ object HtmlTableSource {
         case "apos" => "'"
         case "nbsp" => " "
         case hex if hex.startsWith("#x") || hex.startsWith("#X") =>
-          Integer.parseInt(hex.drop(2), 16).toChar.toString
-        case num if num.startsWith("#") => num.drop(1).toInt.toChar.toString
+          cp(Integer.parseInt(hex.drop(2), 16))
+        case num if num.startsWith("#") => cp(num.drop(1).toInt)
         case other => s"&$other;"
       }
       scala.util.matching.Regex.quoteReplacement(repl)

@@ -59,10 +59,16 @@ object JdbcLoad {
     val conn = DriverManager.getConnection(url)
     try {
       // metadata stores fold unquoted identifiers to upper (Derby) or
-      // lower (Postgres) case — probe both plus verbatim
+      // lower (Postgres) case — probe both plus verbatim. getTables'
+      // pattern arguments are LIKE patterns: escape `_`/`%` with the
+      // driver's escape string or "oews_by_state" matches any
+      // similarly-shaped name in any schema (review finding).
       val meta = conn.getMetaData
+      val esc = Option(meta.getSearchStringEscape).getOrElse("\\")
+      def quote(t: String): String =
+        t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
-        val rs = meta.getTables(null, null, t, Array("TABLE"))
+        val rs = meta.getTables(null, null, quote(t), Array("TABLE"))
         try rs.next() finally rs.close()
       }
     } finally conn.close()

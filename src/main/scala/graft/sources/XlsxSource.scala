@@ -106,7 +106,12 @@ object XlsxSource {
                     case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
                     case _ => raw // "str", "inlineStr" <t>, or numeric text
                   }
-                  cur += ((cellCol, value))
+                  // rich-text inline cells carry one <t> per formatting
+                  // run — concatenate runs of the SAME cell instead of
+                  // letting the last run overwrite the others
+                  if (cur.nonEmpty && cur.last._1 == cellCol)
+                    cur(cur.length - 1) = (cellCol, cur.last._2 + value)
+                  else cur += ((cellCol, value))
                 case _ =>
               }
             case XMLStreamConstants.END_ELEMENT =>

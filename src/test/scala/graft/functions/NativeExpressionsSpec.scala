@@ -54,7 +54,7 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(r.forall(x => !x.isNullAt(0) && !x.isNullAt(3)))
   }
 
-  test("null elements null out dot/popcount/minhash but not best-cell") {
+  test("null elements: dot/popcount null-poison; minhash skips; best-cell -1") {
     import spark.implicits._
     val df = Seq(
       (1L, Seq[java.lang.Long](1L, null, 3L)),
@@ -69,8 +69,39 @@ class NativeExpressionsSpec extends AnyFunSuite {
       LongArrayBestCell.bestCell(col("v"),
         array(array(lit(1L), lit(1L), lit(1L))), array(lit(math.sqrt(3.0)))).as("cell"))
       .orderBy("id").collect()
-    assert(out(0).isNullAt(1) && out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
+    // minhash matches array_min semantics: null elements SKIPPED, mins
+    // taken over {1, 3}
+    val wantMh = (0 until 4).map(j => Seq(1L, 3L).map(x => (a(j) * x + b(j)) % 2147483647L).min)
+    assert(out(0).getSeq[Long](3) == wantMh)
     assert(out(0).getInt(4) == -1) // best-cell: null element → cell -1, not null
     assert(!out(1).isNullAt(1) && out(1).getInt(4) == 0)
+  }
+
+  test("degenerate inputs match the fold spellings exactly") {
+    import spark.implicits._
+    // empty array: rhp fold (sequence(0,-1) null-padding) gives 0; the
+    // native expression must too — NOT all-bits-set (round-2 review
+    // finding). minhash fold gives an array of k nulls via array_min.
+    val df = Seq((1L, Seq.empty[Long])).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<bigint>").as("v"))
+    val (a, b) = graft.ops.MinHashDedup.permConstants(4)
+    val foldSig = graft.ops.Similarity.rhpSignature(col("v"), 16)
+    val row = df.select(
+      LongArrayRhpSig.rhpSig(col("v"), 16).as("native_sig"),
+      foldSig.as("fold_sig"),
+      LongArrayMinHash.minhash(col("v"), a, b, 2147483647L).as("mh"),
+      graft.ops.MinHashDedup.signature(col("v").cast("array<string>"), 4).as("mh_fold"))
+      .collect()(0)
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L)
+    assert(row.getSeq[Any](2) == Seq(null, null, null, null))
+    assert(row.getSeq[Any](3) == Seq(null, null, null, null))
+    // null element: rhp fold nulls every bit's sum → sig 0; native matches
+    val dn = Seq((1L, Seq[java.lang.Long](5L, null))).toDF("id", "v")
+      .select(col("v").cast("array<bigint>").as("v"))
+    val rn = dn.select(
+      LongArrayRhpSig.rhpSig(col("v"), 16).as("native_sig"),
+      graft.ops.Similarity.rhpSignature(col("v"), 16).as("fold_sig")).collect()(0)
+    assert(rn.getLong(0) == rn.getLong(1) && rn.getLong(0) == 0L)
   }
 }

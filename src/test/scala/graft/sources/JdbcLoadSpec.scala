@@ -64,5 +64,8 @@ class JdbcLoadSpec extends AnyFunSuite {
     Pipeline.run(spark, cfg, LoadTarget.Jdbc(url))
     assert(JdbcLoad.read(spark, url, "oews_by_state").count() == 736L)
     assert(JdbcLoad.read(spark, url, "onet_skills").count() == 62580L)
+    // the analytic views work over the JDBC-backed tables too (the
+    // reference defines views.sql in the same database it loads)
+    assert(spark.table("vw_onet_closest_oews").count() == 53760L)
   }
 }
