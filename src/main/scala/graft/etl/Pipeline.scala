@@ -119,7 +119,13 @@ object Pipeline {
     // views when the load went over JDBC) and creates the analytic views
     // on top, so `spark.table("vw_onet_closest_oews")` works either way
     target match {
-      case LoadTarget.Catalog => ()
+      case LoadTarget.Catalog =>
+        // a prior JDBC-target run on this session may have left
+        // JDBC-backed TEMP views with these names; temp views shadow
+        // catalog tables in name resolution, so the analytic views
+        // would silently read the stale JDBC data — drop them first
+        spark.catalog.dropTempView("oews_by_state")
+        spark.catalog.dropTempView("onet_skills")
       case LoadTarget.Jdbc(url) =>
         graft.sources.JdbcLoad.read(spark, url, "oews_by_state")
           .createOrReplaceTempView("oews_by_state")

@@ -24,10 +24,16 @@ object SkewJoin {
   def saltedInnerJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salts: Int = 16): DataFrame = {
     require(salts > 0)
-    // deterministic spread: row-content hash mod salts (pmod keeps it
-    // non-negative); any per-row value works, it only balances load
+    // spread via a per-row ordinal, NOT a row-content hash: hashing the
+    // row's columns (a) fails analysis on MapType columns (xxhash64
+    // rejects maps) and (b) degenerates to ZERO spread when the hot
+    // key's rows are duplicates — replayed/denormalized records, the
+    // classic skew shape — because identical rows hash to one salt.
+    // monotonically_increasing_id is unique per row, so duplicates
+    // round-robin across salts; the salt never appears in the output,
+    // so join results are unaffected by its values.
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated,

@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, and content fingerprinting.
   *
-  * All of it is built from codegen'd built-in expressions (split /
-  * higher-order array functions / regexp_count) — no UDFs, so every
-  * operator is a narrow, shuffle-free map that scales linearly with input
-  * splits and stays inside whole-stage codegen. Determinism: token counts
-  * and ratios are integer-derived; the fingerprint is modular integer
-  * arithmetic — bit-identical on any executor count or row order.
+  * Built from built-in expressions — no UDFs — so every operator is a
+  * narrow, shuffle-free map that scales linearly with input splits.
+  * Honest codegen accounting: split/regexp_count/array_intersect are
+  * codegen'd; the higher-order lambdas (tokens' filter, the
+  * sum_token_len fold) run on Spark's interpreted HOF path but are
+  * linear per row; the fingerprint — the one genuinely hot nested fold —
+  * runs through the native codegen'd StringArrayFingerprint kernel.
+  * Determinism: token counts and ratios are integer-derived; the
+  * fingerprint is modular integer arithmetic — bit-identical on any
+  * executor count or row order.
   */
 object TextOps {
 

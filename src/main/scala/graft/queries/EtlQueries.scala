@@ -42,7 +42,7 @@ object EtlQueries {
       |  SELECT p_partkey,
       |         CASE p_partkey % 5
       |           WHEN 0 THEN '(' || CAST(p_partkey % 9 + 1 AS VARCHAR) || ')-'
-      |           WHEN 1 THEN '()$' || format('{:,}', p_partkey * 1000)
+      |           WHEN 1 THEN '()$' || format('{:,}', CAST(p_partkey AS BIGINT) * 1000)
       |           WHEN 2 THEN '(' || CAST(p_partkey % 9 AS VARCHAR) || ')' || CAST(p_size AS VARCHAR)
       |           WHEN 3 THEN CAST(p_size * 100 AS VARCHAR)
       |           ELSE 'N/A'

@@ -36,11 +36,9 @@ object RefQueries {
     * cast to double, divided by COUNT. Bit-identical across engines and
     * across shuffle orders — unlike AVG(double).
     */
-  def exactAvg(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(c)
+  def exactAvg(c: Column): Column = graft.ops.ExactAgg.exactAvg(c)
 
-  def exactSum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  def exactSum(c: Column): Column = graft.ops.ExactAgg.exactSum(c)
 
   /** Q1 — split_part (views.sql:5,20: `split_part(onet_soc_code,'.',1)`). */
   def q1SplitPart(spark: SparkSession, sfDir: String): DataFrame =

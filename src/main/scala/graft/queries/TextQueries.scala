@@ -144,22 +144,9 @@ object TextQueries {
       |WHERE CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) >= $threshold
       |ORDER BY d1, d2""".stripMargin
 
-  val dedupNgramJaccardSql: String = DuckToks +
-    """
-      |, sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
-      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-      |    ELSE [] END) AS s
-      |  FROM d
-      |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      |pairs AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS intersect_size
-      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
-      |SELECT d1, d2, intersect_size, s1.n AS n1, s2.n AS n2,
-      |       CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) AS jaccard
-      |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-      |WHERE CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) >= 0.5
-      |ORDER BY d1, d2""".stripMargin
+  // same text as the parameterized oracle at 0.5 — aliasing (instead of
+  // a duplicated literal) keeps the exact-Jaccard gate and the MinHash
+  // gate on the SAME shared SQL, so a fix to one can't silently skip
+  // the other
+  val dedupNgramJaccardSql: String = dedupNgramJaccardSqlAt(0.5)
 }

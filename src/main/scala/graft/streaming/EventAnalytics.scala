@@ -43,8 +43,7 @@ object EventAnalytics extends Serializable {
     events.withColumn("ts_utc",
       timestamp_micros(expr("ts div 1000")))
 
-  private def exactSum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  private def exactSum(c: Column): Column = graft.ops.ExactAgg.exactSum(c)
 
   /** Tumbling 1-hour window aggregation per event type. Runs unchanged on
     * a streaming DataFrame (add a watermark upstream for append mode).
@@ -133,7 +132,10 @@ object EventAnalytics extends Serializable {
     * the gap rule must never drift between them). Late events within the
     * watermark DO reach flatMapGroupsWithState: an event older than the
     * open session's lastUs extends the session without regressing lastUs
-    * (a regressed lastUs would inflate the next gap and spuriously split).
+    * (a regressed lastUs would inflate the next gap and spuriously
+    * split), and an event older than startUs PULLS startUs back
+    * (matching batch sessionize's min(ts) — keeping the later start
+    * would understate the session span; round-2 review finding).
     * Returns (closed sessions to emit, new state or null).
     */
   private[streaming] def foldSessions(userId: Long,
@@ -151,7 +153,8 @@ object EventAnalytics extends Serializable {
           out += Session(userId, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum)
           st = SessionState(s.sessionSeq + 1, us, us, 1L, value)
         case s =>
-          st = s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + value)
+          st = s.copy(startUs = math.min(s.startUs, us),
+            lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + value)
       }
     }
     (out.toSeq, st)

@@ -171,6 +171,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a cross-batch late event pulls session_start back, matching batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-events-late")
+    def ev(id: Long, usSec: Long, v: Double) =
+      (id, usSec * 1000000L * 1000L, 1L, "click", v, "{}") // ts in nanos
+    val schemaCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 1: session opens at 10_000s
+    stageBatch(Seq(ev(1, 10000, 1.0), ev(2, 10100, 1.0)).toDF(schemaCols: _*),
+      dir.toString, "b1.parquet")
+    val stream = EventAnalytics.readEventsStream(spark, dir.toString)
+    val q = EventAnalytics.sessionizeStream(spark, stream, gapMinutes = 240)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event at 9_950s (within gap of the open session)
+      // plus a far-future one that closes the session and forces emission
+      stageBatch(Seq(ev(3, 9950, 1.0), ev(4, 200000, 1.0)).toDF(schemaCols: _*),
+        dir.toString, "b2.parquet")
+      q.processAllAvailable()
+      val s = spark.table("late_sessions")
+        .orderBy("session_seq").collect()(0)
+      // batch ground truth: session spans 9_950..10_100 with 3 events —
+      // the pre-fix fold kept start_us=10_000s (understating the span)
+      assert(s.getAs[Long]("start_us") == 9950L * 1000000L,
+        s"late event must pull session_start back: $s")
+      assert(s.getAs[Long]("end_us") == 10100L * 1000000L)
+      assert(s.getAs[Long]("n_events") == 3L)
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses at-least-once replays with bounded state") {
     val dir = Files.createTempDirectory("graft-events-dd")
     val all = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet").cache()
