@@ -39,6 +39,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "corpus_curate" -> (TextQueries.corpusCurate _),
     "sim_topk_bruteforce" -> (SimilarityQueries.simTopK _),
     "sim_ann_lsh" -> (SimilarityQueries.simAnnLsh _),
     "sim_ann_ivf" -> (SimilarityQueries.simAnnIvf _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "text_fingerprint" -> TextQueries.textFingerprintSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
+    "corpus_curate" -> TextQueries.corpusCurateSql,
     "sim_topk_bruteforce" -> SimilarityQueries.simTopKSql,
     "sim_ann_lsh" -> SimilarityQueries.simAnnLshSql,
     "sim_ann_ivf" -> SimilarityQueries.simAnnIvfSql,

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed shape a training-data
+  * pipeline actually runs over raw documents, built entirely from the
+  * engine's own operators so every stage inherits their scale
+  * properties:
+  *
+  *   1. QUALITY FILTER (TextOps.analyze): minimum token count, maximum
+  *      punctuation ratio, confident language match — narrow codegen'd
+  *      maps, embarrassingly parallel.
+  *   2. EXACT DEDUP (Dedup.exact semantics): keep the smallest doc_id
+  *      per identical text — one hash-agg shuffle.
+  *   3. NEAR-DUP REMOVAL (MinHashDedup): drop the larger id of every
+  *      near-duplicate pair at the jaccard threshold — banded signature
+  *      join, the sketch scale path; at the default 0.7 threshold the
+  *      banding scheme's recall ≈ 1 so the result equals exact-Jaccard
+  *      removal (the dedup_minhash_lsh gate proves that equality
+  *      corpus-wide).
+  *
+  * Removal rule: a doc is dropped iff it appears as the LARGER id of
+  * any qualifying pair. Deterministic and one-pass (no transitive
+  * chasing): for a chain a<b<c of pairwise near-dups, b and c both
+  * drop. This is the standard keep-first heuristic; a union-find
+  * cluster-elect pass is the alternative when chains matter.
+  *
+  * At 100 TB: stage 1 is map-only; stage 2 shuffles once on content;
+  * stage 3 shuffles O(docs·bands) skinny rows. Nothing quadratic,
+  * nothing driver-side.
+  */
+object Curation {
+
+  def curate(
+      docs: DataFrame,
+      minTokens: Int = 30,
+      maxPunctRatio: Double = 0.5,
+      lang: String = "en",
+      minLangScore: Int = 1,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val quality = TextOps.analyze(docs)
+      .where(col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("predicted_lang") === lang &&
+        col(s"score_$lang") >= minLangScore)
+    val keep = quality.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = quality.join(keep.select("doc_id"), Seq("doc_id")).cache()
+    val losers = MinHashDedup
+      .nearDupPairs(kept, n = 2, threshold = jaccardThreshold)
+      .select(col("d2").as("doc_id")).distinct()
+    kept.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_chars", "n_tokens")
+  }
+}

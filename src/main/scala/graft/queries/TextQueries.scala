@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Curation, Dedup, TextOps}
 
 /** Oracle-gated queries for the text-analysis and dedup operators over the
   * `documents` table. The Spark side runs the production operators
@@ -149,4 +149,53 @@ object TextQueries {
   // gate on the SAME shared SQL, so a fix to one can't silently skip
   // the other
   val dedupNgramJaccardSql: String = dedupNgramJaccardSqlAt(0.5)
+
+  // ---- composed curation pipeline -------------------------------------
+
+  /** Quality filter → exact dedup → minhash near-dup removal, as one
+    * gated query (see ops.Curation). The oracle restates each stage in
+    * DuckDB, with the near-dup stage as EXACT Jaccard at 0.7 — sound
+    * because the minhash banding's recall ≈ 1 there (the same contract
+    * dedup_minhash_lsh is gated on).
+    */
+  def corpusCurate(spark: SparkSession, sfDir: String): DataFrame =
+    Curation.curate(docs(spark, sfDir)).orderBy("doc_id")
+
+  val corpusCurateSql: String = DuckToks +
+    """
+      |, scored AS (
+      |  SELECT doc_id, text, toks, length(text) AS n_chars, len(toks) AS n_tokens,
+      |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+      |         len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is'])) AS score_en,
+      |         len(list_intersect(list_distinct(toks), ['der','die','das','und','ist'])) AS score_de,
+      |         len(list_intersect(list_distinct(toks), ['el','la','de','los','y'])) AS score_es,
+      |         len(list_intersect(list_distinct(toks), ['le','les','et','est','un'])) AS score_fr
+      |  FROM d
+      |), quality AS (
+      |  SELECT * FROM scored
+      |  WHERE n_tokens >= 30 AND punct_ratio <= 0.5 AND score_en >= 1
+      |    AND score_en >= greatest(score_en, score_de, score_es, score_fr)
+      |), keepx AS (
+      |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY text
+      |), kept AS (
+      |  SELECT q.* FROM quality q JOIN keepx k ON q.doc_id = k.doc_id
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS s
+      |  FROM kept
+      |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS intersect_size
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |losers AS (
+      |  SELECT DISTINCT d2 FROM pairs
+      |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |  WHERE CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) >= 0.7
+      |)
+      |SELECT doc_id, n_chars, n_tokens FROM kept
+      |WHERE doc_id NOT IN (SELECT d2 FROM losers)
+      |ORDER BY doc_id""".stripMargin
 }
