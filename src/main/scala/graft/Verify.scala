@@ -23,6 +23,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a reused outDir must not let a STALE previous result gate a
+        // now-broken query green — remove the query's output entirely so
+        // the compare reports a missing result instead
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
       // operators cache intermediates (shingle sets, signatures); release
       // between queries so blocks don't accumulate across the whole run

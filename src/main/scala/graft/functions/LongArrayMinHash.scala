@@ -26,14 +26,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * bloat codegen (the round-1 centroid lesson).
   *
   * Semantics match the array-fold spelling (`array_min` over the
-  * permuted transform) EXACTLY, degenerate inputs included: null input
-  * → null; null ELEMENTS are SKIPPED (`array_min` ignores null entries
-  * — it does not null-poison); an empty array or all-null elements →
-  * an array of k NULL slots (`array_min` of an empty/all-null list is
-  * null, per permutation). Production callers filter empty shingle
-  * sets before signing; the parity matters so the spellings stay
-  * interchangeable. Caller guarantees 0 ≤ x < p and a·x+b < 2^62
-  * (31-bit hashes, p = 2^31−1) so ANSI overflow cannot fire.
+  * permuted transform) EXACTLY, degenerate inputs included: null
+  * ELEMENTS are SKIPPED (`array_min` ignores null entries — it does not
+  * null-poison); a NULL input, an empty array, or all-null elements →
+  * an array of k NULL slots (the fold's `array(array_min(...), ...)`
+  * is a literal array OF k null results, never a null array — so this
+  * expression is NEVER null and `nullable` is false). Production
+  * callers filter empty shingle sets before signing; the parity matters
+  * so the spellings stay interchangeable. Caller guarantees 0 ≤ x < p
+  * and a·x+b < 2^62 (31-bit hashes, p = 2^31−1) so ANSI overflow
+  * cannot fire.
   */
 case class LongArrayMinHash(child: Expression, a: Array[Long], b: Array[Long], p: Long)
     extends UnaryExpression {
@@ -46,9 +48,12 @@ case class LongArrayMinHash(child: Expression, a: Array[Long], b: Array[Long], p
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "long_array_minhash"
+  override def nullable: Boolean = false
 
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData]
+  private def nullSlots: GenericArrayData =
+    new GenericArrayData(new Array[Any](a.length))
+
+  private def compute(xs: ArrayData): GenericArrayData = {
     val n = xs.numElements()
     val k = a.length
     val res = new Array[Long](k)
@@ -69,46 +74,56 @@ case class LongArrayMinHash(child: Expression, a: Array[Long], b: Array[Long], p
       }
       i += 1
     }
-    if (any) new GenericArrayData(res)
-    else new GenericArrayData(new Array[Any](k)) // k null slots, like array_min
+    if (any) new GenericArrayData(res) else nullSlots
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v => {
-      val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
-      val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
-      val n = ctx.freshName("n")
-      val k = ctx.freshName("k")
-      val res = ctx.freshName("res")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val x = ctx.freshName("x")
-      val h = ctx.freshName("h")
-      val any = ctx.freshName("any")
-      val boxed = ctx.freshName("boxed")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) nullSlots else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    val v = childGen.value
+    val n = ctx.freshName("n")
+    val k = ctx.freshName("k")
+    val res = ctx.freshName("res")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val x = ctx.freshName("x")
+    val h = ctx.freshName("h")
+    val any = ctx.freshName("any")
+    val body =
       s"""
-         |int $n = $v.numElements();
          |int $k = $aRef.length;
-         |long[] $res = new long[$k];
-         |java.util.Arrays.fill($res, Long.MAX_VALUE);
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
          |boolean $any = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($v.isNullAt($i)) continue;
-         |  $any = true;
-         |  long $x = $v.getLong($i);
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    long $h = ($aRef[$j] * $x + $bRef[$j]) % ${p}L;
-         |    if ($h < $res[$j]) $res[$j] = $h;
+         |long[] $res = new long[$k];
+         |if (!${childGen.isNull}) {
+         |  int $n = $v.numElements();
+         |  java.util.Arrays.fill($res, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i)) continue;
+         |    $any = true;
+         |    long $x = $v.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $h = ($aRef[$j] * $x + $bRef[$j]) % ${p}L;
+         |      if ($h < $res[$j]) $res[$j] = $h;
+         |    }
          |  }
          |}
          |if ($any) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
          |} else {
-         |  Object[] $boxed = new Object[$k];
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$k]);
          |}
        """.stripMargin
-    })
+    ev.copy(code = code"${childGen.code}\n$body", isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): LongArrayMinHash =
     copy(child = newChild)

@@ -44,11 +44,20 @@ object Curation {
         col("punct_ratio") <= maxPunctRatio &&
         col("predicted_lang") === lang &&
         col(s"score_$lang") >= minLangScore)
-    val keep = quality.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-    val kept = quality.join(keep.select("doc_id"), Seq("doc_id")).cache()
+      // prune BEFORE caching: an InMemoryRelation defeats downstream
+      // column pruning, and analyze's full projection (token arrays,
+      // fingerprint, ratios) would be materialized for every doc when
+      // the rest of the pipeline needs only these four columns
+      .select("doc_id", "text", "n_chars", "n_tokens")
+    // stage 2 IS Dedup.exact — single-sourced so its keep rule (min id
+    // per identical text) can never drift from the standalone operator
+    val keep = Dedup.exact(quality).select(col("keep_doc_id").as("doc_id"))
+    val kept = quality.join(keep, Seq("doc_id")).cache()
+    // no distinct() on losers: anti-join semantics are duplicate-
+    // insensitive, a distinct would just add a shuffle
     val losers = MinHashDedup
       .nearDupPairs(kept, n = 2, threshold = jaccardThreshold)
-      .select(col("d2").as("doc_id")).distinct()
+      .select(col("d2").as("doc_id"))
     kept.join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id", "n_chars", "n_tokens")
   }

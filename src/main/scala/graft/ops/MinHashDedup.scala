@@ -99,6 +99,14 @@ object MinHashDedup {
     * Output: (d1, d2, intersect_size, n1, n2, jaccard) for verified
     * jaccard ≥ threshold — same shape as Dedup.ngramJaccardPairs.
     *
+    * The default threshold (0.7) sits INSIDE the banding scheme's
+    * guaranteed-recall region for r=4/b=32 (survival ≈ 0.9998 at
+    * j=0.7), where the exact-output contract the scaladoc above makes
+    * actually holds; at 0.5 survival drops to ≈ 0.87 and pairs go
+    * silently missing — callers lowering the threshold should widen the
+    * banding to match (round-2 review finding: the old 0.5 default
+    * contradicted the documented contract).
+    *
     * Signatures are built with the native `LongArrayMinHash` expression
     * — a genuinely shuffle-free narrow map (round 1 exploded shingles
     * into a HashAggregate with k min buffers: codegen'd, but it paid a
@@ -108,7 +116,7 @@ object MinHashDedup {
     * and explode-agg spellings remain as cross-checks, spec-pinned to
     * produce identical signatures.
     */
-  def nearDupPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
+  def nearDupPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.7,
       k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0)
     val r = k / bands

@@ -56,9 +56,8 @@ object Multimodal {
     }
   }
 
-  private def sha256Hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map(b => f"$b%02x").mkString
+  private def sha256Hex(md: MessageDigest, bytes: Array[Byte]): String =
+    md.digest(bytes).map(b => f"$b%02x").mkString // digest() resets md
 
   /** Pack a text table into media records (binary column + metadata) —
     * stands in for reading real image/audio blobs.
@@ -73,11 +72,14 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // per-partition setup happens here once (decoder init in real life)
+      // per-partition setup happens here once (decoder init in real
+      // life; concretely: ONE MessageDigest per partition — a per-row
+      // getInstance would do a JCA provider lookup on every record)
+      val md = MessageDigest.getInstance("SHA-256")
       it.map { rec =>
         val (mean, frames) = decodeStub(rec.content)
         MediaFeatures(rec.doc_id, rec.media_type, rec.content.length,
-          sha256Hex(rec.content), mean, frames,
+          sha256Hex(md, rec.content), mean, frames,
           resampleBytes(rec.content, buckets = 4))
       }
     }

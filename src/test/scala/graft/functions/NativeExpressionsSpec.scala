@@ -103,5 +103,16 @@ class NativeExpressionsSpec extends AnyFunSuite {
       LongArrayRhpSig.rhpSig(col("v"), 16).as("native_sig"),
       graft.ops.Similarity.rhpSignature(col("v"), 16).as("fold_sig")).collect()(0)
     assert(rn.getLong(0) == rn.getLong(1) && rn.getLong(0) == 0L)
+    // NULL input: the fold's array(array_min(transform(null)), ...) is a
+    // NON-null array of k null slots — the native expression matches
+    // (and is therefore nullable = false)
+    val nullIn = Seq(Tuple1(null: Seq[java.lang.Long])).toDF("v")
+      .select(col("v").cast("array<bigint>").as("v"))
+    val ni = nullIn.select(
+      LongArrayMinHash.minhash(col("v"), a, b, 2147483647L).as("mh"),
+      graft.ops.MinHashDedup.signature(col("v").cast("array<string>"), 4).as("mh_fold"))
+      .collect()(0)
+    assert(!ni.isNullAt(0) && ni.getSeq[Any](0) == Seq(null, null, null, null))
+    assert(ni.getSeq[Any](0) == ni.getSeq[Any](1))
   }
 }
