@@ -1,0 +1,112 @@
+package graft.ops
+
+/** Real, dependency-free decoders for the multimodal pipeline — formats
+  * whose decoding is pure byte arithmetic, so "no imaging libraries in
+  * the sandbox" is no excuse: PPM (P6) raster images and RIFF/WAVE
+  * 16-bit PCM audio. `Multimodal.extractFeatures` dispatches on
+  * media_type: these formats get REAL decoded planes/samples; types
+  * that genuinely need a native codec (JPEG, MP3, H.264) fall back to
+  * the documented deterministic stub.
+  *
+  * Both decoders normalize into the pipeline's feature space — an
+  * unsigned-byte-valued sequence (0..255):
+  *   - PPM: per-pixel integer luminance (R+G+B)/3 over the raster in
+  *     row-major order (the grayscale plane a resize would operate on);
+  *   - WAV: 16-bit signed PCM samples (channel-interleaved, all
+  *     channels kept) mapped to the unsigned byte range via the
+  *     high-order byte (sample >> 8) + 128 — the classic 16→8-bit
+  *     requantization.
+  *
+  * Malformed input returns None and the caller falls back to the stub —
+  * a decode error must never kill a 100 TB scan (the reference's
+  * cleaning layer takes the same never-throw stance, load_data.py:122).
+  */
+object MediaCodecs {
+
+  /** PPM "P6" binary: `P6 <ws> width <ws> height <ws> maxval <single ws>`
+    * then width·height RGB triplets. Comments (`#` to end-of-line) are
+    * legal anywhere in the header. Only maxval ≤ 255 (1-byte samples)
+    * is supported — the common case; 2-byte-sample PPMs return None.
+    */
+  def decodePpmLuma(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWsAndComments()
+      val start = pos
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
+      if (pos == start) None
+      else Some(new String(bytes, start, pos - start).toInt)
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxv <- readInt()
+      if maxv > 0 && maxv <= 255 && w > 0 && h > 0
+      // exactly ONE whitespace byte separates header from raster
+      _ <- if (pos < bytes.length) { pos += 1; Some(()) } else None
+      if bytes.length - pos >= w * h * 3
+    } yield {
+      val out = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        val o = pos + i * 3
+        val r = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val b = bytes(o + 2) & 0xff
+        out(i) = (r + g + b) / 3
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** RIFF/WAVE with a PCM (audioFormat=1) `fmt ` chunk and 16-bit
+    * samples: walks the chunk list, returns all interleaved samples
+    * requantized to 0..255 via (sample >> 8) + 128.
+    */
+  def decodeWavBytes(bytes: Array[Byte]): Option[Array[Int]] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmtOk = false
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (pos + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
+      val id = tag(pos)
+      val size = u32(pos + 4).toInt
+      if (id == "fmt " && pos + 8 + 16 <= bytes.length)
+        fmtOk = u16(pos + 8) == 1 && u16(pos + 8 + 14) == 16 // PCM, 16-bit
+      else if (id == "data")
+        data = Some((pos + 8, math.min(size, bytes.length - pos - 8)))
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk) return None
+    data.map { case (off, len) =>
+      val n = len / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val lo = bytes(off + 2 * i) & 0xff
+        val hi = bytes(off + 2 * i + 1) // signed high byte
+        val sample = (hi << 8) | lo // sign-extended 16-bit
+        out(i) = (sample >> 8) + 128
+        i += 1
+      }
+      out
+    }
+  }
+}

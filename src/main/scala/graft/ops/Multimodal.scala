@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * analog of a vectorized Python UDF: one iterator per partition, heavy
   * per-batch setup done once).
   *
-  * The actual image/audio DECODE IS A STUB (`decodeStub`) — imaging
-  * libraries are absent in this environment, so it computes a
-  * deterministic fake (mean byte value + first-8-byte "frame samples").
-  * Everything around it — binary schema, partition-wise batch iteration,
-  * typed encoders, digesting, feature schema — is the real production
-  * shape: swap `decodeStub` for a JNI/ImageIO decoder and nothing else
-  * changes.
+  * Decode dispatches on `media_type`: PPM images and RIFF/WAVE PCM
+  * audio get REAL decoders (pure byte arithmetic, see MediaCodecs) —
+  * luminance plane / requantized samples feed the same feature math.
+  * Types that genuinely need a native codec (JPEG, MP3, H.264) fall to
+  * `decodeStub`, a clearly-marked deterministic fake; a malformed
+  * PPM/WAV also falls back rather than throwing (a decode error must
+  * never kill a 100 TB scan). Everything around the decoders — binary
+  * schema, partition-wise batch iteration, typed encoders, digesting,
+  * feature schema — is the production shape: adding a JNI/ImageIO
+  * decoder is one more dispatch arm.
   *
   * Scale: a narrow map over binary blobs; at 100 TB the only knobs that
   * matter are input split size (`maxPartitionBytes` so a partition of
@@ -56,6 +59,20 @@ object Multimodal {
     }
   }
 
+  /** Same bucket arithmetic over an already-decoded value plane
+    * (luminance pixels, requantized samples).
+    */
+  def resampleValues(values: Array[Int], buckets: Int): Seq[Double] = {
+    if (values.isEmpty) return Seq.fill(buckets)(0.0)
+    (0 until buckets).map { b =>
+      val lo = (b.toLong * values.length / buckets).toInt
+      val hi = math.max(((b + 1).toLong * values.length / buckets).toInt, lo + 1)
+      val span = values.slice(lo, math.min(hi, values.length))
+      if (span.isEmpty) 0.0
+      else span.foldLeft(0L)((a, x) => a + x).toDouble / span.length
+    }
+  }
+
   private def sha256Hex(md: MessageDigest, bytes: Array[Byte]): String =
     md.digest(bytes).map(b => f"$b%02x").mkString // digest() resets md
 
@@ -68,7 +85,21 @@ object Multimodal {
       lit("text/utf-8").as("media_type"),
       encode(col("text"), "UTF-8").as("content"))
 
-  /** Batch feature extraction over the binary column. */
+  /** media_type → decoded value plane; None means "no real decoder or
+    * malformed input" and selects the stub path.
+    */
+  private def decodePlane(mediaType: String, content: Array[Byte]): Option[Array[Int]] =
+    mediaType match {
+      case "image/ppm" => MediaCodecs.decodePpmLuma(content)
+      case "audio/wav" => MediaCodecs.decodeWavBytes(content)
+      case _ => None
+    }
+
+  /** Batch feature extraction over the binary column. n_bytes/digest
+    * always describe the raw CONTAINER bytes; mean/frames/thumb come
+    * from the decoded plane when a real decoder matched (PPM luminance,
+    * WAV requantized PCM), else from the stub over raw bytes.
+    */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
@@ -77,10 +108,18 @@ object Multimodal {
       // getInstance would do a JCA provider lookup on every record)
       val md = MessageDigest.getInstance("SHA-256")
       it.map { rec =>
-        val (mean, frames) = decodeStub(rec.content)
+        val (mean, frames, thumb) = decodePlane(rec.media_type, rec.content) match {
+          case Some(vals) =>
+            val m =
+              if (vals.isEmpty) 0.0
+              else vals.foldLeft(0L)((a, x) => a + x).toDouble / vals.length
+            (m, vals.take(8).toSeq, resampleValues(vals, buckets = 4))
+          case None =>
+            val (m, f) = decodeStub(rec.content)
+            (m, f, resampleBytes(rec.content, buckets = 4))
+        }
         MediaFeatures(rec.doc_id, rec.media_type, rec.content.length,
-          sha256Hex(md, rec.content), mean, frames,
-          resampleBytes(rec.content, buckets = 4))
+          sha256Hex(md, rec.content), mean, frames, thumb)
       }
     }
   }

@@ -29,6 +29,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_.media_type == "text/utf-8"))
   }
 
+  test("real PPM decode: luminance plane drives the features") {
+    import spark.implicits._
+    // 2×2 P6 with a comment in the header; pixels R,G,B,white →
+    // integer luminance (r+g+b)/3 = 85,85,85,255
+    val header = "P6 # tiny\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array[Int](255,0,0, 0,255,0, 0,0,255, 255,255,255).map(_.toByte)
+    val ppm = header ++ raster
+    assert(MediaCodecs.decodePpmLuma(ppm).get.toSeq == Seq(85, 85, 85, 255))
+    val media = Seq((1L, "image/ppm", ppm)).toDF("doc_id", "media_type", "content")
+    val f = Multimodal.extractFeatures(spark, media).collect()(0)
+    assert(f.mean_byte == (85 * 3 + 255) / 4.0) // 127.5 — plane mean, not byte mean
+    assert(f.frame_samples == Seq(85, 85, 85, 255))
+    assert(f.thumb == Seq(85.0, 85.0, 85.0, 255.0)) // 4 buckets over 4 pixels
+    assert(f.n_bytes == ppm.length) // container size, not plane size
+  }
+
+  test("real WAV decode: 16-bit PCM requantized to the byte plane") {
+    import spark.implicits._
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val samples = Seq(0, 16384, -32768, 32512)
+    val data = samples.flatMap(le16).toArray
+    val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(4 + 24 + 8 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ fmt ++
+      "data".getBytes ++ le32(data.length) ++ data
+    // (s >> 8) + 128: 0→128, 16384→192, −32768→0, 32512→255
+    assert(MediaCodecs.decodeWavBytes(wav).get.toSeq == Seq(128, 192, 0, 255))
+    val media = Seq((1L, "audio/wav", wav)).toDF("doc_id", "media_type", "content")
+    val f = Multimodal.extractFeatures(spark, media).collect()(0)
+    assert(f.mean_byte == (128 + 192 + 0 + 255) / 4.0)
+    assert(f.frame_samples == Seq(128, 192, 0, 255))
+  }
+
+  test("malformed media falls back to the stub instead of throwing") {
+    import spark.implicits._
+    val junk = "P6 not a real image".getBytes("US-ASCII")
+    val media = Seq((1L, "image/ppm", junk)).toDF("doc_id", "media_type", "content")
+    val f = Multimodal.extractFeatures(spark, media).collect()(0)
+    // stub semantics: mean over RAW bytes, first-8 raw bytes as frames
+    val wantMean = junk.map(_ & 0xff).sum.toDouble / junk.length
+    assert(f.mean_byte == wantMean)
+    assert(f.frame_samples == junk.take(8).map(_ & 0xff).toSeq)
+  }
+
   test("features on sf0.001 documents: 500 rows, deterministic digests") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val a = Multimodal.extractFeatures(spark, Multimodal.packFromText(docs))
