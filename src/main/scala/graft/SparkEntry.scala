@@ -50,6 +50,7 @@ object SparkEntry {
     "stream_sessionize" -> (StreamQueries.streamSessionize _),
     "multimodal_meta" -> (StreamQueries.multimodalMeta _),
     "multimodal_features" -> (StreamQueries.multimodalFeatures _),
+    "multimodal_ppm_decode" -> (StreamQueries.multimodalPpm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -84,5 +85,6 @@ object SparkEntry {
     "stream_sessionize" -> StreamQueries.streamSessionizeSql,
     "multimodal_meta" -> StreamQueries.multimodalMetaSql,
     "multimodal_features" -> StreamQueries.multimodalFeaturesSql,
+    "multimodal_ppm_decode" -> StreamQueries.multimodalPpmSql,
   )
 }

@@ -87,6 +87,74 @@ object StreamQueries {
         element_at(col("thumb"), 4).as("thumb_3"))
       .orderBy("doc_id")
 
+  /** The REAL decoder path under the gate: pack each document's bytes
+    * into a genuine PPM (P6) container — header + the text bytes as a
+    * w×1 RGB raster — typed `image/ppm`, so `extractFeatures` runs
+    * MediaCodecs.decodePpmLuma (header parse, integer luminance
+    * (r+g+b)/3 per pixel) rather than the stub. Features then describe
+    * the DECODED PLANE while n_bytes/digest describe the container.
+    */
+  def multimodalPpm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val w = bytes.length / 3
+        val header = s"P6\n$w 1\n255\n".getBytes("US-ASCII")
+        (id, "image/ppm", header ++ bytes.take(w * 3))
+      }.toDF("doc_id", "media_type", "content")
+    Multimodal.extractFeatures(spark, media)
+      .toDF()
+      .select(
+        col("doc_id"), col("media_type"), col("n_bytes"), col("digest"),
+        col("mean_byte"),
+        to_json(col("frame_samples")).as("frame_samples_json"),
+        element_at(col("thumb"), 1).as("thumb_0"),
+        element_at(col("thumb"), 2).as("thumb_1"),
+        element_at(col("thumb"), 3).as("thumb_2"),
+        element_at(col("thumb"), 4).as("thumb_3"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of the REAL PPM decode: rebuild the same container
+    * string (ASCII text ⇒ string ops are byte ops), recompute the
+    * integer luminance plane from the byte triples, and restate the
+    * plane-mean / first-8 / 4-bucket features over it. Sha256/length
+    * run on the container VARCHAR — identical bytes.
+    */
+  val multimodalPpmSql: String = {
+    def thumb(b: Int): String = {
+      val lo = s"($b*len(luma))//4"
+      val hi = s"greatest((${b + 1}*len(luma))//4, $lo + 1)"
+      s"""COALESCE(CAST(list_sum(luma[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
+    }
+    s"""WITH m AS (
+       |  SELECT doc_id, text, length(text)//3 AS w FROM documents
+       |), c AS (
+       |  SELECT doc_id, w,
+       |         'P6' || chr(10) || CAST(w AS VARCHAR) || ' 1' || chr(10) || '255' || chr(10)
+       |           || substr(text, 1, w*3) AS container,
+       |         list_transform(range(1, w*3+1), i -> unicode(text[i])) AS bytes
+       |  FROM m
+       |), l AS (
+       |  SELECT doc_id, container,
+       |         list_transform(range(0, w), p ->
+       |           (bytes[3*p+1] + bytes[3*p+2] + bytes[3*p+3]) // 3) AS luma
+       |  FROM c
+       |)
+       |SELECT doc_id, 'image/ppm' AS media_type,
+       |       octet_length(encode(container)) AS n_bytes,
+       |       sha256(container) AS digest,
+       |       COALESCE(CAST(list_sum(luma) AS DOUBLE) / NULLIF(len(luma), 0), 0.0) AS mean_byte,
+       |       CAST(to_json(luma[1:8]) AS VARCHAR) AS frame_samples_json,
+       |       ${thumb(0)},
+       |       ${thumb(1)},
+       |       ${thumb(2)},
+       |       ${thumb(3)}
+       |FROM l ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of the stubbed decode: documents text is pure ASCII in
     * the testdata (verified max codepoint 121), so per-char `unicode()`
     * codes ARE the UTF-8 bytes; bucket boundaries replicate
