@@ -172,6 +172,11 @@ object Dedup {
         .where(col("d1") < col("d2"))
         .withColumn("intersect_size",
           graft.functions.LongArrayAndPopcount.popcountAnd(col("bm1"), col("bm2")))
+        // intersect ≥ 1 keeps the strategy contract exact at EVERY
+        // threshold: the inverted-index strategies can only ever emit
+        // pairs sharing a shingle, so at t ≤ 0 an unfiltered bitmap
+        // scan would add disjoint jaccard-0 pairs they cannot produce
+        .where(col("intersect_size") >= 1)
         .select(col("d1") +: col("d2") +: jaccardCols: _*)
         .where(col("jaccard") >= threshold)
     } else if (strategy == CountJoin && maxShingleBucket.isEmpty) {
@@ -187,48 +192,46 @@ object Dedup {
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
         .select(col("d1") +: col("d2") +: jaccardCols: _*)
         .where(col("jaccard") >= threshold)
-    } else if (strategy == CountJoin) {
-      // capped full index: the cap prunes CANDIDATE GENERATION only —
-      // join counts would undercount intersections for pairs that share
-      // capped shingles, so surviving candidates are re-verified exactly
-      // from the full shingle sets
-      val idx = capped(exploded)
-      val cands = idx.as("a").join(idx.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .dropDuplicates("d1", "d2")
-      cands
-        .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")
-        .withColumn("intersect_size", size(array_intersect(col("s1"), col("s2"))))
-        .withColumn("n1", size(col("s1")))
-        .withColumn("n2", size(col("s2")))
-        .select(col("d1") +: col("d2") +: jaccardCols: _*)
-        .where(col("jaccard") >= threshold)
     } else {
-      val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
-      val prefixLen = (size(col("shingle_set")) -
-        ceil(size(col("shingle_set")) * threshold).cast("int") + 1)
-      val prefixIndex = exploded.join(freq, "g")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("by_rarity"))
-        .join(sh, "doc_id")
-        .select(col("doc_id"),
-          explode(slice(transform(col("by_rarity"), s => s.getField("g")),
-            lit(1), prefixLen)).as("g"))
-      val idx = capped(prefixIndex)
-      val cands = idx.as("a").join(idx.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .dropDuplicates("d1", "d2")
-      cands
-        .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")
-        .withColumn("intersect_size", size(array_intersect(col("s1"), col("s2"))))
-        .withColumn("n1", size(col("s1")))
-        .withColumn("n2", size(col("s2")))
-        .select(col("d1") +: col("d2") +: jaccardCols: _*)
-        .where(col("jaccard") >= threshold)
+      // shared verify tail for the candidate-generating strategies:
+      // candidate ids → exact set Jaccard from the full shingle sets
+      // (cap/prefix prune CANDIDATE GENERATION only — join counts would
+      // undercount for pairs sharing pruned shingles)
+      def verifyCandidates(idx: DataFrame): DataFrame = {
+        val cands = idx.as("a").join(idx.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .dropDuplicates("d1", "d2")
+        cands
+          .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
+          .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")
+          .withColumn("intersect_size", size(array_intersect(col("s1"), col("s2"))))
+          .withColumn("n1", size(col("s1")))
+          .withColumn("n2", size(col("s2")))
+          .select(col("d1") +: col("d2") +: jaccardCols: _*)
+          .where(col("jaccard") >= threshold)
+      }
+      if (strategy == CountJoin) verifyCandidates(capped(exploded))
+      else {
+        val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+        // prefix length |s| − ⌈t·|s|⌉ + 1 with an EXACT ceiling: double
+        // multiplication can overshoot the true product (e.g.
+        // 100·0.07 = 7.000000000000001, ceil → 8 instead of 7), which
+        // would shorten the prefix and silently drop qualifying pairs
+        // from a documented-lossless operator. DECIMAL multiply is
+        // exact over the threshold's decimal representation.
+        val tDec = lit(new java.math.BigDecimal(threshold.toString))
+        val prefixLen = (size(col("shingle_set")) -
+          ceil(size(col("shingle_set")) * tDec).cast("int") + 1)
+        val prefixIndex = exploded.join(freq, "g")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("by_rarity"))
+          .join(sh, "doc_id")
+          .select(col("doc_id"),
+            explode(slice(transform(col("by_rarity"), s => s.getField("g")),
+              lit(1), prefixLen)).as("g"))
+        verifyCandidates(capped(prefixIndex))
+      }
     }
   }
 }

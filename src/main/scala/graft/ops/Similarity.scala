@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** float array → quantized long array (×1e4, half-up; ties cannot occur
-    * because k + 1/2 is dyadic but x·10⁴ with float x never lands on one).
+  /** float array → quantized long array (×1e4, HALF-UP rounding — the
+    * determinism contract is "round half away from zero", which Spark's
+    * `round` and DuckDB's `round` both implement. Exact half-integer
+    * products DO occur (0.03125f·10⁴ = 312.5 exactly), so an engine
+    * using round-half-to-even would disagree on those values — any new
+    * oracle/port must match HALF-UP, not assume ties are impossible).
     */
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 10000).cast("long"))
@@ -50,6 +54,18 @@ object Similarity {
   def cosineFrom(dot: Column, qn: Column, cn: Column): Column =
     when(qn > 0 && cn > 0, dot.cast("double") / (qn * cn))
 
+  /** Shared top-k tail: rank scored candidates per query (cos desc,
+    * n_id asc tie-break) and keep k — one definition so the three ANN
+    * variants can't drift on ordering semantics.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "dot_q", "cos_sim")
+  }
+
   def topKCosine(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // norms computed ONCE per vector, carried through the join — not
     // re-derived per candidate pair (O(dim) per row saved on the hot path)
@@ -63,11 +79,7 @@ object Similarity {
       .where(col("q_id") =!= col("n_id"))
       .withColumn("dot_q", dotQ(col("qv"), col("cv")))
       .withColumn("cos_sim", cosineFrom(col("dot_q"), col("qn"), col("cn")))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("q_id", "n_id", "dot_q", "cos_sim")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: every (d1 < d2) pair with
@@ -169,18 +181,23 @@ object Similarity {
     * scaladoc.) The centroid matrix and norms are literal arrays, so
     * Catalyst constant-folds them into the generated code's references.
     */
-  private def assignCells(corpus: DataFrame,
+  /** (n_id, cv, cn): the quantized-corpus projection every IVF stage
+    * scans — factored out so the Lloyd loop can cache it once.
+    */
+  private def quantizedCorpus(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id").as("n_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(normQ(col("cv")).cast("double")))
+
+  private def assignFromQuant(quant: DataFrame,
       cents: Array[(Long, Array[Long])]): DataFrame = {
     val centsMatrix = array(cents.map { case (_, cv) =>
       array(cv.map(lit).toIndexedSeq: _*) }.toIndexedSeq: _*)
     val centNorms = array(cents.map { case (_, cv) =>
       lit(math.sqrt(cv.map(x => x.toDouble * x).sum)) }.toIndexedSeq: _*)
-    corpus
-      .select(col("vec_id").as("n_id"), quantize(col("embedding")).as("cv"))
-      .withColumn("cn", sqrt(normQ(col("cv")).cast("double")))
-      .withColumn("cell",
-        graft.functions.LongArrayBestCell.bestCell(
-          col("cv"), centsMatrix, centNorms))
+    quant.withColumn("cell",
+      graft.functions.LongArrayBestCell.bestCell(
+        col("cv"), centsMatrix, centNorms))
   }
 
   /** ANN top-k via IVF (inverted-file) cells: pick `nCells` centroids
@@ -208,19 +225,39 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // empty corpus ⇒ empty result with the output schema, not an
+    // analysis error from a zero-arg centroid literal
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("q_id", LongType), StructField("n_id", LongType),
+          StructField("dot_q", LongType), StructField("cos_sim", DoubleType))))
+    }
+    // the quantized corpus projection is scanned once per Lloyd
+    // iteration plus once for the final assignment — cache it when
+    // iterating so the interpreted quantize transform runs once
+    val quant = quantizedCorpus(corpus)
+    if (lloydIters > 0) quant.cache()
     for (_ <- 0 until lloydIters) {
-      val assigned = assignCells(corpus, cents)
+      val assigned = assignFromQuant(quant, cents)
       val means = assigned
         .groupBy("cell")
         .agg(count(lit(1)).as("n"),
           (0 until cents.head._2.length).map(d =>
-            sum(element_at(col("cv"), d + 1)).as(s"s$d")): _*)
+            // try_element_at: a ragged (shorter) vector contributes its
+            // present dims and nulls the rest (sum skips nulls) instead
+            // of ANSI-throwing — min-length tolerance, matching the
+            // native kernels' behavior
+            sum(expr(s"try_element_at(cv, ${d + 1})")).as(s"s$d")): _*)
         .collect()
       val updated = means.map { r =>
         val cell = r.getInt(0)
         val n = r.getLong(1)
         val mean = (0 until cents.head._2.length)
-          .map(d => math.round(r.getLong(d + 2).toDouble / n)).toArray
+          .map(d => if (r.isNullAt(d + 2)) 0L
+            else math.round(r.getLong(d + 2).toDouble / n)).toArray
         cell -> mean
       }.toMap
       cents = cents.zipWithIndex.map { case ((id, v), i) =>
@@ -235,7 +272,7 @@ object Similarity {
         1, nProbe)
     // norms carried from the assignment/probe stages — never recomputed
     // per candidate pair
-    val c = assignCells(corpus, cents)
+    val c = assignFromQuant(quant, cents)
     val q = queries
       .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
       .withColumn("qn", sqrt(normQ(col("qv")).cast("double")))
@@ -244,11 +281,7 @@ object Similarity {
       .where(col("q_id") =!= col("n_id"))
       .withColumn("dot_q", dotQ(col("qv"), col("cv")))
       .withColumn("cos_sim", cosineFrom(col("dot_q"), col("qn"), col("cn")))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("q_id", "n_id", "dot_q", "cos_sim")
+    topKPerQuery(scored, k)
   }
 
   /** ANN top-k: bucket by RHP signature bands, exact cosine only within
@@ -288,10 +321,6 @@ object Similarity {
     val scored = cands
       .withColumn("dot_q", dotQ(col("qvec"), col("qv")))
       .withColumn("cos_sim", cosineFrom(col("dot_q"), col("qn"), col("cn")))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("q_id", "n_id", "dot_q", "cos_sim")
+    topKPerQuery(scored, k)
   }
 }

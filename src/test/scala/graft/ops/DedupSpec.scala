@@ -78,5 +78,11 @@ class DedupSpec extends AnyFunSuite {
       strategy = Dedup.JaccardStrategy.Bitmap)
     val fullTiny = Dedup.ngramJaccardPairs(docs, 2, 0.5)
     assert(fullTiny.exceptAll(bmTiny).isEmpty && bmTiny.exceptAll(fullTiny).isEmpty)
+    // the contract holds at threshold 0 too: bitmap must not add the
+    // disjoint jaccard-0 pairs the inverted index can never generate
+    val bm0 = Dedup.ngramJaccardPairs(docs, 2, 0.0,
+      strategy = Dedup.JaccardStrategy.Bitmap)
+    val full0 = Dedup.ngramJaccardPairs(docs, 2, 0.0)
+    assert(full0.exceptAll(bm0).isEmpty && bm0.exceptAll(full0).isEmpty)
   }
 }

@@ -96,6 +96,13 @@ class SimilaritySpec extends AnyFunSuite {
       viaNative.exceptAll(viaFold).isEmpty)
   }
 
+  test("IVF on an empty corpus returns an empty frame, not an analysis error") {
+    val empty = emb.where(col("vec_id") < 0)
+    val out = Similarity.ivfTopKCosine(emb.where(col("vec_id") < 3), empty, 5)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("q_id", "n_id", "dot_q", "cos_sim"))
+  }
+
   test("minhash LSH output equals exact jaccard output at the 0.7 gate") {
     // 0.7 is inside the banding scheme's guaranteed-recall region
     // (p≈0.9998 at j=0.7 with r=4/b=32); at 0.5 the sketch is allowed to
