@@ -51,6 +51,7 @@ object SparkEntry {
     "multimodal_meta" -> (StreamQueries.multimodalMeta _),
     "multimodal_features" -> (StreamQueries.multimodalFeatures _),
     "multimodal_ppm_decode" -> (StreamQueries.multimodalPpm _),
+    "multimodal_wav_decode" -> (StreamQueries.multimodalWav _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -86,5 +87,6 @@ object SparkEntry {
     "multimodal_meta" -> StreamQueries.multimodalMetaSql,
     "multimodal_features" -> StreamQueries.multimodalFeaturesSql,
     "multimodal_ppm_decode" -> StreamQueries.multimodalPpmSql,
+    "multimodal_wav_decode" -> StreamQueries.multimodalWavSql,
   )
 }

@@ -155,6 +155,74 @@ object StreamQueries {
        |FROM l ORDER BY doc_id""".stripMargin
   }
 
+  /** The real WAV decoder under the gate: pack each document's leading
+    * bytes (≤ 90, even) as the 16-bit PCM data chunk of a genuine
+    * RIFF/WAVE container, typed `audio/wav`, so `extractFeatures` runs
+    * MediaCodecs.decodeWavBytes — chunk walk + (sample >> 8) + 128
+    * requantization, which for ASCII byte pairs (lo, hi) reduces to
+    * hi + 128. The gated output carries the plane features and the
+    * arithmetic container size; digest stays with the PPM gate (the
+    * WAV header contains NUL bytes, which DuckDB VARCHARs cannot hold,
+    * so the twin computes features WITHOUT rebuilding the container).
+    */
+  def multimodalWav(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val dataLen = math.min(90, (bytes.length / 2) * 2)
+        def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(7968) ++ le32(15936) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le32(dataLen) ++ bytes.take(dataLen)
+        (id, "audio/wav", wav)
+      }.toDF("doc_id", "media_type", "content")
+    Multimodal.extractFeatures(spark, media)
+      .toDF()
+      .select(
+        col("doc_id"), col("media_type"), col("n_bytes"), col("mean_byte"),
+        to_json(col("frame_samples")).as("frame_samples_json"),
+        element_at(col("thumb"), 1).as("thumb_0"),
+        element_at(col("thumb"), 2).as("thumb_1"),
+        element_at(col("thumb"), 3).as("thumb_2"),
+        element_at(col("thumb"), 4).as("thumb_3"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of the real WAV decode: the requantized sample plane
+    * is (high byte of each pair) + 128 = unicode(text[2i+2]) + 128 over
+    * the even-truncated ≤90-byte data window; container size is header
+    * (44) + data, computed arithmetically.
+    */
+  val multimodalWavSql: String = {
+    def thumb(b: Int): String = {
+      val lo = s"($b*len(plane))//4"
+      val hi = s"greatest((${b + 1}*len(plane))//4, $lo + 1)"
+      s"""COALESCE(CAST(list_sum(plane[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
+    }
+    s"""WITH m AS (
+       |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
+       |), l AS (
+       |  SELECT doc_id, dl,
+       |         list_transform(range(0, dl//2), i -> unicode(text[2*i+2]) + 128) AS plane
+       |  FROM m
+       |)
+       |SELECT doc_id, 'audio/wav' AS media_type,
+       |       44 + dl AS n_bytes,
+       |       COALESCE(CAST(list_sum(plane) AS DOUBLE) / NULLIF(len(plane), 0), 0.0) AS mean_byte,
+       |       CAST(to_json(plane[1:8]) AS VARCHAR) AS frame_samples_json,
+       |       ${thumb(0)},
+       |       ${thumb(1)},
+       |       ${thumb(2)},
+       |       ${thumb(3)}
+       |FROM l ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of the stubbed decode: documents text is pure ASCII in
     * the testdata (verified max codepoint 121), so per-char `unicode()`
     * codes ARE the UTF-8 bytes; bucket boundaries replicate
