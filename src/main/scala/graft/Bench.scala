@@ -40,9 +40,21 @@ object Bench {
       catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // force an ODD run count: with even n, pool(n/2) is the WORSE of the
+    // two middle runs — round 2 ran at n=2 and every reported number was
+    // the max of its pair, which manufactured phantom regressions
+    // (q5_salted_join, text_quality). Rounding up keeps at least the
+    // requested sample size.
+    val runsRaw = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val runs = if (runsRaw % 2 == 0) runsRaw + 1 else runsRaw
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q5_salted_join,text_quality
+    // times just those queries (the driver never sets it → full sweep)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benched.map { case (name, fn) =>
       val attempts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -79,7 +91,7 @@ object Bench {
         k != "q5_salted_join" => v
     }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"parity_sec":$parity,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
