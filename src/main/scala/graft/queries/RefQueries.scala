@@ -186,12 +186,18 @@ object RefQueries {
 
   /** Q5 variant — the skew-salted join must be result-identical to the
     * plain inner equi-join (its oracle IS the plain join): salting is a
-    * physical spread of hot keys, never a semantic change.
+    * physical spread of hot keys, never a semantic change. Gated on the
+    * two-phase spelling: measure the key histogram, salt only keys above
+    * skewFactor × mean, plain-join the rest. On this near-uniform corpus
+    * that correctly finds NO hot keys and degenerates to histogram +
+    * plain join — the always-salt machinery is exercised (and compared
+    * against AQE) by SkewJoinSpec's planted-monster-key corpus instead.
     */
   def q5SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = table(spark, sfDir, "lineitem")
     val p = table(spark, sfDir, "part")
-    graft.ops.SkewJoin.saltedInnerJoin(li, p, "l_partkey", "p_partkey", salts = 8)
+    graft.ops.SkewJoin.twoPhaseSaltedInnerJoin(li, p, "l_partkey", "p_partkey",
+        salts = 8)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("p_name"), col("p_brand"), col("l_quantity"))

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew machinery on a planted monster key: 2/3 of the big side carries
+  * ONE key. Asserts the three claims the scaladocs make:
+  *
+  *   1. two-phase salting detects exactly the hot key and stays
+  *      result-identical to the plain join;
+  *   2. under a shuffled (SMJ) join the monster key occupies ONE reduce
+  *      partition unsalted but spreads across the salt count salted —
+  *      the straggler-task mechanism, asserted on spark_partition_id;
+  *   3. AQE's skew-join handling DOES split that partition for a plain
+  *      sort-merge join (plan shows `skew=true`) — so explicit salting
+  *      is for the cases AQE does not cover: broadcast-ineligible
+  *      first-stage shapes feeding a co-partitioned aggregation, and
+  *      engines/stages where AQE is off. The gated q5_salted_join runs
+  *      the two-phase operator on a near-uniform corpus precisely to
+  *      show it correctly does nothing there.
+  */
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private val Monster = 7L
+
+  // 40k rows of key 7 + 20k rows spread over keys 0..999
+  private def big: DataFrame =
+    spark.range(0, 60000).select(
+      when(col("id") < 40000, lit(Monster))
+        .otherwise(pmod(col("id"), lit(1000L))).as("k"),
+      col("id").as("payload"))
+
+  private def small: DataFrame =
+    spark.range(0, 1000).select(
+      col("id").as("sk"), concat(lit("d"), col("id")).as("name"))
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("hotKeys finds exactly the planted monster key") {
+    assert(SkewJoin.hotKeys(big, "k", skewFactor = 4.0) == Seq(Monster))
+    // near-uniform corpus → no hot keys → two-phase degenerates to plain
+    val li = spark.read.parquet(s"${TestSpark.Sf001}/lineitem.parquet")
+    assert(SkewJoin.hotKeys(li, "l_partkey", skewFactor = 4.0).isEmpty)
+  }
+
+  test("two-phase salted join ≡ plain join on the monster-key corpus") {
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "payload", "name")
+    val two = SkewJoin.twoPhaseSaltedInnerJoin(big, small, "k", "sk", salts = 8)
+      .select("k", "payload", "name")
+    assert(two.count() == plain.count())
+    assert(two.exceptAll(plain).isEmpty && plain.exceptAll(two).isEmpty)
+  }
+
+  test("monster key: 1 reduce partition unsalted, ≥ salts/2 salted (SMJ, AQE off)") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      def pidSpread(df: DataFrame): Long =
+        df.where(col("k") === Monster)
+          .select(spark_partition_id().as("pid"))
+          .agg(countDistinct(col("pid"))).head.getLong(0)
+      val plain = big.join(small, col("k") === col("sk"))
+      assert(pidSpread(plain) == 1L,
+        "unsalted shuffle must funnel the hot key into one partition")
+      val salted = SkewJoin.saltedInnerJoin(big, small, "k", "sk", salts = 8)
+      assert(pidSpread(salted) >= 4L,
+        "salting must spread the hot key across salt buckets")
+    }
+  }
+
+  test("AQE splits the skewed SMJ partition (skew=true in the adaptive plan)") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k") {
+      val joined = big.join(small, col("k") === col("sk"))
+      // collect() executes THIS QueryExecution (a write would plan its
+      // own), so the adaptive plan is final when we stringify it
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE OptimizeSkewedJoin to mark the SMJ skewed:\n$plan")
+    }
+  }
+}
