@@ -81,7 +81,7 @@ object SparkEntry {
     "sim_ann_ivf" -> SimilarityQueries.simAnnIvfSql,
     "dedup_minhash_lsh" -> SimilarityQueries.dedupMinhashSql,
     "dedup_embedding_cosine" -> SimilarityQueries.dedupEmbeddingCosineSql,
-    // dedup_simhash: engine xxhash64 → rows-only + recall/coverage specs
+    "dedup_simhash" -> SimilarityQueries.dedupSimhashSql,
     "stream_window_agg" -> StreamQueries.streamWindowAggSql,
     "stream_sessionize" -> StreamQueries.streamSessionizeSql,
     "multimodal_meta" -> StreamQueries.multimodalMetaSql,

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * with bit_count(xor) ≤ maxHamming.
   *
   * Scale: signature is one long per doc (narrow map); the candidate join
-  * shuffles O(docs·bands) skinny rows. Engine-specific hashes → gated by
-  * recall tests against exact Jaccard, not a cross-engine oracle.
+  * shuffles O(docs·bands) skinny rows. Two signature families: xxhash64
+  * bit votes (engine-specific, recall-spec-gated) and the engine-neutral
+  * squared-LCG votes of functions.StringArraySimHash (oracle-gated — the
+  * whole pipeline restates in DuckDB SQL, and the narrow-map native
+  * kernel makes it the faster spelling too).
   */
 object SimHashDedup {
 
@@ -52,24 +55,41 @@ object SimHashDedup {
       when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** Near-dup pairs by simhash Hamming distance ≤ maxHamming.
-    * Output: (d1, d2, sim1, sim2, hamming).
+  /** Engine-neutral per-token base hash, built-ins only: fold
+    * `(a·131 + codepoint) mod 1e9+7` over the token's characters — the
+    * same family as TextOps.fingerprint's tokenHash. Interpreted HOF;
+    * the REFERENCE spelling for the native kernel below.
     */
-  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+  def polyTokenHash(t: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(t)), i => ascii(substring(t, i, lit(1)))),
+      lit(0L),
+      (a, c) => (a * 131 + c) % 1000000007L)
+
+  /** Engine-neutral bit-vote sums over a base-hash column `h` — the
+    * built-in-expression reference spelling of the
+    * functions.StringArraySimHash kernel (spec-pinned identical). Bit j
+    * votes +1 when `((h·C1+(j+1)·C2) mod P)² mod P` is odd; the square
+    * is what de-linearizes the LCG parity (see the kernel's scaladoc).
+    */
+  def neutralVoteCols: Seq[Column] = {
+    import graft.functions.StringArraySimHash.{C1, C2, P}
+    (0 until 64).map { j =>
+      val y = pmod(col("h") * lit(C1) + lit((j + 1) * C2), lit(P))
+      sum(when(pmod(y * y, lit(P)).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+  }
+
+  /** Near-dup pairs from a precomputed (doc_id, sim) signature frame —
+    * the banding + verify half, shared by both signature families.
+    */
+  def pairsFromSignatures(sh: DataFrame, maxHamming: Int,
+      bands: Int): DataFrame = {
     require(bands > maxHamming, "pigeonhole needs bands > maxHamming")
     require(64 % bands == 0)
     val width = 64 / bands
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
-    // explode-then-aggregate signature build (same rationale as
-    // MinHashDedup): one xxhash64 per token row, then a codegen'd
-    // HashAggregate with 64 bit-vote sums, folded into the signature.
-    val ex = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val sh = ex.groupBy("doc_id").agg(aggVoteCols.head, aggVoteCols.tail: _*)
-      .withColumn("sim", simFromVotes)
-      .select("doc_id", "sim")
     val bandRows = sh.select(col("doc_id"), col("sim"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -96,5 +116,44 @@ object SimHashDedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("d1", "d2")
       .select("d1", "d2", "sim1", "sim2", "hamming")
+  }
+
+  /** Near-dup pairs by simhash Hamming distance ≤ maxHamming, xxhash64
+    * bit votes. Output: (d1, d2, sim1, sim2, hamming).
+    *
+    * Signature build is explode-then-aggregate (same rationale as
+    * MinHashDedup): one xxhash64 per token row, then a codegen'd
+    * HashAggregate with 64 bit-vote sums, folded into the signature.
+    * Engine-specific hash → spec-gated by recall tests; the ORACLE-gated
+    * spelling is `nearDupPairsNeutral` below.
+    */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val sh = ex.groupBy("doc_id").agg(aggVoteCols.head, aggVoteCols.tail: _*)
+      .withColumn("sim", simFromVotes)
+      .select("doc_id", "sim")
+    pairsFromSignatures(sh, maxHamming, bands)
+  }
+
+  /** Near-dup pairs with the ENGINE-NEUTRAL signature
+    * (functions.StringArraySimHash): same banding + verify, but the
+    * signature is one narrow-map native kernel call per document — no
+    * explode and no 64-column vote aggregate, so this spelling drops the
+    * signature-build shuffle entirely (docs with an empty token array
+    * are excluded, matching the explode path's semantics). Pure integer
+    * arithmetic end to end → restatable in DuckDB SQL; this is the
+    * oracle-gated AND the fastest spelling.
+    */
+  def nearDupPairsNeutral(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val sh = docs
+      .where(size(toks) > 0)
+      .select(col("doc_id"),
+        graft.functions.StringArraySimHash.simhash(toks).as("sim"))
+    pairsFromSignatures(sh, maxHamming, bands)
   }
 }

@@ -16,8 +16,11 @@ import graft.ops.{MinHashDedup, SimHashDedup, Similarity}
   * - `sim_ann_lsh` / `sim_ann_ivf` have full DuckDB twins too: the RHP
   *   signature is LCG integer arithmetic and the gated IVF config
   *   (lloydIters=0) is deterministic end to end.
-  * - `dedup_simhash`: rows-only driver check + recall/coverage specs in
-  *   ScalaTest (engine xxhash64 has no DuckDB twin).
+  * - `dedup_simhash` is gated on the ENGINE-NEUTRAL signature family
+  *   (functions.StringArraySimHash — squared-LCG votes over the
+  *   polynomial token hash), so the whole signature+banding+verify
+  *   pipeline restates in DuckDB. The xxhash64 family stays spec-gated
+  *   (recall/coverage in ScalaTest).
   */
 object SimilarityQueries {
   import RefQueries.table
@@ -188,10 +191,58 @@ object SimilarityQueries {
       |ORDER BY d1, d2""".stripMargin
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    // maxHamming=6 covers every planted near-dup (observed max 6);
-    // bands=8 → 8-bit chunks → 256 buckets/band, vs 16 buckets/band at
-    // bands=16 which made candidate generation quadratic
-    SimHashDedup.nearDupPairs(table(spark, sfDir, "documents"),
+    // maxHamming=6 covers every planted near-dup at the gate SF with the
+    // neutral signature (measured max 6, same as xxhash64's); bands=8 →
+    // 8-bit chunks → 256 buckets/band, vs 16 buckets/band at bands=16
+    // which made candidate generation quadratic
+    SimHashDedup.nearDupPairsNeutral(table(spark, sfDir, "documents"),
         maxHamming = 6, bands = 8)
       .orderBy("d1", "d2")
+
+  /** Full DuckDB twin of the neutral-signature simhash pipeline: token
+    * base hash (nested list_reduce poly hash, as text_fingerprint),
+    * 64 squared-LCG bit votes (th × range(0,64)), signature assembly
+    * (bit 63 via the HUGEINT min-value literal — BIGINT can't shift into
+    * the sign bit), 8×8 banding, pair dedup, and bit_count(xor) verify.
+    * `>>` sign-extends in both engines; the & masks make the chunks
+    * equal. SUM returns HUGEINT in DuckDB → CAST back to BIGINT.
+    */
+  val dedupSimhashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(toks) AS t FROM d WHERE len(toks) > 0
+      |), th AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+      |           (a, c) -> (a * 131 + c) % 1000000007) AS h
+      |  FROM tok
+      |), ys AS (
+      |  SELECT doc_id, j, (h * 668265263 + (j+1) * 2654435761) % 1000003 AS y
+      |  FROM th, range(0, 64) r(j)
+      |), votes AS (
+      |  SELECT doc_id, j,
+      |         SUM(CASE WHEN ((y * y) % 1000003) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM ys GROUP BY doc_id, j
+      |), sig AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN v >= 0 THEN
+      |                (CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |                      ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INTEGER) AS HUGEINT) END)
+      |              ELSE 0 END) AS BIGINT) AS sim
+      |  FROM votes GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, sim, b, (sim >> CAST(b*8 AS INTEGER)) & 255 AS chunk
+      |  FROM sig, range(0, 8) r(b)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sim AS sim1, b.sim AS sim2
+      |  FROM banded a JOIN banded b ON a.b = b.b AND a.chunk = b.chunk
+      |                             AND a.doc_id < b.doc_id
+      |)
+      |SELECT d1, d2, sim1, sim2, bit_count(xor(sim1, sim2)) AS hamming
+      |FROM pairs WHERE bit_count(xor(sim1, sim2)) <= 6
+      |ORDER BY d1, d2""".stripMargin
 }

@@ -155,4 +155,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(planted.exceptAll(sh).isEmpty,
       "a jaccard≥0.5 pair is missing from simhash hamming≤6 pairs")
   }
+
+  test("neutral simhash: native kernel equals the built-in vote spelling") {
+    import org.apache.spark.sql.functions._
+    val toks = docs.limit(100)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+    val viaNative = toks.select(col("doc_id"),
+      graft.functions.StringArraySimHash.simhash(col("toks")).as("sim"))
+    val ex = toks.select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h", SimHashDedup.polyTokenHash(col("t")))
+    val viaAgg = ex.groupBy("doc_id")
+      .agg(SimHashDedup.neutralVoteCols.head, SimHashDedup.neutralVoteCols.tail: _*)
+      .select(col("doc_id"), SimHashDedup.simFromVotes.as("sim"))
+    assert(viaNative.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaNative).isEmpty)
+  }
+
+  test("neutral simhash pairs cover all planted near-dups (the gated config)") {
+    val planted = Dedup.ngramJaccardPairs(docs, 2, 0.5).select("d1", "d2")
+    val sh = SimHashDedup.nearDupPairsNeutral(docs, maxHamming = 6, bands = 8)
+      .select("d1", "d2")
+    assert(planted.exceptAll(sh).isEmpty,
+      "a jaccard≥0.5 pair is missing from neutral-simhash hamming≤6 pairs")
+  }
 }
