@@ -51,6 +51,7 @@ object SparkEntry {
     "multimodal_meta" -> (StreamQueries.multimodalMeta _),
     "multimodal_features" -> (StreamQueries.multimodalFeatures _),
     "multimodal_ppm_decode" -> (StreamQueries.multimodalPpm _),
+    "multimodal_png_decode" -> (StreamQueries.multimodalPng _),
     "multimodal_wav_decode" -> (StreamQueries.multimodalWav _),
   )
 
@@ -87,6 +88,7 @@ object SparkEntry {
     "multimodal_meta" -> StreamQueries.multimodalMetaSql,
     "multimodal_features" -> StreamQueries.multimodalFeaturesSql,
     "multimodal_ppm_decode" -> StreamQueries.multimodalPpmSql,
+    "multimodal_png_decode" -> StreamQueries.multimodalPngSql,
     "multimodal_wav_decode" -> StreamQueries.multimodalWavSql,
   )
 }

@@ -70,6 +70,89 @@ object MediaCodecs {
     }
   }
 
+  /** Compressed raster formats (PNG/JPEG/BMP/GIF) via the JDK's
+    * `javax.imageio` — no third-party dependency; readers come from the
+    * static ImageIO registry, so there is no per-partition init to
+    * amortize. Luminance plane in row-major order, matching the PPM
+    * contract: ≥3 bands → integer (r+g+b)/3 over the RAW raster samples,
+    * 1 band → the sample itself. Samples wider than 8 bits are mapped to
+    * 0..255 via a right shift. Raw `Raster.getSample`, NOT
+    * `BufferedImage.getRGB`: getRGB runs a linear-gray→sRGB color-space
+    * conversion on TYPE_BYTE_GRAY images that silently brightens values —
+    * a decode must return the encoded sample, not a rendering.
+    * Undecodable/malformed bytes → None (stub fallback, never throw).
+    */
+  def decodeImageLuma(bytes: Array[Byte]): Option[Array[Int]] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      if (w <= 0 || h <= 0 || bands <= 0) return None
+      val shift = math.max(0, raster.getSampleModel.getSampleSize(0) - 8)
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v =
+            if (bands >= 3)
+              (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                raster.getSample(x, y, 2)) / 3
+            else raster.getSample(x, y, 0)
+          out(y * w + x) = v >> shift
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode one row of 8-bit gray samples as a REAL, spec-complete PNG
+    * (signature, IHDR, one IDAT, IEND — CRC32s and zlib wrapper
+    * included), width = row.length, height = 1, color type 0. The zlib
+    * stream is a single STORED (uncompressed) deflate block, which makes
+    * the container size a closed form the SQL oracle can restate:
+    * total = row.length + 69 bytes
+    *       = 8 (sig) + 25 (IHDR) + [12 + 2 + 5 + (1 filter byte +
+    *         row.length) + 4 (adler)] (IDAT) + 12 (IEND).
+    * Requires row.length ≤ 65534 so filter byte + row fit one stored
+    * block (stored-block payload cap is 65535).
+    */
+  def encodeGrayPng(row: Array[Byte]): Array[Byte] = {
+    require(row.length <= 65534, "single stored deflate block only")
+    val out = new java.io.ByteArrayOutputStream(row.length + 69)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length.toLong), 0, 4)
+      val payload = tag.getBytes("US-ASCII") ++ data
+      out.write(payload, 0, payload.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(payload)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte), 0, 8)
+    chunk("IHDR", be32(row.length.toLong) ++ be32(1L) ++
+      Array[Byte](8 /* bit depth */, 0 /* gray */, 0, 0, 0))
+    val raw = Array(0.toByte) ++ row // filter byte 0 (None) + samples
+    val zlib = {
+      val n = raw.length
+      val header = Array(0x78.toByte, 0x01.toByte) // 32K window, no dict
+      val stored = Array(1.toByte, // BFINAL=1, BTYPE=00 (stored)
+        (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        (~n & 0xff).toByte, ((~n >> 8) & 0xff).toByte)
+      val adler = new java.util.zip.Adler32
+      adler.update(raw)
+      header ++ stored ++ raw ++ be32(adler.getValue)
+    }
+    chunk("IDAT", zlib)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
   /** RIFF/WAVE with a PCM (audioFormat=1) `fmt ` chunk and 16-bit
     * samples: walks the chunk list, returns all interleaved samples
     * requantized to 0..255 via (sample >> 8) + 128.

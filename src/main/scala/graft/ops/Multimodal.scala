@@ -10,15 +10,16 @@ import org.apache.spark.sql.functions._
   * per-batch setup done once).
   *
   * Decode dispatches on `media_type`: PPM images and RIFF/WAVE PCM
-  * audio get REAL decoders (pure byte arithmetic, see MediaCodecs) —
-  * luminance plane / requantized samples feed the same feature math.
-  * Types that genuinely need a native codec (JPEG, MP3, H.264) fall to
-  * `decodeStub`, a clearly-marked deterministic fake; a malformed
-  * PPM/WAV also falls back rather than throwing (a decode error must
-  * never kill a 100 TB scan). Everything around the decoders — binary
-  * schema, partition-wise batch iteration, typed encoders, digesting,
-  * feature schema — is the production shape: adding a JNI/ImageIO
-  * decoder is one more dispatch arm.
+  * audio get REAL byte-arithmetic decoders, and PNG/JPEG/BMP/GIF get a
+  * REAL raster decode through the JDK's javax.imageio (see MediaCodecs)
+  * — luminance plane / requantized samples feed the same feature math.
+  * Only types that need a codec outside the JDK (MP3, H.264) fall to
+  * `decodeStub`, a clearly-marked deterministic fake; malformed input
+  * of any decodable type also falls back rather than throwing (a decode
+  * error must never kill a 100 TB scan). Everything around the decoders
+  * — binary schema, partition-wise batch iteration, typed encoders,
+  * digesting, feature schema — is the production shape: a JNI codec is
+  * one more dispatch arm.
   *
   * Scale: a narrow map over binary blobs; at 100 TB the only knobs that
   * matter are input split size (`maxPartitionBytes` so a partition of
@@ -92,6 +93,8 @@ object Multimodal {
     mediaType match {
       case "image/ppm" => MediaCodecs.decodePpmLuma(content)
       case "audio/wav" => MediaCodecs.decodeWavBytes(content)
+      case "image/png" | "image/jpeg" | "image/bmp" | "image/gif" =>
+        MediaCodecs.decodeImageLuma(content)
       case _ => None
     }
 

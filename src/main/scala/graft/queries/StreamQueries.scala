@@ -155,6 +155,62 @@ object StreamQueries {
        |FROM l ORDER BY doc_id""".stripMargin
   }
 
+  /** The COMPRESSED-raster decoder under the gate: pack each document's
+    * bytes as a REAL spec-complete PNG (gray, w×1 — signature, IHDR,
+    * zlib/deflate IDAT, CRCs; see MediaCodecs.encodeGrayPng), typed
+    * `image/png`, so `extractFeatures` decodes through javax.imageio.
+    * Gray samples come back verbatim (raw raster samples, no color-space
+    * rewrite), so the decoded plane equals the packed bytes and the
+    * oracle can restate the features from the text directly. The stored-
+    * block encoding makes the container size the closed form len+69;
+    * digest is omitted like the WAV gate's (the container carries NUL
+    * bytes, which a DuckDB VARCHAR cannot hold).
+    */
+  def multimodalPng(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "image/png", graft.ops.MediaCodecs.encodeGrayPng(text.getBytes("UTF-8")))
+      }.toDF("doc_id", "media_type", "content")
+    Multimodal.extractFeatures(spark, media)
+      .toDF()
+      .select(
+        col("doc_id"), col("media_type"), col("n_bytes"), col("mean_byte"),
+        to_json(col("frame_samples")).as("frame_samples_json"),
+        element_at(col("thumb"), 1).as("thumb_0"),
+        element_at(col("thumb"), 2).as("thumb_1"),
+        element_at(col("thumb"), 3).as("thumb_2"),
+        element_at(col("thumb"), 4).as("thumb_3"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of the PNG decode: the decoded gray plane IS the text's
+    * byte sequence (ASCII ⇒ unicode() codes), so features restate over
+    * codes; container size is the stored-block closed form len+69.
+    */
+  val multimodalPngSql: String = {
+    def thumb(b: Int): String = {
+      val lo = s"($b*len(codes))//4"
+      val hi = s"greatest((${b + 1}*len(codes))//4, $lo + 1)"
+      s"""COALESCE(CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
+    }
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
+       |  FROM documents
+       |)
+       |SELECT doc_id, 'image/png' AS media_type,
+       |       length(text) + 69 AS n_bytes,
+       |       COALESCE(CAST(list_sum(codes) AS DOUBLE) / NULLIF(len(codes), 0), 0.0) AS mean_byte,
+       |       CAST(to_json(codes[1:8]) AS VARCHAR) AS frame_samples_json,
+       |       ${thumb(0)},
+       |       ${thumb(1)},
+       |       ${thumb(2)},
+       |       ${thumb(3)}
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** The real WAV decoder under the gate: pack each document's leading
     * bytes (≤ 90, even) as the 16-bit PCM data chunk of a genuine
     * RIFF/WAVE container, typed `audio/wav`, so `extractFeatures` runs

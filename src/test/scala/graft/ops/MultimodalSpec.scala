@@ -65,6 +65,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.frame_samples == Seq(128, 192, 0, 255))
   }
 
+  test("real PNG decode: stored-block gray container round-trips the plane") {
+    import spark.implicits._
+    val row = "Hello, png plane!".getBytes("UTF-8")
+    val png = MediaCodecs.encodeGrayPng(row)
+    // closed-form container size the oracle relies on
+    assert(png.length == row.length + 69)
+    // javax.imageio decodes the REAL container back to the exact samples
+    assert(MediaCodecs.decodeImageLuma(png).get.toSeq == row.map(_ & 0xff).toSeq)
+    val media = Seq((1L, "image/png", png)).toDF("doc_id", "media_type", "content")
+    val f = Multimodal.extractFeatures(spark, media).collect()(0)
+    assert(f.mean_byte == row.map(_ & 0xff).sum.toDouble / row.length)
+    assert(f.frame_samples == row.take(8).map(_ & 0xff).toSeq)
+    assert(f.n_bytes == png.length)
+  }
+
+  test("RGB raster decode averages bands; JPEG decodes through imageio") {
+    // 2×1 RGB PNG written by ImageIO itself (not our encoder): red, white
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0xffffff)
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(MediaCodecs.decodeImageLuma(png).get.toSeq == Seq(255 / 3, 255))
+    // JPEG: lossy, so assert shape + plausible values, not exact pixels
+    val jpg = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val plane = MediaCodecs.decodeImageLuma(jpg).get
+    assert(plane.length == 2 && plane.forall(v => v >= 0 && v <= 255))
+    // junk is not an image → None, stub fallback
+    assert(MediaCodecs.decodeImageLuma("not an image".getBytes).isEmpty)
+  }
+
   test("malformed media falls back to the stub instead of throwing") {
     import spark.implicits._
     val junk = "P6 not a real image".getBytes("US-ASCII")
