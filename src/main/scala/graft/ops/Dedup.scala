@@ -61,6 +61,40 @@ object Dedup {
     case object CountJoin extends JaccardStrategy
     case object PrefixFilter extends JaccardStrategy
     case object Bitmap extends JaccardStrategy
+
+    /** Measure the corpus and pick: one cheap aggregate over the shingle
+      * index (df per shingle → vocab size, Σdf, Σdf²), then the
+      * selection rule the strategy scaladocs state, with the measured
+      * round-2 numbers as calibration (see chooseJaccardStrategy).
+      */
+    case object Auto extends JaccardStrategy
+  }
+
+  /** Resolve [[JaccardStrategy.Auto]] from corpus shape. Inputs are the
+    * three numbers one df-aggregate yields:
+    *
+    *   - `CountJoin` emits Σdf² pair rows; `Bitmap` does n²/2 pair
+    *     scores at nWords (=⌈vocab/64⌉) long-word ops each. Calibrating
+    *     on the measured corpus (sf0.1: Σdf² = 73 M rows → 27 s vs
+    *     187 M word-ops → 3.3 s) a join-row emission costs roughly an
+    *     order of magnitude more than a word-op, so Bitmap wins when
+    *     `8·Σdf² > n²/2·nWords` — and is only legal at all when the
+    *     vocabulary fits the dense index (≤ maxVocab).
+    *   - Otherwise the shingle df distribution decides: near-uniform
+    *     rare shingles (Σdf² close to Σdf) make the inverted-index join
+    *     linear-ish → `CountJoin`; a heavy tail (Σdf² ≫ Σdf — hot
+    *     shingles contribute df² each) is exactly what PPJoin's
+    *     rarest-prefix indexing avoids → `PrefixFilter`.
+    */
+  def chooseJaccardStrategy(nDocs: Long, vocab: Long, sumDf: Long,
+      sumDf2: Long, maxVocab: Int): JaccardStrategy = {
+    import JaccardStrategy._
+    if (nDocs == 0 || vocab == 0) return CountJoin
+    val nWords = (vocab + 63) / 64
+    val bitmapWordOps = nDocs.toDouble * nDocs / 2 * nWords
+    if (vocab <= maxVocab && 8.0 * sumDf2 > bitmapWordOps) Bitmap
+    else if (sumDf2 > 10L * sumDf) PrefixFilter
+    else CountJoin
   }
 
   /** Exact dedup: group by the content column, keep the smallest id.
@@ -115,6 +149,19 @@ object Dedup {
     import JaccardStrategy._
     val sh = shingles(docs, n).cache()
     val exploded = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
+    val strategy0 = strategy match {
+      case Auto =>
+        // one df-aggregate + the (cached) doc count; resolution is a
+        // driver-side formula over four numbers
+        val st = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+          .agg(count(lit(1)).as("vocab"), sum(col("df")).as("sum_df"),
+            sum(col("df") * col("df")).as("sum_df2"))
+          .head
+        if (st.isNullAt(1)) CountJoin // empty index
+        else chooseJaccardStrategy(sh.count(), st.getLong(0), st.getLong(1),
+          st.getLong(2), maxVocab)
+      case s => s
+    }
     def capped(index: DataFrame): DataFrame = maxShingleBucket match {
       case Some(cap) =>
         val hot = index.groupBy("g").count().where(col("count") > cap).select("g")
@@ -126,7 +173,7 @@ object Dedup {
       (col("intersect_size").cast("double") /
         (col("n1") + col("n2") - col("intersect_size"))).as("jaccard"))
 
-    if (strategy == Bitmap) {
+    if (strategy0 == Bitmap) {
       // vocabulary = bounded model artifact (like IVF centroids):
       // collected sorted for a deterministic id assignment, broadcast
       // back. Docs with empty shingle sets never join the index — same
@@ -179,7 +226,7 @@ object Dedup {
         .where(col("intersect_size") >= 1)
         .select(col("d1") +: col("d2") +: jaccardCols: _*)
         .where(col("jaccard") >= threshold)
-    } else if (strategy == CountJoin && maxShingleBucket.isEmpty) {
+    } else if (strategy0 == CountJoin && maxShingleBucket.isEmpty) {
       // full index, no cap: the join's pair counts ARE the intersection
       // sizes — cheapest exact spelling on small-vocabulary corpora
       val sizes = sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh"))
@@ -211,7 +258,7 @@ object Dedup {
           .select(col("d1") +: col("d2") +: jaccardCols: _*)
           .where(col("jaccard") >= threshold)
       }
-      if (strategy == CountJoin) verifyCandidates(capped(exploded))
+      if (strategy0 == CountJoin) verifyCandidates(capped(exploded))
       else {
         val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
         // prefix length |s| − ⌈t·|s|⌉ + 1 with an EXACT ceiling: double

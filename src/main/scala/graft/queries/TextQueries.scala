@@ -107,7 +107,8 @@ object TextQueries {
     """SELECT text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin
 
-  /** Gated spelling is the BITMAP strategy — exact (same output and
+  /** Gated spelling is strategy AUTO, which resolves to BITMAP on this
+    * corpus — exact (same output and
     * oracle as the inverted-index count-join) and the right strategy for
     * this corpus's shape: a 931-shingle vocabulary over 5 k docs makes
     * the inverted-index join emit Σ df² ≈ 73 M rows at sf0.1 (27 s in
@@ -118,8 +119,10 @@ object TextQueries {
     * kernel instead. See Dedup.JaccardStrategy for the selection rule.
     */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    // Auto measures the corpus and resolves to Bitmap here (spec-pinned
+    // in DedupSpec — the selection rule is chooseJaccardStrategy)
     Dedup.ngramJaccardPairs(docs(spark, sfDir), n = 2, threshold = 0.5,
-        strategy = Dedup.JaccardStrategy.Bitmap)
+        strategy = Dedup.JaccardStrategy.Auto)
       .orderBy("d1", "d2")
 
   /** Exact-Jaccard oracle at an arbitrary threshold (shared by the exact

@@ -85,4 +85,41 @@ class DedupSpec extends AnyFunSuite {
     val full0 = Dedup.ngramJaccardPairs(docs, 2, 0.0)
     assert(full0.exceptAll(bm0).isEmpty && bm0.exceptAll(full0).isEmpty)
   }
+
+  test("Auto resolves Bitmap on the testdata corpus shape") {
+    // measured sf0.01 shape: 500 docs, ~916-bigram vocabulary, hot
+    // shingles (Σdf² ≈ 730k) → dense index beats the inverted join
+    import Dedup.JaccardStrategy._
+    assert(Dedup.chooseJaccardStrategy(nDocs = 500, vocab = 916,
+      sumDf = 25500, sumDf2 = 730000, maxVocab = 1 << 16) == Bitmap)
+    // and end to end: the Auto-gated query equals the full-index output
+    val d = spark.read.parquet(s"${graft.TestSpark.Sf001}/documents.parquet")
+    val auto = Dedup.ngramJaccardPairs(d, 2, 0.5, strategy = Auto)
+    val full = Dedup.ngramJaccardPairs(d, 2, 0.5)
+    assert(full.exceptAll(auto).isEmpty && auto.exceptAll(full).isEmpty)
+  }
+
+  test("Auto resolves PrefixFilter on a hot-tailed large-vocab corpus") {
+    import Dedup.JaccardStrategy._
+    // vocabulary over maxVocab rules out Bitmap; Σdf² ≫ Σdf (hot
+    // shingles) rules out CountJoin → PPJoin prefix filtering
+    assert(Dedup.chooseJaccardStrategy(nDocs = 1000000, vocab = 50000000,
+      sumDf = 300000000, sumDf2 = 90000000000L, maxVocab = 1 << 16) == PrefixFilter)
+    // near-uniform rare shingles → the inverted join is linear-ish
+    assert(Dedup.chooseJaccardStrategy(nDocs = 1000000, vocab = 50000000,
+      sumDf = 60000000, sumDf2 = 80000000, maxVocab = 1 << 16) == CountJoin)
+    // end to end on a synthetic corpus: unique-ish shingles per doc plus
+    // one scorching shingle in every doc; maxVocab forced low so the
+    // dense index is out — Auto must take the PrefixFilter path and
+    // still match the full-index output exactly
+    import spark.implicits._
+    // 100 docs: "hot hot" appears in all (df=100 → df²=10⁴ dominates),
+    // 7 unique bigrams each → vocab 701 > maxVocab, Σdf²=10700 > 10·Σdf
+    val synth = (0 until 100).map { i =>
+      (i.toLong, s"hot hot a$i b$i c$i d$i e$i f$i g$i")
+    }.toDF("doc_id", "text")
+    val auto = Dedup.ngramJaccardPairs(synth, 2, 0.5, strategy = Auto, maxVocab = 16)
+    val full = Dedup.ngramJaccardPairs(synth, 2, 0.5)
+    assert(full.exceptAll(auto).isEmpty && auto.exceptAll(full).isEmpty)
+  }
 }
