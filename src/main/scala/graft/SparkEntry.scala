@@ -33,6 +33,7 @@ object SparkEntry {
     "etl_date_parse" -> (EtlQueries.etlDateParse _),
     "etl_drop_last_n" -> (EtlQueries.etlDropLastN _),
     "etl_json_extract" -> (EtlQueries.etlJsonExtract _),
+    "etl_full_clean" -> (EtlQueries.etlFullClean _),
     "text_tokens" -> (TextQueries.textTokens _),
     "text_quality" -> (TextQueries.textQuality _),
     "text_langid" -> (TextQueries.textLangid _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "etl_date_parse" -> EtlQueries.etlDateParseSql,
     "etl_drop_last_n" -> EtlQueries.etlDropLastNSql,
     "etl_json_extract" -> EtlQueries.etlJsonExtractSql,
+    "etl_full_clean" -> EtlQueries.etlFullCleanSql,
     "text_tokens" -> TextQueries.textTokensSql,
     "text_quality" -> TextQueries.textQualitySql,
     "text_langid" -> TextQueries.textLangidSql,

@@ -138,4 +138,95 @@ object EtlQueries {
       |         count(*) OVER () AS cnt
       |  FROM events
       |) WHERE rn <= cnt - 2 ORDER BY event_id""".stripMargin
+
+  /** The FULL composed clean (P1 rename → P2 split → R1 scrub → R2 cast
+    * → P3 reorder) as one gated unit: a raw all-string OEWS-shaped frame
+    * is synthesized from `part` — scraped-style headers (footnote
+    * suffixes, spaces, commas, "standard error"), a composite
+    * `Occupation (SOC code)` cell, and four noisy value columns keyed
+    * off integer columns — then run through the PRODUCTION
+    * OewsCleaner.clean. The oracle restates rename/split/scrub/cast in
+    * DuckDB. `row_id` (unique) pins the output order.
+    */
+  def etlFullClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "part").select(
+      expr("""p_name || ' (' || CAST(p_partkey % 90 + 10 AS STRING) || '-'
+             |       || CAST(p_partkey % 9000 + 1000 AS STRING) || ')'""".stripMargin)
+        .as("Occupation (SOC code)"),
+      expr("""CASE p_partkey % 5
+             |  WHEN 0 THEN '(' || CAST(p_partkey % 9 + 1 AS STRING) || ')-'
+             |  WHEN 1 THEN '()$' || format_number(p_partkey * 1000L, 0)
+             |  WHEN 2 THEN '(' || CAST(p_partkey % 9 AS STRING) || ')' || CAST(p_size AS STRING)
+             |  WHEN 3 THEN CAST(p_size * 100 AS STRING)
+             |  ELSE 'N/A'
+             |END""".stripMargin).as("Employment()"),
+      expr("""CASE (p_partkey + 2) % 5
+             |  WHEN 0 THEN '$' || format_number(p_partkey * 37L, 0)
+             |  WHEN 1 THEN '(3)-'
+             |  WHEN 2 THEN '(1)' || CAST(p_size * 3 AS STRING)
+             |  WHEN 3 THEN CAST(p_size * 11 AS STRING)
+             |  ELSE 'suppressed'
+             |END""".stripMargin).as("Annual mean wage()"),
+      expr("""CASE p_partkey % 3
+             |  WHEN 0 THEN '()' || CAST(p_size AS STRING)
+             |  WHEN 1 THEN CAST(p_size * 7 AS STRING)
+             |  ELSE '(2)-'
+             |END""".stripMargin).as("Employment per 1,000 jobs()"),
+      expr("""CASE WHEN p_partkey % 7 = 0 THEN '(9)-'
+             |     ELSE CAST(p_partkey % 50 AS STRING) END""".stripMargin)
+        .as("Hourly mean wage standard error()"),
+      col("p_partkey").cast("string").as("Row ID()"))
+    OewsCleaner.clean(raw).orderBy("row_id")
+  }
+
+  val etlFullCleanSql: String = {
+    // DuckDB restatement of OewsCleaner.scrub (same text as the
+    // etl_cell_scrub oracle), applied per renamed column
+    def scrub(c: String): String =
+      "CASE WHEN " + c + " IS NULL OR regexp_matches(" + c + ", '^\\(\\d+\\)-$') THEN NULL " +
+        "ELSE replace(replace(CASE WHEN contains(" + c + ", ')') " +
+        "THEN trim(regexp_replace(" + c + ", '^[^)]*\\)', '')) ELSE " + c + " END, '$', ''), ',', '') END"
+    s"""WITH raw AS (
+       |  SELECT p_name || ' (' || CAST(p_partkey % 90 + 10 AS VARCHAR) || '-'
+       |           || CAST(p_partkey % 9000 + 1000 AS VARCHAR) || ')' AS occ,
+       |         CASE p_partkey % 5
+       |           WHEN 0 THEN '(' || CAST(p_partkey % 9 + 1 AS VARCHAR) || ')-'
+       |           WHEN 1 THEN '()$$' || format('{:,}', CAST(p_partkey AS BIGINT) * 1000)
+       |           WHEN 2 THEN '(' || CAST(p_partkey % 9 AS VARCHAR) || ')' || CAST(p_size AS VARCHAR)
+       |           WHEN 3 THEN CAST(p_size * 100 AS VARCHAR)
+       |           ELSE 'N/A'
+       |         END AS employment,
+       |         CASE (p_partkey + 2) % 5
+       |           WHEN 0 THEN '$$' || format('{:,}', CAST(p_partkey AS BIGINT) * 37)
+       |           WHEN 1 THEN '(3)-'
+       |           WHEN 2 THEN '(1)' || CAST(p_size * 3 AS VARCHAR)
+       |           WHEN 3 THEN CAST(p_size * 11 AS VARCHAR)
+       |           ELSE 'suppressed'
+       |         END AS annual_mean_wage,
+       |         CASE p_partkey % 3
+       |           WHEN 0 THEN '()' || CAST(p_size AS VARCHAR)
+       |           WHEN 1 THEN CAST(p_size * 7 AS VARCHAR)
+       |           ELSE '(2)-'
+       |         END AS employment_per_1000_jobs,
+       |         CASE WHEN p_partkey % 7 = 0 THEN '(9)-'
+       |              ELSE CAST(p_partkey % 50 AS VARCHAR) END AS hourly_mean_wage_std_error,
+       |         CAST(p_partkey AS VARCHAR) AS row_id
+       |  FROM part
+       |), splitup AS (
+       |  SELECT trim(string_split(occ, '(')[1]) AS occupation,
+       |         trim(replace(string_split(occ, '(')[2], ')', '')) AS soc_code,
+       |         employment, annual_mean_wage, employment_per_1000_jobs,
+       |         hourly_mean_wage_std_error, row_id
+       |  FROM raw
+       |)
+       |SELECT ${scrub("soc_code")} AS soc_code,
+       |       ${scrub("occupation")} AS occupation,
+       |       TRY_CAST(${scrub("employment")} AS BIGINT) AS employment,
+       |       TRY_CAST(${scrub("annual_mean_wage")} AS BIGINT) AS annual_mean_wage,
+       |       TRY_CAST(${scrub("employment_per_1000_jobs")} AS DOUBLE) AS employment_per_1000_jobs,
+       |       TRY_CAST(${scrub("hourly_mean_wage_std_error")} AS DOUBLE) AS hourly_mean_wage_std_error,
+       |       TRY_CAST(${scrub("row_id")} AS DOUBLE) AS row_id
+       |FROM splitup
+       |ORDER BY TRY_CAST(${scrub("row_id")} AS DOUBLE)""".stripMargin
+  }
 }
