@@ -126,12 +126,23 @@ object Pipeline {
         // would silently read the stale JDBC data — drop them first
         spark.catalog.dropTempView("oews_by_state")
         spark.catalog.dropTempView("onet_skills")
+        // ...and the same shadowing applies to the analytic views a
+        // prior JDBC-target run registered as TEMP
+        spark.catalog.dropTempView("vw_oews_avg_over_onet")
+        spark.catalog.dropTempView("vw_onet_closest_oews")
+        // catalog tables under the views ⇒ the views can be PERSISTENT,
+        // matching the reference's Postgres views (views.sql:3,18):
+        // they outlive this session object (survive spark.newSession())
+        WageAnalytics.createViews(spark, persistent = true)
       case LoadTarget.Jdbc(url) =>
         graft.sources.JdbcLoad.read(spark, url, "oews_by_state")
           .createOrReplaceTempView("oews_by_state")
         graft.sources.JdbcLoad.read(spark, url, "onet_skills")
           .createOrReplaceTempView("onet_skills")
+        // the base relations are TEMP views here, so the analytic views
+        // must be session-scoped too (persistent-over-temp is an
+        // analysis error by design)
+        WageAnalytics.createViews(spark)
     }
-    WageAnalytics.createViews(spark)
   }
 }

@@ -23,9 +23,8 @@ object WageAnalytics {
   /** Q6 — `CREATE OR REPLACE VIEW vw_oews_avg_over_onet` (views.sql:3-14):
     * Q2 CTE + Q1 split_part + Q3 group-avg + Q4 round.
     */
-  val AvgOverOnetSql: String =
-    """CREATE OR REPLACE TEMPORARY VIEW vw_oews_avg_over_onet AS
-      |WITH cte1 AS (
+  val AvgOverOnetBody: String =
+    """WITH cte1 AS (
       |  SELECT *, split_part(onet_soc_code, '.', 1) AS split_onet_soc_code
       |  FROM onet_skills
       |)
@@ -40,9 +39,8 @@ object WageAnalytics {
   /** Q6 — `CREATE OR REPLACE VIEW vw_onet_closest_oews` (views.sql:16-27):
     * Q2 CTE + Q1 split_part + Q5 inner equi-join, SELECT * both sides.
     */
-  val ClosestOewsSql: String =
-    """CREATE OR REPLACE TEMPORARY VIEW vw_onet_closest_oews AS
-      |WITH cte1 AS (
+  val ClosestOewsBody: String =
+    """WITH cte1 AS (
       |  SELECT *, split_part(onet_soc_code, '.', 1) AS split_onet_soc_code
       |  FROM onet_skills
       |)
@@ -51,10 +49,21 @@ object WageAnalytics {
       |JOIN oews_by_state t2
       |  ON t1.split_onet_soc_code = t2.soc_code""".stripMargin
 
-  /** Register both views (assumes `onet_skills` / `oews_by_state` exist). */
-  def createViews(spark: SparkSession): Unit = {
-    spark.sql(AvgOverOnetSql)
-    spark.sql(ClosestOewsSql)
+  /** Register both views (assumes `onet_skills` / `oews_by_state` exist).
+    *
+    * `persistent = true` matches the reference, whose views live in the
+    * Postgres catalog (views.sql:3,18) and outlive any one connection:
+    * `CREATE OR REPLACE VIEW` lands in the shared session catalog and
+    * survives `spark.newSession()` (PipelineSpec asserts it). Persistent
+    * views can only reference catalog TABLES, so the JDBC-target
+    * pipeline — whose `onet_skills`/`oews_by_state` are JDBC-backed TEMP
+    * views — must keep the views temporary (a persistent view over a
+    * temp view is an analysis error by design).
+    */
+  def createViews(spark: SparkSession, persistent: Boolean = false): Unit = {
+    val kind = if (persistent) "VIEW" else "TEMPORARY VIEW"
+    spark.sql(s"CREATE OR REPLACE $kind vw_oews_avg_over_onet AS\n$AvgOverOnetBody")
+    spark.sql(s"CREATE OR REPLACE $kind vw_onet_closest_oews AS\n$ClosestOewsBody")
   }
 
   /** Q7+Q8 — the notebook's flagship query (analysis.ipynb cell 4):

@@ -42,5 +42,15 @@ class PipelineSpec extends AnyFunSuite {
     // K3: re-running a load APPENDS (no dedup — reference semantics)
     Pipeline.loadOews(spark, cfg)
     assert(spark.table("oews_by_state").count() == 1472L)
+
+    // the analytic views are PERSISTENT catalog views (reference parity:
+    // views.sql's live in Postgres, not a connection) — a NEW session
+    // sharing the catalog still resolves them, where a TEMP view would
+    // be gone; they read the post-append state through to the tables
+    val fresh = spark.newSession()
+    assert(fresh.catalog.tableExists("vw_onet_closest_oews"))
+    assert(fresh.table("vw_onet_closest_oews").count() == 2 * 53760L)
+    assert(fresh.table("vw_oews_avg_over_onet").count() ==
+      spark.table("vw_oews_avg_over_onet").count())
   }
 }
