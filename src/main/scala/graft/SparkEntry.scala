@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, RefQueries, SimilarityQueries, StreamQueries, TextQueries}
+import graft.queries.{EtlQueries, JoinQueries, RefQueries, SimilarityQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,6 +29,7 @@ object SparkEntry {
     "q7_group_avg_over_join" -> (RefQueries.q7GroupAvgOverJoin _),
     "q8_topk" -> (RefQueries.q8TopK _),
     "q9_full_select" -> (RefQueries.q9Select _),
+    "join_asof" -> (JoinQueries.joinAsOf _),
     "etl_cell_scrub" -> (EtlQueries.etlCellScrub _),
     "etl_date_parse" -> (EtlQueries.etlDateParse _),
     "etl_drop_last_n" -> (EtlQueries.etlDropLastN _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "q7_group_avg_over_join" -> RefQueries.q7Sql,
     "q8_topk" -> RefQueries.q8Sql,
     "q9_full_select" -> RefQueries.q9Sql,
+    "join_asof" -> JoinQueries.joinAsOfSql,
     "etl_cell_scrub" -> EtlQueries.etlCellScrubSql,
     "etl_date_parse" -> EtlQueries.etlDateParseSql,
     "etl_drop_last_n" -> EtlQueries.etlDropLastNSql,

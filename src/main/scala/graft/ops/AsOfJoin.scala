@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the single most recent right
+  * row with the same key whose time is `<=` the left row's time (the
+  * classic "latest quote at or before each trade" operator; DuckDB and
+  * kdb expose it as `ASOF JOIN`, Spark has no built-in).
+  *
+  * Spelling: NOT an inequality join. A naive `l JOIN r ON key AND
+  * r.t <= l.t` is a quadratic blowup (every left row matches its whole
+  * key-history) that Spark can only plan as a shuffled/broadcast
+  * nested-loop; the classic scalable spelling is:
+  *
+  *   1. tag both sides and union them into one relation;
+  *   2. one shuffle: partition by key, sort by (time, tag, tieBreak) —
+  *      rights sort BEFORE lefts at equal time, giving `<=` semantics;
+  *   3. a running `last(payload, ignoreNulls)` over rows
+  *      UNBOUNDED PRECEDING..CURRENT ROW carries the latest right
+  *      payload forward onto every left row;
+  *   4. keep the left rows.
+  *
+  * Cost: ONE hash exchange of |L| + |R| rows and a per-partition sort —
+  * the same shape as any keyed window; no row ever meets more than its
+  * own partition. The growing frame is evaluated incrementally (O(1)
+  * amortized per row), so a 1000-executor run is bound by the sort, not
+  * the frame. Skewed keys behave like any window skew: a single user's
+  * history sorts in one task — if one key's history outgrows a task,
+  * pre-split by coarse time range and as-of join the splits.
+  *
+  * Contract:
+  *   - right payload column names must not collide with left columns
+  *     (rename on the right side first — cheap, it's a projection);
+  *   - ties inside the right side at equal (key, time) resolve to the
+  *     greatest `rightTieBreak` value (deterministic);
+  *   - left rows with no prior right row keep NULL payload columns
+  *     (left-outer semantics; filter payload IS NOT NULL for inner).
+  */
+object AsOfJoin {
+
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val collisions = rightPayload.toSet intersect leftCols.toSet
+    require(collisions.isEmpty,
+      s"rename right payload columns colliding with left: $collisions")
+
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    // the payload's struct type, for a typed NULL on the left rows
+    val payloadType = right.select(payloadStruct.as("p")).schema("p").dataType
+
+    // rights sort before lefts at equal time ⇒ a left row sees a right
+    // row with the exact same timestamp (`<=`, not `<`)
+    val rightTagged = right.select(
+      col(rightKey).as("__asof_key"),
+      col(rightTime).as("__asof_time"),
+      lit(0).as("__asof_tag"),
+      col(rightTieBreak).cast("long").as("__asof_ord"),
+      payloadStruct.as("__asof_payload"))
+
+    val leftTagged = left.select(
+      (leftCols.map(col) :+
+        col(leftKey).as("__asof_key")) ++ Seq(
+        col(leftTime).as("__asof_time"),
+        lit(1).as("__asof_tag"),
+        lit(0L).as("__asof_ord"),
+        lit(null).cast(payloadType).as("__asof_payload")): _*)
+
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+
+    val w = Window.partitionBy("__asof_key")
+      .orderBy(col("__asof_time"), col("__asof_tag"), col("__asof_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = unioned
+      .withColumn("__asof_last", last(col("__asof_payload"), ignoreNulls = true).over(w))
+      .where(col("__asof_tag") === 1)
+
+    val projected: Seq[Column] =
+      leftCols.map(col) ++ rightPayload.map(p => col(s"__asof_last.$p").as(p))
+    carried.select(projected: _*)
+  }
+}

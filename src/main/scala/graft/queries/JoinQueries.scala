@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries for the join operators Spark has no built-in
+  * for: as-of join and point-in-interval range join. The DuckDB twins
+  * spell the same semantics as inequality joins + window dedup — fine at
+  * oracle scale, quadratic at engine scale, which is exactly why the
+  * Spark side uses the scalable spellings (union+window, binned join).
+  */
+object JoinQueries {
+  import RefQueries.table
+
+  /** `join_asof` — for each purchase event, the latest click by the same
+    * user at or before the purchase (inner variant: purchases with no
+    * prior click are dropped, keeping every output column non-nullable
+    * so both engines land on identical pandas dtypes).
+    *
+    * Times flow as integer MICROSECONDS end to end: the parquet carries
+    * TIMESTAMP(NANOS) (read as nano longs under nanosAsLong), DuckDB
+    * reads the same file as TIMESTAMP_NS — `ts DIV 1000` here and
+    * `epoch_us(ts)` there meet at the same BIGINT.
+    */
+  def joinAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = table(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val clicks = events.where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("ts_us").as("click_ts_us"),
+        col("event_id").as("click_id"),
+        col("value").as("click_value"))
+
+    graft.ops.AsOfJoin.leftAsOf(
+        purchases, clicks,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts_us", rightTime = "click_ts_us",
+        rightPayload = Seq("click_id", "click_ts_us", "click_value"),
+        rightTieBreak = "click_id")
+      .where(col("click_id").isNotNull)
+      .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  val joinAsOfSql: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), r AS (
+      |  SELECT user_id, epoch_us(ts) AS click_ts_us,
+      |         event_id AS click_id, value AS click_value
+      |  FROM events WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT l.event_id, l.user_id, l.ts_us, l.value,
+      |         r.click_id, r.click_ts_us, r.click_value,
+      |         row_number() OVER (PARTITION BY l.event_id
+      |                            ORDER BY r.click_ts_us DESC, r.click_id DESC) AS rn
+      |  FROM l JOIN r ON r.user_id = l.user_id AND r.click_ts_us <= l.ts_us
+      |)
+      |SELECT event_id, user_id, ts_us, value,
+      |       click_id, click_ts_us, click_value,
+      |       ts_us - click_ts_us AS gap_us
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+}

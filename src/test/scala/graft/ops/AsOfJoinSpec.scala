@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics of the union+window as-of join:
+  *   - `<=` (a right row at the exact left timestamp is visible);
+  *   - ties at equal (key, time) resolve to the greatest tieBreak;
+  *   - left rows before any right row keep NULL payload (left-outer);
+  *   - keys never cross (a right row on another key is invisible).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("as-of picks latest prior right, <= inclusive, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", 100L), // after r@50,r@100 -> sees r@100 (<= inclusive)
+      (2L, "a", 60L),  // between 50 and 100 -> r@50
+      (3L, "a", 10L),  // before any right -> NULL
+      (4L, "b", 500L)  // key b has no rights at all -> NULL
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 50L, 70L, 1.0),
+      ("a", 100L, 71L, 2.0),
+      ("a", 100L, 72L, 3.0), // same (key,time) as 71 -> tieBreak max wins
+      ("c", 40L, 99L, 9.0)   // other key, never visible
+    ).toDF("k", "rt", "rid", "rv")
+
+    val out = AsOfJoin.leftAsOf(left, right,
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
+        rightPayload = Seq("rid", "rt", "rv"), rightTieBreak = "rid")
+      .orderBy("id")
+      .select("id", "rid", "rt", "rv")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+
+    assert(out.toSeq == Seq(
+      (1L, Some(72L), Some(100L)), // <= inclusive AND tie -> max rid
+      (2L, Some(70L), Some(50L)),
+      (3L, None, None),
+      (4L, None, None)))
+  }
+
+  test("as-of matches a per-row brute force on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong)).toDF("id", "k", "t")
+    val rightRows = (1 to 200).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, 1000L + i, rnd.nextDouble()))
+    val right = rightRows.toDF("k", "rt", "rid", "rv")
+
+    val got = AsOfJoin.leftAsOf(left, right,
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
+        rightPayload = Seq("rid"), rightTieBreak = "rid")
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+
+    val leftRows = left.as[(Long, String, Long)].collect()
+    leftRows.foreach { case (id, k, t) =>
+      val best = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(id) == best, s"row $id key $k t $t")
+    }
+  }
+}

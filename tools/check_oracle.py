@@ -17,7 +17,8 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: str = "") -> int:
+    names = set(only.split(",")) if only else None
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -26,6 +27,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     failures = 0
     for name, sql in sorted(oracle.items()):
+        if names is not None and name not in names:
+            continue
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
             print(f"FAIL {name}: no spark result dir")
@@ -83,4 +86,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], *sys.argv[3:4]))
