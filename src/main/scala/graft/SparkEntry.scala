@@ -30,6 +30,7 @@ object SparkEntry {
     "q8_topk" -> (RefQueries.q8TopK _),
     "q9_full_select" -> (RefQueries.q9Select _),
     "join_asof" -> (JoinQueries.joinAsOf _),
+    "join_range" -> (JoinQueries.joinRange _),
     "etl_cell_scrub" -> (EtlQueries.etlCellScrub _),
     "etl_date_parse" -> (EtlQueries.etlDateParse _),
     "etl_drop_last_n" -> (EtlQueries.etlDropLastN _),
@@ -69,6 +70,7 @@ object SparkEntry {
     "q8_topk" -> RefQueries.q8Sql,
     "q9_full_select" -> RefQueries.q9Sql,
     "join_asof" -> JoinQueries.joinAsOfSql,
+    "join_range" -> JoinQueries.joinRangeSql,
     "etl_cell_scrub" -> EtlQueries.etlCellScrubSql,
     "etl_date_parse" -> EtlQueries.etlDateParseSql,
     "etl_drop_last_n" -> EtlQueries.etlDropLastNSql,

@@ -64,4 +64,41 @@ object JoinQueries {
       |       click_id, click_ts_us, click_value,
       |       ts_us - click_ts_us AS gap_us
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** `join_range` — orders priced into 20 OVERLAPPING price bands
+    * ([i·25k, i·25k+60k): each order lands in 2–3 bands, so this is a
+    * genuine interval join, not a binning), aggregated per band with the
+    * exact-decimal revenue sum. Band bounds derive from the band id by
+    * pure integer arithmetic so both engines synthesize identical
+    * DOUBLE bounds. binWidth 25k ≈ half the 60k span: each interval
+    * explodes to ≤ 4 bin rows (80 total — broadcast side), and each
+    * order crosses the equi-join exactly once.
+    */
+  def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    val bands = spark.range(0, 20).select(
+      col("id").as("band_id"),
+      (col("id") * 25000).cast("double").as("lo"),
+      (col("id") * 25000 + 60000).cast("double").as("hi"))
+
+    graft.ops.RangeJoin.pointInInterval(
+        orders, "o_totalprice", bands, "lo", "hi", binWidth = 25000.0)
+      .groupBy("band_id", "lo", "hi")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        RefQueries.exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy("band_id")
+  }
+
+  val joinRangeSql: String =
+    """WITH bands AS (
+      |  SELECT i AS band_id,
+      |         CAST(i * 25000 AS DOUBLE) AS lo,
+      |         CAST(i * 25000 + 60000 AS DOUBLE) AS hi
+      |  FROM range(0, 20) t(i)
+      |)
+      |SELECT band_id, lo, hi, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN bands ON lo <= o_totalprice AND o_totalprice < hi
+      |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
 }
