@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, JoinQueries, RefQueries, SimilarityQueries, StreamQueries, TextQueries}
+import graft.queries.{EtlQueries, JoinQueries, OlapQueries, RefQueries, SimilarityQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,11 @@ object SparkEntry {
     "q9_full_select" -> (RefQueries.q9Select _),
     "join_asof" -> (JoinQueries.joinAsOf _),
     "join_range" -> (JoinQueries.joinRange _),
+    "olap_rollup" -> (OlapQueries.olapRollup _),
+    "olap_cube" -> (OlapQueries.olapCube _),
+    "olap_grouping_sets" -> (OlapQueries.olapGroupingSets _),
+    "olap_pivot" -> (OlapQueries.olapPivot _),
+    "analytics_window" -> (OlapQueries.analyticsWindow _),
     "etl_cell_scrub" -> (EtlQueries.etlCellScrub _),
     "etl_date_parse" -> (EtlQueries.etlDateParse _),
     "etl_drop_last_n" -> (EtlQueries.etlDropLastN _),
@@ -71,6 +76,11 @@ object SparkEntry {
     "q9_full_select" -> RefQueries.q9Sql,
     "join_asof" -> JoinQueries.joinAsOfSql,
     "join_range" -> JoinQueries.joinRangeSql,
+    "olap_rollup" -> OlapQueries.olapRollupSql,
+    "olap_cube" -> OlapQueries.olapCubeSql,
+    "olap_grouping_sets" -> OlapQueries.olapGroupingSetsSql,
+    "olap_pivot" -> OlapQueries.olapPivotSql,
+    "analytics_window" -> OlapQueries.analyticsWindowSql,
     "etl_cell_scrub" -> EtlQueries.etlCellScrubSql,
     "etl_date_parse" -> EtlQueries.etlDateParseSql,
     "etl_drop_last_n" -> EtlQueries.etlDropLastNSql,

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OLAP surface: multi-level aggregation (ROLLUP / CUBE / GROUPING
+  * SETS), pivot, and analytic window functions — oracle-gated like every
+  * other operator.
+  *
+  * Determinism notes:
+  *   - rolled-up group labels are NULL by SQL definition; both sides
+  *     COALESCE them to 'ALL' and carry an explicit grouping level so
+  *     the hash never depends on engine NULL ordering;
+  *   - Spark's grouping_id() is the real OLAP feature on the engine
+  *     side; the oracle derives the same level from label NULLness
+  *     (sound here because the grouped columns are non-null in the
+  *     data);
+  *   - money flows as exact DECIMAL sums (never SUM(double)), windowed
+  *     sums as integer cents — bit-stable under any partial-agg or
+  *     frame-evaluation order.
+  *
+  * Scale notes: rollup/cube are ordinary partial+final hash aggregates
+  * (Spark expands one input row to one row per grouping set in the map
+  * phase — no extra shuffle vs a plain GROUP BY); pivot with an
+  * EXPLICIT value list is a single aggregate with no
+  * distinct-value-discovery pass; the window query shuffles once on
+  * user_id.
+  */
+object OlapQueries {
+  import RefQueries.{exactSum, table}
+
+  /** `olap_rollup` — lineitem revenue at detail / returnflag / grand
+    * total levels in one pass.
+    */
+  def olapRollup(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        exactSum(col("l_extendedprice")).as("revenue"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n_rows"), col("revenue"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  val olapRollupSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(CASE WHEN l_returnflag IS NULL THEN 3
+      |                 WHEN l_linestatus IS NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS gid,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  /** `olap_cube` — orders counted over every subset of
+    * (status, priority).
+    */
+  def olapCube(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("gid", "status", "priority")
+
+  val olapCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       CAST(CASE WHEN o_orderstatus IS NULL AND o_orderpriority IS NULL THEN 3
+      |                 WHEN o_orderstatus IS NULL THEN 2
+      |                 WHEN o_orderpriority IS NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS gid,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
+  /** `olap_grouping_sets` — explicit grouping sets through the SQL
+    * parser path (the DataFrame API has no grouping-sets builder).
+    */
+  def olapGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val olapGroupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
+  /** `olap_pivot` — per-user event counts and exact cent sums pivoted
+    * across the five event types. The value list is EXPLICIT: no
+    * distinct-discovery job, one aggregate, map-side combine intact.
+    */
+  def olapPivot(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("cents"))
+      .orderBy("user_id")
+
+  val olapPivotSql: String =
+    """SELECT user_id,
+      |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+      |       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS click_cents,
+      |       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
+      |       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS error_cents,
+      |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+      |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS purchase_cents,
+      |       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_n,
+      |       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS signup_cents,
+      |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+      |       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS view_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** `analytics_window` — the analytic-function family over per-user
+    * event history: lag, lead, row_number, rank, and a 3-row rolling
+    * sum, all in integer cents over one shuffle on user_id.
+    */
+  def analyticsWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val rolling = byTime.rowsBetween(-2, Window.currentRow)
+    val byValue = Window.partitionBy("user_id")
+      .orderBy(col("cents").desc, col("event_id"))
+
+    table(spark, sfDir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_type"))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"), col("cents"),
+        lag(col("cents"), 1).over(byTime).as("prev_cents"),
+        lead(col("event_type"), 1).over(byTime).as("next_type"),
+        row_number().over(byTime).as("seq"),
+        sum(col("cents")).over(rolling).as("rolling3_cents"),
+        rank().over(byValue).as("value_rank"))
+      .orderBy("event_id")
+  }
+
+  val analyticsWindowSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value * 100) AS BIGINT) AS cents, event_type
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts_us, cents,
+      |       lag(cents, 1) OVER wt AS prev_cents,
+      |       lead(event_type, 1) OVER wt AS next_type,
+      |       CAST(row_number() OVER wt AS INTEGER) AS seq,
+      |       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_cents,
+      |       CAST(rank() OVER (PARTITION BY user_id ORDER BY cents DESC, event_id) AS INTEGER) AS value_rank
+      |FROM e
+      |WINDOW wt AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY event_id""".stripMargin
+}
