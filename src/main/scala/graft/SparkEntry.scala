@@ -31,6 +31,7 @@ object SparkEntry {
     "q9_full_select" -> (RefQueries.q9Select _),
     "join_asof" -> (JoinQueries.joinAsOf _),
     "join_range" -> (JoinQueries.joinRange _),
+    "q10_semi_anti" -> (JoinQueries.q10SemiAnti _),
     "olap_rollup" -> (OlapQueries.olapRollup _),
     "olap_cube" -> (OlapQueries.olapCube _),
     "olap_grouping_sets" -> (OlapQueries.olapGroupingSets _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "q9_full_select" -> RefQueries.q9Sql,
     "join_asof" -> JoinQueries.joinAsOfSql,
     "join_range" -> JoinQueries.joinRangeSql,
+    "q10_semi_anti" -> JoinQueries.q10SemiAntiSql,
     "olap_rollup" -> OlapQueries.olapRollupSql,
     "olap_cube" -> OlapQueries.olapCubeSql,
     "olap_grouping_sets" -> OlapQueries.olapGroupingSetsSql,

@@ -101,4 +101,35 @@ object JoinQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders JOIN bands ON lo <= o_totalprice AND o_totalprice < hi
       |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
+
+  /** `q10_semi_anti` — EXISTS / NOT EXISTS as left-semi and left-anti
+    * joins: customers with at least one >400k order (semi) unioned with
+    * those with none (anti), tagged. Both legs broadcast the filtered
+    * order-key side (the predicate prunes orders BEFORE the join, and
+    * only o_custkey survives the projection); neither leg shuffles the
+    * customer side. The oracle spells the same thing as a correlated
+    * EXISTS.
+    */
+  def q10SemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = table(spark, sfDir, "customer")
+    val bigOrders = table(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 400000)
+      .select("o_custkey")
+    val semi = customer
+      .join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("has_big_order", lit(true))
+    val anti = customer
+      .join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("has_big_order", lit(false))
+    semi.unionByName(anti)
+      .select("c_custkey", "c_name", "has_big_order")
+      .orderBy("c_custkey")
+  }
+
+  val q10SemiAntiSql: String =
+    """SELECT c_custkey, c_name,
+      |       EXISTS(SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c_custkey
+      |                AND o.o_totalprice > 400000) AS has_big_order
+      |FROM customer ORDER BY c_custkey""".stripMargin
 }
