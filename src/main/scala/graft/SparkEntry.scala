@@ -62,6 +62,7 @@ object SparkEntry {
     "multimodal_ppm_decode" -> (StreamQueries.multimodalPpm _),
     "multimodal_png_decode" -> (StreamQueries.multimodalPng _),
     "multimodal_wav_decode" -> (StreamQueries.multimodalWav _),
+    "multimodal_resize" -> (StreamQueries.multimodalResize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,5 +109,6 @@ object SparkEntry {
     "multimodal_ppm_decode" -> StreamQueries.multimodalPpmSql,
     "multimodal_png_decode" -> StreamQueries.multimodalPngSql,
     "multimodal_wav_decode" -> StreamQueries.multimodalWavSql,
+    "multimodal_resize" -> StreamQueries.multimodalResizeSql,
   )
 }

@@ -74,6 +74,43 @@ object Multimodal {
     }
   }
 
+  /** REAL 2-D image resize: box-filter (area-average) downsample of a
+    * row-major value plane to outW×outH. Each output pixel is the
+    * integer-floor mean of its source block [ox·w/outW, (ox+1)·w/outW) ×
+    * [oy·h/outH, (oy+1)·h/outH); the `max(…, +1)` guard keeps blocks
+    * non-empty when the output is larger than the input along an axis
+    * (degenerating to nearest-neighbor there), the same arithmetic as
+    * the 1-D resample above so the SQL oracle can restate it. Pure
+    * integer math — no float accumulation, bit-stable across engines.
+    */
+  def resizePlane(plane: Array[Int], w: Int, h: Int, outW: Int, outH: Int): Array[Int] = {
+    require(w > 0 && h > 0 && outW > 0 && outH > 0 && plane.length >= w * h,
+      s"bad resize geometry: ${plane.length} as ${w}x$h -> ${outW}x$outH")
+    val out = new Array[Int](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = (oy.toLong * h / outH).toInt
+      val y1 = math.max(((oy + 1).toLong * h / outH).toInt, y0 + 1)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = (ox.toLong * w / outW).toInt
+        val x1 = math.max(((ox + 1).toLong * w / outW).toInt, x0 + 1)
+        var s = 0L
+        var c = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += plane(y * w + x); c += 1; x += 1 }
+          y += 1
+        }
+        out(oy * outW + ox) = (s / c).toInt
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   private def sha256Hex(md: MessageDigest, bytes: Array[Byte]): String =
     md.digest(bytes).map(b => f"$b%02x").mkString // digest() resets md
 

@@ -279,6 +279,57 @@ object StreamQueries {
        |FROM l ORDER BY doc_id""".stripMargin
   }
 
+  /** `multimodal_resize` — the real 2-D box-filter resize over a real
+    * decoded raster: pack each document as a 12-wide PPM (h = pixels/12
+    * rows, remainder dropped), decode the luminance plane, area-average
+    * it down to 4×3. All-integer math end to end, so the oracle can
+    * rebuild the exact 12 output pixels from the text bytes.
+    */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val inW = 12
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val h = bytes.length / 3 / inW
+        val header = s"P6\n$inW $h\n255\n".getBytes("US-ASCII")
+        val plane = graft.ops.MediaCodecs
+          .decodePpmLuma(header ++ bytes.take(inW * h * 3))
+          .getOrElse(Array.empty[Int]) // unreachable: we packed a valid P6
+        (id, inW, h, Multimodal.resizePlane(plane, inW, h, 4, 3).toSeq)
+      }.toDF("doc_id", "in_w", "in_h", "resized")
+      .select(col("doc_id"), col("in_w"), col("in_h"),
+        to_json(col("resized")).as("resized_json"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of the 2-D resize: luminance from byte triplets as in
+    * the PPM twin, then per output pixel b (row b//4, col b%4) the
+    * integer-floor mean over rows [oy·h//3, max((oy+1)·h//3, oy·h//3+1))
+    * and the 3 exact columns (12/4) — `flatten` of per-row slices, one
+    * `//` division. Matches resizePlane's arithmetic exactly (sums are
+    * non-negative, so floor == truncation).
+    */
+  val multimodalResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, (length(text)//3)//12 AS h FROM documents
+      |), l AS (
+      |  SELECT doc_id, h,
+      |         list_transform(range(0, 12*h), p ->
+      |           (unicode(text[3*p+1]) + unicode(text[3*p+2]) + unicode(text[3*p+3])) // 3) AS luma
+      |  FROM m
+      |)
+      |SELECT doc_id, 12 AS in_w, h AS in_h,
+      |       CAST(to_json(list_transform(range(0, 12), b ->
+      |         CAST(list_sum(flatten(list_transform(
+      |                 range((b//4)*h//3, greatest((b//4+1)*h//3, (b//4)*h//3 + 1)), y ->
+      |                   luma[y*12 + (b%4)*3 + 1 : y*12 + (b%4)*3 + 3])))
+      |              // (3 * (greatest((b//4+1)*h//3, (b//4)*h//3 + 1) - (b//4)*h//3))
+      |              AS BIGINT)))
+      |         AS VARCHAR) AS resized_json
+      |FROM l ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of the stubbed decode: documents text is pure ASCII in
     * the testdata (verified max codepoint 121), so per-char `unicode()`
     * codes ARE the UTF-8 bytes; bucket boundaries replicate

@@ -104,6 +104,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeImageLuma("not an image".getBytes).isEmpty)
   }
 
+  test("resizePlane: exact box averages, floor division, upscale guard") {
+    // 4x2 plane -> 2x1: each output pixel averages a 2x2 block
+    val p = Array(
+      10, 20, 30, 40,
+      50, 60, 70, 80)
+    assert(Multimodal.resizePlane(p, 4, 2, 2, 1).toSeq ==
+      Seq((10 + 20 + 50 + 60) / 4, (30 + 40 + 70 + 80) / 4))
+    // floor: (1+2)/2 = 1
+    assert(Multimodal.resizePlane(Array(1, 2), 2, 1, 1, 1).toSeq == Seq(1))
+    // identity geometry is a no-op
+    assert(Multimodal.resizePlane(p, 4, 2, 4, 2).toSeq == p.toSeq)
+    // upscale along y (h=1 -> outH=3): the guard repeats the single row
+    assert(Multimodal.resizePlane(Array(7, 9), 2, 1, 2, 3).toSeq ==
+      Seq(7, 9, 7, 9, 7, 9))
+  }
+
   test("malformed media falls back to the stub instead of throwing") {
     import spark.implicits._
     val junk = "P6 not a real image".getBytes("US-ASCII")
