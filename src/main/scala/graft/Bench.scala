@@ -85,9 +85,10 @@ object Bench {
     // parity_sec: the reference-equivalent surface (q1-q9 + ETL-layer
     // queries) — the apples-to-apples number against BASELINE.md, vs the
     // additive training-data-pipeline operators the reference lacks
+    // reference surface = q1_..q9_ + etl_*; q10+ (semi/anti, outer,
+    // set ops) and q5_salted_join are additive engine surface
     val parity = results.collect {
-      // q5_salted_join is an additive skew variant, not reference surface
-      case (k, v) if (k.startsWith("q") || k.startsWith("etl_")) &&
+      case (k, v) if (k.matches("q[1-9]_.*") || k.startsWith("etl_")) &&
         k != "q5_salted_join" => v
     }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

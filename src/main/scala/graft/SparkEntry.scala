@@ -32,6 +32,9 @@ object SparkEntry {
     "join_asof" -> (JoinQueries.joinAsOf _),
     "join_range" -> (JoinQueries.joinRange _),
     "q10_semi_anti" -> (JoinQueries.q10SemiAnti _),
+    "q11_outer_join" -> (JoinQueries.q11OuterJoin _),
+    "q12_set_ops" -> (JoinQueries.q12SetOps _),
+    "olap_count_distinct" -> (OlapQueries.olapCountDistinct _),
     "olap_rollup" -> (OlapQueries.olapRollup _),
     "olap_cube" -> (OlapQueries.olapCube _),
     "olap_grouping_sets" -> (OlapQueries.olapGroupingSets _),
@@ -79,6 +82,9 @@ object SparkEntry {
     "join_asof" -> JoinQueries.joinAsOfSql,
     "join_range" -> JoinQueries.joinRangeSql,
     "q10_semi_anti" -> JoinQueries.q10SemiAntiSql,
+    "q11_outer_join" -> JoinQueries.q11OuterJoinSql,
+    "q12_set_ops" -> JoinQueries.q12SetOpsSql,
+    "olap_count_distinct" -> OlapQueries.olapCountDistinctSql,
     "olap_rollup" -> OlapQueries.olapRollupSql,
     "olap_cube" -> OlapQueries.olapCubeSql,
     "olap_grouping_sets" -> OlapQueries.olapGroupingSetsSql,

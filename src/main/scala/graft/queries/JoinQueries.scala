@@ -132,4 +132,60 @@ object JoinQueries {
       |              WHERE o.o_custkey = c_custkey
       |                AND o.o_totalprice > 400000) AS has_big_order
       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** `q11_outer_join` — left outer join where the right side is sparse
+    * by construction (only >400k orders): most customers get the
+    * NULL-extended row. COUNT(o_custkey) counts matched rows only (SQL
+    * NULL semantics), so unmatched customers report 0, not 1; the sum
+    * coalesces to an exact 0.00 on both engines. The pruned order side
+    * broadcasts.
+    */
+  def q11OuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = table(spark, sfDir, "customer")
+    val bigOrders = table(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 400000)
+      .select("o_custkey", "o_totalprice")
+    customer
+      .join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_custkey")).as("n_big_orders"),
+        coalesce(RefQueries.exactSum(col("o_totalprice")), lit(0.0)).as("big_revenue"))
+      .orderBy("c_custkey")
+  }
+
+  val q11OuterJoinSql: String =
+    """SELECT c_custkey, c_name,
+      |       COUNT(o_custkey) AS n_big_orders,
+      |       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS big_revenue
+      |FROM customer
+      |LEFT OUTER JOIN (SELECT o_custkey, o_totalprice FROM orders
+      |                 WHERE o_totalprice > 400000) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  /** `q12_set_ops` — INTERSECT / EXCEPT / UNION as one gated result:
+    * for each part-key universe slice, a tag plus the key. Spark plans
+    * INTERSECT/EXCEPT as left-semi/left-anti joins over distinct sets —
+    * same broadcast shape as q10 but arrived at through the set-algebra
+    * API.
+    */
+  def q12SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val used = table(spark, sfDir, "lineitem").select(col("l_partkey").as("key"))
+    val bigParts = table(spark, sfDir, "part")
+      .where(col("p_size") > 45).select(col("p_partkey").as("key"))
+    val both = bigParts.intersect(used).withColumn("tag", lit("big_and_used"))
+    val unused = bigParts.except(used).withColumn("tag", lit("big_unused"))
+    both.unionByName(unused)
+      .select("tag", "key")
+      .orderBy("tag", "key")
+  }
+
+  val q12SetOpsSql: String =
+    """WITH used AS (SELECT l_partkey AS key FROM lineitem),
+      |     big AS (SELECT p_partkey AS key FROM part WHERE p_size > 45)
+      |SELECT 'big_and_used' AS tag, key FROM (SELECT key FROM big INTERSECT SELECT key FROM used)
+      |UNION ALL
+      |SELECT 'big_unused' AS tag, key FROM (SELECT key FROM big EXCEPT SELECT key FROM used)
+      |ORDER BY tag, key""".stripMargin
 }

@@ -136,6 +136,31 @@ object OlapQueries {
       |       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS view_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** `olap_count_distinct` — exact multi-column COUNT(DISTINCT) per
+    * group. Spark plans two distinct columns via one Expand (row
+    * replicated per distinct-set) + two-phase aggregate — no extra
+    * shuffle per distinct column. At 100 TB the exact spelling is the
+    * contract here; the approximate path (HLL approx_count_distinct)
+    * trades this plan's Expand for sketch merges when a few-percent
+    * error is acceptable, but its estimates are engine-specific and so
+    * not oracle-comparable.
+    */
+  def olapCountDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val olapCountDistinctSql: String =
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** `analytics_window` — the analytic-function family over per-user
     * event history: lag, lead, row_number, rank, and a 3-row rolling
     * sum, all in integer cents over one shuffle on user_id.
