@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (SimilarityQueries.dedupEmbeddingCosine _),
     "stream_window_agg" -> (StreamQueries.streamWindowAgg _),
     "stream_sessionize" -> (StreamQueries.streamSessionize _),
+    "stream_join_interval" -> (StreamQueries.streamJoinInterval _),
     "multimodal_meta" -> (StreamQueries.multimodalMeta _),
     "multimodal_features" -> (StreamQueries.multimodalFeatures _),
     "multimodal_ppm_decode" -> (StreamQueries.multimodalPpm _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "dedup_simhash" -> SimilarityQueries.dedupSimhashSql,
     "stream_window_agg" -> StreamQueries.streamWindowAggSql,
     "stream_sessionize" -> StreamQueries.streamSessionizeSql,
+    "stream_join_interval" -> StreamQueries.streamJoinIntervalSql,
     "multimodal_meta" -> StreamQueries.multimodalMetaSql,
     "multimodal_features" -> StreamQueries.multimodalFeaturesSql,
     "multimodal_ppm_decode" -> StreamQueries.multimodalPpmSql,

@@ -49,6 +49,27 @@ object StreamQueries {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Batch form of the stream-stream interval join (the same function
+    * runs under Structured Streaming with watermark-bounded state — see
+    * EventAnalytics.purchaseClickPairs and StreamingSpec).
+    */
+  def streamJoinInterval(spark: SparkSession, sfDir: String): DataFrame =
+    EventAnalytics.purchaseClickPairs(table(spark, sfDir, "events"),
+        windowMinutes = 240)
+      .orderBy("purchase_id", "click_id")
+
+  val streamJoinIntervalSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |       epoch_us(p.ts) AS p_us,
+      |       c.event_id AS click_id, epoch_us(c.ts) AS c_us,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.user_id = p.user_id
+      | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - CAST(240 AS BIGINT)*60*1000000
+      |                        AND epoch_us(p.ts)
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Binary metadata through pure SQL expressions (oracle-checked). */
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.packFromText(table(spark, sfDir, "documents"))

@@ -93,6 +93,39 @@ object EventAnalytics extends Serializable {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventsSchema).parquet(dir)
 
+  /** Stream-stream interval join: every (purchase, click) pair of the
+    * same user with the click inside [purchase − windowMinutes,
+    * purchase]. One function, both engines-of-execution: on batch
+    * frames the watermark is a no-op and this is a plain shuffled
+    * equi-join on user_id with a range residual (the driver-gated
+    * `stream_join_interval`); on streaming frames the SAME expression
+    * plans as Spark's stream-stream join, where the watermarks plus the
+    * two-sided time bound let the state store evict rows older than
+    * watermark − window — bounded state, the only spelling that
+    * survives an unbounded stream. Times join on TimestampType (the
+    * state-eviction analysis requires it) and surface as integer µs.
+    */
+  def purchaseClickPairs(events: DataFrame, windowMinutes: Int,
+      watermark: Option[String] = None): DataFrame = {
+    def side(tpe: String, id: String, user: String, ts: String): DataFrame = {
+      val base = withEventTime(events.where(col("event_type") === tpe))
+      watermark.fold(base)(w => base.withWatermark("ts_utc", w))
+        .select(col("event_id").as(id), col("user_id").as(user),
+          col("ts_utc").as(ts))
+    }
+    val p = side("purchase", "purchase_id", "p_user", "p_ts")
+    val c = side("click", "click_id", "c_user", "c_ts")
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(
+        col("purchase_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        col("click_id"), unix_micros(col("c_ts")).as("c_us"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Streaming exact dedup — the streaming form of `Dedup.exact` for an
     * at-least-once ingest stream (replayed files, retried producers):
     * keep the FIRST occurrence of each key, with state bounded by the

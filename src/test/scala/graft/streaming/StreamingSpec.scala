@@ -203,6 +203,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = EventAnalytics.readEventsStream(spark, eventsDir)
+    // the same function, both execution modes; the generous watermark
+    // keeps nothing late in this one-shot replay, so stream == batch
+    val q = EventAnalytics
+      .purchaseClickPairs(stream, windowMinutes = 240, watermark = Some("30 days"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("interval_join_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("interval_join_out")
+    val want = EventAnalytics.purchaseClickPairs(
+      spark.read.parquet(s"${TestSpark.Sf001}/events.parquet"), windowMinutes = 240)
+    assert(got.count() == 148L, s"sf0.01 ground truth is 148 pairs, got ${got.count()}")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming join result differs from batch join result")
+  }
+
   test("streaming dedup suppresses at-least-once replays with bounded state") {
     val dir = Files.createTempDirectory("graft-events-dd")
     val all = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet").cache()
