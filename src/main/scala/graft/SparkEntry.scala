@@ -35,6 +35,10 @@ object SparkEntry {
     "q11_outer_join" -> (JoinQueries.q11OuterJoin _),
     "q12_set_ops" -> (JoinQueries.q12SetOps _),
     "olap_count_distinct" -> (OlapQueries.olapCountDistinct _),
+    "olap_topk_per_group" -> (OlapQueries.olapTopkPerGroup _),
+    "olap_percentile" -> (OlapQueries.olapPercentile _),
+    "text_term_freq" -> (TextQueries.textTermFreq _),
+    "etl_sample" -> (EtlQueries.etlSample _),
     "olap_rollup" -> (OlapQueries.olapRollup _),
     "olap_cube" -> (OlapQueries.olapCube _),
     "olap_grouping_sets" -> (OlapQueries.olapGroupingSets _),
@@ -86,6 +90,10 @@ object SparkEntry {
     "q11_outer_join" -> JoinQueries.q11OuterJoinSql,
     "q12_set_ops" -> JoinQueries.q12SetOpsSql,
     "olap_count_distinct" -> OlapQueries.olapCountDistinctSql,
+    "olap_topk_per_group" -> OlapQueries.olapTopkPerGroupSql,
+    "olap_percentile" -> OlapQueries.olapPercentileSql,
+    "text_term_freq" -> TextQueries.textTermFreqSql,
+    "etl_sample" -> EtlQueries.etlSampleSql,
     "olap_rollup" -> OlapQueries.olapRollupSql,
     "olap_cube" -> OlapQueries.olapCubeSql,
     "olap_grouping_sets" -> OlapQueries.olapGroupingSetsSql,

@@ -229,4 +229,28 @@ object EtlQueries {
        |FROM splitup
        |ORDER BY TRY_CAST(${scrub("row_id")} AS DOUBLE)""".stripMargin
   }
+
+  /** `etl_sample` — DETERMINISTIC 10% sample via an engine-neutral LCG
+    * hash of the row key, the reproducible alternative to RAND()-based
+    * sampling a training pipeline needs (same rows on every run, every
+    * engine, any partitioning). The key is reduced mod 1000003 BEFORE
+    * the multiply so the product stays < 2^62 at any key scale (ANSI
+    * overflow-safe at 100 TB, not just at the gated SF).
+    */
+  def etlSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.queries.RefQueries.table(spark, sfDir, "lineitem")
+      .where(expr(
+        // l_linenumber is INT32 and 1315423911 fits INT32 too — without
+        // the cast the multiply stays 32-bit and overflows under ANSI
+        "((pmod(l_orderkey, 1000003) * 2654435761 + CAST(l_linenumber AS BIGINT) * 1315423911) % 1000003) % 10 = 0"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val etlSampleSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE (((l_orderkey % 1000003) * 2654435761
+      |        + CAST(l_linenumber AS BIGINT) * 1315423911)
+      |       % 1000003) % 10 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 }

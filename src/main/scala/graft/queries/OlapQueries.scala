@@ -136,6 +136,30 @@ object OlapQueries {
       |       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS view_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** `olap_percentile` — exact interpolated percentiles per group. Both
+    * engines implement the standard continuous-quantile definition
+    * (index p·(n−1) into the sorted values, linear interpolation), so
+    * the doubles match bit-for-bit. Exact percentile means a full sort
+    * of each group's values; at 100 TB the knob is
+    * approx_percentile (t-digest sketch, mergeable map-side), whose
+    * estimates are engine-specific and so not oracle-comparable.
+    */
+  def olapPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50_price"))
+      .orderBy("l_returnflag")
+
+  val olapPercentileSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |       quantile_cont(l_extendedprice, 0.5) AS p50_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** `olap_count_distinct` — exact multi-column COUNT(DISTINCT) per
     * group. Spark plans two distinct columns via one Expand (row
     * replicated per distinct-set) + two-phase aggregate — no extra
@@ -160,6 +184,40 @@ object OlapQueries {
       |       COUNT(DISTINCT l_suppkey) AS n_supps,
       |       COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** `olap_topk_per_group` — top-3 parts per brand by exact revenue:
+    * the rank-filter shape (window row_number ≤ k). Unlike global top-k
+    * (q8's TakeOrderedAndProject) this is one shuffle on the group key
+    * and a per-partition sort — the right plan when k·|groups| is far
+    * larger than one node's memory but each group's candidates are not.
+    * Ties break on p_partkey so both engines rank identically.
+    */
+  def olapTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = table(spark, sfDir, "lineitem")
+    val p = table(spark, sfDir, "part")
+    val byBrand = Window.partitionBy("p_brand")
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(exactSum(col("l_extendedprice")).as("revenue"))
+      .withColumn("brand_rank", row_number().over(byBrand))
+      .where(col("brand_rank") <= 3)
+      .orderBy("p_brand", "brand_rank")
+  }
+
+  val olapTopkPerGroupSql: String =
+    """SELECT p_brand, p_partkey, revenue, CAST(brand_rank AS INTEGER) AS brand_rank
+      |FROM (
+      |  SELECT p_brand, p_partkey,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |         row_number() OVER (PARTITION BY p_brand
+      |                            ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
+      |                                     p_partkey) AS brand_rank
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey
+      |) WHERE brand_rank <= 3
+      |ORDER BY p_brand, brand_rank""".stripMargin
 
   /** `analytics_window` — the analytic-function family over per-user
     * event history: lag, lead, row_number, rank, and a 3-row rolling

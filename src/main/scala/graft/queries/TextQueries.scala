@@ -201,4 +201,29 @@ object TextQueries {
       |SELECT doc_id, n_chars, n_tokens FROM kept
       |WHERE doc_id NOT IN (SELECT d2 FROM losers)
       |ORDER BY doc_id""".stripMargin
+
+  /** `text_term_freq` — corpus-level vocabulary statistics: per-token
+    * total term frequency and document frequency in ONE aggregate
+    * (explode → groupBy token with count + countDistinct), top-50 by df.
+    * The shape behind IDF tables and stopword discovery at corpus
+    * scale: one shuffle on the token, partial counts map-side, and the
+    * top-k is TakeOrderedAndProject — no global sort.
+    */
+  def textTermFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("term_freq"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(desc("doc_freq"), desc("term_freq"), asc("tok"))
+      .limit(50)
+  }
+
+  val textTermFreqSql: String = DuckToks +
+    """
+      |, t AS (SELECT doc_id, unnest(toks) AS tok FROM d)
+      |SELECT tok, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+      |FROM t GROUP BY tok
+      |ORDER BY doc_freq DESC, term_freq DESC, tok LIMIT 50""".stripMargin
 }
