@@ -39,6 +39,7 @@ object SparkEntry {
     "olap_percentile" -> (OlapQueries.olapPercentile _),
     "text_term_freq" -> (TextQueries.textTermFreq _),
     "etl_sample" -> (EtlQueries.etlSample _),
+    "etl_upsert" -> (EtlQueries.etlUpsert _),
     "olap_rollup" -> (OlapQueries.olapRollup _),
     "olap_cube" -> (OlapQueries.olapCube _),
     "olap_grouping_sets" -> (OlapQueries.olapGroupingSets _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "olap_percentile" -> OlapQueries.olapPercentileSql,
     "text_term_freq" -> TextQueries.textTermFreqSql,
     "etl_sample" -> EtlQueries.etlSampleSql,
+    "etl_upsert" -> EtlQueries.etlUpsertSql,
     "olap_rollup" -> OlapQueries.olapRollupSql,
     "olap_cube" -> OlapQueries.olapCubeSql,
     "olap_grouping_sets" -> OlapQueries.olapGroupingSetsSql,

@@ -253,4 +253,46 @@ object EtlQueries {
       |        + CAST(l_linenumber AS BIGINT) * 1315423911)
       |       % 1000003) % 10 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** `etl_upsert` — latest-wins MERGE over the orders snapshot: every
+    * 10th key gets a price-bumped update row, keys ≡ 7 (mod 1000)
+    * re-enter as inserts under new keys; Upsert.latestWins applies the
+    * batch in one keyed shuffle. The oracle restates tag + union +
+    * row_number.
+    */
+  def etlUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.queries.RefQueries.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val changes = orders.where(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000)
+      .withColumn("o_orderstatus", lit("U"))
+    val inserts = orders.where(col("o_orderkey") % 1000 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000)
+      .withColumn("o_orderstatus", lit("N"))
+    graft.ops.Upsert.latestWins(
+        orders, changes.unionByName(inserts),
+        keys = Seq("o_orderkey"), tieBreak = "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
+  val etlUpsertSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      |), u AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |         o_totalprice + 100000 AS o_totalprice
+      |  FROM o WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+      |  FROM o WHERE o_orderkey % 1000 = 7
+      |), tagged AS (
+      |  SELECT *, 0 AS src FROM o
+      |  UNION ALL
+      |  SELECT *, 1 AS src FROM u
+      |)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |                                   ORDER BY src DESC, o_custkey DESC) AS rn
+      |      FROM tagged)
+      |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
 }

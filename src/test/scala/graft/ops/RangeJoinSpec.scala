@@ -15,8 +15,9 @@ class RangeJoinSpec extends AnyFunSuite {
 
   private def points = {
     import spark.implicits._
-    // includes exact boundary values 10.0, 20.0, 40.0
-    Seq(0.0, 5.0, 9.99, 10.0, 15.0, 20.0, 33.3, 40.0, 55.5, 99.9)
+    // includes exact boundary values 10.0, 20.0, 40.0 and negatives
+    // (floor(p/w) must stay consistent across zero: -0.1 -> bin -1)
+    Seq(-25.0, -0.1, 0.0, 5.0, 9.99, 10.0, 15.0, 20.0, 33.3, 40.0, 55.5, 99.9)
       .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
   }
 
@@ -28,7 +29,8 @@ class RangeJoinSpec extends AnyFunSuite {
       (102L, 5.0, 45.0),  // wide: spans many bins
       (103L, 39.0, 40.5),
       (104L, 60.0, 70.0), // matches nothing
-      (105L, 20.0, 20.0)  // empty interval
+      (105L, 20.0, 20.0), // empty interval
+      (106L, -30.0, 1.0)  // negative interval spanning zero
     ).toDF("iid", "lo", "hi")
   }
 
@@ -43,9 +45,12 @@ class RangeJoinSpec extends AnyFunSuite {
         .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected, s"binWidth $w")
     }
-    // sanity on the fixture itself: boundary semantics lo-inclusive hi-exclusive
-    assert(expected.contains((3L, 101L)) && !expected.contains((3L, 100L)),
+    // sanity on the fixture itself: boundary semantics lo-inclusive
+    // hi-exclusive (pid 5 is the point 10.0), and negatives match the
+    // zero-spanning interval (pid 1 is -0.1)
+    assert(expected.contains((5L, 101L)) && !expected.contains((5L, 100L)),
       "p == lo is in, p == hi is out")
+    assert(expected.contains((1L, 106L)), "negative point joins its interval")
   }
 
   test("plan is an equi-join, not a nested loop") {
