@@ -80,6 +80,14 @@ object MediaCodecs {
     * `BufferedImage.getRGB`: getRGB runs a linear-gray→sRGB color-space
     * conversion on TYPE_BYTE_GRAY images that silently brightens values —
     * a decode must return the encoded sample, not a rendering.
+    *
+    * EXCEPTION: indexed-color images (every GIF, palette PNG/BMP) store
+    * palette INDICES in the raster — a raw sample there is a function
+    * of palette ORDER, not brightness (an all-white GIF whose palette
+    * maps index 0 → white would read as an all-zero plane). For an
+    * IndexColorModel the index must be resolved through the palette
+    * (getRed/getGreen/getBlue on the model — a table lookup, no
+    * color-space conversion) before averaging.
     * Undecodable/malformed bytes → None (stub fallback, never throw).
     */
   def decodeImageLuma(bytes: Array[Byte]): Option[Array[Int]] = {
@@ -90,17 +98,25 @@ object MediaCodecs {
       val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
       if (w <= 0 || h <= 0 || bands <= 0) return None
       val shift = math.max(0, raster.getSampleModel.getSampleSize(0) - 8)
+      val palette = img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel => Some(icm)
+        case _ => None
+      }
       val out = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val v =
-            if (bands >= 3)
-              (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
-                raster.getSample(x, y, 2)) / 3
-            else raster.getSample(x, y, 0)
-          out(y * w + x) = v >> shift
+          out(y * w + x) = palette match {
+            case Some(icm) =>
+              val i = raster.getSample(x, y, 0)
+              (icm.getRed(i) + icm.getGreen(i) + icm.getBlue(i)) / 3
+            case None if bands >= 3 =>
+              ((raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                raster.getSample(x, y, 2)) / 3) >> shift
+            case None =>
+              raster.getSample(x, y, 0) >> shift
+          }
           x += 1
         }
         y += 1

@@ -55,16 +55,12 @@ object SimHashDedup {
       when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** Engine-neutral per-token base hash, built-ins only: fold
-    * `(a·131 + codepoint) mod 1e9+7` over the token's characters — the
-    * same family as TextOps.fingerprint's tokenHash. Interpreted HOF;
-    * the REFERENCE spelling for the native kernel below.
+  /** Engine-neutral per-token base hash — delegates to the single
+    * definition in TextOps (one source of truth for the 131 / 1e9+7
+    * constants every oracle twin restates). Interpreted HOF; the
+    * REFERENCE spelling for the native kernel below.
     */
-  def polyTokenHash(t: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(t)), i => ascii(substring(t, i, lit(1)))),
-      lit(0L),
-      (a, c) => (a * 131 + c) % 1000000007L)
+  def polyTokenHash(t: Column): Column = TextOps.polyTokenHash(t)
 
   /** Engine-neutral bit-vote sums over a base-hash column `h` — the
     * built-in-expression reference spelling of the

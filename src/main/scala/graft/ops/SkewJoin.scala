@@ -50,6 +50,38 @@ object SkewJoin {
       .orderBy(desc("n"), col(key))
       .limit(k)
 
+  /** Keys whose big-side row count exceeds skewFactor × the mean count,
+    * hottest first, capped at maxHotKeys so the driver-side set stays
+    * bounded on pathological distributions. One narrow aggregate over
+    * the key column only (columnar scans prune the rest).
+    *
+    * NULL keys are excluded by construction: an inner join drops them
+    * anyway, and a null literal inside an `isin` list would poison the
+    * downstream hot/cold split (`x IN (NULL, …)` is NULL — never true —
+    * for every non-matching x, and `NOT IN` likewise, silently emptying
+    * BOTH branches). A null-heavy key column is the classic skew shape,
+    * so this is load-bearing, not defensive trim. Empty input (or
+    * all-NULL keys) → no groups → empty result, no hot keys.
+    */
+  def hotKeys(big: DataFrame, key: String,
+      skewFactor: Double = 4.0, maxHotKeys: Int = 1000): Seq[Any] = {
+    require(skewFactor > 0 && maxHotKeys > 0)
+    val counts = big.where(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+    // avg over ZERO groups is NULL — an empty/all-null big side must
+    // mean "no hot keys", not an NPE
+    val mean = Option(counts.agg(avg(col("n")).as("m")).head.get(0))
+      .map(_.asInstanceOf[Number].doubleValue())
+    mean match {
+      case None => Seq.empty
+      case Some(m) =>
+        counts.where(col("n") > lit(m * skewFactor))
+          .orderBy(desc("n"), col(key))
+          .limit(maxHotKeys)
+          .select(col(key)).collect().map(_.get(0)).toSeq
+    }
+  }
+
   /** Two-phase skew join — the production spelling. `saltedInnerJoin`
     * above replicates the ENTIRE small side `salts`×, which taxes every
     * key to fix a few; this variant measures first and salts only keys
@@ -57,37 +89,24 @@ object SkewJoin {
     *
     *   1. histogram pass over the big side's key column alone (columnar
     *      scans prune to one column, so this is cheap relative to the
-    *      join) → keys with count > skewFactor × mean, capped at
-    *      `maxHotKeys` hottest (driver-side set stays bounded no matter
-    *      how pathological the distribution);
+    *      join) → non-null keys with count > skewFactor × mean, capped
+    *      at `maxHotKeys` hottest (driver-side set stays bounded no
+    *      matter how pathological the distribution);
     *   2. hot slice → salted join against only the matching small-side
     *      rows (replicated volume ∝ number of hot keys, not |small|);
     *      cold slice → plain join, broadcast-eligible as usual;
     *   3. union — branch column order is identical (big.* ++ small.*),
-    *      and inner-join semantics make the hot/cold split lossless
-    *      (NULL keys match nothing in either branch).
+    *      and inner-join semantics make the hot/cold split lossless:
+    *      hotKeys never returns NULL, so the isin/NOT-isin predicates
+    *      are decidable for every non-null key, and null-keyed rows
+    *      (coldBig keeps them via the explicit null-safe OR) match
+    *      nothing in the inner join on either engine.
     *
     * With no hot keys this degenerates to exactly the plain join plus
     * the histogram read. At 1000-executor scale that one narrow
     * aggregate is the difference between replicating a dimension 16×
     * and replicating a handful of hot rows.
     */
-  /** Keys whose big-side row count exceeds skewFactor × the mean count,
-    * hottest first, capped at maxHotKeys so the driver-side set stays
-    * bounded on pathological distributions. One narrow aggregate over
-    * the key column only (columnar scans prune the rest).
-    */
-  def hotKeys(big: DataFrame, key: String,
-      skewFactor: Double = 4.0, maxHotKeys: Int = 1000): Seq[Any] = {
-    require(skewFactor > 0 && maxHotKeys > 0)
-    val counts = big.groupBy(col(key)).agg(count(lit(1)).as("n"))
-    val mean = counts.agg(avg(col("n")).as("m")).head.getDouble(0)
-    counts.where(col("n") > lit(mean * skewFactor))
-      .orderBy(desc("n"), col(key))
-      .limit(maxHotKeys)
-      .select(col(key)).collect().map(_.get(0)).toSeq
-  }
-
   def twoPhaseSaltedInnerJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salts: Int = 16,
       skewFactor: Double = 4.0, maxHotKeys: Int = 1000): DataFrame = {
@@ -97,7 +116,11 @@ object SkewJoin {
       big.join(small, big(bigKey) === small(smallKey), "inner")
     } else {
       val hotBig = big.where(col(bigKey).isin(hot: _*))
-      val coldBig = big.where(!col(bigKey).isin(hot: _*))
+      // null-keyed rows land in the cold branch (NOT isin is NULL for
+      // them, which `where` would drop — not wrong for an inner join,
+      // but keeping the split an exact partition of the input is the
+      // invariant the union relies on)
+      val coldBig = big.where(!col(bigKey).isin(hot: _*) || col(bigKey).isNull)
       val hotSmall = small.where(col(smallKey).isin(hot: _*))
       val saltedHot = saltedInnerJoin(hotBig, hotSmall, bigKey, smallKey, salts)
       val plainCold = coldBig.join(small, coldBig(bigKey) === small(smallKey), "inner")

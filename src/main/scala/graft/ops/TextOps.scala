@@ -59,14 +59,20 @@ object TextOps {
     * the nested interpreted folds cost a substring+ascii allocation per
     * character.
     */
-  def fingerprint(toks: Column): Column = {
-    val tokenHash: Column => Column = t =>
-      aggregate(
-        transform(sequence(lit(1), length(t)), i => ascii(substring(t, i, lit(1)))),
-        lit(0L),
-        (a, c) => (a * 131 + c) % 1000000007L)
-    aggregate(toks, lit(0L), (acc, t) => (acc * 31 + tokenHash(t)) % 1000000007L)
-  }
+  /** Engine-neutral per-token polynomial hash — THE single HOF
+    * definition (SimHashDedup and the fingerprint both fold it; the
+    * codegen kernels StringArrayFingerprint/StringArraySimHash are
+    * spec-pinned value-identical to it). Constants 131 / 1e9+7 here are
+    * the source of truth for every oracle twin.
+    */
+  val polyTokenHash: Column => Column = t =>
+    aggregate(
+      transform(sequence(lit(1), length(t)), i => ascii(substring(t, i, lit(1)))),
+      lit(0L),
+      (a, c) => (a * 131 + c) % 1000000007L)
+
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => (acc * 31 + polyTokenHash(t)) % 1000000007L)
 
   /** Per-document analysis frame: token counts, ratios, quality score,
     * language prediction, fingerprint. Input needs `doc_id`, `text`.

@@ -118,6 +118,11 @@ object StreamQueries {
   def multimodalPpm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = table(spark, sfDir, "documents")
+      // under 3 bytes there is no RGB triplet: the packed container
+      // would carry w=0, the decoder would (correctly) reject it, and
+      // Spark's stub-over-container would diverge from the twin's
+      // luma-over-nothing — the guard IS the contract, same WHERE in SQL
+      .where(octet_length(col("text")) >= 3)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
@@ -152,6 +157,7 @@ object StreamQueries {
     }
     s"""WITH m AS (
        |  SELECT doc_id, text, length(text)//3 AS w FROM documents
+       |  WHERE octet_length(encode(text)) >= 3
        |), c AS (
        |  SELECT doc_id, w,
        |         'P6' || chr(10) || CAST(w AS VARCHAR) || ' 1' || chr(10) || '255' || chr(10)
@@ -190,6 +196,12 @@ object StreamQueries {
   def multimodalPng(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = table(spark, sfDir, "documents")
+      // encodeGrayPng is total only on 1..65534 bytes: empty text would
+      // emit a spec-invalid width-0 PNG (decoder → stub → silent oracle
+      // divergence) and oversize text throws in the executor. The gated
+      // corpus is 48..~600 bytes, but the guard is the CONTRACT — the
+      // oracle twin carries the same WHERE
+      .where(octet_length(col("text")).between(1, 65534))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         (id, "image/png", graft.ops.MediaCodecs.encodeGrayPng(text.getBytes("UTF-8")))
@@ -220,6 +232,7 @@ object StreamQueries {
        |  SELECT doc_id, text,
        |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
        |  FROM documents
+       |  WHERE octet_length(encode(text)) BETWEEN 1 AND 65534
        |)
        |SELECT doc_id, 'image/png' AS media_type,
        |       length(text) + 69 AS n_bytes,
@@ -314,11 +327,20 @@ object StreamQueries {
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
         val h = bytes.length / 3 / inW
-        val header = s"P6\n$inW $h\n255\n".getBytes("US-ASCII")
-        val plane = graft.ops.MediaCodecs
-          .decodePpmLuma(header ++ bytes.take(inW * h * 3))
-          .getOrElse(Array.empty[Int]) // unreachable: we packed a valid P6
-        (id, inW, h, Multimodal.resizePlane(plane, inW, h, 4, 3).toSeq)
+        // a doc too short for even one 12-pixel row has no raster:
+        // emit the explicit empty contract (in_h=0, resized=[]) rather
+        // than letting resizePlane's geometry require throw in an
+        // executor — a malformed row must never kill the scan (the
+        // gated corpus min length is 48, but that is measured corpus
+        // shape, not a code invariant)
+        if (h == 0) (id, inW, 0, Seq.empty[Int])
+        else {
+          val plane = graft.ops.MediaCodecs
+            .decodePpmLuma(s"P6\n$inW $h\n255\n".getBytes("US-ASCII")
+              ++ bytes.take(inW * h * 3))
+            .getOrElse(Array.empty[Int]) // unreachable: we packed a valid P6
+          (id, inW, h, Multimodal.resizePlane(plane, inW, h, 4, 3).toSeq)
+        }
       }.toDF("doc_id", "in_w", "in_h", "resized")
       .select(col("doc_id"), col("in_w"), col("in_h"),
         to_json(col("resized")).as("resized_json"))
@@ -342,13 +364,14 @@ object StreamQueries {
       |  FROM m
       |)
       |SELECT doc_id, 12 AS in_w, h AS in_h,
+      |       CASE WHEN h = 0 THEN '[]' ELSE
       |       CAST(to_json(list_transform(range(0, 12), b ->
       |         CAST(list_sum(flatten(list_transform(
       |                 range((b//4)*h//3, greatest((b//4+1)*h//3, (b//4)*h//3 + 1)), y ->
       |                   luma[y*12 + (b%4)*3 + 1 : y*12 + (b%4)*3 + 3])))
       |              // (3 * (greatest((b//4+1)*h//3, (b//4)*h//3 + 1) - (b//4)*h//3))
       |              AS BIGINT)))
-      |         AS VARCHAR) AS resized_json
+      |         AS VARCHAR) END AS resized_json
       |FROM l ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of the stubbed decode: documents text is pure ASCII in

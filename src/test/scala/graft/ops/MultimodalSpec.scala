@@ -104,6 +104,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeImageLuma("not an image".getBytes).isEmpty)
   }
 
+  test("indexed-color GIF resolves the palette, not raw indices") {
+    // palette: index 0 -> WHITE, index 1 -> black. A raw-sample read
+    // would report an all-white image as an all-zero plane.
+    val icm = new java.awt.image.IndexColorModel(1, 2,
+      Array(255.toByte, 0.toByte), // reds
+      Array(255.toByte, 0.toByte), // greens
+      Array(255.toByte, 0.toByte)) // blues
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    img.getRaster.setSample(0, 0, 0, 0) // index 0 = white
+    img.getRaster.setSample(1, 0, 0, 1) // index 1 = black
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val plane = MediaCodecs.decodeImageLuma(bos.toByteArray).get
+    assert(plane.toSeq == Seq(255, 0),
+      s"palette must be resolved before averaging: ${plane.toSeq}")
+  }
+
   test("resizePlane: exact box averages, floor division, upscale guard") {
     // 4x2 plane -> 2x1: each output pixel averages a 2x2 block
     val p = Array(

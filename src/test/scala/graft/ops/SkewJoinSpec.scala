@@ -63,6 +63,31 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(two.exceptAll(plain).isEmpty && plain.exceptAll(two).isEmpty)
   }
 
+  test("NULL-heavy skew: null monster key never poisons the hot/cold split") {
+    // half the big side carries a NULL key — the classic dirty-data skew
+    // shape. The histogram must ignore NULLs (a null literal in an isin
+    // list makes x IN (...) and NOT IN (...) both NULL for every
+    // non-matching x, silently emptying BOTH branches), key 7 is still
+    // detected hot among the non-null keys, and the two-phase result
+    // stays identical to the plain inner join (which drops null keys).
+    val dirty = spark.range(0, 60000).select(
+      when(col("id") < 30000, lit(null).cast("long"))
+        .when(col("id") < 50000, lit(Monster))
+        .otherwise(pmod(col("id"), lit(1000L))).as("k"),
+      col("id").as("payload"))
+    assert(SkewJoin.hotKeys(dirty, "k", skewFactor = 4.0) == Seq(Monster))
+    val plain = dirty.join(small, col("k") === col("sk"))
+      .select("k", "payload", "name")
+    val two = SkewJoin.twoPhaseSaltedInnerJoin(dirty, small, "k", "sk", salts = 8)
+      .select("k", "payload", "name")
+    assert(two.count() == plain.count() && plain.count() > 0)
+    assert(two.exceptAll(plain).isEmpty && plain.exceptAll(two).isEmpty)
+    // empty big side: no hot keys, no NPE, empty join
+    val empty = dirty.where(lit(false))
+    assert(SkewJoin.hotKeys(empty, "k").isEmpty)
+    assert(SkewJoin.twoPhaseSaltedInnerJoin(empty, small, "k", "sk").count() == 0)
+  }
+
   test("monster key: 1 reduce partition unsalted, ≥ salts/2 salted (SMJ, AQE off)") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
