@@ -30,5 +30,11 @@ package object functions {
       "long_array_rhp_sig",
       exprs => LongArrayRhpSig(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "string_array_fingerprint",
+      exprs => StringArrayFingerprint(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "string_array_simhash",
+      exprs => StringArraySimHash(exprs(0)), "scala_udf")
   }
 }
