@@ -275,6 +275,44 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** `etl_stratified_sample` — per-stratum deterministic sampling with
+    * EXACT quotas: within each lang, rank docs by an engine-neutral LCG
+    * hash (so the kept set is stable across runs, engines, and
+    * partitionings) and keep ceil(n/5) = 20%. Unlike the bernoulli
+    * `etl_sample`, strata quotas are exact — the contract quality
+    * pipelines need when small languages must not vanish. Integer
+    * ceil((n+4) div 5), no float thresholds. One shuffle on the stratum.
+    */
+  def etlStratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+    val ranked = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    graft.queries.RefQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", expr("(pmod(doc_id, 1000003) * 2654435761) % 1000003"))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("rn", row_number().over(ranked))
+      .where(col("rn") <= (col("n") + 4) / 5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val etlStratifiedSampleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |         ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM h
+      |)
+      |SELECT doc_id, lang FROM ranked
+      |WHERE rn <= (n + 4) // 5
+      |ORDER BY doc_id""".stripMargin
+
   val etlUpsertSql: String =
     """WITH o AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders

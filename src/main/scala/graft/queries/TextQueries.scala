@@ -226,4 +226,76 @@ object TextQueries {
       |SELECT tok, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
       |FROM t GROUP BY tok
       |ORDER BY doc_freq DESC, term_freq DESC, tok LIMIT 50""".stripMargin
+
+  /** `text_chunk` — overlapping context windows (30 tokens, stride 20),
+    * the chunking stage in front of any fixed-context trainer or
+    * embedder. Explode of per-doc start offsets + an array slice: a
+    * narrow map (no shuffle at all until the gate's ORDER BY); output
+    * grows by the overlap factor, not quadratically.
+    */
+  def textChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(20))))
+      .where(col("start") < size(col("toks")))
+      .select(
+        col("doc_id"),
+        (col("start") / 20).cast("long").as("chunk_seq"),
+        size(slice(col("toks"), col("start") + 1, lit(30))).as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(30)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_seq")
+  }
+
+  val textChunkSql: String = DuckToks +
+    """
+      |, starts AS (
+      |  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 20)) AS start
+      |  FROM d
+      |), w AS (SELECT * FROM starts WHERE start < len(toks))
+      |SELECT doc_id, start // 20 AS chunk_seq,
+      |       len(toks[start+1 : start+30]) AS n_chunk_tokens,
+      |       array_to_string(toks[start+1 : start+30], ' ') AS chunk_text
+      |FROM w ORDER BY doc_id, chunk_seq""".stripMargin
+
+  /** `text_pack_sequences` — sequence packing for a fixed token budget
+    * (512 here): documents are packed shard-locally by running token
+    * offset, bin = floor(offset/512). Packing is inherently sequential,
+    * so the SCALABLE spelling shards first (doc_id mod 8 — any key
+    * works) and runs the cumulative window WITHIN shards: 100 TB packs
+    * as 1000s of independent partitions, never one global cumsum. The
+    * gate reports per-(shard, bin) fill statistics.
+    */
+  def textPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", (col("offset") / 512).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  val textPackSequencesSql: String = DuckToks +
+    """
+      |, sized AS (
+      |  SELECT doc_id, doc_id % 8 AS shard, CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM d
+      |), placed AS (
+      |  SELECT shard,
+      |         CAST((CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 512
+      |              AS BIGINT) AS bin,
+      |         n_tokens
+      |  FROM sized
+      |)
+      |SELECT shard, bin, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM placed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
 }
