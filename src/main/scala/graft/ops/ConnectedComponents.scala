@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the cluster-resolution step
+  * that turns near-duplicate PAIRS into canonical duplicate CLUSTERS
+  * (every member labeled with the minimum doc id of its component).
+  * Pairwise output alone under-deletes: a~b and b~c without an explicit
+  * a~c edge must still land a, b, c in ONE cluster before "keep one per
+  * cluster" is sound.
+  *
+  * Spelling: iterative min-label propagation. Labels start as each
+  * node's own id; each round every node takes the min of its own label
+  * and its neighbors' labels; fixpoint when nothing changes. Each round
+  * is one join + one aggregate — fully distributed, nothing driver-side
+  * except the single converged? count per round. Rounds needed =
+  * component DIAMETER, which for near-dup graphs is small (duplicates
+  * of one document form near-cliques). For adversarial long-chain
+  * graphs at 100 TB the upgrade is the large-star/small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — same label contract, O(log n) rounds; the propagation
+  * loop here is the straightforward spelling of that contract.
+  *
+  * Only nodes that appear in `pairs` come back — callers union-in
+  * singletons if every document needs a label.
+  */
+object ConnectedComponents {
+
+  def resolve(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("n"), col(bCol).as("m"))
+    val edges = fwd
+      .unionByName(fwd.select(col("m").as("n"), col("n").as("m")))
+      .distinct()
+      .cache()
+
+    // CHECKPOINT each iteration, don't just cache: an iterative
+    // DataFrame loop otherwise nests every prior round's plan inside
+    // the next one — the logical plan grows exponentially with rounds
+    // (a 12-hop chain OOMed on plan STRINGIFICATION alone before any
+    // data moved). localCheckpoint materializes the round's rows and
+    // truncates lineage; a cluster deployment would point
+    // spark.checkpoint.dir at durable storage and use checkpoint()
+    // for executor-loss recovery — same contract.
+    var labels = edges.select(col("n")).distinct()
+      .withColumn("label", col("n"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // min over each node's neighborhood labels, then min with its own
+      val neighborMin = edges
+        .join(labels.select(col("n").as("m"), col("label").as("mLabel")), "m")
+        .groupBy("n").agg(min(col("mLabel")).as("nbrMin"))
+      val next = labels.join(neighborMin, Seq("n"), "left")
+        .select(col("n"),
+          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "n")
+        .where(col("label") < col("old")).isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("n").as("doc_id"), col("label").as("cluster"))
+  }
+}

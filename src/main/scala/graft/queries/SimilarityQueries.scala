@@ -170,6 +170,42 @@ object SimilarityQueries {
   /** Must equal the exact inverted-index algorithm's output at 0.7. */
   val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSqlAt(0.7)
 
+  /** `dedup_clusters` — near-dup PAIRS resolved into canonical CLUSTERS
+    * via min-label connected components (transitive closure: a~b, b~c
+    * puts a,b,c in one cluster even with no a~c edge). The oracle twin
+    * reruns the pair pipeline and closes it with a recursive CTE.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.ops.MinHashDedup
+      .nearDupPairs(table(spark, sfDir, "documents"), n = 2, threshold = 0.7)
+      .select("d1", "d2")
+    graft.ops.ConnectedComponents.resolve(pairs, "d1", "d2")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pr AS (
+       |  SELECT d1, d2 FROM (${TextQueries.dedupNgramJaccardSqlAt(0.7)}) q
+       |), edges AS (
+       |  SELECT d1 AS n, d2 AS m FROM pr
+       |  UNION
+       |  SELECT d2 AS n, d1 AS m FROM pr
+       |), reach AS (
+       |  SELECT DISTINCT n, n AS m FROM edges
+       |  UNION
+       |  SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+       |), lab AS (
+       |  SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n
+       |)
+       |SELECT l.doc_id, l.cluster, CAST(c.n_members AS BIGINT) AS cluster_size
+       |FROM lab l
+       |JOIN (SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY cluster) c
+       |  USING (cluster)
+       |ORDER BY l.doc_id""".stripMargin
+
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.cosineNearDupPairs(table(spark, sfDir, "embeddings"), 0.4)
       .orderBy("d1", "d2")

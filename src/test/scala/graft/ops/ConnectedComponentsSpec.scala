@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Min-label propagation must produce exact transitive closure with
+  * min-id labels: chains collapse across hops, separate components stay
+  * separate, and edge direction/duplication is irrelevant.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("chains, separate components, reversed and duplicate edges") {
+    import spark.implicits._
+    // component A: 5-3-8-9 chain (diameter 3, forces >1 iteration);
+    // component B: 2-7 with the edge reversed and duplicated
+    val pairs = Seq(
+      (5L, 3L), (3L, 8L), (8L, 9L),
+      (7L, 2L), (2L, 7L), (7L, 2L)
+    ).toDF("d1", "d2")
+    val got = ConnectedComponents.resolve(pairs, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 9L -> 3L,
+      2L -> 2L, 7L -> 2L))
+  }
+
+  test("long path converges to the single min label") {
+    import spark.implicits._
+    // path 0-1-2-...-12: diameter 12, label 0 must reach the far end
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = ConnectedComponents.resolve(pairs, "d1", "d2")
+      .as[(Long, Long)].collect()
+    assert(got.length == 13 && got.forall(_._2 == 0L))
+  }
+
+  test("empty pair list yields an empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(ConnectedComponents.resolve(empty, "d1", "d2").isEmpty)
+  }
+}
