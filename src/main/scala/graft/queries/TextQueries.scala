@@ -227,6 +227,55 @@ object TextQueries {
       |FROM t GROUP BY tok
       |ORDER BY doc_freq DESC, term_freq DESC, tok LIMIT 50""".stripMargin
 
+  /** `text_tfidf` — the top-3 most distinctive terms per document,
+    * scored tf·(N/df). The classic idf uses ln(N/df); the ratio spelling
+    * keeps the score a single float division over exact integers
+    * (tf·N is exact, one fp op), so the gate never depends on two
+    * engines' libm — and it is rank-equivalent to ln for fixed tf
+    * (ln is monotone). Two aggregates (per-term df, per-doc-term tf)
+    * and a rank filter; df for the join comes from the SAME aggregate
+    * a 100 TB run would broadcast (the vocabulary is tiny next to the
+    * corpus).
+    */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = docs(spark, sfDir)
+    val nDocs = d.count() // one cheap count; a pipeline would pass it in
+    val terms = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(df_), "tok")
+      .withColumn("score", (col("tf") * lit(nDocs)).cast("double") / col("df"))
+      .withColumn("rn", row_number().over(ranked))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").as("term_rank"), col("tok"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "term_rank")
+  }
+
+  val textTfidfSql: String = DuckToks +
+    """
+      |, t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM d),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |                                    ORDER BY score DESC, tok) AS INTEGER) AS term_rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, term_rank, tok, tf, df, score
+      |FROM ranked WHERE term_rank <= 3
+      |ORDER BY doc_id, term_rank""".stripMargin
+
   /** `text_chunk` — overlapping context windows (30 tokens, stride 20),
     * the chunking stage in front of any fixed-context trainer or
     * embedder. Explode of per-doc start offsets + an array slice: a
