@@ -94,7 +94,8 @@ object Bench {
     // ops), q5_salted_join, and the additive pipeline etl_ ops
     // (deterministic sampling, upsert) have no reference counterpart
     // and must not inflate the BASELINE.md comparison
-    val additive = Set("q5_salted_join", "etl_sample", "etl_upsert")
+    val additive = Set("q5_salted_join", "etl_sample", "etl_upsert",
+      "etl_stratified_sample")
     val parity = results.collect {
       case (k, v) if (k.matches("q[1-9]_.*") || k.startsWith("etl_")) &&
         !additive(k) => v

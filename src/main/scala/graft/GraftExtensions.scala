@@ -22,35 +22,11 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("long_array_dot"),
-      info("long_array_dot",
-        "_FUNC_(a, b) - exact dot product of two array<long> vectors"),
-      (es: Seq[Expression]) => LongArrayDot(es(0), es(1))))
-    ext.injectFunction((
-      FunctionIdentifier("long_array_and_popcount"),
-      info("long_array_and_popcount",
-        "_FUNC_(a, b) - popcount of the AND of two packed bitmaps"),
-      (es: Seq[Expression]) => LongArrayAndPopcount(es(0), es(1))))
-    ext.injectFunction((
-      FunctionIdentifier("long_array_rhp_sig"),
-      info("long_array_rhp_sig",
-        "_FUNC_(v, bits) - random-hyperplane LSH signature of a quantized vector"),
-      (es: Seq[Expression]) => LongArrayRhpSig(es(0),
-        es(1).eval().asInstanceOf[Number].intValue())))
-    ext.injectFunction((
-      FunctionIdentifier("string_array_fingerprint"),
-      info("string_array_fingerprint",
-        "_FUNC_(tokens) - engine-neutral rolling polynomial document fingerprint"),
-      (es: Seq[Expression]) => StringArrayFingerprint(es(0))))
-    ext.injectFunction((
-      FunctionIdentifier("string_array_simhash"),
-      info("string_array_simhash",
-        "_FUNC_(tokens) - engine-neutral squared-LCG 64-bit simhash signature"),
-      (es: Seq[Expression]) => StringArraySimHash(es(0))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.sqlKernels.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        (es: Seq[Expression]) => builder(es)))
+    }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Native codegen expressions extending Spark for the graft engine —
   * each exists because the built-in spelling runs interpreted
@@ -14,27 +15,34 @@ import org.apache.spark.sql.SparkSession
   */
 package object functions {
 
-  /** Register the parameter-free expressions as SQL functions so
-    * `spark.sql` text can call them (`long_array_dot(a, b)`,
-    * `long_array_and_popcount(a, b)`, `long_array_rhp_sig(v, bits)`).
-    * The constant-carrying expressions (minhash permutations, IVF
-    * centroid matrix) are Column-API only — their constants are
-    * driver-computed model artifacts, not SQL literals.
+  /** The SQL-safe kernels as (name, usage, builder) — the SINGLE list
+    * both registration paths consume (`registerAll` temp functions and
+    * the `GraftExtensions` injectFunction route), so the two can never
+    * drift apart. The constant-carrying expressions (minhash
+    * permutations, IVF centroid matrix) are Column-API only — their
+    * constants are driver-computed model artifacts, not SQL literals.
     */
-  def registerAll(spark: SparkSession): Unit = {
-    LongArrayDot.register(spark)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "long_array_and_popcount",
-      exprs => LongArrayAndPopcount(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "long_array_rhp_sig",
-      exprs => LongArrayRhpSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "string_array_fingerprint",
-      exprs => StringArrayFingerprint(exprs(0)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "string_array_simhash",
-      exprs => StringArraySimHash(exprs(0)), "scala_udf")
-  }
+  val sqlKernels: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("long_array_dot",
+      "_FUNC_(a, b) - exact dot product of two array<long> vectors",
+      es => LongArrayDot(es(0), es(1))),
+    ("long_array_and_popcount",
+      "_FUNC_(a, b) - popcount of the AND of two packed bitmaps",
+      es => LongArrayAndPopcount(es(0), es(1))),
+    ("long_array_rhp_sig",
+      "_FUNC_(v, bits) - random-hyperplane LSH signature of a quantized vector",
+      es => LongArrayRhpSig(es(0), es(1).eval().asInstanceOf[Number].intValue())),
+    ("string_array_fingerprint",
+      "_FUNC_(tokens) - engine-neutral rolling polynomial document fingerprint",
+      es => StringArrayFingerprint(es(0))),
+    ("string_array_simhash",
+      "_FUNC_(tokens) - engine-neutral squared-LCG 64-bit simhash signature",
+      es => StringArraySimHash(es(0))))
+
+  /** Register every SQL-safe kernel as a session temp function. */
+  def registerAll(spark: SparkSession): Unit =
+    sqlKernels.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

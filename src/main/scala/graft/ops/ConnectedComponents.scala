@@ -29,7 +29,11 @@ object ConnectedComponents {
 
   def resolve(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("n"), col(bCol).as("m"))
+    // cache the forward edges BEFORE the self-union: union branches get
+    // no common-subexpression elimination, so an uncached `pairs` plan
+    // (here: the entire upstream near-dup pipeline) would execute twice
+    // to fill the edges cache
+    val fwd = pairs.select(col(aCol).as("n"), col(bCol).as("m")).cache()
     val edges = fwd
       .unionByName(fwd.select(col("m").as("n"), col("n").as("m")))
       .distinct()
@@ -63,6 +67,15 @@ object ConnectedComponents {
       it += 1
     }
     edges.unpersist()
+    fwd.unpersist()
+    // a silently partial labeling is WORSE than failing: a component
+    // wider than maxIters hops would come back split, and a downstream
+    // keep-one-per-cluster would under-delete — the bug this operator
+    // exists to prevent. Callers with adversarial diameters raise
+    // maxIters (or switch to the cited large-star/small-star).
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters rounds — " +
+        "component diameter exceeds maxIters")
     labels.select(col("n").as("doc_id"), col("label").as("cluster"))
   }
 }

@@ -66,20 +66,26 @@ object SkewJoin {
   def hotKeys(big: DataFrame, key: String,
       skewFactor: Double = 4.0, maxHotKeys: Int = 1000): Seq[Any] = {
     require(skewFactor > 0 && maxHotKeys > 0)
+    // cached: the mean job and the filtered collect would otherwise
+    // each re-run the full big-side scan+groupBy — the histogram is
+    // bounded by distinct-key count, the scan is not
     val counts = big.where(col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("n"))
-    // avg over ZERO groups is NULL — an empty/all-null big side must
-    // mean "no hot keys", not an NPE
-    val mean = Option(counts.agg(avg(col("n")).as("m")).head.get(0))
-      .map(_.asInstanceOf[Number].doubleValue())
-    mean match {
-      case None => Seq.empty
-      case Some(m) =>
-        counts.where(col("n") > lit(m * skewFactor))
-          .orderBy(desc("n"), col(key))
-          .limit(maxHotKeys)
-          .select(col(key)).collect().map(_.get(0)).toSeq
-    }
+      .cache()
+    try {
+      // avg over ZERO groups is NULL — an empty/all-null big side must
+      // mean "no hot keys", not an NPE
+      val mean = Option(counts.agg(avg(col("n")).as("m")).head.get(0))
+        .map(_.asInstanceOf[Number].doubleValue())
+      mean match {
+        case None => Seq.empty
+        case Some(m) =>
+          counts.where(col("n") > lit(m * skewFactor))
+            .orderBy(desc("n"), col(key))
+            .limit(maxHotKeys)
+            .select(col(key)).collect().map(_.get(0)).toSeq
+      }
+    } finally counts.unpersist()
   }
 
   /** Two-phase skew join — the production spelling. `saltedInnerJoin`

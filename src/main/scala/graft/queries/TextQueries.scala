@@ -243,9 +243,12 @@ object TextQueries {
     val d = docs(spark, sfDir)
     val nDocs = d.count() // one cheap count; a pipeline would pass it in
     val terms = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-    val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df_ = terms.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // tf has exactly one row per (doc, term), so df falls out of tf by
+    // a second aggregate — cached, the tokenize+explode runs ONCE
+    // instead of once per branch (tf, df are separate plan branches and
+    // Spark does no cross-branch common-subexpression elimination)
+    val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache()
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok"))
     tf.join(broadcast(df_), "tok")

@@ -33,6 +33,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.length == 13 && got.forall(_._2 == 0L))
   }
 
+  test("exhausting maxIters fails loudly instead of returning a split component") {
+    import spark.implicits._
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      ConnectedComponents.resolve(pairs, "d1", "d2", maxIters = 3)
+    }
+  }
+
   test("empty pair list yields an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
