@@ -78,4 +78,76 @@ object ConnectedComponents {
         "component diameter exceeds maxIters")
     labels.select(col("n").as("doc_id"), col("label").as("cluster"))
   }
+
+  /** The O(log n)-round spelling: alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Label-propagation needs DIAMETER rounds; the star
+    * operations re-wire the graph toward its component minima so round
+    * count is logarithmic even on adversarial chains — the spelling
+    * you'd run when components can be long paths, not near-cliques.
+    *
+    *   large-star(u): every neighbor LARGER than u links to
+    *     m = min(Γ(u) ∪ {u});
+    *   small-star(u): every neighbor smaller than u, and u itself,
+    *     links to the min of those.
+    *
+    * Each operation is one groupBy(min) + join — no per-node
+    * collect_set, so a hot node's neighborhood streams through an
+    * aggregate instead of materializing in one task. Fixpoint when the
+    * canonical edge set stops changing; the surviving edges are stars
+    * (component-min → member). Same output contract as `resolve` —
+    * ConnectedComponentsSpec pins the two equal on random graphs.
+    */
+  def resolveStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 40): DataFrame = {
+    def canonical(e: DataFrame): DataFrame = e
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+    def bidir(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = bidir(e)
+      val m = b.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // (v, m) for v > u; m ≤ u < v so the pair is already ordered
+      canonical(b.join(m, "u").where(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val b = bidir(e)
+      val small = b.where(col("v") < col("u"))
+      val m = small.groupBy("u").agg(min(col("v")).as("mv"))
+      val linkNbrs = small.join(m, "u")
+        .select(col("mv").as("u"), col("v"))
+      val linkSelf = m.select(col("mv").as("u"), col("u").as("v"))
+      canonical(linkNbrs.unionByName(linkSelf))
+    }
+
+    var edges = canonical(
+        pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint(true)
+    val nodes = bidir(edges).select(col("u").as("n")).distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"star algorithm did not converge in $maxRounds rounds")
+    // surviving edges are (component-min, member) stars; minima label
+    // themselves
+    nodes.join(edges.select(col("v").as("n"), col("u").as("c")), Seq("n"), "left")
+      .select(col("n").as("doc_id"), coalesce(col("c"), col("n")).as("cluster"))
+  }
 }

@@ -45,5 +45,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(ConnectedComponents.resolve(empty, "d1", "d2").isEmpty)
+    assert(ConnectedComponents.resolveStar(empty, "d1", "d2").isEmpty)
+  }
+
+  test("large-star/small-star == propagation on random graphs and chains") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // three random graphs with different density, plus a 60-hop path
+    // (which propagation's default maxIters=50 could NOT finish — the
+    // log-round algorithm converges in a handful)
+    val graphs = (1 to 3).map { g =>
+      (1 to 80).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+    } :+ (100L until 160L).map(i => (i, i + 1))
+    graphs.zipWithIndex.foreach { case (pairs, gi) =>
+      val df = pairs.toDF("d1", "d2")
+      val star = ConnectedComponents.resolveStar(df, "d1", "d2")
+        .as[(Long, Long)].collect().toMap
+      val prop = ConnectedComponents.resolve(df, "d1", "d2", maxIters = 200)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"graph $gi: star labels differ from propagation")
+    }
   }
 }
