@@ -160,6 +160,63 @@ object OlapQueries {
       |       quantile_cont(l_extendedprice, 0.5) AS p50_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** `olap_collect` — ordered aggregation made deterministic:
+    * collect_list order is whatever the shuffle delivered, so the
+    * contract is collect structs → array_sort (total struct order:
+    * ts, then event_id) → project. The DuckDB twin's ORDER BY inside
+    * string_agg states the same thing natively. First/last per group
+    * fall out of element_at on the sorted array.
+    */
+  def olapCollect(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        col("ts_us"), col("event_id"), col("event_type")))).as("tl"))
+      .select(
+        col("user_id"),
+        size(col("tl")).as("n_events"),
+        col("tl").getItem(0).getField("event_type").as("first_type"),
+        element_at(col("tl"), -1).getField("event_type").as("last_type"),
+        array_join(transform(col("tl"), x => x.getField("event_type")), ",")
+          .as("type_seq"))
+      .orderBy("user_id")
+
+  val olapCollectSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events
+      |)
+      |SELECT user_id,
+      |       CAST(COUNT(*) AS INTEGER) AS n_events,
+      |       (list(event_type ORDER BY ts_us, event_id))[1] AS first_type,
+      |       (list(event_type ORDER BY ts_us, event_id))[-1] AS last_type,
+      |       string_agg(event_type, ',' ORDER BY ts_us, event_id) AS type_seq
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** `analytics_seasonality` — calendar bucketing (year/month extract)
+    * with exact revenue: the date-dimension rollup every BI layer
+    * needs. Plain partial+final aggregate; the date functions are
+    * codegen'd column ops, identical across engines.
+    */
+  def analyticsSeasonality(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy("yr", "mo")
+
+  val analyticsSeasonalitySql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
   /** `olap_count_distinct` — exact multi-column COUNT(DISTINCT) per
     * group. Spark plans two distinct columns via one Expand (row
     * replicated per distinct-set) + two-phase aggregate — no extra
