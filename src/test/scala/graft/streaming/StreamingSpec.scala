@@ -222,6 +222,32 @@ class StreamingSpec extends AnyFunSuite {
       "streaming join result differs from batch join result")
   }
 
+  test("stream-static join enriches the stream without state") {
+    import org.apache.spark.sql.functions._
+    // static dim: per-user tier derived from the batch table (stands in
+    // for any slowly-changing dimension); joining it to a stream needs
+    // NO watermark and NO state store — each micro-batch hash-joins
+    // against the (broadcast) static side, the standard enrichment shape
+    val dim = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
+      .select(col("user_id")).distinct()
+      .withColumn("tier", pmod(col("user_id"), lit(3L)))
+    val stream = EventAnalytics.readEventsStream(spark, eventsDir)
+    val q = stream.join(broadcast(dim), "user_id")
+      .groupBy("tier").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enriched_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("enriched_out").orderBy("tier").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
+      .join(dim, "user_id").groupBy("tier").count()
+      .orderBy("tier").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.map(_._2).sum == 10000L)
+  }
+
   test("streaming dedup suppresses at-least-once replays with bounded state") {
     val dir = Files.createTempDirectory("graft-events-dd")
     val all = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet").cache()
