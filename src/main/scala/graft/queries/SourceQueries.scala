@@ -1,0 +1,71 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-format source coverage: CSV and JSON-lines readers gated end to
+  * end by ROUND-TRIP — parquet → write text format → read back with an
+  * explicit schema → compare against the DuckDB view of the original
+  * parquet. What this actually gates is reader fidelity: quoting,
+  * header handling, and type parsing must reproduce the source rows
+  * bit-for-bit or the hash compare fails.
+  *
+  * Scale notes: both readers are splittable scans (CSV line-splittable,
+  * JSON-lines record-splittable) and both carry EXPLICIT schemas —
+  * `inferSchema` costs a full extra pass and can mis-type columns at
+  * 100 TB, so the engine treats schema-on-read as declared, never
+  * sniffed. The temp round-trip directory stands in for any text-format
+  * data-lake landing zone.
+  */
+object SourceQueries {
+  import RefQueries.table
+
+  // declared types mirror the parquet exactly (nationkey is INT32
+  // there) so the round-tripped frame and the oracle's parquet view
+  // land on identical dtypes
+  private val SupplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  /** `source_csv_roundtrip` — supplier through the CSV writer+reader
+    * (header on, default quoting; s_name carries commas-free generated
+    * text but quoting is exercised regardless).
+    */
+  def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    table(spark, sfDir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read.schema(SupplierSchema).option("header", "true").csv(dir)
+      .orderBy("s_suppkey")
+  }
+
+  val sourceCsvRoundtripSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** `source_jsonl_roundtrip` — customer through JSON-lines, the other
+    * ubiquitous landing format.
+    */
+  def sourceJsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType)))
+    table(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").json(dir)
+    spark.read.schema(schema).json(dir)
+      .orderBy("c_custkey")
+  }
+
+  val sourceJsonlRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+}
