@@ -131,7 +131,13 @@ object ConnectedComponents {
     var edges = canonical(
         pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
-    val nodes = bidir(edges).select(col("u").as("n")).distinct()
+    // node universe from the RAW pairs, not the canonical edges:
+    // canonical() drops self-loops, and a node appearing only as (x,x)
+    // must still come back labeled x — `resolve` keeps it, and the two
+    // spellings share one output contract
+    val nodes = pairs.select(col(aCol).as("n"))
+      .unionByName(pairs.select(col(bCol).as("n")))
+      .distinct()
       .localCheckpoint(true)
 
     var converged = false

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -35,8 +34,15 @@ object SourceQueries {
     * (header on, default quoting; s_name carries commas-free generated
     * text but quoting is exercised regardless).
     */
+  /** Fixed per-query staging path + overwrite: a fresh temp dir per
+    * invocation would leak a full table copy on every bench/verify run
+    * and accumulate until the disk fills.
+    */
+  private def stagingDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip/$name"
+
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft-csv").toString
+    val dir = stagingDir("csv")
     table(spark, sfDir, "supplier")
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
       .write.mode("overwrite").option("header", "true").csv(dir)
@@ -52,7 +58,7 @@ object SourceQueries {
     * ubiquitous landing format.
     */
   def sourceJsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val dir = stagingDir("jsonl")
     val schema = StructType(Seq(
       StructField("c_custkey", LongType),
       StructField("c_name", StringType),

@@ -60,11 +60,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     } :+ (100L until 160L).map(i => (i, i + 1))
     graphs.zipWithIndex.foreach { case (pairs, gi) =>
       val df = pairs.toDF("d1", "d2")
+      // sorted-seq compare, NOT toMap: a fixpoint bug emitting two rows
+      // for one doc_id would be silently collapsed by a map
       val star = ConnectedComponents.resolveStar(df, "d1", "d2")
-        .as[(Long, Long)].collect().toMap
+        .as[(Long, Long)].collect().toSeq.sorted
       val prop = ConnectedComponents.resolve(df, "d1", "d2", maxIters = 200)
-        .as[(Long, Long)].collect().toMap
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(star.map(_._1).distinct.size == star.size,
+        s"graph $gi: duplicate doc_id rows in star labeling")
       assert(star == prop, s"graph $gi: star labels differ from propagation")
     }
+  }
+
+  test("self-loop-only nodes survive both spellings") {
+    import spark.implicits._
+    val pairs = Seq((9L, 9L), (1L, 2L)).toDF("d1", "d2")
+    val star = ConnectedComponents.resolveStar(pairs, "d1", "d2")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val prop = ConnectedComponents.resolve(pairs, "d1", "d2")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(star == Seq((1L, 1L), (2L, 1L), (9L, 9L)))
+    assert(prop == star)
   }
 }
