@@ -170,6 +170,62 @@ object SimilarityQueries {
   /** Must equal the exact inverted-index algorithm's output at 0.7. */
   val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSqlAt(0.7)
 
+  def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    Similarity.pqTopKCosine(emb.where(col("vec_id") < 10), emb, k = 5)
+      .orderBy(col("q_id"), desc("cos_sim"), col("n_id"))
+  }
+
+  /** Full DuckDB twin of the PQ/ADC pipeline — deterministic end to
+    * end: the 8×16 codebook is the first 16 corpus vectors' block
+    * slices, encode is argmin integer L2 (row_number ties → lowest
+    * code), ADC is an integer sum of per-block inner products, and the
+    * approx top-20 per query rerank with the exact quantized cosine.
+    */
+  val simAnnPqSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+      |), enc AS (
+      |  SELECT c.vec_id, b.b, cb.cid,
+      |         list_sum(list_transform(range(1, 9), d ->
+      |           (c.qv[b.b*8 + d] - cb.qv[b.b*8 + d])
+      |           * (c.qv[b.b*8 + d] - cb.qv[b.b*8 + d]))) AS dist
+      |  FROM v c CROSS JOIN range(0, 8) b(b) CROSS JOIN cb
+      |), codes AS (
+      |  SELECT vec_id, b, cid AS code FROM enc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, cid) = 1
+      |), qs AS (
+      |  SELECT vec_id AS q_id, qv,
+      |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS qn
+      |  FROM v WHERE vec_id < 10
+      |), adc AS (
+      |  SELECT q.q_id, co.vec_id AS n_id,
+      |         CAST(SUM(list_sum(list_transform(range(1, 9), d ->
+      |           q.qv[co.b*8 + d] * cb.qv[co.b*8 + d]))) AS BIGINT) AS approx_dot
+      |  FROM codes co
+      |  JOIN cb ON cb.cid = co.code
+      |  CROSS JOIN qs q
+      |  WHERE q.q_id <> co.vec_id
+      |  GROUP BY q.q_id, co.vec_id
+      |), cand AS (
+      |  SELECT q_id, n_id FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, n_id) <= 20
+      |)
+      |SELECT c.q_id, c.n_id,
+      |       CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(n.qv AS DOUBLE[])) AS BIGINT) AS dot_q,
+      |       list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(n.qv AS DOUBLE[]))
+      |         / (q.qn * sqrt(CAST(list_dot_product(CAST(n.qv AS DOUBLE[]), CAST(n.qv AS DOUBLE[])) AS DOUBLE))) AS cos_sim
+      |FROM cand c
+      |JOIN qs q ON q.q_id = c.q_id
+      |JOIN v n ON n.vec_id = c.n_id
+      |QUALIFY row_number() OVER (PARTITION BY c.q_id ORDER BY cos_sim DESC, c.n_id) <= 5
+      |ORDER BY c.q_id, cos_sim DESC, c.n_id""".stripMargin
+
   /** `dedup_clusters` — near-dup PAIRS resolved into canonical CLUSTERS
     * via min-label connected components (transitive closure: a~b, b~c
     * puts a,b,c in one cluster even with no a~c edge). The oracle twin
