@@ -95,7 +95,7 @@ object Bench {
     // (deterministic sampling, upsert) have no reference counterpart
     // and must not inflate the BASELINE.md comparison
     val additive = Set("q5_salted_join", "etl_sample", "etl_upsert",
-      "etl_stratified_sample")
+      "etl_stratified_sample", "etl_scd2")
     val parity = results.collect {
       case (k, v) if (k.matches("q[1-9]_.*") || k.startsWith("etl_")) &&
         !additive(k) => v

@@ -313,6 +313,43 @@ object EtlQueries {
       |WHERE rn <= (n + 4) // 5
       |ORDER BY doc_id""".stripMargin
 
+  /** `etl_scd2` — interval-versioned dimension history from a change
+    * log: each customer's orders are its attribute versions; lead()
+    * closes every version with the next one's start (half-open, so the
+    * timeline tiles exactly). Times flow as integer epoch-ms on both
+    * engines (o_orderdate is a ms-precision timestamp).
+    */
+  def etlScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val changes = graft.queries.RefQueries.table(spark, sfDir, "orders")
+      .select(
+        col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the
+        // cast is an identity relabel and epoch-ms matches DuckDB's
+        // epoch_ms over the same naive value
+        unix_millis(col("o_orderdate").cast("timestamp")).as("eff_ms"),
+        col("o_orderkey"),
+        col("o_totalprice"))
+    graft.ops.Scd2.buildHistory(changes,
+        keys = Seq("o_custkey"), effectiveTime = "eff_ms", tieBreak = "o_orderkey")
+      .select("o_custkey", "o_orderkey", "valid_from", "valid_to",
+        "is_current", "o_totalprice")
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  val etlScd2Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, epoch_ms(o_orderdate) AS eff_ms, o_orderkey, o_totalprice
+      |  FROM orders
+      |)
+      |SELECT o_custkey, o_orderkey,
+      |       eff_ms AS valid_from,
+      |       lead(eff_ms) OVER (PARTITION BY o_custkey
+      |                          ORDER BY eff_ms, o_orderkey) AS valid_to,
+      |       lead(eff_ms) OVER (PARTITION BY o_custkey
+      |                          ORDER BY eff_ms, o_orderkey) IS NULL AS is_current,
+      |       o_totalprice
+      |FROM c ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
   val etlUpsertSql: String =
     """WITH o AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
