@@ -169,6 +169,59 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** Multi-frame (video-style) decode: every `everyK`-th frame of an
+    * animated GIF as a luminance plane — the frame-sampling stage of a
+    * video pipeline, real and dependency-free (the JDK's GIF ImageReader
+    * exposes per-frame access; a production MP4/H.264 arm would slot in
+    * here with the identical signature). Frame 0 is always sampled;
+    * indexed frames resolve through their palette exactly like
+    * decodeImageLuma. Malformed bytes → None (never-throw contract).
+    */
+  def decodeGifFrames(bytes: Array[Byte], everyK: Int): Option[Seq[Array[Int]]] = {
+    if (everyK <= 0) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(stream, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val planes = (0 until n by everyK).map { i =>
+          val img = reader.read(i)
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val palette = img.getColorModel match {
+            case icm: java.awt.image.IndexColorModel => Some(icm)
+            case _ => None
+          }
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out(y * w + x) = palette match {
+                case Some(icm) =>
+                  val idx = raster.getSample(x, y, 0)
+                  (icm.getRed(idx) + icm.getGreen(idx) + icm.getBlue(idx)) / 3
+                case None => raster.getSample(x, y, 0)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        Some(planes)
+      } finally {
+        reader.dispose()
+        stream.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** RIFF/WAVE with a PCM (audioFormat=1) `fmt ` chunk and 16-bit
     * samples: walks the chunk list, returns all interleaved samples
     * requantized to 0..255 via (sample >> 8) + 128.

@@ -122,6 +122,34 @@ class MultimodalSpec extends AnyFunSuite {
       s"palette must be resolved before averaging: ${plane.toSeq}")
   }
 
+  test("animated GIF: every-k-th frame sampling with palette-resolved planes") {
+    // 6-frame 1x1 animation, frame i = gray level i*40 through a
+    // 256-entry identity gray palette; write via ImageIO's sequence API
+    val grays = (0 until 256).map(_.toByte).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until 6) {
+      val img = new java.awt.image.BufferedImage(1, 1,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      img.getRaster.setSample(0, 0, 0, i * 40)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); out.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    // every 2nd frame: 0, 2, 4 → gray 0, 80, 160
+    val sampled = MediaCodecs.decodeGifFrames(gif, everyK = 2).get
+    assert(sampled.map(_.toSeq) == Seq(Seq(0), Seq(80), Seq(160)))
+    // k=1 keeps all 6; junk and k<=0 refuse rather than throw
+    assert(MediaCodecs.decodeGifFrames(gif, 1).get.length == 6)
+    assert(MediaCodecs.decodeGifFrames("junk".getBytes, 2).isEmpty)
+    assert(MediaCodecs.decodeGifFrames(gif, 0).isEmpty)
+  }
+
   test("resizePlane: exact box averages, floor division, upscale guard") {
     // 4x2 plane -> 2x1: each output pixel averages a 2x2 block
     val p = Array(
