@@ -170,14 +170,26 @@ object MediaCodecs {
   }
 
   /** Multi-frame (video-style) decode: every `everyK`-th frame of an
-    * animated GIF as a luminance plane — the frame-sampling stage of a
-    * video pipeline, real and dependency-free (the JDK's GIF ImageReader
-    * exposes per-frame access; a production MP4/H.264 arm would slot in
-    * here with the identical signature). Frame 0 is always sampled;
-    * indexed frames resolve through their palette exactly like
-    * decodeImageLuma. Malformed bytes → None (never-throw contract).
+    * animated GIF as a luminance plane over the canvas — the
+    * frame-sampling stage of a video pipeline, real and dependency-free
+    * (the JDK's GIF ImageReader exposes per-frame access; a production
+    * MP4/H.264 arm would slot in here with the identical signature).
+    * Returns (canvasW, canvasH, sampled planes); frame 0 is always
+    * sampled; indexed frames resolve through their palette exactly like
+    * decodeImageLuma.
+    *
+    * HONESTY over coverage: optimized GIFs store later frames as delta
+    * sub-rectangles with offsets and disposal rules; returning those
+    * patches as "frames" would hand the caller data that is NOT the
+    * displayed frame, at the wrong dimensions. Any sampled frame whose
+    * raster is not the full (0,0)-anchored canvas → None (stub
+    * fallback) rather than a wrong answer — full-frame animations
+    * (screen capture exports, synthetic data) decode; a compositing
+    * engine is the upgrade, not a different contract. Malformed bytes
+    * → None (never-throw contract).
     */
-  def decodeGifFrames(bytes: Array[Byte], everyK: Int): Option[Seq[Array[Int]]] = {
+  def decodeGifFrames(bytes: Array[Byte],
+      everyK: Int): Option[(Int, Int, Seq[Array[Int]])] = {
     if (everyK <= 0) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
@@ -189,20 +201,38 @@ object MediaCodecs {
         reader.setInput(stream, false)
         val n = reader.getNumImages(true)
         if (n <= 0) return None
-        val planes = (0 until n by everyK).map { i =>
+        val (cw, ch) = (reader.getWidth(0), reader.getHeight(0))
+        if (cw <= 0 || ch <= 0) return None
+        def frameOffset(i: Int): (Int, Int) = {
+          // ImageDescriptor carries the sub-rectangle anchor
+          val root = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          val descs = root.getElementsByTagName("ImageDescriptor")
+          if (descs.getLength == 0) (0, 0)
+          else {
+            val e = descs.item(0).asInstanceOf[org.w3c.dom.Element]
+            (e.getAttribute("imageLeftPosition").toInt,
+              e.getAttribute("imageTopPosition").toInt)
+          }
+        }
+        val planes = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+        var i = 0
+        while (i < n) {
           val img = reader.read(i)
+          if (img.getWidth != cw || img.getHeight != ch ||
+            frameOffset(i) != ((0, 0))) return None
           val raster = img.getRaster
-          val (w, h) = (img.getWidth, img.getHeight)
           val palette = img.getColorModel match {
             case icm: java.awt.image.IndexColorModel => Some(icm)
             case _ => None
           }
-          val out = new Array[Int](w * h)
+          val out = new Array[Int](cw * ch)
           var y = 0
-          while (y < h) {
+          while (y < ch) {
             var x = 0
-            while (x < w) {
-              out(y * w + x) = palette match {
+            while (x < cw) {
+              out(y * cw + x) = palette match {
                 case Some(icm) =>
                   val idx = raster.getSample(x, y, 0)
                   (icm.getRed(idx) + icm.getGreen(idx) + icm.getBlue(idx)) / 3
@@ -212,9 +242,10 @@ object MediaCodecs {
             }
             y += 1
           }
-          out
+          planes += out
+          i += everyK
         }
-        Some(planes)
+        Some((cw, ch, planes.toSeq))
       } finally {
         reader.dispose()
         stream.close()

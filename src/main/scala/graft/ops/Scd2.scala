@@ -30,6 +30,13 @@ object Scd2 {
       keys: Seq[String],
       effectiveTime: String,
       tieBreak: String): DataFrame = {
+    // fail fast on collisions: silently clobbering a change log that
+    // already carries SCD2 columns (re-snapshotting an existing
+    // dimension) would corrupt the attribute payload
+    val reserved = Set("valid_from", "valid_to", "is_current")
+    val clash = changes.columns.toSet intersect reserved
+    require(clash.isEmpty,
+      s"change log already carries SCD2 columns: $clash — rename them first")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(effectiveTime), col(tieBreak))
     changes

@@ -374,13 +374,19 @@ object Similarity {
         array((0 until sub).map(d => lit(v(b * sub + d))): _*)): _*)): _*)
 
     // ENCODE: per block the argmin-L2 code; array_min over (dist, code)
-    // structs gives the deterministic lowest-code tie-break
+    // structs gives the deterministic lowest-code tie-break. Ragged
+    // (shorter) vectors zero-pad via try_element_at+coalesce — ANSI
+    // element_at would crash the whole scan on one short row, and the
+    // sibling kernels (LongArrayDot etc.) tolerate ragged inputs
+    def dimOf(v: Column, b: Column, d: Column): Column =
+      coalesce(try_element_at(v, (b * lit(sub) + d + 1).cast("int")), lit(0L))
+
     def codesOf(v: Column): Column =
       transform(sequence(lit(0), lit(m - 1)), b =>
         array_min(transform(element_at(cbLit, b + 1), (cvec, c) =>
           struct(
             aggregate(sequence(lit(0), lit(sub - 1)), lit(0L), (acc, d) => {
-              val diff = element_at(v, b * lit(sub) + d + 1) - element_at(cvec, d + 1)
+              val diff = dimOf(v, b, d) - element_at(cvec, d + 1)
               acc + diff * diff
             }).as("dist"),
             c.as("code")))).getField("code"))
@@ -391,7 +397,7 @@ object Similarity {
       transform(sequence(lit(0), lit(m - 1)), b =>
         transform(element_at(cbLit, b + 1), cvec =>
           aggregate(sequence(lit(0), lit(sub - 1)), lit(0L), (acc, d) =>
-            acc + element_at(qv, b * lit(sub) + d + 1) * element_at(cvec, d + 1))))
+            acc + dimOf(qv, b, d) * element_at(cvec, d + 1))))
 
     val c = corpus.select(col("vec_id").as("n_id"),
         quantize(col("embedding")).as("cv"))

@@ -141,11 +141,12 @@ class MultimodalSpec extends AnyFunSuite {
     writer.endWriteSequence(); out.close(); writer.dispose()
     val gif = bos.toByteArray
 
-    // every 2nd frame: 0, 2, 4 → gray 0, 80, 160
-    val sampled = MediaCodecs.decodeGifFrames(gif, everyK = 2).get
+    // every 2nd frame: 0, 2, 4 → gray 0, 80, 160 — with canvas dims
+    val (cw, ch, sampled) = MediaCodecs.decodeGifFrames(gif, everyK = 2).get
+    assert((cw, ch) == ((1, 1)))
     assert(sampled.map(_.toSeq) == Seq(Seq(0), Seq(80), Seq(160)))
     // k=1 keeps all 6; junk and k<=0 refuse rather than throw
-    assert(MediaCodecs.decodeGifFrames(gif, 1).get.length == 6)
+    assert(MediaCodecs.decodeGifFrames(gif, 1).get._3.length == 6)
     assert(MediaCodecs.decodeGifFrames("junk".getBytes, 2).isEmpty)
     assert(MediaCodecs.decodeGifFrames(gif, 0).isEmpty)
   }
