@@ -55,6 +55,24 @@ object AsOfJoin {
     require(collisions.isEmpty,
       s"rename right payload columns colliding with left: $collisions")
 
+    // tie-break ordering runs on the RAW column (no silent cast): a
+    // lossy cast-to-long would turn e.g. a string id into NULL ordinals
+    // and quietly break the documented "greatest tieBreak wins"
+    // determinism. Fail fast on types with no total order instead.
+    val tieType = right.select(col(rightTieBreak)).schema.head.dataType
+    val tieOrderable = tieType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    require(tieOrderable,
+      s"rightTieBreak '$rightTieBreak' has non-orderable type $tieType — " +
+        "use a numeric/string/temporal column for deterministic ties")
+
     val payloadStruct = struct(rightPayload.map(col): _*)
     // the payload's struct type, for a typed NULL on the left rows
     val payloadType = right.select(payloadStruct.as("p")).schema("p").dataType
@@ -65,7 +83,7 @@ object AsOfJoin {
       col(rightKey).as("__asof_key"),
       col(rightTime).as("__asof_time"),
       lit(0).as("__asof_tag"),
-      col(rightTieBreak).cast("long").as("__asof_ord"),
+      col(rightTieBreak).as("__asof_ord"),
       payloadStruct.as("__asof_payload"))
 
     val leftTagged = left.select(
@@ -73,7 +91,10 @@ object AsOfJoin {
         col(leftKey).as("__asof_key")) ++ Seq(
         col(leftTime).as("__asof_time"),
         lit(1).as("__asof_tag"),
-        lit(0L).as("__asof_ord"),
+        // constant ordinal on the left side: left rows never tie-break
+        // against each other (the carried payload is identical), they
+        // only need SOME value of the right ordinal's type for the union
+        lit(null).cast(tieType).as("__asof_ord"),
         lit(null).cast(payloadType).as("__asof_payload")): _*)
 
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)

@@ -63,6 +63,10 @@ object ConnectedComponents {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "old"), "n")
         .where(col("label") < col("old")).isEmpty
+      // the replaced round's checkpoint blocks are dead once `next` is
+      // materialized and the convergence check has run — drop them, or
+      // checkpoint storage grows linearly with rounds (diameter)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(labels)
       labels = next
       it += 1
     }
@@ -146,6 +150,8 @@ object ConnectedComponents {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       converged = next.count() == edges.count() &&
         next.exceptAll(edges).isEmpty
+      // see resolve(): free the replaced round's checkpoint blocks
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(edges)
       edges = next
       round += 1
     }

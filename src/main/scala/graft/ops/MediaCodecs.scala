@@ -179,10 +179,13 @@ object MediaCodecs {
     * decodeImageLuma.
     *
     * HONESTY over coverage: optimized GIFs store later frames as delta
-    * sub-rectangles with offsets and disposal rules; returning those
+    * sub-rectangles with offsets, disposal rules, and transparent
+    * palette indices that composite over prior frames; returning those
     * patches as "frames" would hand the caller data that is NOT the
     * displayed frame, at the wrong dimensions. Any sampled frame whose
-    * raster is not the full (0,0)-anchored canvas → None (stub
+    * raster is not the full (0,0)-anchored canvas, or that flags a
+    * transparent color (its pixels show through to the PREVIOUS frame,
+    * so its palette RGB is not the displayed value) → None (stub
     * fallback) rather than a wrong answer — full-frame animations
     * (screen capture exports, synthetic data) decode; a compositing
     * engine is the upgrade, not a different contract. Malformed bytes
@@ -203,25 +206,39 @@ object MediaCodecs {
         if (n <= 0) return None
         val (cw, ch) = (reader.getWidth(0), reader.getHeight(0))
         if (cw <= 0 || ch <= 0) return None
-        def frameOffset(i: Int): (Int, Int) = {
-          // ImageDescriptor carries the sub-rectangle anchor
+        // (left, top, usesTransparency) per frame. Transparency matters
+        // for the same honesty reason as the sub-rectangle check: a
+        // FULL-canvas frame with a transparent palette index still
+        // composites over the previous frame — resolving that index
+        // through its palette RGB would return a plane that is not the
+        // displayed frame, the wrong-answer class this guard rejects.
+        def frameMeta(i: Int): (Int, Int, Boolean) = {
           val root = reader.getImageMetadata(i)
             .getAsTree("javax_imageio_gif_image_1.0")
             .asInstanceOf[org.w3c.dom.Element]
           val descs = root.getElementsByTagName("ImageDescriptor")
-          if (descs.getLength == 0) (0, 0)
-          else {
-            val e = descs.item(0).asInstanceOf[org.w3c.dom.Element]
-            (e.getAttribute("imageLeftPosition").toInt,
-              e.getAttribute("imageTopPosition").toInt)
+          val (left, top) =
+            if (descs.getLength == 0) (0, 0)
+            else {
+              val e = descs.item(0).asInstanceOf[org.w3c.dom.Element]
+              (e.getAttribute("imageLeftPosition").toInt,
+                e.getAttribute("imageTopPosition").toInt)
+            }
+          val gces = root.getElementsByTagName("GraphicControlExtension")
+          val transparent = (0 until gces.getLength).exists { g =>
+            gces.item(g).asInstanceOf[org.w3c.dom.Element]
+              .getAttribute("transparentColorFlag")
+              .equalsIgnoreCase("true")
           }
+          (left, top, transparent)
         }
         val planes = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
         var i = 0
         while (i < n) {
           val img = reader.read(i)
+          val (fLeft, fTop, fTransparent) = frameMeta(i)
           if (img.getWidth != cw || img.getHeight != ch ||
-            frameOffset(i) != ((0, 0))) return None
+            fLeft != 0 || fTop != 0 || fTransparent) return None
           val raster = img.getRaster
           val palette = img.getColorModel match {
             case icm: java.awt.image.IndexColorModel => Some(icm)

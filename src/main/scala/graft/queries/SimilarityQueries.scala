@@ -181,6 +181,10 @@ object SimilarityQueries {
     * slices, encode is argmin integer L2 (row_number ties → lowest
     * code), ADC is an integer sum of per-block inner products, and the
     * approx top-20 per query rerank with the exact quantized cosine.
+    * Block indexing COALESCEs out-of-range elements to 0, mirroring the
+    * Spark side's `try_element_at` zero-pad — without it a ragged
+    * (short) vector would NULL out whole block distances and the two
+    * engines would diverge on non-uniform-dim corpora.
     */
   val simAnnPqSql: String =
     """WITH v AS (
@@ -193,8 +197,8 @@ object SimilarityQueries {
       |), enc AS (
       |  SELECT c.vec_id, b.b, cb.cid,
       |         list_sum(list_transform(range(1, 9), d ->
-      |           (c.qv[b.b*8 + d] - cb.qv[b.b*8 + d])
-      |           * (c.qv[b.b*8 + d] - cb.qv[b.b*8 + d]))) AS dist
+      |           (COALESCE(c.qv[b.b*8 + d], 0) - COALESCE(cb.qv[b.b*8 + d], 0))
+      |           * (COALESCE(c.qv[b.b*8 + d], 0) - COALESCE(cb.qv[b.b*8 + d], 0)))) AS dist
       |  FROM v c CROSS JOIN range(0, 8) b(b) CROSS JOIN cb
       |), codes AS (
       |  SELECT vec_id, b, cid AS code FROM enc
@@ -206,7 +210,7 @@ object SimilarityQueries {
       |), adc AS (
       |  SELECT q.q_id, co.vec_id AS n_id,
       |         CAST(SUM(list_sum(list_transform(range(1, 9), d ->
-      |           q.qv[co.b*8 + d] * cb.qv[co.b*8 + d]))) AS BIGINT) AS approx_dot
+      |           COALESCE(q.qv[co.b*8 + d], 0) * COALESCE(cb.qv[co.b*8 + d], 0)))) AS BIGINT) AS approx_dot
       |  FROM codes co
       |  JOIN cb ON cb.cid = co.code
       |  CROSS JOIN qs q

@@ -34,12 +34,17 @@ object SourceQueries {
     * (header on, default quoting; s_name carries commas-free generated
     * text but quoting is exercised regardless).
     */
-  /** Fixed per-query staging path + overwrite: a fresh temp dir per
-    * invocation would leak a full table copy on every bench/verify run
-    * and accumulate until the disk fills.
+  /** Per-process staging path + overwrite. Overwrite (not a fresh temp
+    * dir per invocation) keeps repeated bench/verify runs from leaking
+    * a full table copy each run until the disk fills; keying by process
+    * id keeps two CONCURRENT processes (bench alongside verify,
+    * parallel CI jobs) from racing overwrite-against-read on one shared
+    * directory — pids are bounded, so the leak stays bounded too.
     */
-  private def stagingDir(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip/$name"
+  private def stagingDir(name: String): String = {
+    val pid = ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-$pid/$name"
+  }
 
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagingDir("csv")

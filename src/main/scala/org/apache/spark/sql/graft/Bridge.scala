@@ -13,4 +13,25 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Free the block-manager storage behind a `localCheckpoint(eager)`
+    * frame. `Dataset.unpersist` goes through the CacheManager and does
+    * NOT release checkpoint blocks (the checkpointed rows live on the
+    * underlying `LogicalRDD`'s RDD, persisted by `localCheckpoint`), so
+    * an iterative algorithm that re-checkpoints every round would
+    * otherwise accumulate one full copy of its working set PER ROUND
+    * for the life of the loop. Caller contract: the frame must never be
+    * evaluated again — a localCheckpoint has no lineage to recompute
+    * from once its blocks are dropped.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        d.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      case _ => ()
+    }
 }

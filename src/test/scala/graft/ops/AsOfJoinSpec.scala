@@ -65,4 +65,29 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(got(id) == best, s"row $id key $k t $t")
     }
   }
+
+  test("string tie-break orders on the raw column; non-orderable fails fast") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 100L)).toDF("id", "k", "t")
+    // a long-castable string would survive the old silent cast; "z..."
+    // ids would become NULL ordinals and ties would go nondeterministic
+    val right = Seq(
+      ("a", 100L, "z01", 1.0),
+      ("a", 100L, "z09", 2.0)).toDF("k", "rt", "rid", "rv")
+    val out = AsOfJoin.leftAsOf(left, right,
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
+        rightPayload = Seq("rid", "rv"), rightTieBreak = "rid")
+      .select("rid", "rv").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("z09", 2.0)), "greatest raw string tie-break wins")
+
+    val rightArr = right.withColumn("bad",
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.col("rid")))
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(left, rightArr,
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
+        rightPayload = Seq("rid", "rv"), rightTieBreak = "bad")
+    }
+    assert(ex.getMessage.contains("non-orderable"))
+  }
 }

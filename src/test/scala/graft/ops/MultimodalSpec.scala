@@ -151,6 +151,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeGifFrames(gif, 0).isEmpty)
   }
 
+  test("GIF frames flagging a transparent color are refused, not mis-read") {
+    // a FULL-canvas frame with transparentColorFlag set composites over
+    // the previous frame: resolving its transparent index through the
+    // palette RGB would return a plane that is not the displayed frame.
+    // Build one via explicit GCE metadata on a 1x1 gray-palette frame.
+    val grays = (0 until 256).map(_.toByte).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    img.getRaster.setSample(0, 0, 0, 200)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(out)
+    val fmt = "javax_imageio_gif_image_1.0"
+    val meta = writer.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
+    val root = meta.getAsTree(fmt)
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val gces = root.getElementsByTagName("GraphicControlExtension")
+    val gce =
+      if (gces.getLength > 0)
+        gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      else {
+        val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+        n.setAttribute("disposalMethod", "none")
+        n.setAttribute("userInputFlag", "FALSE")
+        n.setAttribute("delayTime", "10")
+        root.appendChild(n)
+        n
+      }
+    gce.setAttribute("transparentColorFlag", "TRUE")
+    gce.setAttribute("transparentColorIndex", "0")
+    meta.setFromTree(fmt, root)
+    writer.write(null, new javax.imageio.IIOImage(img, null, meta), null)
+    out.close(); writer.dispose()
+    assert(MediaCodecs.decodeGifFrames(bos.toByteArray, 1).isEmpty,
+      "transparent frames must fall back to the stub, not decode wrong")
+  }
+
   test("resizePlane: exact box averages, floor division, upscale guard") {
     // 4x2 plane -> 2x1: each output pixel averages a 2x2 block
     val p = Array(
