@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
   *   - right payload column names must not collide with left columns
   *     (rename on the right side first — cheap, it's a projection);
   *   - ties inside the right side at equal (key, time) resolve to the
-  *     greatest `rightTieBreak` value (deterministic);
+  *     greatest `rightTieBreak` value (deterministic); NULL tie-break
+  *     values sort lowest (Spark ascending = nulls first), so a NULL
+  *     ordinal loses to any non-NULL one at the same (key, time);
   *   - left rows with no prior right row keep NULL payload columns
   *     (left-outer semantics; filter payload IS NOT NULL for inner).
   */
@@ -58,20 +60,14 @@ object AsOfJoin {
     // tie-break ordering runs on the RAW column (no silent cast): a
     // lossy cast-to-long would turn e.g. a string id into NULL ordinals
     // and quietly break the documented "greatest tieBreak wins"
-    // determinism. Fail fast on types with no total order instead.
+    // determinism. Orderability is Spark's own rule (RowOrdering), not
+    // a local whitelist — structs/arrays/intervals that Spark can sort
+    // are legal tie-breaks here too.
     val tieType = right.select(col(rightTieBreak)).schema.head.dataType
-    val tieOrderable = tieType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case org.apache.spark.sql.types.StringType |
-           org.apache.spark.sql.types.BooleanType |
-           org.apache.spark.sql.types.DateType |
-           org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => true
-      case _ => false
-    }
-    require(tieOrderable,
+    require(
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tieType),
       s"rightTieBreak '$rightTieBreak' has non-orderable type $tieType — " +
-        "use a numeric/string/temporal column for deterministic ties")
+        "use a type Spark can sort for deterministic ties")
 
     val payloadStruct = struct(rightPayload.map(col): _*)
     // the payload's struct type, for a typed NULL on the left rows

@@ -43,7 +43,26 @@ object SourceQueries {
     */
   private def stagingDir(name: String): String = {
     val pid = ProcessHandle.current().pid()
+    cleanupHook
     s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-$pid/$name"
+  }
+
+  /** Registered on first staging use: deletes THIS process's staging
+    * root at JVM exit, so long-lived hosts don't accumulate one table
+    * copy per distinct pid (pids recycle, but pid_max can be ~4M).
+    * Kill -9 still leaks one dir; the pid-keyed name makes a stale
+    * sweep trivial for an operator (`rm -rf graft-roundtrip-*`).
+    */
+  private lazy val cleanupHook: Unit = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-roundtrip-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }))
   }
 
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {

@@ -22,13 +22,18 @@ object Bridge {
     * otherwise accumulate one full copy of its working set PER ROUND
     * for the life of the loop. Caller contract: the frame must never be
     * evaluated again — a localCheckpoint has no lineage to recompute
-    * from once its blocks are dropped.
+    * from once its blocks are dropped. Guarded on storage level: an
+    * unpersisted LogicalRDD frame passes through untouched (Spark keeps
+    * `isLocallyCheckpointed` private[rdd], so "persisted" is the
+    * strongest check reachable from library code — the never-evaluate-
+    * again contract above still rests on the caller).
     */
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df match {
       case d: org.apache.spark.sql.classic.Dataset[_] =>
         d.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          case lr: org.apache.spark.sql.execution.LogicalRDD
+              if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
             lr.rdd.unpersist(blocking = false)
           case _ => ()
         }

@@ -80,11 +80,24 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("rid", "rv").as[(String, Double)].collect().toSeq
     assert(out == Seq(("z09", 2.0)), "greatest raw string tie-break wins")
 
-    val rightArr = right.withColumn("bad",
+    // arrays ARE orderable in Spark (element-wise) — the orderability
+    // check delegates to RowOrdering, so an array tie-break is legal
+    val rightArr = right.withColumn("arr",
       org.apache.spark.sql.functions.array(
         org.apache.spark.sql.functions.col("rid")))
+    val viaArr = AsOfJoin.leftAsOf(left, rightArr,
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
+        rightPayload = Seq("rid", "rv"), rightTieBreak = "arr")
+      .select("rid").as[String].collect().toSeq
+    assert(viaArr == Seq("z09"), "array tie-break orders element-wise")
+
+    // maps have no total order anywhere in Spark — fail fast
+    val rightMap = right.withColumn("bad",
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.col("rid"),
+        org.apache.spark.sql.functions.col("rv")))
     val ex = intercept[IllegalArgumentException] {
-      AsOfJoin.leftAsOf(left, rightArr,
+      AsOfJoin.leftAsOf(left, rightMap,
         leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
         rightPayload = Seq("rid", "rv"), rightTieBreak = "bad")
     }
