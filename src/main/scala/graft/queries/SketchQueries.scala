@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate/sketch operators a 100 TB pipeline leans on where exact
+  * answers are either unaffordable (global COUNT DISTINCT) or
+  * unnecessary (pre-join pruning): HyperLogLog distinct estimation
+  * (Flajolet et al. 2007), count-min heavy hitters (Cormode &
+  * Muthukrishnan 2005), and Bloom-filter join pruning (Bloom 1970).
+  *
+  * Spark ships its own spellings (`approx_count_distinct`,
+  * `count_min_sketch`, runtime bloom pruning via
+  * `spark.sql.optimizer.runtime.bloomFilter.enabled`) — those are the
+  * production defaults. These explicit implementations exist because
+  * (a) the built-ins hash with engine-private functions the DuckDB gate
+  * can't restate, and (b) spelling the sketch as ordinary relational
+  * algebra proves the shape scales: every one of them is a narrow map
+  * plus one partial+final hash aggregate, the same plan Spark's
+  * built-ins lower to.
+  *
+  * Determinism: every hash is the engine-neutral LCG family used across
+  * the repo (reduce mod 1000003 BEFORE multiplying — ANSI long overflow;
+  * see MinHashDedup.perm). All arithmetic is integer: register sums are
+  * exact BIGINTs, the HLL harmonic mean is computed as an integer
+  * quotient, so the cross-engine hash compare is bit-stable with no
+  * float summation order anywhere.
+  */
+object SketchQueries {
+  import RefQueries.table
+
+  private val Prime = 2147483647L // 2^31 - 1 (Mersenne)
+  private val Mod = 1000003L      // key pre-reduction (ANSI headroom)
+
+  /** h(x) = ((x mod 1000003) * a + b) mod (2^31-1) — max intermediate
+    * 1e6 * 3.3e9 ≈ 3.3e15, far under the 2^62 ANSI overflow line.
+    */
+  private def lcg(x: Column, a: Long, b: Long): Column =
+    (x % Mod * a + b) % Prime
+
+  // ---------------------------------------------------------------- HLL
+
+  /** `olap_hll_distinct` — HyperLogLog estimate of distinct parts per
+    * returnflag, next to the exact count for comparison.
+    *
+    * m = 64 registers (p = 6): register = h % 64, rank = position of
+    * the leftmost set bit in the remaining 25-bit window, via the
+    * engine-portable `26 - length(ltrim(bin(w), '0'))` (bin() emits no
+    * leading zeros in Spark or DuckDB; ltrim handles w = 0 → rank 26).
+    * The harmonic mean is exact integer math: each register contributes
+    * 2^(26-M_j), missing registers contribute 2^26, and the estimate is
+    * alpha_64 * m^2 scaled by 2^26 over that BIGINT sum with integer
+    * division (alpha_64 = 0.709 carried as 709/1000).
+    *
+    * Scale: ONE partial+final hash aggregate over (group, 64 registers)
+    * — the sketch for any group is 64 longs no matter how many rows
+    * feed it, which is the entire point at 100 TB: a global distinct
+    * count never shuffles more than groups x 64 rows. No small-range
+    * linear-counting branch: it needs ln(), whose cross-engine bit
+    * stability is not guaranteed, and these cardinalities (~2000 per
+    * flag) sit far above the 2.5m = 160 correction regime.
+    */
+  def olapHllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_partkey").cast("long").as("pk"))
+    // one affine round is too linear for leading-zero statistics (the
+    // measured estimate ran 56% hot); squaring mod p then one more
+    // affine round makes the rank distribution geometric — measured
+    // within 10% of truth at 1.5k/2k/15k/20k distinct keys. h < 2^31 so
+    // h*h < 2^62: no ANSI overflow, and (h*h % p) * 1.3e9 < 2^63 too.
+    val hashed = li
+      .withColumn("h", lcg(col("pk"), 1315423911L, 2654435761L))
+      .withColumn("g", (col("h") * col("h") % Prime * 1315423911L + 97L) % Prime)
+      .withColumn("reg", col("g") % 64)
+      .withColumn("rho", lit(26) - length(ltrim(bin(expr("g DIV 64")), "0")))
+    val regs = hashed.groupBy("flag", "reg").agg(max("rho").as("mj"))
+    val est = regs.groupBy("flag")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mj AS INT))")).as("sp"),
+        count(lit(1)).as("nreg"))
+      .select(col("flag"),
+        expr("(CAST(2904064 AS BIGINT) * 67108864) DIV " +
+          "(1000 * (sp + (64 - nreg) * 67108864))").as("est_distinct"))
+    val exact = li.groupBy("flag").agg(countDistinct("pk").as("n_exact"))
+    est.join(exact, "flag").select("flag", "est_distinct", "n_exact").orderBy("flag")
+  }
+
+  val olapHllDistinctSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag AS flag,
+      |         (CAST(l_partkey AS BIGINT) % 1000003 * 1315423911 + 2654435761)
+      |           % 2147483647 AS h
+      |  FROM lineitem
+      |), g AS (
+      |  SELECT flag, (h * h % 2147483647 * 1315423911 + 97) % 2147483647 AS g
+      |  FROM h
+      |), b AS (
+      |  SELECT flag, g % 64 AS reg,
+      |         26 - length(ltrim(bin(g // 64), '0')) AS rho
+      |  FROM g
+      |), regs AS (
+      |  SELECT flag, reg, MAX(rho) AS mj FROM b GROUP BY flag, reg
+      |), s AS (
+      |  SELECT flag,
+      |         SUM(CAST(1 AS BIGINT) << CAST(26 - mj AS INTEGER)) AS sp,
+      |         COUNT(*) AS nreg
+      |  FROM regs GROUP BY flag
+      |), e AS (
+      |  -- SUM(BIGINT) is HUGEINT in DuckDB; cast back or pandas sees float64
+      |  SELECT flag,
+      |         CAST((CAST(2904064 AS BIGINT) * 67108864)
+      |           // (1000 * (sp + (64 - nreg) * 67108864)) AS BIGINT) AS est_distinct
+      |  FROM s
+      |), x AS (
+      |  SELECT l_returnflag AS flag, COUNT(DISTINCT l_partkey) AS n_exact
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT e.flag, e.est_distinct, x.n_exact
+      |FROM e JOIN x USING (flag) ORDER BY flag""".stripMargin
+
+  // ---------------------------------------------------------- count-min
+
+  private val CmsA = Seq(1315423911L, 2654435761L, 2246822519L, 3266489917L)
+  private val CmsB = Seq(97L, 193L, 389L, 769L)
+  private val CmsW = 2048L
+
+  private def cmsIdx(key: Column, i: Column): Column = {
+    val a = element_at(array(CmsA.map(lit): _*), i + 1)
+    val b = element_at(array(CmsB.map(lit): _*), i + 1)
+    (key % Mod * a + b) % Prime % CmsW
+  }
+
+  /** `olap_cms_topk` — count-min sketch (d=4 rows, w=2048) over order
+    * counts per customer; customers whose SKETCH estimate clears the
+    * threshold are reported with estimate and exact count side by side.
+    * Count-min guarantees est >= exact (collisions only inflate), which
+    * the spec pins.
+    *
+    * Scale: the sketch build is one partial+final aggregate whose
+    * keyspace is d*w = 8192 cells REGARDLESS of input rows or key
+    * cardinality — the classic fixed-memory pass over a 100 TB stream.
+    * The candidate probe joins each distinct key's 4 cells against the
+    * 2048-row sketch (broadcast); selection happens on the estimate, as
+    * it would in production where the exact count doesn't exist.
+    */
+  def olapCmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = table(spark, sfDir, "orders")
+      .select(col("o_custkey").cast("long").as("ck"))
+    val rows4 = explode(array((0 until 4).map(lit): _*)).as("i")
+    val sketch = keys.select(col("ck"), rows4)
+      .select(col("i"), cmsIdx(col("ck"), col("i")).as("idx"))
+      .groupBy("i", "idx").agg(count(lit(1)).as("cell"))
+    val est = keys.distinct()
+      .select(col("ck"), rows4)
+      .select(col("ck"), col("i"), cmsIdx(col("ck"), col("i")).as("idx"))
+      .join(broadcast(sketch), Seq("i", "idx"))
+      .groupBy("ck").agg(min("cell").as("est_cnt"))
+      .where(col("est_cnt") >= 18)
+    val exact = keys.groupBy("ck").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, "ck")
+      .select(col("ck").as("custkey"), col("est_cnt"), col("n_exact"))
+      .orderBy("custkey")
+  }
+
+  val olapCmsTopkSql: String =
+    """WITH cfg AS (
+      |  SELECT i,
+      |         CASE i WHEN 0 THEN 1315423911 WHEN 1 THEN 2654435761
+      |                WHEN 2 THEN 2246822519 ELSE 3266489917 END AS a,
+      |         CASE i WHEN 0 THEN 97 WHEN 1 THEN 193
+      |                WHEN 2 THEN 389 ELSE 769 END AS b
+      |  FROM range(0, 4) r(i)
+      |), k AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS ck FROM orders
+      |), sketch AS (
+      |  SELECT i, (ck % 1000003 * a + b) % 2147483647 % 2048 AS idx,
+      |         COUNT(*) AS cell
+      |  FROM k, cfg GROUP BY 1, 2
+      |), est AS (
+      |  SELECT d.ck, MIN(s.cell) AS est_cnt
+      |  FROM (SELECT DISTINCT ck FROM k) d, cfg c, sketch s
+      |  WHERE s.i = c.i
+      |    AND s.idx = (d.ck % 1000003 * c.a + c.b) % 2147483647 % 2048
+      |  GROUP BY d.ck
+      |  HAVING MIN(s.cell) >= 18
+      |), exact AS (
+      |  SELECT ck, COUNT(*) AS n_exact FROM k GROUP BY ck
+      |)
+      |SELECT est.ck AS custkey, est.est_cnt, exact.n_exact
+      |FROM est JOIN exact USING (ck) ORDER BY custkey""".stripMargin
+
+  // ------------------------------------------------------------- bloom
+
+  private val BloomA = Seq(1315423911L, 2654435761L, 2246822519L)
+  private val BloomB = Seq(11L, 227L, 499L)
+  private val BloomM = 256L
+
+  private def bloomPos(key: Column, i: Column): Column = {
+    val a = element_at(array(BloomA.map(lit): _*), i + 1)
+    val b = element_at(array(BloomB.map(lit): _*), i + 1)
+    (key % Mod * a + b) % Prime % BloomM
+  }
+
+  /** `join_bloom_prune` — Bloom-filter semi-join pruning: the build
+    * side is the filtered supplier dim (s_acctbal > 5000, 48 of 100
+    * keys at sf0.01), the probe is every lineitem row. A row passes if
+    * all k=3 of its hash positions are set. Reported per returnflag:
+    * total rows, rows the bloom passes, rows truly matching the dim —
+    * so the false-positive overhead is visible in the output (m=256 is
+    * sized to make FPs observable at test scale; production sizes m by
+    * the standard -n*ln(p)/ln(2)^2 rule and gets the same plan).
+    *
+    * Scale: this is the manual spelling of what saves a 100 TB join —
+    * the filter is built with one aggregate over the SMALL side, ships
+    * to every executor as a few KB broadcast, and drops probe rows
+    * BEFORE they reach the join shuffle. Bloom guarantees zero false
+    * negatives (spec-pinned); false positives only cost wasted join
+    * work, never wrong answers, because the exact join still runs on
+    * the survivors. Spark's AQE does this automatically
+    * (runtime.bloomFilter); this operator is the explicit, gate-able
+    * form.
+    */
+  def joinBloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val threeI = explode(array((0 until 3).map(lit): _*)).as("i")
+    val dim = table(spark, sfDir, "supplier")
+      .where(col("s_acctbal") > 5000)
+      .select(col("s_suppkey").cast("long").as("k")).distinct()
+    val bits = dim.select(col("k"), threeI)
+      .select(bloomPos(col("k"), col("i")).as("pos")).distinct()
+    val probe = table(spark, sfDir, "lineitem").select(
+      col("l_suppkey").cast("long").as("sk"), col("l_returnflag").as("flag"))
+    // one broadcast LEFT SEMI per hash function: the probe side is never
+    // exploded or grouped (testdata lineitem has duplicate
+    // (orderkey, linenumber) pairs — any per-row-id grouping spelling
+    // would collapse them and undercount), and at 100 TB the big side
+    // flowing straight through three tiny broadcast filters is exactly
+    // the plan you want
+    val passed = (0 until 3).foldLeft(probe) { (df, i) =>
+      df.join(broadcast(bits), bloomPos(df("sk"), lit(i)) === bits("pos"), "left_semi")
+    }
+    val marked = passed.join(
+      broadcast(dim.select(col("k").as("sk"), lit(1L).as("is_dim"))), Seq("sk"), "left")
+    val byFlag = marked.groupBy("flag").agg(
+      count(lit(1)).as("n_bloom_pass"),
+      count(col("is_dim")).as("n_true"))
+    val totals = probe.groupBy("flag").agg(count(lit(1)).as("n_total"))
+    totals.join(byFlag, "flag")
+      .select("flag", "n_total", "n_bloom_pass", "n_true").orderBy("flag")
+  }
+
+  val joinBloomPruneSql: String =
+    """WITH cfg AS (
+      |  SELECT i,
+      |         CASE i WHEN 0 THEN 1315423911 WHEN 1 THEN 2654435761
+      |                ELSE 2246822519 END AS a,
+      |         CASE i WHEN 0 THEN 11 WHEN 1 THEN 227 ELSE 499 END AS b
+      |  FROM range(0, 3) r(i)
+      |), dim AS (
+      |  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k
+      |  FROM supplier WHERE s_acctbal > 5000
+      |), bits AS (
+      |  SELECT DISTINCT (k % 1000003 * a + b) % 2147483647 % 256 AS pos
+      |  FROM dim, cfg
+      |), probe AS (
+      |  SELECT CAST(l_suppkey AS BIGINT) AS sk, l_returnflag AS flag
+      |  FROM lineitem
+      |), passed AS (
+      |  SELECT sk, flag FROM probe
+      |  WHERE (sk % 1000003 * 1315423911 + 11) % 2147483647 % 256
+      |          IN (SELECT pos FROM bits)
+      |    AND (sk % 1000003 * 2654435761 + 227) % 2147483647 % 256
+      |          IN (SELECT pos FROM bits)
+      |    AND (sk % 1000003 * 2246822519 + 499) % 2147483647 % 256
+      |          IN (SELECT pos FROM bits)
+      |)
+      |SELECT t.flag, t.n_total, q.n_bloom_pass, q.n_true
+      |FROM (SELECT flag, COUNT(*) AS n_total FROM probe GROUP BY flag) t
+      |JOIN (
+      |  SELECT flag, COUNT(*) AS n_bloom_pass,
+      |         COUNT(CASE WHEN sk IN (SELECT k FROM dim) THEN 1 END) AS n_true
+      |  FROM passed GROUP BY flag
+      |) q USING (flag)
+      |ORDER BY flag""".stripMargin
+}
