@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset-quality plumbing: column profiling (the first thing any
+  * ingest pipeline runs over a new 100 TB drop) and Z-order clustering
+  * (the write-layout primitive behind data-skipping file layouts à la
+  * Delta/Iceberg OPTIMIZE ZORDER).
+  */
+object ProfileQueries {
+  import RefQueries.table
+
+  private case class ColSpec(name: String, numeric: Boolean, sel: Column)
+
+  /** `etl_profile` — one row per orders column: non-null count, exact
+    * distinct count, min/max. Numerics report min_num/max_num (DOUBLE —
+    * min/max of doubles is exact selection, not summation, so it's
+    * bit-stable); strings report min_str/max_str; the timestamp is
+    * profiled through an explicit `yyyy-MM-dd HH:mm:ss` rendering whose
+    * lexicographic order IS chronological order, dodging engine-specific
+    * timestamp-to-string casts.
+    *
+    * Scale: ALL columns profile in ONE pass — a single partial+final
+    * aggregate computes every (count, count distinct, min, max), and a
+    * `stack` pivots the 1-row result into the per-column report. The
+    * union-of-per-column-aggregates spelling would scan the table once
+    * per column; at 100 TB that difference is the whole game. (Exact
+    * distinct counts make this a multi-`Expand` aggregate; profiles
+    * that can tolerate estimates swap in the HLL of
+    * SketchQueries.olapHllDistinct.)
+    */
+  def etlProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val specs = Seq(
+      ColSpec("o_orderkey", numeric = true, col("o_orderkey").cast("double")),
+      ColSpec("o_custkey", numeric = true, col("o_custkey").cast("double")),
+      ColSpec("o_orderstatus", numeric = false, col("o_orderstatus")),
+      ColSpec("o_totalprice", numeric = true, col("o_totalprice")),
+      ColSpec("o_orderdate", numeric = false,
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")),
+      ColSpec("o_orderpriority", numeric = false, col("o_orderpriority")))
+
+    val aggs = specs.zipWithIndex.flatMap { case (s, i) =>
+      Seq(
+        count(s.sel).as(s"nn_$i"),
+        countDistinct(s.sel).as(s"nd_$i"),
+        min(s.sel).as(s"mn_$i"),
+        max(s.sel).as(s"mx_$i"))
+    }
+    val one = table(spark, sfDir, "orders").agg(aggs.head, aggs.tail: _*)
+
+    val stackArgs = specs.zipWithIndex.map { case (s, i) =>
+      val (mnN, mxN, mnS, mxS) =
+        if (s.numeric) (s"mn_$i", s"mx_$i", "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"mn_$i", s"mx_$i")
+      s"'${s.name}', nn_$i, nd_$i, $mnN, $mxN, $mnS, $mxS"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${specs.size}, $stackArgs) AS " +
+          "(col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)"))
+      .orderBy("col_name")
+  }
+
+  val etlProfileSql: String = {
+    val cols = Seq(
+      ("o_orderkey", "CAST(o_orderkey AS DOUBLE)", true),
+      ("o_custkey", "CAST(o_custkey AS DOUBLE)", true),
+      ("o_orderstatus", "o_orderstatus", false),
+      ("o_totalprice", "o_totalprice", true),
+      ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')", false),
+      ("o_orderpriority", "o_orderpriority", false))
+    cols.map { case (name, sel, numeric) =>
+      val (mnN, mxN, mnS, mxS) =
+        if (numeric) (s"MIN($sel)", s"MAX($sel)", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"MIN($sel)", s"MAX($sel)")
+      s"""SELECT '$name' AS col_name, COUNT($sel) AS n_nonnull,
+         |       COUNT(DISTINCT $sel) AS n_distinct,
+         |       $mnN AS min_num, $mxN AS max_num,
+         |       $mnS AS min_str, $mxS AS max_str
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** `etl_zorder` — 20-bit Morton (Z-order) interleave of
+    * (l_partkey mod 1024, l_suppkey mod 1024): bit b of each key lands
+    * at output bits 2b / 2b+1, so sorting by the z-value clusters rows
+    * that are close in BOTH dimensions. The gated output is the first
+    * 100 distinct key pairs in z order — the exact order a
+    * `repartitionByRange(z).sortWithinPartitions(z)` write would lay
+    * files out in, which is what makes min/max data skipping work for
+    * queries filtering on either key.
+    *
+    * The interleave is a 20-term integer sum built column-side (no
+    * lambda, fully codegen) — `((k DIV 2^b) % 2) * 2^(2b(+1))` per bit.
+    *
+    * Scale: narrow map + TakeOrderedAndProject here; the real write
+    * path is a range repartition on z (one shuffle) followed by a
+    * sorted write — both linear, no coordination beyond range-boundary
+    * sampling.
+    */
+  def etlZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    def interleave(p: Column, s: Column): Column =
+      (0 until 10).map { b =>
+        shiftright(p, b) % 2 * (1L << (2 * b)) +
+          shiftright(s, b) % 2 * (1L << (2 * b + 1))
+      }.reduce(_ + _)
+
+    table(spark, sfDir, "lineitem")
+      .select(
+        (col("l_partkey").cast("long") % 1024).as("p"),
+        (col("l_suppkey").cast("long") % 1024).as("s"))
+      .distinct()
+      .withColumn("z", interleave(col("p"), col("s")))
+      .orderBy("z", "p", "s")
+      .limit(100)
+  }
+
+  val etlZorderSql: String =
+    """WITH k AS (
+      |  SELECT DISTINCT CAST(l_partkey AS BIGINT) % 1024 AS p,
+      |         CAST(l_suppkey AS BIGINT) % 1024 AS s
+      |  FROM lineitem
+      |), z AS (
+      |  SELECT p, s,
+      |         CAST(list_sum(list_transform(range(0, 10), b ->
+      |           (p >> b) % 2 * (CAST(1 AS BIGINT) << (2 * b))
+      |           + (s >> b) % 2 * (CAST(1 AS BIGINT) << (2 * b + 1))
+      |         )) AS BIGINT) AS z
+      |  FROM k
+      |)
+      |SELECT p, s, z FROM z ORDER BY z, p, s LIMIT 100""".stripMargin
+}

@@ -350,4 +350,78 @@ object TextQueries {
       |SELECT shard, bin, COUNT(*) AS n_docs,
       |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
       |FROM placed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  // ---- train/eval contamination ---------------------------------------
+
+  /** `text_contamination` — benchmark-leakage check: does an eval
+    * document share any word 8-gram with the training corpus? (The
+    * standard decontamination primitive — GPT-3 used 13-gram overlap,
+    * most open pipelines 8–10; Brown et al. 2020 app. C.) Documents
+    * split train/eval by doc_id parity; per eval doc: its distinct
+    * 8-gram count, how many of those appear anywhere in train, and a
+    * 0/1 contaminated flag (any overlap).
+    *
+    * Scale: explode to (doc, gram), dedup, one LEFT SEMI join against
+    * the distinct train-gram set — gram strings hash-partition evenly
+    * (no hot keys: an 8-gram's df is tiny), so this is two shuffles
+    * over data proportional to corpus token count, the same shape the
+    * real decontamination runs use. The gram SET could be sketched
+    * (bloom) for a cheap first pass; exact is affordable here and the
+    * gate wants exactness.
+    */
+  def textContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val grams = d
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 8)," +
+          " i -> array_join(slice(toks, i + 1, 8), ' '))")).as("gram"))
+    val train = grams.where(col("doc_id") % 2 === 0).select("gram").distinct()
+    val evalG = grams.where(col("doc_id") % 2 === 1)
+      .select("doc_id", "gram").distinct()
+    val nGrams = evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val overlap = evalG.join(train, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs(spark, sfDir).where(col("doc_id") % 2 === 1).select("doc_id")
+      .join(nGrams, Seq("doc_id"), "left")
+      .join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val textContaminationSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(toks) - 6),
+      |                i -> array_to_string(toks[i:i+7], ' '))) AS gram
+      |  FROM d WHERE len(toks) >= 8
+      |), train AS (
+      |  SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0
+      |), ev AS (
+      |  SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 2 = 1
+      |), ng AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY doc_id
+      |), ov AS (
+      |  SELECT doc_id, COUNT(*) AS n_overlap FROM ev
+      |  WHERE gram IN (SELECT gram FROM train) GROUP BY doc_id
+      |)
+      |SELECT b.doc_id,
+      |       CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |       CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END
+      |            AS BIGINT) AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+      |LEFT JOIN ng USING (doc_id)
+      |LEFT JOIN ov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

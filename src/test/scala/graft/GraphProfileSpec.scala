@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{GraphQueries, ProfileQueries, TextQueries}
+
+/** Contracts for the graph/profile/layout/contamination operators. */
+class GraphProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("pagerank fixpoint on a hand-computed chain and cycle") {
+    import spark.implicits._
+    // chain a->b: a has no inflow (floor 150000); b converges to
+    // 150000 + 850*150000/1000 = 277500 once a settles (3 iters in)
+    val nodes = Seq(0L, 1L).toDF("node")
+    val chain = Seq((0L, 1L)).toDF("src", "dst")
+    val got = GraphQueries.pagerank(nodes, chain, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 150000L)
+    assert(got(1L) == 277500L)
+
+    // 2-cycle: perfectly symmetric, ranks stay equal and bounded
+    val cycle = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val cyc = GraphQueries.pagerank(nodes, cycle, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cyc(0L) == cyc(1L))
+    assert(cyc(0L) >= 850000L && cyc(0L) <= 1000000L)
+  }
+
+  test("nation pagerank: floor respected, total rank never exceeds injection") {
+    val rows = GraphQueries.graphPagerank(spark, TestSpark.Sf001).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getAs[Long]("rank") >= 150000L))
+    // with d=0.85 and dangling leakage, total can only fall below n*1e6
+    assert(rows.map(_.getAs[Long]("rank")).sum <= 25L * 1000000L)
+    // output is ordered by rank desc
+    val ranks = rows.map(_.getAs[Long]("rank")).toSeq
+    assert(ranks == ranks.sorted.reverse)
+  }
+
+  test("profile matches directly-computed stats") {
+    val prof = ProfileQueries.etlProfile(spark, TestSpark.Sf001)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val orders = spark.read.parquet(s"${TestSpark.Sf001}/orders.parquet")
+    val nStatus = orders.select("o_orderstatus").distinct().count()
+    assert(prof("o_orderstatus").getAs[Long]("n_distinct") == nStatus)
+    val maxPrice = orders.agg(max("o_totalprice")).head().getDouble(0)
+    assert(prof("o_totalprice").getAs[Double]("max_num") == maxPrice)
+    assert(prof("o_orderkey").getAs[Long]("n_nonnull") == orders.count())
+  }
+
+  test("zorder interleaves bits correctly and orders by locality") {
+    val rows = ProfileQueries.etlZorder(spark, TestSpark.Sf001).collect()
+    assert(rows.length == 100)
+    def morton(p: Long, s: Long): Long =
+      (0 until 10).map { b =>
+        (((p >> b) & 1L) << (2 * b)) | (((s >> b) & 1L) << (2 * b + 1))
+      }.sum
+    rows.foreach { r =>
+      val (p, s, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == morton(p, s), s"($p,$s)")
+    }
+    val zs = rows.map(_.getLong(2)).toSeq
+    assert(zs == zs.sorted)
+  }
+
+  test("contamination matches a driver-side recomputation of the truth") {
+    val out = TextQueries.textContamination(spark, TestSpark.Sf001)
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_grams"))
+      assert((r.getAs[Long]("contaminated") == 1L) ==
+        (r.getAs[Long]("n_overlap") > 0L))
+    }
+    // sf0.001 is 50 docs: recompute the full answer in plain Scala with
+    // an independent spelling and compare every row
+    val texts = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val trainGrams = texts.collect { case (id, t) if id % 2 == 0 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = texts.collect { case (id, t) if id % 2 == 1 =>
+      val g = grams(t)
+      id -> ((g.size.toLong, (g intersect trainGrams).size.toLong))
+    }
+    val got = TextQueries.textContamination(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap")))).toMap
+    assert(got == expected.toMap)
+    assert(expected.values.exists(_._2 > 0L) || got.nonEmpty)
+  }
+}
