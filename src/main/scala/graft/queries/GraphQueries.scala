@@ -71,17 +71,25 @@ object GraphQueries {
   /** Core fixed-iteration integer PageRank: `nodes(node)`,
     * `edges(src, dst)` → `(node, rank)` with rank scaled by 1e6.
     */
+  /** The rank vector is |nodes| rows by construction, so it (and the
+    * per-node contribution/degree frames) broadcast EXPLICITLY — the
+    * planner can't see through five iterations of joins to infer that,
+    * and falling back to sort-merge would shuffle the edge list every
+    * round. At web scale where ranks outgrow a broadcast, the shape
+    * changes to ranks and edges co-partitioned on src (one shuffle to
+    * establish, zero per iteration) — same algebra, different hint.
+    */
   private[graft] def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .join(broadcast(outdeg), "src")
         .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
       ranks = nodes
-        .join(contrib, Seq("node"), "left")
+        .join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("850 * coalesce(s, CAST(0 AS BIGINT)) DIV 1000")).as("rank"))
     }

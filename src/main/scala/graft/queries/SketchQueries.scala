@@ -189,6 +189,82 @@ object SketchQueries {
       |SELECT est.ck AS custkey, est.est_cnt, exact.n_exact
       |FROM est JOIN exact USING (ck) ORDER BY custkey""".stripMargin
 
+  // -------------------------------------------------- histogram quantile
+
+  /** `olap_quantile_sketch` — approximate quantiles from a fixed-width
+    * histogram sketch: bucket o_totalprice into 500-unit bins, then for
+    * each target percentile report the upper edge of the first bucket
+    * whose cumulative count clears it, next to the exact continuous
+    * percentile (Spark `percentile` == DuckDB `quantile_cont`
+    * bit-for-bit) for error inspection. The bucket threshold test is
+    * pure integers (`cum * 100 >= pctl * n`), the estimate is
+    * `(bucket+1) * 500` — a BIGINT; only the exact reference column is
+    * a double, and it comes from a single deterministic aggregate.
+    *
+    * Scale: THE pattern for percentiles over 100 TB — exact percentile
+    * needs a global sort (or Spark's approx_percentile whose GK sketch
+    * the oracle can't restate); the histogram needs ONE partial+final
+    * aggregate into at most `range/width` cells, and the cumulative
+    * walk runs over the ~1000-row histogram, not the data (the window
+    * below is single-partition BY DESIGN — it sorts buckets, never
+    * rows). Accuracy is bounded by bucket width, reported honestly via
+    * the exact column.
+    */
+  def olapQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prices = table(spark, sfDir, "orders").select(col("o_totalprice"))
+    val hist = prices
+      .select(floor(col("o_totalprice") / 500).cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("b").rowsBetween(Long.MinValue, 0)
+    val cum = hist.withColumn("cum", sum("c").over(w))
+    val n = prices.agg(count(lit(1)).as("n"))
+    val sel = Seq(50L, 90L, 99L).toDF("pctl")
+      .crossJoin(broadcast(n))
+      .join(broadcast(cum), col("cum") * 100 >= col("pctl") * col("n"))
+      .groupBy("pctl").agg(min("b").as("mb"))
+      .select(col("pctl"), ((col("mb") + 1) * 500).as("est_val"))
+    val exact = prices.agg(
+      expr("percentile(o_totalprice, 0.50)").as("e50"),
+      expr("percentile(o_totalprice, 0.90)").as("e90"),
+      expr("percentile(o_totalprice, 0.99)").as("e99"))
+      .select(expr(
+        "stack(3, CAST(50 AS BIGINT), e50, CAST(90 AS BIGINT), e90," +
+          " CAST(99 AS BIGINT), e99) AS (pctl, exact_val)"))
+    sel.join(exact, "pctl")
+      .select("pctl", "est_val", "exact_val")
+      .orderBy("pctl")
+  }
+
+  val olapQuantileSketchSql: String =
+    """WITH h AS (
+      |  SELECT CAST(floor(o_totalprice / 500) AS BIGINT) AS b, COUNT(*) AS c
+      |  FROM orders GROUP BY 1
+      |), cum AS (
+      |  SELECT b, CAST(SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+      |             AS BIGINT) AS cum
+      |  FROM h
+      |), n AS (
+      |  SELECT COUNT(*) AS n FROM orders
+      |), p AS (
+      |  SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pctl
+      |), sel AS (
+      |  SELECT p.pctl, MIN(c.b) AS mb
+      |  FROM p, n, cum c
+      |  WHERE c.cum * 100 >= p.pctl * n.n
+      |  GROUP BY p.pctl
+      |), x AS (
+      |  SELECT CAST(50 AS BIGINT) AS pctl,
+      |         quantile_cont(o_totalprice, 0.50) AS exact_val FROM orders
+      |  UNION ALL
+      |  SELECT 90, quantile_cont(o_totalprice, 0.90) FROM orders
+      |  UNION ALL
+      |  SELECT 99, quantile_cont(o_totalprice, 0.99) FROM orders
+      |)
+      |SELECT sel.pctl, (sel.mb + 1) * 500 AS est_val, x.exact_val
+      |FROM sel JOIN x USING (pctl) ORDER BY pctl""".stripMargin
+
   // ------------------------------------------------------------- bloom
 
   private val BloomA = Seq(1315423911L, 2654435761L, 2246822519L)

@@ -40,6 +40,17 @@ class SketchQueriesSpec extends AnyFunSuite {
       s"missed heavy hitters: ${trueHeavy diff reportedKeys}")
   }
 
+  test("histogram quantile brackets the exact percentile within one bucket") {
+    val rows = SketchQueries.olapQuantileSketch(spark, TestSpark.Sf001).collect()
+    assert(rows.map(_.getAs[Long]("pctl")).toSeq == Seq(50L, 90L, 99L))
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_val").toDouble
+      val exact = r.getAs[Double]("exact_val")
+      assert(est >= exact, s"p${r.get(0)}: upper edge below exact")
+      assert(est - exact <= 500.0, s"p${r.get(0)}: off by more than one bucket")
+    }
+  }
+
   test("bloom pruning has zero false negatives and visible false positives") {
     val rows = SketchQueries.joinBloomPrune(spark, TestSpark.Sf001).collect()
     assert(rows.nonEmpty)
