@@ -351,6 +351,50 @@ object TextQueries {
       |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
       |FROM placed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
 
+  // ---- fuzzy (edit-distance) dedup -------------------------------------
+
+  /** `dedup_fuzzy_edit` — classic record-linkage fuzzy matching:
+    * candidate pairs by BLOCKING on the first 16 characters (the
+    * standard blocking-key design — candidates are only generated
+    * within a block, never all-pairs), refined by Levenshtein distance
+    * at most 20% of the longer text (`dist * 5 <= maxlen`, integer
+    * compare). Spark's `levenshtein` and DuckDB's agree exactly
+    * (unit-cost edit distance), so the refined pairs gate cross-engine.
+    *
+    * Scale: the blocking join is a hash shuffle on the 16-char key —
+    * work is Σ(block²) not n², and the expensive O(len²) distance runs
+    * only on block-mates. A skewed block (boilerplate prefix) gets a
+    * longer key or a secondary key, same as any blocking scheme; the
+    * sketch-based dedups (minhash/simhash) remain the first choice when
+    * edits can hit the prefix.
+    */
+  def dedupFuzzyEdit(spark: SparkSession, sfDir: String): DataFrame = {
+    // self-join input cached: both sides re-run the scan otherwise
+    val blocked = docs(spark, sfDir)
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 16).as("pre"))
+      .cache()
+    blocked.as("a").join(blocked.as("c"),
+        col("a.pre") === col("c.pre") && col("a.doc_id") < col("c.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("c.doc_id").as("d2"),
+        levenshtein(col("a.text"), col("c.text")).cast("long").as("dist"),
+        greatest(length(col("a.text")), length(col("c.text"))).cast("long").as("maxlen"))
+      .where(col("dist") * 5 <= col("maxlen"))
+      .select("d1", "d2", "dist")
+      .orderBy("d1", "d2")
+  }
+
+  val dedupFuzzyEditSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text, substr(text, 1, 16) AS pre FROM documents
+      |)
+      |SELECT a.doc_id AS d1, c.doc_id AS d2,
+      |       CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist
+      |FROM b a JOIN b c ON a.pre = c.pre AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.text, c.text) * 5
+      |        <= greatest(length(a.text), length(c.text))
+      |ORDER BY d1, d2""".stripMargin
+
   // ---- train/eval contamination ---------------------------------------
 
   /** `text_contamination` — benchmark-leakage check: does an eval
