@@ -64,8 +64,11 @@ object AsOfJoin {
     // a local whitelist — structs/arrays/intervals that Spark can sort
     // are legal tie-breaks here too.
     val tieType = right.select(col(rightTieBreak)).schema.head.dataType
+    // RowOrdering admits NullType (all values NULL ties "sort"), which
+    // would silently void the deterministic-ties contract — reject it
     require(
-      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tieType),
+      tieType != org.apache.spark.sql.types.NullType &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tieType),
       s"rightTieBreak '$rightTieBreak' has non-orderable type $tieType — " +
         "use a type Spark can sort for deterministic ties")
 

@@ -124,11 +124,18 @@ object SketchQueries {
   private val CmsB = Seq(97L, 193L, 389L, 769L)
   private val CmsW = 2048L
 
-  private def cmsIdx(key: Column, i: Column): Column = {
-    val a = element_at(array(CmsA.map(lit): _*), i + 1)
-    val b = element_at(array(CmsB.map(lit): _*), i + 1)
-    (key % Mod * a + b) % Prime % CmsW
+  /** i-th table-hash cell: lcg with per-i constants, reduced into m
+    * cells. Shared by the count-min rows and the bloom bit positions.
+    */
+  private def tableHash(key: Column, i: Column,
+      as: Seq[Long], bs: Seq[Long], m: Long): Column = {
+    val a = element_at(array(as.map(lit): _*), i + 1)
+    val b = element_at(array(bs.map(lit): _*), i + 1)
+    (key % Mod * a + b) % Prime % m
   }
+
+  private def cmsIdx(key: Column, i: Column): Column =
+    tableHash(key, i, CmsA, CmsB, CmsW)
 
   /** `olap_cms_topk` — count-min sketch (d=4 rows, w=2048) over order
     * counts per customer; customers whose SKETCH estimate clears the
@@ -271,11 +278,8 @@ object SketchQueries {
   private val BloomB = Seq(11L, 227L, 499L)
   private val BloomM = 256L
 
-  private def bloomPos(key: Column, i: Column): Column = {
-    val a = element_at(array(BloomA.map(lit): _*), i + 1)
-    val b = element_at(array(BloomB.map(lit): _*), i + 1)
-    (key % Mod * a + b) % Prime % BloomM
-  }
+  private def bloomPos(key: Column, i: Column): Column =
+    tableHash(key, i, BloomA, BloomB, BloomM)
 
   /** `join_bloom_prune` — Bloom-filter semi-join pruning: the build
     * side is the filtered supplier dim (s_acctbal > 5000, 48 of 100

@@ -416,11 +416,14 @@ object TextQueries {
   def textContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    // cached: three consumers below (train set, per-doc gram counts,
+    // overlap join) would each re-run the corpus-wide tokenize+explode
     val grams = d
       .where(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 8)," +
           " i -> array_join(slice(toks, i + 1, 8), ' '))")).as("gram"))
+      .cache()
     val train = grams.where(col("doc_id") % 2 === 0).select("gram").distinct()
     val evalG = grams.where(col("doc_id") % 2 === 1)
       .select("doc_id", "gram").distinct()

@@ -65,12 +65,15 @@ class GraphProfileSpec extends AnyFunSuite {
   }
 
   test("contamination matches a driver-side recomputation of the truth") {
-    val out = TextQueries.textContamination(spark, TestSpark.Sf001)
-    out.collect().foreach { r =>
+    val outRows = TextQueries.textContamination(spark, TestSpark.Sf001).collect()
+    outRows.foreach { r =>
       assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_grams"))
       assert((r.getAs[Long]("contaminated") == 1L) ==
         (r.getAs[Long]("n_overlap") > 0L))
     }
+    // the sf0.01 corpus genuinely exhibits contamination — without this
+    // the exact-match comparison below could be trivially all zeros
+    assert(outRows.map(_.getAs[Long]("n_overlap")).sum > 0L)
     // sf0.001 is 50 docs: recompute the full answer in plain Scala with
     // an independent spelling and compare every row
     val texts = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
@@ -90,6 +93,5 @@ class GraphProfileSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap")))).toMap
     assert(got == expected.toMap)
-    assert(expected.values.exists(_._2 > 0L) || got.nonEmpty)
   }
 }

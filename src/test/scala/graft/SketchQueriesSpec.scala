@@ -47,7 +47,11 @@ class SketchQueriesSpec extends AnyFunSuite {
       val est = r.getAs[Long]("est_val").toDouble
       val exact = r.getAs[Double]("exact_val")
       assert(est >= exact, s"p${r.get(0)}: upper edge below exact")
-      assert(est - exact <= 500.0, s"p${r.get(0)}: off by more than one bucket")
+      // the rank-selected bucket's upper edge is within one bucket of the
+      // NEAREST order statistic; the continuous (interpolated) percentile
+      // can dip just below that bucket's lower edge, so the guaranteed
+      // bound is two bucket widths, not one
+      assert(est - exact <= 1000.0, s"p${r.get(0)}: outside the sketch error bound")
     }
   }
 
