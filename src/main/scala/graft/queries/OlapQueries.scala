@@ -320,4 +320,38 @@ object OlapQueries {
       |FROM e
       |WINDOW wt AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |ORDER BY event_id""".stripMargin
+
+  /** `olap_unpivot` — wide→long reshape through the first-class
+    * `Dataset.unpivot` (SQL MELT): per-returnflag metric columns become
+    * (metric, value) rows. The wide frame is built with exact integer
+    * cents; unpivot itself is a map-side `Expand` (rows × metrics), no
+    * shuffle.
+    */
+  def olapUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        sum(round(col("l_discount") * 100).cast("long")).as("disc_cents"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
+        "metric", "value_cents")
+      .orderBy("l_returnflag", "metric")
+
+  val olapUnpivotSql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+      |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+      |         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value_cents FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'price_cents', price_cents FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'disc_cents', disc_cents FROM w
+      |ORDER BY l_returnflag, metric""".stripMargin
 }

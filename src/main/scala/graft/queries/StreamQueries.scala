@@ -24,6 +24,30 @@ object StreamQueries {
       |FROM events
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** `stream_hopping_agg` — 2h windows hopping every 30min: each event
+    * counts in 4 overlapping windows. The oracle expands the hops
+    * explicitly: window starts are the 4 slide multiples at or before
+    * the event, in exact integer microseconds.
+    */
+  def streamHoppingAgg(spark: SparkSession, sfDir: String): DataFrame =
+    EventAnalytics.hoppingByType(table(spark, sfDir, "events"))
+      .orderBy("window_start", "event_type")
+
+  val streamHoppingAggSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_us(ts) AS us FROM events
+      |), hop AS (
+      |  SELECT event_type, value,
+      |         (us // 1800000000) * 1800000000 - k.k * 1800000000 AS ws
+      |  FROM e, range(0, 4) k(k)
+      |)
+      |SELECT strftime(to_timestamp(ws / 1000000.0), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM hop
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   def streamSessionize(spark: SparkSession, sfDir: String): DataFrame =
     EventAnalytics.sessionize(table(spark, sfDir, "events"), gapMinutes = 240)
       .orderBy("user_id", "session_seq")

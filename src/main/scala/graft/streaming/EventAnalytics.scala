@@ -78,6 +78,35 @@ object EventAnalytics extends Serializable {
         exactSum(col("value")).as("sum_value"))
   }
 
+  /** Hopping (sliding) windows: every event lands in duration/slide
+    * overlapping windows — here 2h/30min = 4. Spark expands the event to
+    * its windows map-side (an `Expand`, no extra shuffle vs tumbling);
+    * state in the streaming form is bounded by watermark × window count.
+    */
+  def hoppingByType(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .groupBy(
+        window(col("ts_utc"), "2 hours", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming form of `hoppingByType` (see StreamingSpec for the real
+    * run — watermark bounds the per-window state of all 4 live hops).
+    */
+  def hoppingByTypeStream(events: DataFrame, watermark: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts_utc", watermark)
+      .groupBy(
+        window(col("ts_utc"), "2 hours", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Streaming form of `hourlyByType`: event-time watermark + windowed
     * aggregation. Caller picks the sink/output mode (see StreamingSpec).
     */

@@ -39,6 +39,22 @@ class StreamingSpec extends AnyFunSuite {
       "streaming result differs from batch result")
   }
 
+  test("streaming hopping agg (complete mode) == batch hopping agg") {
+    val stream = EventAnalytics.readEventsStream(spark, eventsDir)
+    val q = EventAnalytics.hoppingByTypeStream(stream, watermark = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hopping_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("hopping_out")
+    val want = EventAnalytics.hoppingByType(
+      spark.read.parquet(s"${TestSpark.Sf001}/events.parquet"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming hopping result differs from batch result")
+  }
+
   // the file stream source lists flat files only — stage each micro-batch
   // as a single parquet FILE in the watched dir (not a .parquet directory)
   private def stageBatch(df: org.apache.spark.sql.DataFrame, watched: String,
