@@ -370,4 +370,49 @@ object EtlQueries {
       |                                   ORDER BY src DESC, o_custkey DESC) AS rn
       |      FROM tagged)
       |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
+  /** `etl_ffill` — forward-fill, the standard time-series gap repair:
+    * error events carry no usable reading (modeled as NULL cents), and
+    * each user's gap is filled with their most recent non-null value
+    * (`last(_, ignoreNulls)` over an unbounded-preceding ROWS frame —
+    * evaluated incrementally, O(1) per row). Leading gaps (no prior
+    * reading) surface as -1 rather than NULL: the driver gate compares
+    * pandas dtypes and a nullable int64 column would decay to float64.
+    *
+    * Scale: one shuffle on user_id + per-partition sort; no state
+    * beyond the running last value.
+    */
+  def etlFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    table(spark, sfDir, "events")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"),
+        when(col("event_type") =!= "error",
+          round(col("value") * 100).cast("long")).as("reading"))
+      .withColumn("filled",
+        last(col("reading"), ignoreNulls = true).over(byTime))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("reading"), lit(-1L)).as("raw_cents"),
+        coalesce(col("filled"), lit(-1L)).as("filled_cents"))
+      .orderBy("event_id")
+  }
+
+  val etlFfillSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |         CASE WHEN event_type != 'error'
+      |              THEN CAST(round(value * 100) AS BIGINT) END AS reading
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts_us,
+      |       COALESCE(reading, -1) AS raw_cents,
+      |       COALESCE(last_value(reading IGNORE NULLS)
+      |                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                        ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
+      |FROM e ORDER BY event_id""".stripMargin
 }

@@ -321,6 +321,41 @@ object OlapQueries {
       |WINDOW wt AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** `analytics_range_window` — a RANGE frame (value-based, not
+    * row-count-based): per user, the exact-cents sum of events in the
+    * trailing hour of EVENT TIME. Complements analytics_window's ROWS
+    * frames — a RANGE frame's content depends only on the ordering
+    * VALUE, so ties contribute symmetrically and the result is
+    * order-insensitive by construction.
+    *
+    * Scale: one shuffle on user_id, per-partition sort, incremental
+    * frame evaluation — same cost envelope as any keyed window.
+    */
+  def analyticsRangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRange = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600000000L, 0)
+    table(spark, sfDir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("trailing_1h_cents", sum("cents").over(byRange))
+      .orderBy("event_id")
+  }
+
+  val analyticsRangeWindowSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts_us, cents,
+      |       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+      |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS trailing_1h_cents
+      |FROM e ORDER BY event_id""".stripMargin
+
   /** `olap_unpivot` — wide→long reshape through the first-class
     * `Dataset.unpivot` (SQL MELT): per-returnflag metric columns become
     * (metric, value) rows. The wide frame is built with exact integer
