@@ -415,4 +415,45 @@ object EtlQueries {
       |                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |                        ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
       |FROM e ORDER BY event_id""".stripMargin
+
+  /** `etl_pii_redact` — PII scrubbing before a corpus ships to training:
+    * regex-redact identifier-like digit runs (>= 4 digits -> `<ID>`) and
+    * email-shaped tokens (-> `<EMAIL>`), and report per-row match counts
+    * so a pipeline can alert on unexpectedly PII-dense sources. Runs on
+    * the customer table, whose names carry real digit-run identifiers;
+    * the email pattern matches nothing on this synthetic data but the
+    * count column keeps the regex itself under the cross-engine gate.
+    *
+    * Patterns stay inside the Java-regex ∩ RE2 common dialect (character
+    * classes + bounded quantifiers, no backreferences or lookarounds) so
+    * Spark's codegen'd regexp_replace and DuckDB's RE2 agree byte for
+    * byte. Scale: a pure narrow map — no shuffle until the gate's ORDER
+    * BY; at 100 TB this is the canonical embarrassingly-parallel scrub
+    * pass, and the per-pattern match counts aggregate map-side.
+    */
+  def etlPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val idPat = "[0-9]{4,}"
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    graft.queries.RefQueries.table(spark, sfDir, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_replace(regexp_replace(col("c_name"), emailPat, "<EMAIL>"),
+          idPat, "<ID>").as("name_redacted"),
+        size(expr(s"regexp_extract_all(c_name, '$idPat', 0)")).cast("long")
+          .as("n_ids"),
+        size(expr(s"regexp_extract_all(c_name, '$emailPat', 0)")).cast("long")
+          .as("n_emails"))
+      .orderBy("c_custkey")
+  }
+
+  val etlPiiRedactSql: String =
+    """SELECT c_custkey,
+      |       regexp_replace(
+      |         regexp_replace(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+      |                        '<EMAIL>', 'g'),
+      |         '[0-9]{4,}', '<ID>', 'g') AS name_redacted,
+      |       CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_ids,
+      |       CAST(len(regexp_extract_all(c_name,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails
+      |FROM customer ORDER BY c_custkey""".stripMargin
 }

@@ -356,6 +356,46 @@ object OlapQueries {
       |            AS BIGINT) AS trailing_1h_cents
       |FROM e ORDER BY event_id""".stripMargin
 
+  /** `analytics_ntile` — distribution-rank analytics: per order
+    * priority, each order's quartile (ntile(4)), percentile rank and
+    * cumulative distribution by total price. The ordering key includes
+    * o_orderkey so ties in price rank deterministically — ntile assigns
+    * by ROW position, so an under-specified ORDER BY would hash-diverge
+    * between engines.
+    *
+    * Scale: one shuffle on o_orderpriority + per-partition sort. Five
+    * distinct priorities cap parallelism at 5 — fine for a reporting
+    * rollup; the 100 TB spelling range-partitions on (priority, price)
+    * and computes ntile from partition-level counts instead (the same
+    * two-phase trick etl_drop_last_n uses for its global cutoff).
+    */
+  def analyticsNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("o_orderpriority")
+      .orderBy(col("price_cents"), col("o_orderkey"))
+    table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .withColumn("quartile", ntile(4).over(wp))
+      .withColumn("pct_rank", percent_rank().over(wp))
+      .withColumn("cume", cume_dist().over(wp))
+      .orderBy("o_orderkey")
+  }
+
+  val analyticsNtileSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, o_orderpriority, price_cents,
+      |       CAST(ntile(4) OVER wp AS INTEGER) AS quartile,
+      |       percent_rank() OVER wp AS pct_rank,
+      |       cume_dist() OVER wp AS cume
+      |FROM o
+      |WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY price_cents, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** `olap_unpivot` — wide→long reshape through the first-class
     * `Dataset.unpivot` (SQL MELT): per-returnflag metric columns become
     * (metric, value) rows. The wide frame is built with exact integer

@@ -98,4 +98,32 @@ object SourceQueries {
   val sourceJsonlRoundtripSql: String =
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal
       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** `source_orc_roundtrip` — the columnar alternative to parquet:
+    * part through Spark's native ORC writer+reader. Unlike the text
+    * formats, ORC carries its own schema and types, so what this gates
+    * is lossless type round-tripping (int32 stays int32, doubles stay
+    * bit-exact) plus reader correctness over ORC's RLE/dictionary
+    * encodings. ORC scans split by stripe and push predicates/column
+    * pruning exactly like parquet — the declared schema keeps the read
+    * path schema-on-declare, consistent with the CSV/JSONL gates.
+    */
+  def sourceOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagingDir("orc")
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType)))
+    table(spark, sfDir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      .write.mode("overwrite").orc(dir)
+    spark.read.schema(schema).orc(dir)
+      .orderBy("p_partkey")
+  }
+
+  val sourceOrcRoundtripSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+      |FROM part ORDER BY p_partkey""".stripMargin
 }

@@ -471,4 +471,196 @@ object TextQueries {
       |LEFT JOIN ng USING (doc_id)
       |LEFT JOIN ov USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  // ---- corpus-level repeated-segment removal ---------------------------
+
+  /** `dedup_lines` — line-level corpus dedup (the RefinedWeb/CCNet
+    * primitive: a line appearing verbatim in many pages is boilerplate —
+    * nav bars, cookie banners — and is stripped from EVERY document, not
+    * deduped to one survivor). The gated corpus is single-line word
+    * soup, so "lines" here are fixed 5-token segments (same segmentation
+    * machinery as text_chunk); the banned set is any segment appearing
+    * in >= 3 distinct documents (2.4% of segments on this corpus —
+    * measured, not assumed). Output per doc: total segments, removed
+    * count, and the cleaned text reassembled in original order.
+    *
+    * Scale: three keyed shuffles, nothing quadratic — (1) hash-agg on
+    * segment for the distinct-doc count (map-side partial first),
+    * (2) LEFT ANTI join of segments against the banned set (segment df
+    * is bounded by doc count, and the 100 TB spelling would join on
+    * xxhash64(segment) to shrink shuffle width — kept as the raw string
+    * here so the DuckDB twin restates it verbatim), (3) re-assembly
+    * grouped by doc_id with an in-group sort_array, NOT a global window.
+    */
+  def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val segLen = 5
+    val minDocs = 3
+    val segs = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(segLen))))
+      .where(col("start") < size(col("toks")))
+      .select(col("doc_id"), (col("start") / segLen).cast("long").as("seg_seq"),
+        array_join(slice(col("toks"), col("start") + 1, lit(segLen)), " ").as("seg"))
+      // cached: the banned-set agg, the anti-join probe, and the per-doc
+      // totals would each re-run tokenize+explode over the corpus
+      .cache()
+    val banned = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs).select("seg")
+    val kept = segs.join(banned, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_seq"), col("seg")))),
+            x => x.getField("seg")),
+          " ").as("cleaned_text"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesSql: String = DuckToks +
+    """
+      |, starts AS (
+      |  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 5)) AS start
+      |  FROM d
+      |), segs AS (
+      |  SELECT doc_id, start // 5 AS seg_seq,
+      |         array_to_string(toks[start+1 : start+5], ' ') AS seg
+      |  FROM starts WHERE start < len(toks)
+      |), banned AS (
+      |  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3
+      |), kept AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(seg, ' ' ORDER BY seg_seq) AS cleaned_text
+      |  FROM segs WHERE seg NOT IN (SELECT seg FROM banned)
+      |  GROUP BY doc_id
+      |), tot AS (
+      |  SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id
+      |)
+      |SELECT tot.doc_id AS doc_id, n_segs,
+      |       n_segs - COALESCE(n_kept, 0) AS n_removed,
+      |       COALESCE(cleaned_text, '') AS cleaned_text
+      |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- within-document repetition signals ------------------------------
+
+  /** `text_repetition` — Gopher-style repetition quality signals (Rae
+    * et al. 2021 §A1.1: heavily self-repeating documents are low-value
+    * training data): per doc, the duplicate-token fraction, the fraction
+    * of bigram occurrences belonging to a bigram seen more than once in
+    * the doc, and the share of the single most frequent bigram.
+    *
+    * Scale: dup_token_frac is a pure narrow map (array_distinct inside
+    * the row). The bigram stats explode to (doc_id, bigram) and hash-agg
+    * twice — both aggregations are keyed by doc_id(+bigram), so the
+    * work is proportional to token count and partitions evenly; no
+    * global state, no window.
+    */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("dup_token_frac"))
+    val bi = base.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("total_bi"),
+        max(col("cnt")).as("top_bi"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_bi"))
+    base.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        coalesce(col("top_bi").cast("double") / col("total_bi"), lit(0.0))
+          .as("top_bigram_frac"),
+        coalesce(col("dup_bi").cast("double") / col("total_bi"), lit(0.0))
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String = DuckToks +
+    """
+      |, base AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac
+      |  FROM d
+      |), bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(toks)),
+      |                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |  FROM d WHERE len(toks) >= 2
+      |), cnts AS (
+      |  SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram
+      |), bi AS (
+      |  SELECT doc_id, sum(cnt) AS total_bi, max(cnt) AS top_bi,
+      |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_bi
+      |  FROM cnts GROUP BY doc_id
+      |)
+      |SELECT base.doc_id AS doc_id, n_tokens, dup_token_frac,
+      |       COALESCE(CAST(top_bi AS DOUBLE) / total_bi, 0.0) AS top_bigram_frac,
+      |       COALESCE(CAST(dup_bi AS DOUBLE) / total_bi, 0.0) AS dup_bigram_frac
+      |FROM base LEFT JOIN bi ON base.doc_id = bi.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- temperature-weighted corpus mixing ------------------------------
+
+  /** `corpus_mix_temperature` — multi-source mixture sampling with
+    * temperature alpha = 0.5 (the multilingual-rebalancing rule from
+    * XLM-R / mT5: sample source s with probability proportional to
+    * count^alpha, which up-weights low-resource groups). Per lang, the
+    * keep RATE is min(1, target * w_s / sum(w) / n_s); selection is a
+    * stateless engine-neutral LCG threshold test on doc_id — no window,
+    * no per-stratum rank (etl_stratified_sample owns the exact-quota
+    * spelling; THIS is the 100 TB spelling: a pure narrow map per row
+    * once the 5-row rate table is broadcast).
+    *
+    * Cross-engine determinism: weights are quantized to integers
+    * (floor(sqrt(n)*1e6)) before summing, so the only floating-point
+    * steps are single divisions in a fixed order — no accumulation-order
+    * sensitivity between Spark's and DuckDB's aggregate plans.
+    */
+  def corpusMixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = 250L
+    val m = 1000003L
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"), col("source"))
+    val weights = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wq", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
+    val rates = weights
+      .crossJoin(broadcast(weights.agg(sum(col("wq")).as("w_sum"))))
+      .withColumn("rate",
+        least(lit(1.0), lit(target.toDouble) * col("wq") / col("w_sum") / col("n_docs")))
+      .withColumn("cut", floor(col("rate") * m).cast("long"))
+      .select("lang", "cut")
+    d.join(broadcast(rates), Seq("lang"))
+      .where(pmod(pmod(col("doc_id"), lit(m)) * 2654435761L, lit(m)) < col("cut"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val corpusMixTemperatureSql: String =
+    """WITH w AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS wq
+      |  FROM documents GROUP BY lang
+      |), tot AS (SELECT sum(wq) AS w_sum FROM w),
+      |rates AS (
+      |  SELECT lang,
+      |         CAST(floor(least(1.0, 250.0 * wq / w_sum / n_docs) * 1000003) AS BIGINT) AS cut
+      |  FROM w, tot
+      |)
+      |SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+      |FROM documents d JOIN rates ON d.lang = rates.lang
+      |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000003 < cut
+      |ORDER BY doc_id""".stripMargin
 }

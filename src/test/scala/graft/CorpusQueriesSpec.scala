@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{EtlQueries, OlapQueries, SourceQueries, TextQueries}
+
+/** Pins the semantic contracts of the round-6 corpus/analytics queries.
+  * The driver gate proves cross-engine determinism; these prove the
+  * operators compute what their contracts claim, via independent
+  * driver-side recomputation on the small corpus.
+  */
+class CorpusQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tokensOf(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  test("dedup_lines removes exactly the segments shared by >= 3 docs") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokensOf(r.getString(1))).toMap
+    // independent recompute of the banned set
+    def segsOf(toks: Array[String]): Seq[String] =
+      toks.grouped(5).map(_.mkString(" ")).toSeq
+    val segDocs = docs.toSeq.flatMap { case (id, toks) =>
+      segsOf(toks).map(s => (s, id))
+    }
+    val banned = segDocs.distinct.groupBy(_._1)
+      .collect { case (seg, ds) if ds.size >= 3 => seg }.toSet
+
+    val out = TextQueries.dedupLines(spark, TestSpark.Sf001).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val segs = segsOf(docs(id))
+      val expectKept = segs.filterNot(banned)
+      assert(r.getAs[Long]("n_segs") == segs.length)
+      assert(r.getAs[Long]("n_removed") == segs.length - expectKept.length)
+      // reassembly preserves original segment order
+      assert(r.getAs[String]("cleaned_text") == expectKept.mkString(" "))
+    }
+    // the threshold actually bites on this corpus — a no-op gate proves
+    // nothing about the anti-join path
+    assert(out.map(_.getAs[Long]("n_removed")).sum > 0)
+  }
+
+  test("text_repetition matches a driver-side recompute") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokensOf(r.getString(1))).toMap
+    val out = TextQueries.textRepetition(spark, TestSpark.Sf001).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      val dupTok = 1.0 - toks.distinct.length.toDouble / toks.length
+      assert(math.abs(r.getAs[Double]("dup_token_frac") - dupTok) < 1e-12)
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bigrams.groupBy(identity).map(_._2.size)
+      val top = counts.max.toDouble / bigrams.length
+      val dup = counts.filter(_ > 1).sum.toDouble / bigrams.length
+      assert(math.abs(r.getAs[Double]("top_bigram_frac") - top) < 1e-12)
+      assert(math.abs(r.getAs[Double]("dup_bigram_frac") - dup) < 1e-12)
+    }
+  }
+
+  test("corpus_mix_temperature up-weights low-resource languages") {
+    val byLang = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sel = TextQueries.corpusMixTemperature(spark, TestSpark.Sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = byLang.map { case (l, n) =>
+      l -> (sel.getOrElse(l, 0L).toDouble / n)
+    }
+    val biggest = byLang.maxBy(_._2)._1
+    val smallest = byLang.minBy(_._2)._1
+    // temperature 0.5 must sample the small group at a strictly higher
+    // RATE than the big one (the whole point of the rebalancing)
+    assert(fracs(smallest) > fracs(biggest),
+      s"rates $fracs do not up-weight $smallest over $biggest")
+    fracs.values.foreach(f => assert(f <= 1.0 + 1e-9))
+  }
+
+  test("etl_pii_redact leaves no digit run of 4+ in redacted names") {
+    val out = EtlQueries.etlPiiRedact(spark, TestSpark.Sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val red = r.getAs[String]("name_redacted")
+      assert(!"[0-9]{4,}".r.findFirstIn(red).isDefined, s"unredacted: $red")
+      assert(r.getAs[Long]("n_ids") >= 1L) // every customer name has an id
+    }
+  }
+
+  test("analytics_ntile buckets are balanced within each priority") {
+    val out = OlapQueries.analyticsNtile(spark, TestSpark.Sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getAs[Int]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = r.getAs[Double]("pct_rank")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(r.getAs[Double]("cume") > 0.0 && r.getAs[Double]("cume") <= 1.0)
+    }
+    out.groupBy(r => r.getAs[String]("o_orderpriority")).foreach {
+      case (prio, rows) =>
+        val sizes = rows.groupBy(_.getAs[Int]("quartile")).map(_._2.length)
+        assert(sizes.max - sizes.min <= 1, s"$prio quartiles unbalanced: $sizes")
+    }
+  }
+
+  test("source_orc_roundtrip preserves rows and declared types") {
+    val out = SourceQueries.sourceOrcRoundtrip(spark, TestSpark.Sf001)
+    val src = spark.read.parquet(s"${TestSpark.Sf001}/part.parquet")
+      .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+    assert(out.schema("p_size").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(out.count() == src.count())
+    // bit-exact round trip, doubles included
+    assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+  }
+}
