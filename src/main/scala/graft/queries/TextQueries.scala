@@ -367,20 +367,36 @@ object TextQueries {
     * longer key or a secondary key, same as any blocking scheme; the
     * sketch-based dedups (minhash/simhash) remain the first choice when
     * edits can hit the prefix.
+    *
+    * Plan-shape pitfall (measured 12.8 s → ~1 s at sf0.1): writing the
+    * distance bound as a post-projection `.where` on the aliased `dist`
+    * collapses into the join condition with the levenshtein conjunct
+    * FIRST — it then runs for every hash-bucket probe pair (both
+    * orderings AND self-pairs, ~9× the candidates) before the cheap
+    * doc_id ordering check ever fires. Catalyst preserves the authored
+    * conjunct order and codegen short-circuits And left-to-right, so
+    * the fix is to author the WHOLE condition in the join, cheap
+    * conjuncts first: doc_id ordering, then a length-difference
+    * prefilter (dist >= |len₁−len₂| always, so |len₁−len₂|·5 <= maxlen
+    * is a free necessary condition — halves the candidates), and the
+    * O(len²) distance bound last. The projection recomputes levenshtein
+    * only for the pairs that pass everything.
     */
   def dedupFuzzyEdit(spark: SparkSession, sfDir: String): DataFrame = {
     // self-join input cached: both sides re-run the scan otherwise
     val blocked = docs(spark, sfDir)
-      .select(col("doc_id"), col("text"), substring(col("text"), 1, 16).as("pre"))
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 16).as("pre"),
+        length(col("text")).as("len"))
       .cache()
     blocked.as("a").join(blocked.as("c"),
-        col("a.pre") === col("c.pre") && col("a.doc_id") < col("c.doc_id"))
+        col("a.pre") === col("c.pre") &&
+          col("a.doc_id") < col("c.doc_id") &&
+          abs(col("a.len") - col("c.len")) * 5 <= greatest(col("a.len"), col("c.len")) &&
+          levenshtein(col("a.text"), col("c.text")) * 5 <=
+            greatest(col("a.len"), col("c.len")))
       .select(
         col("a.doc_id").as("d1"), col("c.doc_id").as("d2"),
-        levenshtein(col("a.text"), col("c.text")).cast("long").as("dist"),
-        greatest(length(col("a.text")), length(col("c.text"))).cast("long").as("maxlen"))
-      .where(col("dist") * 5 <= col("maxlen"))
-      .select("d1", "d2", "dist")
+        levenshtein(col("a.text"), col("c.text")).cast("long").as("dist"))
       .orderBy("d1", "d2")
   }
 
