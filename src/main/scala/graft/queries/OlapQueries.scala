@@ -396,6 +396,55 @@ object OlapQueries {
       |WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY price_cents, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** `analytics_anomaly` — per-group z-score outlier detection (the
+    * data-quality tripwire in front of any ingest): events whose value
+    * sits more than 3 population standard deviations from their
+    * event_type's mean. Moments come from EXACT integer aggregates
+    * (count, Σcents, Σcents² — all BIGINT, no float accumulation), so
+    * mean/σ/z are single fixed-order double expressions and the 3σ cut
+    * is bit-identical across engines and shuffle orders. Σcents² stays
+    * well inside int64 (cents ≤ ~10⁴ ⇒ 10⁸/row ⇒ ~10¹⁸ at 10 B rows
+    * per group; shard the group key before that).
+    *
+    * Scale: one map-side-combined hash-agg for the 5-row moment table,
+    * broadcast back over the stream — a second narrow pass, no window,
+    * no sort until the gate's ORDER BY.
+    */
+  def analyticsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val moments = c.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("cents").as("sm"),
+      sum(col("cents") * col("cents")).as("ss"))
+    c.join(broadcast(moments), "event_type")
+      .withColumn("mean", col("sm").cast("double") / col("n"))
+      .withColumn("sd",
+        sqrt(col("ss").cast("double") / col("n") - col("mean") * col("mean")))
+      .withColumn("z", (col("cents") - col("mean")) / col("sd"))
+      .where(abs(col("z")) > 3.0)
+      .select("event_id", "event_type", "cents", "z")
+      .orderBy("event_id")
+  }
+
+  val analyticsAnomalySql: String =
+    """WITH c AS (
+      |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), s AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sm,
+      |         CAST(sum(cents * cents) AS BIGINT) AS ss
+      |  FROM c GROUP BY event_type
+      |), z AS (
+      |  SELECT event_id, event_type, cents,
+      |         (cents - CAST(sm AS DOUBLE) / n)
+      |           / sqrt(CAST(ss AS DOUBLE) / n
+      |                  - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) AS z
+      |  FROM c JOIN s USING (event_type)
+      |)
+      |SELECT event_id, event_type, cents, z FROM z
+      |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin
+
   /** `olap_unpivot` — wide→long reshape through the first-class
     * `Dataset.unpivot` (SQL MELT): per-returnflag metric columns become
     * (metric, value) rows. The wide frame is built with exact integer

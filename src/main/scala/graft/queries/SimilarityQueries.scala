@@ -341,4 +341,69 @@ object SimilarityQueries {
       |SELECT d1, d2, sim1, sim2, bit_count(xor(sim1, sim2)) AS hamming
       |FROM pairs WHERE bit_count(xor(sim1, sim2)) <= 6
       |ORDER BY d1, d2""".stripMargin
+
+  /** `sim_knn_classify` — the classic application OF the similarity
+    * search: k-nearest-neighbor label prediction. Every 7th vector is a
+    * "query"; its label is predicted as the majority label among its
+    * k=5 cosine neighbors (self excluded), ties broken toward the
+    * smaller label id. Output carries the true label and a 0/1 hit flag
+    * so the gate pins the whole pipeline, not just the vote.
+    *
+    * Scale: inherits topKCosine's shape (query side broadcast, corpus
+    * never shuffles, per-query top-k window); the vote is a tiny keyed
+    * agg over k·|queries| rows. Swapping the brute-force scorer for
+    * annTopKCosine turns this into the 100 TB spelling unchanged.
+    */
+  def simKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = table(spark, sfDir, "embeddings")
+    val nbrs = Similarity.topKCosine(
+      emb.where(pmod(col("vec_id"), lit(7)) === 3), emb, k = 5)
+    val votes = nbrs
+      .join(emb.select(col("vec_id").as("n_id"), col("label")), "n_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("q_id").orderBy(desc("n_votes"), asc("label"))
+    votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+      .join(emb.select(col("vec_id").as("q_id"), col("label").as("true_label")),
+        "q_id")
+      .select(col("q_id"), col("pred_label"), col("n_votes"), col("true_label"),
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB twin: restates the quantized brute-force scorer (same CTE
+    * family as sim_topk_bruteforce), the vote, and the tie-breaks.
+    */
+  val simKnnClassifySql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id % 7 = 3
+      |), c AS (
+      |  SELECT vec_id AS n_id, label,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cv
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q_id, n_id, label,
+      |         list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+      |           / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+      |              * sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))) AS cos_sim
+      |  FROM c CROSS JOIN q
+      |  WHERE q_id <> n_id
+      |), nbrs AS (
+      |  SELECT q_id, n_id, label FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
+      |), votes AS (
+      |  SELECT q_id, label, count(*) AS n_votes FROM nbrs GROUP BY q_id, label
+      |), pred AS (
+      |  SELECT q_id, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+      |  FROM votes
+      |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) = 1
+      |)
+      |SELECT p.q_id AS q_id, pred_label, n_votes, e.label AS true_label,
+      |       CAST(CASE WHEN pred_label = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM pred p JOIN embeddings e ON p.q_id = e.vec_id
+      |ORDER BY q_id""".stripMargin
 }

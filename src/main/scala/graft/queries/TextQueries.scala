@@ -629,6 +629,71 @@ object TextQueries {
       |FROM base LEFT JOIN bi ON base.doc_id = bi.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- vocabulary induction + id encoding ------------------------------
+
+  /** `text_vocab_encode` — tokenizer-style vocabulary induction and
+    * corpus encoding: build a frequency-ranked vocab (top 20 tokens,
+    * rank = id, ties broken lexicographically), then re-encode every
+    * document as its id sequence with OOV -> 0, reporting per-doc token
+    * and OOV counts plus the encoded sequence (JSON, both engines print
+    * bigint lists identically).
+    *
+    * Scale: token counting is one hash-agg shuffle (map-side partial
+    * combine does the heavy lifting — there are far fewer distinct
+    * tokens than occurrences). The rank window runs on the AGGREGATED
+    * token table, which is vocabulary-sized (bounded, e.g. 100 k for a
+    * real BPE vocab), never on occurrences; the vocab then broadcasts
+    * into a narrow encode join. Reassembly is one doc-keyed shuffle
+    * with in-group sort — same shape as dedup_lines.
+    */
+  def textVocabEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocabSize = 20
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .withColumnRenamed("col", "tok").withColumnRenamed("pos", "pos")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // single-partition window is safe HERE only because it ranks the
+    // aggregated vocab table (31 rows on this corpus; bounded by vocab
+    // size at any scale), never token occurrences
+    val vocab = counts
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("c"), asc("tok"))).cast("long"))
+      .where(col("id") <= vocabSize)
+      .select("tok", "id")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        to_json(
+          transform(
+            array_sort(collect_list(struct(col("pos"),
+              coalesce(col("id"), lit(0L)).as("id")))),
+            x => x.getField("id"))).as("ids_json"))
+      .orderBy("doc_id")
+  }
+
+  val textVocabEncodeSql: String = DuckToks +
+    """
+      |, pts AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM d
+      |), e AS (
+      |  SELECT doc_id, pos, toks[pos] AS tok FROM pts
+      |), cnt AS (
+      |  SELECT tok, count(*) AS c FROM e GROUP BY tok
+      |), vocab AS (
+      |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS id
+      |  FROM cnt QUALIFY id <= 20
+      |), enc AS (
+      |  SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+      |  FROM e LEFT JOIN vocab v USING (tok)
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(to_json(list(id ORDER BY pos)) AS VARCHAR) AS ids_json
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- temperature-weighted corpus mixing ------------------------------
 
   /** `corpus_mix_temperature` — multi-source mixture sampling with

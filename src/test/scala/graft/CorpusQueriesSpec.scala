@@ -110,6 +110,79 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("text_vocab_encode matches a driver-side vocab + encoding recompute") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokensOf(r.getString(1))).toMap
+    val counts = docs.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    val out = graft.queries.TextQueries.textVocabEncode(spark, TestSpark.Sf001)
+      .collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id"))
+      val ids = toks.map(t => vocab.getOrElse(t, 0L))
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_oov") == ids.count(_ == 0L))
+      assert(r.getAs[String]("ids_json") == ids.mkString("[", ",", "]"))
+    }
+  }
+
+  test("sim_knn_classify matches an independent brute-force majority vote") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf001}/embeddings.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray, r.getAs[Int]("label")))
+    // replicate the operator's quantized scoring exactly (see
+    // Similarity.quantize: round(x*10000) as long; cos over doubles)
+    def qv(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 10000))
+    val quant = emb.map { case (id, v, l) => (id, qv(v), l) }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val expected = quant.filter(_._1 % 7 == 3).map { case (qid, q, _) =>
+      val nbrs = quant.filter(_._1 != qid)
+        .map { case (nid, c, l) => (nid, cos(q, c), l) }
+        .sortBy { case (nid, s, _) => (-s, nid) }.take(5)
+      val votes = nbrs.groupBy(_._3).map { case (l, g) => (l, g.size) }
+      val (predLabel, nVotes) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      qid -> (predLabel, nVotes.toLong)
+    }.toMap
+    val out = graft.queries.SimilarityQueries
+      .simKnnClassify(spark, TestSpark.Sf001).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (pl, nv) = expected(r.getAs[Long]("q_id"))
+      assert(r.getAs[Int]("pred_label") == pl)
+      assert(r.getAs[Long]("n_votes") == nv)
+      assert((r.getAs[Long]("correct") == 1L) ==
+        (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")))
+    }
+  }
+
+  test("analytics_anomaly flags exactly the 3-sigma tail per event type") {
+    val ev = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
+      .selectExpr("event_id", "event_type",
+        "CAST(round(value * 100) AS LONG) AS cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val flagged = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val n = rows.length
+      val sm = rows.map(_._3).sum
+      val ss = rows.map(x => x._3 * x._3).sum
+      val mean = sm.toDouble / n
+      val sd = math.sqrt(ss.toDouble / n - mean * mean)
+      rows.filter(x => math.abs((x._3 - mean) / sd) > 3.0).map(_._1).toSeq
+    }.toSet
+    val out = graft.queries.OlapQueries.analyticsAnomaly(spark, TestSpark.Sf001)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(out == flagged)
+    assert(out.nonEmpty) // the threshold actually fires on this data
+  }
+
   test("source_orc_roundtrip preserves rows and declared types") {
     val out = SourceQueries.sourceOrcRoundtrip(spark, TestSpark.Sf001)
     val src = spark.read.parquet(s"${TestSpark.Sf001}/part.parquet")
