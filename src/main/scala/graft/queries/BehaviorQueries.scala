@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the `events` stream table and the
+  * `orders` fact: cohort retention, RFM segmentation, per-user modal
+  * behavior, exponentially-weighted smoothing, and value histograms —
+  * the everyday product-analytics layer a warehouse team runs on top
+  * of the reference's wage views (analysis.ipynb cell 4 is exactly a
+  * "aggregate then rank" report; these are its event-stream cousins).
+  *
+  * Determinism notes (shared with the rest of the suite):
+  *   - `events.ts` is TIMESTAMP(NANOS) parquet, surfaced as a nano
+  *     long under `nanosAsLong`; every query converts via integer
+  *     `div` (never double division) to microseconds or epoch days,
+  *     matching DuckDB's `epoch_us` floor semantics;
+  *   - money/value flows as integer cents via DECIMAL casts, so no
+  *     hash can drift on float summation order;
+  *   - EWMA is kept rational: the weighted numerator and denominator
+  *     are emitted as two exact integers instead of dividing, because
+  *     integer-division rounding (trunc vs floor) is the one place
+  *     engines disagree.
+  */
+object BehaviorQueries {
+  import RefQueries.table
+
+  /** Event time in exact integer microseconds (ts is a nano long). */
+  private def eventsUs(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .withColumn("us", expr("ts div 1000").cast("long"))
+
+  private val UsPerDay = 86400000000L
+
+  /** `analytics_cohort` — classic retention triangle: users grouped by
+    * the day of their first event, counted on each subsequent active
+    * day. Pipeline: dedupe to (user, active-day) pairs, window-min for
+    * the cohort day, aggregate (cohort, offset).
+    *
+    * Scale: the dedupe and the window both hash-partition on user_id —
+    * AQE coalesces them into one exchange reuse — and the final
+    * aggregate's key space is tiny (days × offsets), so the last
+    * shuffle moves almost nothing after map-side combine. No driver
+    * collection anywhere; at 100 TB the (user, day) dedupe is the only
+    * real shuffle and it's over pre-combined partial distincts.
+    */
+  def analyticsCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = eventsUs(spark, sfDir)
+      .select(col("user_id"), expr(s"us div $UsPerDay").cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id")
+    // rows are unique per (user, day) and cohort is functionally
+    // dependent on user, so count(*) below IS distinct-user count
+    days
+      .withColumn("cohort", min(col("day")).over(w))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_format(timestamp_micros(col("cohort") * UsPerDay), "yyyy-MM-dd")
+          .as("cohort_date"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
+  val analyticsCohortSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, day,
+      |         MIN(day) OVER (PARTITION BY user_id) AS cohort
+      |  FROM days
+      |)
+      |SELECT strftime(to_timestamp(cohort * 86400), '%Y-%m-%d') AS cohort_date,
+      |       day - cohort AS day_offset,
+      |       COUNT(*) AS n_users
+      |FROM c
+      |GROUP BY cohort, day - cohort
+      |ORDER BY cohort_date, day_offset""".stripMargin
+
+  /** `analytics_rfm` — recency/frequency/monetary quintile segmentation
+    * of customers from their order history, the standard CRM cut.
+    * Recency anchors on a FIXED literal date (2001-09-01, just past the
+    * generated order range) — never now(), for replayability.
+    *
+    * Scale: one aggregate over the fact shrinks input to one row per
+    * customer; the three global ntile windows then run over a
+    * DIMENSION-sized frame (customers ≪ orders), which is the honest
+    * cost of exact quantile labels. If the segmented entity were
+    * fact-sized, the spelling changes to percentile boundaries
+    * (one aggregate) broadcast against the rows — approximate at the
+    * bucket edges but shuffle-free; exact ntile needs the total order.
+    * Every ntile ORDER BY ends in the key, so bucket assignment is
+    * deterministic under ties cross-engine (ntile is purely
+    * row-order-driven in both engines).
+    */
+  def analyticsRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = table(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(to_date(lit("2001-09-01")), max(to_date(col("o_orderdate"))))
+          .cast("long").as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("mon_cents"))
+    val r = ntile(5).over(Window.orderBy(col("rec_days"), col("o_custkey")))
+    val f = ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey")))
+    val m = ntile(5).over(Window.orderBy(col("mon_cents").desc, col("o_custkey")))
+    perCust
+      .select(col("o_custkey"), col("rec_days"), col("freq"), col("mon_cents"),
+        r.cast("long").as("r"), f.cast("long").as("f"), m.cast("long").as("m"))
+      .withColumn("segment", concat(lit("R"), col("r"), lit("F"), col("f"),
+        lit("M"), col("m")))
+      .orderBy("o_custkey")
+  }
+
+  val analyticsRfmSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+      |                        DATE '2001-09-01') AS BIGINT) AS rec_days,
+      |         COUNT(*) AS freq,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |           AS mon_cents
+      |  FROM orders GROUP BY o_custkey
+      |), scored AS (
+      |  SELECT o_custkey, rec_days, freq, mon_cents,
+      |         CAST(ntile(5) OVER (ORDER BY rec_days, o_custkey) AS BIGINT) AS r,
+      |         CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f,
+      |         CAST(ntile(5) OVER (ORDER BY mon_cents DESC, o_custkey) AS BIGINT) AS m
+      |  FROM per_cust
+      |)
+      |SELECT o_custkey, rec_days, freq, mon_cents, r, f, m,
+      |       'R' || r || 'F' || f || 'M' || m AS segment
+      |FROM scored ORDER BY o_custkey""".stripMargin
+
+  /** `olap_mode` — exact per-group mode (most frequent event_type per
+    * user), tie-broken to the lexicographically smallest type so the
+    * answer is a function of the data, not of scan order. Count-then-
+    * rank: one hash aggregate on (user, type), one window on user —
+    * the exact-mode shape that scales (the group cardinality is
+    * users × 5 types, far smaller than the event count after map-side
+    * combine). Spark's native `mode()` agg is order-nondeterministic on
+    * ties, hence the explicit spelling.
+    */
+  def olapMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = table(spark, sfDir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n_events"))
+      .orderBy("user_id")
+  }
+
+  val olapModeSql: String =
+    """WITH counts AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n_events
+      |  FROM events GROUP BY user_id, event_type
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |            ORDER BY n_events DESC, event_type) AS rn
+      |  FROM counts
+      |)
+      |SELECT user_id, event_type AS mode_type, n_events
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** `analytics_ewma` — exponentially weighted moving average of each
+    * user's event value, alpha = 1/2 over a trailing-4 frame, spelled
+    * as explicit lags with power-of-two weights (8,4,2,1). The result
+    * is emitted as an exact integer numerator/denominator pair rather
+    * than divided: cents are < 2^36, the weighted sum adds 3 more
+    * bits, so both integers are exact in 64-bit — and skipping the
+    * division sidesteps the one genuine cross-engine hazard (integer
+    * division rounding direction).
+    *
+    * Scale: a single window shuffle on user_id; lag frames are O(1)
+    * state per row. The trailing-K spelling (vs. unbounded recursive
+    * EWMA) is what makes the operator embarrassingly parallel — an
+    * unbounded EWMA is a sequential scan per key by definition.
+    */
+  def analyticsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val e = eventsUs(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("us"), cents.as("cents"))
+    val l1 = lag(col("cents"), 1).over(w)
+    val l2 = lag(col("cents"), 2).over(w)
+    val l3 = lag(col("cents"), 3).over(w)
+    e.select(
+      col("user_id"), col("event_id"), col("cents"),
+      (col("cents") * 8 + coalesce(l1, lit(0L)) * 4 +
+        coalesce(l2, lit(0L)) * 2 + coalesce(l3, lit(0L))).as("ewma_num"),
+      (lit(8L) + when(l1.isNull, 0L).otherwise(4L) +
+        when(l2.isNull, 0L).otherwise(2L) +
+        when(l3.isNull, 0L).otherwise(1L)).as("ewma_den"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val analyticsEwmaSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events
+      |), lagged AS (
+      |  SELECT user_id, event_id, cents,
+      |         lag(cents, 1) OVER w AS l1,
+      |         lag(cents, 2) OVER w AS l2,
+      |         lag(cents, 3) OVER w AS l3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |)
+      |SELECT user_id, event_id, cents,
+      |       cents * 8 + COALESCE(l1, 0) * 4 + COALESCE(l2, 0) * 2
+      |         + COALESCE(l3, 0) AS ewma_num,
+      |       8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+      |         + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+      |         + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END AS ewma_den
+      |FROM lagged ORDER BY user_id, event_id""".stripMargin
+
+  /** `olap_histogram` — equi-width value histogram per event type,
+    * bucket width 50.00 in exact integer cents (cents div 5000 — both
+    * operands non-negative here, so trunc-vs-floor division semantics
+    * coincide across engines). One hash aggregate with map-side
+    * combine; the output key space is types × buckets, constant in
+    * data size — the cheapest possible distribution profile at 100 TB.
+    */
+  def olapHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    table(spark, sfDir, "events")
+      .select(col("event_type"), cents.as("cents"))
+      .groupBy(col("event_type"), expr("cents div 5000").as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("bucket"),
+        (col("bucket") * 50).as("bucket_lo"), col("n_events"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val olapHistogramSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS bucket
+      |  FROM events
+      |)
+      |SELECT event_type, bucket, bucket * 50 AS bucket_lo,
+      |       COUNT(*) AS n_events
+      |FROM e GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+}

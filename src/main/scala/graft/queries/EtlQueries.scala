@@ -526,4 +526,45 @@ object EtlQueries {
       |       CAST(len(regexp_extract_all(c_name,
       |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails
       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** `etl_incremental` — high-watermark incremental extract, the
+    * standard nightly-load pattern: the already-loaded target's
+    * MAX(load key) is the watermark; only source rows strictly past it
+    * move. The "target" is simulated as orders up to a fixed cutoff
+    * (1999-01-01) so the query is self-contained on testdata; the
+    * watermark is still computed FROM that frame (an aggregate joined
+    * via broadcast), never hard-coded, because that derivation is the
+    * operator. Output rolls the incremental batch up per day —
+    * day-level row counts and exact cents.
+    *
+    * Scale: the watermark is a 1-row aggregate broadcast into the scan
+    * filter — with a date-partitioned source (Pipeline.run's layout)
+    * the comparison prunes partitions instead of scanning history.
+    * Nothing collects to the driver.
+    */
+  def etlIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = table(spark, sfDir, "orders")
+    val target = src.where(col("o_orderdate") <= lit("1999-01-01").cast("timestamp"))
+    val wm = target.agg(max(col("o_orderdate")).as("wm"))
+    src.crossJoin(broadcast(wm))
+      .where(col("o_orderdate") > col("wm"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("sum_cents"))
+      .orderBy("day")
+  }
+
+  val etlIncrementalSql: String =
+    """WITH wm AS (
+      |  SELECT MAX(o_orderdate) AS wm FROM orders
+      |  WHERE o_orderdate <= TIMESTAMP '1999-01-01'
+      |)
+      |SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents
+      |FROM orders, wm
+      |WHERE o_orderdate > wm.wm
+      |GROUP BY 1 ORDER BY day""".stripMargin
 }

@@ -188,4 +188,51 @@ object JoinQueries {
       |UNION ALL
       |SELECT 'big_unused' AS tag, key FROM (SELECT key FROM big EXCEPT SELECT key FROM used)
       |ORDER BY tag, key""".stripMargin
+
+  /** `q13_star_join` — the full star topology in one query: the
+    * lineitem fact joined through orders to the customer → nation →
+    * region dimension chain, rolled up to revenue per region.
+    *
+    * Scale shape: exactly ONE shuffle join (fact ⋈ orders, both
+    * fact-sized, keyed on orderkey) — every dimension hop after it is
+    * an explicit broadcast, so the 100 TB plan is scan → shuffle →
+    * three map-side hash joins → partial+final agg over 5 groups. This
+    * is the plan Catalyst's join reorder should find on its own from
+    * statistics; the hints pin it so a stats-less session (plain
+    * parquet, no ANALYZE) can't degrade to sort-merge against a
+    * 25-row table.
+    */
+  def q13StarJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val orders = table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = table(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    val region = table(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("revenue_cents"))
+      .orderBy("r_name")
+  }
+
+  val q13StarJoinSql: String =
+    """SELECT r.r_name, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |         AS revenue_cents
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name ORDER BY r_name""".stripMargin
 }

@@ -744,4 +744,81 @@ object TextQueries {
       |FROM documents d JOIN rates ON d.lang = rates.lang
       |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000003 < cut
       |ORDER BY doc_id""".stripMargin
+
+  /** `dedup_containment` — asymmetric shingle containment (see
+    * [[graft.ops.Dedup.containmentPairs]]): flags documents ≥80%
+    * covered by another document's shingles, the doc-inside-doc case
+    * (boilerplate wraps, quote-reposts) that symmetric Jaccard's
+    * union denominator hides. Ordered pairs — containment is
+    * directional by definition.
+    */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.containmentPairs(docs(spark, sfDir), n = 2, threshold = 0.8)
+      .orderBy("d1", "d2")
+
+  val dedupContainmentSql: String = DuckToks +
+    """
+      |, sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS s
+      |  FROM d
+      |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS intersect_size
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id != b.doc_id
+      |  GROUP BY 1, 2
+      |), sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+      |SELECT d1, d2, intersect_size, s1.n AS n1, s2.n AS n2,
+      |       CAST(intersect_size AS DOUBLE) / s1.n AS containment
+      |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |WHERE CAST(intersect_size AS DOUBLE) / s1.n >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
+  /** `text_bigram_score` — corpus-conditional fluency proxy: each
+    * document scored by how common its bigrams are in the whole
+    * corpus (sum and count of corpus bigram frequencies, exact
+    * integers; high-frequency bigrams ≈ in-distribution text). This is
+    * the n-gram language-model scoring shape — train counts on the
+    * corpus, score each doc against them — with the log-prob replaced
+    * by integer frequency mass so the gate never touches libm.
+    *
+    * Scale: bigram extraction is a narrow map; the count table is one
+    * hash aggregate keyed by bigram (map-side combined), and scoring
+    * joins docs' bigrams back against it. The bigram vocabulary here
+    * is tiny so the count table broadcasts; at web scale it's a
+    * shuffle join whose skew (stop-bigrams) is the standard hot-key
+    * story — cap or salt the head of the distribution.
+    */
+  def textBigramScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = TextOps.tokens(col("text"))
+    val m = greatest(size(toks) - 1, lit(0))
+    val zipped = arrays_zip(slice(toks, lit(1), m), slice(toks, lit(2), m))
+    val grams = when(size(toks) >= 2,
+      transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1")))
+    ).otherwise(array().cast("array<string>"))
+    val bg = docs(spark, sfDir)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .cache() // scored against counts derived from ITSELF — one extraction
+    val counts = bg.groupBy("g").agg(count(lit(1)).as("cf"))
+    bg.join(broadcast(counts), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cf")).as("freq_mass"))
+      .orderBy("doc_id")
+  }
+
+  val textBigramScoreSql: String = DuckToks +
+    """
+      |, bg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS g
+      |  FROM d
+      |), counts AS (SELECT g, COUNT(*) AS cf FROM bg GROUP BY g)
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(counts.cf) AS BIGINT) AS freq_mass
+      |FROM bg JOIN counts ON bg.g = counts.g
+      |GROUP BY bg.doc_id
+      |ORDER BY doc_id""".stripMargin
 }
