@@ -249,4 +249,90 @@ object BehaviorQueries {
       |       COUNT(*) AS n_events
       |FROM e GROUP BY event_type, bucket
       |ORDER BY event_type, bucket""".stripMargin
+
+  /** `analytics_markov` — first-order Markov transition matrix over
+    * each user's event-type sequence: counts and exact-division
+    * probabilities for every (from → to) pair. The lag comes from one
+    * window over (user_id; us, event_id) — event_id breaks timestamp
+    * ties deterministically — and the matrix aggregate's key space is
+    * |types|², constant in data size. At 100 TB this is one shuffle on
+    * user_id (the same partitioning sessionization uses) plus a
+    * map-side-combined aggregate: the canonical clickstream shape.
+    */
+  def analyticsMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = eventsUs(spark, sfDir)
+      .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val analyticsMarkovSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), s AS (
+      |  SELECT user_id, event_type,
+      |         LEAD(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY us, event_id) AS next_type
+      |  FROM e
+      |), pairs AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |  FROM s WHERE next_type IS NOT NULL
+      |  GROUP BY event_type, next_type
+      |), tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      |  FROM pairs GROUP BY from_type
+      |)
+      |SELECT p.from_type, p.to_type, p.n,
+      |       CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+      |FROM pairs p JOIN tot t ON p.from_type = t.from_type
+      |ORDER BY p.from_type, p.to_type""".stripMargin
+
+  /** `analytics_resample` — calendar resampling with gap fill: each
+    * user's event stream re-gridded to one row per day between that
+    * user's first and last active day, zero-filled on silent days. The
+    * date spine is generated per user from its own [min, max] day span
+    * (a `sequence` + explode — rows proportional to user-days, never a
+    * global cross join), left-joined against the daily aggregate on the
+    * same (user, day) key. Restricted to user_id < 100 to keep the
+    * gated output a stable slice. All-integer output.
+    */
+  def analyticsResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = eventsUs(spark, sfDir)
+      .where(col("user_id") < 100)
+      .select(col("user_id"), expr(s"us div $UsPerDay").cast("long").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_events"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("gap_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  val analyticsResampleSql: String =
+    s"""WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // $UsPerDay AS day, COUNT(*) AS n_events
+      |  FROM events WHERE user_id < 100
+      |  GROUP BY user_id, epoch_us(ts) // $UsPerDay
+      |), spine AS (
+      |  SELECT user_id, unnest(range(MIN(day), MAX(day) + 1)) AS day
+      |  FROM daily GROUP BY user_id
+      |)
+      |SELECT s.user_id, s.day,
+      |       COALESCE(d.n_events, 0) AS n_events,
+      |       d.n_events IS NULL AS gap_filled
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, s.day""".stripMargin
 }

@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.ops.TextOps
+
+/** Statistical analytics + data-quality operators, oracle-gated.
+  *
+  * Determinism doctrine (same as the rest of the suite, pushed one level
+  * further because these operators are *made of* floating point):
+  *
+  *   - every aggregate that feeds an fp formula is an EXACT sum — either
+  *     a DECIMAL(18,2) sum (money) or a BIGINT sum of integer cents —
+  *     so the aggregation is bit-identical under any shuffle order and
+  *     any engine;
+  *   - the fp formula itself is then a FIXED sequence of scalar IEEE-754
+  *     ops over those exact values, written with the same operand order
+  *     in the Spark column expression and the DuckDB oracle. `+ - * /
+  *     sqrt` are correctly-rounded by IEEE-754, so identical inputs +
+  *     identical op sequence = identical bits, no rounding tolerance
+  *     needed;
+  *   - medians/quantiles run in the INTEGER CENTS domain: every operand
+  *     of the interpolation is an exact double (|v| ≪ 2^52), so even the
+  *     half-way interpolation (a+b)/2 is exact and formula-shape
+  *     differences between engines cannot produce different bits.
+  *
+  * Scale notes: every operator here is a partial+final hash aggregate
+  * (one shuffle) followed by scalar math, or a narrow map joined against
+  * a broadcast of per-group constants — the group cardinality (return
+  * flags, market segments) is tiny next to the fact table, which is the
+  * shape that survives 1000 executors. Nothing sorts globally, nothing
+  * collects to the driver.
+  */
+object StatQueries {
+  import RefQueries.table
+
+  /** Exact integer cents for a 2-decimal money double. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---- per-group OLS regression --------------------------------------
+
+  /** `analytics_regression` — ordinary-least-squares fit of
+    * extendedprice against quantity per returnflag (slope, intercept,
+    * r²), from the five classic exact sufficient statistics. The sums
+    * are exact decimals; slope/intercept/r² are then computed in double
+    * with a fixed op order (see object doc), so the gate needs no
+    * epsilon. This is the standard scalable spelling: one aggregate
+    * pass builds the sufficient statistics, the model solve is O(groups)
+    * scalar math — the same plan at 100 TB, just more map tasks.
+    */
+  def analyticsRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val stats = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(x).cast(DoubleType).as("sx"),
+      sum(y).cast(DoubleType).as("sy"),
+      sum(x * x).cast(DoubleType).as("sxx"),
+      sum(x * y).cast(DoubleType).as("sxy"),
+      sum(y * y).cast(DoubleType).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    // fixed op order, mirrored verbatim in the oracle SQL
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    val intercept = (col("sy") - col("slope") * col("sx")) / nD
+    val r2 = ((nD * col("sxy") - col("sx") * col("sy")) *
+      (nD * col("sxy") - col("sx") * col("sy"))) /
+      ((nD * col("sxx") - col("sx") * col("sx")) *
+        (nD * col("syy") - col("sy") * col("sy")))
+    stats
+      .withColumn("slope", slope)
+      .withColumn("intercept", intercept)
+      .withColumn("r2", r2)
+      .select(col("l_returnflag").as("returnflag"), col("n"),
+        col("slope"), col("intercept"), col("r2"))
+      .orderBy("returnflag")
+  }
+
+  val analyticsRegressionSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag AS returnflag, COUNT(*) AS n,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag
+      |), m AS (
+      |  SELECT returnflag, n,
+      |         (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |         (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+      |         sx, sy, sxx, sxy, syy
+      |  FROM s
+      |)
+      |SELECT returnflag, n, slope,
+      |       (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+      |       ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+      |       ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+      |FROM m ORDER BY returnflag""".stripMargin
+
+  // ---- per-group Pearson correlation / covariance --------------------
+
+  /** `analytics_corr` — Pearson correlation and sample covariance of
+    * discount vs tax per returnflag. Same sufficient-statistics shape as
+    * the regression; `sqrt` is correctly-rounded per IEEE-754, so the
+    * result stays bit-deterministic cross-engine.
+    */
+  def analyticsCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val x = dec(col("l_discount"))
+    val y = dec(col("l_tax"))
+    val stats = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(x).cast(DoubleType).as("sx"),
+      sum(y).cast(DoubleType).as("sy"),
+      sum(x * x).cast(DoubleType).as("sxx"),
+      sum(x * y).cast(DoubleType).as("sxy"),
+      sum(y * y).cast(DoubleType).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    val corr = (nD * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+        sqrt(nD * col("syy") - col("sy") * col("sy")))
+    val cov = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * (nD - lit(1.0d)))
+    stats
+      .withColumn("pearson_r", corr)
+      .withColumn("cov_samp", cov)
+      .select(col("l_returnflag").as("returnflag"), col("n"),
+        col("pearson_r"), col("cov_samp"))
+      .orderBy("returnflag")
+  }
+
+  val analyticsCorrSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag AS returnflag, COUNT(*) AS n,
+      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |         CAST(SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT returnflag, n,
+      |       (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |       (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS pearson_r,
+      |       (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_samp
+      |FROM s ORDER BY returnflag""".stripMargin
+
+  // ---- robust outliers: median + MAD ---------------------------------
+
+  /** `analytics_mad` — robust outlier detection per market segment:
+    * median account balance, median absolute deviation, and the count of
+    * customers beyond 3·1.4826·MAD (the normal-consistent MAD z-score).
+    * Runs entirely in integer cents so the quantile interpolation is
+    * exact fp (see object doc). Two aggregate passes (median, then MAD
+    * over |x−med|) joined through a broadcast of per-segment constants —
+    * the canonical distributed spelling; an exact distributed median is
+    * one sort-based aggregate per pass regardless of table size.
+    */
+  def analyticsMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_mktsegment").as("segment"), cents(col("c_acctbal")).as("bal_c"))
+    val med = cust.groupBy("segment")
+      .agg(percentile(col("bal_c"), lit(0.5)).as("median_bal_c"))
+    val dev = cust.join(broadcast(med), "segment")
+      .withColumn("adev_c", abs(col("bal_c").cast(DoubleType) - col("median_bal_c")))
+    val mad = dev.groupBy("segment")
+      .agg(percentile(col("adev_c"), lit(0.5)).as("mad_c"),
+        count(lit(1)).as("n"))
+    dev
+      .join(broadcast(mad.select("segment", "mad_c")), "segment")
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("median_bal_c") / lit(100.0d)).as("median_bal"),
+        first(col("mad_c") / lit(100.0d)).as("mad"),
+        sum(when(col("adev_c") > lit(3.0d) * (lit(1.4826d) * col("mad_c")), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("segment")
+  }
+
+  val analyticsMadSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS segment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer
+      |), med AS (
+      |  SELECT segment, quantile_cont(bal_c, 0.5) AS median_bal_c
+      |  FROM c GROUP BY segment
+      |), dev AS (
+      |  SELECT c.segment, abs(CAST(c.bal_c AS DOUBLE) - med.median_bal_c) AS adev_c,
+      |         med.median_bal_c
+      |  FROM c JOIN med ON c.segment = med.segment
+      |), mad AS (
+      |  SELECT segment, quantile_cont(adev_c, 0.5) AS mad_c
+      |  FROM dev GROUP BY segment
+      |)
+      |SELECT dev.segment, COUNT(*) AS n,
+      |       any_value(dev.median_bal_c / 100.0) AS median_bal,
+      |       any_value(mad.mad_c / 100.0) AS mad,
+      |       CAST(SUM(CASE WHEN dev.adev_c > 3.0 * (1.4826 * mad.mad_c)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad ON dev.segment = mad.segment
+      |GROUP BY dev.segment ORDER BY dev.segment""".stripMargin
+
+  // ---- missing-value imputation --------------------------------------
+
+  /** `etl_impute` — mean imputation: a negative account balance is
+    * treated as missing and replaced by the mean of the segment's valid
+    * balances (exact cents sum ÷ count, one double division). The
+    * per-segment means are a tiny broadcast against the fact scan — the
+    * imputation itself stays a narrow map.
+    */
+  def etlImpute(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        col("c_acctbal"), cents(col("c_acctbal")).as("bal_c"))
+    val means = cust.where(col("bal_c") >= 0)
+      .groupBy("segment")
+      .agg((sum(col("bal_c")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("mean_c"))
+    cust.join(broadcast(means), "segment")
+      .select(
+        col("c_custkey"),
+        col("segment"),
+        col("c_acctbal"),
+        when(col("bal_c") < 0, col("mean_c") / lit(100.0d))
+          .otherwise(col("c_acctbal")).as("acctbal_filled"),
+        (col("bal_c") < 0).as("was_imputed"))
+      .orderBy("c_custkey")
+  }
+
+  val etlImputeSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer
+      |), m AS (
+      |  SELECT segment,
+      |         CAST(SUM(bal_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_c
+      |  FROM c WHERE bal_c >= 0 GROUP BY segment
+      |)
+      |SELECT c.c_custkey, c.segment, c.c_acctbal,
+      |       CASE WHEN c.bal_c < 0 THEN m.mean_c / 100.0
+      |            ELSE c.c_acctbal END AS acctbal_filled,
+      |       c.bal_c < 0 AS was_imputed
+      |FROM c JOIN m ON c.segment = m.segment
+      |ORDER BY c.c_custkey""".stripMargin
+
+  // ---- feature scaling ------------------------------------------------
+
+  /** `etl_minmax_scale` — min-max normalization of extendedprice within
+    * each returnflag group, in exact cents: integer subtraction, one
+    * double division. Group min/max broadcast against the fact scan;
+    * the scan itself is a narrow map — the feature-scaling shape that
+    * holds at any size.
+    */
+  def etlMinmaxScale(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), cents(col("l_extendedprice")).as("price_c"))
+    val ranges = li.groupBy("l_returnflag")
+      .agg(min("price_c").as("min_c"), max("price_c").as("max_c"))
+    li.join(broadcast(ranges), "l_returnflag")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("returnflag"),
+        col("l_extendedprice"),
+        ((col("price_c") - col("min_c")).cast(DoubleType) /
+          (col("max_c") - col("min_c")).cast(DoubleType)).as("scaled"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val etlMinmaxScaleSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT l_returnflag, MIN(price_c) AS min_c, MAX(price_c) AS max_c
+      |  FROM li GROUP BY l_returnflag
+      |)
+      |SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag AS returnflag,
+      |       li.l_extendedprice,
+      |       CAST(li.price_c - r.min_c AS DOUBLE) /
+      |       CAST(r.max_c - r.min_c AS DOUBLE) AS scaled
+      |FROM li JOIN r ON li.l_returnflag = r.l_returnflag
+      |ORDER BY li.l_orderkey, li.l_linenumber""".stripMargin
+
+  // ---- order-independent table checksum ------------------------------
+
+  /** `etl_checksum` — audit checksum per table: each row canonicalized
+    * to a string array, hashed with the repo's engine-neutral polynomial
+    * fingerprint (TextOps.fingerprint — mod 1e9+7, so per-row hashes
+    * stay < 2^30 and a BIGINT sum over billions of rows cannot
+    * overflow), then summed. Addition is commutative over exact
+    * integers, so the checksum is independent of row order AND partition
+    * count — the property that makes it usable as a cross-cluster /
+    * cross-engine migration validation at 100 TB (one narrow map + one
+    * scalar aggregate, no shuffle of the data itself).
+    */
+  def etlChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    def summarize(df: DataFrame, name: String, canon: Column): DataFrame =
+      df.select(TextOps.fingerprint(canon).as("row_h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("row_h")).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+
+    val cust = summarize(
+      table(spark, sfDir, "customer"), "customer",
+      array(col("c_custkey").cast("string"), col("c_name"),
+        col("c_nationkey").cast("string"),
+        cents(col("c_acctbal")).cast("string"), col("c_mktsegment")))
+    val ord = summarize(
+      table(spark, sfDir, "orders"), "orders",
+      array(col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"), cents(col("o_totalprice")).cast("string"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderpriority")))
+    cust.unionAll(ord).orderBy("table_name")
+  }
+
+  val etlChecksumSql: String =
+    """WITH rh AS (
+      |  SELECT 'customer' AS table_name,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(
+      |             [CAST(c_custkey AS VARCHAR), c_name,
+      |              CAST(c_nationkey AS VARCHAR),
+      |              CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR),
+      |              c_mktsegment], t ->
+      |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+      |               (a, c) -> (a * 131 + c) % 1000000007))),
+      |           (acc, h) -> (acc * 31 + h) % 1000000007) AS row_h
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'orders' AS table_name,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(
+      |             [CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      |              o_orderstatus,
+      |              CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+      |              strftime(o_orderdate, '%Y-%m-%d'),
+      |              o_orderpriority], t ->
+      |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+      |               (a, c) -> (a * 131 + c) % 1000000007))),
+      |           (acc, h) -> (acc * 31 + h) % 1000000007) AS row_h
+      |  FROM orders
+      |)
+      |SELECT table_name, COUNT(*) AS n_rows,
+      |       CAST(SUM(row_h) AS BIGINT) AS checksum
+      |FROM rh GROUP BY table_name ORDER BY table_name""".stripMargin
+}

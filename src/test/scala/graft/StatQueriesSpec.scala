@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.StatQueries
+
+/** Mathematical contracts of the statistics operators — the oracle gate
+  * proves cross-engine determinism; these prove the formulas compute
+  * what they claim.
+  */
+class StatQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("regression agrees with Spark's regr_slope/regr_intercept") {
+    val rows = StatQueries.analyticsRegression(spark, TestSpark.Sf001).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1, s"${r.get(0)}: r2 $r2 out of range")
+    }
+    // independent spelling: Spark's built-in OLS aggregates (double
+    // accumulation, so compare with tolerance — the gated query exists
+    // precisely because the builtin is not bit-deterministic)
+    val builtin = spark.read.parquet(s"${TestSpark.Sf001}/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("bs"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("bi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (bs, bi) = builtin(r.getAs[String]("returnflag"))
+      assert(math.abs(r.getAs[Double]("slope") - bs) <= 1e-6 * math.max(1, math.abs(bs)))
+      assert(math.abs(r.getAs[Double]("intercept") - bi) <= 1e-6 * math.max(1, math.abs(bi)))
+    }
+  }
+
+  test("correlation is bounded and covariance sign-consistent with it") {
+    StatQueries.analyticsCorr(spark, TestSpark.Sf001).collect().foreach { r =>
+      val pr = r.getAs[Double]("pearson_r")
+      assert(pr >= -1 && pr <= 1, s"${r.get(0)}: r $pr out of range")
+      assert(pr.sign == r.getAs[Double]("cov_samp").sign,
+        s"${r.get(0)}: correlation and covariance disagree on sign")
+    }
+  }
+
+  test("MAD outliers are a strict minority and MAD is non-negative") {
+    StatQueries.analyticsMad(spark, TestSpark.Sf001).collect().foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0)
+      assert(r.getAs[Long]("n_outliers") * 4 < r.getAs[Long]("n"),
+        s"${r.get(0)}: >25% of rows flagged as outliers")
+    }
+  }
+
+  test("imputation fills exactly the negative balances, with the segment mean") {
+    val out = StatQueries.etlImpute(spark, TestSpark.Sf001)
+    val bad = out.where(
+      (col("was_imputed") && col("c_acctbal") >= 0) ||
+        (!col("was_imputed") && col("acctbal_filled") =!= col("c_acctbal")) ||
+        (col("was_imputed") && col("acctbal_filled") < 0)).count()
+    assert(bad == 0)
+    assert(out.where(col("was_imputed")).count() > 0, "fixture has no negatives")
+  }
+
+  test("min-max scaling lands in [0,1] and hits both endpoints per group") {
+    val out = StatQueries.etlMinmaxScale(spark, TestSpark.Sf001).cache()
+    try {
+      assert(out.where(col("scaled") < 0 || col("scaled") > 1).count() == 0)
+      val ends = out.groupBy("returnflag")
+        .agg(min("scaled").as("lo"), max("scaled").as("hi")).collect()
+      ends.foreach { r =>
+        assert(r.getAs[Double]("lo") == 0.0 && r.getAs[Double]("hi") == 1.0)
+      }
+    } finally { out.unpersist(); () }
+  }
+
+  test("checksum is invariant under repartitioning (order independence)") {
+    val a = StatQueries.etlChecksum(spark, TestSpark.Sf001).collect()
+    // same data read again — different partitioning of the aggregation
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val b =
+      try StatQueries.etlChecksum(spark, TestSpark.Sf001).collect()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
+  }
+}
