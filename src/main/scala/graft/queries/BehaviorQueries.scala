@@ -335,4 +335,44 @@ object BehaviorQueries {
       |FROM spine s LEFT JOIN daily d
       |  ON s.user_id = d.user_id AND s.day = d.day
       |ORDER BY s.user_id, s.day""".stripMargin
+
+  /** `analytics_streaks` — gaps-and-islands: per user, the longest run
+    * of consecutive active days and the number of distinct runs. The
+    * classic spelling: distinct (user, day) → row_number within user →
+    * `day − rn` is constant within a consecutive island → aggregate
+    * twice. One shuffle on user_id (dedupe + window share it under
+    * AQE); the island aggregate's keys are (user, island), bounded by
+    * active days. All-integer output.
+    */
+  def analyticsStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = eventsUs(spark, sfDir)
+      .select(col("user_id"), expr(s"us div $UsPerDay").cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("run_len"))
+    islands.groupBy("user_id")
+      .agg(
+        sum("run_len").as("n_active_days"),
+        max("run_len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  val analyticsStreaksSql: String =
+    s"""WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events
+      |), isl AS (
+      |  SELECT user_id,
+      |         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days
+      |), runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS run_len
+      |  FROM isl GROUP BY user_id, grp
+      |)
+      |SELECT user_id, CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+      |       MAX(run_len) AS longest_streak, COUNT(*) AS n_streaks
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -229,4 +229,33 @@ object GraphQueries {
        |SELECT node AS nationkey, rank FROM r$Iters
        |ORDER BY rank DESC, nationkey""".stripMargin
   }
+
+  /** `graph_degree` — degree distribution of the customer→order graph:
+    * how many customers placed exactly k orders, INCLUDING k = 0 (the
+    * left join is the part a naive group-by silently drops). A
+    * count-of-counts is two hash aggregates; the second's key space is
+    * the max degree — at any scale the heavy shuffle is the first
+    * aggregate, which map-side combines on o_custkey.
+    */
+  def graphDegree(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = table(spark, sfDir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("degree"))
+    table(spark, sfDir, "customer")
+      .select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("degree")
+  }
+
+  val graphDegreeSql: String =
+    """WITH d AS (
+      |  SELECT c.c_custkey, COALESCE(o.degree, 0) AS degree
+      |  FROM customer c LEFT JOIN (
+      |    SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey
+      |  ) o ON c.c_custkey = o.o_custkey
+      |)
+      |SELECT degree, COUNT(*) AS n_customers
+      |FROM d GROUP BY degree ORDER BY degree""".stripMargin
 }

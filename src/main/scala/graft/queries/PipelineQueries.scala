@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.ops.TextOps
+
+/** Training-data pipeline layout operators: deterministic shard
+  * assignment for training-file writes and quality-quantile binning for
+  * curriculum construction. Both are the "last mile" of a corpus
+  * pipeline — after cleaning/dedup, the data has to land in evenly-sized
+  * shards and quality tiers, and both assignments must be reproducible
+  * run-over-run (content-derived, never partition- or time-derived).
+  *
+  * Determinism: shard ids come from the repo's engine-neutral polynomial
+  * fingerprint (content hash mod a prime, then mod the shard count —
+  * NEVER Spark's partition id, which depends on the cluster layout);
+  * bin thresholds are exact interpolated quantiles over integer token
+  * counts (every interpolation operand exact in double).
+  *
+  * Scale: shard assignment is a narrow map + one aggregate keyed by
+  * shard (constant key space); binning is two passes (tiny quantile
+  * aggregate broadcast back, then one map + aggregate). Nothing here
+  * depends on corpus size except the map work itself.
+  */
+object PipelineQueries {
+  import RefQueries.table
+
+  private val NShards = 8
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+
+  /** DuckDB twin of TextOps.fingerprint over a one-string list. */
+  private def duckFingerprint(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform([$expr], t ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+       |      (a, c) -> (a * 131 + c) % 1000000007))),
+       |  (acc, h) -> (acc * 31 + h) % 1000000007)""".stripMargin
+
+  /** `etl_shard` — content-hash shard assignment + per-shard manifest
+    * (doc count, token mass, id range): what a training job reads to
+    * plan its input files. The fingerprint is non-negative, so
+    * `% NShards` is floor==trunc safe in both engines.
+    */
+  def etlShard(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("shard",
+        pmod(TextOps.fingerprint(array(col("text"))), lit(NShards)))
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("shard")
+
+  val etlShardSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         ${duckFingerprint("text")} % $NShards AS shard,
+       |         len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** `corpus_quality_bins` — curriculum binning: documents split into
+    * four token-count quartile bins (Q1 = shortest), with per-bin doc
+    * counts, token mass, and exact mean length. Thresholds are the
+    * exact interpolated quartiles of the integer token counts;
+    * boundary rule is bin k ⇔ count ≤ q_k (first match), identical in
+    * both engines because thresholds and comparisons are the same
+    * exact doubles.
+    */
+  def corpusQualityBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val sized = docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val qs = sized.agg(
+      percentile(col("n_tokens"), lit(0.25)).as("q1"),
+      percentile(col("n_tokens"), lit(0.5)).as("q2"),
+      percentile(col("n_tokens"), lit(0.75)).as("q3"))
+    sized.crossJoin(broadcast(qs))
+      .withColumn("bin",
+        when(col("n_tokens").cast(DoubleType) <= col("q1"), 1L)
+          .when(col("n_tokens").cast(DoubleType) <= col("q2"), 2L)
+          .when(col("n_tokens").cast(DoubleType) <= col("q3"), 3L)
+          .otherwise(4L))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (sum("n_tokens").cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mean_tokens"))
+      .orderBy("bin")
+  }
+
+  val corpusQualityBinsSql: String =
+    """WITH sized AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), q AS (
+      |  SELECT quantile_cont(n_tokens, 0.25) AS q1,
+      |         quantile_cont(n_tokens, 0.5) AS q2,
+      |         quantile_cont(n_tokens, 0.75) AS q3
+      |  FROM sized
+      |), binned AS (
+      |  SELECT n_tokens,
+      |         CASE WHEN CAST(n_tokens AS DOUBLE) <= q.q1 THEN 1
+      |              WHEN CAST(n_tokens AS DOUBLE) <= q.q2 THEN 2
+      |              WHEN CAST(n_tokens AS DOUBLE) <= q.q3 THEN 3
+      |              ELSE 4 END AS bin
+      |  FROM sized CROSS JOIN q
+      |)
+      |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+      |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+}

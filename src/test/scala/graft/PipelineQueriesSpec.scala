@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{BehaviorQueries, GraphQueries, PipelineQueries}
+
+/** Structural contracts for the pipeline-layout, streak, and degree
+  * operators (the oracle gate owns value-level correctness).
+  */
+class PipelineQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sharding partitions the corpus: every doc in exactly one shard") {
+    val rows = PipelineQueries.etlShard(spark, TestSpark.Sf001).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = spark.read
+      .parquet(s"${TestSpark.Sf001}/documents.parquet").count()
+    assert(total == corpus)
+    assert(rows.forall(_.getAs[Long]("n_docs") > 0), "empty shard")
+    // content hashing should spread: no shard above 3x the fair share
+    val fair = corpus.toDouble / rows.length
+    assert(rows.forall(_.getAs[Long]("n_docs") < 3 * fair),
+      "shard skew beyond 3x fair share")
+  }
+
+  test("quality bins are quartiles: each holds 15-35% of the corpus") {
+    val rows = PipelineQueries.corpusQualityBins(spark, TestSpark.Sf001).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    rows.foreach { r =>
+      val share = r.getAs[Long]("n_docs") / total
+      assert(share > 0.15 && share < 0.35,
+        s"bin ${r.get(0)}: share $share not quartile-like")
+    }
+  }
+
+  test("streaks: longest run bounded by active days, runs partition them") {
+    BehaviorQueries.analyticsStreaks(spark, TestSpark.Sf001).collect().foreach { r =>
+      val active = r.getAs[Long]("n_active_days")
+      assert(r.getAs[Long]("longest_streak") <= active)
+      assert(r.getAs[Long]("n_streaks") >= 1 &&
+        r.getAs[Long]("n_streaks") <= active)
+    }
+  }
+
+  test("degree distribution accounts for every customer, including degree 0") {
+    val rows = GraphQueries.graphDegree(spark, TestSpark.Sf001).collect()
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val customers = spark.read
+      .parquet(s"${TestSpark.Sf001}/customer.parquet").count()
+    assert(total == customers,
+      "degree histogram dropped customers (zero-degree left join broken?)")
+  }
+}
