@@ -49,7 +49,8 @@ object PipelineQueries {
   def etlShard(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .withColumn("shard",
-        pmod(TextOps.fingerprint(array(col("text"))), lit(NShards)))
+        pmod(graft.functions.StringArrayFingerprint.fingerprint(array(col("text"))),
+          lit(NShards)))
       .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
       .groupBy("shard")
       .agg(

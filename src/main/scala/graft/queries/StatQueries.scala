@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import graft.ops.TextOps
-
 /** Statistical analytics + data-quality operators, oracle-gated.
   *
   * Determinism doctrine (same as the rest of the suite, pushed one level
@@ -307,7 +305,7 @@ object StatQueries {
     */
   def etlChecksum(spark: SparkSession, sfDir: String): DataFrame = {
     def summarize(df: DataFrame, name: String, canon: Column): DataFrame =
-      df.select(TextOps.fingerprint(canon).as("row_h"))
+      df.select(graft.functions.StringArrayFingerprint.fingerprint(canon).as("row_h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("row_h")).as("checksum"))
         .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
 
