@@ -535,4 +535,53 @@ object OlapQueries {
       |UNION ALL
       |SELECT l_returnflag, 'disc_cents', disc_cents FROM w
       |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** `olap_setsim` — exact Jaccard similarity between the user
+    * populations of every event-type pair: dedupe to (type, user), one
+    * self-join on user for intersections, set sizes broadcast back for
+    * the union. |types|² output rows; the only data-sized shuffle is
+    * the distinct, which map-side combines. The exact-pairwise cousin
+    * of the sketch ops (HLL/MinHash estimate this when the pair count
+    * explodes).
+    */
+  def olapSetsim(spark: SparkSession, sfDir: String): DataFrame = {
+    val tu = table(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("sz"))
+    val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+    val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+    val inter = a.join(b, "user_id")
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("sz", "sz_a")), "type_a")
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("sz", "sz_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("sz_a"), col("sz_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val olapSetsimSql: String =
+    """WITH tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), sz AS (
+      |  SELECT event_type, COUNT(*) AS sz FROM tu GROUP BY event_type
+      |), inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
+      |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY a.event_type, b.event_type
+      |)
+      |SELECT i.type_a, i.type_b, sa.sz AS sz_a, sb.sz AS sz_b, i.n_inter,
+      |       CAST(i.n_inter AS DOUBLE) /
+      |       CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+      |FROM inter i JOIN sz sa ON i.type_a = sa.event_type
+      |             JOIN sz sb ON i.type_b = sb.event_type
+      |ORDER BY i.type_a, i.type_b""".stripMargin
 }

@@ -355,4 +355,99 @@ object StatQueries {
       |SELECT table_name, COUNT(*) AS n_rows,
       |       CAST(SUM(row_h) AS BIGINT) AS checksum
       |FROM rh GROUP BY table_name ORDER BY table_name""".stripMargin
+
+  // ---- k-anonymity audit ---------------------------------------------
+
+  /** `etl_k_anonymity` — privacy audit of the quasi-identifier pair
+    * (market segment, nation): group sizes and an `at_risk` flag for
+    * groups smaller than k=5 — the rows a k-anonymous release would
+    * have to suppress or generalize (Sweeney, k-anonymity). One hash
+    * aggregate over a constant key space; the 100 TB plan is identical.
+    */
+  def etlKAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer")
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < 5)
+      .orderBy("segment", "nationkey")
+
+  val etlKAnonymitySql: String =
+    """SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey,
+      |       COUNT(*) AS group_size, COUNT(*) < 5 AS at_risk
+      |FROM customer GROUP BY c_mktsegment, c_nationkey
+      |ORDER BY segment, nationkey""".stripMargin
+
+  // ---- two-proportion A/B test ---------------------------------------
+
+  /** `analytics_abtest` — two-proportion z-test: users deterministically
+    * split by `user_id % 2` (the reproducible-assignment rule every
+    * experiment pipeline needs — never random() at query time),
+    * conversion = strictly more `purchase` than `error` events (a
+    * scale-independent ~coin-flip metric; "has any purchase" is
+    * degenerate on this data — every user converts — and a degenerate
+    * p makes the pooled variance 0). The z-score is the pooled-variance
+    * spelling over exact integer counts, fixed op order, NULL-guarded
+    * when the variance is 0; `sqrt` is IEEE-correctly-rounded, so the
+    * single output row hashes identically cross-engine.
+    */
+  def analyticsAbtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = table(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)))
+        .cast("long").as("converted"))
+      .withColumn("grp", pmod(col("user_id"), lit(2L)))
+    val agg = users.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+    // two rows → one: conditional aggregation keeps it a single pass
+    val wide = agg.agg(
+      sum(when(col("grp") === 0, col("n"))).as("n0"),
+      sum(when(col("grp") === 0, col("conv"))).as("conv0"),
+      sum(when(col("grp") === 1, col("n"))).as("n1"),
+      sum(when(col("grp") === 1, col("conv"))).as("conv1"))
+    val p0 = col("conv0").cast(DoubleType) / col("n0").cast(DoubleType)
+    val p1 = col("conv1").cast(DoubleType) / col("n1").cast(DoubleType)
+    val pPool = (col("conv0") + col("conv1")).cast(DoubleType) /
+      (col("n0") + col("n1")).cast(DoubleType)
+    wide
+      .withColumn("p0", p0)
+      .withColumn("p1", p1)
+      .withColumn("p_pool", pPool)
+      .withColumn("se",
+        sqrt(col("p_pool") * (lit(1.0d) - col("p_pool")) *
+          (lit(1.0d) / col("n0").cast(DoubleType) +
+            lit(1.0d) / col("n1").cast(DoubleType))))
+      .withColumn("z",
+        when(col("se") > 0, (col("p1") - col("p0")) / col("se")))
+      .select("n0", "conv0", "n1", "conv1", "p0", "p1", "z")
+  }
+
+  val analyticsAbtestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+      |              SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+      |         user_id % 2 AS grp
+      |  FROM events GROUP BY user_id
+      |), w AS (
+      |  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n0,
+      |         CAST(SUM(CASE WHEN grp = 0 THEN converted END) AS BIGINT) AS conv0,
+      |         CAST(SUM(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n1,
+      |         CAST(SUM(CASE WHEN grp = 1 THEN converted END) AS BIGINT) AS conv1
+      |  FROM u
+      |), p AS (
+      |  SELECT n0, conv0, n1, conv1,
+      |         CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+      |         CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |         CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p_pool
+      |  FROM w
+      |), s AS (
+      |  SELECT *, sqrt(p_pool * (1.0 - p_pool) *
+      |                 (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS se
+      |  FROM p
+      |)
+      |SELECT n0, conv0, n1, conv1, p0, p1,
+      |       CASE WHEN se > 0 THEN (p1 - p0) / se END AS z
+      |FROM s""".stripMargin
 }

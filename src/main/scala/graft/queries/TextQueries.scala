@@ -821,4 +821,64 @@ object TextQueries {
       |FROM bg JOIN counts ON bg.g = counts.g
       |GROUP BY bg.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ---- token normalization (stopwords + light stemming) ---------------
+
+  /** `text_normalize` — the tokenizer-prep normalization pass: stopword
+    * removal plus a rule-based light stemmer (strip -ing/-ed/-s with
+    * length guards, first rule wins), reported per document as token
+    * counts and the normalized character mass. Pure narrow map over
+    * materialized token arrays — no shuffle until the final tiny
+    * ORDER BY, the same per-row cost at any corpus size.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+    def stem(t: Column): Column =
+      when(length(t) > 5 && t.endsWith("ing"), t.substr(lit(1), length(t) - 3))
+        .when(length(t) > 4 && t.endsWith("ed"), t.substr(lit(1), length(t) - 2))
+        .when(length(t) > 3 && t.endsWith("s") && !t.endsWith("ss"),
+          t.substr(lit(1), length(t) - 1))
+        .otherwise(t)
+    docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("content",
+        filter(col("toks"), t => !t.isInCollection(stopwords)))
+      .withColumn("stemmed", transform(col("content"), t => stem(t)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("content")).cast("long").as("n_content"),
+        size(filter(transform(col("content"), t => stem(t) =!= t),
+          b => b)).cast("long").as("n_stemmed"),
+        aggregate(col("stemmed"), lit(0L),
+          (acc, t) => acc + length(t).cast("long")).as("norm_chars"))
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String = DuckToks +
+    """
+      |, n AS (
+      |  SELECT doc_id, toks,
+      |         list_filter(toks, t -> t NOT IN ('the','a','of','and','to','in','is')) AS content
+      |  FROM d
+      |), s AS (
+      |  SELECT doc_id, toks, content,
+      |         list_transform(content, t ->
+      |           CASE WHEN length(t) > 5 AND t LIKE '%ing'
+      |                  THEN substr(t, 1, length(t) - 3)
+      |                WHEN length(t) > 4 AND t LIKE '%ed'
+      |                  THEN substr(t, 1, length(t) - 2)
+      |                WHEN length(t) > 3 AND t LIKE '%s' AND t NOT LIKE '%ss'
+      |                  THEN substr(t, 1, length(t) - 1)
+      |                ELSE t END) AS stemmed
+      |  FROM n
+      |)
+      |SELECT doc_id,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(content) AS BIGINT) AS n_content,
+      |       CAST(len(list_filter(range(1, len(content)+1),
+      |              i -> stemmed[i] != content[i])) AS BIGINT) AS n_stemmed,
+      |       CAST(list_sum(list_prepend(0, list_transform(stemmed, t -> length(t)))) AS BIGINT) AS norm_chars
+      |FROM s ORDER BY doc_id""".stripMargin
 }

@@ -72,6 +72,36 @@ class StatQueriesSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("k-anonymity audit accounts for every customer") {
+    val rows = StatQueries.etlKAnonymity(spark, TestSpark.Sf001).collect()
+    val total = rows.map(_.getAs[Long]("group_size")).sum
+    val customers = spark.read
+      .parquet(s"${TestSpark.Sf001}/customer.parquet").count()
+    assert(total == customers)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("at_risk") == (r.getAs[Long]("group_size") < 5))
+    }
+  }
+
+  test("A/B test: proportions in [0,1], conversions bounded by group size") {
+    val r = StatQueries.analyticsAbtest(spark, TestSpark.Sf001).collect().head
+    assert(r.getAs[Long]("conv0") <= r.getAs[Long]("n0"))
+    assert(r.getAs[Long]("conv1") <= r.getAs[Long]("n1"))
+    Seq("p0", "p1").foreach { c =>
+      val p = r.getAs[Double](c)
+      assert(p >= 0 && p <= 1, s"$c = $p")
+      assert(p > 0 && p < 1, s"$c degenerate — z undefined, pick a better metric")
+    }
+  }
+
+  test("normalization never grows the token stream") {
+    import graft.queries.TextQueries
+    TextQueries.textNormalize(spark, TestSpark.Sf001).collect().foreach { r =>
+      assert(r.getAs[Long]("n_content") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_stemmed") <= r.getAs[Long]("n_content"))
+    }
+  }
+
   test("checksum is invariant under repartitioning (order independence)") {
     val a = StatQueries.etlChecksum(spark, TestSpark.Sf001).collect()
     // same data read again — different partitioning of the aggregation
