@@ -375,4 +375,44 @@ object BehaviorQueries {
       |SELECT user_id, CAST(SUM(run_len) AS BIGINT) AS n_active_days,
       |       MAX(run_len) AS longest_streak, COUNT(*) AS n_streaks
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** `analytics_active_users` — DAU + trailing 7-day active users per
+    * calendar day. A windowed COUNT DISTINCT cannot use a plain window
+    * frame (distinct isn't frame-decomposable), so the spelling is the
+    * distributable one: dedupe to (user, day), then a range join of the
+    * day spine against the 7-day trail, then count distinct per spine
+    * day. The join explodes each (user, day) into ≤7 spine rows —
+    * bounded fan-out, shuffled on the spine day; at 100 TB the dedupe
+    * is the only data-sized shuffle (same note as the cohort op).
+    */
+  def analyticsActiveUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = eventsUs(spark, sfDir)
+      .select(col("user_id"), expr(s"us div $UsPerDay").cast("long").as("day"))
+      .distinct()
+    val dau = days.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val spine = days.select(col("day").as("d")).distinct()
+    val wau = days.join(spine,
+        col("day") >= col("d") - 6 && col("day") <= col("d"))
+      .groupBy("d")
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  val analyticsActiveUsersSql: String =
+    s"""WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events
+      |), dau AS (
+      |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM days GROUP BY day
+      |), spine AS (SELECT DISTINCT day AS d FROM days
+      |), wau AS (
+      |  SELECT s.d, COUNT(DISTINCT days.user_id) AS wau
+      |  FROM days JOIN spine s
+      |    ON days.day >= s.d - 6 AND days.day <= s.d
+      |  GROUP BY s.d
+      |)
+      |SELECT dau.day, dau.dau, wau.wau
+      |FROM dau JOIN wau ON dau.day = wau.d
+      |ORDER BY dau.day""".stripMargin
 }

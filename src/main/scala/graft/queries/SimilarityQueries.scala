@@ -406,4 +406,68 @@ object SimilarityQueries {
       |       CAST(CASE WHEN pred_label = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
       |FROM pred p JOIN embeddings e ON p.q_id = e.vec_id
       |ORDER BY q_id""".stripMargin
+
+  /** `sim_centroid_classify` — nearest-centroid (Rocchio) classifier
+    * over the embedding corpus: per-label centroids from the quantized
+    * vectors, every vector assigned to its closest centroid by squared
+    * L2, scored against the true label. All arithmetic is integer-exact:
+    * quantized components are ints, the per-dim centroid is a
+    * single correctly-rounded division re-quantized to an int, and the
+    * distance sum is a BIGINT — no fp accumulation order anywhere
+    * (contrast kNN above, whose integer-valued double dot products are
+    * exact for the same reason).
+    *
+    * Scale: the centroid model is labels × dims rows — broadcast-sized
+    * for any real label space — so classification is a narrow
+    * map-with-broadcast-join over the corpus; only the centroid
+    * aggregate shuffles, keyed on (label, dim), map-side combined.
+    */
+  def simCentroidClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("true_label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+    val dims = emb.select(col("vec_id"), col("true_label"),
+        posexplode(col("qv")).as(Seq("pos", "v")))
+      .withColumn("dim", col("pos") + 1)
+    val cent = dims.groupBy(col("true_label").as("c_label"), col("dim"))
+      .agg(round(sum("v").cast("double") / count(lit(1)).cast("double"), 0)
+        .cast("long").as("c"))
+    val dist = dims.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "true_label", "c_label")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist2"))
+    val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("c_label"))
+    dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("pred_label"),
+        col("true_label"), col("dist2"),
+        when(col("c_label") === col("true_label"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy("vec_id")
+  }
+
+  val simCentroidClassifySql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), dims AS (
+      |  -- dim fixed at 64 by the embeddings generator (the PQ oracle
+      |  -- hardcodes the same 8x8 layout)
+      |  SELECT vec_id, true_label, CAST(r.d AS INTEGER) AS dim, qv[r.d] AS v
+      |  FROM q CROSS JOIN range(1, 65) r(d)
+      |), cent AS (
+      |  SELECT true_label AS c_label, dim,
+      |         CAST(round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+      |  FROM dims GROUP BY true_label, dim
+      |), dist AS (
+      |  SELECT dims.vec_id, dims.true_label, cent.c_label,
+      |         CAST(SUM((dims.v - cent.c) * (dims.v - cent.c)) AS BIGINT) AS dist2
+      |  FROM dims JOIN cent ON dims.dim = cent.dim
+      |  GROUP BY dims.vec_id, dims.true_label, cent.c_label
+      |)
+      |SELECT vec_id, c_label AS pred_label, true_label, dist2,
+      |       CAST(CASE WHEN c_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM dist
+      |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) = 1
+      |ORDER BY vec_id""".stripMargin
 }

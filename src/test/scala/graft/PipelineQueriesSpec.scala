@@ -42,6 +42,32 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("centroid classifier: one prediction per vector, non-negative distance") {
+    import graft.queries.SimilarityQueries
+    val rows = SimilarityQueries.simCentroidClassify(spark, TestSpark.Sf001).collect()
+    val vectors = spark.read
+      .parquet(s"${TestSpark.Sf001}/embeddings.parquet").count()
+    assert(rows.length == vectors, "not exactly one prediction per vector")
+    assert(rows.forall(_.getAs[Long]("dist2") >= 0))
+    // a Rocchio classifier must beat uniform-random guessing on its own
+    // training set (10 labels -> 10% chance); being generous 2x below
+    // chance would mean the distance ranking is broken outright
+    val acc = rows.map(_.getAs[Long]("correct")).sum.toDouble / rows.length
+    assert(acc > 0.05, s"accuracy $acc below half of random chance")
+  }
+
+  test("active users: WAU bounds DAU and never exceeds the user base") {
+    import graft.queries.BehaviorQueries
+    val rows = BehaviorQueries.analyticsActiveUsers(spark, TestSpark.Sf001).collect()
+    val users = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"),
+        s"day ${r.get(0)}: 7-day window smaller than its own day")
+      assert(r.getAs[Long]("wau") <= users)
+    }
+  }
+
   test("degree distribution accounts for every customer, including degree 0") {
     val rows = GraphQueries.graphDegree(spark, TestSpark.Sf001).collect()
     val total = rows.map(_.getAs[Long]("n_customers")).sum
