@@ -126,4 +126,40 @@ object SourceQueries {
   val sourceOrcRoundtripSql: String =
     """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
       |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** `source_merge_schema` — schema evolution on read: two parquet
+    * batches written with DIFFERENT column sets (an early ingest with
+    * (key, name), a later one with (key, size, retailprice)), read back
+    * in one scan with `mergeSchema` — the union schema, absent columns
+    * NULL. This is the data-lake evolution contract: old files stay
+    * readable after the schema grows, no rewrite. The merged read is
+    * still a plain splittable parquet scan; schema merging is a
+    * footer-only planning cost (and on a 100 TB lake you'd pin the
+    * merged schema in a catalog rather than re-derive it per query —
+    * the explicit-schema principle the CSV/JSON readers follow).
+    */
+  def sourceMergeSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagingDir("merge")
+    val part = table(spark, sfDir, "part")
+    part.select(col("p_partkey"), col("p_name"))
+      .withColumn("source_batch", lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    part.select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .withColumn("source_batch", lit(2L))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/batch=1", s"$dir/batch=2")
+      .select("p_partkey", "source_batch", "p_name", "p_size", "p_retailprice")
+      .orderBy("p_partkey", "source_batch")
+  }
+
+  val sourceMergeSchemaSql: String =
+    """SELECT p_partkey, CAST(1 AS BIGINT) AS source_batch, p_name,
+      |       CAST(NULL AS INTEGER) AS p_size, CAST(NULL AS DOUBLE) AS p_retailprice
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, CAST(2 AS BIGINT), CAST(NULL AS VARCHAR),
+      |       p_size, p_retailprice
+      |FROM part
+      |ORDER BY p_partkey, source_batch""".stripMargin
 }

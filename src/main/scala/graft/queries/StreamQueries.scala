@@ -48,6 +48,46 @@ object StreamQueries {
       |FROM hop
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** `stream_trending` — top-2 trending event types per hopping window:
+    * the hopping aggregate (same 2h/30min windows as
+    * `stream_hopping_agg`, single-sourced from
+    * EventAnalytics.hoppingByType) ranked within each window by event
+    * count. The rank is a WindowGroupLimit-able row_number over a
+    * per-window key space of |event types| — the "trending now" query
+    * every dashboard runs on the stream's materialized aggregate.
+    */
+  def streamTrending(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("window_start")
+      .orderBy(desc("n_events"), asc("event_type"))
+    EventAnalytics.hoppingByType(table(spark, sfDir, "events"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+      .select("window_start", "rank", "event_type", "n_events")
+      .orderBy("window_start", "rank")
+  }
+
+  val streamTrendingSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us FROM events
+      |), hop AS (
+      |  SELECT event_type,
+      |         (us // 1800000000) * 1800000000 - k.k * 1800000000 AS ws
+      |  FROM e, range(0, 4) k(k)
+      |), agg AS (
+      |  SELECT ws, event_type, COUNT(*) AS n_events
+      |  FROM hop GROUP BY ws, event_type
+      |), ranked AS (
+      |  SELECT ws, event_type, n_events,
+      |         CAST(row_number() OVER (PARTITION BY ws
+      |           ORDER BY n_events DESC, event_type) AS INTEGER) AS rank
+      |  FROM agg
+      |)
+      |SELECT strftime(to_timestamp(ws / 1000000.0), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       rank, event_type, n_events
+      |FROM ranked WHERE rank <= 2
+      |ORDER BY window_start, rank""".stripMargin
+
   def streamSessionize(spark: SparkSession, sfDir: String): DataFrame =
     EventAnalytics.sessionize(table(spark, sfDir, "events"), gapMinutes = 240)
       .orderBy("user_id", "session_seq")
