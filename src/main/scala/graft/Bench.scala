@@ -11,10 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * startup; each query executed through the `noop` sink (full plan runs,
   * including final sorts that a `count()` would let the optimizer drop);
   * the block cache is cleared between queries so one query's cached
-  * intermediates can't subsidize another's wall-clock. Each query runs
-  * SPARK_GRAFT_BENCH_RUNS times (default 3) and the per-query MEDIAN is
-  * reported — single-run wall-clock swings ±2–30 s with background
-  * machine load (measured in round 1), which would otherwise swamp
+  * intermediates can't subsidize another's wall-clock. The suite runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) as INTERLEAVED full passes
+  * and the per-query MEDIAN across passes is reported — single-run
+  * wall-clock swings ±2–30 s with background machine load (measured in
+  * round 1), and back-to-back repeats let one load burst poison every
+  * sample of a query (measured in round 6), which would otherwise swamp
   * round-over-round deltas.
   */
 object Bench {
@@ -54,25 +56,44 @@ object Bench {
     val benched = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = benched.map { case (name, fn) =>
-      val attempts = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { exec(fn(spark, sfDir)); true }
-          catch { case e: Throwable =>
-            if (!failed.contains(name)) {
-              failed += name
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            }
-            false
+    // INTERLEAVED passes, not per-query repeats: a query's samples were
+    // previously taken back-to-back, so a minutes-long host load burst
+    // (this machine is shared) poisoned ALL of a query's runs and the
+    // median couldn't reject it — measured 0.8 s isolated vs 9.6 s
+    // mid-sweep for the same query, with a DIFFERENT set of queries
+    // inflated on every sweep. Running the whole suite `runs` times
+    // round-robin puts each query's samples minutes apart, so a burst
+    // lands in at most one pass and the per-query median rejects it.
+    val order = benched.toSeq
+    val samples = scala.collection.mutable.Map.empty[String, List[(Double, Boolean)]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runs; (name, fn) <- order) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { exec(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-        val sec = (System.nanoTime() - t0) / 1e9 // capture BEFORE teardown
-        spark.catalog.clearCache()
-        (sec, ok)
-      }
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9 // capture BEFORE teardown
+      samples(name) = (sec, ok) :: samples(name)
+      spark.catalog.clearCache()
+      // shuffle files and broadcast blocks are reclaimed by the
+      // ContextCleaner only when the DRIVER GC collects their
+      // references; a tight 100+-query loop barely allocates on the
+      // driver heap, so without this nudge state accumulated over
+      // hundreds of executions leaks across queries. One explicit GC
+      // per execution is noise next to query cost.
+      System.gc()
+    }
+    val results = order.map { case (name, _) =>
       // median over SUCCESSFUL runs only — a fast-failing run would
       // otherwise report a misleadingly small "median" for a broken
       // query (it still lands in `failed` either way)
+      val attempts = samples(name)
       val pool = {
         val good = attempts.filter(_._2).map(_._1)
         if (good.nonEmpty) good.sorted else attempts.map(_._1).sorted
@@ -82,7 +103,7 @@ object Bench {
       // report the worse of the pair (the round-2 phantom-regression
       // mechanism this file exists to prevent)
       name -> pool((pool.length - 1) / 2)
-    }
+    }.toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
