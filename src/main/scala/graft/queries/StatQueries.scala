@@ -450,4 +450,104 @@ object StatQueries {
       |SELECT n0, conv0, n1, conv1, p0, p1,
       |       CASE WHEN se > 0 THEN (p1 - p0) / se END AS z
       |FROM s""".stripMargin
+
+  // ---- Gini / Lorenz inequality --------------------------------------
+
+  /** `analytics_gini` — Gini coefficient of positive account balances
+    * per market segment, by the sorted-rank identity
+    * G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx): the numerator stays an exact
+    * BIGINT over integer cents (rank ties are irrelevant — equal x
+    * contribute the same regardless of order), so the whole statistic
+    * is one double division at the end. One rank window per segment +
+    * one aggregate — the distributed-inequality-report shape.
+    */
+  def analyticsGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        cents(col("c_acctbal")).as("bal_c"))
+      .where(col("bal_c") > 0)
+    val w = Window.partitionBy("segment").orderBy("bal_c", "c_custkey")
+    c.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum("bal_c").as("sum_c"),
+        sum(col("i") * col("bal_c")).as("sum_ix"))
+      .select(col("segment"), col("n"), col("sum_c"),
+        ((lit(2L) * col("sum_ix") - (col("n") + 1) * col("sum_c"))
+          .cast(DoubleType) /
+          (col("n") * col("sum_c")).cast(DoubleType)).as("gini"))
+      .orderBy("segment")
+  }
+
+  val analyticsGiniSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer
+      |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+      |), r AS (
+      |  SELECT segment, bal_c,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY segment
+      |                                 ORDER BY bal_c, c_custkey) AS BIGINT) AS i
+      |  FROM c
+      |), a AS (
+      |  SELECT segment, COUNT(*) AS n,
+      |         CAST(SUM(bal_c) AS BIGINT) AS sum_c,
+      |         CAST(SUM(i * bal_c) AS BIGINT) AS sum_ix
+      |  FROM r GROUP BY segment
+      |)
+      |SELECT segment, n, sum_c,
+      |       CAST(2 * sum_ix - (n + 1) * sum_c AS DOUBLE) /
+      |       CAST(n * sum_c AS DOUBLE) AS gini
+      |FROM a ORDER BY segment""".stripMargin
+
+  // ---- seasonal-naive forecast backtest ------------------------------
+
+  /** `analytics_forecast` — seasonal-naive backtest: forecast for day d
+    * is the actual of day d−7 (same weekday), scored per event type
+    * with MAE and mean signed bias over every day that HAS a
+    * week-earlier observation. The forecast "join" is a calendar
+    * self-join on (type, day−7) — NOT lag(7) over row positions, which
+    * silently mis-aligns when days are missing. Integer cents until
+    * the two final divisions.
+    */
+  def analyticsForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = table(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").cast("long").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("actual_c"))
+    val fc = daily.select(col("event_type"),
+      (col("day") + 7).as("day"), col("actual_c").as("forecast_c"))
+    daily.join(fc, Seq("event_type", "day"))
+      .withColumn("err_c", col("actual_c") - col("forecast_c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("err_c"))).as("abs_err_c"),
+        sum(col("err_c")).as("sum_err_c"))
+      .select(col("event_type"), col("n_days"),
+        (col("abs_err_c").cast(DoubleType) /
+          col("n_days").cast(DoubleType)).as("mae_c"),
+        (col("sum_err_c").cast(DoubleType) /
+          col("n_days").cast(DoubleType)).as("bias_c"))
+      .orderBy("event_type")
+  }
+
+  val analyticsForecastSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS actual_c
+      |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+      |), j AS (
+      |  SELECT a.event_type, a.day,
+      |         a.actual_c - f.actual_c AS err_c
+      |  FROM daily a JOIN daily f
+      |    ON a.event_type = f.event_type AND a.day = f.day + 7
+      |)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |       CAST(SUM(abs(err_c)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae_c,
+      |       CAST(SUM(err_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bias_c
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 }

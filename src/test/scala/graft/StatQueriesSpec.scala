@@ -102,6 +102,23 @@ class StatQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("Gini is in [0,1) and zero only for perfectly equal balances") {
+    StatQueries.analyticsGini(spark, TestSpark.Sf001).collect().foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0 && g < 1, s"${r.get(0)}: gini $g out of range")
+    }
+  }
+
+  test("seasonal-naive forecast scores only days with a week-earlier actual") {
+    val rows = StatQueries.analyticsForecast(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") > 0)
+      assert(r.getAs[Double]("mae_c") >= math.abs(r.getAs[Double]("bias_c")),
+        s"${r.get(0)}: MAE below |bias| is arithmetically impossible")
+    }
+  }
+
   test("checksum is invariant under repartitioning (order independence)") {
     val a = StatQueries.etlChecksum(spark, TestSpark.Sf001).collect()
     // same data read again — different partitioning of the aggregation
