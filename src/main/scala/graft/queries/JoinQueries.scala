@@ -235,4 +235,37 @@ object JoinQueries {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY r.r_name ORDER BY r_name""".stripMargin
+
+  /** `join_bucketed` — the co-located join: customer and orders written
+    * as 8-bucket tables on the join key, then sort-merge joined with
+    * ZERO shuffle exchange (the plan contract ScaleToolkitSpec asserts;
+    * this query puts the same machinery under the value-hash gate). At
+    * 100 TB bucketing is what turns every repeated fact⋈fact join from
+    * a full shuffle into a local merge — the write pays the shuffle
+    * once, every subsequent join rides it. Table names are pid-keyed so
+    * concurrent verify/bench sessions don't clobber each other's
+    * catalog entries.
+    */
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val (ct, ot) = (s"cust_bkt_$pid", s"ord_bkt_$pid")
+    table(spark, sfDir, "customer")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable(ct)
+    table(spark, sfDir, "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable(ot)
+    spark.table(ct).hint("merge")
+      .join(spark.table(ot), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        RefQueries.exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val joinBucketedSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }

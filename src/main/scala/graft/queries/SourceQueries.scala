@@ -153,6 +153,36 @@ object SourceQueries {
       .orderBy("p_partkey", "source_batch")
   }
 
+  /** `source_partition_pruning` — Hive-layout partitioned write + pruned
+    * read: events written `partitionBy(event_date)`, read back with a
+    * single-day predicate that must resolve as a PARTITION filter
+    * (directory-level skip, zero data read outside the day — the
+    * mechanism that turns a 100 TB scan into a 3 TB one; plan-asserted
+    * in ScaleToolkitSpec, value-gated here). The date derives from the
+    * nano-long event time by integer day arithmetic; the gated output
+    * aggregates the surviving day per event type.
+    */
+  def sourcePartitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagingDir("partitioned")
+    val usPerDay = 86400000000L
+    table(spark, sfDir, "events")
+      .withColumn("day", expr(s"(ts div 1000) div $usPerDay").cast("long"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    // pick a mid-range day so every sf has it: the corpus starts
+    // 2024-01-01 (day 19723) and spans ~a month at every sf
+    spark.read.parquet(dir)
+      .where(col("day") === 19725L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val sourcePartitionPruningSql: String =
+    """SELECT event_type, COUNT(*) AS n_events
+      |FROM events
+      |WHERE epoch_us(ts) // 86400000000 = 19725
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val sourceMergeSchemaSql: String =
     """SELECT p_partkey, CAST(1 AS BIGINT) AS source_batch, p_name,
       |       CAST(NULL AS INTEGER) AS p_size, CAST(NULL AS DOUBLE) AS p_retailprice
