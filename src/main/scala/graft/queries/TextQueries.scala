@@ -881,4 +881,76 @@ object TextQueries {
       |              i -> stemmed[i] != content[i])) AS BIGINT) AS n_stemmed,
       |       CAST(list_sum(list_prepend(0, list_transform(stemmed, t -> length(t)))) AS BIGINT) AS norm_chars
       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- cross-document exact substring duplication ---------------------
+
+  /** `dedup_substring` — the exact-substring duplication detector (Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every 20-token rolling window is fingerprinted, windows
+    * shared verbatim by ≥2 documents mark a duplicated span, and
+    * document pairs sharing ≥3 windows are reported with their shared
+    * span mass. Two-level hashing keeps it linear in corpus tokens:
+    * per-token polynomial hashes once, then each window hash folds 20
+    * LONGS (not 20 tokens' characters). The pair join runs only on the
+    * tiny duplicated-window set (windows with >1 doc), never all
+    * windows — Σ df² over a set that's empty on a clean corpus. This is
+    * the primitive `dedup_lines` (segment removal) and
+    * `dedup_containment` (shingle-set overlap) both approximate from
+    * different angles; here the match is EXACT and positional.
+    */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = 20
+    val minShared = 3
+    val hashed = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .where(size(col("toks")) >= w)
+      // per-token hashes in one native call per row (the interpreted
+      // transform-fold spelling is spec-pinned value-identical)...
+      .withColumn("th",
+        graft.functions.StringArrayTokenHashes.tokenHashes(col("toks")))
+      // ...then ALL window hashes in one native codegen'd pass (the
+      // interpreted aggregate-over-slice spelling measured 2.9 s at
+      // sf0.1; the kernel is value-identical — spec-pinned)
+      .select(col("doc_id"), explode(
+        graft.functions.LongArrayRollingHash.rollingHash(col("th"), w))
+        .as("wh"))
+    val dupWindows = hashed.groupBy("wh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select("wh")
+    val dupHits = hashed.join(dupWindows, "wh")
+      .select(col("wh"), col("doc_id")).distinct()
+    dupHits.as("a")
+      .join(dupHits.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .where(col("n_shared_windows") >= minShared)
+      .orderBy("d1", "d2")
+  }
+
+  val dedupSubstringSql: String = DuckToks +
+    """
+      |, th AS (
+      |  SELECT doc_id,
+      |         list_transform(toks, t ->
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+      |             (a, c) -> (a * 131 + c) % 1000000007)) AS th
+      |  FROM d WHERE len(toks) >= 20
+      |), wins AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(th) - 18), i ->
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+19]),
+      |             (acc, h) -> (acc * 131 + h) % 1000000007))) AS wh
+      |  FROM th
+      |), dup AS (
+      |  SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+      |), hits AS (
+      |  SELECT DISTINCT w.wh, w.doc_id FROM wins w JOIN dup USING (wh)
+      |)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_windows
+      |FROM hits a JOIN hits b ON a.wh = b.wh AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING COUNT(*) >= 3
+      |ORDER BY d1, d2""".stripMargin
 }

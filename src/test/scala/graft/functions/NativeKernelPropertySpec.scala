@@ -108,4 +108,40 @@ class NativeKernelPropertySpec extends AnyFunSuite {
       assert(r.getLong(1) == want, s"fp($toks)")
     }
   }
+
+  test("token-hashes kernel equals the interpreted transform spelling") {
+    val tokGen: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('€', '中', 'ß', ' ')))
+        .map(_.mkString))
+    val arrGen = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, tokGen))
+    val inputs = samples(arrGen, 300)
+    val df = inputs.map(Tuple1(_)).toDF("toks")
+      .select(
+        StringArrayTokenHashes.tokenHashes(col("toks")).as("got"),
+        transform(col("toks"), graft.ops.TextOps.polyTokenHash).as("want"))
+    assert(df.where(not(col("got") <=> col("want"))).isEmpty)
+  }
+
+  test("rolling-hash kernel equals the fold-over-slice reference, nulls included") {
+    val P = 1000000007L
+    val w = 5
+    // hash-range values with occasional nulls to exercise window poisoning
+    val elemGen: Gen[Option[Long]] = Gen.frequency(
+      9 -> Gen.chooseNum(0L, P - 1).map(Some(_)), 1 -> Gen.const(None))
+    val arrGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, elemGen))
+    val inputs = samples(arrGen, 300)
+    val df = inputs.map(a => Tuple1(a)).toDF("h")
+      .select(col("h"),
+        LongArrayRollingHash.rollingHash(col("h"), w, 131L, P).as("wh"))
+    df.collect().zip(inputs).foreach { case (r, in) =>
+      val want: Seq[Any] =
+        if (in.length < w) Seq.empty
+        else in.sliding(w).map { win =>
+          if (win.exists(_.isEmpty)) null
+          else win.flatten.foldLeft(0L)((acc, x) => (acc * 131 + x) % P)
+        }.toSeq
+      val got = r.getSeq[Any](1)
+      assert(got == want, s"rollingHash($in)")
+    }
+  }
 }
