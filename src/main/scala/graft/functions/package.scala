@@ -37,7 +37,14 @@ package object functions {
       es => StringArrayFingerprint(es(0))),
     ("string_array_simhash",
       "_FUNC_(tokens) - engine-neutral squared-LCG 64-bit simhash signature",
-      es => StringArraySimHash(es(0))))
+      es => StringArraySimHash(es(0))),
+    ("string_array_token_hashes",
+      "_FUNC_(tokens) - per-token polynomial hashes of a string array",
+      es => StringArrayTokenHashes(es(0))),
+    ("long_array_rolling_hash",
+      "_FUNC_(hashes, w) - all w-window rolling polynomial hashes",
+      es => LongArrayRollingHash(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(), 131L, 1000000007L)))
 
   /** Register every SQL-safe kernel as a session temp function. */
   def registerAll(spark: SparkSession): Unit =

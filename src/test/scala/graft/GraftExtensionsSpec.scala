@@ -41,6 +41,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head.getLong(0)
       assert(row.getLong(0) == want)
       assert(row.getLong(1) != 0L)
+
+      // token-hash + rolling-window kernels compose in pure SQL
+      val wins = s.sql(
+        """SELECT long_array_rolling_hash(
+          |         string_array_token_hashes(array('a','bc','a','bc')), 2) AS wh
+          |""".stripMargin).head.getSeq[Long](0)
+      assert(wins.length == 3, s"4 tokens, w=2 -> 3 windows, got $wins")
+      assert(wins(0) == wins(2), "identical ('a','bc') windows must hash equal")
+      assert(wins(0) != wins(1), "('a','bc') vs ('bc','a') must differ")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
