@@ -42,6 +42,9 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Backward as-of: latest right at-or-before each left row (ties at
+    * equal (key, time) resolve to the GREATEST tie-break).
+    */
   def leftAsOf(
       left: DataFrame,
       right: DataFrame,
@@ -50,7 +53,39 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, rightTieBreak, forward = false)
+
+  /** Forward as-of: EARLIEST right at-or-after each left row — the
+    * mirror operator ("next fill at or after each order"). Ties at
+    * equal (key, time) resolve to the LEAST tie-break (the first row
+    * the forward scan meets). Same single-shuffle union+window
+    * spelling, with the frame flipped to CURRENT..UNBOUNDED FOLLOWING
+    * and `first(ignoreNulls)` instead of `last`.
+    */
+  def leftAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, rightTieBreak, forward = true)
+
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String,
+      forward: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val collisions = rightPayload.toSet intersect leftCols.toSet
@@ -76,12 +111,15 @@ object AsOfJoin {
     // the payload's struct type, for a typed NULL on the left rows
     val payloadType = right.select(payloadStruct.as("p")).schema("p").dataType
 
-    // rights sort before lefts at equal time ⇒ a left row sees a right
-    // row with the exact same timestamp (`<=`, not `<`)
+    // backward: rights sort BEFORE lefts at equal time ⇒ a left row
+    // sees a right row with the exact same timestamp (`<=`, not `<`).
+    // forward: rights sort AFTER lefts, so the CURRENT..FOLLOWING frame
+    // includes equal-time rights (`>=`, not `>`).
+    val rightTag = if (forward) 1 else 0
     val rightTagged = right.select(
       col(rightKey).as("__asof_key"),
       col(rightTime).as("__asof_time"),
-      lit(0).as("__asof_tag"),
+      lit(rightTag).as("__asof_tag"),
       col(rightTieBreak).as("__asof_ord"),
       payloadStruct.as("__asof_payload"))
 
@@ -89,7 +127,7 @@ object AsOfJoin {
       (leftCols.map(col) :+
         col(leftKey).as("__asof_key")) ++ Seq(
         col(leftTime).as("__asof_time"),
-        lit(1).as("__asof_tag"),
+        lit(1 - rightTag).as("__asof_tag"),
         // constant ordinal on the left side: left rows never tie-break
         // against each other (the carried payload is identical), they
         // only need SOME value of the right ordinal's type for the union
@@ -98,13 +136,25 @@ object AsOfJoin {
 
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
 
-    val w = Window.partitionBy("__asof_key")
-      .orderBy(col("__asof_time"), col("__asof_tag"), col("__asof_ord"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward carries the LAST prior payload (greatest ordinal wins on
+    // ties via ascending ord + last); forward picks the FIRST following
+    // payload (least ordinal wins via ascending ord + first)
+    val w =
+      if (forward)
+        Window.partitionBy("__asof_key")
+          .orderBy(col("__asof_time"), col("__asof_tag"), col("__asof_ord"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy("__asof_key")
+          .orderBy(col("__asof_time"), col("__asof_tag"), col("__asof_ord"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val picker =
+      if (forward) first(col("__asof_payload"), ignoreNulls = true)
+      else last(col("__asof_payload"), ignoreNulls = true)
     val carried = unioned
-      .withColumn("__asof_last", last(col("__asof_payload"), ignoreNulls = true).over(w))
-      .where(col("__asof_tag") === 1)
+      .withColumn("__asof_last", picker.over(w))
+      .where(col("__asof_tag") === (1 - rightTag))
 
     val projected: Seq[Column] =
       leftCols.map(col) ++ rightPayload.map(p => col(s"__asof_last.$p").as(p))

@@ -66,6 +66,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of matches a per-row brute force on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong)).toDF("id", "k", "t")
+    val rightRows = (1 to 200).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, 1000L + i, rnd.nextDouble()))
+    val right = rightRows.toDF("k", "rt", "rid", "rv")
+
+    val got = AsOfJoin.leftAsOfForward(left, right,
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
+        rightPayload = Seq("rid"), rightTieBreak = "rid")
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+
+    val leftRows = left.as[(Long, String, Long)].collect()
+    leftRows.foreach { case (id, k, t) =>
+      // earliest at-or-after; LEAST rid on time ties
+      val best = rightRows.filter(r => r._1 == k && r._2 >= t)
+        .sortBy(r => (r._2, r._3)).headOption.map(_._3)
+      assert(got(id) == best, s"row $id key $k t $t")
+    }
+  }
+
   test("string tie-break orders on the raw column; non-orderable fails fast") {
     import spark.implicits._
     val left = Seq((1L, "a", 100L)).toDF("id", "k", "t")
