@@ -107,19 +107,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // parity_sec: the reference-equivalent surface (q1-q9 + ETL-layer
-    // queries) — the apples-to-apples number against BASELINE.md, vs the
-    // additive training-data-pipeline operators the reference lacks
-    // reference surface = q1_..q9_ + the etl_ queries that restate the
-    // reference's own transform layer; q10+ (semi/anti, outer, set
-    // ops), q5_salted_join, and the additive pipeline etl_ ops
-    // (deterministic sampling, upsert) have no reference counterpart
-    // and must not inflate the BASELINE.md comparison
-    val additive = Set("q5_salted_join", "etl_sample", "etl_upsert",
-      "etl_stratified_sample", "etl_scd2")
+    // parity_sec: the reference-equivalent surface — the apples-to-apples
+    // number against BASELINE.md. WHITELIST, not a prefix match: the
+    // etl_ namespace keeps growing additive operators the reference
+    // lacks (profiling, constraints, imputation, sharding, ...) and a
+    // prefix rule silently inflated parity_sec as they landed (round 6:
+    // 19 s reported vs ~7 s for the actual reference surface). The
+    // reference surface is exactly its nine query shapes plus the four
+    // transform-layer restatements and the props-JSON extraction.
+    val referenceSurface = Set(
+      "q1_split_part", "q2_cte", "q3_group_avg", "q4_round",
+      "q5_join_inner", "q6_view", "q7_group_avg_over_join", "q8_topk",
+      "q9_full_select",
+      "etl_cell_scrub", "etl_date_parse", "etl_drop_last_n",
+      "etl_full_clean", "etl_json_extract")
     val parity = results.collect {
-      case (k, v) if (k.matches("q[1-9]_.*") || k.startsWith("etl_")) &&
-        !additive(k) => v
+      case (k, v) if referenceSurface(k) => v
     }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"parity_sec":$parity,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
