@@ -376,6 +376,34 @@ object BehaviorQueries {
       |       MAX(run_len) AS longest_streak, COUNT(*) AS n_streaks
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** `analytics_weekday_profile` — traffic profile by day-of-week:
+    * event counts and exact-cents value per weekday, every weekday ×
+    * event-type cell. The weekday comes from pure integer arithmetic
+    * on the epoch day ((day+3) mod 7, 0 = Monday — 1970-01-01 was a
+    * Thursday), so no engine date-function semantics are in the hash
+    * path. Constant key space, one map-side-combined aggregate.
+    */
+  def analyticsWeekdayProfile(spark: SparkSession, sfDir: String): DataFrame =
+    eventsUs(spark, sfDir)
+      .select(
+        expr(s"(us div $UsPerDay + 3) % 7").cast("long").as("weekday"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("weekday", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .orderBy("weekday", "event_type")
+
+  val analyticsWeekdayProfileSql: String =
+    s"""WITH e AS (
+      |  SELECT (epoch_us(ts) // $UsPerDay + 3) % 7 AS weekday, event_type,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |SELECT weekday, event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM e GROUP BY weekday, event_type
+      |ORDER BY weekday, event_type""".stripMargin
+
   /** `analytics_active_users` — DAU + trailing 7-day active users per
     * calendar day. A windowed COUNT DISTINCT cannot use a plain window
     * frame (distinct isn't frame-decomposable), so the spelling is the

@@ -284,6 +284,28 @@ object JoinQueries {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY r.r_name ORDER BY r_name""".stripMargin
 
+  /** `q14_correlated` — correlated scalar subquery: orders priced above
+    * 1.5× their own customer's average order. Catalyst decorrelates
+    * this into an aggregate + join (no per-row re-execution — the
+    * rewrite that makes correlated SQL survive at scale); the oracle
+    * runs the identical SQL text in DuckDB. The average uses the
+    * exact-decimal-sum spelling so the 1.5× comparison is
+    * bit-deterministic.
+    */
+  def q14Correlated(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q14CorrelatedSql)
+  }
+
+  val q14CorrelatedSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > CAST(1.5 AS DOUBLE) * (
+      |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** `join_bucketed` — the co-located join: customer and orders written
     * as 8-bucket tables on the join key, then sort-merge joined with
     * ZERO shuffle exchange (the plan contract ScaleToolkitSpec asserts;

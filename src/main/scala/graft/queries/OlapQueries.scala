@@ -536,6 +536,50 @@ object OlapQueries {
       |SELECT l_returnflag, 'disc_cents', disc_cents FROM w
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** `olap_percentile_disc` — DISCRETE percentiles (an actual data
+    * value, never an interpolation — what `percentile_disc` computes
+    * and the continuous `olap_percentile` cannot give you): per
+    * returnflag, the smallest price whose rank covers p·n, spelled as
+    * an explicit rank selection so both engines execute the identical
+    * definition in integer cents. One window + one aggregate per
+    * group.
+    */
+  def olapPercentileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_c"))
+    val w = Window.partitionBy("l_returnflag").orderBy("price_c")
+    val n = Window.partitionBy("l_returnflag")
+    val ranked = li
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+    def pick(p: Double): org.apache.spark.sql.Column =
+      min(when(col("rk") * 100 >= (col("n") * (p * 100).toLong), col("price_c")))
+    ranked.groupBy("l_returnflag")
+      .agg(
+        pick(0.25).as("p25_c"), pick(0.5).as("p50_c"), pick(0.9).as("p90_c"))
+      .orderBy("l_returnflag")
+  }
+
+  val olapPercentileDiscSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT l_returnflag, price_c,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price_c) AS BIGINT) AS rk,
+      |         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      |  FROM li
+      |)
+      |SELECT l_returnflag,
+      |       MIN(CASE WHEN rk * 100 >= n * 25 THEN price_c END) AS p25_c,
+      |       MIN(CASE WHEN rk * 100 >= n * 50 THEN price_c END) AS p50_c,
+      |       MIN(CASE WHEN rk * 100 >= n * 90 THEN price_c END) AS p90_c
+      |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** `olap_setsim` — exact Jaccard similarity between the user
     * populations of every event-type pair: dedupe to (type, user), one
     * self-join on user for intersections, set sizes broadcast back for
