@@ -502,6 +502,64 @@ object StatQueries {
       |       CAST(n * sum_c AS DOUBLE) AS gini
       |FROM a ORDER BY segment""".stripMargin
 
+  // ---- chi-square independence cells ---------------------------------
+
+  /** `analytics_chi2` — chi-square independence analysis of event type
+    * vs weekday, reported PER CELL (observed, expected, χ² contribution)
+    * rather than as one summed statistic: a 35-term double sum is
+    * aggregation-order-dependent, per-cell values are each a fixed op
+    * sequence over exact integers — so the gate stays bit-exact and the
+    * caller can sum (or rank cells by contribution, the usual use).
+    * Three tiny aggregates (cell/row/column margins) broadcast against
+    * each other; key space is |types|×7.
+    */
+  def analyticsChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = table(spark, sfDir, "events")
+      .select(expr("((ts div 1000) div 86400000000 + 3) % 7").cast("long")
+        .as("weekday"), col("event_type"))
+      .groupBy("weekday", "event_type")
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy("weekday").agg(sum("observed").as("row_n"))
+    val colTot = cells.groupBy("event_type").agg(sum("observed").as("col_n"))
+    val grand = cells.agg(sum("observed").as("n"))
+    cells
+      .join(broadcast(rowTot), "weekday")
+      .join(broadcast(colTot), "event_type")
+      .crossJoin(broadcast(grand))
+      .withColumn("expected",
+        (col("row_n") * col("col_n")).cast(DoubleType) /
+          col("n").cast(DoubleType))
+      .withColumn("chi2_cell",
+        ((col("observed").cast(DoubleType) - col("expected")) *
+          (col("observed").cast(DoubleType) - col("expected"))) /
+          col("expected"))
+      .select("weekday", "event_type", "observed", "expected", "chi2_cell")
+      .orderBy("weekday", "event_type")
+  }
+
+  val analyticsChi2Sql: String =
+    """WITH cells AS (
+      |  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday, event_type,
+      |         COUNT(*) AS observed
+      |  FROM events GROUP BY 1, 2
+      |), rt AS (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS row_n
+      |          FROM cells GROUP BY weekday),
+      |ct AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS col_n
+      |       FROM cells GROUP BY event_type),
+      |g AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+      |SELECT c.weekday, c.event_type, c.observed,
+      |       CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(g.n AS DOUBLE) AS expected,
+      |       ((CAST(c.observed AS DOUBLE) -
+      |         CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(g.n AS DOUBLE)) *
+      |        (CAST(c.observed AS DOUBLE) -
+      |         CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(g.n AS DOUBLE))) /
+      |       (CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(g.n AS DOUBLE)) AS chi2_cell
+      |FROM cells c
+      |JOIN rt ON c.weekday = rt.weekday
+      |JOIN ct ON c.event_type = ct.event_type
+      |CROSS JOIN g
+      |ORDER BY c.weekday, c.event_type""".stripMargin
+
   // ---- seasonal-naive forecast backtest ------------------------------
 
   /** `analytics_forecast` — seasonal-naive backtest: forecast for day d

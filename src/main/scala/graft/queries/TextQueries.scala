@@ -882,6 +882,88 @@ object TextQueries {
       |       CAST(list_sum(list_prepend(0, list_transform(stemmed, t -> length(t)))) AS BIGINT) AS norm_chars
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- PMI keyphrase extraction ---------------------------------------
+
+  /** `text_keyphrases` — top-3 keyphrases (bigrams) per document by
+    * pointwise mutual information, in the RATIO spelling
+    * (P(w1w2)/(P(w1)·P(w2)) — rank-equivalent to PMI's log, which
+    * stays out of the hash path; same doctrine as tf-idf/BM25).
+    * Corpus unigram/bigram statistics are broadcast-sized; the per-doc
+    * candidate set is the doc's own distinct bigrams with corpus count
+    * ≥ 3 (rarer pairs are noise at this corpus size). One tokenize
+    * pass, two tiny stat aggregates, one rank window.
+    */
+  def textKeyphrases(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .where(size(col("toks")) >= 2)
+      .cache()
+    val uni = toked.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val uniTot = uni.agg(sum("cw").as("n_uni"))
+    val docBigrams = toked.select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val bi = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val biTot = bi.agg(sum("cb").as("n_bi"))
+    val candidates = docBigrams.distinct()
+      .join(broadcast(bi.where(col("cb") >= 3)), Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cw", "c1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cw", "c2")), "w2")
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+      .withColumn("pmi_ratio",
+        (col("cb").cast("double") / col("n_bi").cast("double")) /
+          ((col("c1").cast("double") / col("n_uni").cast("double")) *
+            (col("c2").cast("double") / col("n_uni").cast("double"))))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("pmi_ratio"), asc("w1"), asc("w2"))
+    candidates.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").as("phrase_rank"),
+        concat_ws(" ", col("w1"), col("w2")).as("phrase"),
+        col("cb"), col("pmi_ratio"))
+      .orderBy("doc_id", "phrase_rank")
+  }
+
+  val textKeyphrasesSql: String = DuckToks +
+    """
+      |, toked AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS cw
+      |  FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w
+      |), unitot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_uni FROM uni),
+      |docbg AS (
+      |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+      |             {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+      |    FROM toked)
+      |), bi AS (SELECT w1, w2, COUNT(*) AS cb FROM docbg GROUP BY w1, w2),
+      |bitot AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_bi FROM bi),
+      |cand AS (
+      |  SELECT db.doc_id, db.w1, db.w2, bi.cb,
+      |         (CAST(bi.cb AS DOUBLE) / CAST(bitot.n_bi AS DOUBLE)) /
+      |         ((CAST(u1.cw AS DOUBLE) / CAST(unitot.n_uni AS DOUBLE)) *
+      |          (CAST(u2.cw AS DOUBLE) / CAST(unitot.n_uni AS DOUBLE))) AS pmi_ratio
+      |  FROM (SELECT DISTINCT doc_id, w1, w2 FROM docbg) db
+      |  JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2 AND bi.cb >= 3
+      |  JOIN uni u1 ON db.w1 = u1.w
+      |  JOIN uni u2 ON db.w2 = u2.w
+      |  CROSS JOIN unitot CROSS JOIN bitot
+      |)
+      |SELECT doc_id, CAST(rn AS INTEGER) AS phrase_rank,
+      |       w1 || ' ' || w2 AS phrase, cb, pmi_ratio
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY pmi_ratio DESC, w1, w2) AS rn
+      |  FROM cand
+      |)
+      |WHERE rn <= 3 ORDER BY doc_id, phrase_rank""".stripMargin
+
   // ---- cross-document exact substring duplication ---------------------
 
   /** `dedup_substring` — the exact-substring duplication detector (Lee
