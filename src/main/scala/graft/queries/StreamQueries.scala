@@ -348,6 +348,61 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** `multimodal_audio_energy` — windowed signal energy over the REAL
+    * WAV decode path: the same synthesized PCM containers as
+    * `multimodal_wav_decode`, run through MediaCodecs.decodeWavBytes,
+    * then per non-overlapping 8-sample frame the integer energy
+    * Σ(s−128)² (deviation from the requantized midpoint). The audio
+    * feature-extraction shape: decode in a typed map (decoder-init
+    * pattern), frame arithmetic as integer column math, one row per
+    * (doc, frame). The oracle rebuilds the identical plane
+    * arithmetically from the text bytes.
+    */
+  def multimodalAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 8
+    val planes = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val dataLen = math.min(90, (bytes.length / 2) * 2)
+        def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(7968) ++ le32(15936) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le32(dataLen) ++ bytes.take(dataLen)
+        val plane = graft.ops.MediaCodecs.decodeWavBytes(wav).getOrElse(Array.empty[Int])
+        val energies = plane.grouped(frameLen).filter(_.length == frameLen)
+          .map(f => f.map(s => (s - 128L) * (s - 128L)).sum).toSeq
+        (id, energies)
+      }.toDF("doc_id", "energies")
+    planes
+      .select(col("doc_id"), posexplode(col("energies")).as(Seq("frame_idx", "energy")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("energy"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val multimodalAudioEnergySql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
+      |), l AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, dl//2), i -> unicode(text[2*i+2]) + 128) AS plane
+      |  FROM m
+      |), f AS (
+      |  SELECT doc_id, unnest(range(0, len(plane)//8)) AS frame_idx, plane
+      |  FROM l
+      |)
+      |SELECT doc_id, frame_idx,
+      |       CAST(list_sum(list_transform(plane[frame_idx*8 + 1 : frame_idx*8 + 8],
+      |              s -> (s - 128)*(s - 128))) AS BIGINT) AS energy
+      |FROM f WHERE len(plane) >= (frame_idx + 1) * 8
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** DuckDB twin of the real WAV decode: the requantized sample plane
     * is (high byte of each pair) + 128 = unicode(text[2i+2]) + 128 over
     * the even-truncated ≤90-byte data window; container size is header

@@ -68,6 +68,37 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("plan contracts: broadcast model/spine, decorrelated subquery") {
+    import graft.queries.{JoinQueries, SimilarityQueries}
+    // centroid model must broadcast — the corpus side stays a narrow map
+    val centroid = SimilarityQueries.simCentroidClassify(spark, TestSpark.Sf001)
+      .queryExecution.executedPlan.toString
+    assert(centroid.contains("BroadcastHashJoin"),
+      "centroid model not broadcast — corpus would shuffle against it")
+    // WAU range join must broadcast the (tiny) day spine, not the data
+    val wau = BehaviorQueries.analyticsActiveUsers(spark, TestSpark.Sf001)
+      .queryExecution.executedPlan.toString
+    assert(wau.contains("BroadcastNestedLoopJoin"),
+      "day-spine range join lost its broadcast")
+    // the correlated scalar subquery must decorrelate to aggregate+join —
+    // a surviving per-row subquery would re-execute per outer row
+    val corr = JoinQueries.q14Correlated(spark, TestSpark.Sf001)
+      .queryExecution.executedPlan.toString
+    assert(corr.contains("HashAggregate") &&
+      (corr.contains("BroadcastHashJoin") || corr.contains("SortMergeJoin")),
+      "correlated subquery did not decorrelate to aggregate + join")
+  }
+
+  test("audio frame energies are non-negative and framing drops the tail") {
+    import graft.queries.StreamQueries
+    val rows = StreamQueries.multimodalAudioEnergy(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("energy") >= 0))
+    // 8-sample frames over a <=45-sample plane: at most 5 frames per doc
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).values.map(_.length)
+    assert(perDoc.max <= 5)
+  }
+
   test("degree distribution accounts for every customer, including degree 0") {
     val rows = GraphQueries.graphDegree(spark, TestSpark.Sf001).collect()
     val total = rows.map(_.getAs[Long]("n_customers")).sum
