@@ -502,6 +502,81 @@ object StatQueries {
       |       CAST(n * sum_c AS DOUBLE) AS gini
       |FROM a ORDER BY segment""".stripMargin
 
+  // ---- Benford first-digit audit -------------------------------------
+
+  /** `analytics_benford` — first-significant-digit distribution of
+    * order totals (the classic fraud/materiality audit signal). The
+    * digit comes from the CENTS VALUE AS A STRING — pure integer+string
+    * engine surface, no log10 in the hash path (cents > 0 ⇒ first char
+    * of the decimal rendering IS the leading significant digit).
+    * Output: digit, count, exact-division share. One constant-key
+    * aggregate.
+    */
+  def analyticsBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = table(spark, sfDir, "orders")
+      .select(cents(col("o_totalprice")).as("c"))
+      .where(col("c") > 0)
+    val digits = ord
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("share"))
+      .orderBy("digit")
+  }
+
+  val analyticsBenfordSql: String =
+    """WITH c AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      |), d AS (
+      |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |         COUNT(*) AS n
+      |  FROM c WHERE c > 0 GROUP BY 1
+      |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM d)
+      |SELECT d.digit, d.n,
+      |       CAST(d.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+      |FROM d CROSS JOIN t ORDER BY d.digit""".stripMargin
+
+  // ---- cumulative monthly revenue ------------------------------------
+
+  /** `analytics_cumulative` — month-over-month running revenue per
+    * returnflag: exact cents sums per (flag, month), then a running
+    * window over the TINY aggregated frame (flags × months — the
+    * window runs on dozens of rows regardless of fact-table size,
+    * which is what makes a global cumulative report scale).
+    */
+  def analyticsCumulative(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .groupBy("l_returnflag", "month")
+      .agg(sum("cents").as("month_cents"))
+    val w = Window.partitionBy("l_returnflag").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_cents", sum("month_cents").over(w))
+      .select(col("l_returnflag").as("returnflag"), col("month"),
+        col("month_cents"), col("cum_cents"))
+      .orderBy("returnflag", "month")
+  }
+
+  val analyticsCumulativeSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS returnflag,
+      |         strftime(l_shipdate, '%Y-%m') AS month,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS month_cents
+      |  FROM lineitem GROUP BY 1, 2
+      |)
+      |SELECT returnflag, month, month_cents,
+      |       CAST(SUM(month_cents) OVER (PARTITION BY returnflag ORDER BY month
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |FROM m ORDER BY returnflag, month""".stripMargin
+
   // ---- chi-square independence cells ---------------------------------
 
   /** `analytics_chi2` — chi-square independence analysis of event type
