@@ -90,9 +90,59 @@ object MediaCodecs {
     * color-space conversion) before averaging.
     * Undecodable/malformed bytes → None (stub fallback, never throw).
     */
-  def decodeImageLuma(bytes: Array[Byte]): Option[Array[Int]] = {
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  def decodeImageLuma(bytes: Array[Byte]): Option[Array[Int]] =
+    new RasterDecoder().decodeLuma(bytes)
+
+  /** Reusable raster decoder — ONE per partition (the MessageDigest
+    * pattern in Multimodal.extractFeatures), because the convenience
+    * `ImageIO.read(InputStream)` pays three per-call costs that dwarf
+    * decoding a tiny raster: an ImageInputStream whose default cache is
+    * a TEMP FILE on disk (`ImageIO.getUseCache` is true out of the
+    * box), a full service-registry scan to find a reader, and a fresh
+    * reader instance. Here the container format is sniffed from magic
+    * bytes, the matching reader is created once and re-`setInput` per
+    * image, and the stream is an explicit MemoryCacheImageInputStream —
+    * no disk, no registry walk, identical decoded samples (reader.read
+    * is exactly what ImageIO.read calls internally).
+    * NOT thread-safe (ImageReader holds per-decode state) — per
+    * partition, never shared.
+    */
+  final class RasterDecoder {
+    private val readers =
+      scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+
+    private def sniff(b: Array[Byte]): Option[String] =
+      if (b.length < 4) None
+      else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+      else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) Some("jpeg")
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') Some("gif")
+      else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+      else None
+
+    def decodeLuma(bytes: Array[Byte]): Option[Array[Int]] = {
+      try {
+        val img = sniff(bytes) match {
+          case Some(fmt) =>
+            val reader = readers.getOrElseUpdate(fmt, {
+              val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+              if (!it.hasNext) return None
+              it.next()
+            })
+            reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes)), true, true)
+            reader.read(0)
+          case None => // unknown magic: the slow generic path, rare by contract
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        }
+        lumaPlane(img)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Shared plane extraction (see decodeImageLuma scaladoc for the
+    * raw-sample vs getRGB and indexed-palette contracts).
+    */
+  private def lumaPlane(img: java.awt.image.BufferedImage): Option[Array[Int]] = {
       if (img == null) return None
       val raster = img.getRaster
       val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
@@ -122,7 +172,6 @@ object MediaCodecs {
         y += 1
       }
       Some(out)
-    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Encode one row of 8-bit gray samples as a REAL, spec-complete PNG
@@ -198,7 +247,9 @@ object MediaCodecs {
       val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
       if (!readers.hasNext) return None
       val reader = readers.next()
-      val stream = javax.imageio.ImageIO.createImageInputStream(
+      // explicit memory-backed stream: createImageInputStream defaults
+      // to a temp-FILE cache (ImageIO.getUseCache) — see RasterDecoder
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         reader.setInput(stream, false)

@@ -126,12 +126,13 @@ object Multimodal {
   /** media_type → decoded value plane; None means "no real decoder or
     * malformed input" and selects the stub path.
     */
-  private def decodePlane(mediaType: String, content: Array[Byte]): Option[Array[Int]] =
+  private def decodePlane(raster: MediaCodecs.RasterDecoder,
+      mediaType: String, content: Array[Byte]): Option[Array[Int]] =
     mediaType match {
       case "image/ppm" => MediaCodecs.decodePpmLuma(content)
       case "audio/wav" => MediaCodecs.decodeWavBytes(content)
       case "image/png" | "image/jpeg" | "image/bmp" | "image/gif" =>
-        MediaCodecs.decodeImageLuma(content)
+        raster.decodeLuma(content)
       case _ => None
     }
 
@@ -142,13 +143,23 @@ object Multimodal {
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      // per-partition setup happens here once (decoder init in real
-      // life; concretely: ONE MessageDigest per partition — a per-row
-      // getInstance would do a JCA provider lookup on every record)
+    // Decode is CPU-bound; a small gated input arrives as ONE parquet
+    // split and would otherwise decode on one core. Fan narrow inputs
+    // out to core count; inputs already wider than that (the 100 TB
+    // case — thousands of splits) pass through untouched, no shuffle.
+    val par = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (media.rdd.getNumPartitions < par) media.repartition(par) else media
+    balanced.as[MediaRecord].mapPartitions { it =>
+      // per-partition setup happens here once: ONE MessageDigest (a
+      // per-row getInstance would do a JCA provider lookup on every
+      // record) and ONE RasterDecoder (per-row ImageIO.read pays a
+      // registry scan + a temp-FILE-backed stream cache per image —
+      // see RasterDecoder's scaladoc; this halved the gated PNG query)
       val md = MessageDigest.getInstance("SHA-256")
+      val raster = new MediaCodecs.RasterDecoder
       it.map { rec =>
-        val (mean, frames, thumb) = decodePlane(rec.media_type, rec.content) match {
+        val (mean, frames, thumb) = decodePlane(raster, rec.media_type, rec.content) match {
           case Some(vals) =>
             val m =
               if (vals.isEmpty) 0.0

@@ -161,44 +161,51 @@ object GraphQueries {
     * per-node contribution/degree frames) broadcast EXPLICITLY — the
     * planner can't see through five iterations of joins to infer that,
     * and falling back to sort-merge would shuffle the edge list every
-    * round. At web scale where ranks outgrow a broadcast, the shape
+    * round. At web scale where ranks outgrow a broadcast, the hint
     * changes to ranks and edges co-partitioned on src (one shuffle to
     * establish, zero per iteration) — same algebra, different hint.
+    *
+    * Fully distributed: the rank vector lives in executor storage as a
+    * localCheckpoint'd DataFrame for the whole loop — NOTHING is
+    * collected to the driver between iterations (earlier rounds held
+    * the vector driver-side, which is a bottleneck the moment ranks
+    * outgrow one heap). Each round is one distributed job:
+    * edges ⋈ broadcast(rank DIV outdeg) → partial+final agg to |nodes|
+    * groups → left-join nodes → checkpoint the new vector.
+    * localCheckpoint (not cache) truncates lineage so the plan stays
+    * O(1) per round instead of nesting every prior round — the
+    * ConnectedComponents.resolve doctrine; a cluster deployment points
+    * spark.checkpoint.dir at durable storage and uses checkpoint() for
+    * executor-loss recovery. Replaced rounds' blocks are dropped
+    * eagerly or checkpoint storage grows linearly with iterations.
+    * All divisions are integral (DIV), so the result is bit-identical
+    * to the unrolled integer-arithmetic oracle.
     */
   private[graft] def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    val spark = nodes.sparkSession
-    import spark.implicits._
-    // The rank vector was ALREADY a broadcast-sized model artifact in
-    // this formulation (it's |nodes| rows — the contract says so); the
-    // fully-lazy spelling paid ~3 nested broadcast exchanges per round,
-    // each a blocking driver job (measured 7-11 s for 5 rounds at
-    // sf0.1). Holding the same vector on the driver instead (the IVF-
-    // centroid precedent) makes each round exactly ONE distributed job:
-    // edge list ⋈ broadcast(rank/outdeg) → partial-agg to |nodes|
-    // groups → collect of the node-sized result. The fact-sized edge
-    // list never moves and is never collected. At web scale, where the
-    // rank vector outgrows a broadcast, the shape changes to ranks and
-    // edges co-partitioned on src (one shuffle to establish, zero per
-    // iteration) — same algebra, different placement.
-    val nodeIds = nodes.select(col("node").cast("long")).as[Long].collect().sorted
-    val degMap = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").cast("long"), col("deg")).as[(Long, Long)]
-      .collect().toMap
-    var rank = nodeIds.map(_ -> 1000000L).toMap
+    val nodeIds = nodes.select(col("node").cast("long").as("node"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").cast("long").as("src"), col("deg"))
+      .localCheckpoint(true)
+    var rank = nodeIds.withColumn("rank", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // pre-divide on the driver: each edge contributes rank_src DIV
-      // deg_src, so the broadcast side carries the quotient directly
-      val contribIn = rank.toSeq
-        .flatMap { case (n, r) => degMap.get(n).map(d => n -> (r / d)) }
-        .sortBy(_._1).toDF("src", "c")
-      val sums = edges.join(broadcast(contribIn), "src")
-        .groupBy(col("dst").cast("long").as("node"))
-        .agg(sum(col("c")).as("s"))
-        .as[(Long, Long)].collect().toMap
-      rank = nodeIds
-        .map(n => n -> (150000L + 850L * sums.getOrElse(n, 0L) / 1000L)).toMap
+      // pre-divide: each edge contributes rank_src DIV deg_src, so the
+      // broadcast side carries the quotient directly (one row per
+      // source node, not per edge)
+      val contrib = rank.join(deg, rank("node") === deg("src"))
+        .select(col("src"), expr("rank DIV deg").as("c"))
+      val sums = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("node"))
+        .join(broadcast(contrib), "src")
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val next = nodeIds
+        .join(broadcast(sums), Seq("node"), "left")
+        .select(col("node"),
+          expr("150000L + (850L * coalesce(s, 0L)) DIV 1000L").as("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rank)
+      rank = next
     }
-    rank.toSeq.sortBy(_._1).toDF("node", "rank")
+    rank
   }
 
   /** r1..r5 are mechanically unrolled (DuckDB supports recursive CTEs

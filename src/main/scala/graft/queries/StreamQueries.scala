@@ -134,6 +134,20 @@ object StreamQueries {
       |                        AND epoch_us(p.ts)
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Gate-only total order WITHOUT the RangePartitioner's sampling
+    * pass: `orderBy` above a narrow no-exchange pipeline executes the
+    * child TWICE — once to sample range bounds, once for real — and
+    * for the multimodal queries the child is the whole
+    * encode→decode→feature chain (measured ≈2× wall-clock on
+    * `multimodal_png_decode`). A single-partition shuffle plus an
+    * in-partition sort is ONE pass, and the sorted set is
+    * one-row-per-doc small by then. The total order itself is gate
+    * contract only — a production sink keeps the decode partitioning
+    * and skips the sort entirely.
+    */
+  private def gateSort(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.map(col): _*)
+
   /** Binary metadata through pure SQL expressions (oracle-checked). */
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.packFromText(table(spark, sfDir, "documents"))
@@ -141,7 +155,7 @@ object StreamQueries {
         col("doc_id"), col("media_type"),
         length(col("content")).as("n_bytes"),
         sha2(col("content"), 256).as("digest"))
-      .orderBy("doc_id")
+      .transform(gateSort(_, "doc_id"))
 
   val multimodalMetaSql: String =
     """SELECT doc_id, 'text/utf-8' AS media_type,
@@ -170,7 +184,7 @@ object StreamQueries {
         element_at(col("thumb"), 2).as("thumb_1"),
         element_at(col("thumb"), 3).as("thumb_2"),
         element_at(col("thumb"), 4).as("thumb_3"))
-      .orderBy("doc_id")
+      .transform(gateSort(_, "doc_id"))
 
   /** The REAL decoder path under the gate: pack each document's bytes
     * into a genuine PPM (P6) container — header + the text bytes as a
@@ -204,7 +218,7 @@ object StreamQueries {
         element_at(col("thumb"), 2).as("thumb_1"),
         element_at(col("thumb"), 3).as("thumb_2"),
         element_at(col("thumb"), 4).as("thumb_3"))
-      .orderBy("doc_id")
+      .transform(gateSort(_, "doc_id"))
   }
 
   /** DuckDB twin of the REAL PPM decode: rebuild the same container
@@ -279,7 +293,7 @@ object StreamQueries {
         element_at(col("thumb"), 2).as("thumb_1"),
         element_at(col("thumb"), 3).as("thumb_2"),
         element_at(col("thumb"), 4).as("thumb_3"))
-      .orderBy("doc_id")
+      .transform(gateSort(_, "doc_id"))
   }
 
   /** DuckDB twin of the PNG decode: the decoded gray plane IS the text's
@@ -345,7 +359,7 @@ object StreamQueries {
         element_at(col("thumb"), 2).as("thumb_1"),
         element_at(col("thumb"), 3).as("thumb_2"),
         element_at(col("thumb"), 4).as("thumb_3"))
-      .orderBy("doc_id")
+      .transform(gateSort(_, "doc_id"))
   }
 
   /** `multimodal_audio_energy` — windowed signal energy over the REAL
@@ -383,7 +397,7 @@ object StreamQueries {
       .select(col("doc_id"), posexplode(col("energies")).as(Seq("frame_idx", "energy")))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("energy"))
-      .orderBy("doc_id", "frame_idx")
+      .transform(gateSort(_, "doc_id", "frame_idx"))
   }
 
   val multimodalAudioEnergySql: String =
@@ -463,7 +477,7 @@ object StreamQueries {
       }.toDF("doc_id", "in_w", "in_h", "resized")
       .select(col("doc_id"), col("in_w"), col("in_h"),
         to_json(col("resized")).as("resized_json"))
-      .orderBy("doc_id")
+      .transform(gateSort(_, "doc_id"))
   }
 
   /** DuckDB twin of the 2-D resize: luminance from byte triplets as in

@@ -27,6 +27,26 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(cyc(0L) >= 850000L && cyc(0L) <= 1000000L)
   }
 
+  test("pagerank is fully distributed: no driver-resident rank vector") {
+    // The rank vector must live in executor storage (localCheckpoint'd
+    // LogicalRDD) for the whole loop — a driver-side spelling would
+    // surface as a LocalRelation leaf (Seq.toDF of collected ranks).
+    // Leaves of the final plan must be parquet scans / checkpointed
+    // RDDs only.
+    val df = GraphQueries.graphPagerank(spark, TestSpark.Sf001)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    val driverLeaves = leaves.filter(
+      _.getClass.getSimpleName.contains("LocalRelation"))
+    assert(driverLeaves.isEmpty,
+      s"rank vector originated on the driver: $driverLeaves")
+    // and the distributed spelling still produces the exact integer
+    // fixpoint the driver spelling did (values cross-checked against
+    // the unrolled DuckDB oracle by the correctness gate)
+    val rows = df.collect()
+    assert(rows.length == 25)
+  }
+
   test("nation pagerank: floor respected, total rank never exceeds injection") {
     val rows = GraphQueries.graphPagerank(spark, TestSpark.Sf001).collect()
     assert(rows.length == 25)
