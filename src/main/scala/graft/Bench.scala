@@ -67,7 +67,31 @@ object Bench {
     val order = benched.toSeq
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Boolean)]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to runs; (name, fn) <- order) {
+    // Fixed CPU-bound calibration task, timed once per pass alongside
+    // the suite: a constant synthetic aggregate (hash+sum over a fixed
+    // range — no I/O, no data dependence, fully codegen'd), so BENCH_rN
+    // files can be normalized for host speed before any cross-round
+    // regression triage. Round-over-round per-query medians have moved
+    // ~1.9× uniformly with zero code change (host load/CPU contention);
+    // calib_sec moves with the host, query/calib ratios move with the
+    // plans.
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibrate(): Unit = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: 200M hash longs overflow a SUM under ANSI
+      exec(spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .select(org.apache.spark.sql.functions.bit_xor(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id"))).as("h")))
+      calibSamples += (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the range/hash codegen; sample discarded below
+    calibSamples.clear()
+    // one calibration sample per pass, interleaved like the queries, so
+    // its median sees the same load profile the query medians saw
+    for (_ <- 1 to runs) {
+      calibrate()
+      for ((name, fn) <- order) {
       val t0 = System.nanoTime()
       val ok =
         try { exec(fn(spark, sfDir)); true }
@@ -88,6 +112,7 @@ object Bench {
       // hundreds of executions leaks across queries. One explicit GC
       // per execution is noise next to query cost.
       System.gc()
+      }
     }
     val results = order.map { case (name, _) =>
       // median over SUCCESSFUL runs only — a fast-failing run would
@@ -125,7 +150,25 @@ object Bench {
       case (k, v) if referenceSurface(k) => v
     }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"parity_sec":$parity,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val calib = {
+      val s = calibSamples.sorted
+      if (s.isEmpty) 0.0 else s((s.length - 1) / 2)
+    }
+    // calib_sec/parity_sec LAST in the line: the driver records a tail
+    // of stdout, and with these keys at the front BENCH_r06 truncated
+    // them away — trailing keys survive any prefix truncation.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","calib_sec":$calib,"parity_sec":$parity}"""
+    // The driver keeps only a TAIL of stdout, which has truncated away
+    // parity_sec and half the per-query map in past rounds (BENCH_r06).
+    // Persist the full line where it survives: target/bench_full.json.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => () } // stdout still has it
+    println(line)
     spark.stop()
   }
 }

@@ -319,6 +319,7 @@ object JoinQueries {
   def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     val pid = ProcessHandle.current().pid()
     val (ct, ot) = (s"cust_bkt_$pid", s"ord_bkt_$pid")
+    bucketCleanup(spark, ct, ot)
     table(spark, sfDir, "customer")
       .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
       .mode("overwrite").saveAsTable(ct)
@@ -332,6 +333,28 @@ object JoinQueries {
         RefQueries.exactSum(col("o_totalprice")).as("revenue"))
       .orderBy("c_mktsegment")
   }
+
+  /** Registered once per (session, table pair): drops THIS process's
+    * bucketed tables (data + catalog entry) at JVM exit — the
+    * stagingDir doctrine in SourceQueries, without which every
+    * process leaves a table pair in the warehouse on long-lived hosts.
+    * The returned DataFrame is lazy, so the drop can't run inline after
+    * the query builds; exit is the earliest point the tables are
+    * certainly no longer referenced. Kill -9 still leaks one pair; the
+    * pid-keyed names make a stale sweep trivial
+    * (`DROP TABLE cust_bkt_<deadpid>`).
+    */
+  private val bucketHooks = scala.collection.mutable.Set.empty[String]
+  private def bucketCleanup(spark: SparkSession, tables: String*): Unit =
+    synchronized {
+      val key = tables.mkString(",")
+      if (bucketHooks.add(key)) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          catch { case _: Throwable => () } // session may already be down
+        ))
+      }
+    }
 
   val joinBucketedSql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_orders,

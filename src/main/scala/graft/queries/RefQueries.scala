@@ -112,13 +112,13 @@ object RefQueries {
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("p_name"), col("p_brand"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
   }
 
   val q5Sql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand, l_quantity
       |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
 
   /** Q6 — view definition + select-from-view (views.sql:3,18). */
   def q6View(spark: SparkSession, sfDir: String): DataFrame = {
@@ -186,22 +186,41 @@ object RefQueries {
 
   /** Q5 variant — the skew-salted join must be result-identical to the
     * plain inner equi-join (its oracle IS the plain join): salting is a
-    * physical spread of hot keys, never a semantic change. Gated on the
-    * two-phase spelling: measure the key histogram, salt only keys above
-    * skewFactor × mean, plain-join the rest. On this near-uniform corpus
-    * that correctly finds NO hot keys and degenerates to histogram +
-    * plain join — the always-salt machinery is exercised (and compared
-    * against AQE) by SkewJoinSpec's planted-monster-key corpus instead.
+    * physical spread of hot keys, never a semantic change. This row
+    * gates the ALWAYS-SALT spelling (every key spread over 8 salts,
+    * the whole small side replicated 8×) so the replication machinery
+    * itself sits under the value-hash gate; SkewJoinSpec's
+    * planted-monster-key corpus compares it against AQE.
     */
   def q5SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = table(spark, sfDir, "lineitem")
     val p = table(spark, sfDir, "part")
-    graft.ops.SkewJoin.twoPhaseSaltedInnerJoin(li, p, "l_partkey", "p_partkey",
+    graft.ops.SkewJoin.saltedInnerJoin(li, p, "l_partkey", "p_partkey",
         salts = 8)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("p_name"), col("p_brand"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+  }
+
+  /** Q5 variant — the TWO-PHASE skew join (the production spelling:
+    * histogram the key column, salt only keys above skewFactor × mean,
+    * plain-join the rest, union). skewFactor = 1.0 on this
+    * near-uniform corpus puts the above-mean half of the keys in the
+    * hot branch (capped at maxHotKeys) — BOTH branches do real work
+    * under the gate, unlike the default threshold where the corpus has
+    * no hot keys and the operator degenerates to the plain join. Same
+    * oracle as the plain q5: physical strategy, identical result.
+    */
+  def q5TwophaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val p = table(spark, sfDir, "part")
+    graft.ops.SkewJoin.twoPhaseSaltedInnerJoin(li, p, "l_partkey", "p_partkey",
+        salts = 8, skewFactor = 1.0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("p_name"), col("p_brand"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
   }
 
   /** Q9 — full-table select (analysis.ipynb cells 2-3). */

@@ -397,7 +397,12 @@ object StatQueries {
       .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
         sum(when(col("event_type") === "error", 1L).otherwise(0L)))
         .cast("long").as("converted"))
-      .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      // abs before %: Spark pmod and DuckDB % disagree on NEGATIVE ids
+      // (pmod(-3,2)=1, -3%2=-1 — the row would silently fall out of
+      // both buckets on the oracle side). The corpus generates
+      // non-negative ids, but unlike etl_shard that invariant is not
+      // part of this operator's contract — abs makes the split total.
+      .withColumn("grp", abs(col("user_id")) % 2)
     val agg = users.groupBy("grp")
       .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
     // two rows → one: conditional aggregation keeps it a single pass
@@ -428,7 +433,7 @@ object StatQueries {
       |  SELECT user_id,
       |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
       |              SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS converted,
-      |         user_id % 2 AS grp
+      |         abs(user_id) % 2 AS grp
       |  FROM events GROUP BY user_id
       |), w AS (
       |  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n0,
