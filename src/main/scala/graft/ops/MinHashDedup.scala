@@ -118,30 +118,11 @@ object MinHashDedup {
     */
   def nearDupPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.7,
       k: Int = 128, bands: Int = 32): DataFrame = {
-    require(k % bands == 0)
-    val r = k / bands
     val sh = Dedup.shingles(docs, n)
       .where(size(col("shingle_set")) > 0)
       .cache()
-    val sig = sh.select(col("doc_id"),
-      signatureNative(col("shingle_set"), k).as("sig"))
-    // band → bucket key: xxhash64 over the band's r signature slots
-    val bandRows = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        val slice = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
-        struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = bandRows.as("a")
-    val b = bandRows.as("b")
-    val cands = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .dropDuplicates("d1", "d2")
     // verify candidates with exact set Jaccard (shingle sets re-joined)
-    cands
+    bandCandidates(sh, k, bands)
       .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")
       .withColumn("intersect_size", size(array_intersect(col("s1"), col("s2"))))
@@ -152,5 +133,79 @@ object MinHashDedup {
           (col("n1") + col("n2") - col("intersect_size")))
       .where(col("jaccard") >= threshold)
       .select("d1", "d2", "intersect_size", "n1", "n2", "jaccard")
+  }
+
+  /** Shared LSH candidate generation: band each doc's k-slot signature
+    * into `bands` buckets (xxhash64 over each band's r = k/bands slots);
+    * docs sharing any (band, bucket) key become an unordered candidate
+    * pair. The band-bucket join is the ONLY shuffle — O(docs·bands)
+    * rows — never all-pairs.
+    */
+  private def bandCandidates(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val sig = sh.select(col("doc_id"),
+      signatureNative(col("shingle_set"), k).as("sig"))
+    val bandRows = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        val slice = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
+        struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+  }
+
+  /** MinHash CONTAINMENT dedup — the scale analogue of
+    * Dedup.containmentPairs (the sketch sibling the exact operator's
+    * scaladoc promises): catch C(A,B) = |A∩B|/|A| ≥ threshold without
+    * ever forming all pairs.
+    *
+    * Asymmetry is the design driver. A small document wholly embedded
+    * in a large one has HIGH containment but LOW Jaccard
+    * (J = |A∩B|/|A∪B| ≈ |A|/|B|), so the Jaccard-tuned banding above
+    * (r=4) would never collide the pair. Containment and Jaccard are
+    * linked through the sizes — for C(A,B) ≥ t and size ratio
+    * |B|/|A| ≤ R:  J ≥ t/(1 + R − t)  — so banding WIDE (r = k/bands
+    * small) pushes the survival curve's knee down to that J floor.
+    * Defaults r=2, b=64 (k=128): survival 1−(1−J²)⁶⁴ ≈ 0.98 at the
+    * R=3 contract boundary (J=0.25) and ≥ 1−1.5e-5 for J ≥ 0.4.
+    * Candidates then verify with EXACT set containment, so false
+    * positives never ship — like nearDupPairs, the output at the gated
+    * threshold equals the exact operator's. Pairs outside the R bound
+    * are the documented residual (LSH-Ensemble-style size-stratified
+    * banding is the upgrade when |B|/|A| is unbounded).
+    *
+    * Output: one ORDERED row per (d1 ⊂-ish d2) direction over the
+    * threshold — same shape and semantics as Dedup.containmentPairs.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.8,
+      k: Int = 128, bands: Int = 64): DataFrame = {
+    val sh = Dedup.shingles(docs, n)
+      .where(size(col("shingle_set")) > 0)
+      .cache()
+    val unordered = bandCandidates(sh, k, bands)
+      .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")
+      .withColumn("intersect_size",
+        size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("n1", size(col("s1")).cast("long"))
+      .withColumn("n2", size(col("s2")).cast("long"))
+      .select("d1", "d2", "intersect_size", "n1", "n2")
+    // each unordered candidate fans out to its two directed rows, then
+    // the exact-containment filter keeps whichever direction clears t
+    val both = unordered.unionByName(unordered.select(
+      col("d2").as("d1"), col("d1").as("d2"),
+      col("intersect_size"), col("n2").as("n1"), col("n1").as("n2")))
+    val contain = col("intersect_size").cast("double") / col("n1")
+    both.where(contain >= threshold)
+      .select(col("d1"), col("d2"), col("intersect_size"),
+        col("n1"), col("n2"), contain.as("containment"))
   }
 }

@@ -170,6 +170,21 @@ object SimilarityQueries {
   /** Must equal the exact inverted-index algorithm's output at 0.7. */
   val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSqlAt(0.7)
 
+  /** `dedup_containment_minhash` — the sketch sibling of
+    * `dedup_containment` (see MinHashDedup.containmentPairs: wide r=2
+    * banding so the survival knee sits below the J floor that
+    * C ≥ 0.8 with size ratio ≤ 3 implies, then exact-containment
+    * verification). Gated against the SAME exact-containment oracle:
+    * on this corpus every qualifying pair survives banding, so sketch
+    * output ≡ exact output — the recall contract the spec measures.
+    */
+  def dedupContainmentMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    MinHashDedup.containmentPairs(table(spark, sfDir, "documents"),
+        n = 2, threshold = 0.8)
+      .orderBy("d1", "d2")
+
+  val dedupContainmentMinhashSql: String = TextQueries.dedupContainmentSql
+
   def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = table(spark, sfDir, "embeddings")
     Similarity.pqTopKCosine(emb.where(col("vec_id") < 10), emb, k = 5)

@@ -131,6 +131,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.exceptAll(mh).isEmpty && mh.exceptAll(exact).isEmpty)
   }
 
+  test("minhash containment equals exact containment at the 0.8 gate") {
+    // the sketch sibling must reproduce the exact operator's output on
+    // this corpus (verification removes all false positives; the wide
+    // r=2 banding keeps recall at 1.0 here — every qualifying pair has
+    // J ≥ 0.9, far above the survival knee)
+    val exact = Dedup.containmentPairs(docs, 2, 0.8)
+      .select("d1", "d2", "intersect_size", "n1", "n2")
+    val mh = MinHashDedup.containmentPairs(docs, 2, 0.8)
+      .select("d1", "d2", "intersect_size", "n1", "n2")
+    assert(exact.exceptAll(mh).isEmpty && mh.exceptAll(exact).isEmpty)
+    assert(exact.count() > 0) // a trivially-empty equality proves nothing
+  }
+
+  test("minhash containment catches a small doc embedded in a large one") {
+    import spark.implicits._
+    // C(A,B) = 1.0 but J ≈ 0.21: symmetric Jaccard banding (r=4) sits
+    // at survival ≈ 1-(1-0.21^4)^32 ≈ 6% — this pair is exactly what
+    // the wide containment banding exists to catch. Deterministic:
+    // fixed permutation constants, fixed corpus.
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val big = (1 to 58).map(i => s"tok$i").mkString(" ")
+    val two = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val out = MinHashDedup.containmentPairs(two, 2, 0.9)
+      .select("d1", "d2", "containment").collect()
+    assert(out.length == 1, s"expected exactly the embedded pair, got ${out.toSeq}")
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
   test("explode-agg minhash signatures equal the array-fold spelling") {
     import org.apache.spark.sql.functions._
     // two spellings of the same permutations must never drift: the
