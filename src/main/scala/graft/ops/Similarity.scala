@@ -344,11 +344,12 @@ object Similarity {
     *
     * All codebooks, codes, and tables are exact integer arithmetic, so
     * the whole pipeline restates in DuckDB SQL (the gate). Vectors must
-    * carry exactly m·(dim/m) dims. The encode/ADC lambdas here are
-    * interpreted HOFs — fine for a gated build pass; the scan-side
-    * upgrade at scale is a native ADC kernel over the codes array, with
-    * functions.LongArrayBestCell as the template. Recall on the
-    * moderate-cosine test embeddings is measured in SimilaritySpec.
+    * carry exactly m·(dim/m) dims. The scan-side encode and ADC run as
+    * native codegen'd kernels (functions.LongArrayPq — tight primitive
+    * loops in whole-stage codegen); the interpreted HOF spellings
+    * remain below as `codesOfInterpreted`/`adcInterpreted`, spec-pinned
+    * bit-equal as the cross-check. Recall on the moderate-cosine test
+    * embeddings is measured in SimilaritySpec.
     */
   def pqTopKCosine(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, ks: Int = 16, rerankFactor: Int = 4): DataFrame = {
@@ -369,51 +370,26 @@ object Similarity {
     val sub = dim / m
     // codebook literal: cb(b)(c)(d) = dim slice [b·sub, (b+1)·sub) of
     // seed vector c — reference-object-free nested array literals
-    val cbLit = array((0 until m).map(b =>
-      array(sample.toIndexedSeq.map(v =>
-        array((0 until sub).map(d => lit(v(b * sub + d))): _*)): _*)): _*)
+    val cbLit = pqCodebookLit(sample, m, sub)
 
-    // ENCODE: per block the argmin-L2 code; array_min over (dist, code)
-    // structs gives the deterministic lowest-code tie-break. Ragged
-    // (shorter) vectors zero-pad via try_element_at+coalesce — ANSI
-    // element_at would crash the whole scan on one short row, and the
-    // sibling kernels (LongArrayDot etc.) tolerate ragged inputs
-    def dimOf(v: Column, b: Column, d: Column): Column =
-      coalesce(try_element_at(v, (b * lit(sub) + d + 1).cast("int")), lit(0L))
-
-    def codesOf(v: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), b =>
-        array_min(transform(element_at(cbLit, b + 1), (cvec, c) =>
-          struct(
-            aggregate(sequence(lit(0), lit(sub - 1)), lit(0L), (acc, d) => {
-              val diff = dimOf(v, b, d) - element_at(cvec, d + 1)
-              acc + diff * diff
-            }).as("dist"),
-            c.as("code")))).getField("code"))
-
-    // ADC table: per block, per code, the inner product of the query's
-    // block slice with that codebook entry
-    def tableOf(qv: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), b =>
-        transform(element_at(cbLit, b + 1), cvec =>
-          aggregate(sequence(lit(0), lit(sub - 1)), lit(0L), (acc, d) =>
-            acc + dimOf(qv, b, d) * element_at(cvec, d + 1))))
-
+    // ENCODE over the corpus scan + ADC per candidate pair: the native
+    // kernels (tight primitive loops in whole-stage codegen — see
+    // functions.LongArrayPq). Query-side table build stays interpreted:
+    // it runs once per QUERY row, not per corpus row or candidate pair.
     val c = corpus.select(col("vec_id").as("n_id"),
         quantize(col("embedding")).as("cv"))
       .withColumn("cn", sqrt(normQ(col("cv")).cast("double")))
-      .withColumn("codes", codesOf(col("cv")))
+      .withColumn("codes",
+        graft.functions.LongArrayPq.pqEncode(col("cv"), cbLit))
     val q = queries.select(col("vec_id").as("q_id"),
         quantize(col("embedding")).as("qv"))
       .withColumn("qn", sqrt(normQ(col("qv")).cast("double")))
-      .withColumn("qtab", tableOf(col("qv")))
+      .withColumn("qtab", pqTableOf(col("qv"), cbLit, m, sub))
 
     val approx = c.crossJoin(broadcast(q))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("approx_dot",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, b) =>
-          acc + element_at(element_at(col("qtab"), b + 1),
-            element_at(col("codes"), b + 1).cast("int") + 1)))
+        graft.functions.LongArrayPq.pqAdc(col("codes"), col("qtab")))
     val wApprox = Window.partitionBy("q_id")
       .orderBy(desc("approx_dot"), asc("n_id"))
     val candidates = approx
@@ -424,4 +400,51 @@ object Similarity {
       .withColumn("cos_sim", cosineFrom(col("dot_q"), col("qn"), col("cn")))
     topKPerQuery(rescored, k)
   }
+
+  /** Ragged-tolerant dim read: vector element at block b, offset d —
+    * out-of-range and NULL elements read as 0 (`try_element_at` +
+    * coalesce; ANSI element_at would crash the scan on one short row).
+    * The native kernels implement the identical contract.
+    */
+  private def pqDimOf(v: Column, sub: Int, b: Column, d: Column): Column =
+    coalesce(try_element_at(v, (b * lit(sub) + d + 1).cast("int")), lit(0L))
+
+  /** ADC table: per block, per code, the inner product of the query's
+    * block slice with that codebook entry. Interpreted HOFs — runs once
+    * per QUERY row (the broadcast side), never on the corpus scan.
+    */
+  private[graft] def pqTableOf(qv: Column, cbLit: Column, m: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), b =>
+      transform(element_at(cbLit, b + 1), cvec =>
+        aggregate(sequence(lit(0), lit(sub - 1)), lit(0L), (acc, d) =>
+          acc + pqDimOf(qv, sub, b, d) * element_at(cvec, d + 1))))
+
+  /** Interpreted encode — the cross-check spelling the native
+    * LongArrayPqEncode kernel is spec-pinned against (array_min over
+    * (dist, code) structs = the kernel's strict-< lowest-code
+    * tie-break).
+    */
+  private[graft] def pqCodesInterpreted(v: Column, cbLit: Column, m: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), b =>
+      array_min(transform(element_at(cbLit, b + 1), (cvec, c) =>
+        struct(
+          aggregate(sequence(lit(0), lit(sub - 1)), lit(0L), (acc, d) => {
+            val diff = pqDimOf(v, sub, b, d) - element_at(cvec, d + 1)
+            acc + diff * diff
+          }).as("dist"),
+          c.as("code")))).getField("code"))
+
+  /** Interpreted ADC — cross-check for LongArrayPqAdc. */
+  private[graft] def pqAdcInterpreted(codes: Column, qtab: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, b) =>
+      acc + element_at(element_at(qtab, b + 1),
+        element_at(codes, b + 1).cast("int") + 1))
+
+  /** The PQ codebook as a constant literal: cb(b)(c)(d) = dim slice
+    * [b·sub, (b+1)·sub) of seed vector c.
+    */
+  private[graft] def pqCodebookLit(sample: Array[Array[Long]], m: Int, sub: Int): Column =
+    array((0 until m).map(b =>
+      array(sample.toIndexedSeq.map(v =>
+        array((0 until sub).map(d => lit(v(b * sub + d))): _*)): _*)): _*)
 }

@@ -131,6 +131,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.exceptAll(mh).isEmpty && mh.exceptAll(exact).isEmpty)
   }
 
+  test("native PQ encode/ADC kernels equal the interpreted spellings") {
+    import org.apache.spark.sql.functions._
+    val (m, ks) = (8, 16)
+    val sample = emb.orderBy("vec_id").limit(ks)
+      .select(Similarity.quantize(col("embedding")).as("qv"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val dim = sample.head.length
+    val sub = dim / m
+    val cb = Similarity.pqCodebookLit(sample, m, sub)
+    val base = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    // encode: the codegen'd argmin loop vs the array_min struct fold —
+    // including the lowest-code tie-break and ragged zero-pad contract
+    val nat = base.select(col("vec_id"),
+      graft.functions.LongArrayPq.pqEncode(col("qv"), cb).as("codes"))
+    val int = base.select(col("vec_id"),
+      Similarity.pqCodesInterpreted(col("qv"), cb, m, sub).as("codes"))
+    assert(nat.exceptAll(int).isEmpty && int.exceptAll(nat).isEmpty)
+    // ADC: table lookups over a real query table, both spellings
+    val qrow = base.limit(1)
+      .select(Similarity.pqTableOf(col("qv"), cb, m, sub).as("qtab"))
+    val joined = nat.crossJoin(qrow)
+    val natDot = joined.select(col("vec_id"),
+      graft.functions.LongArrayPq.pqAdc(col("codes"), col("qtab")).as("d"))
+    val intDot = joined.select(col("vec_id"),
+      Similarity.pqAdcInterpreted(col("codes"), col("qtab"), m).as("d"))
+    assert(natDot.exceptAll(intDot).isEmpty && intDot.exceptAll(natDot).isEmpty)
+  }
+
   test("minhash containment equals exact containment at the 0.8 gate") {
     // the sketch sibling must reproduce the exact operator's output on
     // this corpus (verification removes all false positives; the wide
