@@ -34,7 +34,7 @@ object EtlQueries {
     noisy
       .withColumn("clean_val", OewsCleaner.scrub(col("noisy")))
       .withColumn("val_num", expr("try_cast(clean_val AS DOUBLE)"))
-      .orderBy("p_partkey")
+      .transform(RefQueries.gateSort(_, "p_partkey"))
   }
 
   val etlCellScrubSql: String =
@@ -75,7 +75,8 @@ object EtlQueries {
                |END""".stripMargin).as("date_str"))
       .withColumn("parsed_date",
         try_to_timestamp(col("date_str"), lit("MM/yyyy")).cast("date"))
-      .orderBy("o_orderkey")
+      // one-pass gate sort: the child re-runs a per-row timestamp parse
+      .transform(RefQueries.gateSort(_, "o_orderkey"))
 
   val etlDateParseSql: String =
     """WITH s AS (
@@ -107,7 +108,7 @@ object EtlQueries {
       .agg(min("event_id").as("cutoff"))
     ev.join(broadcast(cutoff), col("event_id") < col("cutoff"))
       .select("event_id", "event_type")
-      .orderBy("event_id")
+      .transform(RefQueries.gateSort(_, "event_id"))
   }
 
   /** Semi-structured extraction: parse the events `props` JSON column
@@ -124,7 +125,9 @@ object EtlQueries {
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.LongType)))).getField("k").as("prop_k"))
-      .orderBy("event_id")
+      // one-pass gate sort: the child is a per-row Jackson parse — the
+      // range sampler's second pass would re-parse every row
+      .transform(RefQueries.gateSort(_, "event_id"))
 
   val etlJsonExtractSql: String =
     """SELECT event_id, event_type,
@@ -176,7 +179,8 @@ object EtlQueries {
              |     ELSE CAST(p_partkey % 50 AS STRING) END""".stripMargin)
         .as("Hourly mean wage standard error()"),
       col("p_partkey").cast("string").as("Row ID()"))
-    OewsCleaner.clean(raw).orderBy("row_id")
+    // one-pass gate sort: the child is the regex-heavy clean chain
+    RefQueries.gateSort(OewsCleaner.clean(raw), "row_id")
   }
 
   val etlFullCleanSql: String = {

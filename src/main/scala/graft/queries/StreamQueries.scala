@@ -134,19 +134,13 @@ object StreamQueries {
       |                        AND epoch_us(p.ts)
       |ORDER BY purchase_id, click_id""".stripMargin
 
-  /** Gate-only total order WITHOUT the RangePartitioner's sampling
-    * pass: `orderBy` above a narrow no-exchange pipeline executes the
-    * child TWICE — once to sample range bounds, once for real — and
-    * for the multimodal queries the child is the whole
-    * encode→decode→feature chain (measured ≈2× wall-clock on
-    * `multimodal_png_decode`). A single-partition shuffle plus an
-    * in-partition sort is ONE pass, and the sorted set is
-    * one-row-per-doc small by then. The total order itself is gate
-    * contract only — a production sink keeps the decode partitioning
-    * and skips the sort entirely.
+  /** One-pass total order for the multimodal gates, whose child is the
+    * whole encode→decode→feature chain (see RefQueries.gateSort for
+    * the RangePartitioner double-execution rationale; measured ≈2×
+    * wall-clock on `multimodal_png_decode`).
     */
   private def gateSort(df: DataFrame, cols: String*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols.map(col): _*)
+    RefQueries.gateSort(df, cols: _*)
 
   /** Binary metadata through pure SQL expressions (oracle-checked). */
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
