@@ -172,21 +172,35 @@ object MinHashDedup {
     * (J = |A∩B|/|A∪B| ≈ |A|/|B|), so the Jaccard-tuned banding above
     * (r=4) would never collide the pair. Containment and Jaccard are
     * linked through the sizes — for C(A,B) ≥ t and size ratio
-    * |B|/|A| ≤ R:  J ≥ t/(1 + R − t)  — so banding WIDE (r = k/bands
-    * small) pushes the survival curve's knee down to that J floor.
-    * Defaults r=2, b=64 (k=128): survival 1−(1−J²)⁶⁴ ≈ 0.98 at the
-    * R=3 contract boundary (J=0.25) and ≥ 1−1.5e-5 for J ≥ 0.4.
-    * Candidates then verify with EXACT set containment, so false
-    * positives never ship — like nearDupPairs, the output at the gated
-    * threshold equals the exact operator's. Pairs outside the R bound
-    * are the documented residual (LSH-Ensemble-style size-stratified
-    * banding is the upgrade when |B|/|A| is unbounded).
+    * |B|/|A| ≤ R:  J ≥ t/(1 + R − t)  — so `bands` tunes the survival
+    * knee to the corpus's size-ratio bound:
+    *   - b=32 (r=4, the default): knee at J≈0.6 — right when sizes are
+    *     near-equal (this corpus: ratio ≤ 1.1 ⇒ J floor 0.61 at
+    *     t=0.8, survival ≈ 1−1e-16 for its actual J ≥ 0.9 pairs), and
+    *     candidate volume stays tiny because weak pairs need J⁴ to
+    *     collide;
+    *   - b=64 (r=2): knee at J≈0.25 — catches ratio ≲ 4 embedded docs
+    *     (survival 0.98 at the R=3/J=0.25 boundary, ≥ 1−1.5e-5 for
+    *     J ≥ 0.4), at the cost of colliding weakly-similar pairs with
+    *     probability 1−(1−J²)⁶⁴ (≈ 0.06 at J=0.03) — affordable only
+    *     when the corpus doesn't pack thousands of same-vocabulary
+    *     docs (measured here: 10.8 s vs 3 s at sf0.1, which is why the
+    *     GATE runs b=32 and the wide config is spec-gated).
+    * A signature-based containment-estimate prefilter is deliberately
+    * NOT used to cut wide-banding candidates: Ĉ = Ĵ(n1+n2)/((1+Ĵ)n1)
+    * amplifies Ĵ's sampling error by the size ratio (σ(Ĉ) ≈ 0.2 for a
+    * ratio-5 pair at k=128), so any safe margin admits all the noise
+    * it would prune. LSH-Ensemble-style size-stratified banding is the
+    * principled upgrade when |B|/|A| is unbounded.
+    * Candidates verify with EXACT set containment, so false positives
+    * never ship — like nearDupPairs, the output at the gated threshold
+    * equals the exact operator's.
     *
     * Output: one ORDERED row per (d1 ⊂-ish d2) direction over the
     * threshold — same shape and semantics as Dedup.containmentPairs.
     */
   def containmentPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.8,
-      k: Int = 128, bands: Int = 64): DataFrame = {
+      k: Int = 128, bands: Int = 32): DataFrame = {
     val sh = Dedup.shingles(docs, n)
       .where(size(col("shingle_set")) > 0)
       .cache()

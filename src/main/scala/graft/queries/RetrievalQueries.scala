@@ -126,7 +126,7 @@ object RetrievalQueries {
         count(lit(1)).as("tf_total"))
       .where(col("n_terms") === terms.length)
       .select("doc_id", "tf_total")
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
   }
 
   val textSearchBooleanSql: String = DuckToks +

@@ -29,7 +29,7 @@ object TextQueries {
   def textTokens(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.analyze(docs(spark, sfDir))
       .select("doc_id", "n_chars", "n_tokens", "n_tokens_bpe")
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
 
   val textTokensSql: String = DuckToks +
     """
@@ -42,7 +42,7 @@ object TextQueries {
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.analyze(docs(spark, sfDir))
       .select("doc_id", "avg_token_len", "punct_ratio", "stopword_ratio")
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
 
   val textQualitySql: String = DuckToks +
     """
@@ -58,7 +58,7 @@ object TextQueries {
     TextOps.analyze(docs(spark, sfDir))
       .select("doc_id", "score_en", "score_de", "score_es", "score_fr",
         "predicted_lang", "lang")
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
 
   val textLangidSql: String = DuckToks +
     """
@@ -84,7 +84,7 @@ object TextQueries {
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.analyze(docs(spark, sfDir))
       .select("doc_id", "fingerprint")
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
 
   val textFingerprintSql: String = DuckToks +
     """
@@ -162,7 +162,7 @@ object TextQueries {
     * dedup_minhash_lsh is gated on).
     */
   def corpusCurate(spark: SparkSession, sfDir: String): DataFrame =
-    Curation.curate(docs(spark, sfDir)).orderBy("doc_id")
+    RefQueries.gateSort(Curation.curate(docs(spark, sfDir)), "doc_id")
 
   val corpusCurateSql: String = DuckToks +
     """
@@ -455,7 +455,7 @@ object TextQueries {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         when(coalesce(col("n_overlap"), lit(0L)) > 0, 1L).otherwise(0L)
           .as("contaminated"))
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
   }
 
   val textContaminationSql: String =
@@ -538,7 +538,7 @@ object TextQueries {
       .select(col("doc_id"), col("n_segs"),
         (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
   }
 
   val dedupLinesSql: String = DuckToks +
@@ -602,7 +602,7 @@ object TextQueries {
           .as("top_bigram_frac"),
         coalesce(col("dup_bi").cast("double") / col("total_bi"), lit(0.0))
           .as("dup_bigram_frac"))
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
   }
 
   val textRepetitionSql: String = DuckToks +
@@ -671,7 +671,7 @@ object TextQueries {
             array_sort(collect_list(struct(col("pos"),
               coalesce(col("id"), lit(0L)).as("id")))),
             x => x.getField("id"))).as("ids_json"))
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
   }
 
   val textVocabEncodeSql: String = DuckToks +
@@ -726,7 +726,7 @@ object TextQueries {
     d.join(broadcast(rates), Seq("lang"))
       .where(pmod(pmod(col("doc_id"), lit(m)) * 2654435761L, lit(m)) < col("cut"))
       .select("doc_id", "lang", "source")
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
   }
 
   val corpusMixTemperatureSql: String =
@@ -805,7 +805,7 @@ object TextQueries {
     bg.join(broadcast(counts), "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cf")).as("freq_mass"))
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
   }
 
   val textBigramScoreSql: String = DuckToks +
@@ -853,7 +853,7 @@ object TextQueries {
           b => b)).cast("long").as("n_stemmed"),
         aggregate(col("stemmed"), lit(0L),
           (acc, t) => acc + length(t).cast("long")).as("norm_chars"))
-      .orderBy("doc_id")
+      .transform(RefQueries.gateSort(_, "doc_id"))
   }
 
   val textNormalizeSql: String = DuckToks +

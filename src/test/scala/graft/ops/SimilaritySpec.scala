@@ -182,7 +182,10 @@ class SimilaritySpec extends AnyFunSuite {
     val small = (1 to 12).map(i => s"tok$i").mkString(" ")
     val big = (1 to 58).map(i => s"tok$i").mkString(" ")
     val two = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
-    val out = MinHashDedup.containmentPairs(two, 2, 0.9)
+    // bands=64: the WIDE config for asymmetric corpora (the gated
+    // default b=32 targets near-equal sizes — see the scaladoc's
+    // width-vs-ratio tradeoff)
+    val out = MinHashDedup.containmentPairs(two, 2, 0.9, bands = 64)
       .select("d1", "d2", "containment").collect()
     assert(out.length == 1, s"expected exactly the embedded pair, got ${out.toSeq}")
     assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
