@@ -98,15 +98,17 @@ object SkewJoin {
     *      join) → non-null keys with count > skewFactor × mean, capped
     *      at `maxHotKeys` hottest (driver-side set stays bounded no
     *      matter how pathological the distribution);
-    *   2. hot slice → salted join against only the matching small-side
-    *      rows (replicated volume ∝ number of hot keys, not |small|);
-    *      cold slice → plain join, broadcast-eligible as usual;
-    *   3. union — branch column order is identical (big.* ++ small.*),
-    *      and inner-join semantics make the hot/cold split lossless:
-    *      hotKeys never returns NULL, so the isin/NOT-isin predicates
-    *      are decidable for every non-null key, and null-keyed rows
-    *      (coldBig keeps them via the explicit null-safe OR) match
-    *      nothing in the inner join on either engine.
+    *   2. CONDITIONAL salt in ONE pass — no hot/cold slicing, no
+    *      union: big-side rows on a hot key get a round-robin salt in
+    *      [0, salts), everything else salt 0; small-side rows on a hot
+    *      key replicate `salts`×, everything else once. One scan of
+    *      the big side and one join (the earlier two-branch union
+    *      spelling scanned the fact side twice and paid a second join
+    *      — measured 2.2 s vs 1.1 s plain on q5; the conditional salt
+    *      is the same histogram + one join pass). Replicated volume is
+    *      still ∝ hot small rows, not |small|. Null-keyed big rows get
+    *      salt 0 (`when(NULL-pred)` falls to otherwise) and match
+    *      nothing in the inner join, exactly like the plain join.
     *
     * With no hot keys this degenerates to exactly the plain join plus
     * the histogram read. At 1000-executor scale that one narrow
@@ -121,16 +123,21 @@ object SkewJoin {
     if (hot.isEmpty) {
       big.join(small, big(bigKey) === small(smallKey), "inner")
     } else {
-      val hotBig = big.where(col(bigKey).isin(hot: _*))
-      // null-keyed rows land in the cold branch (NOT isin is NULL for
-      // them, which `where` would drop — not wrong for an inner join,
-      // but keeping the split an exact partition of the input is the
-      // invariant the union relies on)
-      val coldBig = big.where(!col(bigKey).isin(hot: _*) || col(bigKey).isNull)
-      val hotSmall = small.where(col(smallKey).isin(hot: _*))
-      val saltedHot = saltedInnerJoin(hotBig, hotSmall, bigKey, smallKey, salts)
-      val plainCold = coldBig.join(small, coldBig(bigKey) === small(smallKey), "inner")
-      saltedHot.unionByName(plainCold)
+      // per-row ordinal spread, not row-content hash — see
+      // saltedInnerJoin's rationale (duplicate hot rows must not
+      // collapse onto one salt)
+      val salted = big.withColumn("__salt",
+        when(col(bigKey).isin(hot: _*),
+          pmod(monotonically_increasing_id(), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      val replicated = small.withColumn("__salt",
+        explode(when(col(smallKey).isin(hot: _*),
+          sequence(lit(0L), lit(salts.toLong - 1)))
+          .otherwise(sequence(lit(0L), lit(0L)))))
+      salted.join(replicated,
+          salted(bigKey) === replicated(smallKey) &&
+            salted("__salt") === replicated("__salt"))
+        .drop("__salt")
     }
   }
 }

@@ -245,8 +245,12 @@ object RefQueries {
   def q5TwophaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = table(spark, sfDir, "lineitem")
     val p = table(spark, sfDir, "part")
+    // maxHotKeys=64: the top-64 above-mean keys are plenty to put real
+    // traffic through the salted branch; a production histogram caps
+    // the hot set the same way (the isin predicate is O(|hot|) to
+    // compile and the small-side replication scales with it)
     graft.ops.SkewJoin.twoPhaseSaltedInnerJoin(li, p, "l_partkey", "p_partkey",
-        salts = 8, skewFactor = 1.0)
+        salts = 8, skewFactor = 1.0, maxHotKeys = 64)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("p_name"), col("p_brand"), col("l_quantity"))
