@@ -2,11 +2,13 @@ package graft.ops
 
 /** Real, dependency-free decoders for the multimodal pipeline — formats
   * whose decoding is pure byte arithmetic, so "no imaging libraries in
-  * the sandbox" is no excuse: PPM (P6) raster images and RIFF/WAVE
-  * 16-bit PCM audio. `Multimodal.extractFeatures` dispatches on
-  * media_type: these formats get REAL decoded planes/samples; types
-  * that genuinely need a native codec (JPEG, MP3, H.264) fall back to
-  * the documented deterministic stub.
+  * the sandbox" is no excuse: PPM (P6) raster images, RIFF/WAVE 16-bit
+  * PCM audio, and IMA ADPCM compressed audio (fmt 0x0011 — a genuine
+  * 4:1 lossy codec, spec-complete integer math).
+  * `Multimodal.extractFeatures` dispatches on media_type: these
+  * formats get REAL decoded planes/samples; types that genuinely need
+  * a licensed/native codec (MP3, H.264) fall back to the documented
+  * deterministic stub.
   *
   * Both decoders normalize into the pipeline's feature space — an
   * unsigned-byte-valued sequence (0..255):
@@ -325,6 +327,139 @@ object MediaCodecs {
     * samples: walks the chunk list, returns all interleaved samples
     * requantized to 0..255 via (sample >> 8) + 128.
     */
+  /** IMA/DVI ADPCM (fmt tag 0x0011) — a REAL compressed-audio codec in
+    * pure integer math (IMA "Recommended Practices for Enhancing
+    * Digital Audio Compatibility", 1992; the same tables every
+    * implementation ships). 4 bits per sample, 4:1 vs PCM16: each
+    * nibble encodes a quantized delta against an adaptive predictor,
+    * and the step size adapts through the 89-entry table. The
+    * ENCODER's reconstructed predictor is BY CONSTRUCTION the
+    * decoder's output (it quantizes against its own reconstruction),
+    * so encode→decode is one state recurrence — which is what lets the
+    * DuckDB oracle restate the full lossy pipeline exactly
+    * (multimodal_adpcm_decode). MP3/H.264 remain honestly stubbed
+    * (decodeStub): those need licensed/native codecs; ADPCM is the
+    * compressed arm that is genuinely implementable from the spec.
+    */
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA step shared by encoder and decoder: given state
+    * (pred, idx) and a nibble, the reconstructed sample and next state.
+    */
+  private def imaStep(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStepTable(idx)
+    var diffq = step >> 3
+    if ((nibble & 4) != 0) diffq += step
+    if ((nibble & 2) != 0) diffq += step >> 1
+    if ((nibble & 1) != 0) diffq += step >> 2
+    val p = if ((nibble & 8) != 0) pred - diffq else pred + diffq
+    val clamped = math.max(-32768, math.min(32767, p))
+    val nidx = math.max(0, math.min(88, idx + ImaIndexTable(nibble & 7)))
+    (clamped, nidx)
+  }
+
+  /** Encode 16-bit mono samples as a single-block IMA ADPCM WAV:
+    * RIFF/WAVE, fmt tag 0x0011 with the 2-byte extension carrying
+    * samplesPerBlock, one data block (4-byte header: initial predictor
+    * int16 LE + step index + reserved; then two nibbles per byte, LOW
+    * nibble first). Sample 0 is stored verbatim in the header — the
+    * standard block layout. Deterministic: initial step index 0.
+    */
+  def encodeImaAdpcmWav(samples: Array[Int]): Array[Byte] = {
+    require(samples.nonEmpty, "ADPCM block needs at least one sample")
+    val nib = new Array[Int](math.max(0, samples.length - 1))
+    var pred = math.max(-32768, math.min(32767, samples(0)))
+    val pred0 = pred
+    var idx = 0
+    var i = 1
+    while (i < samples.length) {
+      val s = math.max(-32768, math.min(32767, samples(i)))
+      val step = ImaStepTable(idx)
+      var diff = s - pred
+      var nibble = 0
+      if (diff < 0) { nibble = 8; diff = -diff }
+      if (diff >= step) { nibble |= 4; diff -= step }
+      if (diff >= (step >> 1)) { nibble |= 2; diff -= step >> 1 }
+      if (diff >= (step >> 2)) nibble |= 1
+      val (p2, i2) = imaStep(pred, idx, nibble)
+      pred = p2; idx = i2
+      nib(i - 1) = nibble
+      i += 1
+    }
+    val dataBytes = (nib.length + 1) / 2
+    val blockLen = 4 + dataBytes
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val block = new java.io.ByteArrayOutputStream(blockLen)
+    block.write(le16(pred0), 0, 2)
+    block.write(0 /* initial step index */); block.write(0 /* reserved */)
+    var b = 0
+    while (b < dataBytes) {
+      val lo = nib(2 * b)
+      val hi = if (2 * b + 1 < nib.length) nib(2 * b + 1) else 0
+      block.write(lo | (hi << 4))
+      b += 1
+    }
+    val data = block.toByteArray
+    val pad = data.length & 1
+    val fmt = le16(0x11) ++ le16(1) ++ le32(7968) ++ le32(3984) ++
+      le16(blockLen) ++ le16(4) ++ le16(2) ++ le16(samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    out.write(le32(4 + 8 + fmt.length + 8 + data.length + pad), 0, 4)
+    out.write("WAVE".getBytes("US-ASCII"), 0, 4)
+    out.write("fmt ".getBytes("US-ASCII"), 0, 4)
+    out.write(le32(fmt.length), 0, 4)
+    out.write(fmt, 0, fmt.length)
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    out.write(le32(data.length), 0, 4)
+    out.write(data, 0, data.length)
+    if (pad == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Decode the data blocks of a mono IMA ADPCM stream to 16-bit
+    * samples, trimming each block to `samplesPerBlock`.
+    */
+  private def decodeImaBlocks(bytes: Array[Byte], off: Int, len: Int,
+      blockAlign: Int, samplesPerBlock: Int): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var blockStart = off
+    while (blockStart + 4 <= off + len) {
+      val blockLen = math.min(blockAlign, off + len - blockStart)
+      var pred = ((bytes(blockStart + 1) << 8) | (bytes(blockStart) & 0xff))
+      var idx = math.max(0, math.min(88, bytes(blockStart + 2) & 0xff))
+      var produced = 1
+      out += pred
+      var p = blockStart + 4
+      while (p < blockStart + blockLen && produced < samplesPerBlock) {
+        val byte = bytes(p) & 0xff
+        var half = 0
+        while (half < 2 && produced < samplesPerBlock) {
+          val nibble = if (half == 0) byte & 0xf else byte >> 4
+          val (p2, i2) = imaStep(pred, idx, nibble)
+          pred = p2; idx = i2
+          out += pred
+          produced += 1
+          half += 1
+        }
+        p += 1
+      }
+      blockStart += blockLen
+    }
+    out.toArray
+  }
+
   def decodeWavBytes(bytes: Array[Byte]): Option[Array[Int]] = {
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def u32(o: Int): Long =
@@ -334,30 +469,49 @@ object MediaCodecs {
       if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var pos = 12
-    var fmtOk = false
+    // (formatTag, blockAlign, samplesPerBlock) once fmt is parsed:
+    // PCM (1, 16-bit) and IMA ADPCM (0x11, 4-bit) are the real arms
+    var fmt: Option[(Int, Int, Int)] = None
     var data: Option[(Int, Int)] = None // (offset, length)
-    while (pos + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
+    while (pos + 8 <= bytes.length && (data.isEmpty || fmt.isEmpty)) {
       val id = tag(pos)
       val size = u32(pos + 4).toInt
-      if (id == "fmt " && pos + 8 + 16 <= bytes.length)
-        fmtOk = u16(pos + 8) == 1 && u16(pos + 8 + 14) == 16 // PCM, 16-bit
-      else if (id == "data")
+      if (id == "fmt " && pos + 8 + 16 <= bytes.length) {
+        val ftag = u16(pos + 8)
+        val bits = u16(pos + 8 + 14)
+        val blockAlign = u16(pos + 8 + 12)
+        if (ftag == 1 && bits == 16) fmt = Some((1, blockAlign, 0))
+        else if (ftag == 0x11 && bits == 4) {
+          // samplesPerBlock from the 2-byte fmt extension; fall back to
+          // the mono block capacity 1 + 2·(align−4) if absent
+          val spb =
+            if (size >= 20 && pos + 8 + 20 <= bytes.length) u16(pos + 8 + 18)
+            else 1 + 2 * math.max(0, blockAlign - 4)
+          fmt = Some((0x11, blockAlign, spb))
+        }
+      } else if (id == "data")
         data = Some((pos + 8, math.min(size, bytes.length - pos - 8)))
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
-    if (!fmtOk) return None
-    data.map { case (off, len) =>
-      val n = len / 2
-      val out = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        val lo = bytes(off + 2 * i) & 0xff
-        val hi = bytes(off + 2 * i + 1) // signed high byte
-        val sample = (hi << 8) | lo // sign-extended 16-bit
-        out(i) = (sample >> 8) + 128
-        i += 1
-      }
-      out
+    (fmt, data) match {
+      case (Some((1, _, _)), Some((off, len))) =>
+        val n = len / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(off + 2 * i) & 0xff
+          val hi = bytes(off + 2 * i + 1) // signed high byte
+          val sample = (hi << 8) | lo // sign-extended 16-bit
+          out(i) = (sample >> 8) + 128
+          i += 1
+        }
+        Some(out)
+      case (Some((0x11, blockAlign, spb)), Some((off, len))) if blockAlign >= 5 =>
+        // requantize the decoded 16-bit plane to 0..255 exactly like
+        // the PCM arm: arithmetic >>8 (floor division) + 128
+        Some(decodeImaBlocks(bytes, off, len, blockAlign, spb)
+          .map(s => (s >> 8) + 128))
+      case _ => None
     }
   }
 }

@@ -366,6 +366,116 @@ object StreamQueries {
     * (doc, frame). The oracle rebuilds the identical plane
     * arithmetically from the text bytes.
     */
+  /** `multimodal_adpcm_decode` — a REAL compressed-audio codec under
+    * the cross-engine gate: each document's bytes become a 16-bit
+    * waveform, encoded to a genuine IMA ADPCM WAV container (fmt tag
+    * 0x0011, 4 bits/sample — see MediaCodecs.encodeImaAdpcmWav) and
+    * decoded back through the production fmt-dispatching WAV arm. The
+    * gated features describe the LOSSY reconstruction: container
+    * size (closed form), decoded sample count, exact-integer mean of
+    * the requantized plane, first-8 samples, and the max absolute
+    * 8-bit reconstruction error vs the source bytes. The DuckDB twin
+    * replays the encoder-decoder state recurrence exactly (IMA's
+    * encoder quantizes against its own reconstruction, so ONE
+    * recurrence yields the decoder's output) as a recursive CTE over
+    * pure integer arithmetic — no libm, no engine hash.
+    */
+  def multimodalAdpcm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .where(octet_length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val src8 = text.getBytes("UTF-8").map(_ & 0xff)
+        val wav = graft.ops.MediaCodecs.encodeImaAdpcmWav(
+          src8.map(b => (b - 128) << 8))
+        val dec = graft.ops.MediaCodecs.decodeWavBytes(wav)
+          .getOrElse(Array.empty[Int])
+        val maxErr =
+          if (dec.isEmpty) 0L
+          else dec.zip(src8).map { case (d, o) => math.abs(d - o).toLong }.max
+        (id, wav.length.toLong, dec.length.toLong,
+          dec.foldLeft(0L)(_ + _), dec.take(8).toSeq, maxErr)
+      }
+      .toDF("doc_id", "n_bytes", "n_samples", "sum8", "frames", "max_err")
+      .select(col("doc_id"), col("n_bytes"), col("n_samples"),
+        (col("sum8").cast("double") / col("n_samples")).as("mean_byte"),
+        to_json(col("frames")).as("frame_samples_json"),
+        col("max_err"))
+      .transform(gateSort(_, "doc_id"))
+  }
+
+  /** DuckDB twin: the IMA recurrence as a recursive CTE. State after
+    * sample i is (pred_i, idx_i); decoded sample i IS pred_i, and the
+    * anchor row carries sample 1 (stored verbatim in the block
+    * header). Arithmetic mirrors MediaCodecs.imaStep bit for bit:
+    * `//` is floor division = arithmetic shift on the non-negative
+    * step, and the final 16→8-bit requantize `pred // 256 + 128`
+    * matches Scala's arithmetic `>> 8` on negatives too (both floor).
+    * Container size closed form: 48 header bytes + 4 block-header
+    * bytes + n//2 nibble bytes + word pad.
+    */
+  val multimodalAdpcmSql: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE octet_length(encode(text)) >= 1
+      |), tabs AS (
+      |  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+      |          41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
+      |          190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+      |          724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+      |          2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+      |          6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+      |          16818,18500,20350,22385,24623,27086,29794,32767] AS steps,
+      |         [-1,-1,-1,-1,2,4,6,8] AS itab
+      |), rec AS (
+      |  SELECT doc_id, 1 AS i, (unicode(text[1]) - 128) * 256 AS pred, 0 AS idx
+      |  FROM m
+      |  UNION ALL
+      |  SELECT doc_id, i, pred, idx FROM (
+      |    SELECT r.doc_id, r.i + 1 AS i,
+      |           t.steps[r.idx + 1] AS step,
+      |           (unicode(m.text[r.i + 1]) - 128) * 256 - r.pred AS diff0,
+      |           abs(diff0) AS ad,
+      |           CASE WHEN ad >= step THEN 4 ELSE 0 END
+      |             + CASE WHEN ad - CASE WHEN ad >= step THEN step ELSE 0 END >= step // 2 THEN 2 ELSE 0 END
+      |             + CASE WHEN ad - CASE WHEN ad >= step THEN step ELSE 0 END
+      |                     - CASE WHEN ad - CASE WHEN ad >= step THEN step ELSE 0 END >= step // 2 THEN step // 2 ELSE 0 END
+      |                    >= step // 4 THEN 1 ELSE 0 END AS mag,
+      |           step // 8
+      |             + CASE WHEN mag >= 4 THEN step ELSE 0 END
+      |             + CASE WHEN mag % 4 >= 2 THEN step // 2 ELSE 0 END
+      |             + CASE WHEN mag % 2 = 1 THEN step // 4 ELSE 0 END AS dq,
+      |           greatest(-32768, least(32767,
+      |             r.pred + CASE WHEN diff0 < 0 THEN -dq ELSE dq END)) AS pred,
+      |           greatest(0, least(88, r.idx + t.itab[mag + 1])) AS idx
+      |    FROM rec r JOIN m USING (doc_id) CROSS JOIN tabs t
+      |    WHERE r.i < m.n
+      |  )
+      |), dec AS (
+      |  -- floor(pred/256), NOT pred // 256: DuckDB's // truncates
+      |  -- toward zero on negatives while Scala's >> 8 floors; /256.0
+      |  -- is exact in a double for |pred| <= 32768, so floor is exact
+      |  SELECT doc_id, i, CAST(floor(pred / 256.0) AS BIGINT) + 128 AS r8 FROM rec
+      |), feats AS (
+      |  SELECT d.doc_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |         CAST(SUM(d.r8) AS BIGINT) AS sum8,
+      |         CAST(MAX(abs(d.r8 - unicode(m.text[d.i]))) AS BIGINT) AS max_err
+      |  FROM dec d JOIN m USING (doc_id) GROUP BY d.doc_id
+      |), fr AS (
+      |  SELECT doc_id, CAST(to_json(list(r8 ORDER BY i)[1:8]) AS VARCHAR) AS frame_samples_json
+      |  FROM dec GROUP BY doc_id
+      |)
+      |SELECT m.doc_id,
+      |       CAST(48 + 4 + m.n // 2 + (m.n // 2) % 2 AS BIGINT) AS n_bytes,
+      |       f.n_samples,
+      |       CAST(f.sum8 AS DOUBLE) / f.n_samples AS mean_byte,
+      |       fr.frame_samples_json,
+      |       f.max_err
+      |FROM m JOIN feats f USING (doc_id) JOIN fr USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def multimodalAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val frameLen = 8
