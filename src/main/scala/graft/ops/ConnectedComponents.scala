@@ -57,12 +57,16 @@ object ConnectedComponents {
       val neighborMin = edges
         .join(labels.select(col("n").as("m"), col("label").as("mLabel")), "m")
         .groupBy("n").agg(min(col("mLabel")).as("nbrMin"))
+      // carry the per-node `changed` bit IN the round's checkpoint:
+      // the convergence test is then a scan of the node-sized
+      // checkpointed RDD instead of a whole extra next⋈labels join job
+      // per round (the old spelling's third job)
       val next = labels.join(neighborMin, Seq("n"), "left")
         .select(col("n"),
-          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"),
+          (coalesce(col("nbrMin"), col("label")) < col("label")).as("changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "n")
-        .where(col("label") < col("old")).isEmpty
+      converged = next.where(col("changed")).isEmpty
       // the replaced round's checkpoint blocks are dead once `next` is
       // materialized and the convergence check has run — drop them, or
       // checkpoint storage grows linearly with rounds (diameter)
