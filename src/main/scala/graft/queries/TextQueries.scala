@@ -241,7 +241,10 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val d = docs(spark, sfDir)
-    val nDocs = d.count() // one cheap count; a pipeline would pass it in
+    // N as a broadcast 1-row aggregate, not a driver-side count():
+    // keeps the whole query one lazy plan (no extra eager job) — the
+    // tradeEdges scalar-total pattern
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val terms = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
     // tf has exactly one row per (doc, term), so df falls out of tf by
     // a second aggregate — cached, the tokenize+explode runs ONCE
@@ -252,7 +255,8 @@ object TextQueries {
     val ranked = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok"))
     tf.join(broadcast(df_), "tok")
-      .withColumn("score", (col("tf") * lit(nDocs)).cast("double") / col("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rn", row_number().over(ranked))
       .where(col("rn") <= 3)
       .select(col("doc_id"), col("rn").as("term_rank"), col("tok"),
