@@ -261,6 +261,26 @@ object SimilarityQueries {
       .orderBy("doc_id")
   }
 
+  /** `dedup_clusters_star` — the same cluster resolution through the
+    * O(log n)-round large-star/small-star algorithm
+    * (ConnectedComponents.resolveStar, Kiveris et al. SoCC'14): the
+    * spelling for adversarial long-chain components where label
+    * propagation needs diameter rounds. Same oracle as
+    * `dedup_clusters` — the two algorithms are output-identical by
+    * contract (also pinned on random graphs by
+    * ConnectedComponentsSpec).
+    */
+  def dedupClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.ops.MinHashDedup
+      .nearDupPairs(table(spark, sfDir, "documents"), n = 2, threshold = 0.7)
+      .select("d1", "d2")
+    graft.ops.ConnectedComponents.resolveStar(pairs, "d1", "d2")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .orderBy("doc_id")
+  }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE pr AS (
        |  SELECT d1, d2 FROM (${TextQueries.dedupNgramJaccardSqlAt(0.7)}) q
