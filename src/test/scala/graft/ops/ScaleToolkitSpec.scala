@@ -19,6 +19,25 @@ class ScaleToolkitSpec extends AnyFunSuite {
   private lazy val li = spark.read.parquet(s"${TestSpark.Sf001}/lineitem.parquet")
   private lazy val part = spark.read.parquet(s"${TestSpark.Sf001}/part.parquet")
 
+  test("q8 plan: aggregate below broadcast join, top-k never global-sorts") {
+    // the scale contract of the agg-pushdown rewrite: the fact side
+    // reduces to one row per join key BEFORE the broadcast join (the
+    // partial+final HashAggregate pair sits under the join), and the
+    // final top-10 is TakeOrderedAndProject — per-partition k-heaps,
+    // no global sort at any corpus size
+    val df = graft.queries.RefQueries.q8TopK(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // aggregate BELOW the join: the HashAggregate must appear after
+    // (deeper than) the join node in the tree rendering
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    val aggAt = plan.indexOf("HashAggregate")
+    assert(aggAt > joinAt,
+      s"expected HashAggregate under the join (agg-below-join), got:\n$plan")
+    assert(!plan.contains("Sort "), "top-k must not plan a global Sort")
+  }
+
   test("salted join ≡ plain join (row multiset), hot key spread over salts") {
     val plain = li.join(part, li("l_partkey") === part("p_partkey"))
       .select("l_orderkey", "l_linenumber", "p_name")
