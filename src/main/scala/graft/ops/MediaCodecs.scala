@@ -121,7 +121,13 @@ object MediaCodecs {
       else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
       else None
 
-    def decodeLuma(bytes: Array[Byte]): Option[Array[Int]] = {
+    def decodeLuma(bytes: Array[Byte]): Option[Array[Int]] =
+      decodeLumaDims(bytes).map(_._3)
+
+    /** Plane plus decoded geometry — for container formats (AVI) whose
+      * headers are advisory: the codec's dimensions are the truth.
+      */
+    def decodeLumaDims(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
       try {
         val img = sniff(bytes) match {
           case Some(fmt) =>
@@ -136,7 +142,8 @@ object MediaCodecs {
           case None => // unknown magic: the slow generic path, rare by contract
             javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         }
-        lumaPlane(img)
+        if (img == null) None
+        else lumaPlane(img).map(p => (img.getWidth, img.getHeight, p))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
@@ -323,10 +330,6 @@ object MediaCodecs {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** RIFF/WAVE with a PCM (audioFormat=1) `fmt ` chunk and 16-bit
-    * samples: walks the chunk list, returns all interleaved samples
-    * requantized to 0..255 via (sample >> 8) + 128.
-    */
   /** IMA/DVI ADPCM (fmt tag 0x0011) — a REAL compressed-audio codec in
     * pure integer math (IMA "Recommended Practices for Enhancing
     * Digital Audio Compatibility", 1992; the same tables every
@@ -460,6 +463,11 @@ object MediaCodecs {
     out.toArray
   }
 
+  /** RIFF/WAVE chunk walk, dispatching on the `fmt ` tag: PCM
+    * (audioFormat=1, 16-bit interleaved samples) or IMA ADPCM
+    * (0x0011, 4-bit blocks). Either way the result is the decoded
+    * sample plane requantized to 0..255 via floor(sample/256) + 128.
+    */
   def decodeWavBytes(bytes: Array[Byte]): Option[Array[Int]] = {
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def u32(o: Int): Long =
@@ -513,5 +521,109 @@ object MediaCodecs {
           .map(s => (s >> 8) + 128))
       case _ => None
     }
+  }
+
+  /** Minimal-but-valid MJPEG-in-AVI writer: RIFF 'AVI ' with an hdrl
+    * LIST (avih main header, one 'vids'/'MJPG' stream with a
+    * BITMAPINFOHEADER strf) and a movi LIST of '00dc' chunks, one JPEG
+    * blob per frame, word-aligned. MJPEG is the one VIDEO codec this
+    * engine can run end to end with zero native dependencies: the
+    * container is pure byte arithmetic and every frame is a baseline
+    * JPEG the existing imageio raster arm decodes. (H.264/MP4 stays
+    * honestly stubbed — inter-frame codecs need a licensed/native
+    * decoder.)
+    */
+  def encodeMjpegAvi(jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int = 10): Array[Byte] = {
+    require(jpegFrames.nonEmpty && w > 0 && h > 0 && fps > 0)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fourcc(id) ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ le32(4 + body.length) ++ fourcc(kind) ++ body
+
+    val maxFrame = jpegFrames.map(_.length).max
+    val avih = le32(1000000 / fps) ++ le32(maxFrame * fps) ++ le32(0) ++
+      le32(0x10 /* AVIF_HASINDEX off; plain */) ++ le32(jpegFrames.length) ++
+      le32(0) ++ le32(1 /* streams */) ++ le32(maxFrame) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++
+      le16(0) ++ le32(0) ++ le32(1 /* scale */) ++ le32(fps /* rate */) ++
+      le32(0) ++ le32(jpegFrames.length) ++ le32(maxFrame) ++
+      le32(-1) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fourcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      jpegFrames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Every-k-th-frame sampling from an MJPEG AVI — the real-video
+    * sibling of decodeGifFrames, same signature and never-throw
+    * contract: walk the RIFF tree to the movi LIST, collect the
+    * '00dc'/'00db' frame chunks, decode each sampled JPEG through one
+    * reused RasterDecoder. Frame 0 is always sampled. Dimensions come
+    * from the first DECODED frame (the strf header is advisory —
+    * trusting it over the codec would hand back planes at the wrong
+    * geometry); any sampled frame that fails to decode or disagrees on
+    * dimensions → None rather than a wrong answer.
+    */
+  def decodeAviMjpegFrames(bytes: Array[Byte],
+      everyK: Int): Option[(Int, Int, Seq[Array[Int]])] = {
+    if (everyK <= 0) return None
+    try {
+      def u32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      def tag(o: Int): String =
+        if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+      if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      // find the movi LIST at the top level of the RIFF body
+      var pos = 12
+      var movi: Option[(Int, Int)] = None // (offset after 'movi', end)
+      while (pos + 12 <= bytes.length && movi.isEmpty) {
+        val id = tag(pos)
+        val size = u32(pos + 4).toInt
+        if (id == "LIST" && tag(pos + 8) == "movi")
+          movi = Some((pos + 12, math.min(pos + 8 + size, bytes.length)))
+        pos += 8 + size + (size & 1)
+      }
+      val (start, end) = movi.getOrElse(return None)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var p = start
+      while (p + 8 <= end) {
+        val id = tag(p)
+        val size = u32(p + 4).toInt
+        if ((id.endsWith("dc") || id.endsWith("db")) && size > 0 &&
+          p + 8 + size <= end) frames += ((p + 8, size))
+        p += 8 + size + (size & 1)
+      }
+      if (frames.isEmpty) return None
+      val decoder = new RasterDecoder
+      val planes = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      var dims: Option[(Int, Int)] = None
+      var i = 0
+      while (i < frames.length) {
+        val (off, len) = frames(i)
+        val jpeg = java.util.Arrays.copyOfRange(bytes, off, off + len)
+        val (fw, fh, plane) = decoder.decodeLumaDims(jpeg).getOrElse(return None)
+        // geometry from the DECODED raster; all sampled frames must agree
+        dims match {
+          case None => dims = Some((fw, fh))
+          case Some((w, h)) => if (w != fw || h != fh) return None
+        }
+        planes += plane
+        i += everyK
+      }
+      dims.map { case (w, h) => (w, h, planes.toSeq) }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

@@ -204,6 +204,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeGifFrames(gif, 0).isEmpty)
   }
 
+  test("MJPEG AVI: container round-trips and every-k frame sampling decodes") {
+    // real video path with zero native deps: JPEG frames (written by
+    // the JDK's own encoder) inside a hand-built RIFF AVI. Uniform-gray
+    // frames survive JPEG's lossy DCT nearly exactly (flat blocks), so
+    // the sampled plane means pin the frame ORDER as well as the decode.
+    val grays = Seq(32, 96, 160, 224)
+    val (w, h) = (16, 8)
+    val jpegs = grays.map { g =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, g)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = MediaCodecs.encodeMjpegAvi(jpegs, w, h)
+    // sample every 2nd frame: expect frames 0 and 2 (gray 32 and 160)
+    val (dw, dh, planes) = MediaCodecs.decodeAviMjpegFrames(avi, 2).get
+    assert((dw, dh) == (w, h))
+    assert(planes.length == 2)
+    val means = planes.map(p => p.sum.toDouble / p.length)
+    assert(math.abs(means(0) - 32) <= 3, s"frame 0 mean ${means(0)}")
+    assert(math.abs(means(1) - 160) <= 3, s"frame 1 mean ${means(1)}")
+    // every frame: all four in order
+    val all = MediaCodecs.decodeAviMjpegFrames(avi, 1).get._3
+    assert(all.length == 4)
+    all.zip(grays).foreach { case (p, g) =>
+      assert(math.abs(p.sum.toDouble / p.length - g) <= 3)
+    }
+    // never-throw contract on garbage and on a truncated container
+    assert(MediaCodecs.decodeAviMjpegFrames("not an avi".getBytes, 1).isEmpty)
+    assert(MediaCodecs.decodeAviMjpegFrames(avi.take(40).toArray, 1).isEmpty)
+    assert(MediaCodecs.decodeAviMjpegFrames(avi, 0).isEmpty)
+  }
+
   test("GIF frames flagging a transparent color are refused, not mis-read") {
     // a FULL-canvas frame with transparentColorFlag set composites over
     // the previous frame: resolving its transparent index through the
