@@ -78,12 +78,18 @@ object Bench {
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     def calibrate(): Unit = {
       val t0 = System.nanoTime()
-      // bit_xor, not sum: 200M hash longs overflow a SUM under ANSI
-      exec(spark.range(0L, 200000000L, 1L, cpus.toInt)
-        .select(org.apache.spark.sql.functions.bit_xor(
-          org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("id"))).as("h")))
-      calibSamples += (System.nanoTime() - t0) / 1e9
+      // bit_xor, not sum: 200M hash longs overflow a SUM under ANSI.
+      // Guarded like every benched query: a transient calibration
+      // failure must cost one sample, never the whole sweep's record.
+      try {
+        exec(spark.range(0L, 200000000L, 1L, cpus.toInt)
+          .select(org.apache.spark.sql.functions.bit_xor(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("id"))).as("h")))
+        calibSamples += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+      }
     }
     calibrate() // warm the range/hash codegen; sample discarded below
     calibSamples.clear()

@@ -136,9 +136,18 @@ object MediaCodecs {
               if (!it.hasNext) return None
               it.next()
             })
-            reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(bytes)), true, true)
-            reader.read(0)
+            val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            // close the stream once the image is materialized — its
+            // in-heap cache segments otherwise stay referenced by the
+            // reader until the NEXT setInput and pile up under memory
+            // pressure on exactly the hot path this class optimizes
+            try {
+              reader.setInput(stream, true, true)
+              reader.read(0)
+            } finally {
+              try stream.close() catch { case scala.util.control.NonFatal(_) => () }
+            }
           case None => // unknown magic: the slow generic path, rare by contract
             javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         }
@@ -379,6 +388,13 @@ object MediaCodecs {
     */
   def encodeImaAdpcmWav(samples: Array[Int]): Array[Byte] = {
     require(samples.nonEmpty, "ADPCM block needs at least one sample")
+    // the single-block layout stores samplesPerBlock and blockAlign in
+    // 16-bit header fields; past 65535 they would silently wrap and the
+    // written header would LIE (decoder trims to the wrapped count) —
+    // refuse loudly instead. Callers gate input length (the query's
+    // WHERE carries the same bound as its oracle twin).
+    require(samples.length <= 65535,
+      s"single-block IMA ADPCM caps at 65535 samples, got ${samples.length}")
     val nib = new Array[Int](math.max(0, samples.length - 1))
     var pred = math.max(-32768, math.min(32767, samples(0)))
     val pred0 = pred
@@ -486,10 +502,15 @@ object MediaCodecs {
       val size = u32(pos + 4).toInt
       if (id == "fmt " && pos + 8 + 16 <= bytes.length) {
         val ftag = u16(pos + 8)
+        val nChannels = u16(pos + 8 + 2)
         val bits = u16(pos + 8 + 14)
         val blockAlign = u16(pos + 8 + 12)
         if (ftag == 1 && bits == 16) fmt = Some((1, blockAlign, 0))
-        else if (ftag == 0x11 && bits == 4) {
+        // MONO only for ADPCM: stereo IMA interleaves 4-byte
+        // per-channel words with one header per channel — reading that
+        // as a mono nibble stream would return garbage, and a wrong
+        // plane is worse than the stub fallback (None)
+        else if (ftag == 0x11 && bits == 4 && nChannels == 1) {
           // samplesPerBlock from the 2-byte fmt extension; fall back to
           // the mono block capacity 1 + 2·(align−4) if absent
           val spb =
@@ -598,14 +619,22 @@ object MediaCodecs {
       }
       val (start, end) = movi.getOrElse(return None)
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      var p = start
-      while (p + 8 <= end) {
-        val id = tag(p)
-        val size = u32(p + 4).toInt
-        if ((id.endsWith("dc") || id.endsWith("db")) && size > 0 &&
-          p + 8 + size <= end) frames += ((p + 8, size))
-        p += 8 + size + (size & 1)
+      // interleaved muxers group frames inside 'rec ' LISTs within
+      // movi — descend into those; direct ##dc/##db children are the
+      // simple layout this writer emits
+      def scanChunks(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = tag(p)
+          val size = u32(p + 4).toInt
+          if (id == "LIST" && tag(p + 8) == "rec ")
+            scanChunks(p + 12, math.min(p + 8 + size, to))
+          else if ((id.endsWith("dc") || id.endsWith("db")) && size > 0 &&
+            p + 8 + size <= to) frames += ((p + 8, size))
+          p += 8 + size + (size & 1)
+        }
       }
+      scanChunks(start, end)
       if (frames.isEmpty) return None
       val decoder = new RasterDecoder
       val planes = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]

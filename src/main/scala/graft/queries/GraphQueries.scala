@@ -205,6 +205,14 @@ object GraphQueries {
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rank)
       rank = next
     }
+    // deg's checkpoint blocks are dead once the last round is
+    // materialized — drop them or every pagerank invocation leaks a
+    // degree table into executor storage for the session lifetime
+    // (catalog.clearCache() does not touch RDD-level persists). The
+    // FINAL rank checkpoint must stay: the returned plan reads it and
+    // its lineage is truncated — it is the result, node-sized by
+    // contract.
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(deg)
     rank
   }
 

@@ -350,8 +350,11 @@ object JoinQueries {
       val key = tables.mkString(",")
       if (bucketHooks.add(key)) {
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-          catch { case _: Throwable => () } // session may already be down
+          // per-table try: one failed DROP (metastore hiccup) must not
+          // skip the remaining tables; session may already be down
+          tables.foreach(t =>
+            try spark.sql(s"DROP TABLE IF EXISTS $t")
+            catch { case _: Throwable => () })
         ))
       }
     }

@@ -171,12 +171,16 @@ object SimilarityQueries {
   val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSqlAt(0.7)
 
   /** `dedup_containment_minhash` — the sketch sibling of
-    * `dedup_containment` (see MinHashDedup.containmentPairs: wide r=2
-    * banding so the survival knee sits below the J floor that
-    * C ≥ 0.8 with size ratio ≤ 3 implies, then exact-containment
-    * verification). Gated against the SAME exact-containment oracle:
-    * on this corpus every qualifying pair survives banding, so sketch
-    * output ≡ exact output — the recall contract the spec measures.
+    * `dedup_containment` (MinHashDedup.containmentPairs). Gated on the
+    * DEFAULT r=4 banding, which is sound for THIS corpus: size ratios
+    * are ≤ 1.1, so C ≥ 0.8 implies J ≥ 0.6 — above the r=4 survival
+    * knee (and the actual qualifying pairs sit at J ≥ 0.9). Corpora
+    * with genuinely embedded docs (ratio ≫ 1) need the WIDE bands=64
+    * (r=2) config, which SimilaritySpec gates on a constructed
+    * ratio-4.8 pair — see containmentPairs' width-vs-ratio tradeoff
+    * scaladoc for why wide banding is not the default. Gated against
+    * the SAME exact-containment oracle: every qualifying pair survives
+    * banding here, so sketch output ≡ exact output.
     */
   def dedupContainmentMinhash(spark: SparkSession, sfDir: String): DataFrame =
     MinHashDedup.containmentPairs(table(spark, sfDir, "documents"),

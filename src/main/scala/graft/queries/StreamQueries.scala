@@ -383,7 +383,9 @@ object StreamQueries {
   def multimodalAdpcm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     table(spark, sfDir, "documents")
-      .where(octet_length(col("text")) >= 1)
+      // upper bound = the single-block encoder's 16-bit samplesPerBlock
+      // cap (encodeImaAdpcmWav requires it); same WHERE in the oracle
+      .where(octet_length(col("text")).between(1, 65535))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val src8 = text.getBytes("UTF-8").map(_ & 0xff)
@@ -418,7 +420,7 @@ object StreamQueries {
   val multimodalAdpcmSql: String =
     """WITH RECURSIVE m AS (
       |  SELECT doc_id, text, length(text) AS n FROM documents
-      |  WHERE octet_length(encode(text)) >= 1
+      |  WHERE octet_length(encode(text)) BETWEEN 1 AND 65535
       |), tabs AS (
       |  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
       |          41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
