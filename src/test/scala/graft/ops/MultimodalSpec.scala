@@ -238,6 +238,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeAviMjpegFrames("not an avi".getBytes, 1).isEmpty)
     assert(MediaCodecs.decodeAviMjpegFrames(avi.take(40).toArray, 1).isEmpty)
     assert(MediaCodecs.decodeAviMjpegFrames(avi, 0).isEmpty)
+
+    // interleaved layout: frames wrapped in a 'rec ' LIST inside movi
+    // (what real muxers emit) must decode identically. Rebuild the
+    // container by hand with the same headers but rec-wrapped frames.
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, b: Array[Byte]) = cc(id) ++ le32(b.length) ++ b ++
+      (if ((b.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def lst(kind: String, b: Array[Byte]) =
+      cc("LIST") ++ le32(4 + b.length) ++ cc(kind) ++ b
+    val recMovi = lst("movi",
+      jpegs.map(f => lst("rec ", chunk("00dc", f))).reduce(_ ++ _))
+    // splice: reuse the original container up to its movi LIST
+    val moviAt = {
+      var p = 12; var at = -1
+      while (at < 0 && p + 12 <= avi.length) {
+        if (new String(avi, p, 4, "US-ASCII") == "LIST" &&
+          new String(avi, p + 8, 4, "US-ASCII") == "movi") at = p
+        else p += 8 + (avi(p + 4) & 0xff | (avi(p + 5) & 0xff) << 8 |
+          (avi(p + 6) & 0xff) << 16 | (avi(p + 7) & 0xff) << 24) +
+          ((avi(p + 4) & 1))
+      }
+      at
+    }
+    val body2 = avi.slice(8, moviAt) ++ recMovi
+    val avi2 = cc("RIFF") ++ le32(body2.length) ++ body2
+    val recPlanes = MediaCodecs.decodeAviMjpegFrames(avi2, 1).get._3
+    assert(recPlanes.length == 4)
+    recPlanes.zip(grays).foreach { case (p, g) =>
+      assert(math.abs(p.sum.toDouble / p.length - g) <= 3)
+    }
   }
 
   test("GIF frames flagging a transparent color are refused, not mis-read") {
