@@ -38,6 +38,26 @@ class ScaleToolkitSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), "top-k must not plan a global Sort")
   }
 
+  test("gate sorts: barrierSort stages a hash exchange below the range sort") {
+    // the single-execution contract: q5's plan must carry a
+    // hashpartitioning exchange BELOW the rangepartitioning sort, so
+    // the RangePartitioner's sampling pass reads shuffle output
+    // instead of re-running the scan+join child
+    val q5 = graft.queries.RefQueries.q5Join(spark, TestSpark.Sf001)
+    val plan = q5.queryExecution.executedPlan.toString
+    val hashAt = plan.indexOf("hashpartitioning")
+    val rangeAt = plan.indexOf("rangepartitioning")
+    assert(hashAt >= 0 && rangeAt >= 0, plan)
+    assert(hashAt > rangeAt, // deeper in the tree = later in the rendering
+      s"expected the hash exchange BELOW the range sort:\n$plan")
+    // gateSort: a single-partition exchange and NO range sampling at all
+    val je = graft.queries.EtlQueries.etlJsonExtract(spark, TestSpark.Sf001)
+    val jePlan = je.queryExecution.executedPlan.toString
+    assert(!jePlan.contains("rangepartitioning"), jePlan)
+    assert(jePlan.contains("SinglePartition") || jePlan.contains("numPartitions=1"),
+      jePlan)
+  }
+
   test("salted join ≡ plain join (row multiset), hot key spread over salts") {
     val plain = li.join(part, li("l_partkey") === part("p_partkey"))
       .select("l_orderkey", "l_linenumber", "p_name")
