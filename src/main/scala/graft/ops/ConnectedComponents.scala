@@ -136,17 +136,22 @@ object ConnectedComponents {
       canonical(linkNbrs.unionByName(linkSelf))
     }
 
-    var edges = canonical(
-        pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-      .localCheckpoint(true)
+    // cache the raw pairs BEFORE fanning out: edges reads them once and
+    // the nodes union reads them twice more (union branches get no
+    // common-subexpression elimination), so an uncached `pairs` plan —
+    // here the entire upstream minhash pipeline — would execute three
+    // times (the `resolve` fwd-cache doctrine)
+    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v")).cache()
+    var edges = canonical(p0).localCheckpoint(true)
     // node universe from the RAW pairs, not the canonical edges:
     // canonical() drops self-loops, and a node appearing only as (x,x)
     // must still come back labeled x — `resolve` keeps it, and the two
     // spellings share one output contract
-    val nodes = pairs.select(col(aCol).as("n"))
-      .unionByName(pairs.select(col(bCol).as("n")))
+    val nodes = p0.select(col("u").as("n"))
+      .unionByName(p0.select(col("v").as("n")))
       .distinct()
       .localCheckpoint(true)
+    p0.unpersist() // both consumers are checkpointed; the cache is dead
 
     var converged = false
     var round = 0
