@@ -499,7 +499,11 @@ object MediaCodecs {
     var data: Option[(Int, Int)] = None // (offset, length)
     while (pos + 8 <= bytes.length && (data.isEmpty || fmt.isEmpty)) {
       val id = tag(pos)
-      val size = u32(pos + 4).toInt
+      // keep the declared size as a Long: a 32-bit size field >= 2^31
+      // truncated to Int goes negative and the cursor stops advancing
+      // (an infinite loop on adversarial bytes, not the never-throw
+      // None this decoder promises)
+      val size = u32(pos + 4)
       if (id == "fmt " && pos + 8 + 16 <= bytes.length) {
         val ftag = u16(pos + 8)
         val nChannels = u16(pos + 8 + 2)
@@ -519,8 +523,11 @@ object MediaCodecs {
           fmt = Some((0x11, blockAlign, spb))
         }
       } else if (id == "data")
-        data = Some((pos + 8, math.min(size, bytes.length - pos - 8)))
-      pos += 8 + size + (size & 1) // chunks are word-aligned
+        data = Some((pos + 8, math.min(size, (bytes.length - pos - 8).toLong).toInt))
+      // a size that overruns the buffer means nothing addressable
+      // follows this chunk — stop instead of advancing past the end
+      if (size > bytes.length - pos - 8) pos = bytes.length
+      else pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     (fmt, data) match {
       case (Some((1, _, _)), Some((off, len))) =>
@@ -535,7 +542,10 @@ object MediaCodecs {
           i += 1
         }
         Some(out)
-      case (Some((0x11, blockAlign, spb)), Some((off, len))) if blockAlign >= 5 =>
+      // blockAlign == 4 is legal: the 4-byte block header alone carries
+      // one verbatim sample, which is exactly what encodeImaAdpcmWav
+      // emits for a 1-sample input
+      case (Some((0x11, blockAlign, spb)), Some((off, len))) if blockAlign >= 4 =>
         // requantize the decoded 16-bit plane to 0..255 exactly like
         // the PCM arm: arithmetic >>8 (floor division) + 128
         Some(decodeImaBlocks(bytes, off, len, blockAlign, spb)
@@ -612,10 +622,14 @@ object MediaCodecs {
       var movi: Option[(Int, Int)] = None // (offset after 'movi', end)
       while (pos + 12 <= bytes.length && movi.isEmpty) {
         val id = tag(pos)
-        val size = u32(pos + 4).toInt
+        // Long, not .toInt: a declared size >= 2^31 truncated to Int is
+        // negative, the cursor stops advancing, and the walk loops
+        // forever on adversarial bytes instead of returning None
+        val size = u32(pos + 4)
         if (id == "LIST" && tag(pos + 8) == "movi")
-          movi = Some((pos + 12, math.min(pos + 8 + size, bytes.length)))
-        pos += 8 + size + (size & 1)
+          movi = Some((pos + 12, math.min(pos + 8 + size, bytes.length.toLong).toInt))
+        if (size > bytes.length - pos - 8) pos = bytes.length
+        else pos += 8 + size.toInt + (size.toInt & 1)
       }
       val (start, end) = movi.getOrElse(return None)
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -626,12 +640,15 @@ object MediaCodecs {
         var p = from
         while (p + 8 <= to) {
           val id = tag(p)
-          val size = u32(p + 4).toInt
+          // same Long discipline as the top-level walk: an oversize or
+          // wrapped chunk length must stop the scan, never spin it
+          val size = u32(p + 4)
           if (id == "LIST" && tag(p + 8) == "rec ")
-            scanChunks(p + 12, math.min(p + 8 + size, to))
+            scanChunks(p + 12, math.min(p + 8 + size, to.toLong).toInt)
           else if ((id.endsWith("dc") || id.endsWith("db")) && size > 0 &&
-            p + 8 + size <= to) frames += ((p + 8, size))
-          p += 8 + size + (size & 1)
+            p + 8 + size <= to) frames += ((p + 8, size.toInt))
+          if (size > to - p - 8) p = to
+          else p += 8 + size.toInt + (size.toInt & 1)
         }
       }
       scanChunks(start, end)

@@ -16,24 +16,41 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Salt assignment for the big side. With `saltBy` (a STABLE unique
+    * column set — a primary key, a natural id pair), the salt is
+    * `pmod(xxhash64(saltBy…), salts)`: fully DETERMINISTIC, so a map
+    * task recomputed after a shuffle-fetch failure routes every row to
+    * the same salt partition it got the first time, and duplicates in
+    * the KEY column still spread because the unique columns differ.
+    * Prefer this whenever a stable unique set exists.
+    *
+    * Without `saltBy` the fallback is a per-row ordinal
+    * (monotonically_increasing_id), NOT a row-content hash: hashing all
+    * columns (a) fails analysis on MapType columns (xxhash64 rejects
+    * maps) and (b) degenerates to ZERO spread when the hot key's rows
+    * are FULL duplicates — replayed/denormalized records, the classic
+    * skew shape. KNOWN HAZARD of the fallback: the ordinal is
+    * nondeterministic across stage re-execution, so a partial map-stage
+    * recompute (shuffle fetch failure) can re-salt a row differently
+    * and duplicate/drop it in the join. Single-attempt runs (and any
+    * run with no fetch failures — the overwhelmingly common case) are
+    * unaffected; pass `saltBy` where correctness under retry matters.
+    */
+  private def saltExpr(saltBy: Seq[Column], salts: Int): Column =
+    if (saltBy.nonEmpty) pmod(xxhash64(saltBy: _*), lit(salts.toLong))
+    else pmod(monotonically_increasing_id(), lit(salts.toLong))
+
   /** Inner equi-join of `big` (skewed on `bigKey`) with `small`,
     * spreading each big-side key over `salts` buckets. `small` is
     * replicated `salts`× via an exploded literal range — fine because the
-    * replicated side is the small one.
+    * replicated side is the small one. See [[saltExpr]] for the
+    * deterministic-vs-ordinal salt contract.
     */
   def saltedInnerJoin(big: DataFrame, small: DataFrame,
-      bigKey: String, smallKey: String, salts: Int = 16): DataFrame = {
+      bigKey: String, smallKey: String, salts: Int = 16,
+      saltBy: Seq[Column] = Nil): DataFrame = {
     require(salts > 0)
-    // spread via a per-row ordinal, NOT a row-content hash: hashing the
-    // row's columns (a) fails analysis on MapType columns (xxhash64
-    // rejects maps) and (b) degenerates to ZERO spread when the hot
-    // key's rows are duplicates — replayed/denormalized records, the
-    // classic skew shape — because identical rows hash to one salt.
-    // monotonically_increasing_id is unique per row, so duplicates
-    // round-robin across salts; the salt never appears in the output,
-    // so join results are unaffected by its values.
-    val salted = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val salted = big.withColumn("__salt", saltExpr(saltBy, salts))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated,
@@ -117,18 +134,18 @@ object SkewJoin {
     */
   def twoPhaseSaltedInnerJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salts: Int = 16,
-      skewFactor: Double = 4.0, maxHotKeys: Int = 1000): DataFrame = {
+      skewFactor: Double = 4.0, maxHotKeys: Int = 1000,
+      saltBy: Seq[Column] = Nil): DataFrame = {
     require(salts > 0)
     val hot = hotKeys(big, bigKey, skewFactor, maxHotKeys)
     if (hot.isEmpty) {
       big.join(small, big(bigKey) === small(smallKey), "inner")
     } else {
-      // per-row ordinal spread, not row-content hash — see
-      // saltedInnerJoin's rationale (duplicate hot rows must not
-      // collapse onto one salt)
+      // see saltExpr: deterministic unique-column hash when the caller
+      // names one, per-row ordinal fallback otherwise (duplicate hot
+      // rows must not collapse onto one salt)
       val salted = big.withColumn("__salt",
-        when(col(bigKey).isin(hot: _*),
-          pmod(monotonically_increasing_id(), lit(salts.toLong)))
+        when(col(bigKey).isin(hot: _*), saltExpr(saltBy, salts))
           .otherwise(lit(0L)))
       val replicated = small.withColumn("__salt",
         explode(when(col(smallKey).isin(hot: _*),

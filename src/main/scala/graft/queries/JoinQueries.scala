@@ -319,45 +319,36 @@ object JoinQueries {
   def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     val pid = ProcessHandle.current().pid()
     val (ct, ot) = (s"cust_bkt_$pid", s"ord_bkt_$pid")
-    bucketCleanup(spark, ct, ot)
-    table(spark, sfDir, "customer")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .mode("overwrite").saveAsTable(ct)
-    table(spark, sfDir, "orders")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable(ot)
-    spark.table(ct).hint("merge")
-      .join(spark.table(ot), col("c_custkey") === col("o_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"),
-        RefQueries.exactSum(col("o_totalprice")).as("revenue"))
-      .orderBy("c_mktsegment")
+    try {
+      table(spark, sfDir, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(ct)
+      table(spark, sfDir, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(ot)
+      val result = spark.table(ct).hint("merge")
+        .join(spark.table(ot), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          RefQueries.exactSum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+      // materialize BEFORE dropping: the grouped result is bounded by
+      // distinct c_mktsegment (5 in TPC-H-shaped data), so localizing it
+      // is O(segments), not O(rows) — and it frees the tables for an
+      // eager inline DROP. The earlier spelling returned the lazy plan
+      // and deferred the drop to a JVM shutdown hook, which fired after
+      // the driver's spark.stop() and silently failed — the pid-keyed
+      // table pair leaked in the normal, non-crash path.
+      val rows = result.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), result.schema)
+    } finally
+      // per-table try: one failed DROP (metastore hiccup) must not skip
+      // the remaining table
+      Seq(ct, ot).foreach(t =>
+        try spark.sql(s"DROP TABLE IF EXISTS $t")
+        catch { case scala.util.control.NonFatal(_) => () })
   }
-
-  /** Registered once per (session, table pair): drops THIS process's
-    * bucketed tables (data + catalog entry) at JVM exit — the
-    * stagingDir doctrine in SourceQueries, without which every
-    * process leaves a table pair in the warehouse on long-lived hosts.
-    * The returned DataFrame is lazy, so the drop can't run inline after
-    * the query builds; exit is the earliest point the tables are
-    * certainly no longer referenced. Kill -9 still leaks one pair; the
-    * pid-keyed names make a stale sweep trivial
-    * (`DROP TABLE cust_bkt_<deadpid>`).
-    */
-  private val bucketHooks = scala.collection.mutable.Set.empty[String]
-  private def bucketCleanup(spark: SparkSession, tables: String*): Unit =
-    synchronized {
-      val key = tables.mkString(",")
-      if (bucketHooks.add(key)) {
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          // per-table try: one failed DROP (metastore hiccup) must not
-          // skip the remaining tables; session may already be down
-          tables.foreach(t =>
-            try spark.sql(s"DROP TABLE IF EXISTS $t")
-            catch { case _: Throwable => () })
-        ))
-      }
-    }
 
   val joinBucketedSql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -225,8 +225,10 @@ object RefQueries {
   def q5SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = table(spark, sfDir, "lineitem")
     val p = table(spark, sfDir, "part")
+    // saltBy = lineitem's natural primary key: deterministic salt, so a
+    // recomputed map task re-routes each row identically under retry
     graft.ops.SkewJoin.saltedInnerJoin(li, p, "l_partkey", "p_partkey",
-        salts = 8)
+        salts = 8, saltBy = Seq(col("l_orderkey"), col("l_linenumber")))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("p_name"), col("p_brand"), col("l_quantity"))
@@ -250,7 +252,8 @@ object RefQueries {
     // the hot set the same way (the isin predicate is O(|hot|) to
     // compile and the small-side replication scales with it)
     graft.ops.SkewJoin.twoPhaseSaltedInnerJoin(li, p, "l_partkey", "p_partkey",
-        salts = 8, skewFactor = 1.0, maxHotKeys = 64)
+        salts = 8, skewFactor = 1.0, maxHotKeys = 64,
+        saltBy = Seq(col("l_orderkey"), col("l_linenumber")))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("p_name"), col("p_brand"), col("l_quantity"))

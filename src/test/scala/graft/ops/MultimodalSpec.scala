@@ -339,6 +339,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.frame_samples == junk.take(8).map(_ & 0xff).toSeq)
   }
 
+  test("ADPCM 1-sample boundary: header-only block round-trips") {
+    // encodeImaAdpcmWav(1 sample) emits blockAlign=4 — the 4-byte block
+    // header alone, carrying sample 0 verbatim. The decoder must accept
+    // it: the gated query's WHERE admits 1-byte docs, so rejecting
+    // blockAlign=4 diverged from the DuckDB oracle (round-7 advice).
+    for (s8 <- Seq(0, 1, 128, 255)) {
+      val wav = MediaCodecs.encodeImaAdpcmWav(Array((s8 - 128) << 8))
+      val dec = MediaCodecs.decodeWavBytes(wav)
+      assert(dec.isDefined, s"1-sample WAV (byte $s8) must decode")
+      assert(dec.get.toSeq == Seq(s8), s"byte $s8 round-trip")
+    }
+    // 2 samples still work after the guard change (blockAlign = 5)
+    val two = MediaCodecs.encodeImaAdpcmWav(Array(0, 256))
+    assert(MediaCodecs.decodeWavBytes(two).get.length == 2)
+  }
+
+  test("adversarial RIFF sizes terminate with None instead of hanging") {
+    // a declared chunk size >= 2^31 truncated to Int is negative; the
+    // pre-fix walks advanced by 8 + size and spun forever. Both the
+    // AVI and WAV chunk walks must stop and return None/absent.
+    def le32u(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    // AVI: RIFF/AVI header, then one chunk claiming size 0xFFFFFFF8
+    val evilAvi = cc("RIFF") ++ le32u(100) ++ cc("AVI ") ++
+      cc("LIST") ++ le32u(0xFFFFFFF8L) ++ cc("movi") ++ new Array[Byte](64)
+    assert(MediaCodecs.decodeAviMjpegFrames(evilAvi, 1).isEmpty)
+    // AVI: valid top-level movi whose inner chunk lies about its size
+    val evilInner = {
+      val inner = cc("00dc") ++ le32u(0xFFFFFFF0L) ++ new Array[Byte](16)
+      val movi = cc("LIST") ++ le32u(4 + inner.length) ++ cc("movi") ++ inner
+      cc("RIFF") ++ le32u(4 + movi.length) ++ cc("AVI ") ++ movi
+    }
+    assert(MediaCodecs.decodeAviMjpegFrames(evilInner, 1).isEmpty)
+    // WAV: oversize fmt chunk size must not spin the fmt/data scan
+    val evilWav = cc("RIFF") ++ le32u(100) ++ cc("WAVE") ++
+      cc("junk") ++ le32u(0xFFFFFFF8L) ++ new Array[Byte](64)
+    assert(MediaCodecs.decodeWavBytes(evilWav).isEmpty)
+  }
+
   test("features on sf0.001 documents: 500 rows, deterministic digests") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val a = Multimodal.extractFeatures(spark, Multimodal.packFromText(docs))

@@ -162,9 +162,12 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("minhash containment equals exact containment at the 0.8 gate") {
     // the sketch sibling must reproduce the exact operator's output on
-    // this corpus (verification removes all false positives; the wide
-    // r=2 banding keeps recall at 1.0 here — every qualifying pair has
-    // J ≥ 0.9, far above the survival knee)
+    // this corpus (verification removes all false positives; recall is
+    // 1.0 here under the DEFAULT bands=32 / r=4 banding because this
+    // corpus's docs are near-equal-size — C ≥ 0.8 forces J ≥ ~0.67,
+    // well above the r=4 survival knee, the scaladoc's near-equal-size
+    // argument; the wide bands=64 config is exercised by the embedded
+    // small-doc test below, where it is actually load-bearing)
     val exact = Dedup.containmentPairs(docs, 2, 0.8)
       .select("d1", "d2", "intersect_size", "n1", "n2")
     val mh = MinHashDedup.containmentPairs(docs, 2, 0.8)

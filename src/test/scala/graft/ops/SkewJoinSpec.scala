@@ -105,6 +105,31 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic saltBy: result-identical, spreads the hot key, stable") {
+    // saltBy over a stable unique column (payload) must (1) keep the
+    // join result identical to plain, (2) still spread the monster
+    // key's rows across salts even though they share one KEY value —
+    // the unique column differs per row — and (3) be deterministic:
+    // xxhash64 of the same column values yields the same salt on any
+    // recompute, closing the ordinal fallback's retry hazard.
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "payload", "name")
+    val det = SkewJoin.saltedInnerJoin(big, small, "k", "sk", salts = 8,
+      saltBy = Seq(col("payload")))
+      .select("k", "payload", "name")
+    assert(det.exceptAll(plain).isEmpty && plain.exceptAll(det).isEmpty)
+    val twoDet = SkewJoin.twoPhaseSaltedInnerJoin(big, small, "k", "sk",
+      salts = 8, saltBy = Seq(col("payload")))
+      .select("k", "payload", "name")
+    assert(twoDet.exceptAll(plain).isEmpty && plain.exceptAll(twoDet).isEmpty)
+    // spread: the hot key's distinct salt values cover most buckets
+    val spread = big.select(col("k"),
+        pmod(xxhash64(col("payload")), lit(8L)).as("s"))
+      .where(col("k") === Monster)
+      .agg(countDistinct(col("s"))).head.getLong(0)
+    assert(spread >= 6L, s"expected hash salt to spread the hot key, got $spread")
+  }
+
   test("AQE splits the skewed SMJ partition (skew=true in the adaptive plan)") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
