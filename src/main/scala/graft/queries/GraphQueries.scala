@@ -273,4 +273,157 @@ object GraphQueries {
       |)
       |SELECT degree, COUNT(*) AS n_customers
       |FROM d GROUP BY degree ORDER BY degree""".stripMargin
+
+  /** `graph_bfs` — single-source shortest HOP distance over the
+    * directed trade graph (source = nation 0), the frontier-expansion
+    * primitive under reachability, radius, and influence queries.
+    *
+    * Spelling: min-distance propagation, the BFS twin of
+    * ConnectedComponents.resolve's min-label loop. The distance vector
+    * starts as (source → 0, everything else NULL=∞); each round every
+    * node takes the null-skipping `least` of its own distance and
+    * min(in-neighbor distance) + 1; fixpoint when no distance changed
+    * (`changed` bit carried IN the round's checkpoint, so convergence
+    * is a scan of the node-sized vector, not an extra join job). At
+    * fixpoint the vector IS the exact hop distance; iterations needed
+    * = eccentricity of the source, bounded by maxIters with the same
+    * fail-loudly contract as ConnectedComponents (a silently partial
+    * BFS would undercount reachability).
+    *
+    * Scale: each round is one broadcast-join of the edge list with the
+    * node-sized distance vector + one partial+final min aggregate —
+    * NOTHING driver-side inside the loop, lineage truncated per round
+    * by localCheckpoint. When distances outgrow a broadcast, the hint
+    * flips to ranks⋈edges co-partitioned on src, same algebra (the
+    * pagerank doctrine above).
+    */
+  def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    // maxIters 30 >= any eccentricity on a 25-node graph
+    bfs(nodes, edges, source = 0L, maxIters = 30)
+      .select(col("node").as("nationkey"), col("dist"))
+      .orderBy("nationkey")
+  }
+
+  /** Core min-distance loop: `nodes(node)`, `edges(src, dst)` →
+    * `(node, dist)` with dist NULL for nodes unreachable from
+    * `source`. See graphBfs for the contract and scale notes.
+    */
+  private[graft] def bfs(nodes: DataFrame, edges: DataFrame,
+      source: Long, maxIters: Int): DataFrame = {
+    var dist = nodes.select(col("node").cast("long").as("node"))
+      .withColumn("dist", when(col("node") === source, 0L))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(broadcast(dist.where(col("dist").isNotNull)
+          .select(col("node").as("src"), col("dist").as("dSrc"))), "src")
+        .groupBy(col("dst").as("node"))
+        .agg((min(col("dSrc")) + 1L).as("cand"))
+      val next = dist.join(broadcast(nbrMin), Seq("node"), "left")
+        // least/greatest skip NULLs: an unreached node (NULL) adopts
+        // cand outright, an unreachable one stays NULL
+        .select(col("node"),
+          least(col("dist"), col("cand")).as("dist"),
+          // parenthesize the NOT: `!x.as(...)` aliases first and negates
+          // the aliased column, leaving the output unnamed
+          (!(least(col("dist"), col("cand")) <=> col("dist"))).as("changed"))
+        .localCheckpoint(true)
+      converged = next.where(col("changed")).isEmpty
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(dist)
+      dist = next
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"BFS did not converge in $maxIters rounds")
+    dist.select(col("node"), col("dist"))
+  }
+
+  /** DuckDB twin: textbook recursive-CTE BFS. UNION (not UNION ALL)
+    * dedups (node, dist) pairs per step, so the working set is bounded
+    * by |nodes| × the dist cap even on cyclic graphs — no path
+    * explosion; MIN(dist) per node afterwards is the shortest
+    * distance. The dist < 24 recursion bound is total on a 25-node
+    * graph (any shortest path has < |V| hops).
+    */
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE $EdgeCtes, walk(node, dist) AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |  UNION
+       |  SELECT e.dst, w.dist + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.dist < 24
+       |), best AS (
+       |  SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+       |)
+       |SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, b.dist
+       |FROM nation n LEFT JOIN best b ON b.node = CAST(n.n_nationkey AS BIGINT)
+       |ORDER BY nationkey""".stripMargin
+
+  /** `graph_neighbor_overlap` — neighborhood similarity of node pairs
+    * on the undirected trade graph: for every pair with at least one
+    * common neighbor, the common-neighbor count, both degrees, and the
+    * neighborhood Jaccard |Γx∩Γy| / |Γx∪Γy| scaled to 1e6 by integral
+    * division (exact in both engines — no float ratio under the hash
+    * gate). Common-neighbors/Jaccard is the standard link-prediction
+    * and role-similarity signal.
+    *
+    * Spelling: the adjacency self-join on the SHARED NEIGHBOR — the
+    * co-occurrence shape. x < y canonicalizes each pair once;
+    * |Γx∪Γy| = deg x + deg y − common by inclusion-exclusion, so no
+    * second join pass. Scale: the join keys on the shared-neighbor id
+    * and hash-partitions by it; a hot hub fans out deg² pairs — the
+    * standard mitigations (cap/ sample hub neighborhoods, or the
+    * degree-ordered split used by graphTriangles) apply; here the
+    * adjacency is dimension-sized and broadcast.
+    */
+  def graphNeighborOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    // bidirectional adjacency: (x, nbr) once per undirected edge end
+    val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+      .cache()
+    val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
+    val common = adj.select(col("x"), col("nbr"))
+      .join(broadcast(adj.select(col("x").as("y"), col("nbr"))), "nbr")
+      .where(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(deg), "x")
+      .withColumnRenamed("deg", "deg_x")
+      .join(broadcast(deg.select(col("x").as("y"), col("deg").as("deg_y"))), "y")
+      .select(col("x"), col("y"), col("common"), col("deg_x"), col("deg_y"),
+        expr("(common * 1000000L) DIV (deg_x + deg_y - common)").as("jaccard_1e6"))
+      .orderBy("x", "y")
+  }
+
+  val graphNeighborOverlapSql: String =
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), adj AS (
+       |  SELECT a AS x, b AS nbr FROM und
+       |  UNION ALL
+       |  SELECT b AS x, a AS nbr FROM und
+       |), deg AS (
+       |  SELECT x, COUNT(*) AS deg FROM adj GROUP BY x
+       |), common AS (
+       |  SELECT a1.x AS x, a2.x AS y, COUNT(*) AS common
+       |  FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.x, c.y, c.common, dx.deg AS deg_x, dy.deg AS deg_y,
+       |       CAST(c.common * 1000000 // (dx.deg + dy.deg - c.common) AS BIGINT) AS jaccard_1e6
+       |FROM common c
+       |JOIN deg dx ON dx.x = c.x
+       |JOIN deg dy ON dy.x = c.y
+       |ORDER BY c.x, c.y""".stripMargin
 }

@@ -58,6 +58,56 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(ranks == ranks.sorted.reverse)
   }
 
+  test("bfs: exact hop distances on a hand-built graph, NULL when unreachable") {
+    import spark.implicits._
+    // 0→1→2→3 chain plus a shortcut 0→2 and an isolated node 9:
+    // dist must be 0,1,1,2 and NULL for 9 (shortest path wins, not
+    // first path; unreachable stays ∞)
+    val nodes = Seq(0L, 1L, 2L, 3L, 9L).toDF("node")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L))
+      .toDF("src", "dst")
+    val got = GraphQueries.bfs(nodes, edges, source = 0L, maxIters = 10)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(0L -> Some(0L), 1L -> Some(1L), 2L -> Some(1L),
+      3L -> Some(2L), 9L -> None))
+    // a cycle must not prevent convergence
+    val cyc = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val c = GraphQueries.bfs(Seq(0L, 1L).toDF("node"), cyc, 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(0L -> 0L, 1L -> 1L))
+    // fail-loudly contract: a diameter wider than maxIters throws
+    // instead of returning a silently partial frontier
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      GraphQueries.bfs((0L to 6L).toDF("node"), chain, 0L, maxIters = 3)
+        .collect()
+    }
+  }
+
+  test("bfs and neighbor overlap stay distributed and bounded on sf0.001") {
+    val b = GraphQueries.graphBfs(spark, TestSpark.Sf0001)
+    // no driver-resident vector: same leaf contract as pagerank
+    assert(b.queryExecution.optimizedPlan.collectLeaves()
+      .forall(l => !l.getClass.getSimpleName.contains("LocalRelation")))
+    val rows = b.collect()
+    assert(rows.length == 25)
+    assert(rows.filter(_.getLong(0) == 0L).forall(_.getLong(1) == 0L))
+    val ov = GraphQueries.graphNeighborOverlap(spark, TestSpark.Sf0001).collect()
+    // every pair canonical (x<y), jaccard in (0, 1e6], inclusion-
+    // exclusion denominator consistent with the reported degrees
+    assert(ov.nonEmpty)
+    ov.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      val (common, dx, dy, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(x < y)
+      assert(common >= 1 && common <= math.min(dx, dy))
+      assert(j == common * 1000000L / (dx + dy - common))
+      assert(j > 0 && j <= 1000000L)
+    }
+  }
+
   test("profile matches directly-computed stats") {
     val prof = ProfileQueries.etlProfile(spark, TestSpark.Sf001)
       .collect().map(r => r.getAs[String]("col_name") -> r).toMap
