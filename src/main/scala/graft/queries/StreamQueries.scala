@@ -113,6 +113,44 @@ object StreamQueries {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** `stream_dedup` — keep the FIRST event per (user_id, event_type):
+    * the batch twin of EventAnalytics.dedupStream, whose streaming form
+    * (`dropDuplicatesWithinWatermark`, state bounded by the watermark
+    * horizon) is driven through a real streaming run in StreamingSpec.
+    * The batch spelling pins the SEMANTICS under the cross-engine gate
+    * with a deterministic first: argmin by (event time, event_id) — a
+    * total order, so "first" can't depend on arrival order the way the
+    * streaming form's at-least-once contract allows.
+    *
+    * Plan shape: ONE hash aggregate via min_by over a packed struct —
+    * partial min per mapper, so the shuffle carries one candidate row
+    * per (key, mapper), not the whole table; the window-rank spelling
+    * would shuffle and sort every row. At 100 TB this is the difference
+    * between a map-side-combined agg and a full-data sort.
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        col("event_id"), expr("ts DIV 1000").as("us"), col("value"))
+      .groupBy("user_id", "event_type")
+      .agg(min_by(struct(col("event_id"), col("us"), col("value")),
+        struct(col("us"), col("event_id"))).as("first"))
+      .select(col("user_id"), col("event_type"),
+        col("first.event_id").as("event_id"), col("first.us").as("us"),
+        col("first.value").as("value"))
+      .orderBy("user_id", "event_type")
+
+  val streamDedupSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events
+      |)
+      |SELECT user_id, event_type, event_id, us, value
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Batch form of the stream-stream interval join (the same function
     * runs under Structured Streaming with watermark-bounded state — see
     * EventAnalytics.purchaseClickPairs and StreamingSpec).
