@@ -200,6 +200,19 @@ object Similarity {
         col("cv"), centsMatrix, centNorms))
   }
 
+  /** Deterministic seed centroids: the `nCells` lowest vec_ids,
+    * quantized. A bounded model artifact (nCells rows) — collecting it
+    * is standard practice, not a driver-side data loop. Shared by the
+    * IVF coarse quantizer and the first-class `kmeansStep` operator so
+    * their oracles can share one assignment spelling.
+    */
+  private def seedCentroids(corpus: DataFrame,
+      nCells: Int): Array[(Long, Array[Long])] = corpus
+    .orderBy("vec_id").limit(nCells)
+    .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    .collect()
+    .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
   /** ANN top-k via IVF (inverted-file) cells: pick `nCells` centroids
     * deterministically from the corpus, assign every vector to its
     * nearest centroid (one narrow map — the "inverted lists"), and scan
@@ -220,11 +233,7 @@ object Similarity {
     // (45→43/50) — moderate-cosine neighbors straddle cell boundaries,
     // so more-spread seed centroids probe better. Measured, not assumed;
     // corpora with tight duplicate clusters benefit from 1-2 iters.
-    var cents: Array[(Long, Array[Long])] = corpus
-      .orderBy("vec_id").limit(nCells)
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var cents: Array[(Long, Array[Long])] = seedCentroids(corpus, nCells)
     // empty corpus ⇒ empty result with the output schema, not an
     // analysis error from a zero-arg centroid literal
     if (cents.isEmpty) {
@@ -447,4 +456,77 @@ object Similarity {
     array((0 until m).map(b =>
       array(sample.toIndexedSeq.map(v =>
         array((0 until sub).map(d => lit(v(b * sub + d))): _*)): _*)): _*)
+
+  // ---- distributed linear algebra over the quantized plane ------------
+
+  /** Exact integer Gram matrix: for every unordered dim pair
+    * (dim_i ≤ dim_j), Σ over the corpus of x_i·x_j on the quantized
+    * plane — the sufficient statistic for covariance / PCA whitening of
+    * an embedding table (the classic preprocessing step before
+    * decorrelating training-data features). Output one row per pair:
+    * contributing-row count `n`, exact BIGINT sum `s`, and the mean
+    * product as a correctly-rounded double (both operands exact, so the
+    * division is bit-identical on every engine).
+    *
+    * Scale shape: the d² blowup happens ONLY map-side — the double
+    * posexplode feeds a hash aggregate whose partial mode combines each
+    * task down to ≤ d(d+1)/2 groups before the exchange, so the shuffle
+    * carries O(d²·tasks) rows regardless of corpus size and the result
+    * is d(d+1)/2 rows total (2,080 at d=64). The O(n·d²) multiply count
+    * is inherent to a Gram matrix; what matters at 100 TB is that
+    * nothing n-sized shuffles and accumulator state is bounded by d².
+    * Quantized longs keep every partial exact (|x·y| < 2^28 at the ×1e4
+    * scale, corpus sums ≪ 2^53), so the result is shuffle-order-proof —
+    * a float32 spelling would differ per partition order. Ragged
+    * (shorter) vectors contribute only their present dims: explode
+    * yields nothing for absent positions, matching the native kernels'
+    * min-length tolerance.
+    */
+  def gramMatrix(corpus: DataFrame): DataFrame =
+    corpus
+      .select(quantize(col("embedding")).as("qv"))
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "x")))
+      .select(col("i"), col("x"), posexplode(col("qv")).as(Seq("j", "y")))
+      .where(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("dim_i"),
+        col("j").cast("long").as("dim_j"))
+      .agg(count(lit(1)).as("n"), sum(col("x") * col("y")).as("s"))
+      .withColumn("mean_prod", col("s").cast("double") / col("n"))
+
+  /** One distributed Lloyd iteration as a first-class operator: assign
+    * every vector to its nearest seed centroid (the native
+    * `LongArrayBestCell` kernel — a narrow codegen'd map over
+    * constant-folded centroid literals), then recompute the per-cell
+    * centroid with ONE (cell, dim) hash aggregate. Output one row per
+    * (cell, dim): member count `n`, exact coordinate sum `s`, and the
+    * updated coordinate `centroid_q` (exact-operand double division).
+    *
+    * This is the scale spelling of the k-means training loop.
+    * `ivfTopKCosine`'s internal lloydIters collects the cells×d means
+    * because they are a bounded model artifact; HERE the whole update
+    * is a DataFrame, so an iteration is one narrow map plus one shuffle
+    * of ≤ cells·d·tasks partial rows — the corpus never reshuffles, no
+    * state grows with n, and the driver never touches vector data.
+    * Zero-norm vectors (cell −1, the kernel's "no direction" contract)
+    * are excluded, as in every k-means implementation.
+    */
+  def kmeansStep(corpus: DataFrame, nCells: Int = 32): DataFrame = {
+    val cents = seedCentroids(corpus, nCells)
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("cell", LongType), StructField("dim", LongType),
+          StructField("n", LongType), StructField("s", LongType),
+          StructField("centroid_q", DoubleType))))
+    }
+    assignFromQuant(quantizedCorpus(corpus), cents)
+      .where(col("cell") >= 0)
+      .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
+      .groupBy(col("cell").cast("long").as("cell"),
+        col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .withColumn("centroid_q", col("s").cast("double") / col("n"))
+  }
 }

@@ -113,7 +113,13 @@ object SimilarityQueries {
     * reverse(array_sort(struct(s,i))), then exact quantized rescoring
     * and top-k.
     */
-  val simAnnIvfSql: String =
+  /** Shared assignment prefix (quantize → norms → 32 seed centroids →
+    * argmax-cosine cell per vector with the kernel's −2.0 seed /
+    * strict-> / lowest-index-tie semantics) — one spelling for both the
+    * IVF probe oracle and the `sim_kmeans_step` oracle, so the two
+    * can't drift on assignment semantics.
+    */
+  private val IvfAssignSql: String =
     """WITH v AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
@@ -138,7 +144,10 @@ object SimilarityQueries {
       |               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
       |        FROM scores)
       |  WHERE rn = 1
-      |), probes AS (
+      |)""".stripMargin
+
+  val simAnnIvfSql: String = IvfAssignSql +
+    """, probes AS (
       |  SELECT vec_id, unnest(list_transform(
       |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, 8), r -> r.i)) AS cell
       |  FROM scores WHERE vec_id < 10 GROUP BY vec_id
@@ -509,4 +518,54 @@ object SimilarityQueries {
       |FROM dist
       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) = 1
       |ORDER BY vec_id""".stripMargin
+
+  // ---- distributed linear algebra ------------------------------------
+
+  /** `sim_gram_matrix` — exact integer Gram matrix over the quantized
+    * embedding plane (see Similarity.gramMatrix for the d²-groups
+    * shuffle shape). The gate pins exactness: BIGINT sums are
+    * shuffle-order-proof, so Spark and DuckDB must agree bit for bit.
+    */
+  def simGramMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.gramMatrix(table(spark, sfDir, "embeddings"))
+      .transform(RefQueries.gateSort(_, "dim_i", "dim_j"))
+
+  val simGramMatrixSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT vec_id, generate_subscripts(qv, 1) AS p, unnest(qv) AS x
+      |  FROM v
+      |)
+      |SELECT CAST(a.p - 1 AS BIGINT) AS dim_i, CAST(b.p - 1 AS BIGINT) AS dim_j,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(a.x * b.x) AS BIGINT) AS s,
+      |       CAST(SUM(a.x * b.x) AS DOUBLE) / COUNT(*) AS mean_prod
+      |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.p >= a.p
+      |GROUP BY 1, 2
+      |ORDER BY dim_i, dim_j""".stripMargin
+
+  /** `sim_kmeans_step` — one driver-free Lloyd iteration (see
+    * Similarity.kmeansStep). The oracle reuses the IVF assignment
+    * prefix verbatim, then recomputes the per-(cell, dim) exact sums.
+    */
+  def simKmeansStep(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.kmeansStep(table(spark, sfDir, "embeddings"))
+      .transform(RefQueries.gateSort(_, "cell", "dim"))
+
+  val simKmeansStepSql: String = IvfAssignSql +
+    """, ex AS (
+      |  SELECT a.cell, generate_subscripts(v.qv, 1) AS p, unnest(v.qv) AS x
+      |  FROM assigned a JOIN v USING (vec_id)
+      |  WHERE a.cell >= 0
+      |)
+      |SELECT CAST(cell AS BIGINT) AS cell, CAST(p - 1 AS BIGINT) AS dim,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(x) AS BIGINT) AS s,
+      |       CAST(SUM(x) AS DOUBLE) / COUNT(*) AS centroid_q
+      |FROM ex
+      |GROUP BY 1, 2
+      |ORDER BY cell, dim""".stripMargin
 }

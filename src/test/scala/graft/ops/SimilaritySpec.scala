@@ -261,4 +261,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(planted.exceptAll(sh).isEmpty,
       "a jaccard≥0.5 pair is missing from neutral-simhash hamming≤6 pairs")
   }
+
+  test("gram matrix: diagonal equals the per-dim sum of squares, full triangle") {
+    val g = Similarity.gramMatrix(emb)
+    // d=64 ⇒ d(d+1)/2 = 2080 pairs, every one populated (no ragged rows
+    // in this corpus), each from all n rows
+    val n = emb.count()
+    val rows = g.collect()
+    assert(rows.length == 64 * 65 / 2)
+    assert(rows.forall(_.getLong(2) == n), "every pair must see every row")
+    // independent diagonal spelling: Σ x_d² via the quantized norms path
+    val diag = emb
+      .select(posexplode(Similarity.quantize(col("embedding"))).as(Seq("d", "x")))
+      .groupBy(col("d").cast("long").as("dim_i"))
+      .agg(sum(col("x") * col("x")).as("s2"))
+    val mismatch = g.where(col("dim_i") === col("dim_j"))
+      .join(diag, "dim_i")
+      .where(col("s") =!= col("s2"))
+    assert(mismatch.isEmpty, "diagonal must equal the sum of squares")
+  }
+
+  test("kmeans step: per-cell sums equal a brute-force assignment recount") {
+    val step = Similarity.kmeansStep(emb)
+    // brute assignment: argmax cosine over the same 32 seed centroids,
+    // spelled as a cross join + window rank instead of the native kernel
+    val q = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(Similarity.normQ(col("qv")).cast("double")))
+    val cents = q.orderBy("vec_id").limit(32).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
+    val centDf = spark.createDataFrame(cents.toSeq.map { case (i, v) =>
+      (i.toLong, v.toSeq, math.sqrt(v.map(x => x.toDouble * x).sum))
+    }).toDF("ci", "cv", "cnrm")
+    val scored = q.crossJoin(broadcast(centDf))
+      .withColumn("sc", when(col("nrm") > 0 && col("cnrm") > 0,
+        graft.functions.LongArrayDot.dotQ(col("qv"), col("cv")).cast("double") /
+          (col("nrm") * col("cnrm"))).otherwise(lit(-2.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("sc"), asc("ci"))
+    val assigned = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("sc") > -2.0)
+      .select(col("vec_id"), col("ci").as("cell"), col("qv"))
+    val brute = assigned
+      .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val joined = step.as("a").join(brute.as("b"), Seq("cell", "dim"), "full")
+    assert(joined.where(col("a.n").isNull || col("b.n").isNull ||
+      col("a.n") =!= col("b.n") || col("a.s") =!= col("b.s")).isEmpty,
+      "kernel-assigned Lloyd sums must equal the brute-force recount")
+  }
+
+  test("kmeans step and gram matrix: empty corpus yields empty with schema") {
+    val empty = emb.where(col("vec_id") < 0)
+    assert(Similarity.kmeansStep(empty).isEmpty)
+    assert(Similarity.kmeansStep(empty).columns.toSeq ==
+      Seq("cell", "dim", "n", "s", "centroid_q"))
+    assert(Similarity.gramMatrix(empty).isEmpty)
+  }
 }
