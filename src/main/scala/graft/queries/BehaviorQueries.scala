@@ -443,4 +443,89 @@ object BehaviorQueries {
       |SELECT dau.day, dau.dau, wau.wau
       |FROM dau JOIN wau ON dau.day = wau.d
       |ORDER BY dau.day""".stripMargin
+
+  /** `analytics_interpolate` — two-sided linear gap fill: at every
+    * click's timestamp, interpolate the user's purchase value between
+    * the nearest purchase BEFORE and AFTER (the query-time imputation
+    * behind sensor/price series and feature backfills; `etl_ffill` is
+    * the one-sided cousin). Edge rows keep NULL — a click before the
+    * first or after the last purchase has no bracketing pair, and
+    * inventing one is a correctness bug, not a feature.
+    *
+    * Plan: one window pass per direction over (user, time) — Spark's
+    * `last(_, ignoreNulls)` over an UNBOUNDED PRECEDING…−1 frame and
+    * `first` over 1…UNBOUNDED FOLLOWING — so the whole operator is ONE
+    * shuffle on user_id and two sorted frame scans, no self-join, no
+    * explode. The bracketing (us, cents) pairs ride the SAME ordered
+    * frame, so both columns come from the same bracketing row by
+    * construction. At 100 TB: partition by user, sort within partition
+    * — the canonical time-series window shape.
+    *
+    * Determinism: timestamps are exact integer µs, values exact integer
+    * cents; the interpolation prev + (next−prev)·((t−t₀)/(t₁−t₀)) is a
+    * fixed IEEE op sequence over exact operands (all < 2^53), spelled
+    * identically in the oracle — bit-identical, no epsilon. The
+    * degenerate same-timestamp bracket (t₁ = t₀, a µs-truncation
+    * collision) short-circuits to the previous value BEFORE the
+    * division: under ANSI even double 0/0 errors rather than NaN.
+    */
+  def analyticsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val e = eventsUs(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"),
+        when(col("event_type") === "purchase", cents).as("pc"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("prev_us",
+        last(when(col("pc").isNotNull, col("us")), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_cents", last(col("pc"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_us",
+        first(when(col("pc").isNotNull, col("us")), ignoreNulls = true).over(wNext))
+      .withColumn("next_cents", first(col("pc"), ignoreNulls = true).over(wNext))
+      .where(col("event_type") === "click")
+      .withColumn("interp_cents",
+        when(col("prev_us").isNull || col("next_us").isNull,
+          lit(null).cast("double"))
+          .when(col("next_us") === col("prev_us"),
+            col("prev_cents").cast("double"))
+          .otherwise(col("prev_cents").cast("double") +
+            (col("next_cents") - col("prev_cents")).cast("double") *
+              ((col("us") - col("prev_us")).cast("double") /
+                (col("next_us") - col("prev_us")).cast("double"))))
+      .select("user_id", "event_id", "us", "prev_us", "next_us",
+        "interp_cents")
+      .transform(RefQueries.gateSort(_, "event_id"))
+  }
+
+  val analyticsInterpolateSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |         CASE WHEN event_type = 'purchase'
+      |              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS pc
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |         last_value(CASE WHEN pc IS NOT NULL THEN us END IGNORE NULLS)
+      |           OVER wp AS prev_us,
+      |         last_value(pc IGNORE NULLS) OVER wp AS prev_cents,
+      |         first_value(CASE WHEN pc IS NOT NULL THEN us END IGNORE NULLS)
+      |           OVER wn AS next_us,
+      |         first_value(pc IGNORE NULLS) OVER wn AS next_cents
+      |  FROM e
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         wn AS (PARTITION BY user_id ORDER BY us, event_id
+      |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, event_id, us, prev_us, next_us,
+      |       CASE WHEN prev_us IS NULL OR next_us IS NULL THEN NULL
+      |            WHEN next_us = prev_us THEN CAST(prev_cents AS DOUBLE)
+      |            ELSE CAST(prev_cents AS DOUBLE)
+      |                 + CAST(next_cents - prev_cents AS DOUBLE)
+      |                   * (CAST(us - prev_us AS DOUBLE)
+      |                      / CAST(next_us - prev_us AS DOUBLE))
+      |       END AS interp_cents
+      |FROM f WHERE event_type = 'click'
+      |ORDER BY event_id""".stripMargin
 }

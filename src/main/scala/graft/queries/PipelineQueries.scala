@@ -125,4 +125,44 @@ object PipelineQueries {
       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** `corpus_weighted_sample` — weight-proportional Bernoulli thinning,
+    * the doc-granular sibling of `corpus_mix_temperature`'s source-level
+    * allocation: keep each document with probability equal to its
+    * quality weight (here length-derived, capped at 2000 chars — long
+    * docs keep, short docs thin out proportionally).
+    *
+    * The coin is a DETERMINISTIC multiplicative hash of the doc id
+    * (Knuth's 2654435761 mod the prime 1000003 — pure BIGINT
+    * arithmetic, identical in every engine), NOT `rand(seed)`: rand's
+    * stream is keyed to the partition index, so a repartition or a
+    * stage retry after shuffle-fetch failure resamples DIFFERENT rows —
+    * the same nondeterminism class as the salted-join
+    * monotonically_increasing_id hazard. A hash coin keeps the sample
+    * referentially transparent: same row ⇒ same verdict, under any
+    * partitioning, on any engine, forever — which is what makes
+    * training-data mixes reproducible. At 100 TB this is a pure narrow
+    * map (zero shuffle, zero state); the gate sort exists only for the
+    * hash compare.
+    */
+  def corpusWeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (least(col("n_chars"), lit(2000L)).cast(DoubleType) / lit(2000.0))
+          .as("weight"),
+        (((col("doc_id") * lit(2654435761L)) % lit(1000003L))
+          .cast(DoubleType) / lit(1000003.0)).as("u"))
+      .where(col("u") < col("weight"))
+      .transform(RefQueries.gateSort(_, "doc_id"))
+
+  val corpusWeightedSampleSql: String =
+    """WITH coin AS (
+      |  SELECT doc_id, source, n_chars,
+      |         CAST(least(n_chars, 2000) AS DOUBLE) / 2000.0 AS weight,
+      |         CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS u
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, n_chars, weight, u
+      |FROM coin WHERE u < weight
+      |ORDER BY doc_id""".stripMargin
 }
