@@ -447,6 +447,75 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** G.711 μ-law (PCMU) — the telephony companding codec, fmt tag
+    * 0x0007: 16-bit linear → 8-bit via a signed logarithmic segment
+    * encoding (8 chords × 16 steps). STATELESS per sample — unlike
+    * ADPCM there is no predictor recurrence, so the oracle twin replays
+    * it with plain per-row integer arithmetic, no recursive CTE. Both
+    * directions are the ITU-T formula spelled with shifts and adds
+    * only: no tables, no floats, so the SQL restatement is line-for-
+    * line the same arithmetic.
+    */
+  private val MuLawBias = 132 // 0x84
+  private val MuLawClip = 32635
+
+  /** 16-bit linear sample → μ-law byte. */
+  def muLawEncode(sample: Int): Int = {
+    val sign = if (sample < 0) 0x80 else 0
+    var m = math.min(if (sample < 0) -sample else sample, MuLawClip) + MuLawBias
+    // chord = position of the highest set bit above bit 7 (m ≤ 32767,
+    // so 0..7); spelled as thresholds to mirror the oracle's CASE
+    val exp =
+      if (m >= 16384) 7 else if (m >= 8192) 6 else if (m >= 4096) 5
+      else if (m >= 2048) 4 else if (m >= 1024) 3 else if (m >= 512) 2
+      else if (m >= 256) 1 else 0
+    val mant = (m >> (exp + 3)) & 0x0f
+    // ~x & 0xFF restated as 255 - x (x ∈ 0..255): the form DuckDB can
+    // replay without a bitwise NOT
+    255 - (sign | (exp << 4) | mant)
+  }
+
+  /** μ-law byte → 16-bit linear sample. */
+  def muLawDecode(b: Int): Int = {
+    val u = 255 - (b & 0xff)
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0f
+    val mag = (((mant << 3) + MuLawBias) << exp) - MuLawBias
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Encode 16-bit mono samples as a μ-law WAV: RIFF/WAVE, fmt tag
+    * 0x0007, 8 bits/sample, blockAlign 1 — one byte per sample plus the
+    * word-alignment pad. Container size closed form: 44 + n + (n mod 2).
+    */
+  def encodeMuLawWav(samples: Array[Int]): Array[Byte] = {
+    require(samples.nonEmpty, "µ-law WAV needs at least one sample")
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val n = samples.length
+    val pad = n & 1
+    val fmt = le16(0x0007) ++ le16(1) ++ le32(8000) ++ le32(8000) ++
+      le16(1) ++ le16(8)
+    val out = new java.io.ByteArrayOutputStream(44 + n + pad)
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    out.write(le32(4 + 8 + fmt.length + 8 + n + pad), 0, 4)
+    out.write("WAVE".getBytes("US-ASCII"), 0, 4)
+    out.write("fmt ".getBytes("US-ASCII"), 0, 4)
+    out.write(le32(fmt.length), 0, 4)
+    out.write(fmt, 0, fmt.length)
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    out.write(le32(n), 0, 4)
+    var i = 0
+    while (i < n) {
+      out.write(muLawEncode(
+        math.max(-32768, math.min(32767, samples(i)))))
+      i += 1
+    }
+    if (pad == 1) out.write(0)
+    out.toByteArray
+  }
+
   /** Decode the data blocks of a mono IMA ADPCM stream to 16-bit
     * samples, trimming each block to `samplesPerBlock`.
     */
@@ -510,6 +579,10 @@ object MediaCodecs {
         val bits = u16(pos + 8 + 14)
         val blockAlign = u16(pos + 8 + 12)
         if (ftag == 1 && bits == 16) fmt = Some((1, blockAlign, 0))
+        // G.711 μ-law: one byte per sample, mono (multi-channel would
+        // interleave and the mono read would produce a garbage plane)
+        else if (ftag == 0x07 && bits == 8 && nChannels == 1)
+          fmt = Some((0x07, blockAlign, 0))
         // MONO only for ADPCM: stereo IMA interleaves 4-byte
         // per-channel words with one header per channel — reading that
         // as a mono nibble stream would return garbage, and a wrong
@@ -542,6 +615,11 @@ object MediaCodecs {
           i += 1
         }
         Some(out)
+      case (Some((0x07, _, _)), Some((off, len))) =>
+        // μ-law: stateless per-byte expansion, then the shared 8-bit
+        // requantize
+        Some(Array.tabulate(len)(i =>
+          (muLawDecode(bytes(off + i) & 0xff) >> 8) + 128))
       // blockAlign == 4 is legal: the 4-byte block header alone carries
       // one verbatim sample, which is exactly what encodeImaAdpcmWav
       // emits for a 1-sample input

@@ -169,4 +169,51 @@ object RetrievalQueries {
       |)
       |SELECT trigram, COUNT(*) AS n FROM g GROUP BY trigram
       |ORDER BY n DESC, trigram LIMIT 30""".stripMargin
+
+  // ---- positional phrase search --------------------------------------
+
+  /** `text_phrase_search` — exact phrase query ("slow hash batch") the
+    * way a POSITIONAL inverted index answers it: posexplode to
+    * (doc, pos, term) postings, keep only the phrase's terms (the
+    * pushed-down index lookup — nothing corpus-sized survives it), and
+    * align each term's candidate start (pos − term offset) with a k−1
+    * way equi-join on (doc, start). A row surviving all joins IS a full
+    * phrase occurrence, so no per-doc re-scan and no regex over raw
+    * text. At 100 TB the postings list is the pre-built table bucketed
+    * by term — the query touches |postings(t₁)|+…+|postings(t_k)| rows,
+    * never the corpus; the adjacency joins are co-partitioned by
+    * doc_id after the term filter. `text_search_boolean` is the
+    * positionless AND sibling.
+    */
+  def textPhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val phrase = Seq("slow", "hash", "batch")
+    val postings = docs(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase: _*))
+    phrase.zipWithIndex.map { case (t, i) =>
+      postings.where(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("start").cast("long").as("first_pos"))
+      .transform(RefQueries.gateSort(_, "doc_id"))
+  }
+
+  val textPhraseSearchSql: String = DuckToks +
+    """
+      |, t AS (
+      |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+      |  FROM d
+      |), m AS (
+      |  SELECT a.doc_id, a.pos AS start
+      |  FROM t a
+      |  JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      |  WHERE a.tok = 'slow' AND b.tok = 'hash' AND c.tok = 'batch'
+      |)
+      |SELECT doc_id, COUNT(*) AS n_matches, CAST(MIN(start) AS BIGINT) AS first_pos
+      |FROM m GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

@@ -516,6 +516,96 @@ object StreamQueries {
       |FROM m JOIN feats f USING (doc_id) JOIN fr USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** `multimodal_mulaw_decode` — a SECOND real compressed-audio codec:
+    * G.711 μ-law (fmt tag 0x0007), the telephony companding standard.
+    * Same harness as the ADPCM arm (document bytes → 16-bit waveform →
+    * encode → the production fmt-dispatching WAV decoder → lossy-
+    * reconstruction features), but the codec is STATELESS per sample,
+    * so the DuckDB twin replays encoder+decoder as plain per-row
+    * integer arithmetic — no recursive CTE, no tables, just the ITU-T
+    * shift-and-add formula in both engines. Features: closed-form
+    * container size, sample count, exact mean of the requantized
+    * plane, first-8 samples, max 8-bit reconstruction error.
+    */
+  def multimodalMulaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .where(octet_length(col("text")).between(1, 65535))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val src8 = text.getBytes("UTF-8").map(_ & 0xff)
+        val wav = graft.ops.MediaCodecs.encodeMuLawWav(
+          src8.map(b => (b - 128) << 8))
+        val dec = graft.ops.MediaCodecs.decodeWavBytes(wav)
+          .getOrElse(Array.empty[Int])
+        val maxErr =
+          if (dec.isEmpty) 0L
+          else dec.zip(src8).map { case (d, o) => math.abs(d - o).toLong }.max
+        (id, wav.length.toLong, dec.length.toLong,
+          dec.foldLeft(0L)(_ + _), dec.take(8).toSeq, maxErr)
+      }
+      .toDF("doc_id", "n_bytes", "n_samples", "sum8", "frames", "max_err")
+      .select(col("doc_id"), col("n_bytes"), col("n_samples"),
+        (col("sum8").cast("double") / col("n_samples")).as("mean_byte"),
+        to_json(col("frames")).as("frame_samples_json"),
+        col("max_err"))
+      .transform(gateSort(_, "doc_id"))
+  }
+
+  /** DuckDB twin: μ-law encode∘decode per byte — sign/clip/bias, chord
+    * by thresholds, mantissa by power-of-two floor division (operands
+    * non-negative, so `//` is safe), magnitude reconstruction, then the
+    * shared floor(x/256)+128 requantize (negative-safe via floor, not
+    * `//`). Container closed form: 44 header/chunk bytes + n data +
+    * word pad.
+    */
+  val multimodalMulawSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE octet_length(encode(text)) BETWEEN 1 AND 65535
+      |), lin AS (
+      |  SELECT doc_id, i, (unicode(text[i]) - 128) * 256 AS x
+      |  FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM m)
+      |), enc AS (
+      |  SELECT doc_id, i, x,
+      |         CASE WHEN x < 0 THEN 128 ELSE 0 END AS sign,
+      |         least(abs(x), 32635) + 132 AS mb
+      |  FROM lin
+      |), chord AS (
+      |  SELECT doc_id, i, sign, mb,
+      |         CASE WHEN mb >= 16384 THEN 7 WHEN mb >= 8192 THEN 6
+      |              WHEN mb >= 4096 THEN 5 WHEN mb >= 2048 THEN 4
+      |              WHEN mb >= 1024 THEN 3 WHEN mb >= 512 THEN 2
+      |              WHEN mb >= 256 THEN 1 ELSE 0 END AS e
+      |  FROM enc
+      |), dec AS (
+      |  SELECT doc_id, i, sign, e,
+      |         ((((mb // (1 << (e + 3))) % 16) * 8 + 132) * (1 << e)) - 132 AS mag
+      |  FROM chord
+      |), r AS (
+      |  SELECT doc_id, i,
+      |         CAST(floor((CASE WHEN sign = 128 THEN -mag ELSE mag END) / 256.0)
+      |              AS BIGINT) + 128 AS r8
+      |  FROM dec
+      |), feats AS (
+      |  SELECT r.doc_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |         CAST(SUM(r.r8) AS BIGINT) AS sum8,
+      |         CAST(MAX(abs(r.r8 - unicode(m.text[r.i]))) AS BIGINT) AS max_err
+      |  FROM r JOIN m USING (doc_id) GROUP BY r.doc_id
+      |), fr AS (
+      |  SELECT doc_id, CAST(to_json(list(r8 ORDER BY i)[1:8]) AS VARCHAR) AS frame_samples_json
+      |  FROM r GROUP BY doc_id
+      |)
+      |SELECT m.doc_id,
+      |       CAST(44 + m.n + m.n % 2 AS BIGINT) AS n_bytes,
+      |       f.n_samples,
+      |       CAST(f.sum8 AS DOUBLE) / f.n_samples AS mean_byte,
+      |       fr.frame_samples_json,
+      |       f.max_err
+      |FROM m JOIN feats f USING (doc_id) JOIN fr USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def multimodalAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val frameLen = 8

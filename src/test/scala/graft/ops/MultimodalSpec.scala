@@ -355,6 +355,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeWavBytes(two).get.length == 2)
   }
 
+  test("mu-law: exhaustive byte-plane round-trip within companding error") {
+    // all 256 source bytes in one WAV: the requantized reconstruction
+    // must stay within the logarithmic segment's quantization width —
+    // the top chord (e=7) spaces codes 1024 apart in 16-bit, i.e. 4
+    // requantized units, so the worst |r8 - b| on the (b-128)<<8 plane
+    // is 2. Exhaustive, so this is an exact pin, not a tolerance.
+    val src = (0 until 256).toArray
+    val wav = MediaCodecs.encodeMuLawWav(src.map(b => (b - 128) << 8))
+    val dec = MediaCodecs.decodeWavBytes(wav)
+    assert(dec.isDefined && dec.get.length == 256)
+    val errs = dec.get.zip(src).map { case (d, o) => math.abs(d - o) }
+    assert(errs.max <= 2, s"mu-law 8-bit reconstruction error ${errs.max}")
+    // zero and full-scale anchors decode exactly
+    assert(dec.get(128) == 128, "silence must round-trip exactly")
+    // 1-sample boundary: min container (44 + 1 + pad) decodes
+    val one = MediaCodecs.encodeMuLawWav(Array(0))
+    assert(MediaCodecs.decodeWavBytes(one).get.toSeq == Seq(128))
+    // sign symmetry of the raw codec: decode(encode(-s)) == -decode(encode(s))
+    for (s <- Seq(100, 1000, 10000, 32000))
+      assert(MediaCodecs.muLawDecode(MediaCodecs.muLawEncode(-s)) ==
+        -MediaCodecs.muLawDecode(MediaCodecs.muLawEncode(s)))
+  }
+
   test("adversarial RIFF sizes terminate with None instead of hanging") {
     // a declared chunk size >= 2^31 truncated to Int is negative; the
     // pre-fix walks advanced by 8 + size and spun forever. Both the
