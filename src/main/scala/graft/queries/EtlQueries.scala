@@ -279,6 +279,53 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** `etl_table_diff` — snapshot reconcile (see ops/TableDiff): the
+    * "after" snapshot is a deterministic evolution of orders — keys
+    * ≡0 (mod 101) deleted, ≡0 (mod 97) repriced +5.00, ≡0 (mod 103)
+    * re-inserted under key+10⁷ — so the diff must classify exactly
+    * those keys and nothing else. Money compares in exact cents.
+    */
+  def etlTableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val before = graft.queries.RefQueries.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val after = before.where(col("o_orderkey") % 101 =!= 0)
+      .withColumn("cents", when(col("o_orderkey") % 97 === 0,
+        col("cents") + 500L).otherwise(col("cents")))
+      .unionByName(before.where(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.ops.TableDiff.diff(before, after,
+        keys = Seq("o_orderkey"), compare = Seq("cents"))
+      .transform(RefQueries.gateSort(_, "o_orderkey"))
+  }
+
+  val etlTableDiffSql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |), a AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 97 = 0 THEN cents + 500 ELSE cents END AS cents
+      |  FROM b WHERE o_orderkey % 101 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, cents FROM b WHERE o_orderkey % 103 = 0
+      |), j AS (
+      |  SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+      |         b.cents AS b_cents, a.cents AS a_cents,
+      |         b.o_orderkey IS NULL AS no_b, a.o_orderkey IS NULL AS no_a
+      |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+      |)
+      |SELECT o_orderkey,
+      |       CASE WHEN no_b THEN 'added' WHEN no_a THEN 'removed'
+      |            WHEN b_cents IS DISTINCT FROM a_cents THEN 'changed' END AS change_type,
+      |       b_cents, a_cents
+      |FROM j
+      |WHERE (CASE WHEN no_b THEN 'added' WHEN no_a THEN 'removed'
+      |            WHEN b_cents IS DISTINCT FROM a_cents THEN 'changed' END) IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   /** `etl_stratified_sample` — per-stratum deterministic sampling with
     * EXACT quotas: within each lang, rank docs by an engine-neutral LCG
     * hash (so the kept set is stable across runs, engines, and
