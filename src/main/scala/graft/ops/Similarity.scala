@@ -28,8 +28,19 @@ object Similarity {
     * products DO occur (0.03125f·10⁴ = 312.5 exactly), so an engine
     * using round-half-to-even would disagree on those values — any new
     * oracle/port must match HALF-UP, not assume ties are impossible).
+    *
+    * Native codegen'd kernel (graft.functions.FloatArrayQuantize): this
+    * map fronts every similarity/dedup operator's corpus scan, and the
+    * built-in spelling (kept below as `quantizeRef`, spec-pinned equal)
+    * pays interpreted lambda dispatch + a BigDecimal round per element.
     */
   def quantize(v: Column): Column =
+    graft.functions.FloatArrayQuantize.quantize(v)
+
+  /** The built-in `transform` spelling of [[quantize]] — the reference
+    * semantics the kernel is spec-tested against; not on any hot path.
+    */
+  def quantizeRef(v: Column): Column =
     transform(v, x => round(x.cast("double") * 10000).cast("long"))
 
   /** Quantized dot product — a native Catalyst expression with codegen
