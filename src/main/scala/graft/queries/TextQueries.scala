@@ -283,6 +283,97 @@ object TextQueries {
       |FROM ranked WHERE term_rank <= 3
       |ORDER BY doc_id, term_rank""".stripMargin
 
+  /** `sim_sparse_cosine` — TF-weighted cosine between documents over an
+    * INVERTED-INDEX (posting-list) self-join: the sparse-vector sibling
+    * of the dense-embedding ANN family, and the shape text similarity
+    * actually takes at 100 TB — a dense 31-token bag-of-words here would
+    * make every pair a candidate (Σdf² = 448 M rows at sf0.1, measured),
+    * so terms are word TRIGRAMS (vocabulary grows with the corpus, dfs
+    * stay small) with a df ≤ N/10 stopword guard: boilerplate shingles
+    * shared by >10 % of docs are dropped from candidate generation, the
+    * same hot-posting cap Dedup.ngramJaccardPairs documents. After
+    * pruning, Σdf² is 54 k at sf0.01 — candidate pairs ∝ rare-term
+    * co-occurrence, never n².
+    *
+    * Determinism doctrine: weights are integer term frequencies, so dot
+    * and norms are EXACT integer sums (order-proof); only the final
+    * cos = dot / (√na·√nb) touches floats — one correctly-rounded sqrt
+    * and division per engine, identical spelling both sides.
+    *
+    * Plan notes: df-filter and self-join are all equi-joins on `tok`, so
+    * ONE hash partitioning by term serves the df join and the pair
+    * generation (no broadcast: the rare-shingle vocabulary is
+    * corpus-sized at scale, unlike the 31-token unigram vocab — AQE can
+    * still downgrade to broadcast at this SF). The tf aggregate is
+    * cached: tf, df and both self-join sides read it, and Spark does no
+    * cross-branch common-subexpression elimination.
+    */
+  def simSparseCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = TextOps.tokens(col("text"))
+    // word trigrams via the zipped-slices shape (see Dedup.shingles for
+    // why NOT element_at inside a transform lambda), multiset — tf
+    // weighting needs repeats, so no array_distinct
+    val m = greatest(size(toks) - 2, lit(0))
+    val zipped = arrays_zip(
+      slice(toks, lit(1), m), slice(toks, lit(2), m), slice(toks, lit(3), m))
+    val grams = when(size(toks) >= 3,
+      transform(zipped, s =>
+        concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2")))
+    ).otherwise(array().cast("array<string>"))
+    val tf = d.select(col("doc_id"), explode(grams).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache()
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * 10 <= col("n_docs"))
+      .select("tok")
+    val kept = tf.join(rare, "tok")
+    val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
+      .withColumn("cos_sim",
+        col("dot").cast("double") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .where(col("cos_sim") >= 0.5)
+      .select("doc_a", "doc_b", "dot", "cos_sim")
+      .transform(RefQueries.gateSort(_, "doc_a", "doc_b"))
+  }
+
+  val simSparseCosineSql: String = DuckToks +
+    """
+      |, sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tok
+      |  FROM d WHERE len(toks) >= 3
+      |), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM sh GROUP BY doc_id, tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |rare AS (
+      |  SELECT tok FROM tf CROSS JOIN n GROUP BY tok, n.n_docs
+      |  HAVING COUNT(*) * 10 <= n.n_docs
+      |), kept AS (SELECT tf.* FROM tf JOIN rare USING (tok)),
+      |norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), c AS (
+      |  SELECT doc_a, doc_b, dot,
+      |         CAST(dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) AS cos_sim
+      |  FROM pairs
+      |  JOIN norms na ON na.doc_id = doc_a
+      |  JOIN norms nb ON nb.doc_id = doc_b
+      |)
+      |SELECT doc_a, doc_b, dot, cos_sim FROM c
+      |WHERE cos_sim >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** `text_chunk` — overlapping context windows (30 tokens, stride 20),
     * the chunking stage in front of any fixed-context trainer or
     * embedder. Explode of per-doc start offsets + an array slice: a
