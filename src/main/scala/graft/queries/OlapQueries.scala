@@ -628,4 +628,55 @@ object OlapQueries {
       |FROM inter i JOIN sz sa ON i.type_a = sa.event_type
       |             JOIN sz sb ON i.type_b = sb.event_type
       |ORDER BY i.type_a, i.type_b""".stripMargin
+
+  /** `olap_skyline` — per-brand Pareto frontier: parts where no other
+    * part of the brand is both cheaper AND larger (minimize price,
+    * maximize size). The naive spelling is an n² dominance self-join;
+    * the 2-D sweep does it in ONE brand-partitioned sort: a part is
+    * dominated iff a strictly-cheaper part reaches its size
+    * (`max(size) RANGE UNBOUNDED..1 PRECEDING ≥ size`) or an
+    * equal-price PEER strictly exceeds it (`max(size) RANGE CURRENT
+    * ROW..CURRENT ROW > size` — a RANGE current-row frame spans all
+    * order-value peers, so both frames ride the SAME window sort: one
+    * shuffle on brand, one sort, no self-join). At 100 TB each
+    * partition's sweep is independent — the grouped skyline scales
+    * with the widest group, not the table; dominance compares exact
+    * integer cents, so the frontier is engine-stable.
+    */
+  def olapSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = table(spark, sfDir, "part").select(
+      col("p_brand"), col("p_partkey"),
+      (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("price_cents"),
+      col("p_size").cast("long").as("psize"))
+    val byPrice = Window.partitionBy("p_brand").orderBy("price_cents")
+    val cheaper = byPrice.rangeBetween(Window.unboundedPreceding, -1)
+    val peers = byPrice.rangeBetween(Window.currentRow, Window.currentRow)
+    p.withColumn("mx_cheaper", max("psize").over(cheaper))
+      .withColumn("mx_peer", max("psize").over(peers))
+      .where((col("mx_cheaper").isNull || col("mx_cheaper") < col("psize")) &&
+        col("mx_peer") <= col("psize"))
+      .select("p_brand", "p_partkey", "price_cents", "psize")
+      .transform(RefQueries.gateSort(_, "p_brand", "p_partkey"))
+  }
+
+  val olapSkylineSql: String =
+    """WITH p AS (
+      |  SELECT p_brand, p_partkey,
+      |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+      |         CAST(p_size AS BIGINT) AS psize
+      |  FROM part
+      |), w AS (
+      |  SELECT *,
+      |    max(psize) OVER (PARTITION BY p_brand ORDER BY price_cents
+      |                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_cheaper,
+      |    max(psize) OVER (PARTITION BY p_brand ORDER BY price_cents
+      |                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS mx_peer
+      |  FROM p
+      |)
+      |SELECT p_brand, p_partkey, price_cents, psize
+      |FROM w
+      |WHERE (mx_cheaper IS NULL OR mx_cheaper < psize) AND mx_peer <= psize
+      |ORDER BY p_brand, p_partkey""".stripMargin
 }
