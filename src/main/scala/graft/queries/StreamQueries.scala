@@ -741,6 +741,87 @@ object StreamQueries {
       |         AS VARCHAR) END AS resized_json
       |FROM l ORDER BY doc_id""".stripMargin
 
+  /** `multimodal_phash_dedup` — perceptual-hash near-dup detection over
+    * the decoded image planes: the IMAGE sibling of dedup_simhash, and
+    * the shape image dedup takes at 100 TB (signature scan + banded
+    * equi-join; never pairwise pixel compares). Pipeline per doc: pack
+    * the text bytes as a w×1 P6 raster → REAL PPM decode
+    * (MediaCodecs.decodePpmLuma) → integer box-resize to a 64-bucket
+    * strip (Multimodal.resizePlane — the same arithmetic
+    * multimodal_resize gates) → 63-bit dHASH (bit i = bucket[i+1] >
+    * bucket[i]; gradient bits are what survive brightness shifts —
+    * Krawetz's average/difference-hash family). 63 bits, not 64, keeps
+    * the signature non-negative in a signed BIGINT on BOTH engines (a
+    * 1<<63 band chunk would need unsigned semantics DuckDB doesn't
+    * share).
+    *
+    * Pairing reuses SimHashDedup.pairsFromSignatures VERBATIM — the
+    * 63-bit sig rides a 64-bit lane whose top bit is constant-0, so
+    * 8 bands × 8 bits with maxHamming 6 keeps the pigeonhole guarantee
+    * (8 bands > 6 flips → some band is flip-free) and the gate stays
+    * EXACT: Spark's banded candidates + xor/popcount verify must emit
+    * precisely the pairs the oracle's exhaustive O(n²) scan keeps
+    * (exhaustive is fine for DuckDB at 500 docs; the banded join is the
+    * 100 TB path). Measured at sf0.01: near-dup tail at hamming 1–6,
+    * background starts at 7 — threshold 6 cuts at the gap.
+    */
+  def multimodalPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = table(spark, sfDir, "documents")
+      // w ≥ 2 so the dHash has a gradient to look at (and the PPM
+      // container stays spec-valid); same WHERE in the oracle
+      .where(octet_length(col("text")) >= 6)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val w = bytes.length / 3
+        val plane = graft.ops.MediaCodecs
+          .decodePpmLuma(s"P6\n$w 1\n255\n".getBytes("US-ASCII")
+            ++ bytes.take(w * 3))
+          .getOrElse(Array.empty[Int]) // unreachable: valid P6 by construction
+        val b = graft.ops.Multimodal.resizePlane(plane, w, 1, 64, 1)
+        var sig = 0L
+        var i = 0
+        while (i < 63) {
+          if (b(i + 1) > b(i)) sig |= 1L << i
+          i += 1
+        }
+        (id, sig)
+      }.toDF("doc_id", "sim")
+    graft.ops.SimHashDedup.pairsFromSignatures(sigs, maxHamming = 6, bands = 8)
+      .transform(gateSort(_, "d1", "d2"))
+  }
+
+  /** DuckDB twin: same luma/resize arithmetic as the resize twin (w×1,
+    * 64 buckets), dHash bits via 1<<i sums, then the EXHAUSTIVE pair
+    * scan — banding is a recall-lossless optimization at maxHamming <
+    * bands, so exact pairwise is the semantic definition.
+    */
+  val multimodalPhashDedupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, length(text)//3 AS w FROM documents
+      |  WHERE octet_length(encode(text)) >= 6
+      |), l AS (
+      |  SELECT doc_id, w,
+      |         list_transform(range(0, w), p ->
+      |           (unicode(text[3*p+1]) + unicode(text[3*p+2]) + unicode(text[3*p+3])) // 3) AS luma
+      |  FROM m
+      |), rz AS (
+      |  SELECT doc_id, list_transform(range(0, 64), ox ->
+      |           CAST(list_sum(luma[ox*w//64 + 1 : greatest((ox+1)*w//64, ox*w//64 + 1)])
+      |                // (greatest((ox+1)*w//64, ox*w//64 + 1) - ox*w//64) AS BIGINT)) AS b
+      |  FROM l
+      |), sig AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 63), i ->
+      |           CASE WHEN b[i+2] > b[i+1] THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS sim
+      |  FROM rz
+      |)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2, a.sim AS sim1, b.sim AS sim2,
+      |       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 6
+      |ORDER BY d1, d2""".stripMargin
+
   /** DuckDB twin of the stubbed decode: documents text is pure ASCII in
     * the testdata (verified max codepoint 121), so per-char `unicode()`
     * codes ARE the UTF-8 bytes; bucket boundaries replicate

@@ -410,4 +410,36 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF().orderBy("doc_id").collect()
     assert(a.length == 500 && a.sameElements(b))
   }
+
+  test("phash banded pairing is recall-lossless vs the exhaustive scan") {
+    // The multimodal_phash_dedup gate relies on 8 bands > maxHamming 6
+    // making the banded join emit EXACTLY the exhaustive ham<=6 pairs;
+    // pin that equivalence on the real signatures (63-bit dHash of the
+    // sf0.001 documents' strips).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sigs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .where(octet_length(col("text")) >= 6)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val w = bytes.length / 3
+        val plane = MediaCodecs
+          .decodePpmLuma(s"P6\n$w 1\n255\n".getBytes("US-ASCII")
+            ++ bytes.take(w * 3)).get
+        val b = Multimodal.resizePlane(plane, w, 1, 64, 1)
+        (id, (0 until 63).foldLeft(0L)((s, i) =>
+          if (b(i + 1) > b(i)) s | (1L << i) else s))
+      }.toDF("doc_id", "sim").cache()
+    val banded = SimHashDedup.pairsFromSignatures(sigs, maxHamming = 6, bands = 8)
+      .select("d1", "d2", "hamming").orderBy("d1", "d2")
+      .as[(Long, Long, Int)].collect().toSeq
+    val exhaustive = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .where(col("hamming") <= 6).orderBy("d1", "d2")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(banded == exhaustive && exhaustive.nonEmpty)
+  }
 }
