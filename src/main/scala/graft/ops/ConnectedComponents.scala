@@ -157,8 +157,22 @@ object ConnectedComponents {
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // Fixpoint test in ONE aggregate job, not count+count+exceptAll
+      // (the except alone was a wide shuffle over both edge sets every
+      // round): a canonical edge set is a fixpoint of small∘large star
+      // IFF it is a star forest rooted at component minima, i.e. no
+      // node has a smaller neighbor AND degree > 1. (⇐: centers have
+      // only larger neighbors so large-star keeps every (c,v); a leaf's
+      // only smaller neighbor is its center so small-star re-emits
+      // (c,leaf) verbatim. ⇒: a node with a smaller neighbor and any
+      // second neighbor is re-wired by whichever star op sees the
+      // mixed/multi neighborhood, so the set changes.) Violations are
+      // one groupBy over the bidirectional edges — O(E) with map-side
+      // combine, no second edge-set scan.
+      converged = bidir(next)
+        .groupBy("u").agg(min(col("v")).as("mn"), count(lit(1)).as("deg"))
+        .where(col("mn") < col("u") && col("deg") > 1)
+        .isEmpty
       // see resolve(): free the replaced round's checkpoint blocks
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(edges)
       edges = next
