@@ -105,16 +105,44 @@ object SkewJoin {
     } finally counts.unpersist()
   }
 
+  /** Hot-key candidates in ONE narrow pass, no shuffle: Spark's
+    * `stat.freqItems` runs Misra-Gries/Karp-style counter maps of size
+    * ~1/support per partition and merges them on the driver — the
+    * detector shape that survives 100 TB, where even the one-column
+    * histogram aggregate of [[hotKeys]] is a full shuffle of the key
+    * space. Guarantee is one-sided: every key with frequency >
+    * support·N is in the result (no false negatives — the case the
+    * skew join exists for); counter-churn SURVIVORS may ride along
+    * when nothing is truly hot. That asymmetry is exactly right here:
+    * a false-positive "hot" key is merely salted unnecessarily
+    * (correctness-neutral, a few replicated small-side rows), while a
+    * missed hot key would leave the straggler in place. Capped at
+    * `maxHotKeys` (result is ≤ 1/support survivors, order
+    * unspecified).
+    */
+  def hotKeysApprox(big: DataFrame, key: String,
+      support: Double = 0.001, maxHotKeys: Int = 1000): Seq[Any] = {
+    require(support > 0 && support < 1 && maxHotKeys > 0)
+    big.where(col(key).isNotNull)
+      .stat.freqItems(Seq(key), support)
+      .head.getSeq[Any](0)
+      .take(maxHotKeys)
+  }
+
   /** Two-phase skew join — the production spelling. `saltedInnerJoin`
     * above replicates the ENTIRE small side `salts`×, which taxes every
     * key to fix a few; this variant measures first and salts only keys
     * that are actually hot:
     *
-    *   1. histogram pass over the big side's key column alone (columnar
-    *      scans prune to one column, so this is cheap relative to the
-    *      join) → non-null keys with count > skewFactor × mean, capped
-    *      at `maxHotKeys` hottest (driver-side set stays bounded no
-    *      matter how pathological the distribution);
+    *   1. detection pass over the big side's key column alone. With
+    *      `hotSupport` set: one NARROW `freqItems` pass
+    *      ([[hotKeysApprox]] — no shuffle; the spelling that holds at
+    *      100 TB, and safe because a false-positive hot key only costs
+    *      a few replicated rows while the no-false-negative guarantee
+    *      covers the straggler case). Otherwise: the exact histogram
+    *      ([[hotKeys]] — count > skewFactor × mean), when the exact
+    *      threshold semantics matter more than the shuffle. Either
+    *      way capped at `maxHotKeys`;
     *   2. CONDITIONAL salt in ONE pass — no hot/cold slicing, no
     *      union: big-side rows on a hot key get a round-robin salt in
     *      [0, salts), everything else salt 0; small-side rows on a hot
@@ -135,9 +163,12 @@ object SkewJoin {
   def twoPhaseSaltedInnerJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salts: Int = 16,
       skewFactor: Double = 4.0, maxHotKeys: Int = 1000,
-      saltBy: Seq[Column] = Nil): DataFrame = {
+      saltBy: Seq[Column] = Nil,
+      hotSupport: Option[Double] = None): DataFrame = {
     require(salts > 0)
-    val hot = hotKeys(big, bigKey, skewFactor, maxHotKeys)
+    val hot = hotSupport
+      .map(s => hotKeysApprox(big, bigKey, s, maxHotKeys))
+      .getOrElse(hotKeys(big, bigKey, skewFactor, maxHotKeys))
     if (hot.isEmpty) {
       big.join(small, big(bigKey) === small(smallKey), "inner")
     } else {

@@ -247,13 +247,18 @@ object RefQueries {
   def q5TwophaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = table(spark, sfDir, "lineitem")
     val p = table(spark, sfDir, "part")
-    // maxHotKeys=64: the top-64 above-mean keys are plenty to put real
-    // traffic through the salted branch; a production histogram caps
-    // the hot set the same way (the isin predicate is O(|hot|) to
-    // compile and the small-side replication scales with it)
+    // hotSupport: the one-pass freqItems detector (no shuffle — the
+    // measured exact histogram cost ~0.8 s against ~0.3 s for the
+    // narrow pass at sf0.1, and at 100 TB the histogram is a full
+    // key-space shuffle). This corpus has no true hot key (top partkey
+    // 53 rows vs mean 30), so the survivors are churn candidates — the
+    // point of gating this spelling is that salting ANY key set is
+    // output-neutral, which the shared q5 oracle proves. maxHotKeys=64
+    // keeps the isin predicate and the small-side replication bounded.
     graft.ops.SkewJoin.twoPhaseSaltedInnerJoin(li, p, "l_partkey", "p_partkey",
-        salts = 8, skewFactor = 1.0, maxHotKeys = 64,
-        saltBy = Seq(col("l_orderkey"), col("l_linenumber")))
+        salts = 8, maxHotKeys = 64,
+        saltBy = Seq(col("l_orderkey"), col("l_linenumber")),
+        hotSupport = Some(0.001))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("p_name"), col("p_brand"), col("l_quantity"))

@@ -54,6 +54,18 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(SkewJoin.hotKeys(li, "l_partkey", skewFactor = 4.0).isEmpty)
   }
 
+  test("hotKeysApprox: monster key survives the narrow pass; approx two-phase ≡ plain") {
+    // Misra-Gries one-sided guarantee: any key with frequency > support·N
+    // must be in the result — the monster (2/3 of rows) at support 0.01.
+    assert(SkewJoin.hotKeysApprox(big, "k", support = 0.01).contains(Monster))
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "payload", "name")
+    val two = SkewJoin.twoPhaseSaltedInnerJoin(big, small, "k", "sk", salts = 8,
+      hotSupport = Some(0.01)).select("k", "payload", "name")
+    assert(two.count() == plain.count())
+    assert(two.exceptAll(plain).isEmpty && plain.exceptAll(two).isEmpty)
+  }
+
   test("two-phase salted join ≡ plain join on the monster-key corpus") {
     val plain = big.join(small, col("k") === col("sk"))
       .select("k", "payload", "name")
