@@ -117,13 +117,20 @@ object ConnectedComponents {
     def bidir(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
 
+    // NO trailing canonical()/distinct here: m ≤ u < v already makes
+    // every emitted pair ordered and loop-free, and the composed round
+    // ends in smallStar's canonical() which dedups once for both ops.
+    // Deduping between the stars too was one extra full exchange per
+    // round for rows smallStar's min-aggregate is insensitive to —
+    // round wall-clock on small graphs is job-count-bound, not
+    // data-bound.
     def largeStar(e: DataFrame): DataFrame = {
       val b = bidir(e)
       val m = b.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       // (v, m) for v > u; m ≤ u < v so the pair is already ordered
-      canonical(b.join(m, "u").where(col("v") > col("u"))
-        .select(col("m").as("u"), col("v")))
+      b.join(m, "u").where(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -156,7 +163,16 @@ object ConnectedComponents {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // LAZY local checkpoint: the convergence aggregate below is the
+      // round's materializing action, so the checkpoint piggybacks on
+      // that job instead of costing an eager job of its own (2 jobs →
+      // 1 per round). This is safe ONLY because the test reads `next`
+      // through a groupBy — its shuffle-map stage computes EVERY
+      // partition of `next`, so the lazy checkpoint is complete before
+      // the next round (or the final join) reads it. A test that could
+      // short-circuit on a narrow plan (e.g. where+isEmpty with no
+      // exchange) would leave a partial checkpoint — keep the barrier.
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       // Fixpoint test in ONE aggregate job, not count+count+exceptAll
       // (the except alone was a wide shuffle over both edge sets every
       // round): a canonical edge set is a fixpoint of small∘large star
