@@ -822,6 +822,98 @@ object StreamQueries {
       |WHERE bit_count(xor(a.sim, b.sim)) <= 6
       |ORDER BY d1, d2""".stripMargin
 
+  /** `multimodal_video_frames` — the VIDEO decode path under the gate:
+    * per document, synthesize 2–4 uniform-gray 16×8 JPEG frames (gray
+    * level chosen from the doc's leading bytes out of {32,96,160,224}),
+    * mux them into a REAL RIFF/AVI MJPEG container
+    * (MediaCodecs.encodeMjpegAvi), then run the production decode —
+    * container walk + every-2nd-frame sampling + JDK JPEG raster decode
+    * (MediaCodecs.decodeAviMjpegFrames) — and emit per-doc geometry,
+    * frame counts, and the RECOVERED gray levels of the sampled frames.
+    *
+    * Why this gates exactly despite JPEG being lossy: a uniform 16×8
+    * frame is flat in every DCT block, so the decoded plane mean lands
+    * within ±3 of the encoded gray (pinned by MultimodalSpec), and the
+    * four levels sit 64 apart — snapping the mean to the nearest level
+    * (round((mean-32)/64)) has 32 gray levels of margin, so the
+    * recovered level is bit-deterministic and the oracle can restate it
+    * straight from the text bytes without any JPEG arithmetic. The
+    * container walk, frame ORDER, every-k sampling, and decoded
+    * geometry are all load-bearing: any mis-walk, reorder, or
+    * wrong-frame decode flips a level by ≥64 and breaks the hash gate.
+    *
+    * Scale: one narrow typed map per document — encode and decode never
+    * leave the executor, nothing shuffles but the gate sort. At 100 TB
+    * the same map runs over stored video blobs instead of synthesized
+    * ones; per-partition decoder reuse inside decodeAviMjpegFrames (one
+    * RasterDecoder per call, one call per row) keeps imageio reader
+    * churn off the hot path.
+    */
+  def multimodalVideoFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      // need one leading byte per frame (max 4) to pick levels; the
+      // oracle twin carries the same WHERE
+      .where(octet_length(col("text")) >= 4)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val nf = 2 + (id % 3).toInt
+        val (w, h) = (16, 8)
+        val jpegs = Array.tabulate(nf) { i =>
+          val g = (bytes(i) & 0xff) % 4 * 64 + 32
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val r = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { r.setSample(x, y, 0, g); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        val avi = graft.ops.MediaCodecs.encodeMjpegAvi(jpegs.toSeq, w, h)
+        // production decode: sample every 2nd frame (0, 2, ...)
+        val (dw, dh, planes) = graft.ops.MediaCodecs
+          .decodeAviMjpegFrames(avi, everyK = 2)
+          .getOrElse((0, 0, Seq.empty[Array[Int]])) // unreachable: valid AVI by construction
+        val levels = planes.map { p =>
+          val mean = p.sum.toDouble / p.length
+          val idx = math.round((mean - 32.0) / 64.0).toInt.max(0).min(3)
+          (idx * 64 + 32).toLong
+        }
+        (id, dw.toLong, dh.toLong, nf.toLong, planes.length.toLong,
+          levels.head, levels.last, levels.sum)
+      }
+      .toDF("doc_id", "width", "height", "n_frames", "n_sampled",
+        "lv_first", "lv_last", "lv_sum")
+      .transform(gateSort(_, "doc_id"))
+  }
+
+  /** DuckDB twin: the sampled frame levels are a pure function of the
+    * text bytes — frame i's level is (byte_i mod 4)*64+32 and every-2nd
+    * sampling keeps indices 0,2,… < nf — so the twin restates them
+    * directly; geometry is the constant the container was built with.
+    */
+  val multimodalVideoFramesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, 2 + doc_id % 3 AS nf FROM documents
+      |  WHERE octet_length(encode(text)) >= 4
+      |), s AS (
+      |  SELECT doc_id, nf,
+      |         list_transform(range(0, (nf+1)//2), k ->
+      |           (unicode(text[2*k+1]) % 4) * 64 + 32) AS lv
+      |  FROM m
+      |)
+      |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+      |       CAST(nf AS BIGINT) AS n_frames, CAST(len(lv) AS BIGINT) AS n_sampled,
+      |       CAST(lv[1] AS BIGINT) AS lv_first, CAST(lv[len(lv)] AS BIGINT) AS lv_last,
+      |       CAST(list_sum(lv) AS BIGINT) AS lv_sum
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of the stubbed decode: documents text is pure ASCII in
     * the testdata (verified max codepoint 121), so per-char `unicode()`
     * codes ARE the UTF-8 bytes; bucket boundaries replicate

@@ -442,4 +442,28 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSeq
     assert(banded == exhaustive && exhaustive.nonEmpty)
   }
+
+  test("video gate recovers encoded frame levels through the full MJPEG round-trip") {
+    // The multimodal_video_frames gate's determinism claim: JPEG error
+    // on flat frames (±3) never crosses the 32-level snapping margin,
+    // so the decoded-and-snapped levels equal the levels the encoder
+    // chose from the text bytes. Pin that on the real sf0.001 corpus —
+    // every sampled frame, every document.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val got = graft.queries.StreamQueries
+      .multimodalVideoFrames(spark, TestSpark.Sf0001)
+      .select("doc_id", "n_sampled", "lv_first", "lv_last", "lv_sum")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = docs.where(octet_length(col("text")) >= 4)
+      .select("doc_id", "text").collect().map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val nf = 2 + (id % 3).toInt
+      val lv = (0 until nf by 2).map(i => ((bytes(i) & 0xff) % 4 * 64 + 32).toLong)
+      id -> ((lv.length.toLong, lv.head, lv.last, lv.sum))
+    }.toMap
+    assert(got.nonEmpty && got == want)
+  }
 }
