@@ -134,6 +134,86 @@ object EtlQueries {
       |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** `etl_survivorship` — golden-record merge: an entity's attributes
+    * arrive scattered across many records with gaps, and the survivor
+    * per attribute is the value from the LATEST record where that
+    * attribute is present (MDM "most recent non-null wins" rule). The
+    * dirty feed is synthesized deterministically from events —
+    * `value` is masked on 'view' rows and the props `k` on multiples
+    * of 5 — so every engine sees the same gaps.
+    *
+    * Scale spelling: ONE aggregate —
+    * `max_by(attr, struct(us, event_id)) FILTER (WHERE attr IS NOT
+    * NULL)` per attribute — so the whole merge is a single partial+
+    * final shuffle keyed by entity, O(1) state per (group, attr).
+    * Plan note: the struct ordering key makes the buffer non-mutable
+    * for UnsafeRow, so Spark plans a partial+final SORT aggregate, not
+    * hash — still map-side-combined and one exchange; a deployment
+    * whose (ts, id) domain packs into one BIGINT would get
+    * HashAggregate back with `max_by(attr, packed)`. Either way this
+    * beats the per-attribute window-rank alternative (one full-sort
+    * window PER ATTRIBUTE plus rank-1 joins) — which is the ORACLE's
+    * spelling, precisely because the two must agree. (us, event_id) is
+    * a total tiebreak: event_id is unique.
+    */
+  def etlSurvivorship(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").cast("long").as("us"),
+        col("event_type"),
+        expr("CASE WHEN event_type <> 'view' THEN value END").as("a_val"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("prop_k"))
+      .withColumn("a_k", expr("CASE WHEN prop_k % 5 <> 0 THEN prop_k END"))
+    e.groupBy("user_id").agg(
+        count(lit(1)).as("n_records"),
+        min("us").as("first_seen_us"),
+        max("us").as("last_seen_us"),
+        expr("max_by(event_type, struct(us, event_id))").as("last_type"),
+        expr("max_by(a_val, struct(us, event_id)) FILTER (WHERE a_val IS NOT NULL)")
+          .as("last_val"),
+        expr("max_by(a_k, struct(us, event_id)) FILTER (WHERE a_k IS NOT NULL)")
+          .as("last_k"))
+      .transform(RefQueries.gateSort(_, "user_id"))
+  }
+
+  val etlSurvivorshipSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |         CASE WHEN event_type <> 'view' THEN value END AS a_val,
+      |         CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 <> 0
+      |              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |         END AS a_k
+      |  FROM events
+      |), base AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_records,
+      |         min(us) AS first_seen_us, max(us) AS last_seen_us
+      |  FROM e GROUP BY user_id
+      |), lt AS (
+      |  SELECT user_id, event_type AS last_type FROM (
+      |    SELECT user_id, event_type,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1
+      |), lv AS (
+      |  SELECT user_id, a_val AS last_val FROM (
+      |    SELECT user_id, a_val,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM e WHERE a_val IS NOT NULL) WHERE rn = 1
+      |), lk AS (
+      |  SELECT user_id, a_k AS last_k FROM (
+      |    SELECT user_id, a_k,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM e WHERE a_k IS NOT NULL) WHERE rn = 1
+      |)
+      |SELECT b.user_id, b.n_records, b.first_seen_us, b.last_seen_us,
+      |       lt.last_type, lv.last_val, lk.last_k
+      |FROM base b
+      |LEFT JOIN lt USING (user_id)
+      |LEFT JOIN lv USING (user_id)
+      |LEFT JOIN lk USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val etlDropLastNSql: String =
     """SELECT event_id, event_type FROM (
       |  SELECT event_id, event_type,
