@@ -111,6 +111,35 @@ object Multimodal {
     out
   }
 
+  /** Fractional-rate LINEAR resampling of a 1-D sample plane to exactly
+    * `m` samples — the audio sibling of resizePlane's box filter, for
+    * rate conversions where the ratio isn't integer (44.1k→16k style).
+    * Endpoint-anchored: output i sits at source position i·(n−1)/(m−1),
+    * so out(0)=plane(0) and out(m−1)=plane(n−1). All arithmetic is
+    * non-negative integer — the two neighbor weights (m−1−frac, frac)
+    * sum to m−1, so the weighted sum divides by m−1 with a plain floor
+    * and no signed-division truncation seam cross-engine (the trap the
+    * `s[i+1]−s[i]` delta spelling would hit).
+    */
+  def resampleLinear(plane: Array[Int], m: Int): Array[Int] = {
+    val n = plane.length
+    require(n >= 2 && m >= 2, s"resampleLinear needs n>=2, m>=2; got n=$n m=$m")
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val num = i.toLong * (n - 1)
+      val idx = (num / (m - 1)).toInt
+      val frac = num % (m - 1)
+      val a = plane(idx)
+      // frac == 0 zeroes the second weight, so the clamp only guards
+      // the array read at the exact endpoint, never changes the value
+      val b = plane(math.min(idx + 1, n - 1))
+      out(i) = ((a * (m - 1 - frac) + b * frac) / (m - 1)).toInt
+      i += 1
+    }
+    out
+  }
+
   private def sha256Hex(md: MessageDigest, bytes: Array[Byte]): String =
     md.digest(bytes).map(b => f"$b%02x").mkString // digest() resets md
 

@@ -914,6 +914,77 @@ object StreamQueries {
       |       CAST(list_sum(lv) AS BIGINT) AS lv_sum
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** `multimodal_audio_resample` — fractional-rate sample-rate
+    * conversion over the REAL WAV decode path: the same synthesized
+    * 16-bit PCM containers as `multimodal_wav_decode`, decoded through
+    * MediaCodecs.decodeWavBytes, then linearly resampled to 2/3 of the
+    * source length (a non-integer ratio, so this exercises true
+    * interpolation, not resizePlane's box buckets). Gated features:
+    * in/out sample counts and the resampled plane's endpoints and sum —
+    * every value exact integer arithmetic (Multimodal.resampleLinear's
+    * weighted-sum spelling keeps all operands non-negative, so floor
+    * division agrees cross-engine by construction).
+    *
+    * Scale: one narrow typed map per document, decode and resample
+    * never leave the executor; only the gate sort shuffles.
+    */
+  def multimodalAudioResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      // n = min(45, len/2) decoded samples; the interpolation denominator
+      // m-1 with m = 2n/3 needs n >= 3 → at least 6 text bytes. Same
+      // WHERE in the oracle twin.
+      .where(octet_length(col("text")) >= 6)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val dataLen = math.min(90, (bytes.length / 2) * 2)
+        def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(7968) ++ le32(15936) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le32(dataLen) ++ bytes.take(dataLen)
+        val plane = graft.ops.MediaCodecs.decodeWavBytes(wav)
+          .getOrElse(Array.empty[Int]) // unreachable: valid PCM WAV by construction
+        val m = 2 * plane.length / 3
+        val out = graft.ops.Multimodal.resampleLinear(plane, m)
+        (id, plane.length.toLong, m.toLong,
+          out.head.toLong, out.last.toLong, out.foldLeft(0L)(_ + _))
+      }
+      .toDF("doc_id", "n_in", "n_out", "r_first", "r_last", "r_sum")
+      .transform(gateSort(_, "doc_id"))
+  }
+
+  /** DuckDB twin: the decoded PCM plane for ASCII byte pairs (lo, hi)
+    * is hi + 128 (the wav gate's established reduction), so the twin
+    * rebuilds the plane from the odd-position chars and restates the
+    * endpoint-anchored interpolation with the same non-negative
+    * weighted-sum floor arithmetic.
+    */
+  val multimodalAudioResampleSql: String =
+    """WITH m0 AS (
+      |  SELECT doc_id, text, least(45, length(text)//2) AS n FROM documents
+      |  WHERE octet_length(encode(text)) >= 6
+      |), p AS (
+      |  SELECT doc_id, n, 2*n//3 AS m,
+      |         list_transform(range(0, n), i -> unicode(text[2*i+2]) + 128) AS s
+      |  FROM m0
+      |), r AS (
+      |  SELECT doc_id, n, m,
+      |         list_transform(range(0, m), i ->
+      |           (s[(i*(n-1))//(m-1) + 1] * (m-1 - (i*(n-1)) % (m-1))
+      |            + s[least((i*(n-1))//(m-1) + 2, n)] * ((i*(n-1)) % (m-1)))
+      |           // (m-1)) AS o
+      |  FROM p
+      |)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_in, CAST(m AS BIGINT) AS n_out,
+      |       CAST(o[1] AS BIGINT) AS r_first, CAST(o[m] AS BIGINT) AS r_last,
+      |       CAST(list_sum(o) AS BIGINT) AS r_sum
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of the stubbed decode: documents text is pure ASCII in
     * the testdata (verified max codepoint 121), so per-char `unicode()`
     * codes ARE the UTF-8 bytes; bucket boundaries replicate

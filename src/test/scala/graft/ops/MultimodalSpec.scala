@@ -443,6 +443,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded == exhaustive && exhaustive.nonEmpty)
   }
 
+  test("resampleLinear: endpoint anchoring, identity at m=n, exact midpoints") {
+    val p = Array(10, 20, 30, 40, 50)
+    // identity when rates match
+    assert(Multimodal.resampleLinear(p, 5).toSeq == p.toSeq)
+    // endpoints always anchor to the source endpoints
+    val r3 = Multimodal.resampleLinear(p, 3)
+    assert(r3.head == 10 && r3.last == 50 && r3(1) == 30) // midpoint exact
+    // upsample 2 -> 4: positions 0, 1/3, 2/3, 1 over [10, 40] with
+    // floor((10*(3-f) + 40*f)/3)
+    assert(Multimodal.resampleLinear(Array(10, 40), 4).toSeq == Seq(10, 20, 30, 40))
+    // weights are non-negative and sum to m-1, so output stays in range
+    val r7 = Multimodal.resampleLinear(p, 7)
+    assert(r7.forall(v => v >= 10 && v <= 50))
+    assertThrows[IllegalArgumentException](Multimodal.resampleLinear(Array(1), 3))
+    assertThrows[IllegalArgumentException](Multimodal.resampleLinear(p, 1))
+  }
+
   test("video gate recovers encoded frame levels through the full MJPEG round-trip") {
     // The multimodal_video_frames gate's determinism claim: JPEG error
     // on flat frames (±3) never crosses the 32-level snapping margin,
