@@ -521,6 +521,54 @@ object SimilarityQueries {
 
   // ---- distributed linear algebra ------------------------------------
 
+  /** `sim_rp_reduce` — random-projection dimensionality reduction
+    * (Johnson–Lindenstrauss, Achlioptas-style ±1 signs): the 64-dim
+    * quantized embedding collapses to 8 components, component i =
+    * Σ_j sign(j,i)·qv[j]. The sign matrix is never materialized — each
+    * entry derives from a shared integer hash
+    * ((j·1315423911 + i·2654435761) mod 1000003 mod 2), so Spark and
+    * DuckDB compute the SAME matrix without exchanging state, and the
+    * whole projection is exact BIGINT arithmetic (shuffle-order-proof).
+    *
+    * Scale spelling per the repo doctrine (ARCHITECTURE.md
+    * plan-pitfalls): posexplode → ONE codegen'd HashAggregate with 8
+    * conditional sums — map-side combine collapses the 64 exploded rows
+    * back to one row per vector before the (tiny) shuffle. The array
+    * `aggregate()` HOF fold would run interpreted per element; a
+    * per-row lambda matvec is the PQ anti-pattern this repo already
+    * paid for once.
+    */
+  def simRpReduce(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("j", "x")))
+    val projections = (0 until 8).map { i =>
+      val sign = when(
+        (col("j") * 1315423911L + lit(i.toLong * 2654435761L)) % 1000003L % 2L === 0L,
+        lit(1L)).otherwise(lit(-1L))
+      sum(col("x") * sign).as(s"p_$i")
+    }
+    dims.groupBy("vec_id").agg(projections.head, projections.tail: _*)
+      .transform(RefQueries.gateSort(_, "vec_id"))
+  }
+
+  val simRpReduceSql: String = {
+    val comps = (0 until 8).map { i =>
+      s"""       CAST(SUM(CASE WHEN ((r.d - 1) * 1315423911 + ${i.toLong * 2654435761L}) % 1000003 % 2 = 0
+         |                     THEN qv[r.d] ELSE -qv[r.d] END) AS BIGINT) AS p_$i""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |)
+       |SELECT vec_id,
+       |$comps
+       |FROM q CROSS JOIN range(1, 65) r(d)
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** `sim_gram_matrix` — exact integer Gram matrix over the quantized
     * embedding plane (see Similarity.gramMatrix for the d²-groups
     * shuffle shape). The gate pins exactness: BIGINT sums are

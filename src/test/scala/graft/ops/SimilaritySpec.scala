@@ -312,6 +312,26 @@ class SimilaritySpec extends AnyFunSuite {
       "kernel-assigned Lloyd sums must equal the brute-force recount")
   }
 
+  test("rp_reduce projection equals a direct dense matvec per vector") {
+    // the explode→8-conditional-sums aggregate must compute exactly
+    // sign(j,i)·qv[j] summed — pin it against a plain Scala matvec
+    // over the same quantized vectors and the same hash-derived signs
+    import org.apache.spark.sql.Row
+    val got = graft.queries.SimilarityQueries
+      .simRpReduce(spark, TestSpark.Sf001)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val want = emb.select(col("vec_id"), col("embedding")).collect().map {
+      case Row(id: Long, e: Seq[_]) =>
+        val qv = e.map(x => math.round(x.asInstanceOf[Float].toDouble * 10000.0))
+        id -> (0 until 8).map { i =>
+          qv.zipWithIndex.map { case (x, j) =>
+            if ((j * 1315423911L + i * 2654435761L) % 1000003L % 2L == 0L) x else -x
+          }.sum
+        }
+    }.toMap
+    assert(got.nonEmpty && got == want)
+  }
+
   test("kmeans step and gram matrix: empty corpus yields empty with schema") {
     val empty = emb.where(col("vec_id") < 0)
     assert(Similarity.kmeansStep(empty).isEmpty)
