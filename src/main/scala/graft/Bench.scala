@@ -175,6 +175,21 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => () } // stdout still has it
     println(line)
+    // The full line above is ~6 KB with 150+ queries and the driver's
+    // stdout tail is smaller: BENCH_r08 captured only the line's back
+    // half, no line parsed, "parsed": null. Print a SECOND, SHORT line
+    // LAST — headline numbers plus only the reference-parity queries and
+    // the slowest 15 — so the tail always ends with one parseable
+    // record. (Full per-query map: target/bench_full.json + the long
+    // line when the tail is big enough.)
+    val compactKeys = referenceSurface ++
+      results.toSeq.sortBy(-_._2).take(15).map(_._1)
+    val qsCompact = results.collect {
+      case (k, v) if compactKeys(k) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"failed":$failedJson,"queries":$qsCompact,"sf":"$sfDir","calib_sec":$calib,"parity_sec":$parity}""")
     spark.stop()
   }
 }

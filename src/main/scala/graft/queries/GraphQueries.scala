@@ -426,4 +426,160 @@ object GraphQueries {
        |JOIN deg dx ON dx.x = c.x
        |JOIN deg dy ON dy.x = c.y
        |ORDER BY c.x, c.y""".stripMargin
+
+  /** `graph_resource_alloc` — resource-allocation link prediction (Zhou,
+    * Lü & Zhang 2009): for every node pair sharing a neighbor,
+    * RA(x,y) = Σ_{z ∈ Γx∩Γy} 1/deg(z). Unlike the raw common-neighbor
+    * count (graph_neighbor_overlap), RA discounts hub neighbors — a
+    * shared neighbor that touches everything carries almost no signal —
+    * which is why it wins link-prediction benchmarks over plain Jaccard.
+    *
+    * Determinism: per-term integral division, 1e6 DIV deg(z), summed as
+    * BIGINT — the score is DEFINED as the sum of floored per-neighbor
+    * shares, identical in both engines (no float accumulation order).
+    *
+    * Scale: same co-occurrence self-join as neighbor_overlap, keyed on
+    * the shared neighbor, plus ONE extra broadcast join against the
+    * node-sized degree table to weight each match — no new shuffle
+    * shape. Hub fan-out mitigations are inherited (cap/sample hub
+    * neighborhoods at real scale; the adjacency here is
+    * dimension-sized and broadcast).
+    */
+  def graphResourceAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+      .cache()
+    val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
+    adj.select(col("x"), col("nbr"))
+      .join(broadcast(adj.select(col("x").as("y"), col("nbr"))), "nbr")
+      .where(col("x") < col("y"))
+      .join(broadcast(deg), col("nbr") === col("z"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000L DIV deg")).as("ra_1e6"))
+      .orderBy("x", "y")
+  }
+
+  val graphResourceAllocSql: String =
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), adj AS (
+       |  SELECT a AS x, b AS nbr FROM und
+       |  UNION ALL
+       |  SELECT b AS x, a AS nbr FROM und
+       |), deg AS (
+       |  SELECT x AS z, COUNT(*) AS deg FROM adj GROUP BY x
+       |)
+       |SELECT a1.x, a2.x AS y, COUNT(*) AS common,
+       |       SUM(1000000 // d.deg) AS ra_1e6
+       |FROM adj a1
+       |JOIN adj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
+       |JOIN deg d ON d.z = a1.nbr
+       |GROUP BY 1, 2
+       |ORDER BY a1.x, y""".stripMargin
+
+  private val HitsIters = 3
+
+  /** `graph_hits` — HITS hubs & authorities (Kleinberg 1999) on the
+    * directed trade graph: authority(j) = Σ_{i→j} hub(i),
+    * hub(i) = Σ_{i→j} authority(j), alternated, each vector re-scaled
+    * to a 1e6 max after every half-step (the max-norm spelling of the
+    * usual normalization — integral, so the gate can hash it).
+    * Exporter-nations score as hubs, importer-nations as authorities;
+    * it is the asymmetric complement of PageRank's single score.
+    *
+    * Determinism: BIGINT sums of ≤1e6-scaled scores over a ≤625-edge
+    * graph (≪ 2^63), then (v·1e6) DIV max(v) — every op integral, the
+    * same doctrine as graphPagerank. Nodes without in-(out-)edges hold
+    * score 0 via the left join + coalesce.
+    *
+    * Scale: each half-step is one broadcast-join of the edge list with
+    * the node-sized score vector + one partial+final aggregate; the max
+    * used for rescaling is folded in as a broadcast 1-row aggregate,
+    * never collected. Same co-partitioned upgrade path as pagerank when
+    * scores outgrow a broadcast.
+    */
+  def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    var hub = nodes.withColumn("score", lit(1000000L))
+    var auth = hub
+    for (_ <- 1 to HitsIters) {
+      auth = normalizeMax(propagate(nodes, edges, hub, "src", "dst"))
+      hub = normalizeMax(propagate(nodes, edges, auth, "dst", "src"))
+    }
+    nodes
+      .join(broadcast(hub.select(col("node"), col("score").as("hub_1e6"))),
+        Seq("node"))
+      .join(broadcast(auth.select(col("node"), col("score").as("auth_1e6"))),
+        Seq("node"))
+      .select(col("node").as("nationkey"), col("hub_1e6"), col("auth_1e6"))
+      .orderBy(desc("hub_1e6"), col("nationkey"))
+  }
+
+  /** One HITS half-step: sum `scores` over edges from `from`-side into
+    * `to`-side, left-joined back to the full node set (0 for nodes with
+    * no incident edge).
+    */
+  private def propagate(nodes: DataFrame, edges: DataFrame,
+      scores: DataFrame, from: String, to: String): DataFrame = {
+    val summed = edges
+      .join(broadcast(scores.select(col("node").as(from), col("score"))), from)
+      .groupBy(col(to).as("node")).agg(sum(col("score")).as("s"))
+    nodes.join(broadcast(summed), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("score"))
+  }
+
+  /** Rescale a score vector to max 1e6 by integral division; all-zero
+    * vectors pass through unchanged (NULL max guard).
+    */
+  private def normalizeMax(scores: DataFrame): DataFrame =
+    scores
+      .crossJoin(broadcast(scores.agg(max(col("score")).as("__mx"))))
+      .select(col("node"),
+        when(col("__mx") > 0,
+          expr("(score * 1000000L) DIV __mx")).otherwise(col("score"))
+          .as("score"))
+
+  /** DuckDB twin: the three rounds unrolled, each half-step a
+    * join+sum+left-join mirroring [[propagate]] and a `// max` rescale
+    * mirroring [[normalizeMax]] (max via a scalar subquery — nonempty
+    * edge set in this corpus, so the NULL-max guard is not needed).
+    */
+  val graphHitsSql: String = {
+    def half(prev: String, out: String, from: String, to: String): String =
+      s"""${out}_raw AS (
+         |  SELECT e.$to AS node, SUM(p.score) AS s
+         |  FROM edges e JOIN $prev p ON p.node = e.$from
+         |  GROUP BY e.$to
+         |), $out AS (
+         |  SELECT n.node,
+         |         CAST(COALESCE(r.s, 0) * 1000000 //
+         |              (SELECT MAX(COALESCE(r2.s, 0)) FROM nodes n2
+         |               LEFT JOIN ${out}_raw r2 ON r2.node = n2.node)
+         |              AS BIGINT) AS score
+         |  FROM nodes n LEFT JOIN ${out}_raw r ON r.node = n.node
+         |)""".stripMargin
+    val rounds = (1 to HitsIters).map { i =>
+      half(if (i == 1) "h0" else s"h${i - 1}", s"a$i", "src", "dst") + ", " +
+        half(s"a$i", s"h$i", "dst", "src")
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), h0 AS (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes
+       |), $rounds
+       |SELECT n.node AS nationkey, h.score AS hub_1e6, a.score AS auth_1e6
+       |FROM nodes n
+       |JOIN h$HitsIters h ON h.node = n.node
+       |JOIN a$HitsIters a ON a.node = n.node
+       |ORDER BY hub_1e6 DESC, nationkey""".stripMargin
+  }
 }

@@ -29,7 +29,23 @@ object RefQueries {
     // rejects without this; the conf is runtime-settable, so queries
     // survive a harness session that didn't configure it at build time
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // The driver has shipped events.ts as BOTH INT64 TIMESTAMP(NANOS)
+    // (surfaced as a nano-long under nanosAsLong — rounds 1-8) and plain
+    // timestamp[us] (surfaced as TIMESTAMP_NTZ — round 9 regeneration).
+    // Every consumer is written against the nano-long representation, so
+    // normalize HERE, at the single shared reader, instead of teaching
+    // 25 call sites two spellings. Session TZ is UTC at every entry
+    // point, so the NTZ→timestamp cast is wall-clock-preserving and
+    // unix_micros·1000 reproduces the exact nano value the old files
+    // carried (the generator emits micro-precision instants).
+    if (name == "events" &&
+        df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        (unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          * lit(1000L)).cast(org.apache.spark.sql.types.LongType))
+    else df
   }
 
   /** One-pass gate sorts. A trailing `orderBy` above a narrow

@@ -25,23 +25,35 @@ import org.apache.spark.sql.types._
 // therefore capture this object, which ships to executors
 object EventAnalytics extends Serializable {
 
-  /** Explicit read schema (ts as nano-long — see above). */
+  /** Explicit read schema for the file stream source. The round-9
+    * testdata ships events.ts as parquet timestamp[us] with
+    * isAdjustedToUTC=false, which Spark surfaces as TIMESTAMP_NTZ
+    * (earlier rounds shipped INT64 TIMESTAMP(NANOS), surfaced as a
+    * nano-long under nanosAsLong — [[withEventTime]] still accepts that
+    * spelling for frames normalized by RefQueries.table).
+    */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** nano-long → TimestampType (µs floor). INTEGER division (`div`):
-    * `/` is double division and modern-epoch nanos exceed 2^53, so
-    * floor(double(ts)/1000) is off by 1µs for ~13% of values — `div`
-    * keeps the conversion exact and bit-aligned with DuckDB epoch_us.
+  /** ts → TimestampType `ts_utc`, accepting both shipped spellings.
+    *
+    * Nano-long arm: INTEGER division (`div`) — `/` is double division
+    * and modern-epoch nanos exceed 2^53, so floor(double(ts)/1000) is
+    * off by 1µs for ~13% of values; `div` keeps the conversion exact
+    * and bit-aligned with DuckDB epoch_us. Timestamp arm: the NTZ→TS
+    * cast reads the wall clock in the session TZ, which every entry
+    * point pins to UTC — same instants as epoch_us on the oracle side.
     */
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("ts_utc",
-      timestamp_micros(expr("ts div 1000")))
+      if (events.schema("ts").dataType == LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast(org.apache.spark.sql.types.TimestampType))
 
   private def exactSum(c: Column): Column = graft.ops.ExactAgg.exactSum(c)
 

@@ -185,7 +185,10 @@ class CorpusQueriesSpec extends AnyFunSuite {
 
   test("analytics_funnel matches a driver-side windowed recompute") {
     val win = 24L * 3600 * 1000000
-    val ev = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
+    // table(), not a raw read: it normalizes the driver's two shipped
+    // ts spellings (nano-long / timestamp[us]) to the nano-long the
+    // DIV-1000 arithmetic below assumes
+    val ev = graft.queries.RefQueries.table(spark, TestSpark.Sf001, "events")
       .selectExpr("user_id", "event_type", "ts DIV 1000 AS t").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val byUser = ev.groupBy(_._1)

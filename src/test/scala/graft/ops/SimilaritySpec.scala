@@ -321,7 +321,9 @@ class SimilaritySpec extends AnyFunSuite {
       .simRpReduce(spark, TestSpark.Sf001)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
     val want = emb.select(col("vec_id"), col("embedding")).collect().map {
-      case Row(id: Long, e: Seq[_]) =>
+      // scala.collection.Seq, not the default immutable Seq: the row's
+      // array column materializes as a mutable ArraySeq wrapper
+      case Row(id: Long, e: scala.collection.Seq[_]) =>
         val qv = e.map(x => math.round(x.asInstanceOf[Float].toDouble * 10000.0))
         id -> (0 until 8).map { i =>
           qv.zipWithIndex.map { case (x, j) =>

@@ -190,8 +190,11 @@ class StreamingSpec extends AnyFunSuite {
   test("a cross-batch late event pulls session_start back, matching batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-events-late")
+    // ts as LocalDateTime → parquet timestamp_ntz, matching EventsSchema
+    // (round-9 testdata spelling; earlier rounds shipped nano-longs)
     def ev(id: Long, usSec: Long, v: Double) =
-      (id, usSec * 1000000L * 1000L, 1L, "click", v, "{}") // ts in nanos
+      (id, java.time.LocalDateTime.ofEpochSecond(usSec, 0,
+        java.time.ZoneOffset.UTC), 1L, "click", v, "{}")
     val schemaCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     // batch 1: session opens at 10_000s
     stageBatch(Seq(ev(1, 10000, 1.0), ev(2, 10100, 1.0)).toDF(schemaCols: _*),
