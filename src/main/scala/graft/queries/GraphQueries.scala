@@ -477,7 +477,7 @@ object GraphQueries {
        |  SELECT x AS z, COUNT(*) AS deg FROM adj GROUP BY x
        |)
        |SELECT a1.x, a2.x AS y, COUNT(*) AS common,
-       |       SUM(1000000 // d.deg) AS ra_1e6
+       |       CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_1e6
        |FROM adj a1
        |JOIN adj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
        |JOIN deg d ON d.z = a1.nbr
