@@ -688,4 +688,59 @@ object StatQueries {
       |       CAST(SUM(abs(err_c)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae_c,
       |       CAST(SUM(err_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bias_c
       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** `analytics_hhi` — Herfindahl–Hirschman concentration index per
+    * market segment: Σ over customers of (their revenue share)², the
+    * antitrust/market-power summary (1e6 ≡ monopoly, →0 ≡ atomized).
+    *
+    * Determinism: revenue floors to integer THOUSANDS of dollars
+    * (cents DIV 100000) and the index is DEFINED as the sum of
+    * per-customer integral terms (rev_k²·1e6) DIV tot_k² — floors
+    * commute with nothing, so both engines spell the same flooring.
+    * Bounds: rev_k ≤ ~10⁴ at sf0.1 → per-term numerator ≤ 10¹⁴ and
+    * tot_k² ≤ ~10¹⁴, far under 2⁶³ even at 100× data; past that the
+    * numerator cast widens to DECIMAL, same algebra.
+    *
+    * Scale: two hash aggregates (orders→customer revenue, then the
+    * per-segment index) with the segment totals rejoined as a
+    * broadcast — group keys are customers then segments, the
+    * classic shrinking-cardinality pipeline.
+    */
+  def analyticsHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = table(spark, sfDir, "orders")
+      .join(broadcast(table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      .select(col("segment"), expr("rev_c DIV 100000").as("rev_k"))
+    val tot = rev.groupBy("segment")
+      .agg(sum(col("rev_k")).as("tot_k"), count(lit(1)).as("n_customers"))
+    rev.join(broadcast(tot), "segment")
+      .groupBy("segment")
+      .agg(max(col("n_customers")).as("n_customers"),
+        max(col("tot_k")).as("tot_k"),
+        sum(expr("(rev_k * rev_k * 1000000L) DIV (tot_k * tot_k)"))
+          .as("hhi_1e6"))
+      .orderBy("segment")
+  }
+
+  val analyticsHhiSql: String =
+    """WITH rev AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_custkey,
+      |         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           // 100000 AS rev_k
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT segment, CAST(SUM(rev_k) AS BIGINT) AS tot_k,
+      |         COUNT(*) AS n_customers
+      |  FROM rev GROUP BY segment
+      |)
+      |SELECT r.segment, t.n_customers, t.tot_k,
+      |       CAST(SUM(r.rev_k * r.rev_k * 1000000 // (t.tot_k * t.tot_k))
+      |            AS BIGINT) AS hhi_1e6
+      |FROM rev r JOIN tot t ON t.segment = r.segment
+      |GROUP BY r.segment, t.n_customers, t.tot_k
+      |ORDER BY r.segment""".stripMargin
 }

@@ -172,6 +172,52 @@ object StreamQueries {
       |                        AND epoch_us(p.ts)
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** `stream_cep_pattern` — complex-event-processing pattern match: per
+    * user, occurrences of the CONSECUTIVE event sequence
+    * view → click → purchase (MATCH_RECOGNIZE's simplest shape,
+    * strict contiguity). Each row looks ahead two events with `lead`
+    * over (user_id ORDER BY us, event_id) — the total order every
+    * windowed event query in this suite uses — and a match anchors at
+    * the `view`. Per matching user: match count, first match start.
+    *
+    * Streaming form: the same lookahead runs per key inside
+    * flatMapGroupsWithState buffering 3 events of state; the batch
+    * window spelling here is the oracle-gatable twin (the suite's
+    * batch/stream equivalence doctrine — see EventAnalytics).
+    *
+    * Scale: one shuffle on user_id, per-partition sort, narrow lead —
+    * no self-join of the event log (the naive 3-way join spelling
+    * shuffles the log three times and explodes on hot users).
+    */
+  def streamCepPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").cast("long").as("us"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("event_type") === "view" && col("e2") === "click" &&
+        col("e3") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("us")).as("first_start_us"))
+      .orderBy("user_id")
+  }
+
+  val streamCepPatternSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |)
+      |SELECT user_id, COUNT(*) AS n_matches, MIN(us) AS first_start_us
+      |FROM seq
+      |WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** One-pass total order for the multimodal gates, whose child is the
     * whole encode→decode→feature chain (see RefQueries.gateSort for
     * the RangePartitioner double-execution rationale; measured ≈2×

@@ -44,6 +44,36 @@ object TextQueries {
       .select("doc_id", "avg_token_len", "punct_ratio", "stopword_ratio")
       .transform(RefQueries.gateSort(_, "doc_id"))
 
+  /** `text_lexical_diversity` — type–token ratio per document
+    * (distinct tokens ÷ tokens, the classic lexical-richness signal;
+    * template/boilerplate text scores low, natural prose high — a
+    * corpus-quality filter sibling of text_repetition). Scored as
+    * TTR·1e6 by integral division so the gate hashes integers; docs
+    * with no tokens are excluded (the ratio is undefined, and both
+    * engines would otherwise have to agree on a NULL spelling).
+    *
+    * Scale: narrow per-row map (tokenize + one distinct count inside
+    * the row), no shuffle before the gate sort.
+    */
+  def textLexicalDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_types", size(array_distinct(col("toks"))).cast("long"))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("(n_types * 1000000L) DIV n_tokens").as("ttr_1e6"))
+      .transform(RefQueries.gateSort(_, "doc_id"))
+
+  val textLexicalDiversitySql: String = DuckToks +
+    """
+      |SELECT doc_id,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+      |       CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+      |         // CAST(len(toks) AS BIGINT) AS ttr_1e6
+      |FROM d WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
+
   val textQualitySql: String = DuckToks +
     """
       |SELECT doc_id,
