@@ -616,4 +616,80 @@ object SimilarityQueries {
       |FROM ex
       |GROUP BY 1, 2
       |ORDER BY cell, dim""".stripMargin
+
+  /** `sim_topk_dot_int8` — maximum-inner-product top-k over PER-VECTOR
+    * int8-quantized embeddings: each vector is scaled by its own
+    * max-abs to the [-127,127] int8 range (the standard symmetric
+    * int8 compression — 4× smaller than float32, integer SIMD dot),
+    * the candidate score is the integer code dot, and the returned
+    * score rescales by the two max-abs factors. The ranking runs on
+    * the rescaled score — raw code dots are NOT comparable across
+    * corpus vectors with different scales, the classic per-channel-
+    * quantization trap.
+    *
+    * Determinism: the quantized codes are integers (round of one
+    * correctly-rounded double product and quotient — the
+    * FloatArrayQuantize tie analysis applies); the code dot is an
+    * exact BIGINT; the rescale is a FIXED sequence of double ops
+    * ((dot·aq)·ac)/127², identical in the oracle.
+    *
+    * Scale: the query side (10 rows) broadcasts; the corpus never
+    * shuffles before the per-query top-k (TakeOrderedAndProject shape
+    * via the row_number window over q_id — 10 partitions). The dot
+    * runs in the codegen'd LongArrayDot kernel, not an interpreted
+    * HOF fold.
+    */
+  def simTopkDotInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    def quantized(idCol: String, vCol: String, aCol: String): DataFrame =
+      emb.select(col("vec_id").as(idCol),
+          array_max(transform(col("embedding"), x => abs(x))).as(aCol))
+        .where(col(aCol) > 0f)
+        .join(emb.select(col("vec_id").as(idCol), col("embedding")), idCol)
+        .select(col(idCol), col(aCol),
+          transform(col("embedding"), x =>
+            round(x.cast("double") * lit(127.0) / col(aCol).cast("double"))
+              .cast("long")).as(vCol))
+    val q = quantized("q_id", "qv", "amax_q").where(col("q_id") < 10)
+    val c = quantized("n_id", "cv", "amax_c")
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("dot_i8",
+        graft.functions.LongArrayDot.dotQ(col("qv"), col("cv")))
+      .withColumn("approx_dot",
+        col("dot_i8").cast("double") * col("amax_q").cast("double") *
+          col("amax_c").cast("double") / lit(16129.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("approx_dot"), col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("dot_i8"), col("approx_dot"))
+      .orderBy(col("q_id"), desc("approx_dot"), col("n_id"))
+  }
+
+  val simTopkDotInt8Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(x))) AS amax
+      |  FROM embeddings
+      |), quant AS (
+      |  SELECT vec_id, amax,
+      |         list_transform(embedding, x ->
+      |           CAST(round(CAST(x AS DOUBLE) * 127.0 / CAST(amax AS DOUBLE))
+      |                AS BIGINT)) AS qv
+      |  FROM base WHERE amax > 0
+      |), scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+      |                               CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot_i8,
+      |         CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+      |                               CAST(c.qv AS DOUBLE[])) AS BIGINT)
+      |           * CAST(q.amax AS DOUBLE) * CAST(c.amax AS DOUBLE)
+      |           / 16129.0 AS approx_dot
+      |  FROM quant c CROSS JOIN quant q
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |)
+      |SELECT q_id, n_id, dot_i8, approx_dot FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY q_id
+      |                           ORDER BY approx_dot DESC, n_id) <= 5
+      |ORDER BY q_id, approx_dot DESC, n_id""".stripMargin
 }
