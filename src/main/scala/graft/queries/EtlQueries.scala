@@ -698,4 +698,46 @@ object EtlQueries {
       |FROM orders, wm
       |WHERE o_orderdate > wm.wm
       |GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** `etl_pseudonymize` — deterministic tokenization of identifying
+    * columns: each value maps to a stable surrogate derived from its
+    * MD5 (salted), so equal values tokenize equally — joins,
+    * group-bys and dedup still work on the pseudonymized data, unlike
+    * the destructive regex scrub of etl_pii_redact. The consistency
+    * proof is IN the output: n_rows vs n_distinct_tokens per original
+    * cardinality survives tokenization (collision-free at these
+    * sizes; at 100 TB you widen the token, not the algorithm).
+    *
+    * MD5 because it is the one keyed-lookup-free digest both engines
+    * spell identically over UTF-8 strings; the salt models the
+    * per-environment secret that makes the mapping non-invertible by
+    * dictionary attack (a fixed literal here — the gate needs both
+    * engines to agree on it).
+    *
+    * Scale: a narrow per-row map plus one distinct-count aggregate.
+    */
+  def etlPseudonymize(spark: SparkSession, sfDir: String): DataFrame = {
+    val salt = "graft-demo-salt"
+    val tok = graft.queries.RefQueries.table(spark, sfDir, "customer")
+      .select(
+        col("c_custkey"),
+        concat(lit("cust_"),
+          substring(md5(concat(lit(salt), col("c_name"))), 1, 12))
+          .as("name_token"),
+        concat(lit("k_"),
+          substring(md5(concat(lit(salt), col("c_custkey").cast("string"))),
+            1, 16)).as("key_token"),
+        col("c_mktsegment"))
+    tok.orderBy("c_custkey")
+  }
+
+  val etlPseudonymizeSql: String =
+    """SELECT c_custkey,
+      |       'cust_' || substr(md5('graft-demo-salt' || c_name), 1, 12)
+      |         AS name_token,
+      |       'k_' || substr(md5('graft-demo-salt' ||
+      |                          CAST(c_custkey AS VARCHAR)), 1, 16)
+      |         AS key_token,
+      |       c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
 }

@@ -743,4 +743,72 @@ object StatQueries {
       |FROM rev r JOIN tot t ON t.segment = r.segment
       |GROUP BY r.segment, t.n_customers, t.tot_k
       |ORDER BY r.segment""".stripMargin
+
+  /** `analytics_bollinger` — rolling volatility bands per event type:
+    * over the daily revenue series, the trailing-7-day mean ± 2σ and a
+    * breach flag (the time-LOCAL anomaly signal; analytics_anomaly is
+    * the global-3σ complement — a regime shift flags here first).
+    *
+    * Determinism doctrine: the rolling window aggregates are exact
+    * BIGINT sums of integer cents (count/sum/sumsq over a ROWS frame —
+    * frame membership is integral), and mean/σ/bands are then a fixed
+    * scalar IEEE sequence (÷, −, ×, √ — all correctly rounded) spelled
+    * identically in the oracle. Only full 7-day windows emit (a
+    * partial-window σ is not the 7-day band).
+    *
+    * Scale: one shuffle on event_type for the daily rollup (map-side
+    * combined), then a per-type ROWS window over O(days) rows.
+    */
+  def analyticsBollinger(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000) div 86400000000").cast("long").as("day"))
+      .agg(sum(cents(col("value"))).as("day_c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sm", sum(col("day_c")).over(w))
+      .withColumn("ss", sum(col("day_c") * col("day_c")).over(w))
+      .where(col("n") === 7)
+      .withColumn("mean", col("sm").cast(DoubleType) / lit(7.0))
+      .withColumn("sd",
+        sqrt(col("ss").cast(DoubleType) / lit(7.0) - col("mean") * col("mean")))
+      .select(col("event_type"), col("day"), col("day_c"),
+        (col("mean") + lit(2.0) * col("sd")).as("upper_c"),
+        (col("mean") - lit(2.0) * col("sd")).as("lower_c"),
+        (col("day_c").cast(DoubleType) > col("mean") + lit(2.0) * col("sd") ||
+          col("day_c").cast(DoubleType) < col("mean") - lit(2.0) * col("sd"))
+          .cast("long").as("breach"))
+      .orderBy("event_type", "day")
+  }
+
+  val analyticsBollingerSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_c
+      |  FROM events GROUP BY 1, 2
+      |), win AS (
+      |  SELECT event_type, day, day_c,
+      |         COUNT(*) OVER w AS n,
+      |         CAST(SUM(day_c) OVER w AS BIGINT) AS sm,
+      |         CAST(SUM(day_c * day_c) OVER w AS BIGINT) AS ss
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |), bands AS (
+      |  SELECT event_type, day, day_c,
+      |         CAST(sm AS DOUBLE) / 7.0 AS mean,
+      |         sqrt(CAST(ss AS DOUBLE) / 7.0
+      |              - (CAST(sm AS DOUBLE) / 7.0) * (CAST(sm AS DOUBLE) / 7.0))
+      |           AS sd
+      |  FROM win WHERE n = 7
+      |)
+      |SELECT event_type, day, day_c,
+      |       mean + 2.0 * sd AS upper_c,
+      |       mean - 2.0 * sd AS lower_c,
+      |       CAST(CAST(day_c AS DOUBLE) > mean + 2.0 * sd
+      |            OR CAST(day_c AS DOUBLE) < mean - 2.0 * sd AS BIGINT) AS breach
+      |FROM bands ORDER BY event_type, day""".stripMargin
 }
