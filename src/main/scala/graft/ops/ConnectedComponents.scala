@@ -61,12 +61,21 @@ object ConnectedComponents {
       // the convergence test is then a scan of the node-sized
       // checkpointed RDD instead of a whole extra next⋈labels join job
       // per round (the old spelling's third job)
+      // LAZY checkpoint + one ungrouped aggregate, not eager + isEmpty:
+      // the count-if runs a partial aggregate on EVERY partition of
+      // `next`, so it both fills the checkpoint and answers convergence
+      // in a single job (the resolveStar doctrine — an isEmpty would
+      // short-circuit and leave a partial checkpoint; count-if cannot).
+      // count-if (not max(changed)): it is 0, never NULL, on an empty
+      // label set.
       val next = labels.join(neighborMin, Seq("n"), "left")
         .select(col("n"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"),
           (coalesce(col("nbrMin"), col("label")) < col("label")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.where(col("changed")).isEmpty
+        .localCheckpoint(false)
+      converged = next
+        .agg(count(when(col("changed"), lit(1))).as("c"))
+        .head.getLong(0) == 0L
       // the replaced round's checkpoint blocks are dead once `next` is
       // materialized and the convergence check has run — drop them, or
       // checkpoint storage grows linearly with rounds (diameter)

@@ -332,8 +332,15 @@ object GraphQueries {
           // parenthesize the NOT: `!x.as(...)` aliases first and negates
           // the aliased column, leaving the output unnamed
           (!(least(col("dist"), col("cand")) <=> col("dist"))).as("changed"))
-        .localCheckpoint(true)
-      converged = next.where(col("changed")).isEmpty
+        // LAZY checkpoint: the ungrouped count-if below touches every
+        // partition, filling the checkpoint and answering convergence
+        // in ONE job per round instead of eager-checkpoint + isEmpty
+        // (the ConnectedComponents doctrine — isEmpty short-circuits
+        // and would leave a partial lazy checkpoint)
+        .localCheckpoint(false)
+      converged = next
+        .agg(count(when(col("changed"), lit(1))).as("c"))
+        .head.getLong(0) == 0L
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(dist)
       dist = next
       it += 1
@@ -509,12 +516,27 @@ object GraphQueries {
     val edges = tradeEdges(spark, sfDir)
     val nodes = table(spark, sfDir, "nation")
       .select(col("n_nationkey").cast("long").as("node"))
-    var hub = nodes.withColumn("score", lit(1000000L))
-    var auth = hub
+      .localCheckpoint(true)
+    // CHECKPOINT each half-step (the pagerank doctrine): every
+    // half-step references its input vector twice (the rescale's max
+    // aggregate + the join side), so without lineage truncation the
+    // plan DOUBLES per half-step — 2^6 subplan executions by round 3,
+    // measured 151 s at sf0.1 vs ~2 s checkpointed. The replaced
+    // vector's blocks drop as soon as the next one is materialized.
+    var hub = nodes.withColumn("score", lit(1000000L)).localCheckpoint(true)
+    var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      auth = normalizeMax(propagate(nodes, edges, hub, "src", "dst"))
-      hub = normalizeMax(propagate(nodes, edges, auth, "dst", "src"))
+      val nextAuth = normalizeMax(propagate(nodes, edges, hub, "src", "dst"))
+        .localCheckpoint(true)
+      if (auth != null)
+        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(auth)
+      auth = nextAuth
+      val nextHub = normalizeMax(propagate(nodes, edges, auth, "dst", "src"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(hub)
+      hub = nextHub
     }
+    // the FINAL hub/auth checkpoints stay — the returned plan reads them
     nodes
       .join(broadcast(hub.select(col("node"), col("score").as("hub_1e6"))),
         Seq("node"))
