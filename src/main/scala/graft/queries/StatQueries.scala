@@ -811,4 +811,96 @@ object StatQueries {
       |       CAST(CAST(day_c AS DOUBLE) > mean + 2.0 * sd
       |            OR CAST(day_c AS DOUBLE) < mean - 2.0 * sd AS BIGINT) AS breach
       |FROM bands ORDER BY event_type, day""".stripMargin
+
+  /** `analytics_survival` — Kaplan–Meier curve for time-to-first-
+    * purchase: per user, duration in days from their first event to
+    * their first purchase (event) or to their last observed event
+    * (right-censored). At each event time t: n = users still at risk,
+    * d = events at t, and the survival estimate
+    * S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) — the standard estimator under
+    * right-censoring (Kaplan & Meier 1958).
+    *
+    * Determinism: n and d are exact integers (one cumulative integer
+    * window), and S is DEFINED as the LEFT FOLD of (1 − d/n) factors
+    * in ascending-t order — the Spark side folds with `aggregate` over
+    * the step prefix, the oracle replays the identical fold as a
+    * recursive CTE (S₀ = 1, Sᵢ = Sᵢ₋₁·(1 − dᵢ/nᵢ)). Same fixed IEEE
+    * op sequence, no product-reassociation drift (a window PRODUCT
+    * aggregate would multiply in segment-tree order — different bits).
+    *
+    * Scale: two hash aggregates down to O(distinct durations) step
+    * rows; the O(k²) prefix fold runs over that tiny step table (k ≈
+    * observation span in days), never over users.
+    */
+  def analyticsSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(expr("(ts div 1000) div 86400000000")).as("first_day"),
+        max(expr("(ts div 1000) div 86400000000")).as("last_day"),
+        min(when(col("event_type") === "purchase",
+          expr("(ts div 1000) div 86400000000"))).as("purch_day"))
+      .select(col("user_id"),
+        (coalesce(col("purch_day"), col("last_day")) - col("first_day"))
+          .cast("long").as("dur"),
+        col("purch_day").isNotNull.cast("long").as("ev"))
+    val byDur = perUser.groupBy("dur")
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("leaving"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    val steps = byDur
+      .crossJoin(broadcast(byDur.agg(sum(col("leaving")).as("total"))))
+      .withColumn("gone", coalesce(sum(col("leaving")).over(w), lit(0L)))
+      .select(col("dur").as("t"), col("d"),
+        (col("total") - col("gone")).as("n"))
+      .where(col("d") > 0)
+    // all steps into ONE ordered array (k rows), then the exact left
+    // fold per prefix: surv_j = fold over steps 1..j of acc·(1−d/n)
+    steps
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n"))))
+        .as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "s")), col("arr"))
+      .select(
+        col("s.t").as("t"), col("s.n").as("n_risk"), col("s.d").as("d_events"),
+        aggregate(slice(col("arr"), lit(1), col("i") + 1), lit(1.0),
+          (acc, x) => acc * (lit(1.0) -
+            x.getField("d").cast(DoubleType) / x.getField("n").cast(DoubleType)))
+          .as("survival"))
+      .orderBy("t")
+  }
+
+  val analyticsSurvivalSql: String =
+    """WITH RECURSIVE per_user AS (
+      |  SELECT user_id,
+      |         COALESCE(MIN(CASE WHEN event_type = 'purchase'
+      |                           THEN epoch_us(ts) // 86400000000 END),
+      |                  MAX(epoch_us(ts) // 86400000000))
+      |           - MIN(epoch_us(ts) // 86400000000) AS dur,
+      |         CAST(MIN(CASE WHEN event_type = 'purchase'
+      |                       THEN epoch_us(ts) // 86400000000 END) IS NOT NULL
+      |              AS BIGINT) AS ev
+      |  FROM events GROUP BY user_id
+      |), by_dur AS (
+      |  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS leaving
+      |  FROM per_user GROUP BY dur
+      |), steps AS (
+      |  SELECT dur AS t, d,
+      |         CAST((SELECT SUM(leaving) FROM by_dur) AS BIGINT)
+      |           - CAST(COALESCE(SUM(leaving) OVER
+      |               (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+      |                AND 1 PRECEDING), 0) AS BIGINT) AS n
+      |  FROM by_dur QUALIFY d > 0
+      |), numbered AS (
+      |  SELECT t, d, n, row_number() OVER (ORDER BY t) AS rn FROM steps
+      |), fold AS (
+      |  SELECT t, d, n, rn,
+      |         1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s
+      |  FROM numbered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.t, x.d, x.n, x.rn,
+      |         f.s * (1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))
+      |  FROM numbered x JOIN fold f ON x.rn = f.rn + 1
+      |)
+      |SELECT t, n AS n_risk, d AS d_events, s AS survival
+      |FROM fold ORDER BY t""".stripMargin
 }

@@ -205,6 +205,49 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** `analytics_event_paths` — 3-step path mining over the per-user
+    * event order: every consecutive event-type trigram, counted
+    * corpus-wide with distinct-user support (the discovery complement
+    * of stream_cep_pattern, which matches ONE known pattern; this
+    * ranks ALL observed behavior paths — the "common user journeys"
+    * query behind funnel design).
+    *
+    * Scale: the same single user_id shuffle + narrow double-lead as
+    * the CEP matcher, then one hash aggregate over the (≤|types|³)
+    * path space.
+    */
+  def analyticsEventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").cast("long").as("us"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"), col("user_id"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(desc("n_occurrences"), col("path"))
+  }
+
+  val analyticsEventPathsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id,
+      |         event_type || '>' || lead(event_type, 1) OVER w
+      |           || '>' || lead(event_type, 2) OVER w AS path,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |)
+      |SELECT path, COUNT(*) AS n_occurrences,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY path
+      |ORDER BY n_occurrences DESC, path""".stripMargin
+
   val streamCepPatternSql: String =
     """WITH seq AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
