@@ -361,4 +361,90 @@ object SketchQueries {
       |  FROM passed GROUP BY flag
       |) q USING (flag)
       |ORDER BY flag""".stripMargin
+
+  // --------------------------------------------------- approx profiling
+
+  /** `etl_profile_approx` — the 100 TB spelling of column profiling:
+    * per-column approximate distinct counts via the engine-neutral HLL
+    * above, all columns in ONE scan (`stack` fans each row into
+    * (column, key) pairs — map-side, no Expand of exact countDistincts
+    * like etl_profile, whose own scaladoc caps it at gate scale). The
+    * exact count rides along per column so the gate pins the sketch
+    * error exactly, like olap_hll_distinct.
+    *
+    * Long-keyed columns only (keys, day ordinals, cents): the register
+    * hash needs an integer domain; string columns route through the
+    * polynomial token hash family at real scale.
+    *
+    * Scale: input rows × 4 flow through one partial+final aggregate
+    * whose keyspace is 4 columns × 64 registers, then O(columns) scalar
+    * math — sketch memory is constant in row count by construction.
+    */
+  def etlProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = table(spark, sfDir, "orders")
+      .select(expr(
+        """stack(4,
+          |  'o_orderkey', o_orderkey,
+          |  'o_custkey', o_custkey,
+          |  'o_orderdate_day',
+          |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000,
+          |  'o_totalprice_cents', CAST(round(o_totalprice * 100) AS BIGINT)
+          |) AS (col_name, k)""".stripMargin))
+    val hashed = keyed
+      .withColumn("h", lcg(col("k"), 1315423911L, 2654435761L))
+      .withColumn("g", (col("h") * col("h") % Prime * 1315423911L + 97L) % Prime)
+      .withColumn("reg", col("g") % 64)
+      .withColumn("rho", lit(26) - length(ltrim(bin(expr("g DIV 64")), "0")))
+    val est = hashed.groupBy("col_name", "reg").agg(max("rho").as("mj"))
+      .groupBy("col_name")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mj AS INT))")).as("sp"),
+        count(lit(1)).as("nreg"))
+      .select(col("col_name"),
+        expr("(CAST(2904064 AS BIGINT) * 67108864) DIV " +
+          "(1000 * (sp + (64 - nreg) * 67108864))").as("est_distinct"))
+    val exact = keyed.groupBy("col_name")
+      .agg(countDistinct("k").as("n_exact"), count(lit(1)).as("n_rows"))
+    est.join(exact, "col_name")
+      .select("col_name", "est_distinct", "n_exact", "n_rows")
+      .orderBy("col_name")
+  }
+
+  val etlProfileApproxSql: String =
+    """WITH keyed AS (
+      |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS BIGINT) AS k FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', CAST(o_custkey AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderdate_day', epoch_us(o_orderdate) // 86400000000 FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice_cents', CAST(round(o_totalprice * 100) AS BIGINT) FROM orders
+      |), h AS (
+      |  SELECT col_name, (k % 1000003 * 1315423911 + 2654435761) % 2147483647 AS h
+      |  FROM keyed
+      |), g AS (
+      |  SELECT col_name, (h * h % 2147483647 * 1315423911 + 97) % 2147483647 AS g
+      |  FROM h
+      |), b AS (
+      |  SELECT col_name, g % 64 AS reg,
+      |         26 - length(ltrim(bin(g // 64), '0')) AS rho
+      |  FROM g
+      |), regs AS (
+      |  SELECT col_name, reg, MAX(rho) AS mj FROM b GROUP BY col_name, reg
+      |), s AS (
+      |  SELECT col_name,
+      |         SUM(CAST(1 AS BIGINT) << CAST(26 - mj AS INTEGER)) AS sp,
+      |         COUNT(*) AS nreg
+      |  FROM regs GROUP BY col_name
+      |), e AS (
+      |  SELECT col_name,
+      |         CAST((CAST(2904064 AS BIGINT) * 67108864)
+      |           // (1000 * (sp + (64 - nreg) * 67108864)) AS BIGINT) AS est_distinct
+      |  FROM s
+      |), x AS (
+      |  SELECT col_name, COUNT(DISTINCT k) AS n_exact, COUNT(*) AS n_rows
+      |  FROM keyed GROUP BY col_name
+      |)
+      |SELECT e.col_name, e.est_distinct, x.n_exact, x.n_rows
+      |FROM e JOIN x USING (col_name) ORDER BY col_name""".stripMargin
 }
