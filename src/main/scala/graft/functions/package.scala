@@ -44,7 +44,10 @@ package object functions {
     ("long_array_rolling_hash",
       "_FUNC_(hashes, w) - all w-window rolling polynomial hashes",
       es => LongArrayRollingHash(es(0),
-        es(1).eval().asInstanceOf[Number].intValue(), 131L, 1000000007L)))
+        es(1).eval().asInstanceOf[Number].intValue(), 131L, 1000000007L)),
+    ("jaro_winkler",
+      "_FUNC_(a, b) - Jaro-Winkler string similarity (DuckDB-bit-compatible)",
+      es => JaroWinkler(es(0), es(1))))
 
   /** Register every SQL-safe kernel as a session temp function. */
   def registerAll(spark: SparkSession): Unit =

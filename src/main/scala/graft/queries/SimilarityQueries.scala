@@ -692,4 +692,53 @@ object SimilarityQueries {
       |QUALIFY row_number() OVER (PARTITION BY q_id
       |                           ORDER BY approx_dot DESC, n_id) <= 5
       |ORDER BY q_id, approx_dot DESC, n_id""".stripMargin
+
+  /** `sim_fuzzy_names` — record-linkage name matching via the native
+    * [[graft.functions.JaroWinkler]] kernel: near-miss pairs of
+    * DISTINCT part names (0.85 ≤ jw < 1 — distinct strings can never
+    * hit 1.0) with their occurrence counts, blocked on the first name
+    * token. The DICTIONARY-level spelling is the scale story: dedupe
+    * to the name dictionary BEFORE the quadratic step, so the blocked
+    * self-join runs over vocabulary size (constant-ish here, ~10⁵-10⁶
+    * in real entity resolution), never over the fact table, and the
+    * occurrence counts rejoin the verdicts to row space for free.
+    *
+    * The jw predicate sits IN the join condition AFTER the cheap
+    * conjuncts (block equality, name ordering) — a post-projection
+    * filter would collapse into the join ahead of them and run the
+    * kernel per raw bucket-probe pair (the plan-shape pitfall
+    * ARCHITECTURE.md documents for levenshtein).
+    *
+    * Determinism: the kernel is pinned bit-for-bit to DuckDB's
+    * jaro_winkler_similarity (see its scaladoc), so the double scores
+    * hash identically.
+    */
+  def simFuzzyNames(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = table(spark, sfDir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("blk", split_part(col("name"), lit(" "), lit(1)))
+    val a = names.select(col("name").as("name1"), col("n").as("n1"), col("blk"))
+    val b = names.select(col("name").as("name2"), col("n").as("n2"),
+      col("blk").as("blk2"))
+    a.join(b,
+        col("blk") === col("blk2") && col("name1") < col("name2") &&
+          graft.functions.JaroWinkler.jw(col("name1"), col("name2")) >= 0.85)
+      .select(col("name1"), col("name2"), col("n1"), col("n2"),
+        graft.functions.JaroWinkler.jw(col("name1"), col("name2")).as("jw"))
+      .orderBy(desc("jw"), col("name1"), col("name2"))
+  }
+
+  val simFuzzyNamesSql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, COUNT(*) AS n,
+      |         split_part(p_name, ' ', 1) AS blk
+      |  FROM part GROUP BY p_name
+      |)
+      |SELECT a.name AS name1, b.name AS name2, a.n AS n1, b.n AS n2,
+      |       jaro_winkler_similarity(a.name, b.name) AS jw
+      |FROM names a JOIN names b
+      |  ON a.blk = b.blk AND a.name < b.name
+      | AND jaro_winkler_similarity(a.name, b.name) >= 0.85
+      |ORDER BY jw DESC, name1, name2""".stripMargin
 }
