@@ -202,6 +202,55 @@ object EventAnalytics extends Serializable {
       user_id: Long, session_seq: Long, start_us: Long, end_us: Long,
       n_events: Long, sum_value: Double)
 
+  // ---- custom stateful streaming: CEP sequence matching ---------------
+
+  final case class CepEv(event_id: Long, user_id: Long, us: Long,
+      event_type: String)
+  /** Last two events of the user's sequence, oldest first — the ENTIRE
+    * per-user state a strict-contiguity 3-step matcher needs (O(1),
+    * the bounded-state requirement; a k-step pattern keeps k−1).
+    */
+  final case class CepState(t1: String, us1: Long, t2: String, us2: Long)
+  final case class CepMatch(user_id: Long, start_us: Long, end_us: Long)
+
+  /** Streaming spelling of the view→click→purchase CEP matcher
+    * (StreamQueries.streamCepPattern is the batch/oracle twin): per
+    * user, `flatMapGroupsWithState` slides a 3-event window and EMITS a
+    * match event the moment its `purchase` arrives — the push-based CEP
+    * contract, vs the batch form's corpus-wide aggregate. Within a
+    * micro-batch events sort by (us, event_id) like every stateful op
+    * here; across batches the file-replay order is the stream order
+    * (a production deployment puts a watermark + buffer in front for
+    * cross-batch disorder, the sessionizeStreamWithTimeout doctrine).
+    */
+  def cepPatternStream(spark: SparkSession,
+      events: DataFrame): org.apache.spark.sql.Dataset[CepMatch] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(userId: Long, it: Iterator[CepEv],
+        state: GroupState[CepState]): Iterator[CepMatch] = {
+      val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+      var st = state.getOption.getOrElse(CepState("", -1L, "", -1L))
+      evs.foreach { e =>
+        if (st.t1 == "view" && st.t2 == "click" && e.event_type == "purchase")
+          out += CepMatch(userId, st.us1, e.us)
+        st = CepState(st.t2, st.us2, e.event_type, e.us)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    withEventTime(events)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts_utc")).as("us"), col("event_type"))
+      .as[CepEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Shared per-batch session fold (both streaming variants call this —
     * the gap rule must never drift between them). Late events within the
     * watermark DO reach flatMapGroupsWithState: an event older than the

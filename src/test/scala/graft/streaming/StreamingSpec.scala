@@ -94,6 +94,63 @@ class StreamingSpec extends AnyFunSuite {
       "stateful streaming sessions differ from batch sessions")
   }
 
+  test("streaming CEP matcher equals the batch double-lead recompute") {
+    import org.apache.spark.sql.functions._
+    val stream = EventAnalytics.readEventsStream(spark, eventsDir)
+    val q = EventAnalytics.cepPatternStream(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cep_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val batch = EventAnalytics.withEventTime(
+        spark.read.parquet(s"${TestSpark.Sf001}/events.parquet"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts_utc")).as("us"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .withColumn("end_us", lead(col("us"), 2).over(w))
+      .where(col("event_type") === "view" && col("e2") === "click" &&
+        col("e3") === "purchase")
+      .select(col("user_id"), col("us").as("start_us"), col("end_us"))
+    val got = spark.table("cep_out")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streaming CEP matches differ from the batch recompute")
+  }
+
+  test("a CEP pattern spanning the batch boundary still matches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-events-cep")
+    def ev(id: Long, usSec: Long, tpe: String) =
+      (id, java.time.LocalDateTime.ofEpochSecond(usSec, 0,
+        java.time.ZoneOffset.UTC), 7L, tpe, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 1 ends mid-pattern: view, click — no emission yet
+    stageBatch(Seq(ev(1, 1000, "view"), ev(2, 1010, "click")).toDF(cols: _*),
+      dir.toString, "b1.parquet")
+    val stream = EventAnalytics.readEventsStream(spark, dir.toString)
+    val q = EventAnalytics.cepPatternStream(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cep_late")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cep_late").isEmpty)
+      // batch 2 completes the pattern from carried state
+      stageBatch(Seq(ev(3, 1020, "purchase")).toDF(cols: _*),
+        dir.toString, "b2.parquet")
+      q.processAllAvailable()
+      val m = spark.table("cep_late").collect()
+      assert(m.length == 1)
+      assert(m(0).getAs[Long]("user_id") == 7L)
+      assert(m(0).getAs[Long]("start_us") == 1000L * 1000000L)
+      assert(m(0).getAs[Long]("end_us") == 1020L * 1000000L)
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes idle sessions once the watermark passes") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-events-to")
