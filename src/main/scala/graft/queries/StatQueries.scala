@@ -903,4 +903,82 @@ object StatQueries {
       |)
       |SELECT t, n AS n_risk, d AS d_events, s AS survival
       |FROM fold ORDER BY t""".stripMargin
+
+  /** `analytics_cusum` — CUSUM changepoint detection on the per-type
+    * daily revenue series (Page 1954): the one-sided cumulative sum of
+    * deviations from the series mean, sᵢ = max(0, sᵢ₋₁ + devᵢ), which
+    * accumulates through a sustained level shift that per-day z-scores
+    * (analytics_anomaly) and rolling bands (analytics_bollinger) both
+    * miss. A day flags when its CUSUM exceeds 1/5 of the series' total
+    * absolute deviation — a scale-free integer comparison.
+    *
+    * Determinism: ENTIRELY integer. Deviations are scaled by n
+    * (dev = day_c·n − sm, units cents·n) so the mean never becomes a
+    * rational; the recurrence is an exact left fold in ascending-day
+    * order (Spark: aggregate() prefix fold; oracle: the recursive-CTE
+    * fold proven on analytics_survival — max/+ on BIGINTs, no floats
+    * anywhere).
+    *
+    * Scale: one hash aggregate to O(types × days) rows, the fold runs
+    * per type over its O(days) step array.
+    */
+  def analyticsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = table(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000) div 86400000000").cast("long").as("day"))
+      .agg(sum(cents(col("value"))).as("day_c"))
+    daily.groupBy("event_type")
+      .agg(
+        sort_array(collect_list(struct(col("day"), col("day_c")))).as("arr"),
+        count(lit(1)).as("n"), sum(col("day_c")).as("sm"))
+      .withColumn("sumabs",
+        aggregate(col("arr"), lit(0L),
+          (acc, x) => acc + abs(x.getField("day_c") * col("n") - col("sm"))))
+      .select(col("event_type"), col("n"), col("sm"), col("sumabs"),
+        posexplode(col("arr")).as(Seq("i", "s")), col("arr"))
+      .select(col("event_type"), col("s.day").as("day"),
+        col("s.day_c").as("day_c"),
+        aggregate(slice(col("arr"), lit(1), col("i") + 1), lit(0L),
+          (acc, x) => greatest(lit(0L),
+            acc + (x.getField("day_c") * col("n") - col("sm"))))
+          .as("cusum_scaled"),
+        col("sumabs"))
+      .select(col("event_type"), col("day"), col("day_c"),
+        col("cusum_scaled"),
+        (col("cusum_scaled") * 5 > col("sumabs")).cast("long").as("flag"))
+      .orderBy("event_type", "day")
+  }
+
+  val analyticsCusumSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_c
+      |  FROM events GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         CAST(SUM(day_c) AS BIGINT) AS sm
+      |  FROM daily GROUP BY event_type
+      |), devs AS (
+      |  SELECT d.event_type, d.day, d.day_c,
+      |         d.day_c * t.n - t.sm AS dev,
+      |         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+      |  FROM daily d JOIN tot t USING (event_type)
+      |), sumabs AS (
+      |  SELECT event_type, CAST(SUM(abs(dev)) AS BIGINT) AS sumabs
+      |  FROM devs GROUP BY event_type
+      |), fold AS (
+      |  SELECT event_type, day, day_c, rn,
+      |         GREATEST(CAST(0 AS BIGINT), dev) AS s
+      |  FROM devs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.event_type, x.day, x.day_c, x.rn,
+      |         GREATEST(CAST(0 AS BIGINT), f.s + x.dev)
+      |  FROM devs x JOIN fold f
+      |    ON x.event_type = f.event_type AND x.rn = f.rn + 1
+      |)
+      |SELECT f.event_type, f.day, f.day_c,
+      |       f.s AS cusum_scaled,
+      |       CAST(f.s * 5 > a.sumabs AS BIGINT) AS flag
+      |FROM fold f JOIN sumabs a USING (event_type)
+      |ORDER BY f.event_type, f.day""".stripMargin
 }
