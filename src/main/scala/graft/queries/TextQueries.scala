@@ -947,6 +947,74 @@ object TextQueries {
       |GROUP BY bg.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** `text_lm_score` — bigram language-model likelihood per document:
+    * the mean add-1-smoothed conditional probability
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), trained on the corpus itself —
+    * the linear-domain spelling of the KenLM-style "score the corpus
+    * with its own LM to find garbage" filter (log-domain perplexity
+    * needs ln, whose cross-engine bit stability the determinism
+    * doctrine excludes; the linear mean ranks documents the same way
+    * for filtering). Distinct from text_bigram_score, which sums RAW
+    * bigram frequencies: conditioning on the prefix count means a doc
+    * of common-but-incoherent word pairs scores low here.
+    *
+    * Determinism: every term is the integral floor
+    * (c+1)·1e6 DIV (c₁+V), summed as BIGINT, then one floor mean —
+    * the per-term-floor doctrine of analytics_hhi.
+    *
+    * Scale: the bigram/prefix count tables broadcast here (tiny
+    * vocabulary); at web scale they are shuffle joins whose
+    * stop-bigram skew takes the standard cap/salt treatment, and V is
+    * a broadcast scalar either way.
+    */
+  def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = TextOps.tokens(col("text"))
+    val m = greatest(size(toks) - 1, lit(0))
+    val zipped = arrays_zip(slice(toks, lit(1), m), slice(toks, lit(2), m))
+    val grams = when(size(toks) >= 2,
+      transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1")))
+    ).otherwise(array().cast("array<string>"))
+    val d = docs(spark, sfDir)
+    val bg = d.select(col("doc_id"), explode(grams).as("g"))
+      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
+      .cache() // feeds the bigram counts, the prefix counts, and scoring
+    val cnt = bg.groupBy("g").agg(count(lit(1)).as("cg"))
+    val pre = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = d.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg.join(broadcast(cnt), "g")
+      .join(broadcast(pre), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("term", expr("((cg + 1) * 1000000L) DIV (c1 + v)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(term) DIV count(1)").as("lm_score_1e6"))
+      .transform(RefQueries.gateSort(_, "doc_id"))
+  }
+
+  val textLmScoreSql: String = DuckToks +
+    """
+      |, bg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS g
+      |  FROM d
+      |), bgw AS (
+      |  SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM bg
+      |), cnt AS (SELECT g, COUNT(*) AS cg FROM bgw GROUP BY g),
+      |pre AS (SELECT w1, COUNT(*) AS c1 FROM bgw GROUP BY w1),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT t) AS v
+      |  FROM (SELECT unnest(toks) AS t FROM d)
+      |)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM((c.cg + 1) * 1000000 // (p.c1 + vocab.v))
+      |            // COUNT(*) AS BIGINT) AS lm_score_1e6
+      |FROM bgw b JOIN cnt c USING (g) JOIN pre p USING (w1), vocab
+      |GROUP BY b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- token normalization (stopwords + light stemming) ---------------
 
   /** `text_normalize` — the tokenizer-prep normalization pass: stopword
