@@ -980,7 +980,11 @@ object TextQueries {
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
       .cache() // feeds the bigram counts, the prefix counts, and scoring
     val cnt = bg.groupBy("g").agg(count(lit(1)).as("cg"))
-    val pre = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // prefix counts re-aggregate the BIGRAM-TYPE table (c₁(w₁) = Σ over
+    // its bigrams of cg), not the token-mass bg — one fewer full pass
+    val pre = cnt
+      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
+      .groupBy("w1").agg(sum(col("cg")).as("c1"))
     val vocab = d.select(explode(toks).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     bg.join(broadcast(cnt), "g")
@@ -1003,7 +1007,8 @@ object TextQueries {
       |), bgw AS (
       |  SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM bg
       |), cnt AS (SELECT g, COUNT(*) AS cg FROM bgw GROUP BY g),
-      |pre AS (SELECT w1, COUNT(*) AS c1 FROM bgw GROUP BY w1),
+      |pre AS (SELECT split_part(g, ' ', 1) AS w1,
+      |        CAST(SUM(cg) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
       |vocab AS (
       |  SELECT COUNT(DISTINCT t) AS v
       |  FROM (SELECT unnest(toks) AS t FROM d)
