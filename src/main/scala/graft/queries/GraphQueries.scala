@@ -66,6 +66,31 @@ object GraphQueries {
       .cache()
   }
 
+  /** [[tradeEdges]] with the trade count kept as the edge WEIGHT —
+    * same derivation, same threshold, for the weighted-propagation
+    * operators. Cached for the same multi-reference reason.
+    */
+  private def tradeEdgesWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val supp = table(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    val counted = li
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val total = counted.agg(sum("cnt").as("tot"))
+    counted.crossJoin(broadcast(total))
+      .where(col("cnt") * 550 >= col("tot"))
+      .select("src", "dst", "cnt")
+      .cache()
+  }
+
   /** The counted/edges CTE pair shared by every graph oracle. */
   private val EdgeCtes =
     """counted AS (
@@ -490,6 +515,78 @@ object GraphQueries {
        |JOIN deg d ON d.z = a1.nbr
        |GROUP BY 1, 2
        |ORDER BY a1.x, y""".stripMargin
+
+  /** `graph_pagerank_weighted` — PageRank with rank flowing in
+    * proportion to edge WEIGHT (trade volume), not split evenly across
+    * out-neighbors: each edge carries rank_src·w(src,dst) DIV W(src),
+    * the weighted-graph generalization (Xing & Ghorbani 2004) that a
+    * volume-skewed trade network actually wants — a nation trading 90%
+    * with one partner should push 90% of its rank there, which the
+    * uniform split of graph_pagerank flattens.
+    *
+    * Same doctrine as the uniform spelling: integral arithmetic
+    * throughout (the per-EDGE quotient is the one difference — no
+    * per-node pre-divide exists when weights differ per edge), the
+    * rank vector localCheckpoint'd per round with nothing collected,
+    * each round one broadcast-join + partial+final aggregate.
+    */
+  def graphPagerankWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val wedges = tradeEdgesWeighted(spark, sfDir)
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val nodeIds = nodes.localCheckpoint(true)
+    val totw = wedges.groupBy("src").agg(sum(col("cnt")).as("tw"))
+      .localCheckpoint(true)
+    var rank = nodeIds.withColumn("rank", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val sums = wedges
+        .join(broadcast(rank.join(totw, rank("node") === totw("src"))
+          .select(col("src"), col("rank"), col("tw"))), "src")
+        .select(col("dst").as("node"), expr("(rank * cnt) DIV tw").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val next = nodeIds
+        .join(broadcast(sums), Seq("node"), "left")
+        .select(col("node"),
+          expr("150000L + (850L * coalesce(s, 0L)) DIV 1000L").as("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rank)
+      rank = next
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(totw)
+    rank.select(col("node").as("nationkey"), col("rank"))
+      .orderBy(desc("rank"), col("nationkey"))
+  }
+
+  /** Unrolled like graphPagerankSql; the per-edge quotient
+    * r.rank·e.cnt // t.tw mirrors the Spark round exactly.
+    */
+  val graphPagerankWeightedSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + 850 * COALESCE(c.s, 0) // 1000 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank * e.cnt // t.tw) AS s
+         |    FROM wedges e
+         |    JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN totw t ON t.src = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.node = n.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, wedges AS (
+       |  SELECT src, dst, cnt FROM counted
+       |  WHERE cnt * 550 >= (SELECT SUM(cnt) FROM counted)
+       |), totw AS (
+       |  SELECT src, CAST(SUM(cnt) AS BIGINT) AS tw FROM wedges GROUP BY src
+       |), nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), r0 AS (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+       |), $rounds
+       |SELECT node AS nationkey, rank FROM r$Iters
+       |ORDER BY rank DESC, nationkey""".stripMargin
+  }
 
   private val HitsIters = 3
 
