@@ -158,6 +158,63 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(toks == names) // injective on this corpus => joins survive
   }
 
+  test("analytics_cusum equals a driver-side integer fold") {
+    val rows = graft.queries.RefQueries.table(spark, sf, "events")
+      .selectExpr("event_type", "ts DIV 1000 DIV 86400000000 AS day",
+        "CAST(round(value * 100) AS LONG) AS cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      val byDay = rs.groupBy(_._2).toSeq
+        .map { case (d, xs) => (d, xs.map(_._3).sum) }.sortBy(_._1)
+      val n = byDay.size.toLong
+      val sm = byDay.map(_._2).sum
+      val devs = byDay.map { case (d, c) => (d, c, c * n - sm) }
+      val sumabs = devs.map(x => math.abs(x._3)).sum
+      var s = 0L
+      devs.map { case (d, c, dev) =>
+        s = math.max(0L, s + dev)
+        (tpe, d, c, s, if (s * 5 > sumabs) 1L else 0L)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.queries.StatQueries.analyticsCusum(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.exists(_._5 == 1L)) // the flag actually fires
+  }
+
+  test("weighted pagerank: rank mass flows proportionally (driver recompute)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    val counted = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tot = counted.map(_._3).sum
+    val wedges = counted.filter(c => c._3 * 550 >= tot)
+    val totw = wedges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val sums = nodes.map(n => n -> wedges.filter(_._2 == n)
+        .map(e => rank(e._1) * e._3 / totw(e._1)).sum).toMap
+      rank = nodes.map(n => n -> (150000L + 850L * sums(n) / 1000L)).toMap
+    }
+    val want = nodes.map(n => (n, rank(n))).sortBy(x => (-x._2, x._1)).toSeq
+    val got = graft.queries.GraphQueries.graphPagerankWeighted(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("sim_topk_dot_int8: quantization error is bounded per pair") {
     // worst-case bound: per-dim error <= (|a|+|b|+eps)*amax/254, summed
     // over 64 dims with amax ~0.3 gives ~0.05; assert the loose 0.1
