@@ -165,4 +165,38 @@ object PipelineQueries {
       |SELECT doc_id, source, n_chars, weight, u
       |FROM coin WHERE u < weight
       |ORDER BY doc_id""".stripMargin
+
+  /** `corpus_cap_per_source` — per-source document cap, the
+    * "cap documents per domain" curation step (C4/Dolma-style): no
+    * single source may contribute more than `Cap` documents, and the
+    * survivors are the best of that source — ranked here by length
+    * descending (the cheap quality proxy; a production pipeline ranks
+    * by the composed quality score) with doc_id as the deterministic
+    * tie-break. Balances the mixture against crawl-frequency bias,
+    * which the quality filters alone cannot do.
+    *
+    * Scale: one shuffle on source + a per-partition top-Cap window —
+    * rank truncation keeps state O(Cap) per source under AQE; at real
+    * scale a hot source is exactly the case the cap exists for.
+    */
+  def corpusCapPerSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val Cap = 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= Cap)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy("source", "rk")
+  }
+
+  val corpusCapPerSourceSql: String =
+    """SELECT source, CAST(row_number() OVER w AS BIGINT) AS rk,
+      |       doc_id, n_chars
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+      |QUALIFY row_number() OVER w <= 10
+      |ORDER BY source, rk""".stripMargin
 }
