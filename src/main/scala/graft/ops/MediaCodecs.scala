@@ -109,6 +109,36 @@ object MediaCodecs {
     * NOT thread-safe (ImageReader holds per-decode state) — per
     * partition, never shared.
     */
+  /** Reusable JPEG encoder — the write-side sibling of RasterDecoder.
+    * `ImageIO.write(img, "jpg", os)` pays a per-call writer-registry
+    * lookup AND (with the default `ImageIO.useCache = true`) spools
+    * every image through a temp-FILE-backed FileCacheImageOutputStream
+    * — one disk file create/write/delete per frame, serialized through
+    * the filesystem and a synchronized registry at 32 threads. One
+    * instance per partition holds ONE ImageWriter and streams through
+    * an in-heap MemoryCacheImageOutputStream: zero disk, zero registry
+    * traffic on the hot path. Not thread-safe (one per partition).
+    */
+  final class JpegEncoder {
+    private val writer: javax.imageio.ImageWriter = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+      if (!it.hasNext) throw new IllegalStateException("JDK jpeg writer missing")
+      it.next()
+    }
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally {
+        try ios.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
+      bos.toByteArray
+    }
+  }
+
   final class RasterDecoder {
     private val readers =
       scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
@@ -686,7 +716,17 @@ object MediaCodecs {
     * dimensions → None rather than a wrong answer.
     */
   def decodeAviMjpegFrames(bytes: Array[Byte],
-      everyK: Int): Option[(Int, Int, Seq[Array[Int]])] = {
+      everyK: Int): Option[(Int, Int, Seq[Array[Int]])] =
+    decodeAviMjpegFrames(bytes, everyK, new RasterDecoder)
+
+  /** Decoder-reuse overload: callers iterating many containers on one
+    * executor thread (mapPartitions) pass ONE RasterDecoder so the
+    * imageio reader lookup happens once per partition, not per row —
+    * getImageReadersByFormatName walks a synchronized plugin registry,
+    * a measurable contention point at 32 threads.
+    */
+  def decodeAviMjpegFrames(bytes: Array[Byte], everyK: Int,
+      decoder: RasterDecoder): Option[(Int, Int, Seq[Array[Int]])] = {
     if (everyK <= 0) return None
     try {
       def u32(o: Int): Long =
@@ -731,7 +771,6 @@ object MediaCodecs {
       }
       scanChunks(start, end)
       if (frames.isEmpty) return None
-      val decoder = new RasterDecoder
       val planes = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
       var dims: Option[(Int, Int)] = None
       var i = 0

@@ -934,9 +934,9 @@ object StreamQueries {
     * Scale: one narrow typed map per document — encode and decode never
     * leave the executor, nothing shuffles but the gate sort. At 100 TB
     * the same map runs over stored video blobs instead of synthesized
-    * ones; per-partition decoder reuse inside decodeAviMjpegFrames (one
-    * RasterDecoder per call, one call per row) keeps imageio reader
-    * churn off the hot path.
+    * ones; ONE JpegEncoder + ONE RasterDecoder + one reused frame
+    * buffer per PARTITION (mapPartitions) keeps imageio registry
+    * lookups and temp-file spooling entirely off the hot path.
     */
   def multimodalVideoFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -945,37 +945,47 @@ object StreamQueries {
       // oracle twin carries the same WHERE
       .where(octet_length(col("text")) >= 4)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
-        val nf = 2 + (id % 3).toInt
+      // mapPartitions, not map: the codec objects are the cost. A
+      // per-row ImageIO.write does a synchronized writer-registry
+      // lookup AND (useCache=true default) spools each frame through a
+      // temp FILE; a per-row RasterDecoder repeats the reader-registry
+      // lookup. At 32 threads those serialize on the registry lock and
+      // the filesystem — the r9 3.4x bench regression. One encoder,
+      // one decoder, one reused frame buffer per PARTITION instead.
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val enc = new graft.ops.MediaCodecs.JpegEncoder
+        val dec = new graft.ops.MediaCodecs.RasterDecoder
         val (w, h) = (16, 8)
-        val jpegs = Array.tabulate(nf) { i =>
-          val g = (bytes(i) & 0xff) % 4 * 64 + 32
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val r = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { r.setSample(x, y, 0, g); x += 1 }
-            y += 1
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val nf = 2 + (id % 3).toInt
+          val jpegs = Array.tabulate(nf) { i =>
+            val g = (bytes(i) & 0xff) % 4 * 64 + 32
+            val r = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { r.setSample(x, y, 0, g); x += 1 }
+              y += 1
+            }
+            enc.encode(img)
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
+          val avi = graft.ops.MediaCodecs.encodeMjpegAvi(jpegs.toSeq, w, h)
+          // production decode: sample every 2nd frame (0, 2, ...)
+          val (dw, dh, planes) = graft.ops.MediaCodecs
+            .decodeAviMjpegFrames(avi, everyK = 2, dec)
+            .getOrElse((0, 0, Seq.empty[Array[Int]])) // unreachable: valid AVI by construction
+          val levels = planes.map { p =>
+            val mean = p.sum.toDouble / p.length
+            val idx = math.round((mean - 32.0) / 64.0).toInt.max(0).min(3)
+            (idx * 64 + 32).toLong
+          }
+          (id, dw.toLong, dh.toLong, nf.toLong, planes.length.toLong,
+            levels.head, levels.last, levels.sum)
         }
-        val avi = graft.ops.MediaCodecs.encodeMjpegAvi(jpegs.toSeq, w, h)
-        // production decode: sample every 2nd frame (0, 2, ...)
-        val (dw, dh, planes) = graft.ops.MediaCodecs
-          .decodeAviMjpegFrames(avi, everyK = 2)
-          .getOrElse((0, 0, Seq.empty[Array[Int]])) // unreachable: valid AVI by construction
-        val levels = planes.map { p =>
-          val mean = p.sum.toDouble / p.length
-          val idx = math.round((mean - 32.0) / 64.0).toInt.max(0).min(3)
-          (idx * 64 + 32).toLong
-        }
-        (id, dw.toLong, dh.toLong, nf.toLong, planes.length.toLong,
-          levels.head, levels.last, levels.sum)
       }
       .toDF("doc_id", "width", "height", "n_frames", "n_sampled",
         "lv_first", "lv_last", "lv_sum")
