@@ -756,6 +756,15 @@ object StatQueries {
     * identically in the oracle. Only full 7-day windows emit (a
     * partial-window σ is not the 7-day band).
     *
+    * Overflow horizon: the squared term `day_c * day_c` is BIGINT, so a
+    * single (type, day) exceeding ~3.03e9 cents (≈ $30.4M/day) would
+    * overflow — where non-ANSI Spark wraps silently and DuckDB errors,
+    * a cross-engine divergence. The gated corpus tops out around 1e7
+    * cents/day (values ≤ 1000.0, ≤ ~1e4 events/type/day at sf0.1),
+    * five orders of magnitude inside the horizon; a 100 TB deployment
+    * crossing it must widen the squared term to DECIMAL(38,0) before
+    * summing (same doctrine note as analytics_hhi).
+    *
     * Scale: one shuffle on event_type for the daily rollup (map-side
     * combined), then a per-type ROWS window over O(days) rows.
     */

@@ -222,6 +222,12 @@ object StreamQueries {
     table(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").cast("long").as("us"), col("event_type"))
+      // pre-window NULL filter, mirrored in the oracle: concat_ws
+      // SKIPS NULLs while DuckDB's || PROPAGATES them, so a NULL
+      // event_type reaching the path build would diverge the engines
+      // (2-part path here vs NULL-grouped row there). Filtering before
+      // the window keeps the lead() sequences aligned too.
+      .where(col("event_type").isNotNull)
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
       .where(col("e2").isNotNull && col("e3").isNotNull)
@@ -239,7 +245,7 @@ object StreamQueries {
       |         event_type || '>' || lead(event_type, 1) OVER w
       |           || '>' || lead(event_type, 2) OVER w AS path,
       |         lead(event_type, 2) OVER w AS e3
-      |  FROM events
+      |  FROM events WHERE event_type IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |)
       |SELECT path, COUNT(*) AS n_occurrences,
