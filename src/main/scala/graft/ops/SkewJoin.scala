@@ -24,33 +24,57 @@ object SkewJoin {
     * the KEY column still spread because the unique columns differ.
     * Prefer this whenever a stable unique set exists.
     *
-    * Without `saltBy` the fallback is a per-row ordinal
-    * (monotonically_increasing_id), NOT a row-content hash: hashing all
-    * columns (a) fails analysis on MapType columns (xxhash64 rejects
-    * maps) and (b) degenerates to ZERO spread when the hot key's rows
-    * are FULL duplicates — replayed/denormalized records, the classic
-    * skew shape. KNOWN HAZARD of the fallback: the ordinal is
-    * nondeterministic across stage re-execution, so a partial map-stage
-    * recompute (shuffle fetch failure) can re-salt a row differently
-    * and duplicate/drop it in the join. Single-attempt runs (and any
-    * run with no fetch failures — the overwhelmingly common case) are
-    * unaffected; pass `saltBy` where correctness under retry matters.
+    * Without `saltBy` the fallback is `xxhash64` over every MAP-FREE
+    * column of the big side (xxhash64 rejects MapType anywhere in a
+    * type, so those columns are excluded; a row with NO hashable
+    * columns is refused — pass `saltBy`). The fallback is therefore
+    * DETERMINISTIC under stage re-execution too — a recomputed map
+    * task re-salts every row identically, so a shuffle-fetch-failure
+    * retry can never duplicate or drop a join row. The deliberate
+    * trade: when the hot key's rows are FULL duplicates (replayed /
+    * denormalized records), content hashing lands them on ONE salt —
+    * spread degrades to the unsalted shape for that key, but the join
+    * stays correct. A per-row ordinal would spread those duplicates
+    * and was the previous fallback, but monotonically_increasing_id is
+    * nondeterministic across partial stage recomputes — a correctness
+    * hazard in exchange for spread, the wrong side of the trade. Pass
+    * `saltBy` (any stable unique set) to get both.
     */
-  private def saltExpr(saltBy: Seq[Column], salts: Int): Column =
+  private def saltExpr(big: DataFrame, saltBy: Seq[Column], salts: Int): Column =
     if (saltBy.nonEmpty) pmod(xxhash64(saltBy: _*), lit(salts.toLong))
-    else pmod(monotonically_increasing_id(), lit(salts.toLong))
+    else {
+      val hashable = big.schema.fields
+        .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+      require(hashable.nonEmpty,
+        "saltedInnerJoin: every big-side column contains a MapType, so no " +
+          "deterministic content salt exists — pass saltBy explicitly")
+      pmod(xxhash64(hashable.toIndexedSeq: _*), lit(salts.toLong))
+    }
+
+  /** xxhash64 rejects MapType at any nesting depth — mirror that check
+    * so the fallback never selects a column that would fail analysis.
+    */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => containsMap(e)
+      case StructType(fs) => fs.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
 
   /** Inner equi-join of `big` (skewed on `bigKey`) with `small`,
     * spreading each big-side key over `salts` buckets. `small` is
     * replicated `salts`× via an exploded literal range — fine because the
     * replicated side is the small one. See [[saltExpr]] for the
-    * deterministic-vs-ordinal salt contract.
+    * salt-determinism contract (saltBy hash, else content hash).
     */
   def saltedInnerJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salts: Int = 16,
       saltBy: Seq[Column] = Nil): DataFrame = {
     require(salts > 0)
-    val salted = big.withColumn("__salt", saltExpr(saltBy, salts))
+    val salted = big.withColumn("__salt", saltExpr(big, saltBy, salts))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated,
@@ -173,10 +197,10 @@ object SkewJoin {
       big.join(small, big(bigKey) === small(smallKey), "inner")
     } else {
       // see saltExpr: deterministic unique-column hash when the caller
-      // names one, per-row ordinal fallback otherwise (duplicate hot
-      // rows must not collapse onto one salt)
+      // names one, deterministic content hash otherwise — retry-safe
+      // either way
       val salted = big.withColumn("__salt",
-        when(col(bigKey).isin(hot: _*), saltExpr(saltBy, salts))
+        when(col(bigKey).isin(hot: _*), saltExpr(big, saltBy, salts))
           .otherwise(lit(0L)))
       val replicated = small.withColumn("__salt",
         explode(when(col(smallKey).isin(hot: _*),

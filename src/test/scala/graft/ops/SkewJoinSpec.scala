@@ -142,6 +142,38 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(spread >= 6L, s"expected hash salt to spread the hot key, got $spread")
   }
 
+  test("no-saltBy fallback: content hash, retry-deterministic, map-safe") {
+    // the fallback salt is a pure function of row CONTENT — the same
+    // row salts identically on any recompute or input partitioning, so
+    // a partial map-stage retry can never duplicate/drop a join row
+    // (the monotonically_increasing_id ordinal it replaced could).
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "payload", "name")
+    val a = SkewJoin.saltedInnerJoin(big, small, "k", "sk", salts = 8)
+      .select("k", "payload", "name")
+    assert(a.exceptAll(plain).isEmpty && plain.exceptAll(a).isEmpty)
+    // partitioning-invariance: a different input layout yields the
+    // exact same multiset (the retry-safety observable)
+    val b = SkewJoin.saltedInnerJoin(big.repartition(7), small, "k", "sk",
+      salts = 8).select("k", "payload", "name")
+    assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty)
+    // and no ordinal survives anywhere in any salted join plan
+    val plan = a.queryExecution.analyzed.toString
+    assert(!plan.contains("monotonically_increasing_id"),
+      s"ordinal salt must be gone:\n$plan")
+    // MapType columns are excluded from the content hash, not a
+    // hash-all analysis failure
+    val withMap = big.withColumn("m", map(col("payload"), col("payload")))
+    val jm = SkewJoin.saltedInnerJoin(withMap, small, "k", "sk", salts = 8)
+    assert(jm.count() == plain.count())
+    // full duplicates collapse onto one salt — the documented spread
+    // trade for determinism; counts stay exact
+    val dups = spark.range(0, 1000)
+      .select(lit(Monster).as("k"), lit(42L).as("payload"))
+    assert(SkewJoin.saltedInnerJoin(dups, small, "k", "sk", salts = 8)
+      .count() == 1000L)
+  }
+
   test("AQE splits the skewed SMJ partition (skew=true in the adaptive plan)") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
