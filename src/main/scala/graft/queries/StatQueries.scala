@@ -838,7 +838,7 @@ object StatQueries {
     * aggregate would multiply in segment-tree order — different bits).
     *
     * Scale: two hash aggregates down to O(distinct durations) step
-    * rows; the O(k²) prefix fold runs over that tiny step table (k ≈
+    * rows; ONE linear state-array fold over that tiny step table (k ≈
     * observation span in days), never over users.
     */
   def analyticsSurvival(spark: SparkSession, sfDir: String): DataFrame = {
@@ -863,18 +863,35 @@ object StatQueries {
       .select(col("dur").as("t"), col("d"),
         (col("total") - col("gone")).as("n"))
       .where(col("d") > 0)
-    // all steps into ONE ordered array (k rows), then the exact left
-    // fold per prefix: surv_j = fold over steps 1..j of acc·(1−d/n)
+    // all steps into ONE ordered array (k rows), then ONE linear left
+    // fold whose accumulator carries (current product, all prefix
+    // products so far): out[i] is exactly the fold of factors 1..i+1,
+    // the same IEEE multiply sequence the old per-row
+    // aggregate(slice(arr, 1, i+1), …) re-ran from scratch — that
+    // shape was O(k²) lambda evaluations per group; this is O(k) fold
+    // steps (the array concat copies keep it O(k²) in 8-byte moves,
+    // negligible next to interpreted expression evals). Identical
+    // bits, since prefix j's value is the identical ordered product.
     steps
       .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n"))))
         .as("arr"))
-      .select(posexplode(col("arr")).as(Seq("i", "s")), col("arr"))
+      .select(col("arr"),
+        aggregate(col("arr"),
+          struct(lit(1.0).as("s"),
+            array().cast("array<double>").as("out")),
+          (acc, x) => {
+            val newS = acc.getField("s") * (lit(1.0) -
+              x.getField("d").cast(DoubleType) /
+                x.getField("n").cast(DoubleType))
+            struct(newS.as("s"),
+              concat(acc.getField("out"), array(newS)).as("out"))
+          },
+          acc => acc.getField("out")).as("surv"))
+      .select(posexplode(arrays_zip(col("arr"), col("surv")))
+        .as(Seq("i", "z")))
       .select(
-        col("s.t").as("t"), col("s.n").as("n_risk"), col("s.d").as("d_events"),
-        aggregate(slice(col("arr"), lit(1), col("i") + 1), lit(1.0),
-          (acc, x) => acc * (lit(1.0) -
-            x.getField("d").cast(DoubleType) / x.getField("n").cast(DoubleType)))
-          .as("survival"))
+        col("z.arr.t").as("t"), col("z.arr.n").as("n_risk"),
+        col("z.arr.d").as("d_events"), col("z.surv").as("survival"))
       .orderBy("t")
   }
 
@@ -923,35 +940,40 @@ object StatQueries {
     *
     * Determinism: ENTIRELY integer. Deviations are scaled by n
     * (dev = day_c·n − sm, units cents·n) so the mean never becomes a
-    * rational; the recurrence is an exact left fold in ascending-day
-    * order (Spark: aggregate() prefix fold; oracle: the recursive-CTE
-    * fold proven on analytics_survival — max/+ on BIGINTs, no floats
-    * anywhere).
+    * rational. The recurrence sᵢ = max(0, sᵢ₋₁ + devᵢ) is evaluated
+    * through its exact closed form sᵢ = Cᵢ − min(0, min_{j≤i} Cⱼ)
+    * with Cᵢ the running deviation sum (induction: s₁ = max(0, C₁) =
+    * C₁ − min(0, C₁); sᵢ = max(0, Cᵢ − mᵢ₋₁) = Cᵢ − min(mᵢ₋₁, Cᵢ, 0)
+    * = Cᵢ − mᵢ) — running sum and running min over BIGINTs, so the
+    * integers are bit-identical to the oracle's recursive-CTE left
+    * fold of the recurrence itself, no floats anywhere.
     *
-    * Scale: one hash aggregate to O(types × days) rows, the fold runs
-    * per type over its O(days) step array.
+    * Scale: one hash aggregate to O(types × days) rows, then two
+    * cumulative window passes per type — linear in series length and
+    * fully whole-stage-codegen, no per-row array re-folds (the
+    * previous aggregate(slice(arr, 1, i+1)) shape was O(days²)
+    * interpreted lambda evals per type) and no O(series) array in
+    * memory, so a series longer than a collect_list can hold is fine.
     */
   def analyticsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val daily = table(spark, sfDir, "events")
       .groupBy(col("event_type"),
         expr("(ts div 1000) div 86400000000").cast("long").as("day"))
       .agg(sum(cents(col("value"))).as("day_c"))
-    daily.groupBy("event_type")
-      .agg(
-        sort_array(collect_list(struct(col("day"), col("day_c")))).as("arr"),
-        count(lit(1)).as("n"), sum(col("day_c")).as("sm"))
-      .withColumn("sumabs",
-        aggregate(col("arr"), lit(0L),
-          (acc, x) => acc + abs(x.getField("day_c") * col("n") - col("sm"))))
-      .select(col("event_type"), col("n"), col("sm"), col("sumabs"),
-        posexplode(col("arr")).as(Seq("i", "s")), col("arr"))
-      .select(col("event_type"), col("s.day").as("day"),
-        col("s.day_c").as("day_c"),
-        aggregate(slice(col("arr"), lit(1), col("i") + 1), lit(0L),
-          (acc, x) => greatest(lit(0L),
-            acc + (x.getField("day_c") * col("n") - col("sm"))))
-          .as("cusum_scaled"),
-        col("sumabs"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("day_c")).as("sm"))
+    // O(types) rows — broadcast the totals back onto the daily series
+    val dev = daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("dev", col("day_c") * col("n") - col("sm"))
+    val wRun = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    dev
+      .withColumn("c", sum(col("dev")).over(wRun))
+      .withColumn("m", min(col("c")).over(wRun))
+      .withColumn("cusum_scaled", col("c") - least(lit(0L), col("m")))
+      .withColumn("sumabs", sum(abs(col("dev"))).over(wAll))
       .select(col("event_type"), col("day"), col("day_c"),
         col("cusum_scaled"),
         (col("cusum_scaled") * 5 > col("sumabs")).cast("long").as("flag"))
