@@ -127,6 +127,36 @@ object SourceQueries {
     """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** `source_avro_roundtrip` — the row-oriented lake format: orders
+    * through [[graft.sources.AvroSource]]'s container-file writer and
+    * reader (built on the core avro library — no spark-avro connector
+    * on this classpath). What this gates is lossless typed round-
+    * tripping through Avro's binary encoding plus the writer's
+    * StructType→record-schema mapping (nullable = (null|T) union) and
+    * the reader's file-parallel decode. Avro is the one mainstream
+    * batch format the CSV/JSONL/ORC/parquet gates didn't cover — the
+    * standard landing format for row-streamed ingest (Kafka dumps,
+    * CDC feeds) that a 100 TB pipeline reads before columnarizing.
+    */
+  def sourceAvroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagingDir("avro")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    graft.sources.AvroSource.write(
+      table(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+      dir)
+    graft.sources.AvroSource.read(spark, dir, schema)
+      .orderBy("o_orderkey")
+  }
+
+  val sourceAvroRoundtripSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** `source_merge_schema` — schema evolution on read: two parquet
     * batches written with DIFFERENT column sets (an early ingest with
     * (key, name), a later one with (key, size, retailprice)), read back
