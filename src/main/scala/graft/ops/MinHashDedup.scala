@@ -142,17 +142,7 @@ object MinHashDedup {
     * rows — never all-pairs.
     */
   private def bandCandidates(sh: DataFrame, k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0)
-    val r = k / bands
-    val sig = sh.select(col("doc_id"),
-      signatureNative(col("shingle_set"), k).as("sig"))
-    val bandRows = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        val slice = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
-        struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bandRows = bandRowsFromShingles(sh, k, bands)
     val a = bandRows.as("a")
     val b = bandRows.as("b")
     a.join(b,
@@ -160,6 +150,102 @@ object MinHashDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
+  }
+
+  /** (doc_id, band, bucket) rows from a shingle frame — the banded
+    * signature derivation shared by the one-shot join and the
+    * persistable [[bandIndex]].
+    */
+  private def bandRowsFromShingles(sh: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val sig = sh.select(col("doc_id"),
+      signatureNative(col("shingle_set"), k).as("sig"))
+    sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        val slice = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
+        struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** The PERSISTABLE LSH index of a corpus: one (doc_id, band, bucket)
+    * row per band per doc — O(docs·bands) rows, the exact join-side
+    * shape candidate generation consumes. Write this to parquet
+    * (partition by band for co-located probes) and the next batch
+    * dedups against the corpus WITHOUT re-shingling or re-hashing it —
+    * the production incremental-ingest contract
+    * ([[incrementalNearDupPairs]]). The permutation constants are
+    * deterministic (`perm`), so an index built today and a signature
+    * built next month bucket identically at the same (k, bands).
+    */
+  def bandIndex(docs: DataFrame, n: Int = 2, k: Int = 128,
+      bands: Int = 32): DataFrame =
+    bandRowsFromShingles(
+      Dedup.shingles(docs, n).where(size(col("shingle_set")) > 0), k, bands)
+
+  /** Incremental near-dup detection of `newDocs` against a PRIOR
+    * corpus represented by its persisted [[bandIndex]] — the common
+    * production shape: per ingest batch, only the batch is shingled,
+    * minhashed and banded (k·|shingles| work on batch rows ONLY), then
+    * one (band, bucket) equi-join probes the index for cross-corpus
+    * candidates plus a self-join for batch-internal ones. Emits every
+    * pair (d1 < d2) with exact Jaccard ≥ threshold where AT LEAST ONE
+    * side is a batch doc — exactly the new pairs a full-corpus rerun
+    * would add, at batch-sized instead of corpus-sized hashing cost.
+    *
+    * `priorDocs` supplies the TEXT of prior docs for the exact-Jaccard
+    * verification step, but only candidates' partners are touched: the
+    * candidate ids semi-join `priorDocs` first, so re-shingling is
+    * O(matched docs), not O(corpus). (A production index could instead
+    * store each doc's shingle set or signature alongside its band rows
+    * and skip the text fetch entirely; the verify-against-text shape
+    * keeps the zero-false-positive contract of [[nearDupPairs]].)
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, index: DataFrame,
+      priorDocs: DataFrame, n: Int = 2, threshold: Double = 0.7,
+      k: Int = 128, bands: Int = 32): DataFrame = {
+    val newSh = Dedup.shingles(newDocs, n)
+      .where(size(col("shingle_set")) > 0)
+      .cache()
+    val newBands = bandRowsFromShingles(newSh, k, bands)
+    val a = newBands.as("a")
+    // batch × index: either orientation (a batch doc can be the lower
+    // OR higher id), normalized to d1 < d2
+    val cross = a.join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+    // batch × batch: the new docs also dedup among themselves
+    val within = a.join(newBands.as("c"),
+        col("a.band") === col("c.band") && col("a.bucket") === col("c.bucket") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("c.doc_id").as("d2"))
+    val cands = cross.union(within).dropDuplicates("d1", "d2")
+    // exact-Jaccard verification: shingle only the prior docs that
+    // actually appear in a candidate pair (semi-join), plus the batch
+    val candIds = cands
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    val priorSh = Dedup.shingles(
+      priorDocs.join(candIds, Seq("doc_id"), "left_semi"), n)
+    val allSh = newSh.select("doc_id", "shingle_set")
+      .union(priorSh.select("doc_id", "shingle_set"))
+      .dropDuplicates("doc_id")
+    cands
+      .join(allSh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
+      .join(allSh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")
+      .withColumn("intersect_size", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("n1", size(col("s1")))
+      .withColumn("n2", size(col("s2")))
+      .withColumn("jaccard",
+        col("intersect_size").cast("double") /
+          (col("n1") + col("n2") - col("intersect_size")))
+      .where(col("jaccard") >= threshold)
+      .select("d1", "d2", "intersect_size", "n1", "n2", "jaccard")
   }
 
   /** MinHash CONTAINMENT dedup — the scale analogue of

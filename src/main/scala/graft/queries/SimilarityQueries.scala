@@ -179,6 +179,34 @@ object SimilarityQueries {
   /** Must equal the exact inverted-index algorithm's output at 0.7. */
   val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSqlAt(0.7)
 
+  /** `dedup_incremental_index` — cross-snapshot incremental MinHash
+    * dedup (MinHashDedup.incrementalNearDupPairs): the PRIOR corpus
+    * (doc_id % 10 != 0) is banded once into a persistable LSH index —
+    * round-tripped through parquet here to prove the persistence
+    * contract — and the NEW batch (doc_id % 10 == 0) dedups against it
+    * with batch-sized hashing only: the prior corpus is never
+    * re-shingled or re-minhashed (verification touches only matched
+    * partners via a semi-join). Gated against the full-corpus EXACT
+    * Jaccard oracle restricted to pairs touching the batch — proving
+    * index-probe ∪ batch-self equals what a from-scratch rerun would
+    * add, the invariant that makes index reuse safe in production.
+    * Same 0.7/r=4/b=32 recall contract as dedup_minhash_lsh.
+    */
+  def dedupIncrementalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val prior = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val indexDir = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-" +
+      s"${ProcessHandle.current().pid()}"
+    MinHashDedup.bandIndex(prior).write.mode("overwrite").parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
+    MinHashDedup.incrementalNearDupPairs(batch, index, prior, threshold = 0.7)
+      .orderBy("d1", "d2")
+  }
+
+  val dedupIncrementalIndexSql: String =
+    TextQueries.dedupNgramJaccardSqlAt(0.7, "d1 % 10 = 0 OR d2 % 10 = 0")
+
   /** `dedup_containment_minhash` — the sketch sibling of
     * `dedup_containment` (MinHashDedup.containmentPairs). Gated on the
     * DEFAULT r=4 banding, which is sound for THIS corpus: size ratios

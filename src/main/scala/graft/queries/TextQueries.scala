@@ -158,7 +158,12 @@ object TextQueries {
   /** Exact-Jaccard oracle at an arbitrary threshold (shared by the exact
     * query at 0.5 and the MinHash gate at 0.7 — see SimilarityQueries).
     */
-  def dedupNgramJaccardSqlAt(threshold: Double): String = DuckToks +
+  /** Exact-Jaccard pair oracle at `threshold`; `pairWhere` optionally
+    * restricts which (d1, d2) pairs qualify (e.g. the incremental-index
+    * gate keeps only pairs touching the new batch).
+    */
+  def dedupNgramJaccardSqlAt(threshold: Double,
+      pairWhere: String = ""): String = DuckToks +
     s"""
       |, sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
@@ -175,6 +180,7 @@ object TextQueries {
       |       CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) AS jaccard
       |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
       |WHERE CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) >= $threshold
+      |${if (pairWhere.nonEmpty) s"  AND ($pairWhere)" else ""}
       |ORDER BY d1, d2""".stripMargin
 
   // same text as the parameterized oracle at 0.5 — aliasing (instead of

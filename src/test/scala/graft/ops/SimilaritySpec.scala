@@ -131,6 +131,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.exceptAll(mh).isEmpty && mh.exceptAll(exact).isEmpty)
   }
 
+  test("incremental index dedup equals full rerun on batch-touching pairs") {
+    // the index-reuse invariant: band the prior corpus once, dedup the
+    // new batch against the persisted index, and the result must be
+    // EXACTLY the batch-touching subset of a full-corpus rerun — no
+    // pair lost to index staleness, none invented. Split 90/10 like
+    // the gate; also pin that a batch with no near-dups yields empty.
+    val prior = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val index = MinHashDedup.bandIndex(prior)
+    val inc = MinHashDedup
+      .incrementalNearDupPairs(batch, index, prior, threshold = 0.7)
+      .select("d1", "d2")
+    val full = MinHashDedup.nearDupPairs(docs, 2, 0.7)
+      .where(col("d1") % 10 === 0 || col("d2") % 10 === 0)
+      .select("d1", "d2")
+    assert(full.exceptAll(inc).isEmpty && inc.exceptAll(full).isEmpty)
+    assert(inc.count() > 0, "split must actually exercise cross pairs")
+    import spark.implicits._
+    val loner = Seq((1000001L, "completely unrelated singleton text"))
+      .toDF("doc_id", "text")
+    assert(MinHashDedup
+      .incrementalNearDupPairs(loner, index, prior, threshold = 0.7)
+      .count() == 0)
+  }
+
   test("native PQ encode/ADC kernels equal the interpreted spellings") {
     import org.apache.spark.sql.functions._
     val (m, ks) = (8, 16)
