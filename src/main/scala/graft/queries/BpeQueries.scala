@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Bpe
+
+/** Oracle-gated BPE subword tokenization queries (ops.Bpe).
+  *
+  * The DuckDB twins unroll the fixed merge rounds as CTE chains (the
+  * same unrolled-iteration technique as the pagerank/HITS oracles).
+  * The greedy left-to-right merge is restated per round via the
+  * ISLAND-PARITY rule: a match position i (syms[i]=pa ∧ syms[i+1]=pb)
+  * merges iff its rank inside its maximal run of CONSECUTIVE match
+  * positions is odd — exactly the matches the greedy scan takes, since
+  * each merge consumes the following overlap. Window functions compute
+  * runs (gaps-and-islands), list_transform rebuilds the arrays.
+  */
+object BpeQueries {
+  import RefQueries.table
+
+  /** Fixed merge-round budget shared by the Spark loop and the oracle
+    * unroll — enough rounds to learn multi-character units on the test
+    * corpus while keeping the generated SQL readable.
+    */
+  val Rounds = 6
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents").select("doc_id", "text")
+
+  // ---- Spark sides ---------------------------------------------------
+
+  /** `text_bpe_merges` — the learned merge table itself: (round, pa,
+    * pb, cnt), the artifact a production pipeline persists and ships
+    * to its tokenizer. Gating the rules (not just the encodings) pins
+    * the argmax arithmetic, the tie-break, and the greedy re-merge
+    * state every round.
+    */
+  def textBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val (merges, _) = Bpe.learn(docs(spark, sfDir), Rounds)
+    merges.orderBy("round")
+  }
+
+  /** `text_bpe_encode` — per-document subword statistics under the
+    * learned segmentation: subword count (the REAL token budget, vs
+    * the whitespace proxy in text_tokens), the id-sum checksum, and
+    * the first/last subword ids in document order. Scalars rather than
+    * the id array keep the gate hash stable while still pinning the
+    * full sequence: count + sum + ordered endpoints over dense
+    * lexicographic ids leave no room for a wrong segmentation of any
+    * document to cancel out across the corpus.
+    */
+  def textBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val (_, types) = Bpe.learn(d, Rounds)
+    val enc = Bpe.encode(d, types, Bpe.vocab(types))
+    enc
+      .withColumn("ord", col("pos") * 100000 + col("sp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_subwords"),
+        sum(col("id")).as("id_sum"),
+        min_by(col("id"), col("ord")).as("first_id"),
+        max_by(col("id"), col("ord")).as("last_id"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_bpe_pack` — text_pack_sequences over SUBWORD counts: the
+    * 512-token greedy bin packing that actually matters runs on the
+    * tokenizer's units, not whitespace words. Same shard/offset/bin
+    * shape as the word-level gate; the only change is the cost model.
+    */
+  def textBpePack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, sfDir)
+    val (_, types) = Bpe.learn(d, Rounds)
+    val perDoc = Bpe.encode(d, types, Bpe.vocab(types))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_subwords"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        col("n_subwords"))
+      .withColumn("offset", sum(col("n_subwords")).over(w) - col("n_subwords"))
+      .withColumn("bin", (col("offset") / 512).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("bin_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  // ---- DuckDB twins --------------------------------------------------
+
+  /** Shared CTE chain: tokenize → types → `Rounds` unrolled merge
+    * rounds, ending in table t`Rounds` (word → final syms).
+    */
+  private def bpeCtes: String = {
+    val rounds = (1 to Rounds).map { r =>
+      val prev = s"t${r - 1}"
+      s"""p$r AS (
+         |  SELECT pa, pb, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
+         |    SELECT wcnt,
+         |           unnest(list_slice(syms, 1, len(syms) - 1)) AS pa,
+         |           unnest(list_slice(syms, 2, len(syms))) AS pb
+         |    FROM $prev)
+         |  GROUP BY pa, pb
+         |), top$r AS (
+         |  SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa, pb LIMIT 1
+         |), mt$r AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i,
+         |           row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+         |    FROM (
+         |      SELECT word, i,
+         |             i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+         |      FROM (
+         |        -- join BEFORE unnest: DuckDB 1.0's binder miscompiles a
+         |        -- list subscript on an unnest alias when the unnest's own
+         |        -- SELECT contains a join (internal "failed to bind" error)
+         |        SELECT y.word, unnest(range(1, len(y.syms))) AS i,
+         |               y.syms, y.pa, y.pb
+         |        FROM (SELECT t.word, t.syms, x.pa, x.pb
+         |              FROM $prev t CROSS JOIN top$r x) y) z
+         |      WHERE syms[i] = pa AND syms[i + 1] = pb))
+         |  WHERE rn % 2 = 1
+         |), mp$r AS (
+         |  SELECT word, list(i ORDER BY i) AS mpos FROM mt$r GROUP BY word
+         |), t$r AS (
+         |  SELECT t.word, t.wcnt,
+         |         CASE WHEN m.mpos IS NULL THEN t.syms ELSE
+         |           list_filter(list_transform(range(1, len(t.syms) + 1), j ->
+         |             CASE WHEN list_contains(m.mpos, j)
+         |                    THEN t.syms[j] || t.syms[j + 1]
+         |                  WHEN list_contains(m.mpos, j - 1) THEN NULL
+         |                  ELSE t.syms[j] END), x -> x IS NOT NULL)
+         |         END AS syms
+         |  FROM $prev t LEFT JOIN mp$r m USING (word))""".stripMargin
+    }.mkString(", ")
+    TextQueries.DuckToks +
+      s"""
+        |, w AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+        |  FROM (SELECT unnest(toks) AS word FROM d) GROUP BY word
+        |), t0 AS (
+        |  SELECT word, wcnt,
+        |         list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+        |  FROM w
+        |), $rounds""".stripMargin
+  }
+
+  val textBpeMergesSql: String = bpeCtes + "\n" +
+    (1 to Rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, pa, pb, cnt FROM top$r"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY round")
+
+  private def encodeCtes: String = bpeCtes +
+    s"""
+      |, vocab AS (
+      |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
+      |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM t$Rounds)
+      |), dt AS (
+      |  SELECT doc_id, unnest(toks) AS word,
+      |         unnest(range(1, len(toks) + 1)) AS pos
+      |  FROM d
+      |), ds AS (
+      |  SELECT dt.doc_id, dt.pos, unnest(t.syms) AS sym,
+      |         unnest(range(1, len(t.syms) + 1)) AS sp
+      |  FROM dt JOIN t$Rounds t USING (word)
+      |), enc AS (
+      |  SELECT ds.doc_id, ds.pos * 100000 + ds.sp AS ord, v.id
+      |  FROM ds JOIN vocab v USING (sym)
+      |)""".stripMargin
+
+  val textBpeEncodeSql: String = encodeCtes +
+    """
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_subwords,
+      |       CAST(SUM(id) AS BIGINT) AS id_sum,
+      |       CAST(min_by(id, ord) AS BIGINT) AS first_id,
+      |       CAST(max_by(id, ord) AS BIGINT) AS last_id
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val textBpePackSql: String = encodeCtes +
+    """
+      |, sized AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |         CAST(COUNT(*) AS BIGINT) AS n_subwords
+      |  FROM enc GROUP BY doc_id
+      |), placed AS (
+      |  SELECT shard,
+      |         CAST((CAST(SUM(n_subwords) OVER (PARTITION BY shard ORDER BY doc_id
+      |                ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_subwords) // 512
+      |              AS BIGINT) AS bin,
+      |         n_subwords
+      |  FROM sized
+      |)
+      |SELECT shard, bin, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_subwords) AS BIGINT) AS bin_tokens
+      |FROM placed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+}

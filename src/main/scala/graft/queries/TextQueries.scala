@@ -13,11 +13,11 @@ import graft.ops.{Curation, Dedup, TextOps}
 object TextQueries {
   import RefQueries.table
 
-  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def docs(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
 
   /** Shared DuckDB tokenizer CTE (mirrors TextOps.tokens). */
-  private val DuckToks =
+  private[queries] val DuckToks =
     """WITH d AS (
       |  SELECT doc_id, text, lang,
       |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
