@@ -1026,6 +1026,86 @@ object TextQueries {
       |GROUP BY b.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** `text_perplexity` — the LOG-DOMAIN sibling of text_lm_score: per
+    * document, total add-1-smoothed bigram log2-likelihood and the
+    * perplexity exponent (−LL/N, i.e. log2 of perplexity), both as
+    * 1e6-scaled BIGINTs via the native IntegerLog2 kernel
+    * (functions.IntegerLog2 — bit-length + shared mantissa table, the
+    * integer spelling that makes log-domain scores hash-gateable where
+    * IEEE `ln` would drift cross-engine in the last ulp). This is the
+    * reporting-grade score the linear mean can't provide: likelihoods
+    * multiply, so only the log sum ranks documents the way the LM
+    * actually scores them.
+    *
+    * Scale: identical shape to text_lm_score — one bigram-type hash
+    * aggregate, broadcast count tables, then a narrow per-token map
+    * (the kernel is codegen'd) into one per-doc aggregate.
+    */
+  def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.IntegerLog2
+    val toks = TextOps.tokens(col("text"))
+    val m = greatest(size(toks) - 1, lit(0))
+    val zipped = arrays_zip(slice(toks, lit(1), m), slice(toks, lit(2), m))
+    val grams = when(size(toks) >= 2,
+      transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1")))
+    ).otherwise(array().cast("array<string>"))
+    val d = docs(spark, sfDir)
+    val bg = d.select(col("doc_id"), explode(grams).as("g"))
+      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
+      .cache()
+    val cnt = bg.groupBy("g").agg(count(lit(1)).as("cg"))
+    val pre = cnt
+      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
+      .groupBy("w1").agg(sum(col("cg")).as("c1"))
+    val vocab = d.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg.join(broadcast(cnt), "g")
+      .join(broadcast(pre), "w1")
+      .crossJoin(broadcast(vocab))
+      // P = (cg+1)/(c1+v) ≤ 1, so ll ≤ 0 and −Σll ≥ 0: the DIV below
+      // floors non-negatives, where DuckDB's // agrees with Spark
+      .withColumn("ll",
+        IntegerLog2.log2s(col("cg") + 1) -
+          IntegerLog2.log2s(col("c1") + col("v")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ll")).as("ll_sum_1e6"),
+        expr("(-sum(ll)) DIV count(1)").as("ppl_log2_1e6"))
+      .transform(RefQueries.gateSort(_, "doc_id"))
+  }
+
+  val textPerplexitySql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    DuckToks +
+      s"""
+        |, bg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE [] END) AS g
+        |  FROM d
+        |), bgw AS (
+        |  SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM bg
+        |), cnt AS (SELECT g, COUNT(*) AS cg FROM bgw GROUP BY g),
+        |pre AS (SELECT split_part(g, ' ', 1) AS w1,
+        |        CAST(SUM(cg) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
+        |vocab AS (
+        |  SELECT COUNT(DISTINCT t) AS v
+        |  FROM (SELECT unnest(toks) AS t FROM d)
+        |), terms AS (
+        |  SELECT b.doc_id, CAST(c.cg + 1 AS BIGINT) AS num,
+        |         CAST(p.c1 + vocab.v AS BIGINT) AS den
+        |  FROM bgw b JOIN cnt c USING (g) JOIN pre p USING (w1), vocab
+        |), ll AS (
+        |  SELECT doc_id, ${log2Sql("num")} - ${log2Sql("den")} AS ll
+        |  FROM terms
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(ll) AS BIGINT) AS ll_sum_1e6,
+        |       CAST((-SUM(ll)) // COUNT(*) AS BIGINT) AS ppl_log2_1e6
+        |FROM ll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- token normalization (stopwords + light stemming) ---------------
 
   /** `text_normalize` — the tokenizer-prep normalization pass: stopword
