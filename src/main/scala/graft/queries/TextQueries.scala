@@ -1106,6 +1106,57 @@ object TextQueries {
         |FROM ll GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** `text_entropy` — per-document unigram Shannon entropy, the other
+    * standard log-domain quality signal (low entropy ⇒ repetitive /
+    * template text; the Gopher/C4-family filters threshold on it).
+    * H = Σ_t −p_t·log2 p_t restated in pure integers via IntegerLog2:
+    * with c_t the token's count and n the doc length,
+    * n·H = Σ_t c_t·(log2 n − log2 c_t), so the gate emits
+    * ent_num_1e6 = Σ c_t·(log2s(n) − log2s(c_t)) exactly and
+    * ent_1e6 = ent_num_1e6 DIV n (both non-negative — log2 is
+    * monotone, c_t ≤ n — so floor division agrees cross-engine).
+    *
+    * Scale: one narrow explode + per-(doc, token) count + per-doc sum —
+    * two hash aggregates keyed by doc_id, no joins, no windows.
+    */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.IntegerLog2
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        // Σ c·log2s(c); combined with n below — log2s(n) is constant
+        // per doc so Σ c·(log2s n − log2s c) = n·log2s(n) − Σ c·log2s(c)
+        sum(col("c") * IntegerLog2.log2s(col("c"))).as("clg"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        (col("n") * IntegerLog2.log2s(col("n")) - col("clg"))
+          .as("ent_num_1e6"))
+      .withColumn("ent_1e6", expr("ent_num_1e6 DIV n_tokens"))
+      .transform(RefQueries.gateSort(_, "doc_id"))
+  }
+
+  val textEntropySql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    DuckToks +
+      s"""
+        |, tc AS (
+        |  SELECT doc_id, t, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+        |  GROUP BY doc_id, t
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |         COUNT(*) AS n_distinct,
+        |         CAST(SUM(c * ${log2Sql("c")}) AS BIGINT) AS clg
+        |  FROM tc GROUP BY doc_id
+        |)
+        |SELECT doc_id, n AS n_tokens, n_distinct,
+        |       CAST(n * ${log2Sql("n")} - clg AS BIGINT) AS ent_num_1e6,
+        |       CAST((n * ${log2Sql("n")} - clg) // n AS BIGINT) AS ent_1e6
+        |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   // ---- token normalization (stopwords + light stemming) ---------------
 
   /** `text_normalize` — the tokenizer-prep normalization pass: stopword
