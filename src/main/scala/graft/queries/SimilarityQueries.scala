@@ -196,8 +196,9 @@ object SimilarityQueries {
     val docs = table(spark, sfDir, "documents")
     val prior = docs.where(col("doc_id") % 10 =!= 0)
     val batch = docs.where(col("doc_id") % 10 === 0)
-    val indexDir = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-" +
-      s"${ProcessHandle.current().pid()}"
+    // SourceQueries staging: pid-keyed, overwrite-per-run, cleaned by
+    // the shared JVM-exit hook — the index must not leak per process
+    val indexDir = SourceQueries.stagingDir("minhash-index")
     MinHashDedup.bandIndex(prior).write.mode("overwrite").parquet(indexDir)
     val index = spark.read.parquet(indexDir)
     MinHashDedup.incrementalNearDupPairs(batch, index, prior, threshold = 0.7)

@@ -41,7 +41,7 @@ object SourceQueries {
     * parallel CI jobs) from racing overwrite-against-read on one shared
     * directory — pids are bounded, so the leak stays bounded too.
     */
-  private def stagingDir(name: String): String = {
+  private[queries] def stagingDir(name: String): String = {
     val pid = ProcessHandle.current().pid()
     cleanupHook
     s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-$pid/$name"
