@@ -157,6 +157,44 @@ object SourceQueries {
     """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** `source_avro_embeddings` — the ARRAY leg of the Avro source: the
+    * embeddings table (vec_id, list<float>, label) through the same
+    * container-file writer/reader. The gate emits SCALARS derived from
+    * the round-tripped vectors AFTER the read (dimension + the
+    * 1e4-quantized element sum, the corpus's standard quantization),
+    * so the hash compare proves every float32 survived the Avro binary
+    * encoding bit-exactly — a wrong sign, swapped element, or
+    * truncated array shifts qsum — while the oracle computes the same
+    * scalars straight from the original parquet.
+    */
+  def sourceAvroEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagingDir("avro-emb")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    graft.sources.AvroSource.write(
+      table(spark, sfDir, "embeddings").select("vec_id", "embedding", "label"),
+      dir)
+    graft.sources.AvroSource.read(spark, dir, schema)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        aggregate(
+          transform(col("embedding"),
+            x => round(x.cast("double") * 10000).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("qsum"),
+        col("label"))
+      .orderBy("vec_id")
+  }
+
+  val sourceAvroEmbeddingsSql: String =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |       CAST(list_sum(list_transform(embedding,
+      |              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+      |            AS BIGINT) AS qsum,
+      |       label
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** `source_merge_schema` — schema evolution on read: two parquet
     * batches written with DIFFERENT column sets (an early ingest with
     * (key, name), a later one with (key, size, retailprice)), read back

@@ -30,9 +30,10 @@ import org.apache.spark.sql.types._
   * granularity IS partition granularity, which is the parallelism the
   * data had on write.
   *
-  * Type coverage: the scalar lake types the gates exercise — long,
-  * int, double, float, boolean, string, binary — nullable via Avro's
-  * (null | T) union, the standard Avro nullability encoding.
+  * Type coverage: the scalar lake types — long, int, double, float,
+  * boolean, string, binary — plus nested ARRAYs of them (e.g. the
+  * embedding `list<float>` columns an ML lake carries); nullability at
+  * any level via Avro's (null | T) union, the standard encoding.
   */
 object AvroSource {
 
@@ -44,8 +45,36 @@ object AvroSource {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case StringType  => Schema.create(Schema.Type.STRING)
     case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case ArrayType(elem, containsNull) =>
+      val e = avroType(elem)
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(List(Schema.create(Schema.Type.NULL), e).asJava)
+        else e)
     case other => throw new IllegalArgumentException(
       s"AvroSource: unsupported type $other")
+  }
+
+  /** Spark row value → Avro datum (recursive for arrays). */
+  private def toAvro(v: Any): Any = v match {
+    case null => null
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case s: scala.collection.Seq[_] =>
+      val out = new java.util.ArrayList[Any](s.length)
+      s.foreach(x => out.add(toAvro(x)))
+      out
+    case other => other
+  }
+
+  /** Avro datum → Spark row value (recursive for arrays). */
+  private def fromAvro(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a
+    case c: java.util.Collection[_] =>
+      c.asScala.iterator.map(fromAvro).toSeq
+    case other => other
   }
 
   /** Spark StructType → Avro record schema. Nullable fields become the
@@ -93,12 +122,7 @@ object AvroSource {
             val rec = new GenericData.Record(avroSchema)
             var i = 0
             while (i < n) {
-              val v = row.get(i) match {
-                case null => null
-                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-                case other => other
-              }
-              rec.put(i, v)
+              rec.put(i, toAvro(row.get(i)))
               i += 1
             }
             writer.append(rec)
@@ -139,12 +163,7 @@ object AvroSource {
           def next(): Row = {
             val rec = stream.next()
             Row.fromSeq((0 until n).map { i =>
-              rec.get(schema.fields(i).name) match {
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case bb: java.nio.ByteBuffer =>
-                  val a = new Array[Byte](bb.remaining()); bb.get(a); a
-                case other => other
-              }
+              fromAvro(rec.get(schema.fields(i).name))
             })
           }
         }

@@ -75,6 +75,26 @@ class AvroSourceSpec extends AnyFunSuite {
       .toSeq == Seq(42L))
   }
 
+  test("array columns round-trip, including NULL elements and empty/NULL arrays") {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", ArrayType(FloatType, containsNull = true)),
+      StructField("w", ArrayType(StringType, containsNull = false))))
+    val rows = Seq(
+      Row(1L, Seq(1.5f, -2.25f, Float.MinPositiveValue), Seq("a", "b")),
+      Row(2L, Seq(null, 3.5f), Seq.empty[String]),
+      Row(3L, null, Seq("z")))
+    val d = dir("arrays")
+    AvroSource.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema), d)
+    val back = AvroSource.read(spark, d, schema).orderBy("k").collect()
+    assert(back(0).getSeq[Float](1) == Seq(1.5f, -2.25f, Float.MinPositiveValue))
+    assert(back(0).getSeq[String](2) == Seq("a", "b"))
+    assert(back(1).getSeq[Any](1) == Seq(null, 3.5f))
+    assert(back(1).getSeq[String](2).isEmpty)
+    assert(back(2).isNullAt(1) && back(2).getSeq[String](2) == Seq("z"))
+  }
+
   test("unsupported column types are refused at schema mapping") {
     intercept[IllegalArgumentException] {
       AvroSource.toAvroSchema(StructType(Seq(
