@@ -108,4 +108,36 @@ class ScaleToolkitSpec extends AnyFunSuite {
     val nDay = pruned.count()
     assert(nDay > 0 && nDay < nAll / 10)
   }
+
+  test("BPE encode plan: segmentation and vocab join broadcast, no sort-merge") {
+    // the encode contract at 100 TB: the corpus side streams through
+    // two BroadcastHashJoins (types + vocab are vocab-bounded); a
+    // sort-merge join would shuffle the full exploded token stream
+    val df = graft.queries.BpeQueries.textBpeEncode(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side token stream must never sort-merge:\n$plan")
+  }
+
+  test("incremental dedup plan: index probe is a hash join, never nested-loop") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+    val prior = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val inc = MinHashDedup.incrementalNearDupPairs(
+      batch, MinHashDedup.bandIndex(prior), prior, threshold = 0.7)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"(band, bucket) probes must stay equi-joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("entropy plan: two-level aggregation with map-side combine, no join") {
+    val df = graft.queries.TextQueries.textEntropy(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"entropy needs no join:\n$plan")
+    // partial+final pairs for both the (doc, token) count and the
+    // per-doc rollup: at least 4 HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan)
+  }
 }
