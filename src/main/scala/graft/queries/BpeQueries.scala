@@ -100,6 +100,63 @@ object BpeQueries {
       .orderBy("shard", "bin")
   }
 
+  /** `text_unigram_segment` — the unigram-LM (SentencePiece-family)
+    * Viterbi segmentation over the word types (ops.UnigramLm): per
+    * word, the unique (max log2-likelihood, then min pieces) optimum
+    * under the corpus-frequency-scored substring vocabulary. Together
+    * with the BPE gates this covers both mainstream subword tokenizer
+    * shapes. The vocabulary collect is a documented bounded artifact
+    * (MinCount-filtered; top-K-cap at 100 TB), the DP a narrow
+    * O(L·MaxPiece) fold per types row.
+    */
+  def textUnigramSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.UnigramLm
+    val types = Bpe.wordTypes(docs(spark, sfDir)).select("word", "wcnt")
+    val scores = UnigramLm.vocabScores(UnigramLm.pieceCounts(types))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    UnigramLm.segmentTypes(types, scores).orderBy("word")
+  }
+
+  val textUnigramSegmentSql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    // WITH RECURSIVE applies to the whole CTE chain; `seg` enumerates
+    // every segmentation path (bounded: 2^(L-1) over short types
+    // words) and the struct max picks the same (cost, -pieces)
+    // lexicographic optimum the Spark DP computes.
+    TextQueries.DuckToks.replace("WITH d AS", "WITH RECURSIVE d AS") +
+      s"""
+        |, w AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+        |  FROM (SELECT unnest(toks) AS word FROM d) GROUP BY word
+        |), pieces AS (
+        |  SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS pcnt FROM (
+        |    SELECT wcnt, unnest(flatten(list_transform(range(1, length(word)+1), st ->
+        |      list_transform(range(1, least(4, length(word)-st+1)+1), ln ->
+        |        word[st : st+ln-1])))) AS piece
+        |    FROM w)
+        |  GROUP BY piece
+        |), vocab AS (
+        |  SELECT piece, pcnt FROM pieces WHERE length(piece) = 1 OR pcnt >= 5
+        |), tot AS (SELECT CAST(SUM(pcnt) AS BIGINT) AS t FROM vocab),
+        |scores AS (
+        |  SELECT piece, CAST(${log2Sql("pcnt")} - ${log2Sql("t")} AS BIGINT) AS sc
+        |  FROM vocab, tot
+        |), seg AS (
+        |  SELECT word, 0 AS j, CAST(0 AS BIGINT) AS cost, 0 AS np FROM w
+        |  UNION ALL
+        |  SELECT s.word, s.j + r.ln AS j, s.cost + sc.sc, s.np + 1
+        |  FROM seg s CROSS JOIN range(1, 5) r(ln)
+        |  JOIN scores sc ON s.j + r.ln <= length(s.word)
+        |    AND sc.piece = s.word[s.j + 1 : s.j + r.ln]
+        |), best AS (
+        |  SELECT word, max(struct_pack(c := cost, mn := -np)) AS b
+        |  FROM seg WHERE j = length(word) GROUP BY word
+        |)
+        |SELECT w.word, w.wcnt, b.b.c AS cost_1e6,
+        |       CAST(-b.b.mn AS BIGINT) AS n_pieces
+        |FROM w JOIN best b USING (word) ORDER BY word""".stripMargin
+  }
+
   // ---- DuckDB twins --------------------------------------------------
 
   /** Shared CTE chain: tokenize → types → `Rounds` unrolled merge
