@@ -126,6 +126,84 @@ object PipelineQueries {
       |       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** `corpus_token_budget` — data selection under a token budget: per
+    * source, take documents BEST-QUALITY-FIRST (integer unigram
+    * entropy desc via the IntegerLog2 kernel, doc_id tie-break) until
+    * the source's token budget fills — the standard pretraining
+    * data-selection step ("we can afford N tokens from this domain;
+    * take the best"). The 500-token gate budget BINDS at both gated
+    * scales (sources carry ~1.4k tokens at sf0.01), so the
+    * order-by-quality window and the prefix rule are genuinely
+    * exercised, not vacuously selecting everything. A doc is selected iff the tokens accumulated
+    * BEFORE it are under budget, so the budget may overshoot by at
+    * most one document — the greedy prefix rule both engines state
+    * identically as a window inequality.
+    *
+    * Scale: the entropy score is the text_entropy aggregate shape; the
+    * selection is ONE per-source window over (quality desc, doc_id) —
+    * no sort of the corpus beyond the source-keyed shuffle, no
+    * iteration.
+    */
+  def corpusTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.IntegerLog2
+    val Budget = 500L
+    val perDoc = docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * IntegerLog2.log2s(col("c"))).as("clg"))
+      .withColumn("ent_num",
+        col("n_tokens") * IntegerLog2.log2s(col("n_tokens")) - col("clg"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("ent_num DIV n_tokens").as("ent_1e6"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("ent_1e6"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("cum_before") < Budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_tokens")).as("tok_selected"),
+        min(col("ent_1e6")).as("min_ent_1e6"))
+      .orderBy("source")
+  }
+
+  val corpusTokenBudgetSql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    s"""WITH tc AS (
+       |  SELECT doc_id, t, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(list_filter(
+       |          string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+       |        FROM documents)
+       |  GROUP BY doc_id, t
+       |), perdoc AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(c * ${log2Sql("c")}) AS BIGINT) AS clg
+       |  FROM tc GROUP BY doc_id
+       |), scored AS (
+       |  SELECT p.doc_id, d.source, p.n_tokens,
+       |         CAST((p.n_tokens * ${log2Sql("p.n_tokens")} - p.clg)
+       |              // p.n_tokens AS BIGINT) AS ent_1e6
+       |  FROM perdoc p JOIN documents d USING (doc_id)
+       |), placed AS (
+       |  SELECT source, n_tokens, ent_1e6,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |                ORDER BY ent_1e6 DESC, doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS cum_before
+       |  FROM scored
+       |)
+       |SELECT source, COUNT(*) AS n_selected,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS tok_selected,
+       |       CAST(MIN(ent_1e6) AS BIGINT) AS min_ent_1e6
+       |FROM placed WHERE cum_before < 500
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** `corpus_weighted_sample` — weight-proportional Bernoulli thinning,
     * the doc-granular sibling of `corpus_mix_temperature`'s source-level
     * allocation: keep each document with probability equal to its
