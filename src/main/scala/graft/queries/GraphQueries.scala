@@ -691,6 +691,100 @@ object GraphQueries {
     * mirroring [[normalizeMax]] (max via a scalar subquery — nonempty
     * edge set in this corpus, so the NULL-max guard is not needed).
     */
+  private val LpaIters = 4
+
+  /** `graph_label_propagation` — community detection by synchronous
+    * label propagation (Raghavan et al. 2007): every node starts as
+    * its own label; each of [[LpaIters]] fixed rounds, a node adopts
+    * the label held by most of its UNDIRECTED neighbors, ties broken
+    * by smallest label — the deterministic spelling of the classic
+    * random-tie LPA, so both engines converge identically (and the
+    * fixed round count sidesteps synchronous LPA's oscillation
+    * non-termination, the pagerank fixed-iteration doctrine).
+    *
+    * Scale: per round ONE join of the bidirected edge list against the
+    * label vector and one (node, label) hash aggregate with a struct
+    * argmax folded in — all DataFrames, nothing on the driver, label
+    * vector localCheckpoint'd per round so the plan doesn't double.
+    * Argmax by `max(struct(count, −label))` is one aggregate, not a
+    * window — no per-node sort.
+    */
+  def graphLabelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the near-complete trade graph collapses LPA to one community in
+    // round 1 (min-label floods every neighborhood) — communities only
+    // exist in the PREFERRED-PARTNER structure, so propagate over each
+    // nation's top-2 trade partners (rank by cnt desc, dst tie-break:
+    // deterministic), the standard sparsification for dense graphs
+    val rankW = Window.partitionBy("src").orderBy(desc("cnt"), col("dst"))
+    val e = tradeEdgesWeighted(spark, sfDir)
+      .withColumn("rn", row_number().over(rankW))
+      .where(col("rn") <= 2).select("src", "dst")
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    // undirected neighbor relation: both orientations, deduped so a
+    // mutual preferred pair still casts ONE vote per neighbor
+    val bidir = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaIters) {
+      val votes = bidir
+        .join(labels.select(col("node").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c").as("c"), (-col("lbl")).as("ml"))).as("m"))
+        .select(col("v").as("node"), (-col("m.ml")).as("win"))
+      labels = labels
+        .join(votes, Seq("node"), "left")
+        .select(col("node"), coalesce(col("win"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+      .select(col("node").as("nationkey"), col("lbl").as("community"))
+      .orderBy("nationkey")
+  }
+
+  val graphLabelPropagationSql: String = {
+    val rounds = (1 to LpaIters).map { r =>
+      val prev = s"l${r - 1}"
+      s"""v$r AS (
+         |  SELECT b.v AS node, p.lbl, COUNT(*) AS c
+         |  FROM bidir b JOIN $prev p ON p.node = b.u
+         |  GROUP BY 1, 2
+         |), a$r AS (
+         |  SELECT node, max(struct_pack(c := c, ml := -lbl)) AS m
+         |  FROM v$r GROUP BY node
+         |), l$r AS (
+         |  SELECT p.node,
+         |         CAST(COALESCE(-(a.m).ml, p.lbl) AS BIGINT) AS lbl
+         |  FROM $prev p LEFT JOIN a$r a USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, wedges AS (
+       |  SELECT src, dst, cnt FROM counted
+       |  WHERE cnt * 550 >= (SELECT SUM(cnt) FROM counted)
+       |), top2 AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src
+       |                              ORDER BY cnt DESC, dst) AS rn
+       |    FROM wedges) WHERE rn <= 2
+       |), nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), bidir AS (
+       |  SELECT src AS u, dst AS v FROM top2
+       |  UNION
+       |  SELECT dst AS u, src AS v FROM top2
+       |), l0 AS (
+       |  SELECT node, node AS lbl FROM nodes
+       |), $rounds
+       |SELECT node AS nationkey, lbl AS community
+       |FROM l$LpaIters ORDER BY nationkey""".stripMargin
+  }
+
   val graphHitsSql: String = {
     def half(prev: String, out: String, from: String, to: String): String =
       s"""${out}_raw AS (
