@@ -76,6 +76,87 @@ object AsOfJoin {
     asOf(left, right, leftKey, rightKey, leftTime, rightTime,
       rightPayload, rightTieBreak, forward = true)
 
+  /** Nearest as-of: the closest right row in EITHER direction (pandas
+    * merge_asof direction='nearest'). Distance ties between a prior
+    * and a following right resolve BACKWARD (the at-or-before row —
+    * so an exact-time match always wins with gap 0); within a
+    * direction, ties keep each direction's own convention (backward:
+    * greatest tie-break; forward: least).
+    *
+    * Still ONE shuffle: rights sort before lefts (the backward
+    * convention), and the same sorted partition serves two frames —
+    * `last(ignoreNulls)` over UNBOUNDED..CURRENT for the prior row and
+    * `first(ignoreNulls)` over CURRENT+1..UNBOUNDED for the following
+    * one (equal-time rights live in the preceding frame only, which is
+    * exactly right: they'd win the tie anyway at distance 0). The
+    * winner is chosen per left row by integer gap comparison on the
+    * carried right-time field.
+    */
+  def leftAsOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val collisions = rightPayload.toSet intersect leftCols.toSet
+    require(collisions.isEmpty,
+      s"rename right payload columns colliding with left: $collisions")
+    val tieType = right.select(col(rightTieBreak)).schema.head.dataType
+    require(
+      tieType != org.apache.spark.sql.types.NullType &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tieType),
+      s"rightTieBreak '$rightTieBreak' has non-orderable type $tieType — " +
+        "use a type Spark can sort for deterministic ties")
+
+    // carry the right TIME inside the struct so the gap compare can
+    // read it back on the left rows
+    val payloadStruct = struct(
+      (rightPayload.map(col) :+ col(rightTime).as("__asof_t")): _*)
+    val payloadType = right.select(payloadStruct.as("p")).schema("p").dataType
+
+    val rightTagged = right.select(
+      col(rightKey).as("__asof_key"),
+      col(rightTime).as("__asof_time"),
+      lit(0).as("__asof_tag"),
+      col(rightTieBreak).as("__asof_ord"),
+      payloadStruct.as("__asof_payload"))
+    val leftTagged = left.select(
+      (leftCols.map(col) :+
+        col(leftKey).as("__asof_key")) ++ Seq(
+        col(leftTime).as("__asof_time"),
+        lit(1).as("__asof_tag"),
+        lit(null).cast(tieType).as("__asof_ord"),
+        lit(null).cast(payloadType).as("__asof_payload")): _*)
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+
+    val ord = Window.partitionBy("__asof_key")
+      .orderBy(col("__asof_time"), col("__asof_tag"), col("__asof_ord"))
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(1, Window.unboundedFollowing)
+
+    val pb = col("__asof_pb")
+    val pf = col("__asof_pf")
+    val gapB = col("__asof_time") - pb.getField("__asof_t")
+    val gapF = pf.getField("__asof_t") - col("__asof_time")
+    val chosen =
+      when(pb.isNull, pf)
+        .when(pf.isNull, pb)
+        .when(gapB <= gapF, pb)
+        .otherwise(pf)
+    val carried = unioned
+      .withColumn("__asof_pb", last(col("__asof_payload"), ignoreNulls = true).over(wBack))
+      .withColumn("__asof_pf", first(col("__asof_payload"), ignoreNulls = true).over(wFwd))
+      .where(col("__asof_tag") === 1)
+      .withColumn("__asof_win", chosen)
+    val projected: Seq[Column] =
+      leftCols.map(col) ++ rightPayload.map(p => col(s"__asof_win.$p").as(p))
+    carried.select(projected: _*)
+  }
+
   private def asOf(
       left: DataFrame,
       right: DataFrame,

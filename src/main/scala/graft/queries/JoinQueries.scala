@@ -113,6 +113,58 @@ object JoinQueries {
       |       click_ts_us - ts_us AS gap_us
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** `join_asof_nearest` — the closest click to each purchase in
+    * EITHER direction (AsOfJoin.leftAsOfNearest; pandas merge_asof
+    * direction='nearest'): distance ties prefer the at-or-before
+    * click, within-direction ties keep each direction's convention.
+    * Signed gap (negative = click before purchase) pins which
+    * direction won. Same single-shuffle union+two-frame spelling.
+    */
+  def joinAsOfNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = table(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val clicks = events.where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("ts_us").as("click_ts_us"),
+        col("event_id").as("click_id"),
+        col("value").as("click_value"))
+    graft.ops.AsOfJoin.leftAsOfNearest(
+        purchases, clicks,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts_us", rightTime = "click_ts_us",
+        rightPayload = Seq("click_id", "click_ts_us", "click_value"),
+        rightTieBreak = "click_id")
+      .where(col("click_id").isNotNull)
+      .withColumn("gap_us", col("click_ts_us") - col("ts_us"))
+      .orderBy("event_id")
+  }
+
+  val joinAsOfNearestSql: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), r AS (
+      |  SELECT user_id, epoch_us(ts) AS click_ts_us,
+      |         event_id AS click_id, value AS click_value
+      |  FROM events WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT l.event_id, l.user_id, l.ts_us, l.value,
+      |         r.click_id, r.click_ts_us, r.click_value,
+      |         row_number() OVER (PARTITION BY l.event_id
+      |           ORDER BY abs(r.click_ts_us - l.ts_us) ASC,
+      |                    CASE WHEN r.click_ts_us <= l.ts_us THEN 0 ELSE 1 END ASC,
+      |                    CASE WHEN r.click_ts_us <= l.ts_us
+      |                         THEN -r.click_id ELSE r.click_id END ASC) AS rn
+      |  FROM l JOIN r ON r.user_id = l.user_id
+      |)
+      |SELECT event_id, user_id, ts_us, value,
+      |       click_id, click_ts_us, click_value,
+      |       click_ts_us - ts_us AS gap_us
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   /** `join_range` — orders priced into 20 OVERLAPPING price bands
     * ([i·25k, i·25k+60k): each order lands in 2–3 bands, so this is a
     * genuine interval join, not a binning), aggregated per band with the

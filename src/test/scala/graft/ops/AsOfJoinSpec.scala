@@ -89,6 +89,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest as-of matches a per-row brute force; backward wins distance ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // coarse times force frequent exact-distance ties in both directions
+    val left = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(40).toLong * 10)).toDF("id", "k", "t")
+    val rightRows = (1 to 200).map(i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(40).toLong * 10, 1000L + i, rnd.nextDouble()))
+    val right = rightRows.toDF("k", "rt", "rid", "rv")
+
+    val got = AsOfJoin.leftAsOfNearest(left, right,
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
+        rightPayload = Seq("rid"), rightTieBreak = "rid")
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+
+    left.as[(Long, String, Long)].collect().foreach { case (id, k, t) =>
+      val back = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption
+      val fwd = rightRows.filter(r => r._1 == k && r._2 > t)
+        .sortBy(r => (r._2, r._3)).headOption
+      val best = (back, fwd) match {
+        case (None, f) => f
+        case (b, None) => b
+        case (Some(b), Some(f)) =>
+          if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+      }
+      assert(got(id) == best.map(_._3), s"row $id key $k t $t")
+    }
+  }
+
   test("string tie-break orders on the raw column; non-orderable fails fast") {
     import spark.implicits._
     val left = Seq((1L, "a", 100L)).toDF("id", "k", "t")
