@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,6 +32,102 @@ object BehaviorQueries {
       .withColumn("us", expr("ts div 1000").cast("long"))
 
   private val UsPerDay = 86400000000L
+
+  /** Exact integer cents (same spelling as StatQueries.cents). */
+  private def cents(c: Column): Column =
+    round(c * 100, 0).cast(org.apache.spark.sql.types.LongType)
+
+  /** `analytics_cumulative_distinct` — running unique-user count per
+    * day (the growth-chart number). A cumulative COUNT DISTINCT has no
+    * decomposable window frame, so the distributable spelling is the
+    * FIRST-SEEN trick: min(day) per user (one user-keyed hash agg),
+    * count those per day (a second tiny agg), then one running sum
+    * over the O(days) day table — the only non-distributed piece is a
+    * window over a few hundred day rows. Days with events but no new
+    * users still emit (left join against the distinct active-day
+    * table, COALESCE 0).
+    */
+  def analyticsCumulativeDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = eventsUs(spark, sfDir)
+      .select(col("user_id"), expr(s"us div $UsPerDay").cast("long").as("day"))
+    val newPerDay = byDay
+      .groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.select("day").distinct()
+      .join(newPerDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
+  val analyticsCumulativeDistinctSql: String =
+    """WITH byday AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), firstseen AS (
+      |  SELECT user_id, MIN(day) AS day FROM byday GROUP BY user_id
+      |), newperday AS (
+      |  SELECT day, COUNT(*) AS new_users FROM firstseen GROUP BY day
+      |)
+      |SELECT d.day,
+      |       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+      |       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM (SELECT DISTINCT day FROM byday) d
+      |LEFT JOIN newperday n USING (day)
+      |ORDER BY d.day""".stripMargin
+
+  /** `analytics_seasonality` — weekday revenue profile per event type:
+    * events and cents by day-of-week, plus a 1e6-scaled seasonality
+    * index (weekday mean ÷ overall mean). The weekday is PURE INTEGER
+    * arithmetic — (epoch_day + 4) mod 7, anchored on 1970-01-01 being
+    * a Thursday — never an engine date function (locale-dependent
+    * week-start conventions are exactly the cross-engine trap).
+    * The index divides via milli-cent averages (two integral DIVs,
+    * identical flooring both engines).
+    *
+    * Scale: one (type, dow) hash aggregate — 7×|types| groups — with
+    * per-type totals rejoined broadcast.
+    */
+  def analyticsSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = eventsUs(spark, sfDir)
+      .select(col("event_type"),
+        ((expr(s"us div $UsPerDay") + 4) % 7).cast("long").as("dow"),
+        cents(col("value")).as("c"))
+    val byDow = base.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sum_c"))
+    val tot = byDow.groupBy("event_type")
+      .agg(sum(col("n_events")).as("tot_n"), sum(col("sum_c")).as("tot_c"))
+    byDow.join(broadcast(tot), "event_type")
+      .withColumn("dow_avg_mc", expr("(sum_c * 1000) DIV n_events"))
+      .withColumn("all_avg_mc", expr("(tot_c * 1000) DIV tot_n"))
+      .select(col("event_type"), col("dow"), col("n_events"), col("sum_c"),
+        expr("(dow_avg_mc * 1000000) DIV all_avg_mc").as("index_1e6"))
+      .orderBy("event_type", "dow")
+  }
+
+  val analyticsSeasonalitySql: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      |         CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events
+      |), bydow AS (
+      |  SELECT event_type, dow, COUNT(*) AS n_events,
+      |         CAST(SUM(c) AS BIGINT) AS sum_c
+      |  FROM base GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot_n,
+      |         CAST(SUM(sum_c) AS BIGINT) AS tot_c
+      |  FROM bydow GROUP BY event_type
+      |)
+      |SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow, b.n_events, b.sum_c,
+      |       CAST(((b.sum_c * 1000 // b.n_events) * 1000000)
+      |            // (t.tot_c * 1000 // t.tot_n) AS BIGINT) AS index_1e6
+      |FROM bydow b JOIN tot t USING (event_type)
+      |ORDER BY b.event_type, b.dow""".stripMargin
 
   /** `analytics_cohort` — classic retention triangle: users grouped by
     * the day of their first event, counted on each subsequent active
