@@ -1019,6 +1019,95 @@ object StreamQueries {
       |       CAST(list_sum(lv) AS BIGINT) AS lv_sum
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** `multimodal_scene_change` — shot-boundary detection over the REAL
+    * video decode path: per document, synthesize 4–6 uniform-gray
+    * frames (levels from the text bytes, as multimodal_video_frames)
+    * into a RIFF/AVI MJPEG container, decode EVERY frame (everyK=1),
+    * and flag a cut wherever consecutive decoded frame means differ by
+    * ≥ 32 gray levels. The four synthesized levels sit 64 apart and
+    * JPEG decode recovers a flat frame's mean within ±3, so the
+    * detector is exact on this corpus (any real level change trips it,
+    * no JPEG noise can) and the oracle restates cuts straight from the
+    * byte-derived levels. This is the standard pretraining video
+    * pipeline step — sample at shot boundaries instead of blind
+    * every-k — running on genuine container parsing + JPEG decode.
+    *
+    * Scale: identical to video_frames — one mapPartitions with
+    * per-partition codec reuse, nothing shuffles but the gate sort.
+    */
+  def multimodalSceneChange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .where(octet_length(col("text")) >= 6)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val enc = new graft.ops.MediaCodecs.JpegEncoder
+        val dec = new graft.ops.MediaCodecs.RasterDecoder
+        val (w, h) = (16, 8)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val nf = 4 + (id % 3).toInt
+          val jpegs = Array.tabulate(nf) { i =>
+            val g = (bytes(i % bytes.length) & 0xff) % 4 * 64 + 32
+            val r = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { r.setSample(x, y, 0, g); x += 1 }
+              y += 1
+            }
+            enc.encode(img)
+          }
+          val avi = graft.ops.MediaCodecs.encodeMjpegAvi(jpegs.toSeq, w, h)
+          val (_, _, planes) = graft.ops.MediaCodecs
+            .decodeAviMjpegFrames(avi, everyK = 1, dec)
+            .getOrElse((0, 0, Seq.empty[Array[Int]]))
+          val means = planes.map(p => p.sum.toDouble / p.length)
+          var cuts = 0L
+          var firstCut = -1L
+          var i = 1
+          while (i < means.length) {
+            if (math.abs(means(i) - means(i - 1)) >= 32.0) {
+              cuts += 1
+              if (firstCut < 0) firstCut = i.toLong
+            }
+            i += 1
+          }
+          (id, nf.toLong, planes.length.toLong, cuts, firstCut)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_decoded", "n_cuts", "first_cut")
+      .transform(gateSort(_, "doc_id"))
+  }
+
+  /** Twin: frame i's decoded mean is its synthesized level within ±3,
+    * and levels are 64 apart, so cut ⇔ byte-derived level change; the
+    * byte index wraps (i mod len) exactly as the encoder's.
+    */
+  val multimodalSceneChangeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, 4 + doc_id % 3 AS nf,
+      |         octet_length(encode(text)) AS blen
+      |  FROM documents WHERE octet_length(encode(text)) >= 6
+      |), s AS (
+      |  SELECT doc_id, nf,
+      |         list_transform(range(0, nf), i ->
+      |           (unicode(text[(i % blen) + 1]) % 4) * 64 + 32) AS lv
+      |  FROM m
+      |), c AS (
+      |  SELECT doc_id, nf, lv,
+      |         list_filter(range(1, nf), i -> lv[i+1] != lv[i]) AS cuts
+      |  FROM s
+      |)
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      |       CAST(nf AS BIGINT) AS n_decoded,
+      |       CAST(len(cuts) AS BIGINT) AS n_cuts,
+      |       CAST(COALESCE(cuts[1], -1) AS BIGINT) AS first_cut
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** `multimodal_audio_resample` — fractional-rate sample-rate
     * conversion over the REAL WAV decode path: the same synthesized
     * 16-bit PCM containers as `multimodal_wav_decode`, decoded through
