@@ -814,4 +814,294 @@ object GraphQueries {
        |JOIN a$HitsIters a ON a.node = n.node
        |ORDER BY hub_1e6 DESC, nationkey""".stripMargin
   }
+
+  /** `graph_clustering_coeff` — local clustering coefficient per node
+    * (Watts & Strogatz 1998): cc(v) = 2·t(v) / (d(v)·(d(v)−1)) where
+    * t(v) is the number of triangles through v and d(v) the undirected
+    * degree — how close each nation's trading neighborhood is to a
+    * clique. Scaled-integer spelling: cc_1e6 = 2·t·10⁶ DIV (d·(d−1)),
+    * 0 for degree < 2 (the coefficient is undefined there; 0 is the
+    * standard convention).
+    *
+    * Scale: triangle counts come from the same ordered two-path join
+    * as graph_triangles (each triangle found exactly once, corners
+    * exploded), degrees from one aggregate over the bidirected
+    * adjacency — all joins key on single node ids so they partition by
+    * vertex at real scale; here the edge list is dimension-sized and
+    * broadcast. No new shuffle shape beyond the triangle query.
+    */
+  def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .cache()
+    val deg = und.select(col("a").as("x"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val e2 = und.select(col("a").as("b2"), col("b").as("c"))
+    val e3 = und.select(col("a").as("a3"), col("b").as("c3"))
+    val tri = und
+      .join(broadcast(e2), col("b") === col("b2"))
+      .join(broadcast(e3), col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val corners = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("nationkey"))
+      .join(broadcast(deg), col("nationkey") === col("x"), "left")
+      .join(broadcast(corners), col("nationkey") === col("node"), "left")
+      .select(col("nationkey"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("(2 * coalesce(tri, 0L) * 1000000L) DIV (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc_1e6"))
+      .orderBy("nationkey")
+  }
+
+  val graphClusteringCoeffSql: String =
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), deg AS (
+       |  SELECT x, COUNT(*) AS deg FROM (
+       |    SELECT a AS x FROM und UNION ALL SELECT b FROM und
+       |  ) GROUP BY x
+       |), tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+       |), corners AS (
+       |  SELECT node, COUNT(*) AS tri FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri
+       |  ) GROUP BY node
+       |)
+       |SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
+       |       COALESCE(d.deg, 0) AS deg,
+       |       COALESCE(c.tri, 0) AS n_triangles,
+       |       CASE WHEN COALESCE(d.deg, 0) >= 2
+       |            THEN CAST(2 * COALESCE(c.tri, 0) * 1000000
+       |                      // (d.deg * (d.deg - 1)) AS BIGINT)
+       |            ELSE 0 END AS cc_1e6
+       |FROM nation n
+       |LEFT JOIN deg d ON d.x = CAST(n.n_nationkey AS BIGINT)
+       |LEFT JOIN corners c ON c.node = CAST(n.n_nationkey AS BIGINT)
+       |ORDER BY nationkey""".stripMargin
+
+  private val KcoreK = 3
+  private val KcoreRounds = 5
+
+  /** `graph_kcore` — k-core membership (Seidman 1983) by synchronous
+    * peeling: repeatedly delete every node whose degree among the
+    * SURVIVORS falls below k; what remains is the maximal subgraph
+    * where every node keeps ≥ k neighbors — the standard "dense
+    * nucleus" extractor (spam cores, cohesive trading blocs).
+    * [[KcoreRounds]] fixed synchronous rounds (the pagerank
+    * fixed-iteration doctrine: both engines unroll the same rounds, so
+    * the gate can't drift on convergence detection); on this corpus
+    * the survivor set reaches its fixpoint well inside 5 rounds.
+    *
+    * Scale: per round one join of the adjacency against the survivor
+    * vector (both ends must survive) plus one degree aggregate —
+    * exactly the distributed peeling step; the survivor vector is
+    * node-sized, broadcast here, localCheckpoint'd so the plan stays
+    * O(1) per round instead of nesting all prior rounds.
+    */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var survivors = adj.select("x").distinct().localCheckpoint(true)
+    var deg: DataFrame = null
+    for (_ <- 1 to KcoreRounds) {
+      deg = adj
+        .join(broadcast(survivors), "x")
+        .join(broadcast(survivors.select(col("x").as("nbr"))), "nbr")
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      survivors = deg.where(col("deg") >= KcoreK).select("x")
+        .localCheckpoint(true)
+    }
+    deg.where(col("deg") >= KcoreK)
+      .select(col("x").as("nationkey"), col("deg").as("core_deg"))
+      .orderBy("nationkey")
+  }
+
+  val graphKcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      val prev = s"n${r - 1}"
+      s"""d$r AS (
+         |  SELECT a.x, COUNT(*) AS deg
+         |  FROM adj a
+         |  JOIN $prev sx ON sx.x = a.x
+         |  JOIN $prev sy ON sy.x = a.nbr
+         |  GROUP BY a.x
+         |), n$r AS (
+         |  SELECT x FROM d$r WHERE deg >= $KcoreK
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), adj AS (
+       |  SELECT a AS x, b AS nbr FROM und
+       |  UNION ALL
+       |  SELECT b AS x, a AS nbr FROM und
+       |), n0 AS (
+       |  SELECT DISTINCT x FROM adj
+       |), $rounds
+       |SELECT x AS nationkey, deg AS core_deg
+       |FROM d$KcoreRounds WHERE deg >= $KcoreK
+       |ORDER BY nationkey""".stripMargin
+  }
+
+  /** `graph_adamic_adar` — Adamic–Adar link prediction (Adamic & Adar
+    * 2003): for node pairs sharing neighbors,
+    * AA(x,y) = Σ_{z ∈ Γx∩Γy} 1/log(deg z) — like resource allocation
+    * but with a logarithmic hub discount, the classic middle ground
+    * between raw common-neighbor counts (no discount) and RA's 1/deg
+    * (aggressive discount).
+    *
+    * Determinism: the per-neighbor term is 10¹² DIV log2_1e6(deg z)
+    * via the [[graft.functions.IntegerLog2]] kernel (bit length +
+    * shared 256-entry mantissa table — bit-identical in both engines
+    * by construction), summed as BIGINT: aa_1e6 ≈ 10⁶/log₂(deg).
+    * A shared neighbor touches both endpoints, so deg(z) ≥ 2 and
+    * log2_1e6 ≥ 10⁶ — the division is always defined.
+    *
+    * Scale: identical shuffle shape to graph_resource_alloc — the
+    * co-occurrence self-join keyed on the shared neighbor plus one
+    * broadcast degree join; the log kernel is a codegen'd narrow map.
+    */
+  def graphAdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntegerLog2
+    val edges = tradeEdges(spark, sfDir)
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+      .cache()
+    val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
+    adj.select(col("x"), col("nbr"))
+      .join(broadcast(adj.select(col("x").as("y"), col("nbr"))), "nbr")
+      .where(col("x") < col("y"))
+      .join(broadcast(deg), col("nbr") === col("z"))
+      .withColumn("lg", IntegerLog2.log2s(col("deg")))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000000000L DIV lg")).as("aa_1e6"))
+      .orderBy("x", "y")
+  }
+
+  val graphAdamicAdarSql: String = {
+    val log2deg = graft.functions.IntegerLog2.log2Sql("d.deg")
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), adj AS (
+       |  SELECT a AS x, b AS nbr FROM und
+       |  UNION ALL
+       |  SELECT b AS x, a AS nbr FROM und
+       |), deg AS (
+       |  SELECT x AS z, COUNT(*) AS deg FROM adj GROUP BY x
+       |)
+       |SELECT a1.x, a2.x AS y, COUNT(*) AS common,
+       |       CAST(SUM(1000000000000 // $log2deg) AS BIGINT) AS aa_1e6
+       |FROM adj a1
+       |JOIN adj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
+       |JOIN deg d ON d.z = a1.nbr
+       |GROUP BY 1, 2
+       |ORDER BY a1.x, y""".stripMargin
+  }
+
+  private val SsspRounds = 5
+  private val SsspInf = 1000000000000000L
+
+  /** `graph_sssp_weighted` — single-source shortest paths with edge
+    * costs, Bellman–Ford style synchronous relaxation (the Pregel/
+    * GraphX SSSP shape): dist'(v) = min(dist v, min over in-edges
+    * (u,v) of dist(u) + cost(u,v)), [[SsspRounds]] fixed rounds from
+    * source node 0. Edge cost is 10⁹ DIV cnt — heavier trade = cheaper
+    * hop — so the result ranks nations by how cheaply goods reach them
+    * from nation 0 through the trade network. Integer throughout;
+    * unreachable nodes surface as NULL (both engines agree: the
+    * [[SsspInf]] sentinel never leaves the engine).
+    *
+    * Scale: per round ONE join of the directed edge list against the
+    * distance vector plus a min-aggregate — the textbook distributed
+    * Bellman–Ford; the distance vector is node-sized and broadcast,
+    * localCheckpoint'd per round (the pagerank doctrine). Fixed rounds
+    * bound the gate; a convergence loop would test "any dist changed"
+    * per round at cluster scale.
+    */
+  def graphSsspWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val wedges = tradeEdgesWeighted(spark, sfDir)
+      .select(col("src"), col("dst"),
+        expr("1000000000L DIV cnt").as("cost"))
+      .localCheckpoint(true)
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    var dist = nodes
+      .withColumn("dist",
+        when(col("node") === 0L, lit(0L)).otherwise(lit(SsspInf)))
+      .localCheckpoint(true)
+    for (_ <- 1 to SsspRounds) {
+      val relax = wedges
+        .join(broadcast(dist.select(col("node").as("src"), col("dist"))), "src")
+        .where(col("dist") < SsspInf)
+        .groupBy(col("dst")).agg(min(col("dist") + col("cost")).as("via"))
+      dist = dist
+        .join(broadcast(relax), col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("via"), lit(SsspInf))).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+      .select(col("node").as("nationkey"),
+        when(col("dist") < SsspInf, col("dist")).as("dist_cost"))
+      .orderBy("nationkey")
+  }
+
+  val graphSsspWeightedSql: String = {
+    val rounds = (1 to SsspRounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""v$r AS (
+         |  SELECT e.dst, MIN(p.dist + e.cost) AS via
+         |  FROM wedges e JOIN $prev p ON p.node = e.src
+         |  WHERE p.dist < $SsspInf
+         |  GROUP BY e.dst
+         |), s$r AS (
+         |  SELECT p.node, LEAST(p.dist, COALESCE(v.via, $SsspInf)) AS dist
+         |  FROM $prev p LEFT JOIN v$r v ON v.dst = p.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, wedges AS (
+       |  SELECT src, dst, CAST(1000000000 // cnt AS BIGINT) AS cost
+       |  FROM counted
+       |  WHERE cnt * 550 >= (SELECT SUM(cnt) FROM counted)
+       |), nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), s0 AS (
+       |  SELECT node,
+       |         CASE WHEN node = 0 THEN 0
+       |              ELSE CAST($SsspInf AS BIGINT) END AS dist
+       |  FROM nodes
+       |), $rounds
+       |SELECT node AS nationkey,
+       |       CASE WHEN dist < $SsspInf THEN dist END AS dist_cost
+       |FROM s$SsspRounds ORDER BY nationkey""".stripMargin
+  }
 }

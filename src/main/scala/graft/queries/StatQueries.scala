@@ -1012,4 +1012,223 @@ object StatQueries {
       |       CAST(f.s * 5 > a.sumabs AS BIGINT) AS flag
       |FROM fold f JOIN sumabs a USING (event_type)
       |ORDER BY f.event_type, f.day""".stripMargin
+
+  // ---- two-sample nonparametric tests --------------------------------
+
+  /** `analytics_ks_test` — exact two-sample Kolmogorov–Smirnov statistic
+    * comparing account-balance distributions between the BUILDING and
+    * AUTOMOBILE market segments: D = max_v |F₁(v) − F₂(v)|, reported as
+    * ks_1e6 = max |cum₁·n₂ − cum₂·n₁| · 10⁶ DIV (n₁·n₂) — the ECDF gap
+    * cleared of denominators so every comparison is BIGINT-exact (no
+    * float ECDF), plus the balance (cents) where the max is attained
+    * (smallest such value on ties, via the struct-argmax trick).
+    *
+    * Scale: one hash aggregate to the distinct-value histogram
+    * (conditional counts per sample), one running sum over the value
+    * order, one final aggregate. The running sum is a global window over
+    * the HISTOGRAM, not the rows — its size is bounded by the value
+    * domain (balance cents here), and at a scale where even that
+    * overflows one partition the standard two-pass range-partitioned
+    * prefix sum substitutes without changing the algebra.
+    */
+  def analyticsKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = table(spark, sfDir, "customer")
+      .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("v"))
+    val hist = cust.groupBy("v").agg(
+      sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+    val tot = cum.agg(max("cum1").as("n1"), max("cum2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("d",
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .groupBy("n1", "n2")
+      .agg(max(struct(col("d").as("d"), (-col("v")).as("mv"))).as("m"))
+      .select(col("n1"), col("n2"),
+        expr("m.d * 1000000L DIV (n1 * n2)").as("ks_1e6"),
+        (-col("m.mv")).as("at_cents"))
+  }
+
+  val analyticsKsTestSql: String =
+    """WITH src AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      |), hist AS (
+      |  SELECT v,
+      |         SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+      |         SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS c2
+      |  FROM src GROUP BY v
+      |), cum AS (
+      |  SELECT v,
+      |         SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+      |         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      |  FROM hist
+      |), tot AS (
+      |  SELECT MAX(cum1) AS n1, MAX(cum2) AS n2 FROM cum
+      |)
+      |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+      |       CAST((MAX(struct_pack(d := abs(c.cum1 * t.n2 - c.cum2 * t.n1),
+      |                             mv := -c.v))).d
+      |            * 1000000 // (t.n1 * t.n2) AS BIGINT) AS ks_1e6,
+      |       -(MAX(struct_pack(d := abs(c.cum1 * t.n2 - c.cum2 * t.n1),
+      |                         mv := -c.v))).mv AS at_cents
+      |FROM cum c CROSS JOIN tot t
+      |GROUP BY t.n1, t.n2""".stripMargin
+
+  /** `analytics_mann_whitney` — exact Mann–Whitney U (Wilcoxon
+    * rank-sum) over the same two balance samples. Tie-safe INTEGER
+    * spelling: ranks are kept DOUBLED (a value covering combined ranks
+    * c_less+1 … c_less+c has doubled midrank 2·c_less + c + 1), so the
+    * classic U₁ = R₁ − n₁(n₁+1)/2 becomes u1_2x = Σ c₁·rank2 − n₁(n₁+1)
+    * with every term a BIGINT — no half-rank floats to drift. Also
+    * reports the rank-biserial effect size as auc_1e6 = U₁·10⁶ DIV
+    * (n₁·n₂) (the probability a random BUILDING balance exceeds a
+    * random AUTOMOBILE one).
+    *
+    * Scale: identical histogram + prefix-sum shape as
+    * [[analyticsKsTest]] — one hash agg, one bounded window, one final
+    * agg; nothing per-row leaves the executors.
+    */
+  def analyticsMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = table(spark, sfDir, "customer")
+      .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("v"))
+    val hist = cust.groupBy("v").agg(
+      sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = hist
+      .withColumn("cum", sum(col("c1") + col("c2")).over(w))
+      .withColumn("rank2",
+        lit(2L) * (col("cum") - col("c1") - col("c2")) +
+          (col("c1") + col("c2")) + lit(1L))
+    ranked.agg(
+      sum("c1").as("n1"),
+      sum("c2").as("n2"),
+      sum(col("c1") * col("rank2")).as("r1_2x"))
+      .select(col("n1"), col("n2"),
+        expr("r1_2x - n1 * (n1 + 1)").as("u1_2x"),
+        expr("2 * n1 * n2 - (r1_2x - n1 * (n1 + 1))").as("u2_2x"),
+        expr("(r1_2x - n1 * (n1 + 1)) * 1000000L DIV (2 * n1 * n2)")
+          .as("auc_1e6"))
+  }
+
+  val analyticsMannWhitneySql: String =
+    """WITH src AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      |), hist AS (
+      |  SELECT v,
+      |         SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+      |         SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS c2
+      |  FROM src GROUP BY v
+      |), ranked AS (
+      |  SELECT c1, c2,
+      |         2 * (SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |              - c1 - c2) + (c1 + c2) + 1 AS rank2
+      |  FROM hist
+      |), agg AS (
+      |  SELECT SUM(c1) AS n1, SUM(c2) AS n2, SUM(c1 * rank2) AS r1_2x
+      |  FROM ranked
+      |)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST(r1_2x - n1 * (n1 + 1) AS BIGINT) AS u1_2x,
+      |       CAST(2 * n1 * n2 - (r1_2x - n1 * (n1 + 1)) AS BIGINT) AS u2_2x,
+      |       CAST((r1_2x - n1 * (n1 + 1)) * 1000000
+      |            // (2 * n1 * n2) AS BIGINT) AS auc_1e6
+      |FROM agg""".stripMargin
+
+  // ---- time-series autocorrelation -----------------------------------
+
+  private val AcfLags = Seq(1, 2, 3, 7)
+
+  /** `analytics_autocorr` — lag-k autocorrelation of the daily revenue
+    * series for k ∈ {1,2,3,7} (the 7 probes weekly seasonality),
+    * spelled as the Pearson r of the (r_t, r_{t+k}) overlap pairs — the
+    * standard sample-ACF variant reusing the [[analyticsCorr]] doctrine.
+    *
+    * Units: the series is daily revenue in KILODOLLARS (cents DIV 1e5),
+    * not cents — products of cent-scale days reach ~10²⁰, where the
+    * DECIMAL→DOUBLE cast is no longer exact and Spark's BigDecimal
+    * rounding and DuckDB's int128 conversion disagree in the last ulp
+    * (observed live on this corpus). In kilodollar units every
+    * sufficient statistic stays below 2^53 through ~sf10 (day ≈ 10⁷ k$,
+    * ~200 days), so BIGINT sums cast to double EXACTLY in both engines
+    * and the final fixed IEEE op sequence is bit-identical. Beyond that
+    * horizon the unit divisor scales with corpus GMV — same algebra.
+    *
+    * Scale: the daily rollup is one partial+final hash aggregate over
+    * the fact table; the series is calendar-bounded (O(days), not
+    * O(rows)), so the lag self-join and per-lag aggregate run on a
+    * dimension-sized frame; all four lags share one checkpointed series.
+    */
+  def analyticsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, sfDir, "lineitem")
+      .select(col("l_shipdate").as("day"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .groupBy("day").agg(expr("sum(cents) DIV 100000L").as("rev"))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .select("rn", "rev")
+      .localCheckpoint(true)
+    val lagged = AcfLags.map { k =>
+      val x = daily.select(col("rn"), col("rev").as("x"))
+      val y = daily.select((col("rn") - k).as("rn"), col("rev").as("y"))
+      x.join(y, "rn").select(lit(k.toLong).as("lag"), col("x"), col("y"))
+    }.reduce(_ unionByName _)
+    val stats = lagged.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+      sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+      sum(col("y") * col("y")).cast(DoubleType).as("syy"))
+    val nD = col("n_pairs").cast(DoubleType)
+    stats
+      .withColumn("acf",
+        (nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+            sqrt(nD * col("syy") - col("sy") * col("sy"))))
+      .select(col("lag"), col("n_pairs"), col("acf"))
+      .orderBy("lag")
+  }
+
+  val analyticsAutocorrSql: String = {
+    val lagUnion = AcfLags
+      .map(k => s"SELECT CAST($k AS BIGINT) AS lag").mkString(" UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+       |                       AS BIGINT)) // 100000 AS BIGINT) AS rev,
+       |         row_number() OVER (ORDER BY l_shipdate) AS rn
+       |  FROM lineitem GROUP BY l_shipdate
+       |), lags AS ($lagUnion
+       |), pairs AS (
+       |  SELECT l.lag, x.rev AS x, y.rev AS y
+       |  FROM lags l
+       |  JOIN daily x ON TRUE
+       |  JOIN daily y ON y.rn = x.rn + l.lag
+       |), s AS (
+       |  SELECT lag, COUNT(*) AS n_pairs,
+       |         CAST(SUM(x) AS DOUBLE) AS sx,
+       |         CAST(SUM(y) AS DOUBLE) AS sy,
+       |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+       |         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+       |         CAST(SUM(y * y) AS DOUBLE) AS syy
+       |  FROM pairs GROUP BY lag
+       |)
+       |SELECT lag, n_pairs,
+       |       (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+       |       (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+       |        sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS acf
+       |FROM s ORDER BY lag""".stripMargin
+  }
 }

@@ -164,4 +164,67 @@ class GraphProfileSpec extends AnyFunSuite {
         ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap")))).toMap
     assert(got == expected.toMap)
   }
+
+  test("clustering coefficient: bounded, consistent with triangles and degree") {
+    val tri = GraphQueries.graphTriangles(spark, TestSpark.Sf001).collect()
+      .map(r => r.getAs[Long]("nationkey") -> r.getAs[Long]("n_triangles")).toMap
+    val rows = GraphQueries.graphClusteringCoeff(spark, TestSpark.Sf001).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val (d, t, cc) = (r.getAs[Long]("deg"), r.getAs[Long]("n_triangles"),
+        r.getAs[Long]("cc_1e6"))
+      assert(cc >= 0L && cc <= 1000000L, s"cc out of [0,1]: $cc")
+      assert(t == tri(r.getAs[Long]("nationkey")))
+      if (d >= 2) assert(cc == 2 * t * 1000000L / (d * (d - 1)))
+      else assert(cc == 0L)
+      // triangle count can never exceed the neighbor-pair count
+      assert(2 * t <= d * (d - 1))
+    }
+  }
+
+  test("k-core: every member keeps >= k neighbors inside the core") {
+    val rows = GraphQueries.graphKcore(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty, "3-core vanished — corpus assumption broke")
+    assert(rows.forall(_.getAs[Long]("core_deg") >= 3L))
+    // handshake parity: core_deg counts edges inside the member set, so
+    // the sum over members must be even (each surviving edge has 2 ends)
+    assert(rows.map(_.getAs[Long]("core_deg")).sum % 2 == 0)
+    // the core can't exceed the full node set and members are distinct
+    val members = rows.map(_.getAs[Long]("nationkey"))
+    assert(members.distinct.length == members.length && members.length <= 25)
+  }
+
+  test("adamic-adar discounts hubs no harder than resource allocation") {
+    val ra = GraphQueries.graphResourceAlloc(spark, TestSpark.Sf001).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")) ->
+        r.getAs[Long]("ra_1e6")).toMap
+    val rows = GraphQueries.graphAdamicAdar(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+      val (common, aa) = (r.getAs[Long]("common"), r.getAs[Long]("aa_1e6"))
+      // per-term: 1/log2(deg) >= 1/deg for deg >= 2, so AA >= RA…
+      assert(aa >= ra(key), s"$key: aa=$aa < ra=${ra(key)}")
+      // …and each term is at most 1e6 (deg >= 2 ⇒ log2 >= 1)
+      assert(aa <= common * 1000000L, s"$key: aa=$aa > common*1e6")
+      // pair sets must coincide: same candidate generation
+      assert(ra.contains(key))
+    }
+    assert(rows.length == ra.size)
+  }
+
+  test("weighted SSSP: source is zero, distances obey edge relaxation") {
+    val rows = GraphQueries.graphSsspWeighted(spark, TestSpark.Sf001).collect()
+    assert(rows.length == 25)
+    val dist = rows.map(r => r.getAs[Long]("nationkey") ->
+      Option(r.getAs[java.lang.Long]("dist_cost")).map(_.toLong)).toMap
+    assert(dist(0L).contains(0L), "source distance must be 0")
+    // no negative distances; reachable set includes the source
+    dist.values.flatten.foreach(d => assert(d >= 0L))
+    // plan stays fully distributed: no driver-resident distance vector
+    val df = GraphQueries.graphSsspWeighted(spark, TestSpark.Sf001)
+    val driverLeaves = df.queryExecution.optimizedPlan.collectLeaves()
+      .filter(_.getClass.getSimpleName.contains("LocalRelation"))
+    assert(driverLeaves.isEmpty, s"distance vector on driver: $driverLeaves")
+  }
 }

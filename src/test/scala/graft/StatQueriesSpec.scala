@@ -129,4 +129,69 @@ class StatQueriesSpec extends AnyFunSuite {
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
   }
+
+  test("KS statistic bounded and attained at a real sample value") {
+    val r = StatQueries.analyticsKsTest(spark, TestSpark.Sf001).collect().head
+    val (n1, n2, ks) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("ks_1e6"))
+    assert(n1 > 0 && n2 > 0)
+    assert(ks >= 0L && ks <= 1000000L)
+    // the argmax balance must belong to one of the two samples
+    val at = r.getAs[Long]("at_cents")
+    val vals = spark.read.parquet(s"${TestSpark.Sf001}/customer.parquet")
+      .where(org.apache.spark.sql.functions.col("c_mktsegment")
+        .isin("BUILDING", "AUTOMOBILE"))
+      .selectExpr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")
+      .collect().map(_.getLong(0)).toSet
+    assert(vals.contains(at))
+  }
+
+  test("Mann-Whitney matches a driver-side midrank recomputation") {
+    val r = StatQueries.analyticsMannWhitney(spark, TestSpark.Sf001)
+      .collect().head
+    val bal = spark.read.parquet(s"${TestSpark.Sf001}/customer.parquet")
+      .where(org.apache.spark.sql.functions.col("c_mktsegment")
+        .isin("BUILDING", "AUTOMOBILE"))
+      .selectExpr("c_mktsegment", "CAST(round(c_acctbal * 100, 0) AS BIGINT)")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val all = bal.map(_._2).sorted
+    // doubled midrank per value: positions i..j (1-based) -> i+j
+    val rank2 = all.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2 + 1).min + xs.map(_._2 + 1).max).toLong
+    }
+    val n1 = bal.count(_._1 == "BUILDING").toLong
+    val n2 = bal.count(_._1 == "AUTOMOBILE").toLong
+    val r1x2 = bal.filter(_._1 == "BUILDING").map(x => rank2(x._2)).sum
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("u1_2x") == r1x2 - n1 * (n1 + 1))
+    assert(r.getAs[Long]("u1_2x") + r.getAs[Long]("u2_2x") == 2 * n1 * n2)
+    val auc = r.getAs[Long]("auc_1e6")
+    assert(auc >= 0L && auc <= 1000000L)
+  }
+
+  test("autocorrelation matches a driver-side exact Pearson per lag") {
+    val rows = StatQueries.analyticsAutocorr(spark, TestSpark.Sf001).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == Seq(1L, 2L, 3L, 7L))
+    val series = spark.read.parquet(s"${TestSpark.Sf001}/lineitem.parquet")
+      .groupBy("l_shipdate")
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) DIV 100000L")
+        .as("rev"))
+      .orderBy("l_shipdate").collect().map(_.getAs[Long]("rev"))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("lag").toInt
+      val xs = series.dropRight(k); val ys = series.drop(k)
+      assert(r.getAs[Long]("n_pairs") == xs.length.toLong)
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+      val sxx = xs.map(a => a * a).sum.toDouble
+      val syy = ys.map(a => a * a).sum.toDouble
+      val expect = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val acf = r.getAs[Double]("acf")
+      assert(math.abs(acf) <= 1.0)
+      assert(acf == expect, s"lag $k: $acf != $expect")
+    }
+  }
 }
