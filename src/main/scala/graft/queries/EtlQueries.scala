@@ -740,4 +740,53 @@ object EtlQueries {
       |         AS key_token,
       |       c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** `etl_quarantine` — rule-based row routing, the ROW-level sibling of
+    * [[etlConstraints]] (which only counts): every order violating at
+    * least one business rule is routed to a quarantine table carrying
+    * the full list of fired rules (fixed rule order, comma-joined) so a
+    * steward can triage by reason — the standard validate-and-divert
+    * stage of an ingest pipeline. Rules are independent conditions, so
+    * one row can (and here does) fire several.
+    *
+    * Scale: a narrow map (three codegen'd predicates + a concat) with a
+    * pushed-down disjunction filter — no shuffle before the gate sort;
+    * the clean/quarantine split at scale is one `.where` each over the
+    * same cached scan.
+    */
+  def etlQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.RefQueries.table
+    val r1 = col("o_totalprice") > 450000.0
+    val r2 = col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 50000.0
+    val r3 = col("o_orderstatus") === "P" && col("o_totalprice") > 400000.0
+    table(spark, sfDir, "orders")
+      .where(r1 || r2 || r3)
+      .select(col("o_orderkey"),
+        concat_ws(",",
+          when(r1, "price_above_cap"),
+          when(r2, "urgent_below_floor"),
+          when(r3, "pending_high_value")).as("reasons"),
+        (when(r1, 1L).otherwise(0L) + when(r2, 1L).otherwise(0L) +
+          when(r3, 1L).otherwise(0L)).as("n_reasons"))
+      .orderBy("o_orderkey")
+  }
+
+  val etlQuarantineSql: String =
+    """SELECT o_orderkey,
+      |       concat_ws(',',
+      |         CASE WHEN o_totalprice > 450000.0 THEN 'price_above_cap' END,
+      |         CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0
+      |              THEN 'urgent_below_floor' END,
+      |         CASE WHEN o_orderstatus = 'P' AND o_totalprice > 400000.0
+      |              THEN 'pending_high_value' END) AS reasons,
+      |       CAST((CASE WHEN o_totalprice > 450000.0 THEN 1 ELSE 0 END) +
+      |            (CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0
+      |                  THEN 1 ELSE 0 END) +
+      |            (CASE WHEN o_orderstatus = 'P' AND o_totalprice > 400000.0
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_reasons
+      |FROM orders
+      |WHERE o_totalprice > 450000.0
+      |   OR (o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0)
+      |   OR (o_orderstatus = 'P' AND o_totalprice > 400000.0)
+      |ORDER BY o_orderkey""".stripMargin
 }

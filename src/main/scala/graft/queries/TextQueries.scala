@@ -1370,4 +1370,130 @@ object TextQueries {
       |GROUP BY a.doc_id, b.doc_id
       |HAVING COUNT(*) >= 3
       |ORDER BY d1, d2""".stripMargin
+
+  // ---- readability ----------------------------------------------------
+
+  /** `text_readability` — Flesch reading-ease per document with the
+    * standard cheap syllable proxy (vowel-group runs per word, floored
+    * at 1 — the heuristic every readability library uses when no
+    * dictionary is at hand) and sentence count from terminal-punctuation
+    * runs (floored at 1 for unpunctuated text). Scored in integral
+    * millipoints: flesch_1e3 = 206835 − (1015·words) DIV sentences −
+    * (84600·syllables) DIV words — the classic 206.835 − 1.015·ASL −
+    * 84.6·ASW with every division integral, so the gate hashes BIGINTs
+    * and the two engines cannot drift on float order.
+    *
+    * Scale: a narrow per-row map (tokenize + two regexp counts + one
+    * bounded per-token fold); no shuffle before the gate sort.
+    */
+  def textReadability(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .where(size(col("toks")) > 0)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_sentences",
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long"))
+      .withColumn("n_syllables",
+        aggregate(
+          transform(col("toks"),
+            t => greatest(regexp_count(t, lit("[aeiouy]+")), lit(1)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        expr("206835L - (1015L * n_words) DIV n_sentences" +
+          " - (84600L * n_syllables) DIV n_words").as("flesch_1e3"))
+      .transform(RefQueries.gateSort(_, "doc_id"))
+
+  val textReadabilitySql: String = DuckToks +
+    """
+      |SELECT doc_id,
+      |       CAST(len(toks) AS BIGINT) AS n_words,
+      |       CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |       CAST(list_sum(list_transform(toks,
+      |              t -> GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1))) AS BIGINT) AS n_syllables,
+      |       206835 - (1015 * CAST(len(toks) AS BIGINT))
+      |         // CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      |         - (84600 * CAST(list_sum(list_transform(toks,
+      |              t -> GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1))) AS BIGINT))
+      |         // CAST(len(toks) AS BIGINT) AS flesch_1e3
+      |FROM d WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
+
+  // ---- Zipf rank-frequency fit ---------------------------------------
+
+  private val ZipfTopN = 100
+
+  /** `text_zipf_fit` — Zipf's-law health check for the corpus: OLS
+    * slope of log₂(freq) against log₂(rank) over the top-[[ZipfTopN]]
+    * tokens (natural corpora sit near −1; template-heavy or synthetic
+    * corpora flatten toward 0 — a cheap distribution-level quality
+    * signal next to the per-doc filters). Logs come from the
+    * [[graft.functions.IntegerLog2]] kernel DIV 10 (1e5 scale): at 1e6
+    * scale the Σxy sufficient statistic brushes 2^53, where the
+    * BIGINT→DOUBLE cast stops being exact — at 1e5 every sum is exactly
+    * representable, both engines cast identically, and the scale
+    * cancels in the slope. The final slope/intercept ratios are one
+    * fixed IEEE op sequence (the [[StatQueries]] doctrine).
+    *
+    * Scale: one explode + hash agg to the term-frequency table, a
+    * top-k (TakeOrderedAndProject-shaped), then O(k) math — no
+    * quadratic anything.
+    */
+  def textZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val tf = docs(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("tok")).limit(ZipfTopN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), col("tok"))).cast("long"))
+    val lg = graft.functions.IntegerLog2.log2s _
+    val scaled = tf
+      .select(lg(col("rank")).as("lgr"), lg(col("freq")).as("lgf"))
+      .select(expr("lgr DIV 10").as("x"), expr("lgf DIV 10").as("y"))
+    val stats = scaled.agg(
+      count(lit(1)).as("n_ranks"),
+      sum("x").cast(DoubleType).as("sx"),
+      sum("y").cast(DoubleType).as("sy"),
+      sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+      sum(col("x") * col("x")).cast(DoubleType).as("sxx"))
+    val nD = col("n_ranks").cast(DoubleType)
+    stats
+      .withColumn("slope",
+        (nD * col("sxy") - col("sx") * col("sy")) /
+          (nD * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept_log2",
+        ((col("sy") - col("slope") * col("sx")) / nD) / lit(100000.0d))
+      .select(col("n_ranks"), col("slope"), col("intercept_log2"))
+  }
+
+  val textZipfFitSql: String = {
+    val lgRank = graft.functions.IntegerLog2.log2Sql("rank")
+    val lgFreq = graft.functions.IntegerLog2.log2Sql("freq")
+    DuckToks +
+      s""", tf AS (
+         |  SELECT tok, COUNT(*) AS freq
+         |  FROM (SELECT unnest(toks) AS tok FROM d)
+         |  GROUP BY tok ORDER BY freq DESC, tok LIMIT $ZipfTopN
+         |), ranked AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank,
+         |         freq
+         |  FROM tf
+         |), scaled AS (
+         |  SELECT $lgRank // 10 AS x, $lgFreq // 10 AS y FROM ranked
+         |), s AS (
+         |  SELECT COUNT(*) AS n_ranks,
+         |         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         |         CAST(SUM(x * x) AS DOUBLE) AS sxx
+         |  FROM scaled
+         |)
+         |SELECT CAST(n_ranks AS BIGINT) AS n_ranks,
+         |       (CAST(n_ranks AS DOUBLE) * sxy - sx * sy) /
+         |       (CAST(n_ranks AS DOUBLE) * sxx - sx * sx) AS slope,
+         |       ((sy - ((CAST(n_ranks AS DOUBLE) * sxy - sx * sy) /
+         |               (CAST(n_ranks AS DOUBLE) * sxx - sx * sx)) * sx)
+         |        / CAST(n_ranks AS DOUBLE)) / 100000.0 AS intercept_log2
+         |FROM s""".stripMargin
+  }
 }

