@@ -1212,4 +1212,121 @@ object StreamQueries {
        |       ${thumb(3)}
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  /** `multimodal_audio_vad` — energy-threshold voice-activity
+    * segmentation over the decoded WAV frame energies: a frame is
+    * ACTIVE when its energy clears half the document's mean frame
+    * energy (integral compare: 2·energy·n ≥ Σenergy — no float
+    * threshold), and consecutive active frames merge into segments via
+    * the islands-and-gaps trick (frame_idx − row_number is constant
+    * within a run). The standard first stage of a speech pipeline:
+    * silence is dropped, segments go to the expensive model.
+    *
+    * Scale: builds on [[multimodalAudioEnergy]]'s REAL decode path
+    * (WAV container → samples → frames); the per-doc windows partition
+    * by doc_id, so at corpus scale every step is a narrow map or a
+    * doc-partitioned window — no global shuffle beyond the gate sort.
+    */
+  def multimodalAudioVad(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = multimodalAudioEnergy(spark, sfDir)
+    val wDoc = Window.partitionBy("doc_id")
+    val wOrd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("tot", sum("energy").over(wDoc))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .where(col("energy") * 2 * col("n") >= col("tot"))
+      .withColumn("grp", col("frame_idx") - row_number().over(wOrd))
+      .groupBy("doc_id", "grp")
+      .agg(min("frame_idx").as("seg_start"), max("frame_idx").as("seg_end"),
+        count(lit(1)).as("n_frames"), sum("energy").as("seg_energy"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "seg_energy")
+      .transform(gateSort(_, "doc_id", "seg_start"))
+  }
+
+  val multimodalAudioVadSql: String =
+    s"""WITH e AS (
+       |$multimodalAudioEnergySql
+       |), a AS (
+       |  SELECT doc_id, frame_idx, energy,
+       |         SUM(energy) OVER (PARTITION BY doc_id) AS tot,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM e
+       |), act AS (
+       |  SELECT doc_id, frame_idx, energy,
+       |         frame_idx - row_number()
+       |           OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+       |  FROM a WHERE energy * 2 * n >= tot
+       |)
+       |SELECT doc_id,
+       |       MIN(frame_idx) AS seg_start,
+       |       MAX(frame_idx) AS seg_end,
+       |       COUNT(*) AS n_frames,
+       |       CAST(SUM(energy) AS BIGINT) AS seg_energy
+       |FROM act GROUP BY doc_id, grp
+       |ORDER BY doc_id, seg_start""".stripMargin
+
+  private val LateDelayUs = 600L * 1000000L
+
+  /** `stream_late_data` — watermark late-data accounting: replaying the
+    * event log in ARRIVAL order, an event is LATE when its event time
+    * falls more than 10 minutes behind the maximum event time already
+    * seen — exactly the rows `withWatermark("ts", "10 minutes")` would
+    * drop from an append-mode aggregate. Reported per event type as
+    * kept/dropped counts plus the drop rate in ppm — the accounting a
+    * pipeline operator watches to size the watermark delay.
+    *
+    * Arrival model: the generator's log is perfectly time-ordered (no
+    * event ever arrives late by event_id — verified on the corpus), so
+    * arrival = event time + a deterministic per-source buffering skew,
+    * (event_id mod 7)·5 min — seven virtual sources flushing on
+    * different cadences, the textbook cause of out-of-order delivery.
+    * Both engines derive the same arrival order, so the gate is exact.
+    *
+    * Scale: the running max is a prefix scan over arrival order —
+    * single-partition as a GATE artifact; a real deployment computes
+    * per-source-partition watermarks and takes their min, which is how
+    * Spark's streaming watermark actually advances (no global sort).
+    */
+  def streamLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("arrival", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    EventAnalytics.withEventTime(table(spark, sfDir, "events"))
+      .withColumn("us", unix_micros(col("ts_utc")))
+      .withColumn("arrival",
+        col("us") + (col("event_id") % 7) * lit(300L * 1000000L))
+      .withColumn("wm_prev", max("us").over(w) - LateDelayUs)
+      .withColumn("late",
+        when(col("wm_prev").isNotNull && col("us") < col("wm_prev"), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("late").as("n_late"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        expr("n_late * 1000000L DIV n_events").as("late_ppm"))
+      .orderBy("event_type")
+  }
+
+  val streamLateDataSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, epoch_us(ts) AS us,
+       |         epoch_us(ts) + (event_id % 7) * 300000000 AS arrival
+       |  FROM events
+       |), m AS (
+       |  SELECT event_type, us,
+       |         MAX(us) OVER (ORDER BY arrival, event_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           - $LateDelayUs AS wm_prev
+       |  FROM e
+       |), f AS (
+       |  SELECT event_type,
+       |         CASE WHEN wm_prev IS NOT NULL AND us < wm_prev
+       |              THEN 1 ELSE 0 END AS late
+       |  FROM m
+       |)
+       |SELECT event_type,
+       |       COUNT(*) AS n_events,
+       |       CAST(SUM(late) AS BIGINT) AS n_late,
+       |       CAST(SUM(late) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
+       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 }

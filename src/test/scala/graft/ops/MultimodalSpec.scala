@@ -483,4 +483,51 @@ class MultimodalSpec extends AnyFunSuite {
     }.toMap
     assert(got.nonEmpty && got == want)
   }
+
+  test("VAD segments match a driver-side recomputation over frame energies") {
+    val sf = TestSpark.Sf0001
+    val frames = graft.queries.StreamQueries
+      .multimodalAudioEnergy(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("energy")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val want = frames.flatMap { case (doc, fs) =>
+      val tot = fs.map(_._3).sum
+      val n = fs.length.toLong
+      val active = fs.filter { case (_, _, e) => e * 2 * n >= tot }
+      // islands: split where frame_idx is non-consecutive
+      val segs = active.foldLeft(List.empty[List[(Long, Long, Long)]]) {
+        case (acc, f) => acc match {
+          case (h @ ((_, last, _) :: _)) :: t if f._2 == last + 1 =>
+            (f :: h) :: t
+          case _ => List(f) :: acc
+        }
+      }.map(_.reverse).reverse
+      segs.map { s =>
+        (doc, s.head._2) -> ((s.last._2, s.length.toLong, s.map(_._3).sum))
+      }
+    }
+    val got = graft.queries.StreamQueries.multimodalAudioVad(spark, sf)
+      .collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_start")) ->
+          ((r.getAs[Long]("seg_end"), r.getAs[Long]("n_frames"),
+            r.getAs[Long]("seg_energy")))).toMap
+    assert(got.nonEmpty && got == want.toMap)
+  }
+
+  test("late-data accounting fires and respects its invariants") {
+    val rows = graft.queries.StreamQueries.streamLateData(spark, TestSpark.Sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, late, ppm) = (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_late"), r.getAs[Long]("late_ppm"))
+      assert(late >= 0 && late <= n)
+      assert(ppm == late * 1000000L / n)
+    }
+    // the buffering-skew arrival model must actually produce late rows
+    assert(rows.map(_.getAs[Long]("n_late")).sum > 0L)
+    val total = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+  }
 }
