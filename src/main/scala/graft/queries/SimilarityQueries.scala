@@ -770,4 +770,117 @@ object SimilarityQueries {
       |  ON a.blk = b.blk AND a.name < b.name
       | AND jaro_winkler_similarity(a.name, b.name) >= 0.85
       |ORDER BY jw DESC, name1, name2""".stripMargin
+
+  // ---- MMR diversified re-ranking ------------------------------------
+
+  private val MmrK = 5
+  private val MmrPool = 20
+
+  /** `sim_mmr_diversify` — maximal marginal relevance re-ranking
+    * (Carbonell & Goldstein 1998): from each query's top-[[MmrPool]]
+    * retrieval pool, greedily pick [[MmrK]] results maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) with λ=0.7 — the
+    * standard redundancy-suppressing re-rank between retrieval and an
+    * expensive downstream consumer (RAG context assembly, search UI).
+    *
+    * Determinism: relevance and the diversity penalty are both
+    * QUANTIZED integer dot products (the sim_topk_dot_int8 / MIPS
+    * family — ×10⁴ half-up per coordinate, exact BIGINT dots), and the
+    * λ mix is integral: mmr = 7·rel − 3·pen. Each greedy round is an
+    * argmax via max(struct(mmr, −n_id)) — ties to the smaller id —
+    * unrolled identically in the oracle (the fixed-iteration doctrine).
+    *
+    * Scale: MMR is by definition a HEAD re-ranker — the pool is
+    * k·|queries| rows, so the per-round pairwise penalty join is
+    * bounded by pool×selected ≤ 20×5 per query regardless of corpus
+    * size; the corpus-sized work is only the pool retrieval (one
+    * broadcast-nested-loop of |queries| against the scan, same shape as
+    * sim_topk_bruteforce — or any ANN operator upstream).
+    */
+  def simMmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.LongArrayDot.dotQ
+    val emb = table(spark, sfDir, "embeddings")
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val c = emb
+      .select(col("vec_id").as("n_id"), Similarity.quantize(col("embedding")).as("cv"))
+    val rankW = Window.partitionBy("q_id").orderBy(desc("rel"), col("n_id"))
+    val pool = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("rel", dotQ(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(rankW))
+      .where(col("rn") <= MmrPool)
+      .select("q_id", "n_id", "cv", "rel")
+      .localCheckpoint(true)
+    var selected = pool.groupBy("q_id")
+      .agg(max(struct(col("rel").as("mmr"), (-col("n_id")).as("mn"))).as("m"))
+      .select(col("q_id"), (-col("m.mn")).as("n_id"),
+        lit(1L).as("pick_order"), (col("m.mmr") * 7).as("mmr_score"))
+      .localCheckpoint(true)
+    for (r <- 2 to MmrK) {
+      val selVec = selected.join(pool, Seq("q_id", "n_id"))
+        .select(col("q_id"), col("cv").as("sv"))
+      val remaining = pool
+        .join(selected.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+      val pick = remaining.join(broadcast(selVec), "q_id")
+        .withColumn("d", dotQ(col("cv"), col("sv")))
+        .groupBy("q_id", "n_id", "rel").agg(max("d").as("pen"))
+        .withColumn("mmr", col("rel") * 7 - col("pen") * 3)
+        .groupBy("q_id")
+        .agg(max(struct(col("mmr").as("mmr"), (-col("n_id")).as("mn"))).as("m"))
+        .select(col("q_id"), (-col("m.mn")).as("n_id"),
+          lit(r.toLong).as("pick_order"), col("m.mmr").as("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.orderBy("q_id", "pick_order")
+  }
+
+  val simMmrDiversifySql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""pen$r AS (
+         |  SELECT p.q_id, p.n_id, p.rel,
+         |         MAX(CAST(list_dot_product(CAST(p.cv AS DOUBLE[]),
+         |                                   CAST(ps.cv AS DOUBLE[])) AS BIGINT)) AS pen
+         |  FROM pool p
+         |  JOIN $prev s ON s.q_id = p.q_id
+         |  JOIN pool ps ON ps.q_id = s.q_id AND ps.n_id = s.n_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |                    WHERE x.q_id = p.q_id AND x.n_id = p.n_id)
+         |  GROUP BY p.q_id, p.n_id, p.rel
+         |), pick$r AS (
+         |  SELECT q_id, n_id, CAST($r AS BIGINT) AS pick_order,
+         |         rel * 7 - pen * 3 AS mmr_score
+         |  FROM pen$r
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |            ORDER BY rel * 7 - pen * 3 DESC, n_id) = 1
+         |), sel$r AS (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id < 3
+       |), c AS (
+       |  SELECT vec_id AS n_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cv
+       |  FROM embeddings
+       |), pool AS (
+       |  SELECT q_id, n_id, cv,
+       |         CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+       |                               CAST(cv AS DOUBLE[])) AS BIGINT) AS rel
+       |  FROM c CROSS JOIN q WHERE q_id <> n_id
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |            ORDER BY rel DESC, n_id) <= $MmrPool
+       |), sel1 AS (
+       |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS pick_order,
+       |         rel * 7 AS mmr_score
+       |  FROM pool
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |            ORDER BY rel DESC, n_id) = 1
+       |), $rounds
+       |SELECT q_id, n_id, pick_order, mmr_score
+       |FROM sel$MmrK ORDER BY q_id, pick_order""".stripMargin
+  }
 }

@@ -366,4 +366,40 @@ class SimilaritySpec extends AnyFunSuite {
       Seq("cell", "dim", "n", "s", "centroid_q"))
     assert(Similarity.gramMatrix(empty).isEmpty)
   }
+
+  test("MMR picks match a driver-side greedy recomputation") {
+    val got = graft.queries.SimilarityQueries
+      .simMmrDiversify(spark, TestSpark.Sf001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("pick_order")) ->
+        ((r.getAs[Long]("n_id"), r.getAs[Long]("mmr_score")))).toMap
+    // independent greedy MMR in plain Scala over the quantized vectors
+    val vecs = emb.selectExpr("vec_id",
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS LONG)) AS v")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Long]]("v").toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = (0L until 3L).flatMap { qid =>
+      val qv = vecs(qid)
+      val pool = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, v, dot(qv, v)) }
+        .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+      var selected = Vector.empty[(Long, Long)] // (n_id, score)
+      for (r <- 1 to 5) {
+        val cand = pool.filterNot(p => selected.exists(_._1 == p._1))
+          .map { case (id, v, rel) =>
+            val pen = if (selected.isEmpty) 0L
+            else selected.map(s => dot(v, pool.find(_._1 == s._1).get._2)).max
+            (id, if (r == 1) rel * 7 else rel * 7 - pen * 3)
+          }
+        val best = cand.minBy { case (id, s) => (-s, id) }
+        selected :+= best
+      }
+      selected.zipWithIndex.map { case ((id, s), i) =>
+        (qid, (i + 1).toLong) -> ((id, s))
+      }
+    }.toMap
+    assert(got == want)
+  }
 }
