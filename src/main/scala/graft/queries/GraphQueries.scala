@@ -1027,6 +1027,85 @@ object GraphQueries {
        |ORDER BY a1.x, y""".stripMargin
   }
 
+  /** `graph_assortativity` — degree assortativity (Newman 2002): the
+    * Pearson correlation of endpoint degrees across all edge-ends — do
+    * high-degree nations trade with other hubs (assortative, r > 0) or
+    * with the periphery (disassortative, r < 0)? Social networks trend
+    * positive, technological/trade networks negative; a single number
+    * summarizing the mixing pattern.
+    *
+    * Determinism: degrees are tiny integers, so all five sufficient
+    * statistics are exact BIGINT sums over the bidirected pair list;
+    * the final r is one fixed IEEE op sequence (the [[StatQueries]]
+    * doctrine). Each undirected edge contributes both orientations —
+    * the standard symmetric spelling that makes r independent of edge
+    * storage order.
+    *
+    * Scale: one degree aggregate plus two broadcast joins over the
+    * edge list keyed by vertex — the graph_neighbor_overlap shuffle
+    * shape, nothing new.
+    */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val edges = tradeEdges(spark, sfDir)
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .cache()
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = adj
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("dx"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dy"))), "v")
+    val stats = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val nD = col("n_pairs").cast(DoubleType)
+    stats.select(col("n_pairs"),
+      ((nD * col("sxy").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+        (sqrt(nD * col("sxx").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+          sqrt(nD * col("syy").cast(DoubleType) -
+            col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+        .as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), adj AS (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL
+       |  SELECT b AS u, a AS v FROM und
+       |), deg AS (
+       |  SELECT u AS node, COUNT(*) AS deg FROM adj GROUP BY u
+       |), s AS (
+       |  SELECT COUNT(*) AS n_pairs,
+       |         CAST(SUM(dx.deg) AS BIGINT) AS sx,
+       |         CAST(SUM(dy.deg) AS BIGINT) AS sy,
+       |         CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy,
+       |         CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
+       |         CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS syy
+       |  FROM adj
+       |  JOIN deg dx ON dx.node = adj.u
+       |  JOIN deg dy ON dy.node = adj.v
+       |)
+       |SELECT n_pairs,
+       |       (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |       (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |        sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
+       |FROM s""".stripMargin
+
   private val SsspRounds = 5
   private val SsspInf = 1000000000000000L
 

@@ -1013,6 +1013,126 @@ object StatQueries {
       |FROM fold f JOIN sumabs a USING (event_type)
       |ORDER BY f.event_type, f.day""".stripMargin
 
+  // ---- inequality / concentration ------------------------------------
+
+  /** `analytics_theil` — Theil T inequality index per market segment,
+    * the entropy-based sibling of [[analyticsGini]]: T = Σ (xᵢ/S)·log(xᵢ·n/S)
+    * — zero for perfect equality, log n for total concentration, and
+    * (unlike Gini) exactly decomposable into within/between-group terms,
+    * which is why economists report it alongside Gini.
+    *
+    * Log base 2 via the [[graft.functions.IntegerLog2]] kernel (shared
+    * mantissa table, bit-identical cross-engine); reported as
+    * theil_log2_1e6 = (Σ xᵢ·(log2_1e6(xᵢ·n) − log2_1e6(S))) DIV S —
+    * multiply by ln 2 for the natural-log spelling. Overflow horizon:
+    * the per-row term is ≤ x·log2_1e6(x·n) ≈ 10⁶·3.5·10⁷; the BIGINT
+    * sum holds through ~sf1 (150k rows/segment) with ~15× headroom and
+    * would move to DECIMAL(38) beyond (the analytics_hhi doctrine).
+    *
+    * Scale: one aggregate for per-segment (n, S), one broadcast join
+    * back, one aggregate of per-row terms — two shuffles total, both
+    * keyed on the tiny segment domain.
+    */
+  def analyticsTheil(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntegerLog2
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_mktsegment").as("segment"), cents(col("c_acctbal")).as("x"))
+      .where(col("x") > 0)
+    val tot = cust.groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+    cust.join(broadcast(tot), "segment")
+      .withColumn("term",
+        col("x") * (IntegerLog2.log2s(col("x") * col("n")) -
+          IntegerLog2.log2s(col("s"))))
+      .groupBy("segment")
+      .agg(max("n").as("n"), max("s").as("sum_cents"),
+        sum("term").as("tnum"))
+      .select(col("segment"), col("n"), col("sum_cents"),
+        expr("tnum DIV sum_cents").as("theil_log2_1e6"))
+      .orderBy("segment")
+  }
+
+  val analyticsTheilSql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    s"""WITH src AS (
+       |  SELECT segment, x FROM (
+       |    SELECT c_mktsegment AS segment,
+       |           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+       |    FROM customer
+       |  ) WHERE x > 0
+       |), tot AS (
+       |  SELECT segment, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sc
+       |  FROM src GROUP BY segment
+       |), terms AS (
+       |  SELECT s.segment, s.x, t.n, t.sc, s.x * t.n AS xn
+       |  FROM src s JOIN tot t USING (segment)
+       |), scored AS (
+       |  SELECT segment, n, sc,
+       |         x * (${log2Sql("xn")} - ${log2Sql("sc")}) AS term
+       |  FROM terms
+       |)
+       |SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+       |       CAST(MAX(sc) AS BIGINT) AS sum_cents,
+       |       CAST(SUM(term) // MAX(sc) AS BIGINT) AS theil_log2_1e6
+       |FROM scored GROUP BY segment ORDER BY segment""".stripMargin
+  }
+
+  /** `analytics_pareto` — the classic concentration report ("do 20% of
+    * customers carry 80% of revenue?"): customers ranked by total order
+    * spend, split into spend deciles, each decile reported with its
+    * customer count, revenue, and the CUMULATIVE revenue share in ppm
+    * (integral: cum·10⁶ DIV total). The table a revenue analyst reads
+    * next to [[analyticsGini]]'s single coefficient.
+    *
+    * Determinism: the rank order is total (spend desc, custkey), ntile
+    * remainder distribution is the SQL-standard front-loading in both
+    * engines, and all arithmetic is BIGINT cents.
+    *
+    * Scale: per-customer rollup is one hash aggregate; the ranking
+    * window is over the CUSTOMER aggregate (not the fact table) and
+    * range-partitions at real scale; the decile rollup and prefix sum
+    * run on 10 rows.
+    */
+  def analyticsPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = table(spark, sfDir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("spend_c"))
+    val w = Window.orderBy(desc("spend_c"), col("o_custkey"))
+    val dec = spend
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("spend_c").as("decile_cents"))
+    val tot = dec.agg(sum("decile_cents").as("total_cents"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dec.crossJoin(broadcast(tot))
+      .withColumn("cum_cents", sum("decile_cents").over(wCum))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        expr("cum_cents * 1000000L DIV total_cents").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  val analyticsParetoSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spend_c
+      |  FROM orders GROUP BY o_custkey
+      |), dec AS (
+      |  SELECT CAST(ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) AS BIGINT) AS decile,
+      |         spend_c
+      |  FROM spend
+      |), rolled AS (
+      |  SELECT decile, COUNT(*) AS n_customers,
+      |         CAST(SUM(spend_c) AS BIGINT) AS decile_cents
+      |  FROM dec GROUP BY decile
+      |)
+      |SELECT decile, n_customers, decile_cents,
+      |       CAST(SUM(decile_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |            * 1000000 // (SELECT SUM(decile_cents) FROM rolled) AS BIGINT)
+      |         AS cum_share_ppm
+      |FROM rolled ORDER BY decile""".stripMargin
+
   // ---- two-sample nonparametric tests --------------------------------
 
   /** `analytics_ks_test` — exact two-sample Kolmogorov–Smirnov statistic

@@ -1496,4 +1496,52 @@ object TextQueries {
          |        / CAST(n_ranks AS DOUBLE)) / 100000.0 AS intercept_log2
          |FROM s""".stripMargin
   }
+
+  // ---- CCNet-style perplexity banding --------------------------------
+
+  /** `corpus_perplexity_filter` — the CCNet head/middle/tail split
+    * (Wenzek et al. 2020): score every document with the corpus bigram
+    * LM ([[textPerplexity]]'s integer log2 cross-entropy), then bucket
+    * by the corpus's own 33rd/67th percentiles — "head" (most fluent
+    * third) is what LM pretraining keeps first, "tail" what it drops or
+    * down-weights. The canonical LM-based quality filter, here as one
+    * gateable operator.
+    *
+    * Determinism: scores are BIGINTs; the two thresholds are the exact
+    * interpolated percentiles of those integers (exact doubles ≪ 2^52,
+    * identical interpolation in both engines — the olap_percentile
+    * doctrine); bucket comparison is integer-vs-exact-double.
+    *
+    * Scale: inherits the LM scorer's shape (broadcast count tables,
+    * one doc-keyed aggregate); the threshold pass is one 2-value
+    * aggregate broadcast back — nothing new shuffles.
+    */
+  def corpusPerplexityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ppl = textPerplexity(spark, sfDir)
+      .select("doc_id", "ppl_log2_1e6")
+    val th = ppl.agg(
+      percentile(col("ppl_log2_1e6"), lit(0.33)).as("p33"),
+      percentile(col("ppl_log2_1e6"), lit(0.67)).as("p67"))
+    ppl.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("ppl_log2_1e6") <= col("p33"), "head")
+          .when(col("ppl_log2_1e6") <= col("p67"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "ppl_log2_1e6", "bucket")
+      .transform(RefQueries.gateSort(_, "doc_id"))
+  }
+
+  val corpusPerplexityFilterSql: String =
+    s"""WITH p AS (
+       |$textPerplexitySql
+       |), th AS (
+       |  SELECT quantile_cont(ppl_log2_1e6, 0.33) AS p33,
+       |         quantile_cont(ppl_log2_1e6, 0.67) AS p67
+       |  FROM p
+       |)
+       |SELECT p.doc_id, p.ppl_log2_1e6,
+       |       CASE WHEN p.ppl_log2_1e6 <= th.p33 THEN 'head'
+       |            WHEN p.ppl_log2_1e6 <= th.p67 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM p CROSS JOIN th ORDER BY p.doc_id""".stripMargin
 }

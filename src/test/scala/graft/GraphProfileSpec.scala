@@ -213,6 +213,14 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(rows.length == ra.size)
   }
 
+  test("assortativity is a bounded correlation") {
+    val r = GraphQueries.graphAssortativity(spark, TestSpark.Sf001)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") > 0)
+    val a = r.getAs[Double]("assortativity")
+    assert(!a.isNaN && math.abs(a) <= 1.0, s"assortativity $a")
+  }
+
   test("weighted SSSP: source is zero, distances obey edge relaxation") {
     val rows = GraphQueries.graphSsspWeighted(spark, TestSpark.Sf001).collect()
     assert(rows.length == 25)

@@ -130,6 +130,32 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
   }
 
+  test("Theil index is near-nonnegative and bounded by log2(n)") {
+    val rows = StatQueries.analyticsTheil(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t) = (r.getAs[Long]("n"), r.getAs[Long]("theil_log2_1e6"))
+      // mathematically T >= 0; the floored integer log2 can dip a few
+      // millionths below zero, never more than the per-row mantissa error
+      assert(t >= -6000L, s"${r.get(0)}: T=$t")
+      val log2n = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      assert(t <= (log2n + 1).toLong * 1000000L, s"${r.get(0)}: T=$t n=$n")
+    }
+  }
+
+  test("Pareto deciles: balanced sizes, monotone shares, full coverage") {
+    val rows = StatQueries.analyticsPareto(spark, TestSpark.Sf001).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val sizes = rows.map(_.getAs[Long]("n_customers"))
+    assert(sizes.max - sizes.min <= 1, "ntile must balance within 1")
+    val shares = rows.map(_.getAs[Long]("cum_share_ppm")).toSeq
+    assert(shares == shares.sorted, "cumulative share must be monotone")
+    assert(shares.last == 1000000L, "final decile must close at 100%")
+    // spend-ranked deciles: the first decile carries the largest slice
+    val cents = rows.map(_.getAs[Long]("decile_cents"))
+    assert(cents.head == cents.max)
+  }
+
   test("quarantine routes exactly the violating rows with full reasons") {
     val rows = graft.queries.EtlQueries.etlQuarantine(spark, TestSpark.Sf001)
       .collect()

@@ -120,4 +120,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(slope <= 0.0 && slope > -1.5, s"slope $slope")
     assert(!r.isNullAt(r.fieldIndex("intercept_log2")))
   }
+
+  test("perplexity banding partitions the corpus into ordered thirds") {
+    val rows = graft.queries.TextQueries
+      .corpusPerplexityFilter(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("ppl_log2_1e6"))).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // thresholds split by score: buckets must be ordered score bands
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // percentile split: each band holds roughly a third of the corpus
+    val n = rows.length
+    byBucket.values.foreach(b =>
+      assert(b.length > n / 5 && b.length < n / 2, s"skewed band ${b.length}/$n"))
+  }
 }
