@@ -1027,6 +1027,92 @@ object GraphQueries {
        |ORDER BY a1.x, y""".stripMargin
   }
 
+  /** `graph_modularity` — Newman–Girvan modularity of a given partition
+    * of the trade graph, here the REGION partition (does intra-region
+    * trade exceed the random-graph expectation?): per community c,
+    * contrib(c) = m_c/m − (d_c/2m)², Q = Σ contrib. Reported PER
+    * COMMUNITY (the chi2 per-cell doctrine — a summed Q would be an
+    * order-dependent float sum; per-community contributions are each
+    * one fixed integer formula): contrib_1e6 = (4·m·m_c − d_c²)·10⁶
+    * DIV (4·m²), exact BIGINTs throughout.
+    *
+    * This is the evaluation half of community detection — score any
+    * labelling (label propagation, regions, a business hierarchy)
+    * against the graph; detection lives in graph_label_propagation.
+    *
+    * Scale: one broadcast join tags each undirected edge with its two
+    * communities; m_c and d_c are one aggregate each over edge-ends
+    * keyed by the community domain. Nothing iterates.
+    */
+  def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .cache()
+    val nat = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"),
+        col("n_regionkey").cast("long").as("community"))
+    val tagged = und
+      .join(broadcast(nat.select(col("node").as("a"), col("community").as("ca"))), "a")
+      .join(broadcast(nat.select(col("node").as("b"), col("community").as("cb"))), "b")
+    val m = und.agg(count(lit(1)).as("m"))
+    val mc = tagged.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("m_c"))
+    val dc = tagged.select(col("ca").as("community"))
+      .unionByName(tagged.select(col("cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("d_c"))
+    table(spark, sfDir, "region")
+      .select(col("r_regionkey").cast("long").as("community"))
+      .join(broadcast(mc), Seq("community"), "left")
+      .join(broadcast(dc), Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"),
+        coalesce(col("m_c"), lit(0L)).as("m_c"),
+        coalesce(col("d_c"), lit(0L)).as("d_c"),
+        expr("(4 * m * coalesce(m_c, 0L) - coalesce(d_c, 0L) * coalesce(d_c, 0L))" +
+          " * 1000000L DIV (4 * m * m)").as("contrib_1e6"))
+      .orderBy("community")
+  }
+
+  val graphModularitySql: String =
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), nat AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |         CAST(n_regionkey AS BIGINT) AS community
+       |  FROM nation
+       |), tagged AS (
+       |  SELECT u.a, u.b, na.community AS ca, nb.community AS cb
+       |  FROM und u
+       |  JOIN nat na ON na.node = u.a
+       |  JOIN nat nb ON nb.node = u.b
+       |), m AS (
+       |  SELECT COUNT(*) AS m FROM und
+       |), mc AS (
+       |  SELECT ca AS community, COUNT(*) AS m_c
+       |  FROM tagged WHERE ca = cb GROUP BY ca
+       |), dc AS (
+       |  SELECT community, COUNT(*) AS d_c FROM (
+       |    SELECT ca AS community FROM tagged
+       |    UNION ALL
+       |    SELECT cb FROM tagged
+       |  ) GROUP BY community
+       |)
+       |SELECT CAST(r.r_regionkey AS BIGINT) AS community,
+       |       COALESCE(mc.m_c, 0) AS m_c,
+       |       COALESCE(dc.d_c, 0) AS d_c,
+       |       CAST((4 * m.m * COALESCE(mc.m_c, 0)
+       |             - COALESCE(dc.d_c, 0) * COALESCE(dc.d_c, 0))
+       |            * 1000000 // (4 * m.m * m.m) AS BIGINT) AS contrib_1e6
+       |FROM region r
+       |LEFT JOIN mc ON mc.community = CAST(r.r_regionkey AS BIGINT)
+       |LEFT JOIN dc ON dc.community = CAST(r.r_regionkey AS BIGINT)
+       |CROSS JOIN m
+       |ORDER BY community""".stripMargin
+
   /** `graph_assortativity` — degree assortativity (Newman 2002): the
     * Pearson correlation of endpoint degrees across all edge-ends — do
     * high-degree nations trade with other hubs (assortative, r > 0) or

@@ -771,6 +771,49 @@ object SimilarityQueries {
       | AND jaro_winkler_similarity(a.name, b.name) >= 0.85
       |ORDER BY jw DESC, name1, name2""".stripMargin
 
+  // ---- ANN quality evaluation ----------------------------------------
+
+  /** `sim_ann_recall` — recall\@k of the RHP-LSH ANN index against the
+    * exact brute-force top-k, per query: the evaluation loop every ANN
+    * deployment runs before trusting an index (and after every re-index)
+    * — here as a first-class operator composing two existing gated
+    * queries, so the report itself is oracle-exact.
+    *
+    * Scale: both sides are top-k result sets (k·|queries| rows); the
+    * comparison join and per-query rollup are dimension-sized no matter
+    * the corpus. The expensive parts are the underlying searches, whose
+    * scale paths are their own operators' contracts.
+    */
+  def simAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = simTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+    val ann = simAnnLsh(spark, sfDir)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"))
+    exact
+      .join(broadcast(ann),
+        col("q_id") === col("q2") && col("n_id") === col("n2"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("q2").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("q_id"), col("k"), col("hits"),
+        expr("hits * 1000000L DIV k").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  val simAnnRecallSql: String =
+    s"""WITH exact_r AS (
+       |$simTopKSql
+       |), ann_r AS (
+       |$simAnnLshSql
+       |)
+       |SELECT e.q_id, COUNT(*) AS k,
+       |       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hits,
+       |       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM exact_r e
+       |LEFT JOIN ann_r a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   // ---- MMR diversified re-ranking ------------------------------------
 
   private val MmrK = 5

@@ -1497,6 +1497,91 @@ object TextQueries {
          |FROM s""".stripMargin
   }
 
+  // ---- DSIR importance selection -------------------------------------
+
+  private val DsirTopK = 100
+
+  /** `corpus_dsir_select` — data selection by importance resampling
+    * (DSIR, Xie et al. 2023): score every document by how much more
+    * likely its tokens are under the TARGET domain's unigram LM (here:
+    * the English slice) than under the raw-corpus LM, and keep the
+    * top-[[DsirTopK]] — the modern recipe for skimming a web-scale
+    * crawl toward a target distribution without training a classifier.
+    * Add-1 smoothing on both models; the per-token log-ratio collapses
+    * to log2(c_t+1) − log2(c_r+1) plus a per-token constant
+    * log2(N_r+V) − log2(N_t+V), all on the shared integer log2 kernel,
+    * so the score is BIGINT-exact: dsir_1e6 ≈ 10⁶·log₂ likelihood
+    * ratio.
+    *
+    * Scale: the two count tables are token-keyed hash aggregates (the
+    * text_lm_score shape), broadcast back over one explode — types-
+    * sized, not mass-sized; the final top-k is TakeOrderedAndProject.
+    */
+  def corpusDsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntegerLog2
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("t"))
+      .cache()
+    val rawCnt = tok.groupBy("t").agg(count(lit(1)).as("cr"))
+    val tgtCnt = tok.where(col("lang") === "en")
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val consts = tok
+      .agg(count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      .crossJoin(rawCnt.agg(count(lit(1)).as("v")))
+      .select(IntegerLog2.log2s(col("nt") + col("v")).as("c1"),
+        IntegerLog2.log2s(col("nr") + col("v")).as("c2"))
+    tok.join(broadcast(rawCnt), "t")
+      .join(broadcast(tgtCnt), Seq("t"), "left")
+      .withColumn("term",
+        IntegerLog2.log2s(coalesce(col("ct"), lit(0L)) + 1) -
+          IntegerLog2.log2s(col("cr") + 1))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("term").as("tsum"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("tsum") + col("n_tokens") * (col("c2") - col("c1")))
+          .as("dsir_1e6"))
+      .orderBy(desc("dsir_1e6"), col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  val corpusDsirSelectSql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    DuckToks +
+      s"""
+         |, tok AS (
+         |  SELECT doc_id, lang, unnest(toks) AS t FROM d
+         |), raw AS (
+         |  SELECT t, COUNT(*) AS cr FROM tok GROUP BY t
+         |), tgt AS (
+         |  SELECT t, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY t
+         |), consts AS (
+         |  SELECT ${log2Sql("ntv")} AS c1, ${log2Sql("nrv")} AS c2 FROM (
+         |    SELECT CAST((SELECT COUNT(*) FROM tok WHERE lang = 'en')
+         |                + (SELECT COUNT(*) FROM raw) AS BIGINT) AS ntv,
+         |           CAST((SELECT COUNT(*) FROM tok)
+         |                + (SELECT COUNT(*) FROM raw) AS BIGINT) AS nrv
+         |  )
+         |), scored AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |         SUM(${log2Sql("ctp")} - ${log2Sql("crp")}) AS tsum
+         |  FROM (
+         |    SELECT tok.doc_id,
+         |           CAST(COALESCE(tg.ct, 0) + 1 AS BIGINT) AS ctp,
+         |           CAST(r.cr + 1 AS BIGINT) AS crp
+         |    FROM tok
+         |    JOIN raw r ON r.t = tok.t
+         |    LEFT JOIN tgt tg ON tg.t = tok.t
+         |  ) GROUP BY doc_id
+         |)
+         |SELECT s.doc_id, s.n_tokens,
+         |       CAST(s.tsum + s.n_tokens * (c.c2 - c.c1) AS BIGINT) AS dsir_1e6
+         |FROM scored s CROSS JOIN consts c
+         |ORDER BY dsir_1e6 DESC, s.doc_id LIMIT $DsirTopK""".stripMargin
+  }
+
   // ---- CCNet-style perplexity banding --------------------------------
 
   /** `corpus_perplexity_filter` — the CCNet head/middle/tail split

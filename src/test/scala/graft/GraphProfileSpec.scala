@@ -213,6 +213,21 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(rows.length == ra.size)
   }
 
+  test("modularity contributions respect the partition identities") {
+    val rows = GraphQueries.graphModularity(spark, TestSpark.Sf001).collect()
+    assert(rows.length == 5, "one row per region")
+    val mcSum = rows.map(_.getAs[Long]("m_c")).sum
+    val dcSum = rows.map(_.getAs[Long]("d_c")).sum
+    // every edge-end lands in exactly one community: sum d_c = 2m, and
+    // intra-community edges are a subset of all edges: sum m_c <= m
+    assert(dcSum % 2 == 0)
+    val m = dcSum / 2
+    assert(mcSum <= m)
+    // Q = sum of contributions is in the classic [-0.5, 1] band (scaled)
+    val q = rows.map(_.getAs[Long]("contrib_1e6")).sum
+    assert(q >= -500000L && q <= 1000000L, s"Q=$q")
+  }
+
   test("assortativity is a bounded correlation") {
     val r = GraphQueries.graphAssortativity(spark, TestSpark.Sf001)
       .collect().head

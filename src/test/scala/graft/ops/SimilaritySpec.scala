@@ -367,6 +367,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.gramMatrix(empty).isEmpty)
   }
 
+  test("ANN recall report equals a driver-side set intersection") {
+    val exact = graft.queries.SimilarityQueries.simTopK(spark, TestSpark.Sf001)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = graft.queries.SimilarityQueries.simAnnLsh(spark, TestSpark.Sf001)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = graft.queries.SimilarityQueries.simAnnRecall(spark, TestSpark.Sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val hits = (exact(q) intersect ann.getOrElse(q, Set.empty)).size.toLong
+      assert(r.getAs[Long]("k") == exact(q).size.toLong)
+      assert(r.getAs[Long]("hits") == hits, s"q$q")
+      assert(r.getAs[Long]("recall_ppm") == hits * 1000000L / exact(q).size)
+    }
+  }
+
   test("MMR picks match a driver-side greedy recomputation") {
     val got = graft.queries.SimilarityQueries
       .simMmrDiversify(spark, TestSpark.Sf001).collect()

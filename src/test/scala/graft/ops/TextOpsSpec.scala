@@ -121,6 +121,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r.isNullAt(r.fieldIndex("intercept_log2")))
   }
 
+  test("DSIR selection enriches the target domain") {
+    val sel = graft.queries.TextQueries.corpusDsirSelect(spark, TestSpark.Sf001)
+      .collect()
+    assert(sel.nonEmpty)
+    // ordered by weight desc, then doc_id
+    val ws = sel.map(_.getAs[Long]("dsir_1e6")).toSeq
+    assert(ws == ws.sorted.reverse)
+    // the selection must over-represent the English target slice
+    val langs = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val selEn = sel.count(r => langs(r.getAs[Long]("doc_id")) == "en").toDouble / sel.length
+    val corpusEn = langs.values.count(_ == "en").toDouble / langs.size
+    assert(selEn > corpusEn,
+      s"selection en-share $selEn must exceed corpus share $corpusEn")
+  }
+
   test("perplexity banding partitions the corpus into ordered thirds") {
     val rows = graft.queries.TextQueries
       .corpusPerplexityFilter(spark, TestSpark.Sf001).collect()
