@@ -447,4 +447,118 @@ object SketchQueries {
       |)
       |SELECT e.col_name, e.est_distinct, x.n_exact, x.n_rows
       |FROM e JOIN x USING (col_name) ORDER BY col_name""".stripMargin
+
+  private val KmvK = 256L
+
+  /** `olap_kmv_intersect` — distinct-set INTERSECTION estimation with a
+    * K-minimum-values sketch (Beyer et al. 2007 — the Theta-sketch
+    * family): keep the [[KmvK]] smallest hash values of A∪B with
+    * per-value membership flags; θ = the k-th smallest gives
+    * est(A∪B) = (k−1)·P DIV θ, and the fraction of the k-sample
+    * carrying BOTH flags estimates Jaccard, so est(A∩B) = matched ·
+    * est_union DIV k — every step integer. Demonstrated on the
+    * Jan-1995 vs Feb-1995 shipment part catalogs, which stay ~30%
+    * coverage of the part domain at EVERY sf (rows and parts both
+    * scale), so the overlap is genuinely partial. KMV beats HLL
+    * inclusion–exclusion here structurally: the intersection is
+    * estimated from a DIRECT sample of the union rather than as a
+    * difference of three noisy estimates (measured on this corpus, the
+    * 64-register HLL difference came out NEGATIVE).
+    *
+    * Small-set arm: with fewer than k distinct union hashes the
+    * k-sample IS the whole set and both estimates collapse to exact
+    * counts — the standard KMV convention, spelled identically in both
+    * engines.
+    *
+    * Scale: the k smallest of a distributed set is a TakeOrdered-
+    * shaped bounded structure (per-partition top-k then merge — k rows
+    * cross the wire per partition); the flag table is one hash
+    * aggregate over the tagged scan. The exact arm rides along as the
+    * audit baseline.
+    */
+  def olapKmvIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1995-03-01")
+      .select(
+        when(col("l_shipdate") < "1995-02-01", "a").otherwise("b").as("flag"),
+        col("l_partkey").cast("long").as("pk"))
+    val flagged = li
+      .groupBy("pk")
+      .agg(max(when(col("flag") === "a", 1L).otherwise(0L)).as("in_a"),
+        max(when(col("flag") === "b", 1L).otherwise(0L)).as("in_b"))
+      .withColumn("h", lcg(col("pk"), 1315423911L, 2654435761L))
+      .withColumn("g", (col("h") * col("h") % Prime * 1315423911L + 97L) % Prime)
+      // hash collisions across pks merge to one sample point with OR'd
+      // flags — the KMV convention (the sketch lives in hash space)
+      .groupBy("g")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val kmin = flagged.orderBy("g").limit(KmvK.toInt)
+    val stats = kmin.agg(
+      count(lit(1)).as("k_eff"),
+      max("g").as("theta"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("matched"))
+    val nUnion = flagged.agg(count(lit(1)).as("n_union"))
+    stats.crossJoin(broadcast(nUnion))
+      .select(col("k_eff"), col("matched"),
+        when(col("n_union") < KmvK, col("n_union"))
+          .otherwise(expr(s"(${KmvK - 1} * ${Prime}L) DIV theta"))
+          .as("est_union"))
+      .withColumn("est_intersect",
+        expr("matched * est_union DIV k_eff"))
+      .crossJoin(broadcast(
+        li.where(col("flag") === "a").select("pk").distinct()
+          .join(li.where(col("flag") === "b").select("pk").distinct(), "pk")
+          .agg(count(lit(1)).as("n_exact_intersect"))))
+      .select("k_eff", "matched", "est_union", "est_intersect",
+        "n_exact_intersect")
+  }
+
+  val olapKmvIntersectSql: String =
+    s"""WITH src AS (
+       |  SELECT CASE WHEN l_shipdate < TIMESTAMP '1995-02-01' THEN 'a'
+       |              ELSE 'b' END AS flag,
+       |         CAST(l_partkey AS BIGINT) AS pk
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+       |    AND l_shipdate < TIMESTAMP '1995-03-01'
+       |), pkf AS (
+       |  SELECT pk,
+       |         MAX(CASE WHEN flag = 'a' THEN 1 ELSE 0 END) AS in_a,
+       |         MAX(CASE WHEN flag = 'b' THEN 1 ELSE 0 END) AS in_b
+       |  FROM src GROUP BY pk
+       |), hashed AS (
+       |  SELECT ((pk % 1000003 * 1315423911 + 2654435761) % 2147483647) AS h,
+       |         in_a, in_b
+       |  FROM pkf
+       |), flagged AS (
+       |  SELECT (h * h % 2147483647 * 1315423911 + 97) % 2147483647 AS g,
+       |         MAX(in_a) AS in_a, MAX(in_b) AS in_b
+       |  FROM hashed GROUP BY 1
+       |), kmin AS (
+       |  SELECT g, in_a, in_b FROM flagged ORDER BY g LIMIT $KmvK
+       |), stats AS (
+       |  SELECT COUNT(*) AS k_eff, MAX(g) AS theta,
+       |         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS matched
+       |  FROM kmin
+       |), nu AS (
+       |  SELECT COUNT(*) AS n_union FROM flagged
+       |), exact AS (
+       |  SELECT COUNT(*) AS n_exact_intersect FROM (
+       |    SELECT DISTINCT pk FROM src WHERE flag = 'a'
+       |    INTERSECT
+       |    SELECT DISTINCT pk FROM src WHERE flag = 'b'
+       |  )
+       |)
+       |SELECT s.k_eff, s.matched,
+       |       CAST(CASE WHEN n.n_union < $KmvK THEN n.n_union
+       |            ELSE (CAST(${KmvK - 1} AS BIGINT) * 2147483647) // s.theta END
+       |            AS BIGINT) AS est_union,
+       |       CAST(s.matched *
+       |            (CASE WHEN n.n_union < $KmvK THEN n.n_union
+       |             ELSE (CAST(${KmvK - 1} AS BIGINT) * 2147483647) // s.theta END)
+       |            // s.k_eff AS BIGINT) AS est_intersect,
+       |       e.n_exact_intersect
+       |FROM stats s CROSS JOIN nu n CROSS JOIN exact e""".stripMargin
 }

@@ -1497,6 +1497,99 @@ object TextQueries {
          |FROM s""".stripMargin
   }
 
+  // ---- multi-signal quality ensemble ---------------------------------
+
+  /** `corpus_quality_ensemble` — the FineWeb/Gopher-style multi-filter
+    * verdict: five independent integer quality signals (unigram
+    * entropy, type–token ratio, Flesch readability, bigram LM score,
+    * bigram perplexity) are each banded to the corpus's own
+    * [p10, p90] — the band form drops outliers in BOTH directions
+    * without caring which way each signal points — and a document is
+    * KEPT when ≥ 4 of 5 signals sit in band. Real pretraining filters
+    * are ensembles exactly like this: no single heuristic is trusted
+    * alone.
+    *
+    * Determinism: every signal is an existing gated integer score; the
+    * ten thresholds are exact interpolated percentiles of integers
+    * (olap_percentile doctrine); flags and the vote are pure integer
+    * compares. Docs too short to have bigrams carry no LM/perplexity
+    * signal and drop from the ensemble by the inner join — by contract.
+    *
+    * Scale: five doc-keyed narrow aggregates zipper-joined on doc_id
+    * (co-partitioned one shuffle each), one 10-value aggregate
+    * broadcast back. Nothing quadratic, nothing driver-side.
+    */
+  def corpusQualityEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Seq(
+      textEntropy(spark, sfDir).select(col("doc_id"), col("ent_1e6").as("s1")),
+      textLexicalDiversity(spark, sfDir)
+        .select(col("doc_id"), col("ttr_1e6").as("s2")),
+      textReadability(spark, sfDir)
+        .select(col("doc_id"), col("flesch_1e3").as("s3")),
+      textLmScore(spark, sfDir)
+        .select(col("doc_id"), col("lm_score_1e6").as("s4")),
+      textPerplexity(spark, sfDir)
+        .select(col("doc_id"), col("ppl_log2_1e6").as("s5")))
+    val joined = sigs.reduce(_.join(_, "doc_id"))
+    val thExprs = (1 to 5).flatMap(i => Seq(
+      percentile(col(s"s$i"), lit(0.1)).as(s"lo$i"),
+      percentile(col(s"s$i"), lit(0.9)).as(s"hi$i")))
+    val th = joined.agg(thExprs.head, thExprs.tail: _*)
+    val flagged = (1 to 5).foldLeft(joined.crossJoin(broadcast(th))) {
+      case (df, i) => df.withColumn(s"pass$i",
+        (col(s"s$i") >= col(s"lo$i") && col(s"s$i") <= col(s"hi$i"))
+          .cast("long"))
+    }
+    flagged
+      .withColumn("n_pass",
+        (1 to 5).map(i => col(s"pass$i")).reduce(_ + _))
+      .select(col("doc_id") +: (1 to 5).map(i => col(s"pass$i")) :+
+        col("n_pass") :+ (col("n_pass") >= 4).cast("long").as("keep"): _*)
+      .transform(RefQueries.gateSort(_, "doc_id"))
+  }
+
+  val corpusQualityEnsembleSql: String = {
+    val flags = (1 to 5).map(i =>
+      s"CASE WHEN j.s$i >= t.lo$i AND j.s$i <= t.hi$i THEN 1 ELSE 0 END AS pass$i")
+      .mkString(",\n       ")
+    val passCols = (1 to 5).map(i => s"pass$i").mkString(" + ")
+    s"""WITH e1 AS (
+       |$textEntropySql
+       |), e2 AS (
+       |$textLexicalDiversitySql
+       |), e3 AS (
+       |$textReadabilitySql
+       |), e4 AS (
+       |$textLmScoreSql
+       |), e5 AS (
+       |$textPerplexitySql
+       |), j AS (
+       |  SELECT e1.doc_id, e1.ent_1e6 AS s1, e2.ttr_1e6 AS s2,
+       |         e3.flesch_1e3 AS s3, e4.lm_score_1e6 AS s4,
+       |         e5.ppl_log2_1e6 AS s5
+       |  FROM e1
+       |  JOIN e2 USING (doc_id) JOIN e3 USING (doc_id)
+       |  JOIN e4 USING (doc_id) JOIN e5 USING (doc_id)
+       |), t AS (
+       |  SELECT quantile_cont(s1, 0.1) AS lo1, quantile_cont(s1, 0.9) AS hi1,
+       |         quantile_cont(s2, 0.1) AS lo2, quantile_cont(s2, 0.9) AS hi2,
+       |         quantile_cont(s3, 0.1) AS lo3, quantile_cont(s3, 0.9) AS hi3,
+       |         quantile_cont(s4, 0.1) AS lo4, quantile_cont(s4, 0.9) AS hi4,
+       |         quantile_cont(s5, 0.1) AS lo5, quantile_cont(s5, 0.9) AS hi5
+       |  FROM j
+       |), f AS (
+       |  SELECT j.doc_id,
+       |       $flags
+       |  FROM j CROSS JOIN t
+       |)
+       |SELECT doc_id, CAST(pass1 AS BIGINT) AS pass1,
+       |       CAST(pass2 AS BIGINT) AS pass2, CAST(pass3 AS BIGINT) AS pass3,
+       |       CAST(pass4 AS BIGINT) AS pass4, CAST(pass5 AS BIGINT) AS pass5,
+       |       CAST($passCols AS BIGINT) AS n_pass,
+       |       CAST(CASE WHEN $passCols >= 4 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   // ---- DSIR importance selection -------------------------------------
 
   private val DsirTopK = 100

@@ -75,4 +75,41 @@ class SketchQueriesSpec extends AnyFunSuite {
       assert(pass <= total)
     }
   }
+
+  test("KMV intersection: sample invariants and estimate within sketch error") {
+    val r = graft.queries.SketchQueries
+      .olapKmvIntersect(spark, TestSpark.Sf001).collect().head
+    val (k, matched, estU, estI, exact) = (r.getAs[Long]("k_eff"),
+      r.getAs[Long]("matched"), r.getAs[Long]("est_union"),
+      r.getAs[Long]("est_intersect"), r.getAs[Long]("n_exact_intersect"))
+    assert(k > 0 && matched >= 0 && matched <= k)
+    assert(estI >= 0 && estI <= estU, "intersection can't exceed union")
+    assert(estI == matched * estU / k, "integral KMV identity")
+    // exact union for the relative-error check
+    val li = spark.read.parquet(s"${TestSpark.Sf001}/lineitem.parquet")
+      .where("l_shipdate >= '1995-01-01' AND l_shipdate < '1995-03-01'")
+      .selectExpr("l_partkey AS pk").distinct().count()
+    // KMV with k=256 has ~1/sqrt(k) ≈ 6% stderr — allow 4 sigma
+    assert(math.abs(estU - li).toDouble / li < 0.25, s"estU=$estU exact=$li")
+    assert(math.abs(estI - exact).toDouble / math.max(exact, 1) < 0.5,
+      s"estI=$estI exact=$exact")
+  }
+
+  test("quality ensemble: vote arithmetic and band pass rates") {
+    val rows = graft.queries.TextQueries
+      .corpusQualityEnsemble(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = (1 to 5).map(i => r.getAs[Long](s"pass$i"))
+      assert(flags.forall(f => f == 0L || f == 1L))
+      assert(r.getAs[Long]("n_pass") == flags.sum)
+      assert(r.getAs[Long]("keep") == (if (flags.sum >= 4) 1L else 0L))
+    }
+    // a [p10, p90] band passes ~80% of docs per signal
+    val n = rows.length
+    (1 to 5).foreach { i =>
+      val rate = rows.map(_.getAs[Long](s"pass$i")).sum.toDouble / n
+      assert(rate > 0.6 && rate <= 0.97, s"signal $i pass rate $rate")
+    }
+  }
 }
