@@ -1027,6 +1027,41 @@ object GraphQueries {
        |ORDER BY a1.x, y""".stripMargin
   }
 
+  /** `graph_reciprocity` — edge reciprocity of the DIRECTED trade graph:
+    * the fraction of non-loop edges (u→v) whose reverse (v→u) also
+    * clears the trade threshold — how symmetric are trading
+    * relationships? (Directed-graph health metric; the thresholded
+    * derivation makes it non-trivial: raw trade is near-complete, the
+    * SPARSE graph is not.) Reported as n_edges, n_reciprocal and an
+    * integral ppm ratio.
+    *
+    * Scale: one self-join of the edge list on the swapped key — edge-
+    * keyed hash join, dimension-sized here, vertex-partitioned at real
+    * scale. One aggregate.
+    */
+  def graphReciprocity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).where(col("src") =!= col("dst"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    edges.join(broadcast(rev.withColumn("has_rev", lit(1L))),
+        Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("has_rev"), lit(0L))).as("n_reciprocal"))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("n_reciprocal * 1000000L DIV n_edges").as("recip_ppm"))
+  }
+
+  val graphReciprocitySql: String =
+    s"""WITH $EdgeCtes, e AS (
+       |  SELECT src, dst FROM edges WHERE src != dst
+       |)
+       |SELECT COUNT(*) AS n_edges,
+       |       CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_reciprocal,
+       |       CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+       |            * 1000000 // COUNT(*) AS BIGINT) AS recip_ppm
+       |FROM e
+       |LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src""".stripMargin
+
   /** `graph_modularity` — Newman–Girvan modularity of a given partition
     * of the trade graph, here the REGION partition (does intra-region
     * trade exceed the random-graph expectation?): per community c,

@@ -1133,6 +1133,56 @@ object StatQueries {
       |         AS cum_share_ppm
       |FROM rolled ORDER BY decile""".stripMargin
 
+  /** `analytics_winsorized_mean` — outlier-robust mean per market
+    * segment: balances are CLAMPED to the segment's [p5, p95] before
+    * averaging (winsorizing — the robust-reporting alternative to
+    * trimming, which drops rows and changes n). Integer doctrine: the
+    * clamp bounds are ceil(p5)/floor(p95) of the exact interpolated
+    * percentiles — integral cents, so the clamped sum is an exact
+    * BIGINT and the mean one fixed double ratio; the plain mean rides
+    * along to show the robustness gap.
+    *
+    * Scale: one percentile aggregate per segment broadcast back over
+    * the scan, one clamped-sum aggregate — two segment-keyed shuffles.
+    */
+  def analyticsWinsorizedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_mktsegment").as("segment"), cents(col("c_acctbal")).as("x"))
+    val bounds = cust.groupBy("segment").agg(
+      ceil(percentile(col("x"), lit(0.05))).cast(LongType).as("lo_c"),
+      floor(percentile(col("x"), lit(0.95))).cast(LongType).as("hi_c"))
+    cust.join(broadcast(bounds), "segment")
+      .withColumn("w", least(greatest(col("x"), col("lo_c")), col("hi_c")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), max("lo_c").as("lo_c"), max("hi_c").as("hi_c"),
+        sum("w").as("wsum"), sum("x").as("rsum"))
+      .select(col("segment"), col("n"), col("lo_c"), col("hi_c"),
+        (col("wsum").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("winsorized_mean_c"),
+        (col("rsum").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("raw_mean_c"))
+      .orderBy("segment")
+  }
+
+  val analyticsWinsorizedMeanSql: String =
+    """WITH src AS (
+      |  SELECT c_mktsegment AS segment,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+      |  FROM customer
+      |), b AS (
+      |  SELECT segment,
+      |         CAST(ceil(quantile_cont(x, 0.05)) AS BIGINT) AS lo_c,
+      |         CAST(floor(quantile_cont(x, 0.95)) AS BIGINT) AS hi_c
+      |  FROM src GROUP BY segment
+      |)
+      |SELECT s.segment, COUNT(*) AS n,
+      |       MAX(b.lo_c) AS lo_c, MAX(b.hi_c) AS hi_c,
+      |       CAST(SUM(LEAST(GREATEST(s.x, b.lo_c), b.hi_c)) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean_c,
+      |       CAST(SUM(s.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS raw_mean_c
+      |FROM src s JOIN b ON b.segment = s.segment
+      |GROUP BY s.segment ORDER BY s.segment""".stripMargin
+
   // ---- two-sample nonparametric tests --------------------------------
 
   /** `analytics_ks_test` — exact two-sample Kolmogorov–Smirnov statistic

@@ -1266,6 +1266,70 @@ object StreamQueries {
        |FROM act GROUP BY doc_id, grp
        |ORDER BY doc_id, seg_start""".stripMargin
 
+  /** `multimodal_patch_tokens` — ViT-style patch tokenization (Dosovitskiy
+    * 2020): the document raster (12-wide luma plane through the REAL PPM
+    * decode, as multimodal_resize) is cut into non-overlapping 4×4
+    * patches — 3 per band — and each patch becomes one visual TOKEN:
+    * its integer mean luma quantized to 6 bits (DIV 4). This is the
+    * vision half of a multimodal LLM pipeline's tokenizer: images enter
+    * the sequence model as per-patch discrete codes, and the patch
+    * grid / batch shape here is exactly what a learned projection would
+    * consume.
+    *
+    * Scale: one narrow map per document (decode + O(pixels) patch
+    * fold), one explode to patch rows — no shuffle before the gate
+    * sort; the decode reuses the per-partition codec doctrine.
+    */
+  def multimodalPatchTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val inW = 12
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val h = bytes.length / 3 / inW
+        if (h < 4) Seq.empty[(Long, Long, Long, Long)]
+        else {
+          val plane = graft.ops.MediaCodecs
+            .decodePpmLuma(s"P6\n$inW $h\n255\n".getBytes("US-ASCII")
+              ++ bytes.take(inW * h * 3))
+            .getOrElse(Array.empty[Int])
+          for {
+            band <- 0 until h / 4
+            pc <- 0 until inW / 4
+          } yield {
+            val sum = (for (r <- 0 until 4; c <- 0 until 4)
+              yield plane((band * 4 + r) * inW + pc * 4 + c)).sum.toLong
+            val mean = sum / 16
+            (id, (band * 3 + pc).toLong, mean, mean / 4)
+          }
+        }
+      }.toDF("doc_id", "patch_id", "mean_luma", "token_id")
+      .transform(gateSort(_, "doc_id", "patch_id"))
+  }
+
+  val multimodalPatchTokensSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, (length(text)//3)//12 AS h FROM documents
+      |), l AS (
+      |  SELECT doc_id, h,
+      |         list_transform(range(0, 12*h), p ->
+      |           (unicode(text[3*p+1]) + unicode(text[3*p+2]) + unicode(text[3*p+3])) // 3) AS luma
+      |  FROM m WHERE h >= 4
+      |), p AS (
+      |  SELECT doc_id, luma,
+      |         unnest(range(0, (h//4) * 3)) AS patch_id
+      |  FROM l
+      |), s AS (
+      |  SELECT doc_id, patch_id,
+      |         CAST(list_sum(list_transform(range(0, 16), i ->
+      |           luma[((patch_id//3)*4 + i//4) * 12 + (patch_id%3)*4 + i%4 + 1]))
+      |           // 16 AS BIGINT) AS mean_luma
+      |  FROM p
+      |)
+      |SELECT doc_id, patch_id, mean_luma, mean_luma // 4 AS token_id
+      |FROM s ORDER BY doc_id, patch_id""".stripMargin
+
   private val LateDelayUs = 600L * 1000000L
 
   /** `stream_late_data` — watermark late-data accounting: replaying the

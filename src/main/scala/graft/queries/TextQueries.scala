@@ -1497,6 +1497,64 @@ object TextQueries {
          |FROM s""".stripMargin
   }
 
+  // ---- novelty curve --------------------------------------------------
+
+  /** `text_ngram_novelty` — per-document novelty against everything
+    * BEFORE it in corpus order: the fraction of a document's distinct
+    * 3-grams whose FIRST occurrence (min doc_id) is the document
+    * itself. The curation signal behind "is the crawl still adding new
+    * content?" — novelty decays as a corpus saturates, and per-source
+    * novelty curves tell you which feeds have gone stale. ppm-integral.
+    *
+    * Scale: one explode to distinct (doc, gram) pairs, one gram-keyed
+    * min aggregate (the global first-seen table), one broadcast-shaped
+    * join back, one doc rollup — the dedup_lines shuffle family,
+    * nothing quadratic.
+    */
+  def textNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val m = greatest(size(toks) - 2, lit(0))
+    val grams3 = when(size(toks) >= 3,
+      transform(sequence(lit(1), m), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))
+    ).otherwise(array().cast("array<string>"))
+    val pairs = docs(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(grams3)).as("g"))
+      .cache()
+    val first = pairs.groupBy("g").agg(min("doc_id").as("first_doc"))
+    pairs.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000L DIV n_grams").as("novelty_ppm"))
+      .transform(RefQueries.gateSort(_, "doc_id"))
+  }
+
+  val textNgramNoveltySql: String = DuckToks +
+    """
+      |, pairs AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |           unnest(CASE WHEN len(toks) >= 3
+      |             THEN list_transform(range(1, len(toks) - 1), i ->
+      |                    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |             ELSE [] END) AS g
+      |    FROM d
+      |  )
+      |), first AS (
+      |  SELECT g, MIN(doc_id) AS first_doc FROM pairs GROUP BY g
+      |)
+      |SELECT p.doc_id, COUNT(*) AS n_grams,
+      |       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_novel,
+      |       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+      |            * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM pairs p JOIN first f USING (g)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   // ---- multi-signal quality ensemble ---------------------------------
 
   /** `corpus_quality_ensemble` — the FineWeb/Gopher-style multi-filter

@@ -130,6 +130,24 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
   }
 
+  test("winsorized mean sits inside the clamp band and damps outliers") {
+    val rows = StatQueries.analyticsWinsorizedMean(spark, TestSpark.Sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("lo_c"), r.getAs[Long]("hi_c"))
+      val (wm, rm) = (r.getAs[Double]("winsorized_mean_c"),
+        r.getAs[Double]("raw_mean_c"))
+      assert(lo <= hi)
+      assert(wm >= lo && wm <= hi, "clamped mean must lie in the band")
+      // winsorizing both tails can move the mean either way but only
+      // within the tail mass: |wm − rm| ≤ 10% of the band width is a
+      // loose sanity envelope for 5% tails of a bounded distribution
+      assert(math.abs(wm - rm) <= 0.1 * (hi - lo).toDouble + 1.0,
+        s"${r.get(0)}: wm=$wm rm=$rm")
+    }
+  }
+
   test("Theil index is near-nonnegative and bounded by log2(n)") {
     val rows = StatQueries.analyticsTheil(spark, TestSpark.Sf001).collect()
     assert(rows.nonEmpty)

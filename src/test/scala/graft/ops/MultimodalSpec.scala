@@ -515,6 +515,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want.toMap)
   }
 
+  test("patch tokens match a driver-side repatch of the decoded plane") {
+    val rows = graft.queries.StreamQueries
+      .multimodalPatchTokens(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("patch_id")) ->
+      ((r.getAs[Long]("mean_luma"), r.getAs[Long]("token_id")))).toMap
+    val want = texts.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val h = bytes.length / 3 / 12
+      if (h < 4) Nil
+      else {
+        val luma = (0 until 12 * h).map(p =>
+          ((bytes(3 * p) & 0xff) + (bytes(3 * p + 1) & 0xff) +
+            (bytes(3 * p + 2) & 0xff)) / 3)
+        for { band <- 0 until h / 4; pc <- 0 until 3 } yield {
+          val s = (for (r <- 0 until 4; c <- 0 until 4)
+            yield luma((band * 4 + r) * 12 + pc * 4 + c)).sum.toLong
+          (id, (band * 3 + pc).toLong) -> ((s / 16, s / 16 / 4))
+        }
+      }
+    }
+    assert(got == want.toMap)
+    rows.foreach(r => assert(r.getAs[Long]("token_id") < 64))
+  }
+
   test("late-data accounting fires and respects its invariants") {
     val rows = graft.queries.StreamQueries.streamLateData(spark, TestSpark.Sf001)
       .collect()

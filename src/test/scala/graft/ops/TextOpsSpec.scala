@@ -121,6 +121,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r.isNullAt(r.fieldIndex("intercept_log2")))
   }
 
+  test("ngram novelty: first doc is fully novel, totals consistent") {
+    val rows = graft.queries.TextQueries
+      .textNgramNovelty(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    // the earliest doc can only introduce grams
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L)
+    rows.foreach { r =>
+      val (n, nov, ppm) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+        r.getAs[Long]("novelty_ppm"))
+      assert(nov >= 0 && nov <= n)
+      assert(ppm == nov * 1000000L / n)
+    }
+    // the shared synthetic vocabulary guarantees later docs repeat grams
+    assert(rows.exists(_.getAs[Long]("novelty_ppm") < 1000000L))
+  }
+
   test("DSIR selection enriches the target domain") {
     val sel = graft.queries.TextQueries.corpusDsirSelect(spark, TestSpark.Sf001)
       .collect()
