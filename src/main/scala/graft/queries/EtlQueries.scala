@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.etl.OewsCleaner
 
 /** The reference's row-level ETL transforms (SURVEY.md §2.4: R1 cell
@@ -740,6 +741,148 @@ object EtlQueries {
       |         AS key_token,
       |       c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** `join_point_in_time` — the SCD2 LOOKUP: facts joined to the
+    * dimension version that was CURRENT at fact time. Line items (ship
+    * events) look up the customer's order-history version (etl_scd2's
+    * real interval table) valid at ship date, then roll up shipping
+    * activity per version — "what happened while each version was
+    * live", the question every PIT join answers (feature stores,
+    * as-was reporting, training-data leakage prevention). Ships before
+    * a customer's first version have no valid version and drop — the
+    * PIT contract.
+    *
+    * Scale: an equi-join on the dimension KEY with the interval
+    * predicate evaluated inside the join — per-key version chains are
+    * short (the SCD2 invariant), so the per-key probe is bounded; the
+    * shape is the standard key-partitioned interval lookup, one
+    * shuffle each side.
+    */
+  def joinPointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.RefQueries.table
+    val changes = table(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("eff_ms"),
+        col("o_orderkey"), col("o_totalprice"))
+    val hist = graft.ops.Scd2.buildHistory(changes,
+      keys = Seq("o_custkey"), effectiveTime = "eff_ms", tieBreak = "o_orderkey")
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("version_key"),
+        col("valid_from"), col("valid_to"))
+    val ships = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+      .join(table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    ships
+      .join(hist,
+        col("o_custkey") === col("ck") &&
+          col("ship_ms") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ship_ms") < col("valid_to")))
+      .groupBy(col("ck").as("custkey"), col("version_key"))
+      .agg(count(lit(1)).as("n_ship_events"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("custkey", "version_key")
+  }
+
+  val joinPointInTimeSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, epoch_ms(o_orderdate) AS eff_ms, o_orderkey
+      |  FROM orders
+      |), hist AS (
+      |  SELECT o_custkey AS ck, o_orderkey AS version_key,
+      |         eff_ms AS valid_from,
+      |         lead(eff_ms) OVER (PARTITION BY o_custkey
+      |                            ORDER BY eff_ms, o_orderkey) AS valid_to
+      |  FROM c
+      |), ships AS (
+      |  SELECT o.o_custkey, l.l_quantity, epoch_ms(l.l_shipdate) AS ship_ms
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |)
+      |SELECT h.ck AS custkey, h.version_key,
+      |       COUNT(*) AS n_ship_events,
+      |       CAST(SUM(CAST(s.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM ships s
+      |JOIN hist h ON h.ck = s.o_custkey
+      |           AND s.ship_ms >= h.valid_from
+      |           AND (h.valid_to IS NULL OR s.ship_ms < h.valid_to)
+      |GROUP BY h.ck, h.version_key
+      |ORDER BY custkey, version_key""".stripMargin
+
+  /** `etl_cdc_apply` — change-data-capture compaction, latest-wins: a
+    * change stream (insert/update/delete ops keyed by entity, ordered
+    * by (ts, change id)) is applied onto the base snapshot and the
+    * FINAL state per key reported — the merge every Delta/Hudi-style
+    * ingest runs. The stream derives deterministically from orders
+    * (op by orderkey mod 10: 0→D, 1-2→I, else U; value = order total
+    * cents); only each key's LAST event matters, which is why the
+    * whole apply is ONE argmax aggregate + one outer join, never an
+    * ordered replay.
+    *
+    * Scale: per-key argmax via max(struct(ts, id, …)) is a partial+
+    * final hash aggregate (map-side combined); the base join is a
+    * key-partitioned full outer. This is the compaction shape that
+    * processes a billion-row changelog in one shuffle.
+    */
+  def etlCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.RefQueries.table
+    val base = table(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("base_bal_c"))
+    val events = table(spark, sfDir, "orders")
+      .select(col("o_custkey").cast("long").as("k"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ts"),
+        col("o_orderkey").as("id"),
+        when(col("o_orderkey") % 10 === 0, "D")
+          .when(col("o_orderkey") % 10 <= 2, "I")
+          .otherwise("U").as("op"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("v"))
+    val last = events.groupBy("k")
+      .agg(max(struct(col("ts"), col("id"), col("op"), col("v"))).as("m"))
+      .select(col("k"), col("m.op").as("op"), col("m.v").as("v"))
+    base.join(last, Seq("k"), "full_outer")
+      .select(col("k").as("custkey"),
+        when(col("op").isNull, "unchanged")
+          .when(col("op") === "D", "deleted")
+          .when(col("base_bal_c").isNull, "inserted")
+          .otherwise("upserted").as("status"),
+        when(col("op").isNull, col("base_bal_c"))
+          .when(col("op") === "D", lit(null).cast("long"))
+          .otherwise(col("v")).as("final_bal_c"))
+      .orderBy("custkey")
+  }
+
+  val etlCdcApplySql: String =
+    """WITH base AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS base_bal_c
+      |  FROM customer
+      |), ev AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS k,
+      |         epoch_ms(o_orderdate) AS ts, o_orderkey AS id,
+      |         CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+      |              WHEN o_orderkey % 10 <= 2 THEN 'I'
+      |              ELSE 'U' END AS op,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders
+      |), last AS (
+      |  SELECT k,
+      |         (MAX(struct_pack(ts := ts, id := id, op := op, v := v))).op AS op,
+      |         (MAX(struct_pack(ts := ts, id := id, op := op, v := v))).v AS v
+      |  FROM ev GROUP BY k
+      |)
+      |SELECT COALESCE(b.k, l.k) AS custkey,
+      |       CASE WHEN l.op IS NULL THEN 'unchanged'
+      |            WHEN l.op = 'D' THEN 'deleted'
+      |            WHEN b.base_bal_c IS NULL THEN 'inserted'
+      |            ELSE 'upserted' END AS status,
+      |       CASE WHEN l.op IS NULL THEN b.base_bal_c
+      |            WHEN l.op = 'D' THEN NULL
+      |            ELSE l.v END AS final_bal_c
+      |FROM base b FULL OUTER JOIN last l ON l.k = b.k
+      |ORDER BY custkey""".stripMargin
 
   /** `etl_quarantine` — rule-based row routing, the ROW-level sibling of
     * [[etlConstraints]] (which only counts): every order violating at

@@ -130,6 +130,57 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
   }
 
+  test("point-in-time join covers every ship event exactly once") {
+    val rows = graft.queries.EtlQueries.joinPointInTime(spark, TestSpark.Sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_ship_events") > 0))
+    // a ship event is covered iff it lands on/after its customer's FIRST
+    // version (the corpus ships some items before the order date, so
+    // pre-history events exist and must drop — the PIT contract)
+    val covered = spark.sql(
+      s"""WITH fo AS (
+         |  SELECT o_custkey, MIN(o_orderdate) AS f
+         |  FROM parquet.`${TestSpark.Sf001}/orders.parquet` GROUP BY 1)
+         |SELECT COUNT(*) FROM parquet.`${TestSpark.Sf001}/lineitem.parquet` l
+         |JOIN parquet.`${TestSpark.Sf001}/orders.parquet` o
+         |  ON o.o_orderkey = l.l_orderkey
+         |JOIN fo ON fo.o_custkey = o.o_custkey
+         |WHERE l.l_shipdate >= fo.f""".stripMargin).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_ship_events")).sum == covered)
+    // (custkey, version) keys are unique
+    val keys = rows.map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("version_key")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("CDC apply: statuses partition the key space, last-writer wins") {
+    val rows = graft.queries.EtlQueries.etlCdcApply(spark, TestSpark.Sf001)
+      .collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+    assert(byStatus.keySet.subsetOf(
+      Set("unchanged", "deleted", "inserted", "upserted")))
+    assert(byStatus.contains("deleted") && byStatus.contains("upserted"))
+    rows.foreach { r =>
+      val deleted = r.getAs[String]("status") == "deleted"
+      assert(r.isNullAt(r.fieldIndex("final_bal_c")) == deleted)
+    }
+    // one row per key in base ∪ stream
+    val base = spark.read.parquet(s"${TestSpark.Sf001}/customer.parquet")
+      .selectExpr("CAST(c_custkey AS LONG)").collect().map(_.getLong(0)).toSet
+    val evKeys = spark.read.parquet(s"${TestSpark.Sf001}/orders.parquet")
+      .selectExpr("CAST(o_custkey AS LONG)").collect().map(_.getLong(0)).toSet
+    assert(rows.length == (base ++ evKeys).size)
+    // spot-check last-writer-wins on one upserted key against the log
+    val sample = rows.find(_.getAs[String]("status") == "upserted").get
+    val k = sample.getAs[Long]("custkey")
+    val last = spark.read.parquet(s"${TestSpark.Sf001}/orders.parquet")
+      .where(s"o_custkey = $k")
+      .selectExpr("o_orderkey", "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ts",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS LONG) AS v")
+      .collect().maxBy(r => (r.getAs[Long]("ts"), r.getAs[Long]("o_orderkey")))
+    assert(sample.getAs[Long]("final_bal_c") == last.getAs[Long]("v"))
+  }
+
   test("winsorized mean sits inside the clamp band and damps outliers") {
     val rows = StatQueries.analyticsWinsorizedMean(spark, TestSpark.Sf001)
       .collect()
