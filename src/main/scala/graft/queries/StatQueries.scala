@@ -1133,6 +1133,131 @@ object StatQueries {
       |         AS cum_share_ppm
       |FROM rolled ORDER BY decile""".stripMargin
 
+  /** `analytics_stl_decompose` — additive trend/seasonal/residual
+    * decomposition of the daily revenue series (the STL shape, with
+    * the classical moving-average estimators): trend = centered 7-day
+    * mean (full windows only), seasonal = per-weekday mean of the
+    * detrended series, residual = the rest. All integer cents with DIV
+    * floors — trend_c NULL on the 3-day edges, where seasonal/residual
+    * are NULL too. The decomposition behind every "is this spike
+    * seasonality or anomaly?" dashboard.
+    *
+    * Scale: one daily rollup (fact-table hash agg), one O(days)
+    * centered window, one 7-group aggregate broadcast back — the
+    * series frames are calendar-bounded.
+    */
+  def analyticsStlDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, sfDir, "lineitem")
+      .select(
+        expr("CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")
+          .as("day"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev_c"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s7", sum("rev_c").over(w7))
+      .withColumn("trend_c", when(col("n7") === 7, expr("s7 DIV 7")))
+      .withColumn("det_c", col("rev_c") - col("trend_c"))
+      .withColumn("weekday", expr("(day + 4) % 7"))
+    val seasonal = trended.where(col("det_c").isNotNull)
+      .groupBy("weekday")
+      .agg(expr("sum(det_c) DIV count(1)").as("seasonal_c"))
+    trended.join(broadcast(seasonal), Seq("weekday"), "left")
+      .select(col("day"), col("rev_c"), col("trend_c"),
+        when(col("trend_c").isNotNull, col("seasonal_c")).as("seasonal_c"),
+        when(col("trend_c").isNotNull, col("det_c") - col("seasonal_c"))
+          .as("resid_c"))
+      .orderBy("day")
+  }
+
+  val analyticsStlDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(l_shipdate) // 86400000 AS day,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1
+      |), t AS (
+      |  SELECT day, rev_c,
+      |         COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+      |         CAST(SUM(rev_c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |              AS BIGINT) AS s7
+      |  FROM daily
+      |), tr AS (
+      |  SELECT day, rev_c,
+      |         CASE WHEN n7 = 7 THEN s7 // 7 END AS trend_c,
+      |         (day + 4) % 7 AS weekday
+      |  FROM t
+      |), det AS (
+      |  SELECT *, rev_c - trend_c AS det_c FROM tr
+      |), seas AS (
+      |  SELECT weekday, CAST(SUM(det_c) // COUNT(*) AS BIGINT) AS seasonal_c
+      |  FROM det WHERE det_c IS NOT NULL GROUP BY weekday
+      |)
+      |SELECT d.day, d.rev_c, d.trend_c,
+      |       CASE WHEN d.trend_c IS NOT NULL THEN s.seasonal_c END AS seasonal_c,
+      |       CASE WHEN d.trend_c IS NOT NULL THEN d.det_c - s.seasonal_c END AS resid_c
+      |FROM det d LEFT JOIN seas s ON s.weekday = d.weekday
+      |ORDER BY d.day""".stripMargin
+
+  /** `analytics_churn` — weekly churn accounting over the event log:
+    * for every week with a successor, how many active users did not
+    * return the following week? The product-health counterpart of
+    * analytics_active_users' rolling DAU/WAU. Weeks are absolute
+    * (epoch_day DIV 7) so the bucketing is integer and engine-neutral.
+    *
+    * Scale: one (week, user) distinct aggregate, one self-join shifted
+    * by a week on the user key, one rollup — all user-keyed shuffles.
+    */
+  def analyticsChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    // table() normalizes events.ts to a NANO long (RefQueries.table);
+    // DIV 1000 gives exact microseconds, matching the oracle's epoch_us
+    val active = table(spark, sfDir, "events")
+      .select(expr("CAST((ts DIV 1000) DIV 604800000000 AS BIGINT)").as("week"),
+        col("user_id"))
+      .distinct()
+      .cache()
+    val next = active.select((col("week") - 1).as("wk_prev"),
+      col("user_id").as("uid2"), lit(1L).as("back"))
+    val weeks = active.select(max("week").as("maxw"))
+    active
+      .join(next,
+        col("week") === col("wk_prev") && col("user_id") === col("uid2"),
+        "left")
+      .crossJoin(broadcast(weeks))
+      .where(col("week") < col("maxw"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("back"), lit(0L))).as("n_retained"))
+      .select(col("week"), col("n_active"), col("n_retained"),
+        (col("n_active") - col("n_retained")).as("n_churned"),
+        expr("(n_active - n_retained) * 1000000L DIV n_active")
+          .as("churn_ppm"))
+      .orderBy("week")
+  }
+
+  val analyticsChurnSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT epoch_us(ts) // 604800000000 AS week, user_id
+      |  FROM events
+      |), mx AS (
+      |  SELECT MAX(week) AS maxw FROM active
+      |)
+      |SELECT a.week, COUNT(*) AS n_active,
+      |       CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_retained,
+      |       CAST(COUNT(*) - SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_churned,
+      |       CAST((COUNT(*) - SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END))
+      |            * 1000000 // COUNT(*) AS BIGINT) AS churn_ppm
+      |FROM active a
+      |CROSS JOIN mx
+      |LEFT JOIN active b ON b.week = a.week + 1 AND b.user_id = a.user_id
+      |WHERE a.week < mx.maxw
+      |GROUP BY a.week ORDER BY a.week""".stripMargin
+
   /** `analytics_winsorized_mean` — outlier-robust mean per market
     * segment: balances are CLAMPED to the segment's [p5, p95] before
     * averaging (winsorizing — the robust-reporting alternative to

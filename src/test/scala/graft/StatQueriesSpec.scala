@@ -130,6 +130,41 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
   }
 
+  test("STL decomposition reassembles exactly and respects edges") {
+    val rows = StatQueries.analyticsStlDecompose(spark, TestSpark.Sf001)
+      .collect()
+    assert(rows.length > 20)
+    // the 3-day edges carry no trend; interior rows reassemble exactly:
+    // rev = trend + seasonal + residual (additive identity by construction)
+    val (edge, interior) = rows.partition(_.isNullAt(2))
+    assert(edge.length >= 6, "both series edges must be trendless")
+    assert(interior.nonEmpty)
+    interior.foreach { r =>
+      val (rev, t, s, res) = (r.getAs[Long]("rev_c"), r.getAs[Long]("trend_c"),
+        r.getAs[Long]("seasonal_c"), r.getAs[Long]("resid_c"))
+      assert(rev == t + s + res + (rev - t - s - res)) // tautology guard
+      assert(res == rev - t - s, "additive identity must be exact")
+    }
+    // seasonal components repeat with period 7
+    val byDay = interior.map(r => r.getAs[Long]("day") -> r.getAs[Long]("seasonal_c")).toMap
+    byDay.foreach { case (d, s) =>
+      byDay.get(d + 7).foreach(s7 => assert(s == s7, s"day $d seasonal drift"))
+    }
+  }
+
+  test("churn accounting: retained + churned = active, rates bounded") {
+    val rows = StatQueries.analyticsChurn(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, ret, ch, ppm) = (r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_retained"), r.getAs[Long]("n_churned"),
+        r.getAs[Long]("churn_ppm"))
+      assert(ret + ch == a)
+      assert(ppm == ch * 1000000L / a)
+      assert(a > 0)
+    }
+  }
+
   test("point-in-time join covers every ship event exactly once") {
     val rows = graft.queries.EtlQueries.joinPointInTime(spark, TestSpark.Sf001)
       .collect()
