@@ -521,6 +521,64 @@ object Similarity {
     * Zero-norm vectors (cell −1, the kernel's "no direction" contract)
     * are excluded, as in every k-means implementation.
     */
+  /** Full Lloyd TRAINING loop (the multi-round sibling of [[kmeansStep]]):
+    * `iters` rounds of assign → floored-integer centroid update
+    * (s DIV n per dimension — truncation toward zero, matching the
+    * oracle's `//`), then a final assignment reporting per-cell size
+    * and exact BIGINT inertia (Σ |x−c|² via the dot-product identity
+    * |x|² − 2x·c + |c|²). Cells that lose all members keep their
+    * previous centroid — the standard empty-cluster convention.
+    *
+    * Scale: per round one narrow assignment map (native best-cell
+    * kernel) + one (cell, dim) hash aggregate; the centroid set is a
+    * bounded model artifact (nCells × dim longs), collected per round
+    * like the IVF coarse quantizer. Zero-norm vectors (cell −1) sit
+    * out, as in assignment.
+    */
+  def kmeansTrain(corpus: DataFrame, nCells: Int = 8, iters: Int = 2): DataFrame = {
+    var cents = seedCentroids(corpus, nCells)
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("cell", LongType), StructField("n_points", LongType),
+          StructField("inertia", LongType))))
+    }
+    val dim = cents.head._2.length
+    val quant = quantizedCorpus(corpus).cache()
+    for (_ <- 0 until iters) {
+      val means = assignFromQuant(quant, cents)
+        .where(col("cell") >= 0)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(d =>
+            sum(expr(s"try_element_at(cv, ${d + 1})")).as(s"s$d")): _*)
+        .collect()
+      val updated = means.map { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1)
+        val cv = (0 until dim).map(d =>
+          if (r.isNullAt(d + 2)) 0L else r.getLong(d + 2) / n).toArray
+        cell -> cv
+      }.toMap
+      cents = cents.zipWithIndex.map { case ((id, v), i) =>
+        (id, updated.getOrElse(i, v))
+      }
+    }
+    val centsMatrix = array(cents.map { case (_, cv) =>
+      array(cv.map(lit).toIndexedSeq: _*) }.toIndexedSeq: _*)
+    assignFromQuant(quant, cents)
+      .where(col("cell") >= 0)
+      .withColumn("cvc", element_at(centsMatrix, col("cell") + 1))
+      .withColumn("dist2",
+        graft.functions.LongArrayDot.dotQ(col("cv"), col("cv")) -
+          lit(2L) * graft.functions.LongArrayDot.dotQ(col("cv"), col("cvc")) +
+          graft.functions.LongArrayDot.dotQ(col("cvc"), col("cvc")))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_points"), sum("dist2").as("inertia"))
+  }
+
   def kmeansStep(corpus: DataFrame, nCells: Int = 32): DataFrame = {
     val cents = seedCentroids(corpus, nCells)
     if (cents.isEmpty) {

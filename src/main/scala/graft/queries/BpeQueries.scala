@@ -264,4 +264,45 @@ object BpeQueries {
       |SELECT shard, bin, COUNT(*) AS n_docs,
       |       CAST(SUM(n_subwords) AS BIGINT) AS bin_tokens
       |FROM placed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  /** `text_bpe_fertility` — tokenizer FERTILITY per language: subword
+    * tokens per whitespace word under the learned BPE model, in ppm.
+    * The diagnostic every multilingual tokenizer review reports —
+    * languages the merges under-serve (here: everything but the
+    * English-heavy majority script) run hotter, directly inflating
+    * their training cost per word. Composes the learned encoder; one
+    * doc-keyed join and a language rollup on top.
+    */
+  def textBpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val (_, types) = learned(spark, sfDir)
+    val enc = Bpe.encode(d, types, Bpe.vocab(types))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_subwords"))
+    val words = table(spark, sfDir, "documents")
+      .withColumn("n_words",
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
+      .select("doc_id", "lang", "n_words")
+    enc.join(words, "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_subwords").as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        expr("n_subwords * 1000000L DIV n_words").as("fertility_ppm"))
+      .orderBy("lang")
+  }
+
+  val textBpeFertilitySql: String =
+    s"""WITH enc AS (
+       |$textBpeEncodeSql
+       |), w AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                              t -> t != '')) AS BIGINT) AS n_words
+       |  FROM documents
+       |)
+       |SELECT w.lang, CAST(SUM(w.n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
+       |       CAST(SUM(e.n_subwords) * 1000000 // SUM(w.n_words) AS BIGINT)
+       |         AS fertility_ppm
+       |FROM enc e JOIN w USING (doc_id)
+       |GROUP BY w.lang ORDER BY w.lang""".stripMargin
 }

@@ -771,6 +771,84 @@ object SimilarityQueries {
       | AND jaro_winkler_similarity(a.name, b.name) >= 0.85
       |ORDER BY jw DESC, name1, name2""".stripMargin
 
+  // ---- Lloyd training ------------------------------------------------
+
+  /** `sim_kmeans_train` — the full k-means TRAINING loop as a gated
+    * operator (2 Lloyd rounds, 8 cells over the embeddings), reporting
+    * per-cell membership and exact integer inertia after the final
+    * assignment. Completes the clustering story: sim_kmeans_step is
+    * one update; this is the loop a pipeline actually runs, with the
+    * floored-integer centroid update (s DIV n) keeping every round
+    * bit-replayable in the oracle.
+    */
+  def simKmeansTrain(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.kmeansTrain(table(spark, sfDir, "embeddings"),
+      nCells = 8, iters = 2)
+      .orderBy("cell")
+
+  val simKmeansTrainSql: String = {
+    def assign(cents: String, out: String): String =
+      s"""scores_$out AS (
+         |  SELECT vn.vec_id, c.ci,
+         |         CASE WHEN vn.nrm > 0 AND c.cnrm > 0
+         |              THEN list_dot_product(CAST(vn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+         |                   / (vn.nrm * c.cnrm)
+         |              ELSE -2.0 END AS s
+         |  FROM vn CROSS JOIN $cents c
+         |), $out AS (
+         |  SELECT vec_id, CASE WHEN s > -2.0 THEN ci ELSE -1 END AS cell
+         |  FROM (SELECT vec_id, ci, s,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY s DESC, ci) AS rn
+         |        FROM scores_$out)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def update(r: Int): String =
+      s"""sums_$r AS (
+         |  SELECT a.cell AS ci, t.d,
+         |         CAST(CAST(SUM(vn.qv[CAST(t.d AS INTEGER)]) AS BIGINT)
+         |              // COUNT(*) AS BIGINT) AS cd
+         |  FROM a$r a JOIN vn ON vn.vec_id = a.vec_id, range(1, 65) t(d)
+         |  WHERE a.cell >= 0
+         |  GROUP BY a.cell, t.d
+         |), cents$r AS (
+         |  SELECT ci, cv,
+         |         sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]),
+         |                                    CAST(cv AS DOUBLE[])) AS DOUBLE)) AS cnrm
+         |  FROM (
+         |    SELECT ci, list(cd ORDER BY d) AS cv FROM sums_$r GROUP BY ci
+         |    UNION ALL
+         |    SELECT ci, cv FROM cents${r - 1}
+         |    WHERE ci NOT IN (SELECT DISTINCT cell FROM a$r WHERE cell >= 0)
+         |  )
+         |)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), vn AS (
+       |  SELECT vec_id, qv,
+       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS nrm
+       |  FROM v
+       |), cents0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv,
+       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS cnrm
+       |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 8)
+       |), ${assign("cents0", "a1")}, ${update(1)},
+       |${assign("cents1", "a2")}, ${update(2)},
+       |${assign("cents2", "af")}
+       |SELECT CAST(f.cell AS BIGINT) AS cell, COUNT(*) AS n_points,
+       |       CAST(SUM(CAST(list_dot_product(CAST(vn.qv AS DOUBLE[]), CAST(vn.qv AS DOUBLE[])) AS BIGINT)
+       |            - 2 * CAST(list_dot_product(CAST(vn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS BIGINT)
+       |            + CAST(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS BIGINT))
+       |            AS BIGINT) AS inertia
+       |FROM af f
+       |JOIN vn ON vn.vec_id = f.vec_id
+       |JOIN cents2 c ON c.ci = f.cell
+       |WHERE f.cell >= 0
+       |GROUP BY f.cell ORDER BY cell""".stripMargin
+  }
+
   // ---- ANN quality evaluation ----------------------------------------
 
   /** `sim_ann_recall` — recall\@k of the RHP-LSH ANN index against the

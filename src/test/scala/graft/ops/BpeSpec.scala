@@ -54,4 +54,38 @@ class BpeSpec extends AnyFunSuite {
       .head().getSeq[String](2)
     assert(aaab == Seq("aa", "ab"))
   }
+
+  test("fertility: at least one subword per word, totals consistent") {
+    val rows = graft.queries.BpeQueries
+      .textBpeFertility(TestSpark.spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, f) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"),
+        r.getAs[Long]("fertility_ppm"))
+      assert(s >= w, "every word yields at least one subword")
+      assert(f == s * 1000000L / w)
+      assert(f >= 1000000L)
+    }
+  }
+
+  test("kmeans training: full coverage, nonnegative integer inertia") {
+    val emb = TestSpark.spark.read
+      .parquet(s"${TestSpark.Sf001}/embeddings.parquet")
+    val rows = graft.ops.Similarity.kmeansTrain(emb, nCells = 8, iters = 2)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cell") >= 0 && r.getAs[Long]("cell") < 8)
+      assert(r.getAs[Long]("n_points") > 0)
+      assert(r.getAs[Long]("inertia") >= 0L)
+    }
+    // every vector lands in exactly one cell (none are zero-norm here)
+    assert(rows.map(_.getAs[Long]("n_points")).sum == emb.count())
+    // more rounds cannot increase final inertia on this corpus: the
+    // training loop must actually improve over the seed assignment
+    val seed = graft.ops.Similarity.kmeansTrain(emb, nCells = 8, iters = 0)
+      .collect().map(_.getAs[Long]("inertia")).sum
+    val trained = rows.map(_.getAs[Long]("inertia")).sum
+    assert(trained <= seed, s"training worsened inertia: $trained > $seed")
+  }
 }
