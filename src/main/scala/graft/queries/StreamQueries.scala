@@ -1330,6 +1330,86 @@ object StreamQueries {
       |SELECT doc_id, patch_id, mean_luma, mean_luma // 4 AS token_id
       |FROM s ORDER BY doc_id, patch_id""".stripMargin
 
+  /** `multimodal_audio_wht` — per-frame spectral features via the
+    * 8-point Walsh–Hadamard transform over the REAL WAV decode: WHT is
+    * the integer-exact stand-in for a DFT (coefficients are ±1 linear
+    * combinations — used in real codecs as the integer transform), so
+    * the whole "frame → frequency-domain features" pipeline stage is
+    * gateable where FFT twiddle factors would drift. Reports per frame
+    * the DC coefficient, the dominant non-DC sequency (argmax |coef|,
+    * ties to the lower sequency), and the spectral energy — which by
+    * Parseval equals 8× the time-domain energy, pinned by the spec.
+    *
+    * Scale: one narrow map per document through the per-partition
+    * decode doctrine; 8×8 integer multiply-adds per frame.
+    */
+  def multimodalAudioWht(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 8
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val dataLen = math.min(90, (bytes.length / 2) * 2)
+        def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(7968) ++ le32(15936) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le32(dataLen) ++ bytes.take(dataLen)
+        val plane = graft.ops.MediaCodecs.decodeWavBytes(wav)
+          .getOrElse(Array.empty[Int])
+        plane.grouped(frameLen).filter(_.length == frameLen).zipWithIndex
+          .map { case (f, fi) =>
+            val s = f.map(_ - 128L)
+            val coefs = (0 until 8).map(k =>
+              (0 until 8).map(j =>
+                if (java.lang.Integer.bitCount(k & j) % 2 == 0) s(j)
+                else -s(j)).sum)
+            val specE = coefs.map(c => c * c).sum
+            val dom = (1 until 8)
+              .map(k => (math.abs(coefs(k)), k))
+              .minBy { case (a, k) => (-a, k) }._2.toLong
+            (id, fi.toLong, coefs(0), dom, specE)
+          }.toSeq
+      }.toDF("doc_id", "frame_idx", "dc", "dom_seq", "spec_energy")
+      .transform(gateSort(_, "doc_id", "frame_idx"))
+  }
+
+  val multimodalAudioWhtSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
+      |), l AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, dl//2), i -> unicode(text[2*i+2]) + 128) AS plane
+      |  FROM m
+      |), f AS (
+      |  SELECT doc_id, unnest(range(0, len(plane)//8)) AS frame_idx, plane
+      |  FROM l
+      |), fr AS (
+      |  SELECT doc_id, frame_idx,
+      |         list_transform(plane[frame_idx*8 + 1 : frame_idx*8 + 8],
+      |                        s -> s - 128) AS s
+      |  FROM f WHERE len(plane) >= (frame_idx + 1) * 8
+      |), co AS (
+      |  SELECT doc_id, frame_idx,
+      |         list_transform(range(0, 8), k ->
+      |           list_sum(list_transform(range(0, 8), j ->
+      |             CASE WHEN bit_count(CAST(k AS INTEGER) & CAST(j AS INTEGER)) % 2 = 0
+      |                  THEN s[CAST(j AS INTEGER) + 1]
+      |                  ELSE -s[CAST(j AS INTEGER) + 1] END))) AS c
+      |  FROM fr
+      |)
+      |SELECT doc_id, frame_idx,
+      |       CAST(c[1] AS BIGINT) AS dc,
+      |       CAST((list_min(list_transform(range(1, 8), k ->
+      |              struct_pack(na := -abs(c[CAST(k AS INTEGER) + 1]), k := k)))).k
+      |            AS BIGINT) AS dom_seq,
+      |       CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS spec_energy
+      |FROM co ORDER BY doc_id, frame_idx""".stripMargin
+
   private val LateDelayUs = 600L * 1000000L
 
   /** `stream_late_data` — watermark late-data accounting: replaying the

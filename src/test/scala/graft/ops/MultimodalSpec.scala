@@ -543,6 +543,23 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("token_id") < 64))
   }
 
+  test("WHT spectral energy obeys Parseval against the energy gate") {
+    val energies = graft.queries.StreamQueries
+      .multimodalAudioEnergy(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        r.getAs[Long]("energy")).toMap
+    val rows = graft.queries.StreamQueries
+      .multimodalAudioWht(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty && rows.length == energies.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"))
+      // Parseval for the unnormalized 8-point WHT: sum c_k^2 = 8 * sum s_j^2
+      assert(r.getAs[Long]("spec_energy") == 8L * energies(key), s"$key")
+      val dom = r.getAs[Long]("dom_seq")
+      assert(dom >= 1 && dom <= 7)
+    }
+  }
+
   test("late-data accounting fires and respects its invariants") {
     val rows = graft.queries.StreamQueries.streamLateData(spark, TestSpark.Sf001)
       .collect()
