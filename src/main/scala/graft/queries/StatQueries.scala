@@ -150,6 +150,91 @@ object StatQueries {
       |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_samp
       |FROM s ORDER BY returnflag""".stripMargin
 
+  // ---- Spearman rank correlation --------------------------------------
+
+  /** `analytics_spearman` — Spearman rank correlation of quantity vs
+    * extended price per returnflag: the robust (monotone, outlier-proof)
+    * sibling of `analytics_corr`. Tie-aware: each value's rank is the
+    * AVERAGE rank of its tie group, which the classic 6·Σd² shortcut
+    * does not handle — so this computes Pearson over ranks, the
+    * definitionally correct tie spelling. Fractional average ranks
+    * would put a 0.5 into the sufficient statistics, so both engines
+    * carry DOUBLED ranks, which are always integers:
+    * 2·avgrank = 2·minrank + ties − 1 (minrank = SQL `rank()`, ties =
+    * the tie-group size). The doubling cancels in the correlation.
+    * Sufficient stats are exact BIGINT sums; the one double expression
+    * at the end is the same op sequence in both engines.
+    *
+    * Scale: two sort-based window passes partitioned by the group key
+    * (rank by x, rank by y) and one hash aggregate — the standard
+    * distributed ranking shape, no driver state. Rank windows sort
+    * within group partitions only; groups parallelize independently.
+    * Overflow horizon: the squared-rank SUMS run in DECIMAL(38,0)
+    * (both engines sum decimals exactly), so only the per-term
+    * r2x·r2y must fit a BIGINT — safe to ~1.5e9 rows per group.
+    */
+  def analyticsSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    val rx = rank().over(Window.partitionBy("g").orderBy("x"))
+    val tx = count(lit(1)).over(Window.partitionBy("g", "x"))
+    val ry = rank().over(Window.partitionBy("g").orderBy("y"))
+    val ty = count(lit(1)).over(Window.partitionBy("g", "y"))
+    val ranked = li
+      .withColumn("r2x", (lit(2) * rx + tx - 1).cast(LongType))
+      .withColumn("r2y", (lit(2) * ry + ty - 1).cast(LongType))
+    val big = DecimalType(38, 0)
+    val stats = ranked.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("r2x").as("sx"), sum("r2y").as("sy"),
+      sum((col("r2x") * col("r2x")).cast(big)).as("sxx"),
+      sum((col("r2x") * col("r2y")).cast(big)).as("sxy"),
+      sum((col("r2y") * col("r2y")).cast(big)).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    val num = nD * col("sxy").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sy").cast(DoubleType)
+    val den = sqrt(nD * col("sxx").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+      sqrt(nD * col("syy").cast(DoubleType) -
+        col("sy").cast(DoubleType) * col("sy").cast(DoubleType))
+    stats
+      .withColumn("spearman_rho", num / den)
+      .select(col("g").as("returnflag"), col("n"), col("spearman_rho"))
+      .orderBy("returnflag")
+  }
+
+  val analyticsSpearmanSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag AS g,
+      |         CAST(2 * rank() OVER (PARTITION BY l_returnflag
+      |                ORDER BY CAST(l_quantity AS DECIMAL(18,2)))
+      |              + COUNT(*) OVER (PARTITION BY l_returnflag,
+      |                  CAST(l_quantity AS DECIMAL(18,2))) - 1 AS BIGINT) AS r2x,
+      |         CAST(2 * rank() OVER (PARTITION BY l_returnflag
+      |                ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)))
+      |              + COUNT(*) OVER (PARTITION BY l_returnflag,
+      |                  CAST(l_extendedprice AS DECIMAL(18,2))) - 1 AS BIGINT) AS r2y
+      |  FROM lineitem
+      |), s AS (
+      |  SELECT g, COUNT(*) AS n,
+      |         CAST(SUM(r2x) AS BIGINT) AS sx, CAST(SUM(r2y) AS BIGINT) AS sy,
+      |         CAST(SUM(r2x * r2x) AS DECIMAL(38,0)) AS sxx,
+      |         CAST(SUM(r2x * r2y) AS DECIMAL(38,0)) AS sxy,
+      |         CAST(SUM(r2y * r2y) AS DECIMAL(38,0)) AS syy
+      |  FROM r GROUP BY g
+      |)
+      |SELECT g AS returnflag, n,
+      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS spearman_rho
+      |FROM s ORDER BY returnflag""".stripMargin
+
   // ---- robust outliers: median + MAD ---------------------------------
 
   /** `analytics_mad` — robust outlier detection per market segment:
@@ -639,6 +724,77 @@ object StatQueries {
       |JOIN ct ON c.event_type = ct.event_type
       |CROSS JOIN g
       |ORDER BY c.weekday, c.event_type""".stripMargin
+
+  // ---- mutual information ---------------------------------------------
+
+  /** `analytics_mutual_info` — mutual information of the same
+    * event-type × weekday contingency the χ² gate tests, reported per
+    * cell: the information-theoretic association measure (feature
+    * selection, drift detection) next to the frequentist one. With
+    * cell count cxy, margins cx (weekday) and cy (type), total N,
+    *   MI = (1/N)·Σ cxy·log2( cxy·N / (cx·cy) ),
+    * each cell's log term restated exactly in scaled integers via the
+    * shared [[graft.functions.IntegerLog2]] kernel:
+    * pmi_1e6 = log2s(cxy) + log2s(N) − log2s(cx) − log2s(cy) (every
+    * argument a positive count), and the cell's additive contribution
+    * mi_contrib_1e6 = cxy·pmi_1e6 — a plain BIGINT, so the caller's
+    * SUM(mi_contrib_1e6)/N is order-insensitive and bit-stable, unlike
+    * a 35-term double sum.
+    *
+    * Scale: identical shape to `analytics_chi2` — one counting
+    * aggregate keyed by (weekday, type) plus two margin aggregates and
+    * a scalar total, all broadcast. Key space |types|×7.
+    */
+  def analyticsMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntegerLog2
+    val cells = table(spark, sfDir, "events")
+      .select(expr("((ts div 1000) div 86400000000 + 3) % 7").cast("long")
+        .as("weekday"), col("event_type"))
+      .groupBy("weekday", "event_type")
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy("weekday").agg(sum("observed").as("row_n"))
+    val colTot = cells.groupBy("event_type").agg(sum("observed").as("col_n"))
+    val grand = cells.agg(sum("observed").as("n"))
+    cells
+      .join(broadcast(rowTot), "weekday")
+      .join(broadcast(colTot), "event_type")
+      .crossJoin(broadcast(grand))
+      .withColumn("pmi_1e6",
+        IntegerLog2.log2s(col("observed")) + IntegerLog2.log2s(col("n"))
+          - IntegerLog2.log2s(col("row_n")) - IntegerLog2.log2s(col("col_n")))
+      .withColumn("mi_contrib_1e6", col("observed") * col("pmi_1e6"))
+      .select("weekday", "event_type", "observed", "row_n", "col_n",
+        "pmi_1e6", "mi_contrib_1e6")
+      .orderBy("weekday", "event_type")
+  }
+
+  val analyticsMutualInfoSql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    s"""WITH cells AS (
+       |  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday, event_type,
+       |         COUNT(*) AS observed
+       |  FROM events GROUP BY 1, 2
+       |), rt AS (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS row_n
+       |          FROM cells GROUP BY weekday),
+       |ct AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS col_n
+       |       FROM cells GROUP BY event_type),
+       |g AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
+       |j AS (
+       |  SELECT c.weekday, c.event_type, c.observed, rt.row_n, ct.col_n, g.n
+       |  FROM cells c
+       |  JOIN rt ON c.weekday = rt.weekday
+       |  JOIN ct ON c.event_type = ct.event_type
+       |  CROSS JOIN g
+       |), sc AS (
+       |  SELECT weekday, event_type, observed, row_n, col_n,
+       |         ${log2Sql("observed")} + ${log2Sql("n")}
+       |           - ${log2Sql("row_n")} - ${log2Sql("col_n")} AS pmi_1e6
+       |  FROM j
+       |)
+       |SELECT weekday, event_type, observed, row_n, col_n, pmi_1e6,
+       |       CAST(observed * pmi_1e6 AS BIGINT) AS mi_contrib_1e6
+       |FROM sc ORDER BY weekday, event_type""".stripMargin
+  }
 
   // ---- seasonal-naive forecast backtest ------------------------------
 

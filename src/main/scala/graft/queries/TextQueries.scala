@@ -1780,4 +1780,90 @@ object TextQueries {
        |            WHEN p.ppl_log2_1e6 <= th.p67 THEN 'middle'
        |            ELSE 'tail' END AS bucket
        |FROM p CROSS JOIN th ORDER BY p.doc_id""".stripMargin
+
+  // ---- collocation mining ---------------------------------------------
+
+  /** `text_collocations` — corpus-level collocation mining: bigrams ranked
+    * by pointwise mutual information, the classic phrase-discovery
+    * signal (Church & Hanks 1990; word2vec's phrase pass uses the same
+    * count ratio). With corpus unigram counts c1, c2 (total N) and
+    * bigram count cb (total M),
+    *   PMI = log2( (cb/M) / ((c1/N)·(c2/N)) )
+    *       = log2 cb − log2 M − log2 c1 − log2 c2 + 2·log2 N,
+    * restated exactly in scaled integers via the shared [[IntegerLog2]]
+    * kernel (every argument is a positive count, so each term is
+    * well-defined and the result is a plain BIGINT sum — no floating
+    * log, no cross-engine ulp risk). A cb ≥ 3 support floor drops
+    * singleton noise; output is the top 100 by (PMI desc, w1, w2) —
+    * the full tiebreak makes the cutoff set deterministic.
+    *
+    * Scale: two hash aggregates (unigrams, bigrams) over one tokenize
+    * scan; the count tables are vocabulary-sized, so both joins and the
+    * two scalar totals broadcast. Nothing shuffles by doc — the only
+    * wide ops are keyed by token/bigram, exactly the cardinality a
+    * 100 TB corpus compresses to.
+    */
+  def textCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntegerLog2
+    val toks = TextOps.tokens(col("text"))
+    val m = greatest(size(toks) - 1, lit(0))
+    val zipped = arrays_zip(slice(toks, lit(1), m), slice(toks, lit(2), m))
+    val grams = when(size(toks) >= 2,
+      transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1")))
+    ).otherwise(array().cast("array<string>"))
+    val d = docs(spark, sfDir)
+    val uni = d.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val nTot = uni.agg(sum(col("c")).as("n"))
+    val bg = d.select(explode(grams).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cb"))
+    val mTot = bg.agg(sum(col("cb")).as("m"))
+    bg.where(col("cb") >= 3)
+      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("g"), lit(" "), lit(2)))
+      .join(broadcast(uni.select(col("t").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("t").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(mTot))
+      .withColumn("pmi_1e6",
+        IntegerLog2.log2s(col("cb")) + lit(2) * IntegerLog2.log2s(col("n"))
+          - IntegerLog2.log2s(col("m")) - IntegerLog2.log2s(col("c1"))
+          - IntegerLog2.log2s(col("c2")))
+      .select("w1", "w2", "cb", "c1", "c2", "pmi_1e6")
+      .orderBy(col("pmi_1e6").desc, col("w1"), col("w2"))
+      .limit(100)
+      .transform(RefQueries.gateSort(_, "w1", "w2"))
+  }
+
+  val textCollocationsSql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    DuckToks +
+      s"""
+         |, uni AS (
+         |  SELECT t, COUNT(*) AS c
+         |  FROM (SELECT unnest(toks) AS t FROM d) GROUP BY t
+         |), ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+         |bg AS (
+         |  SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END) AS g
+         |  FROM d
+         |), cnt AS (SELECT g, COUNT(*) AS cb FROM bg GROUP BY g),
+         |mtot AS (SELECT CAST(SUM(cb) AS BIGINT) AS m FROM cnt),
+         |j AS (
+         |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         |         cnt.cb, u1.c AS c1, u2.c AS c2, ntot.n, mtot.m
+         |  FROM cnt
+         |  JOIN uni u1 ON u1.t = split_part(g, ' ', 1)
+         |  JOIN uni u2 ON u2.t = split_part(g, ' ', 2), ntot, mtot
+         |  WHERE cnt.cb >= 3
+         |), sc AS (
+         |  SELECT w1, w2, cb, c1, c2,
+         |         ${log2Sql("cb")} + 2 * ${log2Sql("n")} - ${log2Sql("m")}
+         |           - ${log2Sql("c1")} - ${log2Sql("c2")} AS pmi_1e6
+         |  FROM j
+         |), top AS (
+         |  SELECT * FROM sc ORDER BY pmi_1e6 DESC, w1, w2 LIMIT 100
+         |)
+         |SELECT w1, w2, cb, c1, c2, pmi_1e6 FROM top ORDER BY w1, w2""".stripMargin
+  }
 }
