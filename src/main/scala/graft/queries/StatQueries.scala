@@ -268,6 +268,65 @@ object StatQueries {
       .orderBy("segment")
   }
 
+  /** `analytics_iqr` — Tukey-fence outlier accounting per market
+    * segment: quartiles of account balance, the interquartile range,
+    * the 1.5·IQR fences, and how many customers fall below/above them —
+    * the boxplot companion to `analytics_mad`'s robust z-score.
+    * Quantities stay in integer cents until the exact interpolated
+    * quartiles (integer inputs ≪ 2⁵² ⇒ identical interpolation both
+    * engines — the olap_percentile doctrine); fences are a fixed double
+    * op sequence over those.
+    *
+    * Scale: one quartile aggregate (sort-based, per segment) broadcast
+    * back over one counting pass — two shuffles keyed by segment, no
+    * driver state.
+    */
+  def analyticsIqr(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_mktsegment").as("segment"), cents(col("c_acctbal")).as("bal_c"))
+    val q = cust.groupBy("segment").agg(
+      percentile(col("bal_c"), lit(0.25)).as("q1_c"),
+      percentile(col("bal_c"), lit(0.75)).as("q3_c"))
+    cust.join(broadcast(q), "segment")
+      .withColumn("iqr_c", col("q3_c") - col("q1_c"))
+      .withColumn("lo_c", col("q1_c") - lit(1.5d) * col("iqr_c"))
+      .withColumn("hi_c", col("q3_c") + lit(1.5d) * col("iqr_c"))
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("q1_c") / lit(100.0d)).as("q1"),
+        first(col("q3_c") / lit(100.0d)).as("q3"),
+        first(col("iqr_c") / lit(100.0d)).as("iqr"),
+        sum(when(col("bal_c").cast(DoubleType) < col("lo_c"), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("bal_c").cast(DoubleType) > col("hi_c"), 1L)
+          .otherwise(0L)).as("n_high"))
+      .orderBy("segment")
+  }
+
+  val analyticsIqrSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS segment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer
+      |), q AS (
+      |  SELECT segment, quantile_cont(bal_c, 0.25) AS q1_c,
+      |         quantile_cont(bal_c, 0.75) AS q3_c
+      |  FROM c GROUP BY segment
+      |)
+      |SELECT c.segment, COUNT(*) AS n,
+      |       any_value(q.q1_c / 100.0) AS q1,
+      |       any_value(q.q3_c / 100.0) AS q3,
+      |       any_value((q.q3_c - q.q1_c) / 100.0) AS iqr,
+      |       CAST(SUM(CASE WHEN CAST(c.bal_c AS DOUBLE) <
+      |                          q.q1_c - 1.5 * (q.q3_c - q.q1_c)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |       CAST(SUM(CASE WHEN CAST(c.bal_c AS DOUBLE) >
+      |                          q.q3_c + 1.5 * (q.q3_c - q.q1_c)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM c JOIN q ON c.segment = q.segment
+      |GROUP BY c.segment ORDER BY c.segment""".stripMargin
+
   val analyticsMadSql: String =
     """WITH c AS (
       |  SELECT c_mktsegment AS segment,
@@ -795,6 +854,93 @@ object StatQueries {
        |       CAST(observed * pmi_1e6 AS BIGINT) AS mi_contrib_1e6
        |FROM sc ORDER BY weekday, event_type""".stripMargin
   }
+
+  // ---- Holt double-exponential smoothing ------------------------------
+
+  /** `analytics_holt` — Holt linear-trend (double-exponential)
+    * smoothing of the daily revenue series per event type, α = β = ½,
+    * over a trailing 5-observation frame: the level+trend upgrade of
+    * `analytics_ewma`, feeding the same one-step-ahead forecast use.
+    * The recurrence l' = ½y + ½(l+b), b' = ½(l'−l) + ½b is unrolled
+    * 4 steps from a (l=oldest, b=0) seed — every coefficient is dyadic,
+    * so the whole fold runs in EXACT integer numerators at fixed scale
+    * 256: per step from scale s, L' = 2(s·y + L + B), B' = s·y − L + 3B
+    * at scale 4s. No float recurrence, no rounding-direction hazard;
+    * the two exported doubles (level, one-step forecast) are dyadic
+    * rationals exactly representable in IEEE-754.
+    *
+    * The trailing-frame restatement (vs the unbounded textbook
+    * recurrence) is deliberate — same doctrine as `analytics_ewma`:
+    * windowed state keeps the operator embarrassingly parallel, while
+    * an unbounded Holt is a sequential per-key scan by definition (and
+    * α = ½ forgets the seed at 1/16 weight anyway). Rows without a full
+    * 5-deep frame are warm-up and not emitted.
+    *
+    * Scale: one daily pre-aggregate (hash, keyed by type × day) and one
+    * lag window per type — series cardinality, not event cardinality.
+    */
+  def analyticsHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").cast("long").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val framed = daily
+      .withColumn("y1", lag(col("y"), 1).over(w))
+      .withColumn("y2", lag(col("y"), 2).over(w))
+      .withColumn("y3", lag(col("y"), 3).over(w))
+      .withColumn("y4", lag(col("y"), 4).over(w))
+      .where(col("y4").isNotNull)
+    // unrolled dyadic fold, scale 1 → 4 → 16 → 64 → 256
+    val l1 = (col("y3") + col("y4")) * 2
+    val b1 = col("y3") - col("y4")
+    val l2 = (col("y2") * 4 + l1 + b1) * 2
+    val b2 = col("y2") * 4 - l1 + b1 * 3
+    val l3 = (col("y1") * 16 + l2 + b2) * 2
+    val b3 = col("y1") * 16 - l2 + b2 * 3
+    val l4 = (col("y") * 64 + l3 + b3) * 2
+    val b4 = col("y") * 64 - l3 + b3 * 3
+    framed.select(
+      col("event_type"), col("day"), col("y").as("actual_c"),
+      l4.as("level_num_256"), b4.as("trend_num_256"),
+      (l4.cast(DoubleType) / lit(25600.0d)).as("level"),
+      ((l4 + b4).cast(DoubleType) / lit(25600.0d)).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
+
+  val analyticsHoltSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |              AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), framed AS (
+      |  SELECT event_type, day, y,
+      |         lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+      |         lag(y, 3) OVER w AS y3, lag(y, 4) OVER w AS y4
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), s1 AS (
+      |  SELECT *, (y3 + y4) * 2 AS l1, y3 - y4 AS b1
+      |  FROM framed WHERE y4 IS NOT NULL
+      |), s2 AS (
+      |  SELECT *, (y2 * 4 + l1 + b1) * 2 AS l2, y2 * 4 - l1 + b1 * 3 AS b2
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT *, (y1 * 16 + l2 + b2) * 2 AS l3, y1 * 16 - l2 + b2 * 3 AS b3
+      |  FROM s2
+      |), s4 AS (
+      |  SELECT *, (y * 64 + l3 + b3) * 2 AS l4, y * 64 - l3 + b3 * 3 AS b4
+      |  FROM s3
+      |)
+      |SELECT event_type, day, y AS actual_c,
+      |       CAST(l4 AS BIGINT) AS level_num_256,
+      |       CAST(b4 AS BIGINT) AS trend_num_256,
+      |       CAST(l4 AS DOUBLE) / 25600.0 AS level,
+      |       CAST(l4 + b4 AS DOUBLE) / 25600.0 AS forecast_next
+      |FROM s4 ORDER BY event_type, day""".stripMargin
 
   // ---- seasonal-naive forecast backtest ------------------------------
 
