@@ -1304,4 +1304,48 @@ object GraphQueries {
        |       CASE WHEN dist < $SsspInf THEN dist END AS dist_cost
        |FROM s$SsspRounds ORDER BY nationkey""".stripMargin
   }
+
+  // ---- strongly connected components ----------------------------------
+
+  /** `graph_scc` — strongly connected components of the DIRECTED trade
+    * graph: every nation labeled with the min nation id of its mutual-
+    * reachability class. Trade cycles (A sells to B sells to ... sells
+    * back to A) are the directed structure none of the undirected
+    * operators (`dedup_clusters`' CC, label propagation) can see.
+    *
+    * Runs [[graft.ops.StronglyConnectedComponents.resolve]] — the
+    * FB/coloring peeling algorithm with trivial-SCC trimming, fully
+    * distributed, `localCheckpoint` per round (see the op's scaladoc
+    * for the doctrine and why double min-propagation is WRONG). The
+    * oracle restates the DEFINITION, not the algorithm: a recursive-CTE
+    * transitive closure, scc_id(v) = min(w : v→*w ∧ w→*v, plus v) —
+    * fine at oracle scale, impossible at 100 TB, which is exactly the
+    * point of shipping the iterative operator.
+    */
+  def graphScc(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = tradeEdges(spark, sfDir)
+    graft.ops.StronglyConnectedComponents.resolve(nodes, edges)
+      .select(col("node").as("nationkey"), col("scc_id"))
+      .orderBy("nationkey")
+  }
+
+  val graphSccSql: String =
+    s"""WITH RECURSIVE $EdgeCtes, closure AS (
+       |  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+       |  UNION
+       |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src
+       |  WHERE c.a <> e.dst
+       |), mutual AS (
+       |  SELECT c1.a AS v, c1.b AS w
+       |  FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a
+       |), mn AS (
+       |  SELECT v, MIN(w) AS mw FROM mutual GROUP BY v
+       |)
+       |SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
+       |       LEAST(CAST(n.n_nationkey AS BIGINT),
+       |             COALESCE(mn.mw, CAST(n.n_nationkey AS BIGINT))) AS scc_id
+       |FROM nation n LEFT JOIN mn ON mn.v = CAST(n.n_nationkey AS BIGINT)
+       |ORDER BY nationkey""".stripMargin
 }
