@@ -266,6 +266,101 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** Gray GIF87a encoder with a REAL LZW compressor — the compressed
+    * sibling of [[encodeGrayPng]]'s stored-deflate container: one row of
+    * 8-bit samples (w×1), 256-entry identity gray global color table, a
+    * from-scratch variable-width LZW stream (9→12-bit codes, LSB-first
+    * packing, clear-code reset on table overflow, sub-block framing).
+    * Unlike the PNG path there is no closed-form container size — LZW
+    * output is data-dependent, which is exactly what makes it the
+    * compression-arm test vector. The JDK's GIF ImageReader decodes it
+    * back bit-for-bit (MultimodalSpec pins the round trip across the
+    * 9/10/11-bit width boundaries and a table reset).
+    */
+  def encodeGrayGif(row: Array[Byte]): Array[Byte] = {
+    require(row.nonEmpty && row.length <= 65535, "w*1 raster, u16 width")
+    val w = row.length
+    val out = new java.io.ByteArrayOutputStream(w / 2 + 800)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"), 0, 6)
+    le16(w); le16(1)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0)    // background index
+    out.write(0)    // pixel aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(1)
+    out.write(0)    // no local color table, not interlaced
+    out.write(8)    // LZW minimum code size
+    val lzw = lzwCompress(row, 8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW: codes start at minCodeSize+1 bits, widen when the
+    * next free slot crosses a power of two, reset via the clear code
+    * when slot 4096 would be needed; bits packed LSB-first. Dictionary
+    * keys are (prefixCode << 8 | literal) ints — prefix < 4096, so the
+    * key fits 20 bits, one boxed HashMap probe per input byte.
+    */
+  private def lzwCompress(pixels: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(pixels.length / 2 + 64)
+    var acc = 0L
+    var nbits = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += codeSize
+      while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    var nextCode = eoi + 1
+    emit(clear)
+    var prev = pixels(0) & 0xff
+    var i = 1
+    while (i < pixels.length) {
+      val k = pixels(i) & 0xff
+      val key = Integer.valueOf((prev << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) prev = hit.intValue()
+      else {
+        emit(prev)
+        if (nextCode < 4096) {
+          dict.put(key, Integer.valueOf(nextCode))
+          nextCode += 1
+          // widen one code LATER than the slot count crossing the power
+          // of two: the decoder adds its copy of each entry only while
+          // processing the NEXT code, so its width bump lags the
+          // encoder's add by exactly one emitted code (the classic
+          // early-change off-by-one; OpenJDK's GIFImageReader is strict)
+          if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        } else {
+          emit(clear)
+          dict.clear()
+          codeSize = minCodeSize + 1
+          nextCode = eoi + 1
+        }
+        prev = k
+      }
+      i += 1
+    }
+    emit(prev)
+    emit(eoi)
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** Multi-frame (video-style) decode: every `everyK`-th frame of an
     * animated GIF as a luminance plane over the canvas — the
     * frame-sampling stage of a video pipeline, real and dependency-free

@@ -450,6 +450,67 @@ object StreamQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** The COMPRESSION-arm raster gate: pack each document's bytes as a
+    * real GIF87a (gray palette, w×1) through MediaCodecs.encodeGrayGif's
+    * from-scratch variable-width LZW compressor, typed `image/gif`, so
+    * `extractFeatures` decodes through the JDK's strict GIF ImageReader
+    * — any off-by-one in the code-width schedule or sub-block framing
+    * desyncs the decode and fails the gate. The gray palette maps index
+    * i → (i,i,i), so the decoded luma plane equals the packed bytes and
+    * the oracle restates features from the text directly. Unlike the
+    * PNG gate there is NO n_bytes column: LZW output length is
+    * data-dependent by design (that is what makes it the compression
+    * test), so the container size has no SQL closed form.
+    */
+  def multimodalGif(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = table(spark, sfDir, "documents")
+      // encodeGrayGif needs 1..65535 bytes (u16 width, nonempty raster);
+      // the guard is the contract and the oracle twin carries the same
+      // WHERE (cf. the PNG gate)
+      .where(octet_length(col("text")).between(1, 65535))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "image/gif", graft.ops.MediaCodecs.encodeGrayGif(text.getBytes("UTF-8")))
+      }.toDF("doc_id", "media_type", "content")
+    Multimodal.extractFeatures(spark, media)
+      .toDF()
+      .select(
+        col("doc_id"), col("media_type"), col("mean_byte"),
+        to_json(col("frame_samples")).as("frame_samples_json"),
+        element_at(col("thumb"), 1).as("thumb_0"),
+        element_at(col("thumb"), 2).as("thumb_1"),
+        element_at(col("thumb"), 3).as("thumb_2"),
+        element_at(col("thumb"), 4).as("thumb_3"))
+      .transform(gateSort(_, "doc_id"))
+  }
+
+  /** DuckDB twin of the GIF decode: the decoded gray plane IS the
+    * text's byte sequence (identity palette), so features restate over
+    * unicode() codes exactly as the PNG twin does.
+    */
+  val multimodalGifSql: String = {
+    def thumb(b: Int): String = {
+      val lo = s"($b*len(codes))//4"
+      val hi = s"greatest((${b + 1}*len(codes))//4, $lo + 1)"
+      s"""COALESCE(CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
+    }
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) BETWEEN 1 AND 65535
+       |)
+       |SELECT doc_id, 'image/gif' AS media_type,
+       |       COALESCE(CAST(list_sum(codes) AS DOUBLE) / NULLIF(len(codes), 0), 0.0) AS mean_byte,
+       |       CAST(to_json(codes[1:8]) AS VARCHAR) AS frame_samples_json,
+       |       ${thumb(0)},
+       |       ${thumb(1)},
+       |       ${thumb(2)},
+       |       ${thumb(3)}
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** The real WAV decoder under the gate: pack each document's leading
     * bytes (≤ 90, even) as the 16-bit PCM data chunk of a genuine
     * RIFF/WAVE container, typed `audio/wav`, so `extractFeatures` runs

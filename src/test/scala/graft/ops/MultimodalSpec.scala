@@ -133,6 +133,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_bytes == png.length)
   }
 
+  test("real GIF encode: from-scratch LZW round-trips through imageio") {
+    // deterministic pseudo-random bytes, enough distinct pairs to push
+    // the code width through 9 → 10 → 11 bits
+    val rnd = new scala.util.Random(7)
+    val noisy = Array.fill(6000)(rnd.nextInt(256).toByte)
+    // runs compress heavily (dictionary chains), then a value sweep
+    val runs = Array.tabulate(3000)(i => (i / 37 % 256).toByte)
+    val sweep = Array.tabulate(256)(_.toByte)
+    for (row <- Seq(noisy, runs, sweep, "x".getBytes, "ab".getBytes)) {
+      val gif = MediaCodecs.encodeGrayGif(row)
+      assert(gif(0) == 'G' && gif(5) == 'a'.toByte)
+      assert(MediaCodecs.decodeImageLuma(gif).get.toSeq ==
+        row.map(_ & 0xff).toSeq, s"row len ${row.length}")
+    }
+    // force a table reset: > 4096 dictionary entries need a clear code
+    val big = Array.fill(40000)(rnd.nextInt(256).toByte)
+    assert(MediaCodecs.decodeImageLuma(MediaCodecs.encodeGrayGif(big)).get
+      .toSeq == big.map(_ & 0xff).toSeq)
+    // and LZW genuinely compresses the redundant input
+    assert(MediaCodecs.encodeGrayGif(runs).length < runs.length + 800)
+  }
+
   test("RGB raster decode averages bands; JPEG decodes through imageio") {
     // 2×1 RGB PNG written by ImageIO itself (not our encoder): red, white
     val img = new java.awt.image.BufferedImage(2, 1,
