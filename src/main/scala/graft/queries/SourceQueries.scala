@@ -78,6 +78,34 @@ object SourceQueries {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** `source_fixed_width_roundtrip` — supplier through the fixed-width
+    * writer+reader ([[graft.sources.FixedWidthSource]]): the
+    * mainframe-layout landing format Spark has no built-in reader for.
+    * Doubles are rendered via Spark's shortest-round-trip string cast,
+    * so the read-back `cast(double)` reproduces the exact bits and the
+    * hash gate holds; the writer raises on field overflow rather than
+    * truncating into the next column.
+    */
+  def sourceFixedWidthRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.FixedWidthSource
+    import graft.sources.FixedWidthSource.Field
+    val dir = stagingDir("fixedwidth")
+    val fields = Seq(
+      Field("s_suppkey", 10, LongType, rightAlign = true),
+      Field("s_name", 30, StringType),
+      Field("s_nationkey", 5, IntegerType, rightAlign = true),
+      Field("s_acctbal", 24, DoubleType, rightAlign = true))
+    FixedWidthSource.write(
+      table(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      dir, fields)
+    FixedWidthSource.read(spark, dir, fields).orderBy("s_suppkey")
+  }
+
+  val sourceFixedWidthRoundtripSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** `source_jsonl_roundtrip` — customer through JSON-lines, the other
     * ubiquitous landing format.
     */
