@@ -145,6 +145,77 @@ object Similarity {
       .select("d1", "d2", "cos_sim")
   }
 
+  /** DBSCAN density clustering over the quantized embedding space —
+    * exact contract: ε-neighborhoods by SQUARED EUCLIDEAN distance in
+    * quantized integer units (d² = |a|² + |b|² − 2a·b, every term an
+    * exact BIGINT from the shared ×10⁴ quantization, so the ε threshold
+    * is a pure integer comparison — no float boundary flakiness in
+    * either engine). Core points have ≥ minPts neighbors INCLUDING
+    * themselves; clusters are connected components of the core-core
+    * ε-graph (labels = min core id, via [[ConnectedComponents]]);
+    * non-core points with a core neighbor become `border`, labeled with
+    * the MIN neighboring core cluster (the deterministic restatement of
+    * DBSCAN's order-dependent border assignment); the rest are `noise`.
+    *
+    * Scale: the ε-pair generation is the exact-pairwise contract —
+    * Ω(n²) like [[cosineNearDupPairs]], spread by the same blocked
+    * equi-join. At corpus scale, bucket first (annTopKLsh's banding or
+    * IVF cells) and feed the surviving pairs into the same
+    * core/CC/border tail — the density semantics live entirely in the
+    * pair list, so the sketch upgrade is a drop-in front end.
+    */
+  def dbscan(corpus: DataFrame, eps2Q: Long, minPts: Int,
+      blocks: Int = 8): DataFrame = {
+    val base = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nq", normQ(col("v")))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+      .cache()
+    val partners = array((0 until blocks).map(lit): _*)
+    val a = base.select(col("vec_id").as("p"), col("v").as("v1"),
+      col("nq").as("n1"), col("blk").as("b1"), explode(partners).as("b2"))
+    val b = base.select(col("vec_id").as("q"), col("v").as("v2"),
+      col("nq").as("n2"), col("blk").as("b2"), explode(partners).as("b1"))
+    val half = a.join(b, Seq("b1", "b2"))
+      .where(col("p") < col("q"))
+      .where(col("n1") + col("n2") - lit(2) * dotQ(col("v1"), col("v2"))
+        <= eps2Q)
+      .select("p", "q")
+    val pairs = half
+      .unionByName(half.select(col("q").as("p"), col("p").as("q")))
+      .cache()
+    val cnt = pairs.groupBy("p").agg(count(lit(1)).as("nn"))
+    val deg = base.select("vec_id")
+      .join(cnt.withColumnRenamed("p", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("nn"), lit(0L)).as("n_neighbors"))
+      .withColumn("is_core", col("n_neighbors") + 1 >= minPts)
+      .cache()
+    val coreIds = deg.where(col("is_core")).select("vec_id")
+    val coreEdges = pairs
+      .join(coreIds.select(col("vec_id").as("p")), "p")
+      .join(coreIds.select(col("vec_id").as("q")), "q")
+      .where(col("p") < col("q"))
+    val coreLab = ConnectedComponents.resolve(coreEdges, "p", "q")
+      .withColumnRenamed("doc_id", "vec_id")
+    // cores whose ε-neighbors are all non-core appear in no core-core
+    // pair: they are singleton clusters labeled by themselves
+    val coreCluster = coreIds.join(coreLab, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"))
+    val borderLab = pairs
+      .join(coreCluster.select(col("vec_id").as("q"),
+        col("cluster").as("qcluster")), "q")
+      .groupBy("p").agg(min("qcluster").as("bcluster"))
+    deg
+      .join(coreCluster, Seq("vec_id"), "left")
+      .join(borderLab.withColumnRenamed("p", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_neighbors"),
+        when(col("is_core"), "core")
+          .when(col("bcluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        when(col("is_core"), col("cluster"))
+          .otherwise(col("bcluster")).as("cluster"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane
     * component d of plane i = ±1 from a fixed LCG-style integer mix —
     * deterministic, no RNG state, computable per-row with no shuffle.

@@ -363,6 +363,63 @@ object SimilarityQueries {
       |           * sqrt(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])))) >= 0.4
       |ORDER BY d1, d2""".stripMargin
 
+  /** `sim_dbscan` — DBSCAN over the embeddings table (ε² = 1.45e8 in
+    * quantized units ≈ the 1st percentile of pairwise distances,
+    * minPts = 8): exact integer ε test, CC cluster labels, deterministic
+    * min-cluster border assignment — see [[graft.ops.Similarity.dbscan]]
+    * for the contract and the sketch-front-end scale path. The oracle
+    * restates the definition: quadratic ε-pairs, degree threshold, and
+    * a recursive-CTE closure over the core-core graph.
+    */
+  def simDbscan(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.dbscan(table(spark, sfDir, "embeddings"),
+        eps2Q = 145000000L, minPts = 8)
+      .orderBy("vec_id")
+
+  val simDbscanSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS p, b.vec_id AS q
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      |  WHERE list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+      |      + list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+      |      - 2 * list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+      |      <= 145000000
+      |), deg AS (
+      |  SELECT e.vec_id, COALESCE(c.nn, 0) AS n_neighbors
+      |  FROM e LEFT JOIN (SELECT p, COUNT(*) AS nn FROM pairs GROUP BY p) c
+      |    ON c.p = e.vec_id
+      |), core AS (
+      |  SELECT vec_id FROM deg WHERE n_neighbors + 1 >= 8
+      |), cedges AS (
+      |  SELECT p, q FROM pairs
+      |  WHERE p IN (SELECT vec_id FROM core) AND q IN (SELECT vec_id FROM core)
+      |), reach AS (
+      |  SELECT vec_id AS n, vec_id AS m FROM core
+      |  UNION
+      |  SELECT r.n, c.q FROM reach r JOIN cedges c ON r.m = c.p
+      |), corelab AS (
+      |  SELECT n AS vec_id, MIN(m) AS cluster FROM reach GROUP BY n
+      |), borderlab AS (
+      |  SELECT p.p AS vec_id, MIN(cl.cluster) AS bcluster
+      |  FROM pairs p JOIN corelab cl ON cl.vec_id = p.q
+      |  WHERE p.p NOT IN (SELECT vec_id FROM core)
+      |  GROUP BY p.p
+      |)
+      |SELECT d.vec_id, CAST(d.n_neighbors AS BIGINT) AS n_neighbors,
+      |       CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+      |            WHEN bl.vec_id IS NOT NULL THEN 'border'
+      |            ELSE 'noise' END AS role,
+      |       CASE WHEN cl.vec_id IS NOT NULL THEN cl.cluster
+      |            ELSE bl.bcluster END AS cluster
+      |FROM deg d
+      |LEFT JOIN corelab cl ON cl.vec_id = d.vec_id
+      |LEFT JOIN borderlab bl ON bl.vec_id = d.vec_id
+      |ORDER BY d.vec_id""".stripMargin
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     // maxHamming=6 covers every planted near-dup at the gate SF with the
     // neutral signature (measured max 6, same as xxhash64's); bands=8 →
