@@ -1305,6 +1305,90 @@ object GraphQueries {
        |FROM s$SsspRounds ORDER BY nationkey""".stripMargin
   }
 
+  // ---- closeness centrality -------------------------------------------
+
+  /** `graph_closeness` — out-closeness centrality of every nation on the
+    * directed trade graph: reach count, total hop distance, and the
+    * Wasserman–Faust-normalized closeness
+    * (r−1)/Σd · (r−1)/(n−1) — the standard form that stays comparable
+    * on disconnected graphs (r = nodes reached incl. self).
+    *
+    * Spelling: MULTI-SOURCE BFS — one frontier per root, all roots in
+    * the same DataFrame: state is the REACHED (root, node, dist)
+    * triples only (never the n² matrix of unreached pairs); each round
+    * propagates the whole state across the edge list in ONE join + one
+    * (root, node) min-aggregate, and convergence is read off a
+    * (count, Σdist) fingerprint — min-propagation is monotone (pairs
+    * only appear, distances only shrink), so the fingerprint is a
+    * fixpoint iff the state is. localCheckpoint per round as
+    * everywhere. Exact all-pairs closeness is O(n·m) work by
+    * definition; at corpus scale the SAME loop runs with a sampled
+    * landmark set as `roots` (Eppstein–Wang estimation) — the state
+    * shape and round structure don't change, only |roots|.
+    */
+  def graphCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = tradeEdges(spark, sfDir)
+    val n = nodes.count()
+    var reach = nodes
+      .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var fingerprint = (-1L, -1L)
+    var converged = false
+    var it = 0
+    while (!converged && it < 40) {
+      val cand = reach
+        .join(edges.withColumnRenamed("src", "node"), "node")
+        .select(col("root"), col("dst").as("node"),
+          (col("dist") + 1L).as("dist"))
+      val next = reach.unionByName(cand)
+        .groupBy("root", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(false)
+      val fp = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head
+      val nfp = (fp.getLong(0), fp.getLong(1))
+      converged = nfp == fingerprint
+      fingerprint = nfp
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(reach)
+      reach = next
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      "multi-source BFS did not converge in 40 rounds")
+    reach.groupBy("root")
+      .agg(count(lit(1)).as("n_reached"), sum("dist").as("total_dist"))
+      .select(col("root").as("nationkey"), col("n_reached"),
+        col("total_dist"),
+        when(col("total_dist") > 0,
+          (col("n_reached") - 1).cast("double") / col("total_dist") *
+            (col("n_reached") - 1).cast("double") / lit((n - 1).toDouble))
+          .otherwise(lit(0.0d)).as("closeness"))
+      .orderBy("nationkey")
+  }
+
+  val graphClosenessSql: String =
+    s"""WITH RECURSIVE $EdgeCtes, nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), walk(root, node, dist) AS (
+       |  SELECT node AS root, node, CAST(0 AS BIGINT) FROM nodes
+       |  UNION
+       |  SELECT w.root, e.dst, w.dist + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.dist < 24
+       |), best AS (
+       |  SELECT root, node, MIN(dist) AS dist FROM walk GROUP BY root, node
+       |), agg AS (
+       |  SELECT root, COUNT(*) AS n_reached, CAST(SUM(dist) AS BIGINT) AS total_dist
+       |  FROM best GROUP BY root
+       |)
+       |SELECT root AS nationkey, n_reached, total_dist,
+       |       CASE WHEN total_dist > 0
+       |            THEN CAST(n_reached - 1 AS DOUBLE) / total_dist *
+       |                 CAST(n_reached - 1 AS DOUBLE) /
+       |                 ((SELECT COUNT(*) FROM nodes) - 1)
+       |            ELSE 0.0 END AS closeness
+       |FROM agg ORDER BY nationkey""".stripMargin
+
   // ---- strongly connected components ----------------------------------
 
   /** `graph_scc` — strongly connected components of the DIRECTED trade

@@ -129,4 +129,71 @@ object ProfileQueries {
       |  FROM k
       |)
       |SELECT p, s, z FROM z ORDER BY z, p, s LIMIT 100""".stripMargin
+
+  // ---- functional-dependency audit ------------------------------------
+
+  /** `etl_fd_check` — functional-dependency audit, the schema-discovery
+    * companion to `etl_constraints`: for each candidate A → B, how many
+    * LHS groups exist, how many are violated (|distinct B| > 1 within a
+    * group), the worst group's RHS cardinality, and whether the FD
+    * holds. The candidate set mixes true key FDs (orderkey → custkey,
+    * nationkey → regionkey), a real composite-key FD at line grain, and
+    * deliberately false hypotheses (custkey → orderstatus, suppkey →
+    * returnflag) so both outcomes are exercised.
+    *
+    * Scale: one hash aggregate per candidate — groupBy(LHS) with a
+    * count_distinct(RHS), then an O(groups) rollup; candidates run as
+    * independent narrow pipelines unioned at the end (each is
+    * map-side-combinable; nothing joins, nothing collects). Exact
+    * count_distinct per group is the contract here — the approx variant
+    * for trillion-group tables is `etl_profile_approx`'s HLL doctrine.
+    */
+  def etlFdCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    def check(fd: String, df: DataFrame, lhs: Seq[String], rhs: String)
+        : DataFrame =
+      df.groupBy(lhs.map(col): _*)
+        .agg(countDistinct(col(rhs)).as("k"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("k") > 1, lit(1))).as("n_violating"),
+          max(col("k")).as("max_rhs"))
+        .select(lit(fd).as("fd"), col("n_groups"), col("n_violating"),
+          col("max_rhs"), (col("n_violating") === 0).as("holds"))
+    val orders = table(spark, sfDir, "orders")
+    val li = table(spark, sfDir, "lineitem")
+    val nation = table(spark, sfDir, "nation")
+    check("orders: o_orderkey -> o_custkey", orders,
+        Seq("o_orderkey"), "o_custkey")
+      .unionByName(check("orders: o_custkey -> o_orderstatus", orders,
+        Seq("o_custkey"), "o_orderstatus"))
+      .unionByName(check("nation: n_nationkey -> n_regionkey", nation,
+        Seq("n_nationkey"), "n_regionkey"))
+      .unionByName(check("lineitem: (l_orderkey, l_linenumber, l_partkey, l_suppkey) -> l_quantity",
+        li, Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "l_quantity"))
+      .unionByName(check("lineitem: l_suppkey -> l_returnflag", li,
+        Seq("l_suppkey"), "l_returnflag"))
+      .orderBy("fd")
+  }
+
+  val etlFdCheckSql: String = {
+    def one(fd: String, from: String, lhs: String, rhs: String): String =
+      s"""SELECT '$fd' AS fd, COUNT(*) AS n_groups,
+         |       COUNT(CASE WHEN k > 1 THEN 1 END) AS n_violating,
+         |       CAST(MAX(k) AS BIGINT) AS max_rhs,
+         |       COUNT(CASE WHEN k > 1 THEN 1 END) = 0 AS holds
+         |FROM (SELECT COUNT(DISTINCT $rhs) AS k FROM $from GROUP BY $lhs)""".stripMargin
+    Seq(
+      one("orders: o_orderkey -> o_custkey", "orders",
+        "o_orderkey", "o_custkey"),
+      one("orders: o_custkey -> o_orderstatus", "orders",
+        "o_custkey", "o_orderstatus"),
+      one("nation: n_nationkey -> n_regionkey", "nation",
+        "n_nationkey", "n_regionkey"),
+      one("lineitem: (l_orderkey, l_linenumber, l_partkey, l_suppkey) -> l_quantity",
+        "lineitem", "l_orderkey, l_linenumber, l_partkey, l_suppkey",
+        "l_quantity"),
+      one("lineitem: l_suppkey -> l_returnflag", "lineitem",
+        "l_suppkey", "l_returnflag")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
 }
