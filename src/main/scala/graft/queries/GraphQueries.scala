@@ -1305,6 +1305,93 @@ object GraphQueries {
        |FROM s$SsspRounds ORDER BY nationkey""".stripMargin
   }
 
+  // ---- personalized pagerank ------------------------------------------
+
+  /** `graph_ppr` — PERSONALIZED PageRank from a seed set ({0, 7}):
+    * random-walk-with-restart where teleportation returns to the seeds
+    * instead of spreading uniformly, the standard relevance/
+    * recommendation primitive (nodes far from the seeds decay toward
+    * zero — locality the uniform `graph_pagerank` cannot express).
+    * Same integer fixed-point doctrine as the uniform operator: ranks
+    * in 1e6 scale, 5 rounds, rank' = tele(v) + 0.85·Σ inbound
+    * contributions with DIV-floor arithmetic; tele(v) distributes the
+    * SAME total teleport mass as the uniform variant (0.15·1e6 per
+    * node, i.e. 150000·n) but concentrated on the seeds:
+    * tele(seed) = 150000·n DIV |S|, 0 elsewhere. The seed start vector
+    * equals tele, the standard PPR initialization.
+    *
+    * Scale: identical shape to [[pagerank]] — per round one node-sized
+    * broadcast join against the edge list plus one aggregate; n is a
+    * 1-row broadcast scalar, nothing collected.
+    */
+  def graphPpr(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = tradeEdges(spark, sfDir)
+    val seeds = Seq(0L, 7L)
+    val nTot = nodes.agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").cast("long").as("src"), col("deg"))
+      .localCheckpoint(true)
+    val tele = nodes.crossJoin(broadcast(nTot))
+      .select(col("node"),
+        when(col("node").isin(seeds: _*),
+          expr(s"(150000L * n) DIV ${seeds.size}")).otherwise(lit(0L))
+          .as("tele"))
+      .localCheckpoint(true)
+    var rank = tele.select(col("node"), col("tele").as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val contrib = rank.join(deg, rank("node") === deg("src"))
+        .select(col("src"), expr("rank DIV deg").as("c"))
+      val sums = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("node"))
+        .join(broadcast(contrib), "src")
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val next = tele
+        .join(broadcast(sums), Seq("node"), "left")
+        .select(col("node"),
+          expr("tele + (850L * coalesce(s, 0L)) DIV 1000L").as("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rank)
+      rank = next
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(deg)
+    rank.select(col("node").as("nationkey"), col("rank"))
+      .orderBy(desc("rank"), col("nationkey"))
+  }
+
+  val graphPprSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""p$i AS (
+         |  SELECT t.node,
+         |         CAST(t.tele + 850 * COALESCE(c.s, 0) // 1000 AS BIGINT) AS rank
+         |  FROM tele t LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+         |    FROM edges e
+         |    JOIN p${i - 1} r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.node = t.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, deg AS (
+       |  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), tele AS (
+       |  SELECT node,
+       |         CASE WHEN node IN (0, 7)
+       |              THEN CAST(150000 * (SELECT COUNT(*) FROM nodes) // 2 AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS tele
+       |  FROM nodes
+       |), p0 AS (
+       |  SELECT node, tele AS rank FROM tele
+       |), $rounds
+       |SELECT node AS nationkey, rank FROM p$Iters
+       |ORDER BY rank DESC, nationkey""".stripMargin
+  }
+
   // ---- closeness centrality -------------------------------------------
 
   /** `graph_closeness` — out-closeness centrality of every nation on the

@@ -949,6 +949,72 @@ object SimilarityQueries {
        |LEFT JOIN ann_r a ON a.q_id = e.q_id AND a.n_id = e.n_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  // ---- sketch-vs-exact dedup evaluation -------------------------------
+
+  /** `dedup_sketch_eval` — precision/recall accounting of the SimHash
+    * sketch against the exact n-gram Jaccard ≥ 0.7 pair set: the dedup
+    * sibling of `sim_ann_recall`, and the evaluation harness a pipeline
+    * runs before trusting a cheap sketch at 100 TB. SimHash (hamming ≤ 6
+    * over 8 bands) approximates COSINE-ish token-vector similarity, not
+    * Jaccard, so unlike the tuned MinHash gate its pair set genuinely
+    * diverges from the exact one — both error directions (fp, fn) carry
+    * signal here. One summary row: pair counts, the confusion cells,
+    * and precision/recall in exact ppm integers.
+    *
+    * Scale: both pair generators are existing gated operators; the
+    * comparison itself is one full-outer join on the pair key + one
+    * O(1) aggregate — evaluation never costs more than the candidate
+    * generation being evaluated.
+    */
+  def dedupSketchEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val exact = graft.ops.Dedup
+      .ngramJaccardPairs(docs, n = 2, threshold = 0.7,
+        strategy = graft.ops.Dedup.JaccardStrategy.Auto)
+      .select(col("d1"), col("d2"), lit(1L).as("ex"))
+    val sketch = SimHashDedup
+      .nearDupPairsNeutral(docs, maxHamming = 6, bands = 8)
+      .select(col("d1"), col("d2"), lit(1L).as("sk"))
+    exact.join(sketch, Seq("d1", "d2"), "full_outer")
+      .agg(
+        sum(coalesce(col("ex"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("sk"), lit(0L))).as("n_sketch"),
+        sum(when(col("ex").isNotNull && col("sk").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("ex").isNull && col("sk").isNotNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("ex").isNotNull && col("sk").isNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("n_exact"), col("n_sketch"), col("tp"), col("fp"),
+        col("fn"),
+        expr("tp * 1000000L DIV greatest(n_sketch, 1L)").as("precision_ppm"),
+        expr("tp * 1000000L DIV greatest(n_exact, 1L)").as("recall_ppm"))
+  }
+
+  val dedupSketchEvalSql: String =
+    s"""WITH exact_p AS (
+       |  SELECT d1, d2 FROM (${TextQueries.dedupNgramJaccardSqlAt(0.7)}) q
+       |), sketch_p AS (
+       |  SELECT d1, d2 FROM ($dedupSimhashSql) q
+       |), j AS (
+       |  SELECT COALESCE(e.d1, s.d1) AS d1, COALESCE(e.d2, s.d2) AS d2,
+       |         e.d1 IS NOT NULL AS ex, s.d1 IS NOT NULL AS sk
+       |  FROM exact_p e FULL OUTER JOIN sketch_p s
+       |    ON e.d1 = s.d1 AND e.d2 = s.d2
+       |)
+       |SELECT CAST(SUM(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |       CAST(SUM(CASE WHEN sk THEN 1 ELSE 0 END) AS BIGINT) AS n_sketch,
+       |       CAST(SUM(CASE WHEN ex AND sk THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |       CAST(SUM(CASE WHEN sk AND NOT ex THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |       CAST(SUM(CASE WHEN ex AND NOT sk THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |       CAST(SUM(CASE WHEN ex AND sk THEN 1 ELSE 0 END) * 1000000
+       |            // GREATEST(SUM(CASE WHEN sk THEN 1 ELSE 0 END), 1) AS BIGINT)
+       |         AS precision_ppm,
+       |       CAST(SUM(CASE WHEN ex AND sk THEN 1 ELSE 0 END) * 1000000
+       |            // GREATEST(SUM(CASE WHEN ex THEN 1 ELSE 0 END), 1) AS BIGINT)
+       |         AS recall_ppm
+       |FROM j""".stripMargin
+
   // ---- MMR diversified re-ranking ------------------------------------
 
   private val MmrK = 5
