@@ -157,6 +157,42 @@ object AsOfJoin {
     carried.select(projected: _*)
   }
 
+  /** Backward as-of with a MAX-GAP tolerance (pandas merge_asof
+    * `tolerance`): a prior row older than `tolerance` time units is no
+    * match — its payload columns become NULL, preserving left-outer
+    * semantics. Semantically equal to post-filtering the plain backward
+    * join on gap: the latest prior row is also the NEAREST prior row,
+    * so if it exceeds the tolerance no other prior row can qualify.
+    * That makes this a zero-extra-shuffle wrapper: same single
+    * union+window pass, one null-out projection on top.
+    *
+    * `rightTime` is force-included in the carried payload (it must not
+    * collide with a left column) so the gap is computable on the
+    * output; it stays in the result like the other payload columns.
+    */
+  def leftAsOfTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String,
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    val payload =
+      if (rightPayload.contains(rightTime)) rightPayload
+      else rightPayload :+ rightTime
+    val joined = leftAsOf(left, right, leftKey, rightKey, leftTime,
+      rightTime, payload, rightTieBreak)
+    val keep = col(rightTime).isNotNull &&
+      (col(leftTime) - col(rightTime) <= tolerance)
+    val projected = left.columns.toSeq.map(col) ++
+      payload.map(p => when(keep, col(p)).as(p))
+    joined.select(projected: _*)
+  }
+
   private def asOf(
       left: DataFrame,
       right: DataFrame,

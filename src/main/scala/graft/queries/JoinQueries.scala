@@ -65,6 +65,59 @@ object JoinQueries {
       |       ts_us - click_ts_us AS gap_us
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** `join_asof_tolerance` — the backward as-of bounded by a 1-hour
+    * max gap (pandas merge_asof `tolerance`): a purchase whose latest
+    * prior click is older than an hour gets NO click attribution — the
+    * standard attribution-window semantics. Inner variant (unmatched
+    * purchases dropped) for non-nullable dtype parity, like
+    * `join_asof`. Zero extra shuffle over the plain backward join —
+    * see AsOfJoin.leftAsOfTolerance for why post-filtering the latest
+    * prior row is exactly tolerance semantics.
+    */
+  def joinAsOfTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = table(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val clicks = events.where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("ts_us").as("click_ts_us"),
+        col("event_id").as("click_id"),
+        col("value").as("click_value"))
+    graft.ops.AsOfJoin.leftAsOfTolerance(
+        purchases, clicks,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts_us", rightTime = "click_ts_us",
+        rightPayload = Seq("click_id", "click_ts_us", "click_value"),
+        rightTieBreak = "click_id",
+        tolerance = 3600000000L)
+      .where(col("click_id").isNotNull)
+      .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  val joinAsOfToleranceSql: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), r AS (
+      |  SELECT user_id, epoch_us(ts) AS click_ts_us,
+      |         event_id AS click_id, value AS click_value
+      |  FROM events WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT l.event_id, l.user_id, l.ts_us, l.value,
+      |         r.click_id, r.click_ts_us, r.click_value,
+      |         row_number() OVER (PARTITION BY l.event_id
+      |                            ORDER BY r.click_ts_us DESC, r.click_id DESC) AS rn
+      |  FROM l JOIN r ON r.user_id = l.user_id AND r.click_ts_us <= l.ts_us
+      |)
+      |SELECT event_id, user_id, ts_us, value,
+      |       click_id, click_ts_us, click_value,
+      |       ts_us - click_ts_us AS gap_us
+      |FROM j WHERE rn = 1 AND ts_us - click_ts_us <= 3600000000
+      |ORDER BY event_id""".stripMargin
+
   /** `join_asof_forward` — the mirror as-of: each purchase joined to
     * the EARLIEST click at-or-after it per user (least click_id on
     * timestamp ties). Same union+window single-shuffle spelling as the

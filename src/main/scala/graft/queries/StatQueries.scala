@@ -855,6 +855,75 @@ object StatQueries {
        |FROM sc ORDER BY weekday, event_type""".stripMargin
   }
 
+  // ---- drawdown accounting --------------------------------------------
+
+  /** `analytics_drawdown` — peak-to-trough drawdown of the daily revenue
+    * level per event type: running peak, per-day drawdown
+    * (peak − level), and the maximum drawdown with the day it bottomed
+    * (earliest such day on ties — a deterministic argmax via min-day
+    * filter). The standard risk/health metric for any monitored series;
+    * every quantity is exact integer cents, so both engines agree
+    * bit-for-bit.
+    *
+    * Scale: one daily hash pre-aggregate, one running-max window per
+    * type (sort within series), one O(days) final aggregate — series
+    * cardinality everywhere, the same shape as `analytics_cusum`.
+    */
+  def analyticsDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").cast("long").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("level_c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = daily
+      .withColumn("peak_c", max("level_c").over(w))
+      .withColumn("dd_c", col("peak_c") - col("level_c"))
+    val agg = dd.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      max("peak_c").as("max_peak_c"),
+      max("dd_c").as("max_dd_c"))
+    dd.join(agg, "event_type")
+      .where(col("dd_c") === col("max_dd_c"))
+      .groupBy("event_type")
+      .agg(
+        first("n_days", ignoreNulls = true).as("n_days"),
+        first("max_peak_c", ignoreNulls = true).as("max_peak_c"),
+        first("max_dd_c", ignoreNulls = true).as("max_dd_c"),
+        min("day").as("trough_day"))
+      .orderBy("event_type")
+  }
+
+  val analyticsDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |              AS BIGINT) AS level_c
+      |  FROM events GROUP BY 1, 2
+      |), dd AS (
+      |  SELECT event_type, day, level_c,
+      |         MAX(level_c) OVER (PARTITION BY event_type ORDER BY day
+      |           ROWS UNBOUNDED PRECEDING) AS peak_c
+      |  FROM daily
+      |), dd2 AS (
+      |  SELECT event_type, day, peak_c - level_c AS dd_c, peak_c FROM dd
+      |), agg AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |         CAST(MAX(peak_c) AS BIGINT) AS max_peak_c,
+      |         CAST(MAX(dd_c) AS BIGINT) AS max_dd_c
+      |  FROM dd2 GROUP BY event_type
+      |)
+      |SELECT d.event_type, any_value(a.n_days) AS n_days,
+      |       any_value(a.max_peak_c) AS max_peak_c,
+      |       any_value(a.max_dd_c) AS max_dd_c,
+      |       MIN(d.day) AS trough_day
+      |FROM dd2 d JOIN agg a ON d.event_type = a.event_type
+      |WHERE d.dd_c = a.max_dd_c
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   // ---- Holt double-exponential smoothing ------------------------------
 
   /** `analytics_holt` — Holt linear-trend (double-exponential)

@@ -511,6 +511,49 @@ object StreamQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** `multimodal_image_histogram` — 16-bin luminance histogram per
+    * image, through the FULL compressed pipeline: text → real GIF87a
+    * (own LZW compressor) → real ImageIO decode → per-bin pixel counts.
+    * The feature-extraction stage after decode (histograms feed
+    * exposure/contrast filters and near-dup prefilters in image
+    * pipelines); also a second independent gate on the LZW codec — a
+    * compression bug shifts pixel values and moves histogram mass.
+    * ONE RasterDecoder per partition (the extractFeatures doctrine —
+    * per-row ImageIO churn was round 9's bench regression).
+    *
+    * Scale: narrow mapPartitions + one (doc, bin) counting aggregate;
+    * bins are a 16-value key space per doc.
+    */
+  def multimodalImageHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .where(octet_length(col("text")).between(1, 65535))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val dec = new graft.ops.MediaCodecs.RasterDecoder
+        it.flatMap { case (id, text) =>
+          val gif = graft.ops.MediaCodecs.encodeGrayGif(text.getBytes("UTF-8"))
+          val plane = dec.decodeLuma(gif).getOrElse(Array.empty[Int])
+          plane.groupBy(_ / 16).toSeq.map { case (bin, px) =>
+            (id, bin.toLong, px.length.toLong)
+          }
+        }
+      }.toDF("doc_id", "bin", "n_px")
+      .transform(gateSort(_, "doc_id", "bin"))
+  }
+
+  val multimodalImageHistogramSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) BETWEEN 1 AND 65535
+      |), b AS (
+      |  SELECT doc_id, unnest(codes) // 16 AS bin FROM m
+      |)
+      |SELECT doc_id, bin, COUNT(*) AS n_px
+      |FROM b GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin
+
   /** The real WAV decoder under the gate: pack each document's leading
     * bytes (≤ 90, even) as the 16-bit PCM data chunk of a genuine
     * RIFF/WAVE container, typed `audio/wav`, so `extractFeatures` runs

@@ -1781,6 +1781,49 @@ object TextQueries {
        |            ELSE 'tail' END AS bucket
        |FROM p CROSS JOIN th ORDER BY p.doc_id""".stripMargin
 
+  // ---- feature hashing -------------------------------------------------
+
+  /** `text_feature_hashing` — the hashing-trick vectorizer (Weinberger
+    * et al. 2009): every token maps to bucket `polyhash(token) mod 64`
+    * and the document's sparse feature vector is the per-bucket count —
+    * fixed dimensionality with NO vocabulary table, which is the whole
+    * point at corpus scale (a 100 TB vectorize pass needs no broadcast
+    * dictionary, no OOV handling, no driver state — compare
+    * `text_vocab_encode`, which must cap and ship its vocab). Uses the
+    * shared engine-neutral polynomial hash (131 / 1e9+7 — the
+    * fingerprint/simhash source of truth) through the codegen'd
+    * [[graft.functions.StringArrayTokenHashes]] kernel.
+    *
+    * Scale: one narrow hash map per row + one (doc, bucket) counting
+    * aggregate keyed by doc_id — map-side combinable, no joins.
+    */
+  def textFeatureHashing(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.StringArrayTokenHashes.tokenHashes(toks))
+          .as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(64L)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .transform(RefQueries.gateSort(_, "doc_id", "bucket"))
+  }
+
+  val textFeatureHashingSql: String =
+    DuckToks +
+      """
+        |, tok AS (
+        |  SELECT doc_id, unnest(toks) AS t FROM d
+        |), h AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+        |           (a, c) -> (a * 131 + c) % 1000000007) % 64 AS bucket
+        |  FROM tok
+        |)
+        |SELECT doc_id, bucket, COUNT(*) AS cnt
+        |FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
+
   // ---- collocation mining ---------------------------------------------
 
   /** `text_collocations` — corpus-level collocation mining: bigrams ranked
