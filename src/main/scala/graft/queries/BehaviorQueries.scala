@@ -624,4 +624,69 @@ object BehaviorQueries {
       |       END AS interp_cents
       |FROM f WHERE event_type = 'click'
       |ORDER BY event_id""".stripMargin
+
+  // ---- market-basket association --------------------------------------
+
+  /** `analytics_basket_lift` — association mining over user "baskets"
+    * (the set of event types each user ever fired): support, confidence
+    * and lift for every type pair, the frequent-itemset primitive
+    * behind cross-sell and co-occurrence analysis. With U total users,
+    * n_a users touching type a and n_ab touching both,
+    *   support = n_ab/U,  lift = n_ab·U / (n_a·n_b),
+    * both exported as exact ppm integers (DIV floor — all operands
+    * positive). Lift > 1e6 ppm means the pair co-occurs more than
+    * independence predicts.
+    *
+    * Scale: one distinct (user, type) aggregate, a per-user pair
+    * generation bounded by |types|² per user (types are an enum — this
+    * is NOT a quadratic-in-users join), and a types²-keyed count. The
+    * canonical a-priori first pass, all map-side combinable.
+    */
+  def analyticsBasketLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type")).distinct().cache()
+    val users = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), Seq("user_id"))
+      .where(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(users))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        expr("n_ab * 1000000L DIV n_users").as("support_ppm"),
+        expr("(n_ab * n_users * 1000000L) DIV (n_a * n_b)").as("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val analyticsBasketLiftSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |), u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+      |marg AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         COUNT(*) AS n_ab
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.type_a, p.type_b,
+      |       CAST(ma.n_t AS BIGINT) AS n_a, CAST(mb.n_t AS BIGINT) AS n_b,
+      |       p.n_ab,
+      |       CAST(p.n_ab * 1000000 // u.n_users AS BIGINT) AS support_ppm,
+      |       CAST((p.n_ab * u.n_users * 1000000) // (ma.n_t * mb.n_t) AS BIGINT) AS lift_ppm
+      |FROM pairs p
+      |JOIN marg ma ON ma.event_type = p.type_a
+      |JOIN marg mb ON mb.event_type = p.type_b
+      |CROSS JOIN u
+      |ORDER BY p.type_a, p.type_b""".stripMargin
 }

@@ -130,6 +130,89 @@ object ProfileQueries {
       |)
       |SELECT p, s, z FROM z ORDER BY z, p, s LIMIT 100""".stripMargin
 
+  // ---- schema-on-read type inference ----------------------------------
+
+  /** `etl_type_inference` — the type sniffer a landing pipeline runs
+    * over an untyped (all-string) drop before declaring a schema: per
+    * column, how many non-null values parse as integer / double / date,
+    * and the inferred type under the standard promotion rules (all
+    * ints → bigint; ints+decimals → double; all date-shaped →
+    * timestamp; otherwise string). Exercised over a string-rendered
+    * view of orders plus a NULL-heavy column (nullif on a status
+    * value), so null exclusion and mixed-parse demotion both trigger.
+    * Regexes are dialect-neutral (no lookarounds, both engines' RE2/
+    * PCRE subsets agree); the timestamp renders through the explicit
+    * `yyyy-MM-dd HH:mm:ss` format (the etl_profile doctrine), never an
+    * engine-specific cast.
+    *
+    * Scale: one pass — the columns unpivot row-side (`stack`, a narrow
+    * generator) into (col_name, val) and one hash aggregate keyed by
+    * column name counts every class; no second scan per column.
+    */
+  def etlTypeInference(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = table(spark, sfDir, "orders").select(
+      col("o_orderkey").cast("string").as("c_key"),
+      col("o_totalprice").cast("string").as("c_price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("c_date"),
+      col("o_orderpriority").as("c_prio"),
+      when(col("o_orderstatus") === "O", lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("c_status"))
+    val long = src.select(expr(
+      "stack(5, 'c_key', c_key, 'c_price', c_price, 'c_date', c_date, " +
+        "'c_prio', c_prio, 'c_status', c_status) AS (col_name, val)"))
+    val isInt = col("val").rlike("^[+-]?[0-9]+$")
+    val isDouble = col("val")
+      .rlike("^[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+    val isDate = col("val")
+      .rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}( [0-9:]+)?$")
+    long.groupBy("col_name").agg(
+        count(lit(1)).as("n"),
+        count(when(col("val").isNull, lit(1))).as("n_null"),
+        count(when(isInt, lit(1))).as("n_int"),
+        count(when(isDouble, lit(1))).as("n_double"),
+        count(when(isDate, lit(1))).as("n_date"))
+      .withColumn("n_nonnull", col("n") - col("n_null"))
+      .withColumn("inferred",
+        when(col("n_nonnull") === 0, "unknown")
+          .when(col("n_int") === col("n_nonnull"), "bigint")
+          .when(col("n_double") === col("n_nonnull"), "double")
+          .when(col("n_date") === col("n_nonnull"), "timestamp")
+          .otherwise("string"))
+      .select("col_name", "n", "n_null", "n_int", "n_double", "n_date",
+        "inferred")
+      .orderBy("col_name")
+  }
+
+  val etlTypeInferenceSql: String =
+    """WITH src AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS c_key,
+      |         CAST(o_totalprice AS VARCHAR) AS c_price,
+      |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS c_date,
+      |         o_orderpriority AS c_prio,
+      |         nullif(o_orderstatus, 'O') AS c_status
+      |  FROM orders
+      |), long AS (
+      |  SELECT 'c_key' AS col_name, c_key AS val FROM src
+      |  UNION ALL SELECT 'c_price', c_price FROM src
+      |  UNION ALL SELECT 'c_date', c_date FROM src
+      |  UNION ALL SELECT 'c_prio', c_prio FROM src
+      |  UNION ALL SELECT 'c_status', c_status FROM src
+      |), agg AS (
+      |  SELECT col_name, COUNT(*) AS n,
+      |         COUNT(CASE WHEN val IS NULL THEN 1 END) AS n_null,
+      |         COUNT(CASE WHEN regexp_matches(val, '^[+-]?[0-9]+$') THEN 1 END) AS n_int,
+      |         COUNT(CASE WHEN regexp_matches(val, '^[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$') THEN 1 END) AS n_double,
+      |         COUNT(CASE WHEN regexp_matches(val, '^[0-9]{4}-[0-9]{2}-[0-9]{2}( [0-9:]+)?$') THEN 1 END) AS n_date
+      |  FROM long GROUP BY col_name
+      |)
+      |SELECT col_name, n, n_null, n_int, n_double, n_date,
+      |       CASE WHEN n - n_null = 0 THEN 'unknown'
+      |            WHEN n_int = n - n_null THEN 'bigint'
+      |            WHEN n_double = n - n_null THEN 'double'
+      |            WHEN n_date = n - n_null THEN 'timestamp'
+      |            ELSE 'string' END AS inferred
+      |FROM agg ORDER BY col_name""".stripMargin
+
   // ---- functional-dependency audit ------------------------------------
 
   /** `etl_fd_check` — functional-dependency audit, the schema-discovery

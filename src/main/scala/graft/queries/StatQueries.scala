@@ -855,6 +855,59 @@ object StatQueries {
        |FROM sc ORDER BY weekday, event_type""".stripMargin
   }
 
+  // ---- z-score standardization ----------------------------------------
+
+  /** `etl_standardize` — per-segment z-score standardization of account
+    * balances: the StandardScaler sibling of `etl_minmax_scale`, the
+    * other canonical ML-preprocessing transform. Sufficient statistics
+    * (n, Σx, Σx²) accumulate as exact integers in cents (order-free —
+    * the regression doctrine), so mean and sample-std are one fixed
+    * double op sequence per group and every row's z is bit-identical
+    * across engines.
+    *
+    * Scale: one hash aggregate for the per-group stats, broadcast back
+    * over the row stream — a 100 TB standardize is one shuffle + one
+    * narrow map, no sorting.
+    */
+  def etlStandardize(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val stats = cust.groupBy("segment").agg(
+      count(lit(1)).as("n"),
+      sum("bal_c").as("sx"),
+      sum(col("bal_c") * col("bal_c")).as("sxx"))
+    val nD = col("n").cast(DoubleType)
+    cust.join(broadcast(stats), "segment")
+      .withColumn("mean_c", col("sx").cast(DoubleType) / nD)
+      .withColumn("std_c",
+        sqrt((nD * col("sxx").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) /
+          (nD * (nD - lit(1.0d)))))
+      .select(col("c_custkey"), col("segment"), col("bal_c"),
+        ((col("bal_c").cast(DoubleType) - col("mean_c")) / col("std_c"))
+          .as("z"))
+      .transform(RefQueries.gateSort(_, "c_custkey"))
+  }
+
+  val etlStandardizeSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer
+      |), s AS (
+      |  SELECT segment, COUNT(*) AS n, CAST(SUM(bal_c) AS BIGINT) AS sx,
+      |         CAST(SUM(bal_c * bal_c) AS BIGINT) AS sxx
+      |  FROM c GROUP BY segment
+      |)
+      |SELECT c.c_custkey, c.segment, c.bal_c,
+      |       (CAST(c.bal_c AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)) /
+      |       sqrt((CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE) -
+      |             CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)) /
+      |            (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1.0))) AS z
+      |FROM c JOIN s ON c.segment = s.segment
+      |ORDER BY c.c_custkey""".stripMargin
+
   // ---- drawdown accounting --------------------------------------------
 
   /** `analytics_drawdown` — peak-to-trough drawdown of the daily revenue
