@@ -175,11 +175,17 @@ object Similarity {
       col("nq").as("n1"), col("blk").as("b1"), explode(partners).as("b2"))
     val b = base.select(col("vec_id").as("q"), col("v").as("v2"),
       col("nq").as("n2"), col("blk").as("b2"), explode(partners).as("b1"))
+    // cache BEFORE the self-union mirror: union branches get no
+    // common-subexpression elimination, so an uncached `half` would run
+    // the entire quadratic ε-scoring join TWICE (the
+    // ConnectedComponents.resolve fwd-edges doctrine — measured 2×
+    // wall-clock on the gated corpus)
     val half = a.join(b, Seq("b1", "b2"))
       .where(col("p") < col("q"))
       .where(col("n1") + col("n2") - lit(2) * dotQ(col("v1"), col("v2"))
         <= eps2Q)
       .select("p", "q")
+      .cache()
     val pairs = half
       .unionByName(half.select(col("q").as("p"), col("p").as("q")))
       .cache()

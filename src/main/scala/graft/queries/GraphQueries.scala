@@ -1305,6 +1305,66 @@ object GraphQueries {
        |FROM s$SsspRounds ORDER BY nationkey""".stripMargin
   }
 
+  // ---- two-hop reach ---------------------------------------------------
+
+  /** `graph_two_hop` — friends-of-friends accounting on the directed
+    * trade graph: per nation, the distinct 1-hop out-neighborhood size
+    * and the count of nodes at EXACTLY distance 2 (reachable via two
+    * edges, not self, not already a direct neighbor) — the audience-
+    * expansion / influence-frontier primitive.
+    *
+    * Spelling: one edge self-join on the middle node, then a distinct
+    * + anti-join against the 1-hop set and a per-source count; nodes
+    * with no edges report zeros via the left join. At scale the
+    * self-join shuffles on the middle-node key and the result stays
+    * bounded by the 2-hop closure — the standard FoF shape (the
+    * neighbor-overlap operator shares the same first join).
+    */
+  def graphTwoHop(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val e = tradeEdges(spark, sfDir)
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val oneHop = e.groupBy("src").agg(countDistinct("dst").as("n_1hop"))
+    val twoHop = e.select(col("src"), col("dst").as("mid"))
+      .join(e.select(col("src").as("mid"), col("dst").as("far")), "mid")
+      .where(col("far") =!= col("src"))
+      .select("src", "far").distinct()
+      .join(e.select(col("src"), col("dst").as("far")), Seq("src", "far"),
+        "left_anti")
+      .groupBy("src").agg(count(lit(1)).as("n_2hop"))
+    nodes
+      .join(oneHop.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(twoHop.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node").as("nationkey"),
+        coalesce(col("n_1hop"), lit(0L)).as("n_1hop"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+      .orderBy("nationkey")
+  }
+
+  val graphTwoHopSql: String =
+    s"""WITH $EdgeCtes, e AS (
+       |  SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+       |), one AS (
+       |  SELECT src, COUNT(DISTINCT dst) AS n_1hop FROM e GROUP BY src
+       |), two AS (
+       |  SELECT a.src, COUNT(*) AS n_2hop FROM (
+       |    SELECT DISTINCT x.src, y.dst AS far
+       |    FROM e x JOIN e y ON x.dst = y.src
+       |    WHERE y.dst <> x.src
+       |      AND NOT EXISTS (SELECT 1 FROM e d
+       |                      WHERE d.src = x.src AND d.dst = y.dst)
+       |  ) a GROUP BY a.src
+       |)
+       |SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
+       |       COALESCE(o.n_1hop, 0) AS n_1hop,
+       |       COALESCE(t.n_2hop, 0) AS n_2hop
+       |FROM nation n
+       |LEFT JOIN one o ON o.src = CAST(n.n_nationkey AS BIGINT)
+       |LEFT JOIN two t ON t.src = CAST(n.n_nationkey AS BIGINT)
+       |ORDER BY nationkey""".stripMargin
+
   // ---- personalized pagerank ------------------------------------------
 
   /** `graph_ppr` — PERSONALIZED PageRank from a seed set ({0, 7}):

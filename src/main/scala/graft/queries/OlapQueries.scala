@@ -705,4 +705,51 @@ object OlapQueries {
       |FROM w
       |WHERE (mx_cheaper IS NULL OR mx_cheaper < psize) AND mx_peer <= psize
       |ORDER BY p_brand, p_partkey""".stripMargin
+
+  // ---- relative-rank windows ------------------------------------------
+
+  /** `olap_percent_rank` — the relative-rank window pair
+    * (percent_rank, cume_dist) of account balance within each market
+    * segment, for the top-20 balances per segment: the percentile-
+    * position primitive under "where does this row sit in its cohort"
+    * reporting. Both functions are rank-count ratios — integers divided
+    * once — so the doubles are exact and engine-identical;
+    * `row_number` on the (balance, custkey) total order pins ties.
+    *
+    * Scale: one sort-based window per segment + a rank-truncated
+    * filter — the olap_topk_per_group shape with two extra ratio
+    * columns.
+    */
+  def olapPercentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("segment")
+      .orderBy(desc("bal_c"), col("c_custkey"))
+    table(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("bal_c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .where(col("rn") <= 20)
+      .select("segment", "c_custkey", "bal_c", "rn", "pct_rank", "cume")
+      .orderBy("segment", "rn")
+  }
+
+  val olapPercentRankSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+      |  FROM customer
+      |), w AS (
+      |  SELECT segment, c_custkey, bal_c,
+      |         row_number() OVER win AS rn,
+      |         percent_rank() OVER win AS pct_rank,
+      |         cume_dist() OVER win AS cume
+      |  FROM c WINDOW win AS (PARTITION BY segment
+      |                        ORDER BY bal_c DESC, c_custkey)
+      |)
+      |SELECT segment, c_custkey, bal_c, rn, pct_rank, cume
+      |FROM w WHERE rn <= 20 ORDER BY segment, rn""".stripMargin
 }

@@ -855,6 +855,55 @@ object StatQueries {
        |FROM sc ORDER BY weekday, event_type""".stripMargin
   }
 
+  // ---- fulfillment-latency percentiles --------------------------------
+
+  /** `analytics_ship_latency` — order-to-ship latency distribution per
+    * order priority: count, min/max and the exact p50/p90/p99 of
+    * (ship day − order day). The operational-SLA report shape: a fact
+    * join, an integer-day difference, and percentile interpolation over
+    * integers (exact in both engines — the olap_percentile doctrine).
+    * Day arithmetic is epoch-day integers end to end, never an
+    * engine-specific date diff.
+    *
+    * Scale: the lineitem⋈orders equi-join shuffles on the order key
+    * (AQE picks broadcast when the order side fits); one percentile
+    * aggregate per priority after.
+    */
+  def analyticsShipLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem").select(col("l_orderkey"),
+      expr("CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")
+        .as("ship_day"))
+    val o = table(spark, sfDir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority").as("priority"),
+      expr("CAST(unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")
+        .as("order_day"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat_days", col("ship_day") - col("order_day"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        min("lat_days").as("min_days"),
+        max("lat_days").as("max_days"),
+        percentile(col("lat_days"), lit(0.5)).as("p50"),
+        percentile(col("lat_days"), lit(0.9)).as("p90"),
+        percentile(col("lat_days"), lit(0.99)).as("p99"))
+      .orderBy("priority")
+  }
+
+  val analyticsShipLatencySql: String =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |         epoch_ms(l.l_shipdate) // 86400000
+      |           - epoch_ms(o.o_orderdate) // 86400000 AS lat_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |)
+      |SELECT priority, COUNT(*) AS n,
+      |       CAST(MIN(lat_days) AS BIGINT) AS min_days,
+      |       CAST(MAX(lat_days) AS BIGINT) AS max_days,
+      |       quantile_cont(lat_days, 0.5) AS p50,
+      |       quantile_cont(lat_days, 0.9) AS p90,
+      |       quantile_cont(lat_days, 0.99) AS p99
+      |FROM j GROUP BY priority ORDER BY priority""".stripMargin
+
   // ---- z-score standardization ----------------------------------------
 
   /** `etl_standardize` — per-segment z-score standardization of account

