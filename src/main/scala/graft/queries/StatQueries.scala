@@ -522,6 +522,59 @@ object StatQueries {
       |FROM customer GROUP BY c_mktsegment, c_nationkey
       |ORDER BY segment, nationkey""".stripMargin
 
+  /** `etl_l_diversity` — the companion privacy audit k-anonymity can't
+    * replace (Machanavajjhala 2007): a quasi-identifier group can be
+    * large yet still leak if everyone in it SHARES the sensitive value.
+    * Per (segment, nation) group: size, distinct sensitive values
+    * (order priority of the customers' orders), the dominant value's
+    * share in ppm, and the l < 3 diversity flag. One join to attach the
+    * sensitive attribute + two hash aggregates over the constant QI key
+    * space; the dominant share is a struct-argmax whose count ties
+    * resolve to the lexicographically greatest value in BOTH engines
+    * (struct comparison is field-ordered), so the report is a function
+    * of the data.
+    */
+  def etlLDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nationkey"))
+    val sens = table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority").as("sensitive"))
+    val cells = cust
+      .join(sens, cust("c_custkey") === sens("o_custkey"))
+      .groupBy("segment", "nationkey", "sensitive")
+      .agg(count(lit(1)).as("cnt"))
+    cells.groupBy("segment", "nationkey")
+      .agg(sum("cnt").as("group_size"),
+        count(lit(1)).as("l_distinct"),
+        max(struct(col("cnt"), col("sensitive").as("s"))).as("top"))
+      .select(col("segment"), col("nationkey"), col("group_size"),
+        col("l_distinct"),
+        expr("top.cnt * 1000000L DIV group_size").as("dominant_ppm"),
+        (col("l_distinct") < 3).as("low_diversity"))
+      .orderBy("segment", "nationkey")
+  }
+
+  val etlLDiversitySql: String =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment AS segment, CAST(c.c_nationkey AS BIGINT) AS nationkey,
+      |         o.o_orderpriority AS sensitive
+      |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |), cells AS (
+      |  SELECT segment, nationkey, sensitive, COUNT(*) AS cnt
+      |  FROM j GROUP BY 1, 2, 3
+      |), g AS (
+      |  SELECT segment, nationkey,
+      |         CAST(SUM(cnt) AS BIGINT) AS group_size,
+      |         COUNT(*) AS l_distinct,
+      |         MAX(struct_pack(cnt := cnt, s := sensitive)) AS top
+      |  FROM cells GROUP BY 1, 2
+      |)
+      |SELECT segment, nationkey, group_size, l_distinct,
+      |       CAST(top.cnt * 1000000 // group_size AS BIGINT) AS dominant_ppm,
+      |       l_distinct < 3 AS low_diversity
+      |FROM g ORDER BY segment, nationkey""".stripMargin
+
   // ---- two-proportion A/B test ---------------------------------------
 
   /** `analytics_abtest` — two-proportion z-test: users deterministically

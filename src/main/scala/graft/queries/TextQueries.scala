@@ -1791,6 +1791,64 @@ object TextQueries {
        |            ELSE 'tail' END AS bucket
        |FROM p CROSS JOIN th ORDER BY p.doc_id""".stripMargin
 
+  // ---- trigram-index substring search ---------------------------------
+
+  /** `text_substring_search` — index-assisted substring (LIKE
+    * '%pat%') search: the classic character-TRIGRAM inverted index
+    * (pg_trgm / Google Code Search): candidates are documents
+    * containing EVERY trigram of the pattern (an all-present count
+    * join over posting lists), verified with one `contains` over the
+    * candidates only. Exact by construction — a true match contains
+    * all its pattern's trigrams, so candidates ⊇ matches and the
+    * verify step removes nothing true. Patterns include a cross-token
+    * phrase and an absent literal so both the hit and miss paths gate.
+    *
+    * Scale: THIS is how substring search survives 100 TB — a LIKE scan
+    * touches every byte of every document per query; the trigram join
+    * touches |pattern trigrams| posting lists and verifies a
+    * candidate set that shrinks multiplicatively with pattern length.
+    * The index build is one explode + distinct (shuffle keyed by
+    * trigram) and amortizes across every query against it. The oracle
+    * restates the SEMANTICS (a contains scan) — fine at oracle scale,
+    * linear-in-corpus at engine scale, which is the point.
+    */
+  def textSubstringSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val patterns = Seq("spark", "window agg", "key value", "warehouse zzz")
+    def tris(s: String): Seq[String] =
+      (0 to s.length - 3).map(i => s.substring(i, i + 3)).distinct
+    import spark.implicits._
+    val patTris = patterns.flatMap(p => tris(p).map(t => (p, t)))
+      .toDF("pattern", "tri")
+    val patN = patterns.map(p => (p, tris(p).size.toLong))
+      .toDF("pattern", "n_tris")
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      lower(col("text")).as("ltext"))
+    // the short-text guard matters: sequence(1, 0) DESCENDS in Spark,
+    // it does not produce an empty array
+    val index = d.select(col("doc_id"), explode(array_distinct(expr(
+      "CASE WHEN length(ltext) >= 3 THEN " +
+        "transform(sequence(1, length(ltext) - 2), i -> substring(ltext, i, 3)) " +
+        "ELSE CAST(array() AS array<string>) END"))).as("tri"))
+    val cands = index.join(broadcast(patTris), "tri")
+      .groupBy("pattern", "doc_id").agg(count(lit(1)).as("hit"))
+      .join(broadcast(patN), "pattern")
+      .where(col("hit") === col("n_tris"))
+      .select("pattern", "doc_id")
+    cands.join(d, "doc_id")
+      .where(expr("instr(ltext, pattern) > 0"))
+      .select("pattern", "doc_id")
+      .transform(RefQueries.gateSort(_, "pattern", "doc_id"))
+  }
+
+  val textSubstringSearchSql: String =
+    """WITH pats(pattern) AS (
+      |  VALUES ('spark'), ('window agg'), ('key value'), ('warehouse zzz')
+      |)
+      |SELECT p.pattern, d.doc_id
+      |FROM documents d CROSS JOIN pats p
+      |WHERE contains(lower(d.text), p.pattern)
+      |ORDER BY p.pattern, d.doc_id""".stripMargin
+
   // ---- feature hashing -------------------------------------------------
 
   /** `text_feature_hashing` — the hashing-trick vectorizer (Weinberger
@@ -1865,11 +1923,17 @@ object TextQueries {
       transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1")))
     ).otherwise(array().cast("array<string>"))
     val d = docs(spark, sfDir)
+    // cached: the unigram table feeds BOTH broadcast joins plus the N
+    // total, the bigram table feeds the main stream plus the M total —
+    // uncached, each consumer re-runs the corpus tokenize scan (the
+    // textPerplexity doctrine; released by the session's clearCache)
     val uni = d.select(explode(toks).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
+      .cache()
     val nTot = uni.agg(sum(col("c")).as("n"))
     val bg = d.select(explode(grams).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cb"))
+      .cache()
     val mTot = bg.agg(sum(col("cb")).as("m"))
     bg.where(col("cb") >= 3)
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
