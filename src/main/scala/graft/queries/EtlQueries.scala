@@ -700,6 +700,56 @@ object EtlQueries {
       |WHERE o_orderdate > wm.wm
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---- incremental aggregate maintenance ------------------------------
+
+  /** `etl_incremental_agg` — materialized-view delta maintenance: a
+    * maintained per-returnflag revenue aggregate is updated by MERGING
+    * the stored partial state with the new batch's partials — count,
+    * cents-sum, min/max day — without touching prior history. The gate
+    * IS the maintenance invariant: the merged state must equal a
+    * from-scratch aggregate over the full table (the oracle computes
+    * exactly that), which holds because every maintained measure is a
+    * commutative monoid (sum/count/min/max). AVG is maintained as
+    * sum÷count AT READ TIME — the classic rule that you never store an
+    * average in incrementally-maintained state.
+    *
+    * Scale: the delta path aggregates ONLY the batch (one small
+    * shuffle) and merges with O(groups) stored rows — at 100 TB this
+    * is the difference between re-scanning history per refresh and
+    * touching just the new partition.
+    */
+  def etlIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def partials(df: DataFrame): DataFrame =
+      df.select(col("l_returnflag").as("returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"),
+          expr("CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")
+            .as("day"))
+        .groupBy("returnflag")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("day").as("min_day"), max("day").as("max_day"))
+    val li = table(spark, sfDir, "lineitem")
+    val stored = partials(li.where(col("l_orderkey") % 10 =!= 0))
+    val delta = partials(li.where(col("l_orderkey") % 10 === 0))
+    stored.unionByName(delta)
+      .groupBy("returnflag")
+      .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+        min("min_day").as("min_day"), max("max_day").as("max_day"))
+      .withColumn("avg_cents", expr("sum_cents DIV n"))
+      .orderBy("returnflag")
+  }
+
+  val etlIncrementalAggSql: String =
+    """SELECT l_returnflag AS returnflag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |            AS BIGINT) AS sum_cents,
+      |       CAST(MIN(epoch_ms(l_shipdate) // 86400000) AS BIGINT) AS min_day,
+      |       CAST(MAX(epoch_ms(l_shipdate) // 86400000) AS BIGINT) AS max_day,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |            // COUNT(*) AS BIGINT) AS avg_cents
+      |FROM lineitem GROUP BY l_returnflag ORDER BY returnflag""".stripMargin
+
   /** `etl_pseudonymize` — deterministic tokenization of identifying
     * columns: each value maps to a stable surrogate derived from its
     * MD5 (salted), so equal values tokenize equally — joins,

@@ -1791,6 +1791,56 @@ object TextQueries {
        |            ELSE 'tail' END AS bucket
        |FROM p CROSS JOIN th ORDER BY p.doc_id""".stripMargin
 
+  // ---- keyword-in-context concordance ---------------------------------
+
+  /** `text_kwic` — keyword-in-context concordance for `spark`: every
+    * occurrence with 20 characters of context each side, the corpus-
+    * linguistics inspection tool (and the "show me the hit in situ"
+    * step after any search operator). Occurrence positions come from a
+    * filtered position sequence (ALL occurrences, not just the first —
+    * `instr` alone can't do this); context slicing is pure 1-based
+    * substring arithmetic, identical in both engines.
+    *
+    * Scale: narrow per-row position scan (O(L·|kw|)) + explode —
+    * no shuffle at all until the gate sort; at 100 TB this is a map
+    * stage, usually fused downstream of the index-assisted candidate
+    * search (`text_substring_search`) rather than run corpus-wide.
+    */
+  def textKwic(spark: SparkSession, sfDir: String): DataFrame = {
+    val kw = "spark"
+    val L = kw.length
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      lower(col("text")).as("ltext"))
+    d.select(col("doc_id"), col("ltext"),
+        explode(expr(
+          s"CASE WHEN length(ltext) >= $L THEN " +
+            s"filter(sequence(1, length(ltext) - ${L - 1}), " +
+            s"i -> substring(ltext, i, $L) = '$kw') " +
+            "ELSE CAST(array() AS array<int>) END")).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr("substring(ltext, greatest(pos - 20, 1), pos - greatest(pos - 20, 1))")
+          .as("left_ctx"),
+        expr(s"substring(ltext, pos + $L, 20)").as("right_ctx"))
+      .transform(RefQueries.gateSort(_, "doc_id", "pos"))
+  }
+
+  val textKwicSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lower(text) AS ltext FROM documents
+      |), occ AS (
+      |  SELECT doc_id, ltext,
+      |         unnest(CASE WHEN length(ltext) >= 5
+      |           THEN list_filter(range(1, length(ltext) - 3),
+      |                            i -> substr(ltext, i, 5) = 'spark')
+      |           ELSE [] END) AS pos
+      |  FROM d
+      |)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |       substr(ltext, greatest(pos - 20, 1),
+      |              pos - greatest(pos - 20, 1)) AS left_ctx,
+      |       substr(ltext, pos + 5, 20) AS right_ctx
+      |FROM occ ORDER BY doc_id, pos""".stripMargin
+
   // ---- trigram-index substring search ---------------------------------
 
   /** `text_substring_search` — index-assisted substring (LIKE
