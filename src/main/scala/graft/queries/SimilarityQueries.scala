@@ -949,6 +949,115 @@ object SimilarityQueries {
        |LEFT JOIN ann_r a ON a.q_id = e.q_id AND a.n_id = e.n_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  // ---- silhouette clustering evaluation -------------------------------
+
+  /** `sim_silhouette` — centroid silhouette of the labeled embedding
+    * clustering: per vector, the distance to its OWN label centroid (a)
+    * vs the nearest OTHER centroid (b), the (b−a)/max(a,b) score, and
+    * a well-clustered flag — the standard "are these clusters real"
+    * evaluation (simplified silhouette: centroid distances instead of
+    * all-pairs means, the variant that scales).
+    *
+    * Exactness: centroids are rational (S/c), so distances are kept as
+    * the exact BIGINT D2(v,l) = Σ_pos (c_l·x_pos − S_l,pos)² scaled by
+    * c². The nearest-other ranking divides once (d2/c² — exact
+    * integers in, identical doubles out in both engines, label
+    * tiebreak); the well-clustered flag cross-multiplies in
+    * DECIMAL(38,0), never trusting a float comparison. The exported
+    * doubles (a, b, silhouette) derive from the exact integers through
+    * one fixed op sequence.
+    *
+    * Scale: the vector×centroid distance table is |corpus|·k·d rows in
+    * long format — one broadcast join (centroids are k·d rows) + one
+    * (vec, label) aggregate; never a vector×vector pair. The same
+    * shape as sim_centroid_classify with an exactness upgrade.
+    */
+  def simSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("own"),
+        Similarity.quantize(col("embedding")).as("qv"))
+    val long = e.select(col("vec_id"), col("own"),
+      posexplode(col("qv")).as(Seq("pos", "x")))
+    val cent = long.groupBy(col("own").as("label"), col("pos"))
+      .agg(sum("x").as("s"), count(lit(1)).as("c"))
+    val d2 = long.drop("own")
+      .join(broadcast(cent), "pos")
+      .groupBy("vec_id", "label")
+      .agg(first("c", ignoreNulls = true).as("c"),
+        sum((col("c") * col("x") - col("s")) * (col("c") * col("x") - col("s")))
+          .as("d2"))
+    val scored = d2.join(e.select("vec_id", "own"), "vec_id")
+    val ownD = scored.where(col("label") === col("own"))
+      .select(col("vec_id"), col("own"), col("d2").as("a2"), col("c").as("ca"))
+    val otherBest = scored.where(col("label") =!= col("own"))
+      // nearest other ranked by the d2/c² double quotient (exact
+      // integers in, one division — both engines land on the same
+      // doubles bit-for-bit), label tiebreak
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("d2"), col("c"), col("label")),
+        struct((col("d2").cast("double") / (col("c") * col("c")).cast("double"))
+          .as("q"), col("label"))).as("best"))
+      .select(col("vec_id"), col("best.d2").as("b2"),
+        col("best.c").as("cb"), col("best.label").as("nearest_other"))
+    // the well-clustered compare cross-multiplies b2·ca² vs a2·cb² —
+    // in DECIMAL(38,0): the BIGINT product overflows past ~5e8 rows
+    // per cluster-scale d2 (ANSI Spark would error, DuckDB too)
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    ownD.join(otherBest, "vec_id")
+      .withColumn("a", sqrt(col("a2").cast("double")) / col("ca").cast("double"))
+      .withColumn("b", sqrt(col("b2").cast("double")) / col("cb").cast("double"))
+      .select(col("vec_id"), col("own").as("label"), col("nearest_other"),
+        col("a"), col("b"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b")))
+          .as("silhouette"),
+        (col("b2").cast(big) * col("ca") * col("ca") >
+          col("a2").cast(big) * col("cb") * col("cb"))
+          .as("well_clustered"))
+      .transform(RefQueries.gateSort(_, "vec_id"))
+  }
+
+  val simSilhouetteSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS own,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), long AS (
+      |  SELECT vec_id, own, i - 1 AS pos, qv[i] AS x
+      |  FROM e, UNNEST(range(1, len(qv) + 1)) AS t(i)
+      |), cent AS (
+      |  SELECT own AS label, pos, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM long GROUP BY own, pos
+      |), d2 AS (
+      |  SELECT l.vec_id, ct.label, any_value(ct.c) AS c,
+      |         CAST(SUM((ct.c * l.x - ct.s) * (ct.c * l.x - ct.s)) AS BIGINT) AS d2
+      |  FROM long l JOIN cent ct ON ct.pos = l.pos
+      |  GROUP BY l.vec_id, ct.label
+      |), scored AS (
+      |  SELECT d.vec_id, d.label, d.c, d.d2, e.own
+      |  FROM d2 d JOIN e ON e.vec_id = d.vec_id
+      |), own_d AS (
+      |  SELECT vec_id, own, d2 AS a2, c AS ca FROM scored WHERE label = own
+      |), other_best AS (
+      |  SELECT vec_id, d2 AS b2, c AS cb, label AS nearest_other
+      |  FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id
+      |      ORDER BY CAST(d2 AS DOUBLE) / CAST(c * c AS DOUBLE), label) AS rn
+      |    FROM scored WHERE label <> own
+      |  ) WHERE rn = 1
+      |)
+      |SELECT o.vec_id, o.own AS label, b.nearest_other,
+      |       sqrt(CAST(o.a2 AS DOUBLE)) / CAST(o.ca AS DOUBLE) AS a,
+      |       sqrt(CAST(b.b2 AS DOUBLE)) / CAST(b.cb AS DOUBLE) AS b,
+      |       (sqrt(CAST(b.b2 AS DOUBLE)) / CAST(b.cb AS DOUBLE)
+      |        - sqrt(CAST(o.a2 AS DOUBLE)) / CAST(o.ca AS DOUBLE))
+      |       / greatest(sqrt(CAST(o.a2 AS DOUBLE)) / CAST(o.ca AS DOUBLE),
+      |                  sqrt(CAST(b.b2 AS DOUBLE)) / CAST(b.cb AS DOUBLE)) AS silhouette,
+      |       CAST(b.b2 AS DECIMAL(38,0)) * o.ca * o.ca
+      |         > CAST(o.a2 AS DECIMAL(38,0)) * b.cb * b.cb AS well_clustered
+      |FROM own_d o JOIN other_best b ON b.vec_id = o.vec_id
+      |ORDER BY o.vec_id""".stripMargin
+
   // ---- sketch-vs-exact dedup evaluation -------------------------------
 
   /** `dedup_sketch_eval` — precision/recall accounting of the SimHash

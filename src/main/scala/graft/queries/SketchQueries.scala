@@ -561,4 +561,100 @@ object SketchQueries {
        |            // s.k_eff AS BIGINT) AS est_intersect,
        |       e.n_exact_intersect
        |FROM stats s CROSS JOIN nu n CROSS JOIN exact e""".stripMargin
+
+  // ------------------------------------------------- sliding HLL merge
+
+  /** `analytics_sliding_hll` — trailing-7-day distinct users per day
+    * via MERGED daily HLL sketches, next to the exact count: the
+    * pre-aggregate-then-merge pattern that makes sliding distinct
+    * counts affordable at 100 TB. Daily registers are built once
+    * (day × 64 rows regardless of event volume); each daily register
+    * row SCATTERS to the ≤7 window ends it contributes to and a
+    * register-max per (window_end, reg) merges the week — the
+    * mergeability HLL exists for, restated as plain max. Same neutral
+    * two-round hash and alpha arithmetic as `olap_hll_distinct`
+    * (integral throughout, no ln()); the exact twin recomputes
+    * distinct users per window from scattered first-class rows.
+    *
+    * Scale: the merge input is days × 64 rows — the raw events are
+    * touched ONCE to build daily registers; every window after that is
+    * sketch-sized work. The exact side (for the comparison column)
+    * scatters distinct (day, user) pairs — linear, but proportional to
+    * daily actives × 7, not events.
+    */
+  def analyticsSlidingHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+      .select(expr("(ts div 1000) div 86400000000").cast("long").as("day"),
+        col("user_id"))
+    val days = ev.select("day").distinct().cache()
+    val hashed = ev
+      .withColumn("h", lcg(col("user_id"), 1315423911L, 2654435761L))
+      .withColumn("g", (col("h") * col("h") % Prime * 1315423911L + 97L) % Prime)
+      .withColumn("reg", col("g") % 64)
+      .withColumn("rho", lit(26) - length(ltrim(bin(expr("g DIV 64")), "0")))
+    val daily = hashed.groupBy("day", "reg").agg(max("rho").as("mj"))
+    val merged = daily
+      .select(col("reg"), col("mj"),
+        explode(sequence(col("day"), col("day") + 6)).as("wend"))
+      .join(days.withColumnRenamed("day", "wend"), "wend")
+      .groupBy("wend", "reg").agg(max("mj").as("mj"))
+    val est = merged.groupBy("wend")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mj AS INT))")).as("sp"),
+        count(lit(1)).as("nreg"))
+      .select(col("wend"),
+        expr("(CAST(2904064 AS BIGINT) * 67108864) DIV " +
+          "(1000 * (sp + (64 - nreg) * 67108864))").as("est_distinct"))
+    val exact = ev.select("day", "user_id").distinct()
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wend"))
+      .join(days.withColumnRenamed("day", "wend"), "wend")
+      .groupBy("wend").agg(countDistinct("user_id").as("n_exact"))
+    est.join(exact, "wend")
+      .select(col("wend").as("day"), col("est_distinct"), col("n_exact"))
+      .orderBy("day")
+  }
+
+  val analyticsSlidingHllSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+      |), days AS (SELECT DISTINCT day FROM ev),
+      |h AS (
+      |  SELECT day,
+      |         (user_id % 1000003 * 1315423911 + 2654435761) % 2147483647 AS h,
+      |         user_id
+      |  FROM ev
+      |), g AS (
+      |  SELECT day, (h * h % 2147483647 * 1315423911 + 97) % 2147483647 AS g
+      |  FROM h
+      |), b AS (
+      |  SELECT day, g % 64 AS reg,
+      |         26 - length(ltrim(bin(g // 64), '0')) AS rho
+      |  FROM g
+      |), daily AS (
+      |  SELECT day, reg, MAX(rho) AS mj FROM b GROUP BY day, reg
+      |), scat AS (
+      |  SELECT reg, mj, unnest(range(day, day + 7)) AS wend FROM daily
+      |), merged AS (
+      |  SELECT s.wend, s.reg, MAX(s.mj) AS mj
+      |  FROM scat s JOIN days d ON d.day = s.wend
+      |  GROUP BY s.wend, s.reg
+      |), est AS (
+      |  SELECT wend,
+      |         CAST((CAST(2904064 AS BIGINT) * 67108864)
+      |           // (1000 * (SUM(CAST(1 AS BIGINT) << CAST(26 - mj AS INTEGER))
+      |                      + (64 - COUNT(*)) * 67108864)) AS BIGINT) AS est_distinct
+      |  FROM merged GROUP BY wend
+      |), exact_scat AS (
+      |  SELECT DISTINCT day, user_id FROM ev
+      |), exact AS (
+      |  SELECT s.wend, COUNT(DISTINCT s.user_id) AS n_exact
+      |  FROM (SELECT user_id, unnest(range(day, day + 7)) AS wend
+      |        FROM exact_scat) s
+      |  JOIN days d ON d.day = s.wend
+      |  GROUP BY s.wend
+      |)
+      |SELECT e.wend AS day, e.est_distinct, x.n_exact
+      |FROM est e JOIN exact x ON x.wend = e.wend
+      |ORDER BY day""".stripMargin
 }
