@@ -238,6 +238,47 @@ object TextQueries {
       |WHERE doc_id NOT IN (SELECT d2 FROM losers)
       |ORDER BY doc_id""".stripMargin
 
+  /** `corpus_pipeline_manifest` — the END of the curation line as one
+    * gated artifact: the shard manifest a training run actually
+    * consumes. Survivors of the composed quality→exact-dedup→near-dup
+    * pipeline ([[graft.ops.Curation.curate]]) carry provenance (lang,
+    * source), BOTH token accountings (whitespace + BPE-ish pre-token
+    * count — the budget currency), a PII-pattern count (the redaction
+    * workload estimate), and a deterministic shard id (doc_id mod 8 —
+    * never a hash an oracle can't restate). Composition is the point:
+    * the gate proves the stages plug together end to end, not just
+    * one at a time.
+    *
+    * Scale: Curation.curate's three stages (map-only quality, one
+    * content shuffle, banded near-dup) plus one broadcast-shaped join
+    * back to the docs for provenance and two narrow regex counts —
+    * nothing new shuffles.
+    */
+  def corpusPipelineManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val survivors = Curation.curate(docs(spark, sfDir))
+    survivors
+      .join(docs(spark, sfDir).select("doc_id", "lang", "source", "text"),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("n_tokens"),
+        TextOps.bpeishCount(col("text")).cast("long").as("n_tokens_bpe"),
+        size(expr("regexp_extract_all(text, '[0-9]{4,}', 0)")).cast("long")
+          .as("n_pii"),
+        (col("doc_id") % 8).as("shard"))
+      .transform(RefQueries.gateSort(_, "doc_id"))
+  }
+
+  val corpusPipelineManifestSql: String =
+    s"""WITH curated AS (
+       |$corpusCurateSql
+       |)
+       |SELECT c.doc_id, d.lang, d.source, c.n_chars, c.n_tokens,
+       |       CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+       |       CAST(len(regexp_extract_all(d.text, '[0-9]{4,}')) AS BIGINT) AS n_pii,
+       |       c.doc_id % 8 AS shard
+       |FROM curated c JOIN documents d USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+
   /** `text_term_freq` — corpus-level vocabulary statistics: per-token
     * total term frequency and document frequency in ONE aggregate
     * (explode → groupBy token with count + countDistinct), top-50 by df.
