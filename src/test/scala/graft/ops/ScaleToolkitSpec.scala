@@ -140,4 +140,42 @@ class ScaleToolkitSpec extends AnyFunSuite {
     // per-doc rollup: at least 4 HashAggregate nodes
     assert("HashAggregate".r.findAllIn(plan).length >= 4, plan)
   }
+
+  test("collocation plan: count-table joins broadcast, top-k never global-sorts") {
+    // the PMI join sides are vocabulary-bounded — the bigram stream
+    // must flow through BroadcastHashJoins, and the top-100 must be
+    // TakeOrderedAndProject, not a full Sort
+    val df = graft.queries.TextQueries.textCollocations(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"bigram stream must never sort-merge against the unigram table:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("substring-search plan: posting probe is an equi join, never a scan product") {
+    val df = graft.queries.TextQueries.textSubstringSearch(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("NestedLoop"),
+      s"trigram posting lists must hash-join, never nested-loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("feature-hashing plan: no join, codegen'd kernel, map-side combine") {
+    val df = graft.queries.TextQueries.textFeatureHashing(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the hashing trick needs no vocab join:\n$plan")
+    assert(plan.contains("string_array_token_hashes"),
+      s"must use the codegen kernel, not an interpreted fold:\n$plan")
+  }
+
+  test("silhouette plan: centroid join broadcasts, never a vector pair product") {
+    val df = graft.queries.SimilarityQueries.simSilhouette(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k·d centroid table must broadcast:\n$plan")
+  }
 }
