@@ -511,6 +511,95 @@ object StreamQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** `multimodal_audio_fingerprint` — Shazam-family landmark
+    * fingerprinting over the REAL WAV decode + integer WHT spectra:
+    * each frame's dominant sequency is a spectral peak, and every
+    * (peak_i, peak_{i+g}, g) pair for gaps 1..2 becomes a landmark
+    * hash (dom1·100 + dom2·10 + g — readable, and trivially restatable
+    * in SQL, unlike an opaque mixing hash). A constellation of such
+    * pairs is what audio-matching indexes store: pairs survive noise
+    * that absolute magnitudes do not, and gap encoding makes them
+    * time-shift invariant within a frame grid.
+    *
+    * Scale: per document the frame spectra are a narrow map (8×8
+    * integer multiply-adds per frame through the per-partition decode
+    * doctrine) and the pairing is a bounded per-doc self-zip —
+    * no shuffle until the gate sort; a matching stage would groupBy
+    * lm_hash exactly like the phash banding join.
+    */
+  def multimodalAudioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 8
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val dataLen = math.min(90, (bytes.length / 2) * 2)
+        def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(7968) ++ le32(15936) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le32(dataLen) ++ bytes.take(dataLen)
+        val plane = graft.ops.MediaCodecs.decodeWavBytes(wav)
+          .getOrElse(Array.empty[Int])
+        val doms = plane.grouped(frameLen).filter(_.length == frameLen)
+          .map { f =>
+            val s = f.map(_ - 128L)
+            val coefs = (0 until 8).map(k =>
+              (0 until 8).map(j =>
+                if (java.lang.Integer.bitCount(k & j) % 2 == 0) s(j)
+                else -s(j)).sum)
+            (1 until 8).map(k => (math.abs(coefs(k)), k))
+              .minBy { case (a, k) => (-a, k) }._2
+          }.toArray
+        for {
+          i <- doms.indices
+          g <- 1 to 2
+          if i + g < doms.length
+        } yield (id, i.toLong, (doms(i) * 100 + doms(i + g) * 10 + g).toLong)
+      }.toDF("doc_id", "frame_idx", "lm_hash")
+      .transform(gateSort(_, "doc_id", "frame_idx", "lm_hash"))
+  }
+
+  val multimodalAudioFingerprintSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
+      |), l AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, dl//2), i -> unicode(text[2*i+2]) + 128) AS plane
+      |  FROM m
+      |), f AS (
+      |  SELECT doc_id, unnest(range(0, len(plane)//8)) AS frame_idx, plane
+      |  FROM l
+      |), fr AS (
+      |  SELECT doc_id, frame_idx,
+      |         list_transform(plane[frame_idx*8 + 1 : frame_idx*8 + 8],
+      |                        s -> s - 128) AS s
+      |  FROM f WHERE len(plane) >= (frame_idx + 1) * 8
+      |), co AS (
+      |  SELECT doc_id, frame_idx,
+      |         list_transform(range(0, 8), k ->
+      |           list_sum(list_transform(range(0, 8), j ->
+      |             CASE WHEN bit_count(CAST(k AS INTEGER) & CAST(j AS INTEGER)) % 2 = 0
+      |                  THEN s[CAST(j AS INTEGER) + 1]
+      |                  ELSE -s[CAST(j AS INTEGER) + 1] END))) AS c
+      |  FROM fr
+      |), dom AS (
+      |  SELECT doc_id, frame_idx,
+      |         (list_min(list_transform(range(1, 8), k ->
+      |            struct_pack(na := -abs(c[CAST(k AS INTEGER) + 1]), k := k)))).k AS d
+      |  FROM co
+      |)
+      |SELECT a.doc_id, CAST(a.frame_idx AS BIGINT) AS frame_idx,
+      |       CAST(a.d * 100 + b.d * 10 + (b.frame_idx - a.frame_idx) AS BIGINT) AS lm_hash
+      |FROM dom a JOIN dom b
+      |  ON b.doc_id = a.doc_id
+      | AND b.frame_idx - a.frame_idx IN (1, 2)
+      |ORDER BY a.doc_id, frame_idx, lm_hash""".stripMargin
+
   /** `multimodal_image_histogram` — 16-bin luminance histogram per
     * image, through the FULL compressed pipeline: text → real GIF87a
     * (own LZW compressor) → real ImageIO decode → per-bin pixel counts.
