@@ -1305,6 +1305,60 @@ object GraphQueries {
        |FROM s$SsspRounds ORDER BY nationkey""".stripMargin
   }
 
+  // ---- minimum spanning tree ------------------------------------------
+
+  /** `graph_mst` — minimum spanning tree of the weighted trade graph
+    * (cost = 10⁹ DIV trade count, the SSSP scaling) via distributed
+    * BORŮVKA ([[graft.ops.Mst.boruvka]]): O(log n) rounds of
+    * per-component cheapest-edge picks + CC merges, the parallel-MST
+    * algorithm (Prim/Kruskal are sequential by construction). Weights
+    * are uniquified by endpoint-packing, so the MST is UNIQUE and the
+    * gate deterministic; the oracle computes the same unique tree with
+    * a one-row-per-step recursive Prim — a spelling that only works
+    * because the oracle graph is small, which is the point of shipping
+    * the log-round distributed operator.
+    */
+  def graphMst(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = tradeEdgesWeighted(spark, sfDir)
+      .select(col("src"), col("dst"),
+        expr("CAST(1000000000 DIV cnt AS BIGINT)").as("cost"))
+    graft.ops.Mst.boruvka(nodes, edges)
+      .orderBy("a", "b")
+  }
+
+  val graphMstSql: String =
+    s"""WITH RECURSIVE $EdgeCtes, wed AS (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |         CAST(MIN(1000000000 // cnt) AS BIGINT) AS cost
+       |  FROM counted
+       |  WHERE cnt * 550 >= (SELECT SUM(cnt) FROM counted) AND src <> dst
+       |  GROUP BY 1, 2
+       |), uw AS (
+       |  SELECT a, b, cost, cost * 1048576 + a * 1024 + b AS w FROM wed
+       |), nn AS (SELECT COUNT(DISTINCT n_nationkey) AS n FROM nation),
+       |prim(tn, te, n) AS (
+       |  SELECT [CAST(0 AS BIGINT)],
+       |         CAST([] AS STRUCT(a BIGINT, b BIGINT, cost BIGINT, w BIGINT)[]),
+       |         1
+       |  UNION ALL
+       |  SELECT list_append(tn, CASE WHEN list_contains(tn, best.a)
+       |                              THEN best.b ELSE best.a END),
+       |         list_append(te, best), n + 1
+       |  FROM prim, (
+       |    SELECT min_by(struct_pack(a := u.a, b := u.b,
+       |                              cost := u.cost, w := u.w), u.w) AS best
+       |    FROM uw u, prim p
+       |    WHERE list_contains(p.tn, u.a) <> list_contains(p.tn, u.b)
+       |  ) x(best)
+       |  WHERE n < (SELECT n FROM nn) AND best IS NOT NULL
+       |)
+       |SELECT e.a, e.b, e.cost
+       |FROM (SELECT unnest(te) AS e FROM prim
+       |      WHERE n = (SELECT MAX(n) FROM prim))
+       |ORDER BY e.a, e.b""".stripMargin
+
   // ---- two-hop reach ---------------------------------------------------
 
   /** `graph_two_hop` — friends-of-friends accounting on the directed
