@@ -1305,6 +1305,69 @@ object GraphQueries {
        |FROM s$SsspRounds ORDER BY nationkey""".stripMargin
   }
 
+  // ---- deterministic random walks -------------------------------------
+
+  /** `graph_random_walk` — length-4 walks from every nation on the
+    * directed trade graph, the sampling primitive under node2vec/
+    * DeepWalk-style graph embeddings. "Random" is a DETERMINISTIC
+    * hash: at step t from node u, the successor is the out-neighbor v
+    * minimizing (u·1315423911 + v·2654435761 + t·97) mod 1000003 (min
+    * v on ties) — reproducible across engines and retries, the same
+    * never-random()-at-query-time rule as `analytics_abtest`. Walks
+    * stop early at out-degree-0 dead ends.
+    *
+    * Scale: one walker per start node, each step ONE join of the
+    * walker vector against the edge list + one per-walker struct-min —
+    * walks of length L are L edge joins regardless of graph size, the
+    * standard distributed walk shape (embedding pipelines batch
+    * thousands of walkers through the identical plan).
+    */
+  def graphRandomWalk(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = tradeEdges(spark, sfDir).where(col("src") =!= col("dst"))
+    var st = nodes.select(col("node").as("start"), col("node").as("cur"))
+    var out = st.withColumn("step", lit(0L))
+    for (t <- 1 to 4) {
+      st = st.join(edges, st("cur") === edges("src"))
+        .withColumn("mix",
+          (col("cur") * 1315423911L + col("dst") * 2654435761L +
+            lit(t.toLong) * 97L) % 1000003L)
+        .groupBy("start")
+        .agg(min(struct(col("mix"), col("dst"))).as("m"))
+        .select(col("start"), col("m.dst").as("cur"))
+      out = out.unionByName(st.withColumn("step", lit(t.toLong)))
+    }
+    out.select(col("start"), col("step"), col("cur").as("node"))
+      .orderBy("start", "step")
+  }
+
+  val graphRandomWalkSql: String = {
+    val steps = (1 to 4).map { t =>
+      s"""s$t AS (
+         |  SELECT s.start,
+         |         (MIN(struct_pack(
+         |            mix := (s.cur * 1315423911 + e.dst * 2654435761 + $t * 97)
+         |                     % 1000003,
+         |            dst := e.dst))).dst AS cur
+         |  FROM s${t - 1} s JOIN edges e ON e.src = s.cur AND e.src <> e.dst
+         |  GROUP BY s.start
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), s0 AS (
+       |  SELECT node AS start, node AS cur FROM nodes
+       |), $steps
+       |SELECT start, step, cur AS node FROM (
+       |  SELECT start, CAST(0 AS BIGINT) AS step, cur FROM s0
+       |  UNION ALL SELECT start, 1, cur FROM s1
+       |  UNION ALL SELECT start, 2, cur FROM s2
+       |  UNION ALL SELECT start, 3, cur FROM s3
+       |  UNION ALL SELECT start, 4, cur FROM s4
+       |) ORDER BY start, step""".stripMargin
+  }
+
   // ---- minimum spanning tree ------------------------------------------
 
   /** `graph_mst` — minimum spanning tree of the weighted trade graph

@@ -908,6 +908,56 @@ object StatQueries {
        |FROM sc ORDER BY weekday, event_type""".stripMargin
   }
 
+  // ---- local-extrema detection ----------------------------------------
+
+  /** `analytics_peaks` — local maxima of the daily revenue series per
+    * event type: days strictly above both calendar neighbors, with
+    * prominence measured against the smaller neighbor — the
+    * peak-detection primitive under alerting and seasonality-eyeballing
+    * dashboards. Neighbors are CALENDAR lags (a self-join on day−1 /
+    * day+1), not row lags, so a missing day breaks the neighborhood
+    * instead of silently comparing across a gap — same doctrine as
+    * `analytics_forecast`. Exact integer cents end to end.
+    *
+    * Scale: one daily hash pre-aggregate and two self-joins keyed by
+    * (type, day) — series-cardinality work, broadcastable after the
+    * rollup.
+    */
+  def analyticsPeaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = table(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").cast("long").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+      .cache()
+    daily.as("x")
+      .join(daily.as("p"), col("p.event_type") === col("x.event_type") &&
+        col("p.day") === col("x.day") - 1)
+      .join(daily.as("n"), col("n.event_type") === col("x.event_type") &&
+        col("n.day") === col("x.day") + 1)
+      .where(col("x.c") > col("p.c") && col("x.c") > col("n.c"))
+      .select(col("x.event_type").as("event_type"), col("x.day").as("day"),
+        col("x.c").as("level_c"),
+        (col("x.c") - greatest(col("p.c"), col("n.c"))).as("prominence_c"))
+      .orderBy("event_type", "day")
+  }
+
+  val analyticsPeaksSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |              AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT x.event_type, x.day, x.c AS level_c,
+      |       CAST(x.c - greatest(p.c, n.c) AS BIGINT) AS prominence_c
+      |FROM daily x
+      |JOIN daily p ON p.event_type = x.event_type AND p.day = x.day - 1
+      |JOIN daily n ON n.event_type = x.event_type AND n.day = x.day + 1
+      |WHERE x.c > p.c AND x.c > n.c
+      |ORDER BY x.event_type, x.day""".stripMargin
+
   // ---- fulfillment-latency percentiles --------------------------------
 
   /** `analytics_ship_latency` — order-to-ship latency distribution per
