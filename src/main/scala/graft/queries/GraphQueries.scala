@@ -1305,6 +1305,70 @@ object GraphQueries {
        |FROM s$SsspRounds ORDER BY nationkey""".stripMargin
   }
 
+  // ---- k-truss cohesion -----------------------------------------------
+
+  /** `graph_ktruss` — the 12-truss of the undirected trade graph:
+    * edges whose TRIANGLE SUPPORT (common-neighbor count) stays ≥ 10
+    * through 4 synchronous peeling rounds — the edge-cohesion upgrade
+    * of `graph_kcore` (a k-core can be triangle-free; a k-truss is
+    * built from triangles, the community-core definition of Cohen
+    * 2008). Support recomputes per round over the SURVIVING edge set,
+    * so removals cascade exactly like the vertex peeling in k-core's
+    * fixed-round doctrine.
+    *
+    * Scale: per round one triangle join (edge ⋈ both endpoints'
+    * adjacency — the `graph_triangles` shape) and one filter;
+    * localCheckpoint per round. Fixed 4 rounds is the gateable
+    * restatement of run-to-fixpoint, same contract as k-core/SSSP.
+    */
+  def graphKtruss(spark: SparkSession, sfDir: String): DataFrame = {
+    val KtrussSupport = 10
+    val base = tradeEdges(spark, sfDir).where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var und = base
+    var supp: DataFrame = null
+    for (_ <- 1 to 4) {
+      val adj = und.select(col("a").as("x"), col("b").as("n"))
+        .unionByName(und.select(col("b").as("x"), col("a").as("n")))
+      supp = und
+        .join(adj.select(col("x").as("a"), col("n")), "a")
+        .join(adj.select(col("x").as("b"), col("n")), Seq("b", "n"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .localCheckpoint(true)
+      und = supp.where(col("support") >= KtrussSupport)
+        .select("a", "b").localCheckpoint(true)
+    }
+    supp.where(col("support") >= KtrussSupport)
+      .select("a", "b", "support")
+      .orderBy("a", "b")
+  }
+
+  val graphKtrussSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""adj$r AS (
+         |  SELECT a AS x, b AS n FROM u${r - 1}
+         |  UNION ALL SELECT b, a FROM u${r - 1}
+         |), supp$r AS (
+         |  SELECT u.a, u.b, COUNT(*) AS support
+         |  FROM u${r - 1} u
+         |  JOIN adj$r p ON p.x = u.a
+         |  JOIN adj$r q ON q.x = u.b AND q.n = p.n
+         |  GROUP BY u.a, u.b
+         |), u$r AS (
+         |  SELECT a, b FROM supp$r WHERE support >= 10
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, u0 AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst
+       |), $rounds
+       |SELECT a, b, support FROM supp4 WHERE support >= 10
+       |ORDER BY a, b""".stripMargin
+  }
+
   // ---- deterministic random walks -------------------------------------
 
   /** `graph_random_walk` — length-4 walks from every nation on the
