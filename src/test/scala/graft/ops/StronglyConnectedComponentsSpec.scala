@@ -57,4 +57,26 @@ class StronglyConnectedComponentsSpec extends AnyFunSuite {
       Seq((10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L), (13L, 10L)))
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
+
+  test("random digraphs agree with brute-force mutual reachability") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 12 + trial * 3
+      val nodes = (0L until n.toLong)
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (u, v) => u != v }.distinct
+      // driver-side Floyd–Warshall closure → scc_id = min mutual peer
+      val reach = Array.fill(n, n)(false)
+      nodes.foreach(i => reach(i.toInt)(i.toInt) = true)
+      edges.foreach { case (u, v) => reach(u.toInt)(v.toInt) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val want = nodes.map { v =>
+        v -> nodes.filter(w =>
+          reach(v.toInt)(w.toInt) && reach(w.toInt)(v.toInt)).min
+      }.toMap
+      assert(run(nodes, edges) == want, s"trial $trial, n=$n, edges=$edges")
+    }
+  }
 }
