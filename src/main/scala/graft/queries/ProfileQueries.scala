@@ -213,6 +213,79 @@ object ProfileQueries {
       |            ELSE 'string' END AS inferred
       |FROM agg ORDER BY col_name""".stripMargin
 
+  // ---- referential-integrity audit ------------------------------------
+
+  /** `etl_fk_check` — referential-integrity audit, the join-key
+    * companion to `etl_fd_check`: for each declared foreign key, the
+    * child row count, the count of orphans (child keys with no parent),
+    * and distinct orphan keys. The five declared relationships cover
+    * the full star (lineitem→orders/part/supplier, orders→customer,
+    * customer→nation); a healthy corpus reports zeros, and the gate
+    * pins that zeros are COMPUTED, not assumed.
+    *
+    * Scale: one left-anti-shaped aggregate per relationship — child
+    * keys pre-aggregate to distinct before probing the parent (the
+    * orphan join is key-cardinality, not row-cardinality), then one
+    * broadcast-back count. All five run as independent pipelines.
+    */
+  def etlFkCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    def check(fk: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val keys = child.groupBy(col(childKey).as("k"))
+        .agg(count(lit(1)).as("n_rows"))
+      val orphans = keys.join(
+        parent.select(col(parentKey).as("k")).distinct(), Seq("k"),
+        "left_anti")
+      val tot = keys.agg(sum("n_rows").as("n_child"))
+      orphans
+        .agg(coalesce(sum("n_rows"), lit(0L)).as("n_orphan_rows"),
+          count(lit(1)).as("n_orphan_keys"))
+        .crossJoin(broadcast(tot))
+        .select(lit(fk).as("fk"), col("n_child"), col("n_orphan_rows"),
+          col("n_orphan_keys"),
+          (col("n_orphan_rows") === 0).as("intact"))
+    }
+    val li = table(spark, sfDir, "lineitem")
+    val o = table(spark, sfDir, "orders")
+    val c = table(spark, sfDir, "customer")
+    check("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(check("lineitem.l_partkey -> part", li, "l_partkey",
+        table(spark, sfDir, "part"), "p_partkey"))
+      .unionByName(check("lineitem.l_suppkey -> supplier", li, "l_suppkey",
+        table(spark, sfDir, "supplier"), "s_suppkey"))
+      .unionByName(check("orders.o_custkey -> customer", o, "o_custkey",
+        c, "c_custkey"))
+      .unionByName(check("customer.c_nationkey -> nation", c, "c_nationkey",
+        table(spark, sfDir, "nation"), "n_nationkey"))
+      .orderBy("fk")
+  }
+
+  val etlFkCheckSql: String = {
+    def one(fk: String, child: String, ck: String, parent: String,
+        pk: String): String =
+      s"""SELECT '$fk' AS fk,
+         |       CAST((SELECT COUNT(*) FROM $child) AS BIGINT) AS n_child,
+         |       CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_orphan_rows,
+         |       COUNT(*) AS n_orphan_keys,
+         |       COALESCE(SUM(n_rows), 0) = 0 AS intact
+         |FROM (
+         |  SELECT $ck AS k, COUNT(*) AS n_rows FROM $child GROUP BY $ck
+         |) keys
+         |WHERE k NOT IN (SELECT $pk FROM $parent)""".stripMargin
+    Seq(
+      one("customer.c_nationkey -> nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      one("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      one("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      one("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      one("orders.o_custkey -> customer", "orders", "o_custkey",
+        "customer", "c_custkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+  }
+
   // ---- functional-dependency audit ------------------------------------
 
   /** `etl_fd_check` — functional-dependency audit, the schema-discovery

@@ -908,6 +908,48 @@ object StatQueries {
        |FROM sc ORDER BY weekday, event_type""".stripMargin
   }
 
+  // ---- geometric mean --------------------------------------------------
+
+  /** `analytics_geo_mean` — geometric mean of quantity per returnflag
+    * in the scaled-log2 domain: gmean = 2^(Σ log2 x / n), carried as
+    * exact integers via the shared [[graft.functions.IntegerLog2]]
+    * kernel (Σ log2s(x) and its DIV-n mean — all x ≥ 1, everything
+    * non-negative, floor division agrees cross-engine). The right mean
+    * for ratio-scaled quantities, where the arithmetic mean
+    * over-weights large orders; exported in log2-1e6 units — the
+    * ranking/filtering currency — because exponentiating back would
+    * reintroduce the cross-engine pow() ulp hazard the kernel exists
+    * to avoid.
+    *
+    * Scale: one hash aggregate, map-side combinable.
+    */
+  def analyticsGeoMean(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntegerLog2
+    table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("returnflag"),
+        col("l_quantity").cast(LongType).as("q"))
+      .where(col("q") >= 1)
+      .groupBy("returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(IntegerLog2.log2s(col("q"))).as("sum_log2_1e6"))
+      .withColumn("gmean_log2_1e6", expr("sum_log2_1e6 DIV n"))
+      .orderBy("returnflag")
+  }
+
+  val analyticsGeoMeanSql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    s"""WITH s AS (
+       |  SELECT l_returnflag AS returnflag, CAST(l_quantity AS BIGINT) AS q
+       |  FROM lineitem WHERE CAST(l_quantity AS BIGINT) >= 1
+       |), l AS (
+       |  SELECT returnflag, ${log2Sql("q")} AS lg FROM s
+       |)
+       |SELECT returnflag, COUNT(*) AS n,
+       |       CAST(SUM(lg) AS BIGINT) AS sum_log2_1e6,
+       |       CAST(SUM(lg) // COUNT(*) AS BIGINT) AS gmean_log2_1e6
+       |FROM l GROUP BY returnflag ORDER BY returnflag""".stripMargin
+  }
+
   // ---- local-extrema detection ----------------------------------------
 
   /** `analytics_peaks` — local maxima of the daily revenue series per

@@ -1832,6 +1832,53 @@ object TextQueries {
        |            ELSE 'tail' END AS bucket
        |FROM p CROSS JOIN th ORDER BY p.doc_id""".stripMargin
 
+  // ---- sequence-length histogram --------------------------------------
+
+  /** `corpus_token_histogram` — document length distribution in
+    * power-of-two token buckets (bucket = ⌊log2 n_tokens⌋ via the
+    * IntegerLog2 exponent): the first thing a packing/batching planner
+    * reads — `text_pack_sequences`' bin efficiency and truncation loss
+    * are both functions of this histogram. Per bucket: doc count, token
+    * mass, and the min/max lengths, all exact integers.
+    *
+    * Scale: one narrow map + one hash aggregate over ≤ 64 buckets.
+    */
+  def corpusTokenHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntegerLog2
+    docs(spark, sfDir)
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= 1)
+      // fractional divide + truncating cast == floor here: operands are
+      // non-negative and ≪ 2^53, so the correctly-rounded quotient can
+      // never land on the wrong side of an integer boundary (exact-k
+      // multiples divide exactly; others are ~1e-16 off, not ~1)
+      .withColumn("bucket",
+        (IntegerLog2.log2s(col("n_tokens")) / lit(1000000L)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .orderBy("bucket")
+  }
+
+  val corpusTokenHistogramSql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    DuckToks +
+      s"""
+         |, n AS (
+         |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens FROM d
+         |  WHERE len(toks) >= 1
+         |), b AS (
+         |  SELECT n_tokens, ${log2Sql("n_tokens")} // 1000000 AS bucket FROM n
+         |)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+         |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   // ---- keyword-in-context concordance ---------------------------------
 
   /** `text_kwic` — keyword-in-context concordance for `spark`: every
