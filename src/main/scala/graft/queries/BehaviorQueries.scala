@@ -625,6 +625,53 @@ object BehaviorQueries {
       |FROM f WHERE event_type = 'click'
       |ORDER BY event_id""".stripMargin
 
+  // ---- new vs returning users -----------------------------------------
+
+  /** `analytics_new_returning` — per-day split of active users into new
+    * (first-ever activity that day) and returning, with the new-user
+    * share in ppm: the growth-accounting daily the first-seen trick
+    * makes cheap — min(day) per user is ONE aggregate, then each active
+    * (user, day) pair classifies by comparison, with no
+    * ever-growing seen-set state.
+    *
+    * Scale: two hash aggregates (per-user first day; per-day
+    * classified counts) and one broadcast-shaped join keyed by user.
+    */
+  def analyticsNewReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = eventsUs(spark, sfDir)
+      .select(expr("us DIV 86400000000").cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+      .cache()
+    val firstSeen = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    ud.join(firstSeen, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        expr("n_new * 1000000L DIV n_active").as("new_share_ppm"))
+      .orderBy("day")
+  }
+
+  val analyticsNewReturningSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      |  FROM events
+      |), fs AS (
+      |  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+      |)
+      |SELECT ud.day, COUNT(*) AS n_active,
+      |       CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_new,
+      |       CAST(COUNT(*) - SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_returning,
+      |       CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+      |            * 1000000 // COUNT(*) AS BIGINT) AS new_share_ppm
+      |FROM ud JOIN fs ON fs.user_id = ud.user_id
+      |GROUP BY ud.day ORDER BY ud.day""".stripMargin
+
   // ---- market-basket association --------------------------------------
 
   /** `analytics_basket_lift` — association mining over user "baskets"

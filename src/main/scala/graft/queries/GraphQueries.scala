@@ -1305,6 +1305,58 @@ object GraphQueries {
        |FROM s$SsspRounds ORDER BY nationkey""".stripMargin
   }
 
+  // ---- bipartite co-purchase projection -------------------------------
+
+  /** `graph_copurchase` — the part-part projection of the
+    * customer×part bipartite purchase graph: part pairs bought by ≥ 3
+    * common customers, ranked by co-purchase count — the
+    * collaborative-filtering backbone ("customers who bought X also
+    * bought Y"). Baskets dedupe to DISTINCT (customer, part) BEFORE the
+    * pairing, so one customer re-ordering a pair many times counts
+    * once.
+    *
+    * Scale: the projection self-join is keyed by customer and is
+    * quadratic in BASKET SIZE, not in customers or parts — the
+    * standard market-basket shape (cap or sample whale baskets at
+    * 100 TB; this corpus's are bounded). Support floor + top-100 keep
+    * the output ranked and deterministic (count desc, pair asc).
+    */
+  def graphCopurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val baskets = li
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .cache()
+    baskets.select(col("cust"), col("part").as("p1"))
+      .join(baskets.select(col("cust"), col("part").as("p2")), "cust")
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= 3)
+      .orderBy(desc("n_common"), col("p1"), col("p2"))
+      .limit(100)
+      .transform(RefQueries.gateSort(_, "p1", "p2"))
+  }
+
+  val graphCopurchaseSql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), pairs AS (
+      |  SELECT a.part AS p1, b.part AS p2, COUNT(*) AS n_common
+      |  FROM baskets a JOIN baskets b
+      |    ON a.cust = b.cust AND a.part < b.part
+      |  GROUP BY 1, 2
+      |), top AS (
+      |  SELECT * FROM pairs WHERE n_common >= 3
+      |  ORDER BY n_common DESC, p1, p2 LIMIT 100
+      |)
+      |SELECT p1, p2, n_common FROM top ORDER BY p1, p2""".stripMargin
+
   // ---- k-truss cohesion -----------------------------------------------
 
   /** `graph_ktruss` — the 12-truss of the undirected trade graph:
