@@ -908,6 +908,99 @@ object StatQueries {
        |FROM sc ORDER BY weekday, event_type""".stripMargin
   }
 
+  // ---- Wald–Wolfowitz runs test ---------------------------------------
+
+  /** `analytics_runs_test` — the Wald–Wolfowitz runs test on each
+    * event type's daily revenue DIRECTION sequence (up/down vs the
+    * previous day, zero-change days dropped — the standard runs-
+    * above/below treatment): too few runs ⇒ trending, too many ⇒
+    * oscillating, completing the nonparametric family next to KS and
+    * Mann–Whitney. Counts (n_up, n_down, n_runs) are exact integers
+    * from one lag window; the z-score against μ = 2·n₁n₂/n + 1 and
+    * σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) is a fixed double op sequence over
+    * them, NULL-guarded when σ = 0 (degenerate one-sided sequences).
+    *
+    * Scale: one daily pre-aggregate + one lag window per series +
+    * an O(days) rollup — series cardinality throughout.
+    */
+  def analyticsRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").cast("long").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val signed = daily
+      .withColumn("prev", lag("c", 1).over(w))
+      .where(col("prev").isNotNull && col("c") =!= col("prev"))
+      .withColumn("up", (col("c") > col("prev")).cast("long"))
+    val w2 = Window.partitionBy("event_type").orderBy("day")
+    val runs = signed
+      .withColumn("prevUp", lag("up", 1).over(w2))
+      .withColumn("newRun",
+        when(col("prevUp").isNull || col("up") =!= col("prevUp"), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(sum("up").as("n_up"),
+        (count(lit(1)) - sum("up")).as("n_down"),
+        sum("newRun").as("n_runs"))
+    val n1 = col("n_up").cast(DoubleType)
+    val n2 = col("n_down").cast(DoubleType)
+    val n = n1 + n2
+    val mu = lit(2.0d) * n1 * n2 / n + lit(1.0d)
+    val sig2 = lit(2.0d) * n1 * n2 * (lit(2.0d) * n1 * n2 - n) /
+      (n * n * (n - lit(1.0d)))
+    runs
+      .withColumn("z",
+        when(col("n_up") > 0 && col("n_down") > 0 && sig2 > 0,
+          (col("n_runs").cast(DoubleType) - mu) / sqrt(sig2)))
+      .select("event_type", "n_up", "n_down", "n_runs", "z")
+      .orderBy("event_type")
+  }
+
+  val analyticsRunsTestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |              AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT event_type, day, c, lag(c) OVER w AS prev
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), signed AS (
+      |  SELECT event_type, day, CASE WHEN c > prev THEN 1 ELSE 0 END AS up
+      |  FROM lagged WHERE prev IS NOT NULL AND c <> prev
+      |), marked AS (
+      |  SELECT event_type, up, lag(up) OVER w AS prevUp
+      |  FROM signed WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), agg AS (
+      |  SELECT event_type,
+      |         CAST(SUM(up) AS BIGINT) AS n_up,
+      |         CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down,
+      |         CAST(SUM(CASE WHEN prevUp IS NULL OR up <> prevUp
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      |  FROM marked GROUP BY event_type
+      |)
+      |SELECT event_type, n_up, n_down, n_runs,
+      |       CASE WHEN n_up > 0 AND n_down > 0
+      |                 AND 2.0 * n_up * n_down * (2.0 * n_up * n_down
+      |                     - (CAST(n_up AS DOUBLE) + n_down))
+      |                   / ((CAST(n_up AS DOUBLE) + n_down)
+      |                      * (CAST(n_up AS DOUBLE) + n_down)
+      |                      * (CAST(n_up AS DOUBLE) + n_down - 1.0)) > 0
+      |            THEN (CAST(n_runs AS DOUBLE)
+      |                  - (2.0 * n_up * n_down
+      |                     / (CAST(n_up AS DOUBLE) + n_down) + 1.0))
+      |                 / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down
+      |                        - (CAST(n_up AS DOUBLE) + n_down))
+      |                        / ((CAST(n_up AS DOUBLE) + n_down)
+      |                           * (CAST(n_up AS DOUBLE) + n_down)
+      |                           * (CAST(n_up AS DOUBLE) + n_down - 1.0)))
+      |       END AS z
+      |FROM agg ORDER BY event_type""".stripMargin
+
   // ---- geometric mean --------------------------------------------------
 
   /** `analytics_geo_mean` — geometric mean of quantity per returnflag
