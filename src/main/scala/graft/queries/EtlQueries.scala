@@ -700,6 +700,63 @@ object EtlQueries {
       |WHERE o_orderdate > wm.wm
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---- calendar dimension spine ---------------------------------------
+
+  /** `etl_date_dim` — generated calendar dimension over the orders date
+    * range: one row per day from min to max order date WHETHER OR NOT
+    * any order exists (the left join preserves zero days — the rows a
+    * groupBy silently drops and every time-series consumer needs),
+    * with integer weekday, ISO month string, and the day's order
+    * count/revenue. The spine generates from a `sequence` over the
+    * epoch-day range — no calendar table shipped, no engine-local
+    * date quirks (weekday = (epoch_day + 4) mod 7, the
+    * analytics_seasonality doctrine).
+    *
+    * Scale: the spine is O(days) generated rows; facts pre-aggregate
+    * per day before the join, so the spine join is day-cardinality.
+    */
+  def etlDateDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val od = expr(
+      "CAST(unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")
+    val orders = table(spark, sfDir, "orders")
+      .select(od.as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val perDay = orders.groupBy("day")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+    val range = orders.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = range
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(perDay, Seq("day"), "left")
+      .select(col("day"),
+        expr("(day + 4) % 7").as("weekday"),
+        date_format(expr("timestamp_millis(day * 86400000)"), "yyyy-MM")
+          .as("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+      .orderBy("day")
+  }
+
+  val etlDateDimSql: String =
+    """WITH o AS (
+      |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |), per_day AS (
+      |  SELECT day, COUNT(*) AS n_orders,
+      |         CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM o GROUP BY day
+      |), r AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+      |spine AS (
+      |  SELECT unnest(range(lo, hi + 1)) AS day FROM r
+      |)
+      |SELECT s.day, (s.day + 4) % 7 AS weekday,
+      |       strftime(to_timestamp(s.day * 86400), '%Y-%m') AS month,
+      |       COALESCE(p.n_orders, 0) AS n_orders,
+      |       COALESCE(p.sum_cents, 0) AS sum_cents
+      |FROM spine s LEFT JOIN per_day p ON p.day = s.day
+      |ORDER BY s.day""".stripMargin
+
   // ---- incremental aggregate maintenance ------------------------------
 
   /** `etl_incremental_agg` — materialized-view delta maintenance: a

@@ -908,6 +908,57 @@ object StatQueries {
        |FROM sc ORDER BY weekday, event_type""".stripMargin
   }
 
+  // ---- month-over-month growth ----------------------------------------
+
+  /** `analytics_mom` — month-over-month revenue growth per returnflag:
+    * monthly cents, the previous month's, and the delta in ppm. The
+    * delta can be NEGATIVE, which is exactly where cross-engine
+    * integer conversion diverges (Spark's cast truncates, DuckDB's
+    * rounds, `DIV` floors vs `//` truncates) — so both sides spell it
+    * as an explicit `floor` of the double quotient, the one conversion
+    * they agree on. Months are calendar strings (the
+    * analytics_cumulative spelling); month gaps surface as missing
+    * rows because the month key is part of the output.
+    *
+    * Scale: one monthly hash aggregate + one lag window per flag.
+    */
+  def analyticsMom(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .groupBy("returnflag", "month")
+      .agg(sum("cents").as("rev_c"))
+    val w = Window.partitionBy("returnflag").orderBy("month")
+    monthly
+      .withColumn("prev_c", lag("rev_c", 1).over(w))
+      .where(col("prev_c").isNotNull)
+      .withColumn("mom_ppm",
+        floor((col("rev_c") - col("prev_c")).cast(DoubleType) * 1000000.0d /
+          col("prev_c").cast(DoubleType)).cast(LongType))
+      .select("returnflag", "month", "rev_c", "prev_c", "mom_ppm")
+      .orderBy("returnflag", "month")
+  }
+
+  val analyticsMomSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS returnflag,
+      |         strftime(l_shipdate, '%Y-%m') AS month,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |              AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT returnflag, month, rev_c, lag(rev_c) OVER w AS prev_c
+      |  FROM m WINDOW w AS (PARTITION BY returnflag ORDER BY month)
+      |)
+      |SELECT returnflag, month, rev_c, prev_c,
+      |       CAST(floor(CAST(rev_c - prev_c AS DOUBLE) * 1000000.0
+      |                  / CAST(prev_c AS DOUBLE)) AS BIGINT) AS mom_ppm
+      |FROM lagged WHERE prev_c IS NOT NULL
+      |ORDER BY returnflag, month""".stripMargin
+
   // ---- Wald–Wolfowitz runs test ---------------------------------------
 
   /** `analytics_runs_test` — the Wald–Wolfowitz runs test on each
