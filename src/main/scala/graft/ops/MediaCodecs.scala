@@ -266,6 +266,46 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** 24-bit BMP encoder (BITMAPFILEHEADER + BITMAPINFOHEADER + BI_RGB
+    * pixel array): one row of gray samples as (b,g,r)=(v,v,v) triples,
+    * w×1, row padded to a 4-byte boundary per the spec — the
+    * UNCOMPRESSED little-endian sibling of [[encodeGrayPng]]'s
+    * stored-deflate container: PNG exercises the chunk/CRC/zlib path,
+    * GIF the LZW path, BMP the raw-DIB path with its padding and
+    * BGR-order traps. Deterministic closed-form container size
+    * 54 + ceil4(3·w), so the oracle can restate n_bytes. The JDK's BMP
+    * ImageReader decodes it back as TYPE_3BYTE_BGR; integer luminance
+    * (r+g+b)/3 of an (v,v,v) pixel is v, so the decoded plane equals
+    * the input row exactly.
+    */
+  def encodeGrayBmp(row: Array[Byte]): Array[Byte] = {
+    require(row.nonEmpty, "BMP needs at least one pixel")
+    val w = row.length
+    val stride = (3 * w + 3) / 4 * 4
+    val fileSize = 54 + stride
+    val out = new java.io.ByteArrayOutputStream(fileSize)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write('B'); out.write('M')
+    le32(fileSize); le16(0); le16(0); le32(54) // file header
+    le32(40); le32(w); le32(1) // info header: w×1, bottom-up
+    le16(1); le16(24) // planes, bpp
+    le32(0); le32(stride) // BI_RGB, image size
+    le32(0); le32(0); le32(0); le32(0) // ppm x/y, colors used/important
+    var i = 0
+    while (i < w) {
+      val v = row(i) & 0xff
+      out.write(v); out.write(v); out.write(v) // b, g, r
+      i += 1
+    }
+    var pad = stride - 3 * w
+    while (pad > 0) { out.write(0); pad -= 1 }
+    out.toByteArray
+  }
+
   /** Gray GIF87a encoder with a REAL LZW compressor — the compressed
     * sibling of [[encodeGrayPng]]'s stored-deflate container: one row of
     * 8-bit samples (w×1), 256-entry identity gray global color table, a

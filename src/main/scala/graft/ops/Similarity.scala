@@ -145,6 +145,50 @@ object Similarity {
       .select("d1", "d2", "cos_sim")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    * every embedding to an IVF-style coarse cell, then compare pairs
+    * ONLY WITHIN a cell — a vector with a smaller-id cell-mate at
+    * cosine ≥ `threshold` is a semantic duplicate of it. Output one row
+    * per vector: (vec_id, cell, keep, rep_id) — `keep` marks the
+    * survivor set, `rep_id` the smallest dominating cell-mate (itself
+    * when kept): the deterministic restatement of SemDeDup's
+    * "keep one per ε-ball, drop the rest".
+    *
+    * This is the SCALE PATH of [[cosineNearDupPairs]]: candidate pairs
+    * are Σ_cells (n_cell)² instead of n² — with k cells of balanced
+    * occupancy that is n²/k comparisons, and at 100 TB the corpus is
+    * hash-partitioned by cell id so each cell's pair generation is a
+    * co-partitioned self-join, nothing crosses cells. The price is
+    * recall at cell boundaries (a near-dup pair split across cells is
+    * missed) — the documented SemDeDup trade, measured here by the
+    * spec's subset check against the exact operator. Centroids are the
+    * deterministic seed set shared with IVF — a bounded model artifact.
+    */
+  def semDedup(corpus: DataFrame, nCells: Int = 32,
+      threshold: Double = 0.4): DataFrame = {
+    val quant = quantizedCorpus(corpus)
+    val cents = seedCentroids(corpus, nCells)
+    val assigned = assignFromQuant(quant, cents)
+      .select(col("n_id"), col("cv"), col("cn"), col("cell"))
+      .cache()
+    val a = assigned.where(col("cell") >= 0).select(col("cell"),
+      col("n_id").as("d1"), col("cv").as("v1"), col("cn").as("n1s"))
+    val b = assigned.where(col("cell") >= 0).select(col("cell"),
+      col("n_id").as("d2"), col("cv").as("v2"), col("cn").as("n2s"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("d1") < col("d2"))
+      .withColumn("cos_sim",
+        cosineFrom(dotQ(col("v1"), col("v2")), col("n1s"), col("n2s")))
+      .where(col("cos_sim") >= threshold)
+    val reps = pairs.groupBy(col("d2").as("n_id"))
+      .agg(min("d1").as("rep_id"))
+    assigned.select("n_id", "cell")
+      .join(reps, Seq("n_id"), "left")
+      .select(col("n_id").as("vec_id"), col("cell").cast("long").as("cell"),
+        col("rep_id").isNull.as("keep"),
+        coalesce(col("rep_id"), col("n_id")).as("rep_id"))
+  }
+
   /** DBSCAN density clustering over the quantized embedding space —
     * exact contract: ε-neighborhoods by SQUARED EUCLIDEAN distance in
     * quantized integer units (d² = |a|² + |b|² − 2a·b, every term an

@@ -736,4 +736,75 @@ object BehaviorQueries {
       |JOIN marg mb ON mb.event_type = p.type_b
       |CROSS JOIN u
       |ORDER BY p.type_a, p.type_b""".stripMargin
+
+  /** `analytics_attribution` — multi-touch marketing attribution: every
+    * `purchase` event distributes conversion credit to the same user's
+    * preceding `click`/`view` touches inside a 7-day lookback, under
+    * the three classic models at once — FIRST-touch (+1 to the earliest
+    * touch's type), LAST-touch (+1 to the latest), and LINEAR (equal
+    * split). The linear share is carried as an exact integer:
+    * 1000000 DIV k ppm per touch (positive operands, so Spark's
+    * truncating DIV and DuckDB's flooring // agree), summed per type —
+    * no 1.0/k double ever enters an aggregate. Touch order ties break
+    * on (ts, event_id), a total key, so first/last are deterministic.
+    *
+    * Scale: the touch↔purchase match is a per-user time-bounded range
+    * join — candidate pairs ∝ each user's activity inside one 7-day
+    * window, never |events|²; it shuffles both sides once on user_id
+    * and AQE handles power-user skew. The per-purchase windows
+    * partition on the purchase key, and the final rollup is
+    * O(event types).
+    */
+  def analyticsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsUs(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("us").as("p_us"))
+    val touches = ev.where(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("t_id"), col("user_id"),
+        col("us").as("t_us"), col("event_type").as("touch_type"))
+    val lookbackUs = 7L * UsPerDay
+    val matched = purchases.join(touches, Seq("user_id"))
+      .where(col("t_us") < col("p_us") &&
+        col("t_us") >= col("p_us") - lookbackUs)
+    val w = Window.partitionBy("p_id").orderBy(col("t_us"), col("t_id"))
+    val scored = matched
+      .withColumn("rn", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("p_id")))
+    scored.groupBy("touch_type").agg(
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("first_touch"),
+      sum(when(col("rn") === col("k"), 1L).otherwise(0L)).as("last_touch"),
+      sum(expr("1000000L div k")).as("linear_ppm"),
+      count(lit(1)).as("n_touches"))
+      .orderBy("touch_type")
+  }
+
+  val analyticsAttributionSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'
+      |), t AS (
+      |  SELECT event_id AS t_id, user_id, epoch_us(ts) AS t_us,
+      |         event_type AS touch_type
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |), m AS (
+      |  SELECT p.p_id, t.t_id, t.t_us, t.touch_type
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |  WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000
+      |), s AS (
+      |  SELECT touch_type,
+      |         row_number() OVER (PARTITION BY p_id
+      |                            ORDER BY t_us, t_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY p_id) AS k
+      |  FROM m
+      |)
+      |SELECT touch_type,
+      |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS first_touch,
+      |       CAST(SUM(CASE WHEN rn = k THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS last_touch,
+      |       CAST(SUM(1000000 // k) AS BIGINT) AS linear_ppm,
+      |       COUNT(*) AS n_touches
+      |FROM s GROUP BY touch_type
+      |ORDER BY touch_type""".stripMargin
 }

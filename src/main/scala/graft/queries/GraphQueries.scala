@@ -1769,6 +1769,167 @@ object GraphQueries {
        |            ELSE 0.0 END AS closeness
        |FROM agg ORDER BY nationkey""".stripMargin
 
+  // ---- harmonic centrality ---------------------------------------------
+
+  /** `graph_harmonic` — harmonic centrality of every nation on the
+    * directed trade graph: Σ_{v≠u} 1/d(u,v), the centrality that stays
+    * well-defined on DISCONNECTED graphs (unreached nodes contribute 0
+    * instead of poisoning the sum with ∞ — the reason Boldi–Vigna
+    * recommend it over closeness). Same multi-source BFS state and
+    * round structure as [[graphCloseness]]; only the rollup differs.
+    *
+    * Determinism: Σ 1/d over doubles is summation-order-dependent, so
+    * the sum runs in EXACT INTEGERS — each distance contributes
+    * L DIV d with L = 5354228880 = lcm(1..24) (every BFS distance on
+    * this graph is ≤ 24, the same bound the closeness oracle's
+    * recursion cap relies on, so the division is exact, not just
+    * deterministic). The normalized double is one division pair over
+    * the exact scaled sum at the very end.
+    *
+    * Scale: identical contract to closeness — O(n·m) exact by
+    * definition, landmark-sampled `roots` at corpus scale, state is
+    * reached pairs only, one join + one min-aggregate per round,
+    * `localCheckpoint` lineage truncation.
+    */
+  def graphHarmonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val L = 5354228880L // lcm(1..24)
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = tradeEdges(spark, sfDir)
+    val n = nodes.count()
+    var reach = nodes
+      .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var fingerprint = (-1L, -1L)
+    var converged = false
+    var it = 0
+    while (!converged && it < 40) {
+      val cand = reach
+        .join(edges.withColumnRenamed("src", "node"), "node")
+        .select(col("root"), col("dst").as("node"),
+          (col("dist") + 1L).as("dist"))
+      val next = reach.unionByName(cand)
+        .groupBy("root", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(false)
+      val fp = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head
+      val nfp = (fp.getLong(0), fp.getLong(1))
+      converged = nfp == fingerprint
+      fingerprint = nfp
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(reach)
+      reach = next
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      "multi-source BFS did not converge in 40 rounds")
+    reach.where(col("dist") > 0)
+      .groupBy("root")
+      .agg(sum(expr(s"${L}L div dist")).cast("long").as("harmonic_sc"),
+        count(lit(1)).as("n_reached"))
+      .select(col("root").as("nationkey"), col("n_reached"),
+        col("harmonic_sc"),
+        (col("harmonic_sc").cast("double") / lit(L.toDouble) /
+          lit((n - 1).toDouble)).as("harmonic_norm"))
+      .orderBy("nationkey")
+  }
+
+  val graphHarmonicSql: String =
+    s"""WITH RECURSIVE $EdgeCtes, nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), walk(root, node, dist) AS (
+       |  SELECT node AS root, node, CAST(0 AS BIGINT) FROM nodes
+       |  UNION
+       |  SELECT w.root, e.dst, w.dist + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.dist < 24
+       |), best AS (
+       |  SELECT root, node, MIN(dist) AS dist FROM walk GROUP BY root, node
+       |), agg AS (
+       |  SELECT root,
+       |         CAST(SUM(5354228880 // dist) AS BIGINT) AS harmonic_sc,
+       |         COUNT(*) AS n_reached
+       |  FROM best WHERE dist > 0 GROUP BY root
+       |)
+       |SELECT root AS nationkey, n_reached, harmonic_sc,
+       |       CAST(harmonic_sc AS DOUBLE) / 5354228880.0 /
+       |       ((SELECT COUNT(*) FROM nodes) - 1) AS harmonic_norm
+       |FROM agg ORDER BY nationkey""".stripMargin
+
+  // ---- eccentricity / diameter / radius --------------------------------
+
+  /** `graph_eccentricity` — per-node eccentricity on the directed trade
+    * graph (the longest shortest path out of each node, over its
+    * REACHABLE set — the disconnected-safe reading), plus the graph's
+    * diameter and radius and the center/periphery flags they induce:
+    * the structural report next to the per-node centralities. Pure
+    * integer aggregates over the same multi-source BFS state as
+    * [[graphCloseness]]/[[graphHarmonic]] — no fp anywhere.
+    *
+    * Scale: the BFS contract of its siblings (O(n·m) exact, landmark
+    * sampling at corpus scale); diameter/radius are two scalars
+    * broadcast back over the O(n) eccentricity frame.
+    */
+  def graphEccentricity(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = tradeEdges(spark, sfDir)
+    var reach = nodes
+      .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var fingerprint = (-1L, -1L)
+    var converged = false
+    var it = 0
+    while (!converged && it < 40) {
+      val cand = reach
+        .join(edges.withColumnRenamed("src", "node"), "node")
+        .select(col("root"), col("dst").as("node"),
+          (col("dist") + 1L).as("dist"))
+      val next = reach.unionByName(cand)
+        .groupBy("root", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(false)
+      val fp = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head
+      val nfp = (fp.getLong(0), fp.getLong(1))
+      converged = nfp == fingerprint
+      fingerprint = nfp
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(reach)
+      reach = next
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      "multi-source BFS did not converge in 40 rounds")
+    val ecc = reach.groupBy("root")
+      .agg(max("dist").as("ecc"), count(lit(1)).as("n_reached"))
+    val bounds = ecc.agg(max("ecc").as("diameter"), min("ecc").as("radius"))
+    ecc.crossJoin(broadcast(bounds))
+      .select(col("root").as("nationkey"), col("n_reached"), col("ecc"),
+        col("diameter"), col("radius"),
+        (col("ecc") === col("radius")).as("is_center"),
+        (col("ecc") === col("diameter")).as("is_periphery"))
+      .orderBy("nationkey")
+  }
+
+  val graphEccentricitySql: String =
+    s"""WITH RECURSIVE $EdgeCtes, nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), walk(root, node, dist) AS (
+       |  SELECT node AS root, node, CAST(0 AS BIGINT) FROM nodes
+       |  UNION
+       |  SELECT w.root, e.dst, w.dist + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.dist < 24
+       |), best AS (
+       |  SELECT root, node, MIN(dist) AS dist FROM walk GROUP BY root, node
+       |), ecc AS (
+       |  SELECT root, CAST(MAX(dist) AS BIGINT) AS ecc,
+       |         COUNT(*) AS n_reached
+       |  FROM best GROUP BY root
+       |), b AS (
+       |  SELECT MAX(ecc) AS diameter, MIN(ecc) AS radius FROM ecc
+       |)
+       |SELECT root AS nationkey, n_reached, ecc, b.diameter, b.radius,
+       |       ecc = b.radius AS is_center,
+       |       ecc = b.diameter AS is_periphery
+       |FROM ecc, b ORDER BY nationkey""".stripMargin
+
   // ---- strongly connected components ----------------------------------
 
   /** `graph_scc` — strongly connected components of the DIRECTED trade

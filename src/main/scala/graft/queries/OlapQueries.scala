@@ -752,4 +752,71 @@ object OlapQueries {
       |)
       |SELECT segment, c_custkey, bal_c, rn, pct_rank, cume
       |FROM w WHERE rn <= 20 ORDER BY segment, rn""".stripMargin
+
+  /** `olap_ratio_to_parent` — hierarchical share-of-parent report over
+    * the region → nation dimension path: each nation's order revenue,
+    * its ppm share of its REGION's revenue, and the region's ppm share
+    * of the GRAND total — the drill-down ratio column every BI rollup
+    * renders next to the raw measure (Oracle's RATIO_TO_REPORT,
+    * MDX's share-of-parent), absent from plain ROLLUP output.
+    * Shares are floored integer ppm over exact cents (positive
+    * operands, so Spark DIV / DuckDB // agree).
+    *
+    * Scale: one fact-table hash aggregate to nation grain (25 rows),
+    * then dimension joins and parent shares run on the dimension-sized
+    * frame — the region window is a 25-row sort. The customer→nation
+    * map rides the fact aggregate as a broadcast join (dimension-sized
+    * at any corpus scale).
+    */
+  def olapRatioToParent(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long")
+    val byCust = table(spark, sfDir, "orders")
+      .select(col("o_custkey"), cents.as("c"))
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = table(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = table(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val byNation = byCust
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(sum("c").as("nation_c"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+    byNation
+      .withColumn("region_c",
+        sum("nation_c").over(Window.partitionBy("r_regionkey")))
+      .withColumn("total_c", sum("nation_c").over(Window.partitionBy()))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("nation_c"), col("region_c"),
+        expr("nation_c * 1000000L div region_c").as("share_of_region_ppm"),
+        expr("region_c * 1000000L div total_c").as("share_of_total_ppm"))
+      .orderBy("region", "nation")
+  }
+
+  val olapRatioToParentSql: String =
+    """WITH bn AS (
+      |  SELECT c.c_nationkey,
+      |         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS nation_c
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_nationkey
+      |), j AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation, bn.nation_c,
+      |         CAST(SUM(bn.nation_c) OVER (PARTITION BY r.r_regionkey)
+      |              AS BIGINT) AS region_c,
+      |         CAST(SUM(bn.nation_c) OVER () AS BIGINT) AS total_c
+      |  FROM bn
+      |  JOIN nation n ON bn.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |)
+      |SELECT region, nation, nation_c, region_c,
+      |       CAST(nation_c * 1000000 // region_c AS BIGINT)
+      |         AS share_of_region_ppm,
+      |       CAST(region_c * 1000000 // total_c AS BIGINT)
+      |         AS share_of_total_ppm
+      |FROM j ORDER BY region, nation""".stripMargin
 }

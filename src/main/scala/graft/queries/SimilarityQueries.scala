@@ -363,6 +363,37 @@ object SimilarityQueries {
       |           * sqrt(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])))) >= 0.4
       |ORDER BY d1, d2""".stripMargin
 
+  /** `dedup_semantic` — SemDeDup over the embeddings table: IVF-cell
+    * blocking (the deterministic 32-seed coarse quantizer shared with
+    * `sim_ann_ivf`) + within-cell cosine ≥ 0.4 domination, keep-smallest-
+    * id survivors — see [[graft.ops.Similarity.semDedup]] for the
+    * contract and the n²/k scale story. The threshold matches
+    * `dedup_embedding_cosine`, so the spec can measure exactly what
+    * cell-boundary recall the blocking trades away.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semDedup(table(spark, sfDir, "embeddings"))
+      .orderBy("vec_id")
+
+  val dedupSemanticSql: String = IvfAssignSql +
+    """, p AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM assigned a
+      |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN vn x ON x.vec_id = a.vec_id
+      |  JOIN vn y ON y.vec_id = b.vec_id
+      |  WHERE a.cell >= 0 AND x.nrm > 0 AND y.nrm > 0
+      |    AND list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+      |        / (x.nrm * y.nrm) >= 0.4
+      |), reps AS (
+      |  SELECT d2 AS vec_id, MIN(d1) AS rep_id FROM p GROUP BY d2
+      |)
+      |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+      |       r.vec_id IS NULL AS keep,
+      |       COALESCE(r.rep_id, a.vec_id) AS rep_id
+      |FROM assigned a LEFT JOIN reps r ON r.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   /** `sim_dbscan` — DBSCAN over the embeddings table (ε² = 1.45e8 in
     * quantized units ≈ the 1st percentile of pairwise distances,
     * minPts = 8): exact integer ε test, CC cluster labels, deterministic
@@ -1149,6 +1180,43 @@ object SimilarityQueries {
        |$simTopKSql
        |), ann_r AS (
        |$simAnnPqSql
+       |)
+       |SELECT e.q_id, COUNT(*) AS k,
+       |       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hits,
+       |       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM exact_r e
+       |LEFT JOIN ann_r a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
+  /** `sim_ann_recall_ivf` — the same recall@k report for the IVF
+    * index, completing the per-index evaluation TRIPLE (LSH, PQ, IVF):
+    * every approximate index this engine ships now carries first-class
+    * recall accounting, so an index choice at deployment scale is a
+    * measured decision, not a vibe. Same dimension-sized compare shape
+    * as its two siblings.
+    */
+  def simAnnRecallIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = simTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+    val ann = simAnnIvf(spark, sfDir)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"))
+    exact
+      .join(broadcast(ann),
+        col("q_id") === col("q2") && col("n_id") === col("n2"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("q2").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("q_id"), col("k"), col("hits"),
+        expr("hits * 1000000L DIV k").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  val simAnnRecallIvfSql: String =
+    s"""WITH exact_r AS (
+       |$simTopKSql
+       |), ann_r AS (
+       |$simAnnIvfSql
        |)
        |SELECT e.q_id, COUNT(*) AS k,
        |       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -223,6 +223,44 @@ object SourceQueries {
       |       label
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** `source_xml_roundtrip` — customer through Spark 4's BUILT-IN XML
+    * data source (the spark-xml connector was folded into core in
+    * Spark 4): write with rootTag/rowTag, read back with an explicit
+    * schema and the same rowTag. What this gates beyond the other
+    * text formats is XML's escaping surface — `& < >` in string
+    * columns must entity-encode on write and decode on read — plus
+    * typed element parsing (long/int/double from element text).
+    *
+    * Scale notes: multiLine XML parses record-at-a-time per file, so
+    * parallelism comes from FILE COUNT, not byte splits — the write
+    * side's partitioning (here: Spark's default parquet-scan tasking)
+    * is what sizes the read-side tasks on a 100 TB lake. Schema is
+    * declared, never inferred (inference is an extra full pass, same
+    * doctrine as CSV/JSONL).
+    */
+  def sourceXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagingDir("xml")
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    table(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "customers").option("rowTag", "customer")
+      .save(dir)
+    spark.read.schema(schema)
+      .option("rowTag", "customer")
+      .format("xml").load(dir)
+      .orderBy("c_custkey")
+  }
+
+  val sourceXmlRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** `source_merge_schema` — schema evolution on read: two parquet
     * batches written with DIFFERENT column sets (an early ingest with
     * (key, name), a later one with (key, size, retailprice)), read back

@@ -2288,4 +2288,363 @@ object StatQueries {
        |        sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS acf
        |FROM s ORDER BY lag""".stripMargin
   }
+
+  // ---- Cramér's V effect size ----------------------------------------
+
+  /** `analytics_cramers_v` — Cramér's V over the weekday × event-type
+    * contingency table: the EFFECT-SIZE companion to
+    * [[analyticsChi2]]'s per-cell report (χ² says "dependent", V says
+    * "how much", normalized to [0,1] — the number that survives a
+    * sample-size change). Summing per-cell χ² doubles directly would be
+    * shuffle-order-dependent, so each cell's contribution is FLOORED TO
+    * INTEGER PPM first (the cell value is one fixed double op sequence
+    * over exact counts — identical bits in both engines — and its
+    * floor·1e6 is exact), then summed as BIGINTs: deterministic total,
+    * ≤ r·c ppm absolute error, declared in the column name. V is then
+    * √(χ²/(n·min(r−1,c−1))) as one fixed double sequence.
+    *
+    * Scale: one hash aggregate to the contingency cells (r·c rows),
+    * broadcast marginals, O(r·c) scalar math — the fact-table pass is
+    * the only data-sized work.
+    */
+  def analyticsCramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = table(spark, sfDir, "events")
+      .select(expr("((ts div 1000) div 86400000000 + 3) % 7").cast("long")
+        .as("weekday"), col("event_type"))
+      .groupBy("weekday", "event_type")
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy("weekday").agg(sum("observed").as("row_n"))
+    val colTot = cells.groupBy("event_type").agg(sum("observed").as("col_n"))
+    val grand = cells.agg(sum("observed").as("n"),
+      count_distinct(col("weekday")).as("r"),
+      count_distinct(col("event_type")).as("c"))
+    val expected = (col("row_n") * col("col_n")).cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val chi2Cell = ((col("observed").cast(DoubleType) - expected) *
+      (col("observed").cast(DoubleType) - expected)) / expected
+    val agg = cells
+      .join(broadcast(rowTot), "weekday")
+      .join(broadcast(colTot), "event_type")
+      .crossJoin(broadcast(grand))
+      .withColumn("cell_ppm", floor(chi2Cell * lit(1000000.0d)).cast(LongType))
+      .groupBy("n", "r", "c")
+      .agg(sum("cell_ppm").as("chi2_ppm"))
+    val minDf = least(col("r") - 1, col("c") - 1).cast(DoubleType)
+    agg
+      .withColumn("cramers_v",
+        sqrt(col("chi2_ppm").cast(DoubleType) / lit(1000000.0d) /
+          (col("n").cast(DoubleType) * minDf)))
+      .select(col("n"), col("r"), col("c"), col("chi2_ppm"), col("cramers_v"))
+  }
+
+  val analyticsCramersVSql: String =
+    """WITH cells AS (
+      |  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday, event_type,
+      |         COUNT(*) AS observed
+      |  FROM events GROUP BY 1, 2
+      |), rt AS (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS row_n
+      |          FROM cells GROUP BY weekday),
+      |ct AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS col_n
+      |       FROM cells GROUP BY event_type),
+      |g AS (SELECT CAST(SUM(observed) AS BIGINT) AS n,
+      |             CAST(COUNT(DISTINCT weekday) AS BIGINT) AS r,
+      |             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS c
+      |      FROM cells),
+      |s AS (
+      |  SELECT g.n, g.r, g.c,
+      |         CAST(SUM(CAST(floor(
+      |           ((CAST(cl.observed AS DOUBLE) -
+      |             CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(g.n AS DOUBLE)) *
+      |            (CAST(cl.observed AS DOUBLE) -
+      |             CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(g.n AS DOUBLE))) /
+      |           (CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(g.n AS DOUBLE))
+      |           * 1000000.0) AS BIGINT)) AS BIGINT) AS chi2_ppm
+      |  FROM cells cl
+      |  JOIN rt ON rt.weekday = cl.weekday
+      |  JOIN ct ON ct.event_type = cl.event_type
+      |  CROSS JOIN g
+      |  GROUP BY g.n, g.r, g.c
+      |)
+      |SELECT n, r, c, chi2_ppm,
+      |       sqrt(CAST(chi2_ppm AS DOUBLE) / 1000000.0 /
+      |            (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))
+      |         AS cramers_v
+      |FROM s""".stripMargin
+
+  // ---- Kendall tau-b rank correlation --------------------------------
+
+  /** `analytics_kendall_tau` — Kendall tau-b between daily shipped
+    * quantity and daily revenue per returnflag, completing the rank-
+    * correlation pair next to [[analyticsSpearman]]: Spearman measures
+    * monotone agreement through ranks, Kendall through pairwise
+    * concordance, and tau-b is the tie-corrected variant (plain tau is
+    * biased low on tied series). Everything up to the last expression
+    * is INTEGER COUNTING — concordant / discordant / tied-in-x /
+    * tied-in-y pair counts from sign comparisons only (no dx·dy
+    * product, so no overflow surface at any corpus scale) — and the
+    * final tau_b = (C−D)/√((n₀−t₁)(n₀−t₂)) is one fixed double op
+    * sequence over exact BIGINTs (pair counts ≤ ~3e6 here; the product
+    * under the sqrt stays < 2^53 through ~90 k days per group).
+    *
+    * Scale: exact Kendall is Ω(days²) BY CONTRACT — but over the DAILY
+    * pre-aggregate, never over rows: the fact-table pass is one hash
+    * aggregate, and the pair self-join runs on a calendar-bounded
+    * frame (O(days²) pairs ≈ 3e6/group at 7 TPC-H years, independent
+    * of row count — the same frame at 100 TB). The group key fans the
+    * pair generation across the cluster.
+    */
+  def analyticsKendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_shipdate").as("day"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast(LongType)
+          .as("xc"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast(LongType)
+          .as("yc"))
+      .groupBy("g", "day")
+      .agg(sum("xc").as("x"), sum("yc").as("y"))
+      .localCheckpoint(true)
+    val nDays = daily.groupBy("g").agg(count(lit(1)).as("n_days"))
+    val a = daily.select(col("g"), col("day").as("d1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("g"), col("day").as("d2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val dx = col("x2") - col("x1")
+    val dy = col("y2") - col("y1")
+    val counts = a.join(b, Seq("g")).where(col("d1") < col("d2"))
+      .groupBy("g").agg(
+        count(lit(1)).as("n0"),
+        sum(when((dx > 0 && dy > 0) || (dx < 0 && dy < 0), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((dx > 0 && dy < 0) || (dx < 0 && dy > 0), 1L)
+          .otherwise(0L)).as("nd"),
+        sum(when(dx === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(dy === 0, 1L).otherwise(0L)).as("ty"))
+    counts.join(broadcast(nDays), "g")
+      .withColumn("tau_b",
+        (col("nc") - col("nd")).cast(DoubleType) /
+          sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty")))
+            .cast(DoubleType)))
+      .select(col("g").as("returnflag"), col("n_days"), col("nc"),
+        col("nd"), col("tau_b"))
+      .orderBy("returnflag")
+  }
+
+  val analyticsKendallTauSql: String =
+    """WITH daily AS (
+      |  SELECT l_returnflag AS g, l_shipdate AS day,
+      |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS x,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT g, COUNT(*) AS n_days FROM daily GROUP BY g
+      |), c AS (
+      |  SELECT a.g,
+      |         COUNT(*) AS n0,
+      |         CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+      |                         OR (b.x < a.x AND b.y < a.y)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |         CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+      |                         OR (b.x < a.x AND b.y > a.y)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |         CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS tx,
+      |         CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS ty
+      |  FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+      |  GROUP BY a.g
+      |)
+      |SELECT c.g AS returnflag, nd.n_days, c.nc, c.nd,
+      |       CAST(c.nc - c.nd AS DOUBLE) /
+      |       sqrt(CAST((c.n0 - c.tx) * (c.n0 - c.ty) AS DOUBLE)) AS tau_b
+      |FROM c JOIN nd ON c.g = nd.g
+      |ORDER BY returnflag""".stripMargin
+
+  // ---- Theil–Sen robust slope ----------------------------------------
+
+  /** `analytics_theil_sen` — Theil–Sen estimator of the daily-revenue
+    * trend: the MEDIAN of all pairwise slopes (rev_j − rev_i)/(d_j −
+    * d_i), the classic robust alternative to [[analyticsRegression]]'s
+    * OLS slope (29% breakdown point vs 0 — one corrupted day cannot
+    * move it). Slopes are carried as SCALED INTEGERS: floor(1e6·Δcents
+    * / Δdays) via an explicit floor of the double quotient — Δcents·1e6
+    * stays < 2^53 through ~$90 M revenue days, so the quotient's
+    * operands are exact and floor(…) is the one negative-safe integer
+    * conversion both engines share (Spark DIV truncates toward zero,
+    * DuckDB // floors — the explicit-floor spelling sidesteps that
+    * divergence, same doctrine as analytics_mom). The median over
+    * integer slopes then interpolates exact doubles (MAD doctrine).
+    *
+    * Scale: identical contract to [[analyticsKendallTau]] — Ω(days²)
+    * pairs over the CALENDAR-bounded daily aggregate (~2.9e6 pairs at
+    * 7 years, invariant under row-count scale-up), after one hash
+    * aggregate over the fact table. The exact distributed median is
+    * one sort-based aggregate over the pair frame.
+    */
+  def analyticsTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = table(spark, sfDir, "lineitem")
+      .select(
+        expr("CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")
+          .as("d"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .groupBy("d").agg(sum("cents").as("rev"))
+      .localCheckpoint(true)
+    val a = daily.select(col("d").as("d1"), col("rev").as("r1"))
+    val b = daily.select(col("d").as("d2"), col("rev").as("r2"))
+    val slopes = a.crossJoin(b).where(col("d1") < col("d2"))
+      .select(floor(
+        ((col("r2") - col("r1")) * 1000000L).cast(DoubleType) /
+          (col("d2") - col("d1")).cast(DoubleType)).as("slope_sc"))
+    slopes.agg(
+      count(lit(1)).as("n_pairs"),
+      percentile(col("slope_sc"), lit(0.5)).as("median_slope_sc"))
+      .select(col("n_pairs"), col("median_slope_sc"))
+  }
+
+  val analyticsTheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(l_shipdate) // 86400000 AS d,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1
+      |), slopes AS (
+      |  SELECT CAST(floor(CAST((b.rev - a.rev) * 1000000 AS DOUBLE)
+      |                    / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_sc
+      |  FROM daily a JOIN daily b ON a.d < b.d
+      |)
+      |SELECT COUNT(*) AS n_pairs,
+      |       median(slope_sc) AS median_slope_sc
+      |FROM slopes""".stripMargin
+
+  // ---- exact single changepoint ---------------------------------------
+
+  /** `analytics_changepoint` — exact binary-segmentation changepoint on
+    * the daily revenue series: the split k maximizing the scaled
+    * mean-difference |n₂·S₁ − n₁·S₂| (the two-sample t numerator with
+    * the variance term dropped — a pure-INTEGER objective, so the
+    * argmax needs no floating point at all, unlike the usual
+    * sum-of-squares CUSUM objective whose S²/n division would have to
+    * round). Ties break to the earliest day. Segment means are then
+    * reported via the explicit-floor-of-double-quotient doctrine.
+    * Overflow horizon: the objective multiplies a day count (~2.5e3)
+    * into total corpus cents, ~5.5e14 at sf0.1 — BIGINT-safe through
+    * ~sf10000.
+    *
+    * Scale: one fact-table hash aggregate → a CALENDAR-bounded series;
+    * the cumulative window and argmax run on O(days) rows. The
+    * single-partition window is a documented artifact of the bounded
+    * domain (2.5e3 rows), not a row-count scan.
+    */
+  def analyticsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, sfDir, "lineitem")
+      .select(
+        expr("CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")
+          .as("d"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .groupBy("d").agg(sum("cents").as("rev"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("p", sum("rev").over(w))
+    val tot = cum.agg(max("k").as("n"), max("p").as("s"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .where(col("k") < col("n"))
+      .withColumn("gap",
+        (col("n") - col("k")) * col("p") - col("k") * (col("s") - col("p")))
+      .withColumn("mean_before_c",
+        floor(col("p").cast(DoubleType) / col("k").cast(DoubleType))
+          .cast(LongType))
+      .withColumn("mean_after_c",
+        floor((col("s") - col("p")).cast(DoubleType) /
+          (col("n") - col("k")).cast(DoubleType)).cast(LongType))
+    scored
+      .orderBy(abs(col("gap")).desc, col("d").asc)
+      .limit(1)
+      .select(col("d").as("split_day"), col("k").as("n_before"),
+        (col("n") - col("k")).as("n_after"),
+        col("mean_before_c"), col("mean_after_c"), col("gap").as("gap_scaled"))
+  }
+
+  val analyticsChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(l_shipdate) // 86400000 AS d,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1
+      |), cum AS (
+      |  SELECT d,
+      |         CAST(COUNT(*) OVER w AS BIGINT) AS k,
+      |         CAST(SUM(rev) OVER w AS BIGINT) AS p
+      |  FROM daily WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      |), tot AS (
+      |  SELECT MAX(k) AS n, MAX(p) AS s FROM cum
+      |)
+      |SELECT d AS split_day, k AS n_before, n - k AS n_after,
+      |       CAST(floor(CAST(p AS DOUBLE) / CAST(k AS DOUBLE))
+      |            AS BIGINT) AS mean_before_c,
+      |       CAST(floor(CAST(s - p AS DOUBLE) / CAST(n - k AS DOUBLE))
+      |            AS BIGINT) AS mean_after_c,
+      |       (n - k) * p - k * (s - p) AS gap_scaled
+      |FROM cum, tot WHERE k < n
+      |ORDER BY abs((n - k) * p - k * (s - p)) DESC, d ASC
+      |LIMIT 1""".stripMargin
+
+  // ---- exact weighted median ------------------------------------------
+
+  /** `analytics_weighted_median` — quantity-weighted median unit price
+    * per returnflag: the smallest price whose cumulative weight reaches
+    * half the total (the lower weighted median — a DEFINED element of
+    * the data, not an interpolation, so the whole operator is exact
+    * integers end to end with zero fp surface). The plain median says
+    * "half the LINE ITEMS cost less"; the weighted one says "half the
+    * UNITS shipped cost less" — the difference is the operator's point.
+    *
+    * Scale: one (group, price) pre-aggregate collapses the fact table
+    * to distinct prices, one cumulative window per group ordered by
+    * price (sort-based, distributed by group key), one min-filter, and
+    * a broadcast join against per-group totals. No global sort.
+    */
+  def analyticsWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        cents(col("l_extendedprice")).as("price_c"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast(LongType)
+          .as("w"))
+      .groupBy("g", "price_c").agg(sum("w").as("w"))
+    val totals = li.groupBy("g").agg(sum("w").as("total_w"))
+    val w = Window.partitionBy("g").orderBy("price_c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    li.withColumn("cw", sum("w").over(w))
+      .join(broadcast(totals), "g")
+      .where(col("cw") * 2 >= col("total_w"))
+      .groupBy("g", "total_w").agg(min("price_c").as("wmedian_price_c"))
+      .select(col("g").as("returnflag"), col("total_w"),
+        col("wmedian_price_c"))
+      .orderBy("returnflag")
+  }
+
+  val analyticsWeightedMedianSql: String =
+    """WITH pw AS (
+      |  SELECT l_returnflag AS g,
+      |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+      |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT g, price_c, w,
+      |         CAST(SUM(w) OVER (PARTITION BY g ORDER BY price_c
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+      |         CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS total_w
+      |  FROM pw
+      |)
+      |SELECT g AS returnflag, total_w,
+      |       MIN(price_c) AS wmedian_price_c
+      |FROM cum WHERE cw * 2 >= total_w
+      |GROUP BY g, total_w
+      |ORDER BY returnflag""".stripMargin
 }

@@ -450,6 +450,64 @@ object StreamQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** The RAW-DIB raster gate: pack each document's bytes as a real
+    * 24-bit BMP (w×1, BGR triples, 4-byte row padding — see
+    * MediaCodecs.encodeGrayBmp) typed `image/bmp`, so `extractFeatures`
+    * decodes through the JDK's BMP ImageReader: the uncompressed
+    * little-endian arm next to PNG (zlib/CRC) and GIF (LZW). A wrong
+    * stride, BGR swap, or padding off-by-one shifts every decoded
+    * sample and fails the gate. (r+g+b)/3 of the (v,v,v) gray triples
+    * returns the text bytes verbatim, so the oracle restates features
+    * from the text; n_bytes has the closed form 54 + ceil4(3·len).
+    */
+  def multimodalBmp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = table(spark, sfDir, "documents")
+      // encodeGrayBmp needs ≥1 pixel; the guard is the contract and the
+      // oracle twin carries the same WHERE (cf. the PNG gate)
+      .where(octet_length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "image/bmp", graft.ops.MediaCodecs.encodeGrayBmp(text.getBytes("UTF-8")))
+      }.toDF("doc_id", "media_type", "content")
+    Multimodal.extractFeatures(spark, media)
+      .toDF()
+      .select(
+        col("doc_id"), col("media_type"), col("n_bytes"), col("mean_byte"),
+        to_json(col("frame_samples")).as("frame_samples_json"),
+        element_at(col("thumb"), 1).as("thumb_0"),
+        element_at(col("thumb"), 2).as("thumb_1"),
+        element_at(col("thumb"), 3).as("thumb_2"),
+        element_at(col("thumb"), 4).as("thumb_3"))
+      .transform(gateSort(_, "doc_id"))
+  }
+
+  /** DuckDB twin of the BMP decode: the decoded plane IS the text's
+    * byte sequence; container size is 54 + the padded stride.
+    */
+  val multimodalBmpSql: String = {
+    def thumb(b: Int): String = {
+      val lo = s"($b*len(codes))//4"
+      val hi = s"greatest((${b + 1}*len(codes))//4, $lo + 1)"
+      s"""COALESCE(CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
+    }
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) >= 1
+       |)
+       |SELECT doc_id, 'image/bmp' AS media_type,
+       |       54 + (3 * length(text) + 3) // 4 * 4 AS n_bytes,
+       |       COALESCE(CAST(list_sum(codes) AS DOUBLE) / NULLIF(len(codes), 0), 0.0) AS mean_byte,
+       |       CAST(to_json(codes[1:8]) AS VARCHAR) AS frame_samples_json,
+       |       ${thumb(0)},
+       |       ${thumb(1)},
+       |       ${thumb(2)},
+       |       ${thumb(3)}
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** The COMPRESSION-arm raster gate: pack each document's bytes as a
     * real GIF87a (gray palette, w×1) through MediaCodecs.encodeGrayGif's
     * from-scratch variable-width LZW compressor, typed `image/gif`, so

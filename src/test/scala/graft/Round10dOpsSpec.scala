@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force recompute pins for the round-10 fourth-session
+  * operators (fixed data + deterministic arithmetic ⇒ exact
+  * assertions), independent of both the Spark plan shape and the
+  * DuckDB oracle.
+  */
+class Round10dOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf001
+
+  /** Daily (returnflag, day, qty_cents, rev_cents) series — the shared
+    * input of the rank-correlation pins.
+    */
+  private lazy val daily: Map[String, Array[(Long, Long)]] =
+    graft.queries.RefQueries.table(spark, sf, "lineitem")
+      .selectExpr("l_returnflag AS g", "l_shipdate AS day",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc")
+      .groupBy("g", "day").agg(sum("xc").as("x"), sum("yc").as("y"))
+      .orderBy("g", "day")
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  test("analytics_kendall_tau equals a driver-side O(n^2) pair count") {
+    val got = graft.queries.StatQueries.analyticsKendallTau(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == daily.keySet)
+    daily.foreach { case (g, xs) =>
+      var nc, nd, tx, ty = 0L
+      val n = xs.length
+      for (i <- 0 until n; j <- i + 1 until n) {
+        val dx = java.lang.Long.compare(xs(j)._1, xs(i)._1)
+        val dy = java.lang.Long.compare(xs(j)._2, xs(i)._2)
+        if (dx == 0) tx += 1
+        if (dy == 0) ty += 1
+        if (dx * dy > 0) nc += 1
+        else if (dx * dy < 0) nd += 1
+      }
+      val n0 = n.toLong * (n - 1) / 2
+      val tau = (nc - nd).toDouble / math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)
+      val (gn, gnc, gnd, gtau) = got(g)
+      assert(gn == n && gnc == nc && gnd == nd, s"$g count mismatch")
+      assert(gtau == tau, s"$g tau ${gtau} != $tau")
+      assert(gtau >= -1.0 && gtau <= 1.0)
+    }
+  }
+
+  test("analytics_theil_sen median slope sits inside the slope range") {
+    val row = graft.queries.StatQueries.analyticsTheilSen(spark, sf).collect()(0)
+    val revByDay = graft.queries.RefQueries.table(spark, sf, "lineitem")
+      .selectExpr(
+        "CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT) AS d",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .groupBy("d").agg(sum("c").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = revByDay.length
+    assert(row.getLong(0) == n.toLong * (n - 1) / 2, "pair count")
+    // exact driver-side recompute: scaled integer slopes, lower/upper
+    // median interpolation — the same arithmetic the query commits to
+    val slopes = (for {
+      i <- 0 until n; j <- i + 1 until n
+    } yield math.floor((revByDay(j)._2 - revByDay(i)._2).toDouble * 1e6 /
+        (revByDay(j)._1 - revByDay(i)._1)).toLong).sorted
+    val m = slopes.length
+    val want =
+      if (m % 2 == 1) slopes(m / 2).toDouble
+      else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+    assert(row.getDouble(1) == want, s"median ${row.getDouble(1)} != $want")
+  }
+
+  test("analytics_changepoint maximizes the integer mean-gap objective") {
+    val row = graft.queries.StatQueries.analyticsChangepoint(spark, sf).collect()(0)
+    val revByDay = graft.queries.RefQueries.table(spark, sf, "lineitem")
+      .selectExpr(
+        "CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT) AS d",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .groupBy("d").agg(sum("c").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = revByDay.length.toLong
+    val s = revByDay.map(_._2).sum
+    var p = 0L
+    var best = (0L, 0L, 0L) // (|gap|, -day ordering handled via first-wins)
+    var found: Option[(Long, Long, Long)] = None // (day, k, gap)
+    revByDay.zipWithIndex.dropRight(1).foreach { case ((d, rev), i) =>
+      p += rev
+      val k = i + 1L
+      val gap = (n - k) * p - k * (s - p)
+      if (found.isEmpty || math.abs(gap) > math.abs(found.get._3))
+        found = Some((d, k, gap))
+    }
+    val (wd, wk, wgap) = found.get
+    assert(row.getLong(0) == wd, "split day")
+    assert(row.getLong(1) == wk && row.getLong(2) == n - wk, "segment sizes")
+    assert(row.getLong(5) == wgap, "gap")
+    assert(row.getLong(1) + row.getLong(2) == n)
+  }
+
+  test("analytics_weighted_median satisfies the half-weight property") {
+    val rows = graft.queries.StatQueries.analyticsWeightedMedian(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    val li = graft.queries.RefQueries.table(spark, sf, "lineitem")
+      .selectExpr("l_returnflag AS g",
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val (g, tw, med) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val grp = li.filter(_._1 == g)
+      assert(grp.map(_._3).sum == tw, s"$g total weight")
+      val below = grp.filter(_._2 <= med).map(_._3).sum
+      val above = grp.filter(_._2 >= med).map(_._3).sum
+      assert(2 * below >= tw, s"$g: lower half-weight violated")
+      assert(2 * above >= tw, s"$g: upper half-weight violated")
+      // minimality: the next-smaller distinct price must NOT reach half
+      val smaller = grp.filter(_._2 < med)
+      if (smaller.nonEmpty)
+        assert(2 * smaller.map(_._3).sum < tw, s"$g: not the minimal price")
+    }
+  }
+
+  test("dedup_semantic pairs are a subset of the exact cosine pairs") {
+    val sem = graft.queries.SimilarityQueries.dedupSemantic(spark, sf).collect()
+    val exact = graft.queries.SimilarityQueries
+      .dedupEmbeddingCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dropped = sem.filter(!_.getBoolean(2))
+    assert(dropped.nonEmpty, "fixture has no semantic duplicates")
+    dropped.foreach { r =>
+      val (vec, rep) = (r.getLong(0), r.getLong(3))
+      assert(rep < vec, s"rep $rep !< vec $vec")
+      // cell-blocked domination can only keep pairs the exact operator
+      // found — blocking trades recall, never precision
+      assert(exact.contains((rep, vec)),
+        s"semantic pair ($rep,$vec) not in the exact cosine pairs")
+    }
+    sem.filter(_.getBoolean(2)).foreach(r =>
+      assert(r.getLong(0) == r.getLong(3), "kept row must self-represent"))
+  }
+
+  test("graph_harmonic agrees with closeness on reach and bounds") {
+    val L = 5354228880L
+    val harm = graft.queries.GraphQueries.graphHarmonic(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val close = graft.queries.GraphQueries.graphCloseness(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    harm.foreach { case (node, (nReached, sc)) =>
+      // closeness counts the root itself; harmonic excludes dist=0
+      val (cReached, totalDist) = close(node)
+      assert(nReached == cReached - 1,
+        s"$node: harmonic reach $nReached != closeness reach ${cReached - 1}")
+      // each reached node contributes L/d with 1 <= d <= totalDist
+      assert(sc <= nReached * L, s"$node: harmonic above all-dist-1 bound")
+      if (nReached > 0)
+        assert(sc >= L / 24 * nReached, s"$node: below all-dist-24 bound")
+    }
+  }
+
+  test("BMP encoder round-trips through the JDK reader at all paddings") {
+    val dec = new graft.ops.MediaCodecs.RasterDecoder
+    // widths 1..9 cross every 4-byte stride padding case (3w mod 4)
+    (1 to 9).foreach { w =>
+      val row = Array.tabulate(w)(i => ((i * 37 + 11) % 256).toByte)
+      val bmp = graft.ops.MediaCodecs.encodeGrayBmp(row)
+      assert(bmp.length == 54 + (3 * w + 3) / 4 * 4, s"w=$w container size")
+      val Some((dw, dh, plane)) = dec.decodeLumaDims(bmp)
+      assert(dw == w && dh == 1, s"w=$w geometry")
+      assert(plane.toSeq == row.map(_ & 0xff).toSeq, s"w=$w samples")
+    }
+  }
+
+  test("XML roundtrip survives markup metacharacters in values") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-xml-spec"
+    val df = Seq((1L, "a & b < c > d"), (2L, "plain"), (3L, "\"quoted\" 'apos'"))
+      .toDF("id", "s")
+    df.write.mode("overwrite").format("xml")
+      .option("rootTag", "rows").option("rowTag", "row").save(dir)
+    val back = spark.read
+      .schema(df.schema).option("rowTag", "row").format("xml").load(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "a & b < c > d", 2L -> "plain",
+      3L -> "\"quoted\" 'apos'"))
+  }
+
+  test("sim_ann_recall_ivf reports bounded recall over k=5 truth sets") {
+    val rows = graft.queries.SimilarityQueries.simAnnRecallIvf(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5, "truth set size")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 5)
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / 5)
+    }
+  }
+
+  test("BPE encode decodes back to the tokenized words (roundtrip)") {
+    import graft.ops.{Bpe, TextOps}
+    val docs = graft.queries.RefQueries.table(spark, sf, "documents")
+      .select("doc_id", "text")
+    val (_, types) = Bpe.learn(docs, graft.queries.BpeQueries.Rounds)
+    val enc = Bpe.encode(docs, types, Bpe.vocab(types))
+    val rebuilt = enc
+      .groupBy("doc_id", "pos")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("sp"), col("sym")))),
+          x => x.getField("sym")), "").as("w"))
+    val orig = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+    val joined = rebuilt.join(orig, Seq("doc_id", "pos"), "full")
+    assert(joined.where(col("w").isNull || col("word").isNull).count() == 0,
+      "encode dropped or invented word positions")
+    assert(joined.where(col("w") =!= col("word")).count() == 0,
+      "a merged segmentation does not concatenate back to its word")
+  }
+
+  test("analytics_cramers_v totals the chi2 gate's cells in exact ppm") {
+    val row = graft.queries.StatQueries.analyticsCramersV(spark, sf).collect()(0)
+    val cells = graft.queries.StatQueries.analyticsChi2(spark, sf).collect()
+    val wantPpm = cells.map(r =>
+      math.floor(r.getAs[Double]("chi2_cell") * 1000000.0).toLong).sum
+    assert(row.getAs[Long]("chi2_ppm") == wantPpm)
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0, s"V $v out of range")
+    assert(row.getAs[Long]("r") == 7 && row.getAs[Long]("c") == 5)
+  }
+
+  test("olap_ratio_to_parent shares telescope to one at every level") {
+    val rows = graft.queries.OlapQueries.olapRatioToParent(spark, sf).collect()
+    assert(rows.length == 25)
+    val byRegion = rows.groupBy(_.getString(0))
+    byRegion.foreach { case (reg, ns) =>
+      val ppm = ns.map(_.getAs[Long]("share_of_region_ppm")).sum
+      // floored ppm: each nation loses < 1 ppm
+      assert(ppm <= 1000000L && ppm > 1000000L - ns.length,
+        s"$reg: region shares sum $ppm")
+      assert(ns.map(_.getAs[Long]("nation_c")).sum ==
+        ns.head.getAs[Long]("region_c"), s"$reg: region total mismatch")
+    }
+    val regionShare = byRegion.values
+      .map(_.head.getAs[Long]("share_of_total_ppm")).sum
+    assert(regionShare <= 1000000L && regionShare > 1000000L - byRegion.size)
+  }
+
+  test("graph_eccentricity is consistent with the closeness BFS state") {
+    val ecc = graft.queries.GraphQueries.graphEccentricity(spark, sf).collect()
+    val close = graft.queries.GraphQueries.graphCloseness(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val diameter = ecc.head.getAs[Long]("diameter")
+    val radius = ecc.head.getAs[Long]("radius")
+    assert(radius <= diameter)
+    assert(ecc.exists(_.getAs[Boolean]("is_center")))
+    assert(ecc.exists(_.getAs[Boolean]("is_periphery")))
+    ecc.foreach { r =>
+      val (node, e) = (r.getLong(0), r.getAs[Long]("ecc"))
+      assert(e >= radius && e <= diameter)
+      val (nReached, totalDist) = close(node)
+      assert(r.getAs[Long]("n_reached") == nReached,
+        s"$node: reach disagrees with closeness")
+      // the farthest node contributes ecc to the distance sum
+      assert(totalDist >= e, s"$node: ecc above total distance")
+      assert(totalDist <= (nReached - 1) * e, s"$node: sum above reach*ecc")
+    }
+  }
+
+  test("analytics_attribution conserves purchase credit across models") {
+    val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("click", "view"))
+    val firstSum = rows.values.map(_._1).sum
+    val lastSum = rows.values.map(_._2).sum
+    val linearSum = rows.values.map(_._3).sum
+    // every attributed purchase hands out exactly one first and one last
+    assert(firstSum == lastSum, "first/last totals diverge")
+    assert(firstSum > 0, "fixture attributed no purchases")
+    // linear credit: k * (1000000 div k) per purchase loses < k ppm to
+    // truncation, and k <= n_touches total
+    val touches = rows.values.map(_._4).sum
+    assert(linearSum <= 1000000L * firstSum)
+    assert(linearSum >= 1000000L * firstSum - touches)
+  }
+}
