@@ -179,6 +179,73 @@ object SimilarityQueries {
   /** Must equal the exact inverted-index algorithm's output at 0.7. */
   val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSqlAt(0.7)
 
+  /** `dedup_cross_source` — the curation REPORT over the near-dup pair
+    * list: for every unordered source pair (a ≤ b), how many MinHash
+    * near-duplicate pairs at J ≥ 0.7 cross them, the two sources' doc
+    * counts, and pairs-per-million-possible — the "which feeds copy
+    * which" matrix a corpus owner reads before setting per-source caps
+    * (cross-source rows reveal syndication; the diagonal reveals
+    * internal redundancy). Source labels ride the banded pair list
+    * through two dimension joins; the matrix is O(sources²) rows.
+    *
+    * Scale: the pair list is the banded MinHash contract
+    * (`dedup_minhash_lsh`); the label joins shuffle the PAIR frame
+    * (≪ corpus) and the rollup is dimension-sized. The density ppm is
+    * floored integer arithmetic (positive DIV, engines agree).
+    */
+  def dedupCrossSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val pairs = MinHashDedup.nearDupPairs(docs, n = 2, threshold = 0.7)
+      .join(src.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("source", "s1"), "d1")
+      .join(src.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("source", "s2"), "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    pairs
+      .join(broadcast(counts.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_docs", "n_docs_a")), "source_a")
+      .join(broadcast(counts.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_docs", "n_docs_b")), "source_b")
+      .withColumn("possible",
+        when(col("source_a") === col("source_b"),
+          expr("n_docs_a * (n_docs_a - 1L) div 2"))
+          .otherwise(col("n_docs_a") * col("n_docs_b")))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        expr("n_pairs * 1000000L div possible").as("density_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dedupCrossSourceSql: String =
+    s"""WITH pr AS (
+       |  SELECT d1, d2 FROM (${TextQueries.dedupNgramJaccardSqlAt(0.7)}) q
+       |), cnt AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+       |), lab AS (
+       |  SELECT least(a.source, b.source) AS source_a,
+       |         greatest(a.source, b.source) AS source_b
+       |  FROM pr
+       |  JOIN documents a ON a.doc_id = pr.d1
+       |  JOIN documents b ON b.doc_id = pr.d2
+       |), m AS (
+       |  SELECT source_a, source_b, COUNT(*) AS n_pairs
+       |  FROM lab GROUP BY source_a, source_b
+       |)
+       |SELECT m.source_a, m.source_b, m.n_pairs,
+       |       ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+       |       CAST(m.n_pairs * 1000000 // (CASE WHEN m.source_a = m.source_b
+       |              THEN ca.n_docs * (ca.n_docs - 1) // 2
+       |              ELSE ca.n_docs * cb.n_docs END) AS BIGINT)
+       |         AS density_ppm
+       |FROM m
+       |JOIN cnt ca ON ca.source = m.source_a
+       |JOIN cnt cb ON cb.source = m.source_b
+       |ORDER BY m.source_a, m.source_b""".stripMargin
+
   /** `dedup_incremental_index` — cross-snapshot incremental MinHash
     * dedup (MinHashDedup.incrementalNearDupPairs): the PRIOR corpus
     * (doc_id % 10 != 0) is banded once into a persistable LSH index —

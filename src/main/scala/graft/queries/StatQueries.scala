@@ -2518,6 +2518,85 @@ object StatQueries {
       |       median(slope_sc) AS median_slope_sc
       |FROM slopes""".stripMargin
 
+  // ---- Mann–Kendall trend test ----------------------------------------
+
+  /** `analytics_mann_kendall` — the Mann–Kendall monotone-trend test on
+    * the daily revenue series: S = Σ_{i<j} sgn(rev_j − rev_i) and the
+    * tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)
+    * (2t_g+5)]/18, with the ±1 continuity-corrected z. The canonical
+    * partner of [[analyticsTheilSen]] (MK answers "is there a trend",
+    * Theil–Sen "how steep") — shipped over the same pair frame. S and
+    * the variance NUMERATOR are exact integers (pair counting + an
+    * O(distinct values) tie rollup); /18, sqrt and the z are one
+    * mirrored double op sequence. Overflow: n(n−1)(2n+5) ≈ 2n³ —
+    * BIGINT-safe to ~1.6e6 days (4000 years of dailies).
+    *
+    * Scale: the Ω(days²) pair contract of its siblings, over the
+    * calendar-bounded daily aggregate; the fact-table pass is one hash
+    * aggregate.
+    */
+  def analyticsMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = table(spark, sfDir, "lineitem")
+      .select(
+        expr("CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")
+          .as("d"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .groupBy("d").agg(sum("cents").as("rev"))
+      .localCheckpoint(true)
+    val a = daily.select(col("d").as("d1"), col("rev").as("r1"))
+    val b = daily.select(col("d").as("d2"), col("rev").as("r2"))
+    val s = a.crossJoin(b).where(col("d1") < col("d2"))
+      .agg((sum(when(col("r2") > col("r1"), 1L).otherwise(0L)) -
+        sum(when(col("r2") < col("r1"), 1L).otherwise(0L))).as("s_stat"))
+    val ties = daily.groupBy("rev").agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"),
+        sum("t").as("n"))
+    val joined = s.crossJoin(ties)
+      .withColumn("var_num",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+    val sD = col("s_stat").cast(DoubleType)
+    val sigma = sqrt(col("var_num").cast(DoubleType) / lit(18.0d))
+    joined
+      .withColumn("z",
+        when(col("s_stat") > 0, (sD - 1.0d) / sigma)
+          .when(col("s_stat") < 0, (sD + 1.0d) / sigma)
+          .otherwise(lit(0.0d)))
+      .select(col("n").as("n_days"), col("n_values"), col("s_stat"),
+        col("var_num"), col("z"))
+  }
+
+  val analyticsMannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(l_shipdate) // 86400000 AS d,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1
+      |), s AS (
+      |  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END)
+      |              - SUM(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b ON a.d < b.d
+      |), ties AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+      |         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+      |         CAST(SUM(t) AS BIGINT) AS n
+      |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev)
+      |)
+      |SELECT n AS n_days, n_values, s_stat,
+      |       n * (n - 1) * (2 * n + 5) - tie_term AS var_num,
+      |       CASE WHEN s_stat > 0
+      |              THEN (CAST(s_stat AS DOUBLE) - 1.0) /
+      |                   sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+      |                             AS DOUBLE) / 18.0)
+      |            WHEN s_stat < 0
+      |              THEN (CAST(s_stat AS DOUBLE) + 1.0) /
+      |                   sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+      |                             AS DOUBLE) / 18.0)
+      |            ELSE 0.0 END AS z
+      |FROM s, ties""".stripMargin
+
   // ---- exact single changepoint ---------------------------------------
 
   /** `analytics_changepoint` — exact binary-segmentation changepoint on

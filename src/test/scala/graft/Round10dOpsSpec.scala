@@ -270,6 +270,44 @@ class Round10dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("analytics_mann_kendall equals a driver-side pair recompute") {
+    val row = graft.queries.StatQueries.analyticsMannKendall(spark, sf)
+      .collect()(0)
+    val revByDay = graft.queries.RefQueries.table(spark, sf, "lineitem")
+      .selectExpr(
+        "CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT) AS d",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .groupBy("d").agg(sum("c").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = revByDay.length
+    var s = 0L
+    for (i <- 0 until n; j <- i + 1 until n)
+      s += java.lang.Long.compare(revByDay(j)._2, revByDay(i)._2).sign
+    val tieTerm = revByDay.groupBy(_._2).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varNum = n.toLong * (n - 1) * (2L * n + 5) - tieTerm
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("s_stat") == s, "S statistic")
+    assert(row.getAs[Long]("var_num") == varNum, "variance numerator")
+    val z = row.getAs[Double]("z")
+    assert(z.sign == s.sign.toDouble || (s.abs <= 1 && z == 0.0) ||
+      (s > 0 && z == 0.0 && s == 1), s"z $z inconsistent with S $s")
+  }
+
+  test("dedup_cross_source partitions the full near-dup pair list") {
+    val matrix = graft.queries.SimilarityQueries.dedupCrossSource(spark, sf)
+      .collect()
+    val totalPairs = graft.queries.SimilarityQueries.dedupMinhash(spark, sf)
+      .count()
+    assert(matrix.map(_.getAs[Long]("n_pairs")).sum == totalPairs,
+      "matrix cells must partition the pair list")
+    matrix.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "unordered pair key")
+      assert(r.getAs[Long]("density_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
