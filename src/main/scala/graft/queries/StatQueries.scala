@@ -2479,8 +2479,10 @@ object StatQueries {
     * Scale: identical contract to [[analyticsKendallTau]] — Ω(days²)
     * pairs over the CALENDAR-bounded daily aggregate (~2.9e6 pairs at
     * 7 years, invariant under row-count scale-up), after one hash
-    * aggregate over the fact table. The exact distributed median is
-    * one sort-based aggregate over the pair frame.
+    * aggregate over the fact table. The exact median runs as a
+    * DISTRIBUTED rank selection (range partition + parallel local
+    * sorts + an O(partitions) offset collect), never a single-reducer
+    * percentile buffer — see the inline note.
     */
   def analyticsTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = table(spark, sfDir, "lineitem")
@@ -2496,11 +2498,46 @@ object StatQueries {
     val slopes = a.crossJoin(b).where(col("d1") < col("d2"))
       .select(floor(
         ((col("r2") - col("r1")) * 1000000L).cast(DoubleType) /
-          (col("d2") - col("d1")).cast(DoubleType)).as("slope_sc"))
-    slopes.agg(
-      count(lit(1)).as("n_pairs"),
-      percentile(col("slope_sc"), lit(0.5)).as("median_slope_sc"))
-      .select(col("n_pairs"), col("median_slope_sc"))
+          (col("d2") - col("d1")).cast(DoubleType)).cast(LongType)
+        .as("slope_sc"))
+      // materialized once: the range partitioner's sampling pass and
+      // the shuffle itself would otherwise EACH re-run the pair join
+      .localCheckpoint(true)
+    // Exact DISTRIBUTED median via rank-based selection: a plain
+    // percentile aggregate funnels every pair slope into ONE reducer's
+    // sort buffer (measured 10.7 s on the 2.9e6-pair frame — the whole
+    // query's cost); here the frame is range-partitioned and sorted IN
+    // PARALLEL, per-partition counts (one bounded O(partitions) collect)
+    // turn local row_numbers into global ranks, and the two middle
+    // order statistics come back from whichever partitions own them.
+    // The middle-pair mean (a+b)/2 over exact integer doubles is
+    // bit-identical to the oracle median()'s interpolation.
+    import org.apache.spark.sql.expressions.Window
+    val parts = 32
+    val ranked = slopes
+      .repartitionByRange(parts, col("slope_sc"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy("slope_sc")))
+      .localCheckpoint(true)
+    val counts = ranked.groupBy("pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offByPid = counts.map(_._1).zip(offsets).toMap
+    val n = counts.map(_._2).sum
+    val kLo = (n + 1) / 2
+    val kHi = n / 2 + 1
+    val offCol = coalesce(
+      element_at(
+        map(offByPid.toSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("pid")), lit(0L))
+    val mid = ranked
+      .withColumn("grank", offCol + col("rn"))
+      .where(col("grank") === kLo || col("grank") === kHi)
+      .agg(min("slope_sc").as("lo"), max("slope_sc").as("hi"))
+    mid.select(lit(n).as("n_pairs"),
+      ((col("lo") + col("hi")).cast(DoubleType) / lit(2.0d))
+        .as("median_slope_sc"))
   }
 
   val analyticsTheilSenSql: String =
