@@ -175,6 +175,80 @@ object BehaviorQueries {
       |GROUP BY cohort, day - cohort
       |ORDER BY cohort_date, day_offset""".stripMargin
 
+  /** `analytics_cohort_ltv` — the monetary companion of
+    * [[analyticsCohort]]'s retention triangle: per signup cohort
+    * (first-event day) and day offset, the period purchase revenue,
+    * the RUNNING cumulative revenue, and LTV-per-cohort-user in
+    * millicents — the curve a growth team actually reads ("day-7 LTV
+    * by cohort"). Revenue is exact integer cents; the per-user divide
+    * is integer millicents (positive DIV, engines agree); the
+    * cumulative is a window sum over the O(cohorts × offsets) rollup,
+    * not over events.
+    *
+    * Scale: one (user, day) revenue pre-aggregate + the same user-
+    * partitioned first-day window as the retention triangle (AQE
+    * reuses the exchange), then windows over a calendar-bounded frame.
+    */
+  def analyticsCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsUs(spark, sfDir)
+      .select(col("user_id"), expr(s"us div $UsPerDay").cast("long").as("day"),
+        when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(0L).as("c"))
+    val perUserDay = ev.groupBy("user_id", "day").agg(sum("c").as("rev_c"))
+    val w = Window.partitionBy("user_id")
+    val withCohort = perUserDay
+      .withColumn("cohort", min(col("day")).over(w))
+    val sizes = withCohort.select("user_id", "cohort").distinct()
+      .groupBy("cohort").agg(count(lit(1)).as("n_cohort_users"))
+    val rolled = withCohort
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(sum("rev_c").as("period_rev_c"))
+    val cw = Window.partitionBy("cohort").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rolled
+      .withColumn("cum_rev_c", sum("period_rev_c").over(cw))
+      .join(broadcast(sizes), "cohort")
+      .select(
+        date_format(timestamp_micros(col("cohort") * UsPerDay), "yyyy-MM-dd")
+          .as("cohort_date"),
+        col("day_offset"), col("n_cohort_users"), col("period_rev_c"),
+        col("cum_rev_c"),
+        expr("cum_rev_c * 1000L div n_cohort_users").as("ltv_mc"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
+  val analyticsCohortLtvSql: String =
+    """WITH pud AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase'
+      |                       THEN CAST(round(value * 100) AS BIGINT)
+      |                       ELSE 0 END) AS BIGINT) AS rev_c
+      |  FROM events GROUP BY 1, 2
+      |), c AS (
+      |  SELECT user_id, day, rev_c,
+      |         MIN(day) OVER (PARTITION BY user_id) AS cohort
+      |  FROM pud
+      |), sizes AS (
+      |  SELECT cohort, COUNT(DISTINCT user_id) AS n_cohort_users
+      |  FROM c GROUP BY cohort
+      |), rolled AS (
+      |  SELECT cohort, day - cohort AS day_offset,
+      |         CAST(SUM(rev_c) AS BIGINT) AS period_rev_c
+      |  FROM c GROUP BY cohort, day - cohort
+      |), cum AS (
+      |  SELECT cohort, day_offset, period_rev_c,
+      |         CAST(SUM(period_rev_c) OVER (PARTITION BY cohort
+      |              ORDER BY day_offset ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS cum_rev_c
+      |  FROM rolled
+      |)
+      |SELECT strftime(to_timestamp(cohort * 86400), '%Y-%m-%d') AS cohort_date,
+      |       cum.day_offset, s.n_cohort_users, cum.period_rev_c,
+      |       cum.cum_rev_c,
+      |       CAST(cum.cum_rev_c * 1000 // s.n_cohort_users AS BIGINT) AS ltv_mc
+      |FROM cum JOIN sizes s USING (cohort)
+      |ORDER BY cohort_date, day_offset""".stripMargin
+
   /** `analytics_rfm` — recency/frequency/monetary quintile segmentation
     * of customers from their order history, the standard CRM cut.
     * Recency anchors on a FIXED literal date (2001-09-01, just past the

@@ -352,4 +352,53 @@ object ProfileQueries {
         "l_suppkey", "l_returnflag")
     ).mkString("", "\nUNION ALL\n", "\nORDER BY fd")
   }
+
+  /** `etl_partition_skew` — the pre-flight report for choosing a
+    * partition/bucket/join key at scale: for each candidate key column
+    * (orderkey, partkey, suppkey over lineitem), the key cardinality,
+    * the heaviest key's row count, its ppm share of the table, and the
+    * max/mean skew ratio in ppm — the number that predicts straggler
+    * tasks BEFORE a 100 TB shuffle is launched (SkewJoin's histogram
+    * pass is the runtime cousin; this is the offline audit). Only the
+    * max COUNT is reported (unique regardless of which key attains
+    * it), so the report needs no tie-break.
+    *
+    * Scale: one hash aggregate per candidate (map-side combined), then
+    * an O(1)-row max_by rollup — key-cardinality frames only.
+    */
+  def etlPartitionSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = RefQueries.table(spark, sfDir, "lineitem")
+    def report(keyCol: String): DataFrame = {
+      val counts = li.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+      counts.agg(
+        lit(keyCol).as("key_column"),
+        count(lit(1)).as("n_keys"),
+        sum("c").as("n_rows"),
+        max("c").as("max_key_rows"))
+        .withColumn("max_share_ppm",
+          expr("max_key_rows * 1000000L div n_rows"))
+        .withColumn("skew_ratio_ppm",
+          expr("max_key_rows * n_keys * 1000000L div n_rows"))
+    }
+    report("l_orderkey")
+      .unionByName(report("l_partkey"))
+      .unionByName(report("l_suppkey"))
+      .orderBy("key_column")
+  }
+
+  val etlPartitionSkewSql: String = {
+    def one(keyCol: String): String =
+      s"""SELECT '$keyCol' AS key_column,
+         |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |       CAST(SUM(c) AS BIGINT) AS n_rows,
+         |       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         |       CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS max_share_ppm,
+         |       CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+         |         AS skew_ratio_ppm
+         |FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY $keyCol)""".stripMargin
+    Seq(one("l_orderkey"), one("l_partkey"), one("l_suppkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_column")
+  }
 }

@@ -308,6 +308,52 @@ class Round10dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("analytics_cohort_ltv telescopes and matches the retention sizes") {
+    val ltv = graft.queries.BehaviorQueries.analyticsCohortLtv(spark, sf)
+      .collect()
+    // cumulative revenue never decreases within a cohort (period >= 0)
+    ltv.groupBy(_.getString(0)).foreach { case (cohort, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("day_offset"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("cum_rev_c") <= b.getAs[Long]("cum_rev_c"),
+            s"$cohort: cumulative revenue decreased")
+        case _ => ()
+      }
+      assert(ordered.map(_.getAs[Long]("period_rev_c")).sum ==
+        ordered.last.getAs[Long]("cum_rev_c"), s"$cohort: telescoping sum")
+    }
+    // the grand total equals the corpus's total purchase cents
+    val total = graft.queries.RefQueries.table(spark, sf, "events")
+      .where(col("event_type") === "purchase")
+      .selectExpr("CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)")
+      .collect()(0).getLong(0)
+    assert(ltv.map(_.getAs[Long]("period_rev_c")).sum == total)
+    // cohort sizes agree with the retention triangle at offset 0
+    val retention = graft.queries.BehaviorQueries.analyticsCohort(spark, sf)
+      .collect().filter(_.getAs[Long]("day_offset") == 0)
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    ltv.filter(_.getAs[Long]("day_offset") == 0).foreach(r =>
+      assert(r.getAs[Long]("n_cohort_users") == retention(r.getString(0))))
+  }
+
+  test("etl_partition_skew equals a driver-side key histogram") {
+    val rows = graft.queries.ProfileQueries.etlPartitionSkew(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_suppkey"))
+    val li = graft.queries.RefQueries.table(spark, sf, "lineitem")
+      .select("l_suppkey").collect().map(_.getLong(0))
+    val hist = li.groupBy(identity).view.mapValues(_.length.toLong)
+    val r = rows("l_suppkey")
+    assert(r.getAs[Long]("n_keys") == hist.size)
+    assert(r.getAs[Long]("n_rows") == li.length)
+    assert(r.getAs[Long]("max_key_rows") == hist.values.max)
+    // max/mean ratio is at least 1x by construction
+    assert(r.getAs[Long]("skew_ratio_ppm") >= 1000000L)
+    assert(rows.values.map(_.getAs[Long]("n_rows")).toSet.size == 1,
+      "all candidates scan the same table")
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
