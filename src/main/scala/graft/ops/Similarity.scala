@@ -542,6 +542,70 @@ object Similarity {
     topKPerQuery(rescored, k)
   }
 
+  /** The FULL IVFADC index (Jégou et al. 2011): the coarse quantizer's
+    * inverted cells ([[ivfTopKCosine]]) composed with the PQ fine
+    * quantizer's asymmetric-distance scoring ([[pqTopKCosine]]) — a
+    * query probes its `nProbe` nearest cells and ADC-scores ONLY the
+    * vectors in those cells via table lookups, then the approx head
+    * reranks with the exact quantized cosine. This is the composition
+    * the two standalone operators exist for: at 100 TB the corpus is
+    * hash-partitioned by cell AND stored as m one-byte codes per
+    * vector, so a query touches nProbe/nCells of the data at ~32×
+    * compression — neither piece alone delivers both cuts.
+    *
+    * Candidate uniqueness is structural: every corpus vector lives in
+    * exactly ONE cell, so multi-probe cannot duplicate a (q, n) pair
+    * and no dedup pass is needed. All model artifacts (centroids,
+    * codebook) are the same deterministic seeds as the standalone
+    * operators — the oracle reuses both spellings verbatim.
+    */
+  def ivfPqTopKCosine(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 32, nProbe: Int = 8, m: Int = 8, ks: Int = 16,
+      rerankFactor: Int = 4): DataFrame = {
+    val cents = seedCentroids(corpus, nCells)
+    val sample = corpus.orderBy("vec_id").limit(ks)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    if (cents.isEmpty || sample.isEmpty) {
+      import org.apache.spark.sql.types._
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("q_id", LongType), StructField("n_id", LongType),
+          StructField("dot_q", LongType), StructField("cos_sim", DoubleType))))
+    }
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m equal blocks")
+    val sub = dim / m
+    val cbLit = pqCodebookLit(sample, m, sub)
+    val centsLit = centsLiteral(cents)
+    def probeCells(v: Column, vn: Column): Column =
+      slice(reverse(array_sort(
+        transform(centsLit, c => struct(cellScore(v, vn, c).as("s"), c.getField("i").as("i"))))),
+        1, nProbe)
+    val c = assignFromQuant(quantizedCorpus(corpus), cents)
+      .withColumn("codes",
+        graft.functions.LongArrayPq.pqEncode(col("cv"), cbLit))
+    val q = queries
+      .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(normQ(col("qv")).cast("double")))
+      .withColumn("qtab", pqTableOf(col("qv"), cbLit, m, sub))
+      .withColumn("cell", explode(probeCells(col("qv"), col("qn")).getField("i")))
+    val approx = c.join(broadcast(q), Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("approx_dot",
+        graft.functions.LongArrayPq.pqAdc(col("codes"), col("qtab")))
+    val wApprox = Window.partitionBy("q_id")
+      .orderBy(desc("approx_dot"), asc("n_id"))
+    val rescored = approx
+      .withColumn("arnk", row_number().over(wApprox))
+      .where(col("arnk") <= k * rerankFactor)
+      .withColumn("dot_q", dotQ(col("qv"), col("cv")))
+      .withColumn("cos_sim", cosineFrom(col("dot_q"), col("qn"), col("cn")))
+    topKPerQuery(rescored, k)
+  }
+
   /** Ragged-tolerant dim read: vector element at block b, offset d —
     * out-of-range and NULL elements read as 0 (`try_element_at` +
     * coalesce; ANSI element_at would crash the scan on one short row).

@@ -165,6 +165,67 @@ object SimilarityQueries {
       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
       |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
 
+  /** `sim_ann_ivfpq` — the COMPOSED IVFADC index
+    * ([[graft.ops.Similarity.ivfPqTopKCosine]]): coarse cells prune the
+    * scan to nProbe/nCells of the corpus, PQ/ADC table lookups score
+    * the survivors at ~32× compression, and the exact quantized cosine
+    * reranks the head. The oracle reuses the IVF assignment/probe
+    * spelling and the PQ codebook/encode/ADC spelling VERBATIM, joined
+    * on the probed cells — the two standalone gates pin the pieces,
+    * this one pins their composition.
+    */
+  def simAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    Similarity.ivfPqTopKCosine(emb.where(col("vec_id") < 10), emb, k = 5)
+      .orderBy(col("q_id"), desc("cos_sim"), col("n_id"))
+  }
+
+  val simAnnIvfPqSql: String = IvfAssignSql +
+    """, cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
+      |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 16)
+      |), enc AS (
+      |  SELECT c.vec_id, b.b, cb.cid,
+      |         list_sum(list_transform(range(1, 9), d ->
+      |           (COALESCE(c.qv[b.b*8 + d], 0) - COALESCE(cb.qv[b.b*8 + d], 0))
+      |           * (COALESCE(c.qv[b.b*8 + d], 0) - COALESCE(cb.qv[b.b*8 + d], 0)))) AS dist
+      |  FROM v c CROSS JOIN range(0, 8) b(b) CROSS JOIN cb
+      |), codes AS (
+      |  SELECT vec_id, b, cid AS code FROM enc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, cid) = 1
+      |), probes AS (
+      |  SELECT vec_id, unnest(list_transform(
+      |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, 8), r -> r.i)) AS cell
+      |  FROM scores WHERE vec_id < 10 GROUP BY vec_id
+      |), qs AS (
+      |  SELECT vec_id AS q_id, qv, nrm AS qn FROM vn WHERE vec_id < 10
+      |), cand0 AS (
+      |  SELECT p.vec_id AS q_id, a.vec_id AS n_id
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.vec_id <> a.vec_id
+      |), adc AS (
+      |  SELECT c0.q_id, co.vec_id AS n_id,
+      |         CAST(SUM(list_sum(list_transform(range(1, 9), d ->
+      |           COALESCE(q.qv[co.b*8 + d], 0) * COALESCE(cb.qv[co.b*8 + d], 0)))) AS BIGINT) AS approx_dot
+      |  FROM cand0 c0
+      |  JOIN codes co ON co.vec_id = c0.n_id
+      |  JOIN cb ON cb.cid = co.code
+      |  JOIN qs q ON q.q_id = c0.q_id
+      |  GROUP BY c0.q_id, co.vec_id
+      |), cand AS (
+      |  SELECT q_id, n_id FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, n_id) <= 20
+      |)
+      |SELECT c.q_id, c.n_id,
+      |       CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(n.qv AS DOUBLE[])) AS BIGINT) AS dot_q,
+      |       list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(n.qv AS DOUBLE[]))
+      |         / (q.qn * n.nrm) AS cos_sim
+      |FROM cand c
+      |JOIN qs q ON q.q_id = c.q_id
+      |JOIN vn n ON n.vec_id = c.n_id
+      |QUALIFY row_number() OVER (PARTITION BY c.q_id ORDER BY cos_sim DESC, c.n_id) <= 5
+      |ORDER BY c.q_id, cos_sim DESC, c.n_id""".stripMargin
+
   /** Gated at threshold 0.7: with r=4 rows × b=32 bands, a true-Jaccard-j
     * pair survives banding with p = 1-(1-j⁴)³² — ≈0.9998 at j=0.7 but
     * only ≈0.87 at j=0.5, so 0.5 would gate the sketch in the band where

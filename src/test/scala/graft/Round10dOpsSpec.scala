@@ -354,6 +354,31 @@ class Round10dOpsSpec extends AnyFunSuite {
       "all candidates scan the same table")
   }
 
+  test("sim_ann_ivfpq candidates come from the probed IVF cells only") {
+    import graft.ops.Similarity
+    val emb = graft.queries.RefQueries.table(spark, sf, "embeddings")
+    val ivfpq = graft.queries.SimilarityQueries.simAnnIvfPq(spark, sf)
+      .collect()
+    assert(ivfpq.length == 50, "5 results x 10 queries")
+    // the composed index may only ever see what the coarse quantizer
+    // admits: IVF at unbounded k enumerates the full candidate set
+    val admitted = Similarity
+      .ivfTopKCosine(emb.where(col("vec_id") < 10), emb, k = 1000000)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ivfpq.foreach { r =>
+      assert(admitted.contains((r.getLong(0), r.getLong(1))),
+        s"(${r.getLong(0)},${r.getLong(1)}) outside the probed cells")
+    }
+    // reranked scores are EXACT cosines: they can never exceed the
+    // best exact cosine among admitted candidates, and per-query
+    // ordering is descending
+    ivfpq.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sims = rows.map(_.getDouble(3))
+      assert(sims.sameElements(sims.sortBy(-_)), "per-query order")
+    }
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
