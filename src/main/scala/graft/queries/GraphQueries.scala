@@ -57,6 +57,15 @@ object GraphQueries {
     edgeMemo.computeIfAbsent((spark, sfDir, false),
       _ => deriveTradeEdges(spark, sfDir))
 
+  /** Spec access to the directed edge list (bounded ≤625 rows) so
+    * brute-force graph recomputes pin the SAME derivation the
+    * operators run on, not a reimplementation that could drift.
+    */
+  private[graft] def tradeEdgesForSpec(spark: SparkSession,
+      sfDir: String): Array[(Long, Long)] =
+    tradeEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
   private def deriveTradeEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = table(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
@@ -964,6 +973,79 @@ object GraphQueries {
        |SELECT x AS nationkey, deg AS core_deg
        |FROM d$KcoreRounds WHERE deg >= $KcoreK
        |ORDER BY nationkey""".stripMargin
+  }
+
+  private val CorenessRounds = 12
+
+  /** `graph_coreness` — the FULL core decomposition (every node's core
+    * number, not just membership at one fixed k like [[graphKcore]]):
+    * computed by the h-index fixpoint of Lü et al. 2016 — core⁰ = deg,
+    * core^{t+1}(v) = H({core^t(u) : u ∈ N(v)}), which converges to the
+    * peeling coreness without ANY sequential peel. The h-index is a
+    * per-node window: sort neighbor values descending, H = max over
+    * rows of min(rank, value) — pure integers. Fixed
+    * [[CorenessRounds]] rounds (the pagerank unroll doctrine); the
+    * spec proves the fixpoint equals brute-force peeling on this
+    * corpus.
+    *
+    * Scale: THIS is why the operator exists — sequential peeling is
+    * inherently serial (each peel depends on the last), while the
+    * h-index iteration is one join + one window per round, every round
+    * fully distributed, converging in O(diameter-ish) rounds. The
+    * node-sized core frame broadcasts; the edge frame never reshuffles.
+    */
+  def graphCoreness(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = tradeEdges(spark, sfDir)
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var core = adj.groupBy("x").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("x").orderBy(desc("nc"), col("nbr"))
+    for (_ <- 1 to CorenessRounds) {
+      val next = adj
+        .join(broadcast(core.select(col("x").as("nbr"), col("c").as("nc"))),
+          "nbr")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("x")
+        .agg(max(least(col("rn").cast("long"), col("nc"))).as("c"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(core)
+      core = next
+    }
+    core.select(col("x").as("nationkey"), col("c").as("coreness"))
+      .orderBy("nationkey")
+  }
+
+  val graphCorenessSql: String = {
+    val rounds = (1 to CorenessRounds).map { r =>
+      s"""c$r AS (
+         |  SELECT x, CAST(MAX(least(rn, nc)) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT a.x, p.c AS nc,
+         |           row_number() OVER (PARTITION BY a.x
+         |                              ORDER BY p.c DESC, a.nbr) AS rn
+         |    FROM adj a JOIN c${r - 1} p ON p.x = a.nbr
+         |  ) GROUP BY x
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), adj AS (
+       |  SELECT a AS x, b AS nbr FROM und
+       |  UNION ALL
+       |  SELECT b AS x, a AS nbr FROM und
+       |), c0 AS (
+       |  SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM adj GROUP BY x
+       |), $rounds
+       |SELECT x AS nationkey, c AS coreness
+       |FROM c$CorenessRounds ORDER BY nationkey""".stripMargin
   }
 
   /** `graph_adamic_adar` — Adamic–Adar link prediction (Adamic & Adar

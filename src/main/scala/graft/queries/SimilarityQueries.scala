@@ -1355,6 +1355,43 @@ object SimilarityQueries {
        |LEFT JOIN ann_r a ON a.q_id = e.q_id AND a.n_id = e.n_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** `sim_ann_recall_ivfpq` — recall@k for the composed IVFADC index:
+    * the evaluation row that tells a deployment what the cell cut AND
+    * the PQ compression together cost in recall, directly comparable
+    * with the per-stage rows (`sim_ann_recall_ivf` isolates the cell
+    * cut, `sim_ann_recall_pq` the compression). Same dimension-sized
+    * compare shape as its three siblings.
+    */
+  def simAnnRecallIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = simTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+    val ann = simAnnIvfPq(spark, sfDir)
+      .select(col("q_id").as("q2"), col("n_id").as("n2"))
+    exact
+      .join(broadcast(ann),
+        col("q_id") === col("q2") && col("n_id") === col("n2"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("q2").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("q_id"), col("k"), col("hits"),
+        expr("hits * 1000000L DIV k").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  val simAnnRecallIvfPqSql: String =
+    s"""WITH exact_r AS (
+       |$simTopKSql
+       |), ann_r AS (
+       |$simAnnIvfPqSql
+       |)
+       |SELECT e.q_id, COUNT(*) AS k,
+       |       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hits,
+       |       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM exact_r e
+       |LEFT JOIN ann_r a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   // ---- MMR diversified re-ranking ------------------------------------
 
   private val MmrK = 5

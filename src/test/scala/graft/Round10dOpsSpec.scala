@@ -379,6 +379,49 @@ class Round10dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_coreness equals brute-force peeling") {
+    val got = graft.queries.GraphQueries.graphCoreness(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side peeling over the same undirected simple graph
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    val und = graft.queries.GraphQueries.tradeEdgesForSpec(spark, sf)
+    und.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    val live = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    adj.foreach { case (k, v) => live(k) = v.clone() }
+    var k = 0L
+    while (live.nonEmpty) {
+      val peel = live.filter(_._2.size <= k).keys.toSeq
+      if (peel.isEmpty) k += 1
+      else peel.foreach { v =>
+        core(v) = k
+        live.remove(v)
+        live.values.foreach(_ -= v)
+      }
+    }
+    assert(got == core.toMap, s"coreness mismatch: $got vs $core")
+  }
+
+  test("sim_ann_recall_ivfpq never beats the pure IVF recall per query") {
+    val ivf = graft.queries.SimilarityQueries.simAnnRecallIvf(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivfpq = graft.queries.SimilarityQueries.simAnnRecallIvfPq(spark, sf)
+      .collect()
+    assert(ivfpq.length == 10)
+    ivfpq.foreach { r =>
+      val (q, hits) = (r.getLong(0), r.getLong(2))
+      // IVF ranks the full admitted set with exact cosine; IVFADC reranks
+      // only the ADC head of the same set — it can match but not exceed
+      assert(hits <= ivf(q), s"query $q: composed recall above pure IVF")
+      assert(r.getLong(3) == hits * 1000000L / 5)
+    }
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
