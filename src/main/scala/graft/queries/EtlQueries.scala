@@ -1039,4 +1039,39 @@ object EtlQueries {
       |   OR (o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0)
       |   OR (o_orderstatus = 'P' AND o_totalprice > 400000.0)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** `etl_date_shift` — interval-preserving timestamp anonymization
+    * (the standard de-identification transform for longitudinal data,
+    * e.g. HIPAA-style event records): every user's events shift by one
+    * CONSISTENT pseudo-random offset of 1–28 days, so absolute dates
+    * are destroyed while every within-user interval — session gaps,
+    * retention offsets, funnel latencies — survives exactly. The
+    * offset derives from a Knuth multiplicative hash of the user id
+    * (pure positive-integer arithmetic, no engine hash function to
+    * align), completing the privacy family next to `etl_pii_redact`
+    * (content), `etl_pseudonymize` (identity) and `etl_k_anonymity`
+    * (aggregates).
+    *
+    * Scale: a narrow stateless map — the cheapest transform class;
+    * nothing shuffles before the gate sort.
+    */
+  def etlDateShift(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").cast("long").as("orig_us"))
+      .withColumn("shift_days",
+        expr("(user_id * 2654435761L) % 2147483647L % 28L + 1L"))
+      .withColumn("shifted_us",
+        col("orig_us") + col("shift_days") * lit(86400000000L))
+      .select("event_id", "user_id", "shift_days", "orig_us", "shifted_us")
+      .orderBy("event_id")
+
+  val etlDateShiftSql: String =
+    """SELECT event_id, user_id,
+      |       (user_id * 2654435761) % 2147483647 % 28 + 1 AS shift_days,
+      |       epoch_us(ts) AS orig_us,
+      |       epoch_us(ts) + ((user_id * 2654435761) % 2147483647 % 28 + 1)
+      |         * 86400000000 AS shifted_us
+      |FROM events
+      |ORDER BY event_id""".stripMargin
 }

@@ -997,6 +997,68 @@ object StreamQueries {
       |FROM f WHERE len(plane) >= (frame_idx + 1) * 8
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** `multimodal_audio_zcr` — per-frame zero-crossing rate over the
+    * SAME real WAV decode path as [[multimodalAudioEnergy]]: the count
+    * of adjacent sample pairs whose centered values (s−128) strictly
+    * change sign. ZCR is energy's classic DSP companion — the cheap
+    * voiced/unvoiced (and tone-vs-noise) discriminator every audio
+    * front end computes next to frame energy (the VAD gate thresholds
+    * energy; a production VAD thresholds both). Pure integer counting
+    * per frame, so the gate needs no fp spelling at all.
+    *
+    * Scale: identical contract to the energy gate — typed narrow map
+    * per document, frame rollup inside the row, no shuffle before the
+    * gate sort.
+    */
+  def multimodalAudioZcr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 8
+    val planes = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val dataLen = math.min(90, (bytes.length / 2) * 2)
+        def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(7968) ++ le32(15936) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le32(dataLen) ++ bytes.take(dataLen)
+        val plane = graft.ops.MediaCodecs.decodeWavBytes(wav).getOrElse(Array.empty[Int])
+        val zcrs = plane.grouped(frameLen).filter(_.length == frameLen)
+          .map(f => f.sliding(2)
+            .count(p => (p(0) - 128).toLong * (p(1) - 128) < 0).toLong)
+          .toSeq
+        (id, zcrs)
+      }.toDF("doc_id", "zcrs")
+    planes
+      .select(col("doc_id"), posexplode(col("zcrs")).as(Seq("frame_idx", "zcr")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("zcr"))
+      .transform(gateSort(_, "doc_id", "frame_idx"))
+  }
+
+  val multimodalAudioZcrSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
+      |), l AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, dl//2), i -> unicode(text[2*i+2]) + 128) AS plane
+      |  FROM m
+      |), f AS (
+      |  SELECT doc_id, unnest(range(0, len(plane)//8)) AS frame_idx, plane
+      |  FROM l
+      |)
+      |SELECT doc_id, frame_idx,
+      |       CAST(list_sum(list_transform(range(1, 8), j ->
+      |         CASE WHEN (plane[frame_idx*8 + j] - 128)
+      |                   * (plane[frame_idx*8 + j + 1] - 128) < 0
+      |              THEN 1 ELSE 0 END)) AS BIGINT) AS zcr
+      |FROM f WHERE len(plane) >= (frame_idx + 1) * 8
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** DuckDB twin of the real WAV decode: the requantized sample plane
     * is (high byte of each pair) + 128 = unicode(text[2i+2]) + 128 over
     * the even-truncated ≤90-byte data window; container size is header

@@ -82,6 +82,95 @@ object TextQueries {
       |       CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is'])) AS DOUBLE) / len(toks) AS stopword_ratio
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** `corpus_gopher_rules` — the Gopher quality-rule battery (Rae et
+    * al. 2021, Table A1, the rules a Chinchilla-style pipeline applies
+    * verbatim) as ABSOLUTE per-document flags, complementing
+    * `corpus_quality_ensemble`'s corpus-relative percentile filter:
+    * word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥80% of words
+    * containing a letter, and ≥2 distinct Gopher stopwords present.
+    * All ratios are integer cross-multiplications — no division at
+    * all, so no rounding spelling to align.
+    *
+    * Scale: narrow per-row map (tokenize + counting inside the row),
+    * zero shuffles before the gate sort — the cheapest possible
+    * filter pass at 100 TB.
+    */
+  def corpusGopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs(spark, sfDir)
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .where(col("n_words") > 0)
+      .withColumn("char_sum",
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .withColumn("sym_count",
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long"))
+      .withColumn("alpha_words",
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(col("toks")),
+          array(stop.map(lit): _*))).cast("long"))
+      .withColumn("r1_wordcount",
+        (col("n_words") >= 50 && col("n_words") <= 100000L).cast("long"))
+      .withColumn("r2_wordlen",
+        (col("char_sum") >= col("n_words") * 3 &&
+          col("char_sum") <= col("n_words") * 10).cast("long"))
+      .withColumn("r3_symbols",
+        (col("sym_count") * 10 <= col("n_words")).cast("long"))
+      .withColumn("r4_alpha",
+        (col("alpha_words") * 5 >= col("n_words") * 4).cast("long"))
+      .withColumn("r5_stopwords", (col("stop_hits") >= 2).cast("long"))
+      .withColumn("keep",
+        (col("r1_wordcount") + col("r2_wordlen") + col("r3_symbols") +
+          col("r4_alpha") + col("r5_stopwords") === 5).cast("long"))
+      .select("doc_id", "n_words", "char_sum", "sym_count", "alpha_words",
+        "stop_hits", "r1_wordcount", "r2_wordlen", "r3_symbols", "r4_alpha",
+        "r5_stopwords", "keep")
+      .transform(RefQueries.gateSort(_, "doc_id"))
+  }
+
+  val corpusGopherRulesSql: String = DuckToks +
+    """, g AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) AS BIGINT) AS n_words,
+      |         CAST(list_sum(list_transform(toks, t -> length(t)))
+      |              AS BIGINT) AS char_sum,
+      |         CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+      |              AS BIGINT) AS sym_count,
+      |         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+      |              AS BIGINT) AS alpha_words,
+      |         CAST(len(list_intersect(list_distinct(toks),
+      |              ['the','be','to','of','and','that','have','with']))
+      |              AS BIGINT) AS stop_hits
+      |  FROM d WHERE len(toks) > 0
+      |)
+      |SELECT doc_id, n_words, char_sum, sym_count, alpha_words, stop_hits,
+      |       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS r1_wordcount,
+      |       CAST(CASE WHEN char_sum >= 3 * n_words
+      |                  AND char_sum <= 10 * n_words
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS r2_wordlen,
+      |       CAST(CASE WHEN sym_count * 10 <= n_words
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS r3_symbols,
+      |       CAST(CASE WHEN alpha_words * 5 >= n_words * 4
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS r4_alpha,
+      |       CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT)
+      |         AS r5_stopwords,
+      |       CAST(CASE WHEN (CASE WHEN n_words >= 50 AND n_words <= 100000
+      |                            THEN 1 ELSE 0 END)
+      |                    + (CASE WHEN char_sum >= 3 * n_words
+      |                             AND char_sum <= 10 * n_words
+      |                            THEN 1 ELSE 0 END)
+      |                    + (CASE WHEN sym_count * 10 <= n_words
+      |                            THEN 1 ELSE 0 END)
+      |                    + (CASE WHEN alpha_words * 5 >= n_words * 4
+      |                            THEN 1 ELSE 0 END)
+      |                    + (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)
+      |                    = 5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // ---- language ID ----------------------------------------------------
 
   def textLangid(spark: SparkSession, sfDir: String): DataFrame =

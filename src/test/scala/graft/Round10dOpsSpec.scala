@@ -422,6 +422,65 @@ class Round10dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_gopher_rules flags are consistent with their counts") {
+    val rows = graft.queries.TextQueries.corpusGopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_words")
+      val cs = r.getAs[Long]("char_sum")
+      assert(r.getAs[Long]("r1_wordcount") ==
+        (if (nw >= 50 && nw <= 100000) 1L else 0L))
+      assert(r.getAs[Long]("r2_wordlen") ==
+        (if (cs >= 3 * nw && cs <= 10 * nw) 1L else 0L))
+      assert(r.getAs[Long]("r3_symbols") ==
+        (if (r.getAs[Long]("sym_count") * 10 <= nw) 1L else 0L))
+      assert(r.getAs[Long]("r4_alpha") ==
+        (if (r.getAs[Long]("alpha_words") * 5 >= nw * 4) 1L else 0L))
+      assert(r.getAs[Long]("r5_stopwords") ==
+        (if (r.getAs[Long]("stop_hits") >= 2) 1L else 0L))
+      val flags = Seq("r1_wordcount", "r2_wordlen", "r3_symbols", "r4_alpha",
+        "r5_stopwords").map(r.getAs[Long])
+      assert(r.getAs[Long]("keep") == (if (flags.sum == 5) 1L else 0L))
+    }
+  }
+
+  test("multimodal_audio_zcr equals a driver-side recompute on one doc") {
+    val zcr = graft.queries.StreamQueries.multimodalAudioZcr(spark, sf)
+      .collect()
+    assert(zcr.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 7),
+      "8-sample frames have at most 7 crossings")
+    val docId = zcr.head.getLong(0)
+    val text = graft.queries.RefQueries.table(spark, sf, "documents")
+      .where(col("doc_id") === docId).select("text").collect()(0).getString(0)
+    val bytes = text.getBytes("UTF-8")
+    val dataLen = math.min(90, (bytes.length / 2) * 2)
+    // the WAV decode requantizes each 16-bit LE pair to high byte + 128
+    val plane = (0 until dataLen / 2).map(i => (bytes(2 * i + 1) & 0xff) + 128)
+    val want = plane.grouped(8).filter(_.length == 8)
+      .map(f => f.sliding(2).count(p => (p(0) - 128) * (p(1) - 128) < 0).toLong)
+      .toSeq
+    val got = zcr.filter(_.getLong(0) == docId).sortBy(_.getLong(1))
+      .map(_.getLong(2)).toSeq
+    assert(got == want, s"doc $docId: $got != $want")
+  }
+
+  test("etl_date_shift preserves every within-user interval") {
+    val rows = graft.queries.EtlQueries.etlDateShift(spark, sf).collect()
+    rows.foreach { r =>
+      val sd = r.getAs[Long]("shift_days")
+      assert(sd >= 1 && sd <= 28, s"shift $sd out of range")
+      assert(r.getAs[Long]("shifted_us") - r.getAs[Long]("orig_us") ==
+        sd * 86400000000L)
+    }
+    // one offset per user — intervals inside a user survive exactly
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, es) =>
+      assert(es.map(_.getAs[Long]("shift_days")).distinct.length == 1,
+        s"user $u: inconsistent shift")
+    }
+    // and the shifts actually vary across users (otherwise no anonymity)
+    assert(rows.map(_.getAs[Long]("shift_days")).distinct.length > 5)
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
