@@ -249,6 +249,106 @@ object BehaviorQueries {
       |FROM cum JOIN sizes s USING (cohort)
       |ORDER BY cohort_date, day_offset""".stripMargin
 
+  /** `analytics_growth_accounting` — the standard DAU growth-accounting
+    * decomposition (the a16z "quick ratio" table): every (user, day)
+    * activity classified as NEW (first day ever), RETAINED (also active
+    * the previous day), or RESURRECTED (active today, silent yesterday,
+    * seen before), plus CHURNED counted on the first missing day —
+    * satisfying the identity active(d) = new + retained + resurrected
+    * and active(d) − active(d−1) = new + resurrected − churned, which
+    * the spec asserts day by day. Quick ratio = (new + resurrected) /
+    * churned in floored ppm (churn-0 days guarded with GREATEST 1).
+    *
+    * Scale: one (user, day) dedupe, a per-user first-day window, and
+    * two self-equi-joins on (user, day±1) — all hash-partitioned on
+    * user_id, AQE-reusable; the daily rollup is calendar-bounded.
+    */
+  def analyticsGrowthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = eventsUs(spark, sfDir)
+      .select(col("user_id"), expr(s"us div $UsPerDay").cast("long").as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val w = Window.partitionBy("user_id")
+    val flagged = days.withColumn("first_day", min("day").over(w))
+    val prev = days.select(col("user_id"), (col("day") + 1).as("day"),
+      lit(1L).as("had_prev"))
+    val next = days.select(col("user_id"), (col("day") - 1).as("day"),
+      lit(1L).as("has_next"))
+    val maxDay = days.agg(max("day").as("max_day"))
+    val classed = flagged
+      .join(prev, Seq("user_id", "day"), "left")
+      .withColumn("cls",
+        when(col("day") === col("first_day"), "new")
+          .when(col("had_prev").isNotNull, "retained")
+          .otherwise("resurrected"))
+    val activity = classed.groupBy("day").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val churned = days
+      .join(next, Seq("user_id", "day"), "left")
+      .crossJoin(broadcast(maxDay))
+      .where(col("has_next").isNull && col("day") < col("max_day"))
+      .groupBy((col("day") + 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    activity
+      .join(churned, Seq("day"), "full")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio_ppm",
+        expr("(n_new + n_resurrected) * 1000000L div greatest(n_churned, 1L)"))
+      .orderBy("day")
+  }
+
+  val analyticsGrowthAccountingSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, day,
+      |         MIN(day) OVER (PARTITION BY user_id) AS first_day
+      |  FROM days
+      |), classed AS (
+      |  SELECT f.day,
+      |         CASE WHEN f.day = f.first_day THEN 'new'
+      |              WHEN p.user_id IS NOT NULL THEN 'retained'
+      |              ELSE 'resurrected' END AS cls
+      |  FROM f LEFT JOIN days p
+      |    ON p.user_id = f.user_id AND p.day = f.day - 1
+      |), activity AS (
+      |  SELECT day, COUNT(*) AS n_active,
+      |         CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_new,
+      |         CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_retained,
+      |         CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_resurrected
+      |  FROM classed GROUP BY day
+      |), churned AS (
+      |  SELECT d.day + 1 AS day, COUNT(*) AS n_churned
+      |  FROM days d
+      |  LEFT JOIN days n ON n.user_id = d.user_id AND n.day = d.day + 1
+      |  WHERE n.user_id IS NULL AND d.day < (SELECT MAX(day) FROM days)
+      |  GROUP BY d.day + 1
+      |)
+      |SELECT COALESCE(a.day, c.day) AS day,
+      |       COALESCE(a.n_active, 0) AS n_active,
+      |       COALESCE(a.n_new, 0) AS n_new,
+      |       COALESCE(a.n_retained, 0) AS n_retained,
+      |       COALESCE(a.n_resurrected, 0) AS n_resurrected,
+      |       COALESCE(c.n_churned, 0) AS n_churned,
+      |       CAST((COALESCE(a.n_new, 0) + COALESCE(a.n_resurrected, 0))
+      |            * 1000000 // greatest(COALESCE(c.n_churned, 0), 1)
+      |            AS BIGINT) AS quick_ratio_ppm
+      |FROM activity a FULL OUTER JOIN churned c ON a.day = c.day
+      |ORDER BY day""".stripMargin
+
   /** `analytics_rfm` — recency/frequency/monetary quintile segmentation
     * of customers from their order history, the standard CRM cut.
     * Recency anchors on a FIXED literal date (2001-09-01, just past the

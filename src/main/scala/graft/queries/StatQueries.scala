@@ -2555,6 +2555,69 @@ object StatQueries {
       |       median(slope_sc) AS median_slope_sc
       |FROM slopes""".stripMargin
 
+  // ---- Hill tail-index estimator ---------------------------------------
+
+  private val HillK = 100
+
+  /** `analytics_hill` — the Hill estimator of the upper-tail index over
+    * order values: α̂ = [ (1/k) Σᵢ₌₁..k (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) ]⁻¹ on the
+    * k = [[HillK]] largest orders — the standard answer to "HOW heavy
+    * is this tail" (α ≈ 1–2 ⇒ extreme concentration), quantifying what
+    * `analytics_pareto`'s concentration shares only describe. Log
+    * terms run through the shared [[graft.functions.IntegerLog2]]
+    * kernel (exact scaled-integer log2, same table both engines — the
+    * doctrine that makes log-domain scores gateable), so the sum is an
+    * exact BIGINT; α̂ converts it with one double sequence and the ln 2
+    * literal. Order-statistic ties break on order key, a total key.
+    *
+    * Scale: one top-(k+1) selection (TakeOrderedAndProject — k·P rows
+    * move, never a global sort) and O(k) integer math.
+    */
+  def analyticsHill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.IntegerLog2.log2s
+    val top = table(spark, sfDir, "orders")
+      .select(cents(col("o_totalprice")).as("x_c"), col("o_orderkey"))
+      .orderBy(desc("x_c"), col("o_orderkey"))
+      .limit(HillK + 1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("x_c"), col("o_orderkey"))))
+    val ref = top.where(col("rn") === HillK + 1)
+      .select(col("x_c").as("ref_c"))
+    top.where(col("rn") <= HillK)
+      .crossJoin(broadcast(ref))
+      .agg(count(lit(1)).as("k"),
+        max("ref_c").as("ref_c"),
+        sum(log2s(col("x_c")) - log2s(col("ref_c"))).as("sum_log2_1e6"))
+      .withColumn("alpha_hat",
+        lit(HillK * 1000000L).cast(DoubleType) /
+          col("sum_log2_1e6").cast(DoubleType) / lit(0.6931471805599453d))
+      .select(col("k"), col("ref_c"), col("sum_log2_1e6"), col("alpha_hat"))
+  }
+
+  val analyticsHillSql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    s"""WITH top AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x_c,
+       |         row_number() OVER (ORDER BY CAST(round(o_totalprice * 100)
+       |           AS BIGINT) DESC, o_orderkey) AS rn
+       |  FROM orders
+       |  ORDER BY x_c DESC, o_orderkey LIMIT ${HillK + 1}
+       |), ref AS (
+       |  SELECT x_c AS ref_c FROM top WHERE rn = ${HillK + 1}
+       |), s AS (
+       |  SELECT COUNT(*) AS k, MAX(ref.ref_c) AS ref_c,
+       |         CAST(SUM(${log2Sql("t.x_c")} - ${log2Sql("ref.ref_c")})
+       |              AS BIGINT) AS sum_log2_1e6
+       |  FROM top t CROSS JOIN ref
+       |  WHERE t.rn <= $HillK
+       |)
+       |SELECT k, ref_c, sum_log2_1e6,
+       |       CAST(${HillK}000000 AS DOUBLE) / CAST(sum_log2_1e6 AS DOUBLE)
+       |         / 0.6931471805599453 AS alpha_hat
+       |FROM s""".stripMargin
+  }
+
   // ---- Mann–Kendall trend test ----------------------------------------
 
   /** `analytics_mann_kendall` — the Mann–Kendall monotone-trend test on

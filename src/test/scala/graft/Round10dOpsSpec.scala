@@ -481,6 +481,45 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("shift_days")).distinct.length > 5)
   }
 
+  test("analytics_growth_accounting satisfies both accounting identities") {
+    val rows = graft.queries.BehaviorQueries
+      .analyticsGrowthAccounting(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    val days = rows.keys
+    def get(d: Long, c: String): Long =
+      rows.get(d).map(_.getAs[Long](c)).getOrElse(0L)
+    (days.min to days.max).foreach { d =>
+      assert(get(d, "n_active") ==
+        get(d, "n_new") + get(d, "n_retained") + get(d, "n_resurrected"),
+        s"day $d: active decomposition broken")
+      if (d > days.min)
+        assert(get(d, "n_active") - get(d - 1, "n_active") ==
+          get(d, "n_new") + get(d, "n_resurrected") - get(d, "n_churned"),
+          s"day $d: delta identity broken")
+    }
+    assert(rows.values.map(_.getAs[Long]("n_new")).sum ==
+      graft.queries.RefQueries.table(spark, sf, "events")
+        .select("user_id").distinct().count(),
+      "every user is new exactly once")
+  }
+
+  test("analytics_hill equals a driver-side recompute over the top-k") {
+    import graft.functions.IntegerLog2.log2Scaled
+    val row = graft.queries.StatQueries.analyticsHill(spark, sf).collect()(0)
+    val top = graft.queries.RefQueries.table(spark, sf, "orders")
+      .selectExpr("CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x",
+        "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (x, k) => (-x, k) }.take(101)
+    val ref = top(100)._1
+    val want = top.take(100).map(t => log2Scaled(t._1) - log2Scaled(ref)).sum
+    assert(row.getAs[Long]("k") == 100)
+    assert(row.getAs[Long]("ref_c") == ref)
+    assert(row.getAs[Long]("sum_log2_1e6") == want)
+    val alpha = row.getAs[Double]("alpha_hat")
+    assert(alpha > 0, s"alpha $alpha must be positive")
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
