@@ -544,6 +544,103 @@ object BehaviorQueries {
       .orderBy("from_type", "to_type")
   }
 
+  private val StationaryRounds = 6
+
+  /** `analytics_markov_stationary` — the stationary distribution of
+    * [[analyticsMarkov]]'s event-type chain by fixed-round power
+    * iteration (the pagerank unroll doctrine): transition probabilities
+    * as floored integer ppm, π₀ uniform, π_{t+1}(j) = ⌊Σᵢ πₜ(i)·p(i,j)
+    * / 10⁶⌋ for [[StationaryRounds]] rounds — where the session "spends
+    * its time" in the long run, the summary number the per-edge
+    * transition matrix doesn't give. All integer arithmetic (one DIV
+    * per state per round, after the sum — minimal truncation), so the
+    * gate is exact; the ≤ n_states ppm mass leak per round is the
+    * documented price of integer determinism.
+    *
+    * Scale: the chain is O(event types)² — everything after the one
+    * fact-table lead-window pass is dimension-sized.
+    */
+  def analyticsMarkovStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = eventsUs(spark, sfDir)
+      .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    val trans = pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("n * 1000000L div n_from").as("p_ppm"))
+      .localCheckpoint(true)
+    val states = trans.select(col("from_type").as("state"))
+      .unionByName(trans.select(col("to_type").as("state")))
+      .distinct().localCheckpoint(true)
+    val k = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("state"), expr("1000000L div k").as("pi_ppm"))
+      .localCheckpoint(true)
+    for (_ <- 1 to StationaryRounds) {
+      val next = trans
+        .join(broadcast(pi.select(col("state").as("from_type"),
+          col("pi_ppm").as("p_in"))), "from_type")
+        .groupBy(col("to_type").as("state"))
+        .agg(expr("CAST(sum(p_in * p_ppm) div 1000000L AS BIGINT)").as("s"))
+      val updated = states.join(next, Seq("state"), "left")
+        .select(col("state"), coalesce(col("s"), lit(0L)).as("pi_ppm"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(pi)
+      pi = updated
+    }
+    pi.select(col("state").as("event_type"), col("pi_ppm"))
+      .orderBy("event_type")
+  }
+
+  val analyticsMarkovStationarySql: String = {
+    val rounds = (1 to StationaryRounds).map { r =>
+      s"""pi$r AS (
+         |  SELECT s.state,
+         |         COALESCE(CAST(x.s AS BIGINT), 0) AS pi_ppm
+         |  FROM states s LEFT JOIN (
+         |    SELECT t.to_type AS state,
+         |           CAST(SUM(p.pi_ppm * t.p_ppm) // 1000000 AS BIGINT) AS s
+         |    FROM trans t JOIN pi${r - 1} p ON p.state = t.from_type
+         |    GROUP BY t.to_type
+         |  ) x ON x.state = s.state
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+       |  FROM events
+       |), p0 AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY us, event_id) AS to_type
+       |  FROM e
+       |), pairs AS (
+       |  SELECT from_type, to_type, COUNT(*) AS n
+       |  FROM p0 WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+       |), totals AS (
+       |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+       |  FROM pairs GROUP BY from_type
+       |), trans AS (
+       |  SELECT p.from_type, p.to_type,
+       |         CAST(p.n * 1000000 // t.n_from AS BIGINT) AS p_ppm
+       |  FROM pairs p JOIN totals t USING (from_type)
+       |), states AS (
+       |  SELECT DISTINCT from_type AS state FROM trans
+       |  UNION
+       |  SELECT DISTINCT to_type AS state FROM trans
+       |), pi0 AS (
+       |  SELECT state,
+       |         CAST(1000000 // (SELECT COUNT(*) FROM states) AS BIGINT)
+       |           AS pi_ppm
+       |  FROM states
+       |), $rounds
+       |SELECT state AS event_type, pi_ppm
+       |FROM pi$StationaryRounds ORDER BY event_type""".stripMargin
+  }
+
   val analyticsMarkovSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events

@@ -975,6 +975,78 @@ object GraphQueries {
        |ORDER BY nationkey""".stripMargin
   }
 
+  /** `graph_rich_club` — the rich-club coefficient φ(k) for every
+    * degree threshold k: among nodes of degree > k, the realized
+    * fraction of possible edges (Colizza et al. 2006) — "do the hubs
+    * trade with each other", the structural question degree and
+    * assortativity each only half-answer. Pure integer counting: a
+    * pair contributes to every k below min(deg a, deg b), so one
+    * min-degree rollup + a threshold-range join produce all φ(k) rows
+    * in two dimension-sized aggregates; φ is floored ppm of
+    * 2·E_k / (n_k·(n_k−1)).
+    *
+    * Scale: degree and pair frames are node/edge-sized; the k range is
+    * bounded by max degree. Nothing touches the fact table after the
+    * shared edge derivation.
+    */
+  def graphRichClub(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"))
+      .unionByName(und.select(col("b").as("x")))
+    val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val pairMin = und
+      .join(deg.select(col("x").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("deg").as("db")), "b")
+      .select(least(col("da"), col("db")).as("mind"))
+    val ks = spark.range(0, 24).select(col("id").as("k"))
+    val nodesK = ks.crossJoin(deg).where(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val edgesK = ks.crossJoin(pairMin).where(col("mind") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    nodesK
+      .join(edgesK, Seq("k"), "left")
+      .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+      .where(col("n_nodes") >= 2)
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        expr("n_edges * 2000000L div (n_nodes * (n_nodes - 1L))")
+          .as("phi_ppm"))
+      .orderBy("k")
+  }
+
+  val graphRichClubSql: String =
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), deg AS (
+       |  SELECT x, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und)
+       |  GROUP BY x
+       |), pm AS (
+       |  SELECT least(da.deg, db.deg) AS mind
+       |  FROM und
+       |  JOIN deg da ON da.x = und.a
+       |  JOIN deg db ON db.x = und.b
+       |), nk AS (
+       |  SELECT r.k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM range(0, 24) r(k) JOIN deg d ON d.deg > r.k
+       |  GROUP BY r.k
+       |), ek AS (
+       |  SELECT r.k, CAST(COUNT(*) AS BIGINT) AS n_edges
+       |  FROM range(0, 24) r(k) JOIN pm ON pm.mind > r.k
+       |  GROUP BY r.k
+       |)
+       |SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+       |       CAST(COALESCE(ek.n_edges, 0) * 2000000
+       |            // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT) AS phi_ppm
+       |FROM nk LEFT JOIN ek ON ek.k = nk.k
+       |WHERE nk.n_nodes >= 2
+       |ORDER BY nk.k""".stripMargin
+
   private val CorenessRounds = 12
 
   /** `graph_coreness` — the FULL core decomposition (every node's core

@@ -2555,6 +2555,88 @@ object StatQueries {
       |       median(slope_sc) AS median_slope_sc
       |FROM slopes""".stripMargin
 
+  // ---- log-log elasticity ----------------------------------------------
+
+  /** `analytics_elasticity` — the log-log OLS slope of shipped quantity
+    * against unit price per returnflag: the price-elasticity regression
+    * (a 1% price move ⇒ slope% quantity move — THE demand-curve
+    * number), which plain [[analyticsRegression]] on levels cannot
+    * express. Both variables pass through the shared
+    * [[graft.functions.IntegerLog2]] kernel in MILLI-log2 units
+    * (log2s DIV 1000): per-term products then stay < 2^53 through
+    * ~1.5e7 rows per group, so every sufficient statistic is an exact
+    * BIGINT that casts to double EXACTLY — the autocorr unit doctrine;
+    * beyond that horizon the unit divisor grows with the corpus. The
+    * slope/intercept/r² formula is the same fixed double sequence as
+    * the levels regression.
+    */
+  def analyticsElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntegerLog2.log2s
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        log2s((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType)).as("xf"),
+        log2s((col("l_quantity").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType)).as("yf"))
+      .select(col("g"), expr("xf div 1000L").as("x"),
+        expr("yf div 1000L").as("y"))
+    val stats = li.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    val sx = col("sx").cast(DoubleType)
+    val sy = col("sy").cast(DoubleType)
+    val sxy = col("sxy").cast(DoubleType)
+    val sxx = col("sxx").cast(DoubleType)
+    val syy = col("syy").cast(DoubleType)
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    stats
+      .withColumn("elasticity", slope)
+      .withColumn("r2",
+        ((nD * sxy - sx * sy) * (nD * sxy - sx * sy)) /
+          ((nD * sxx - sx * sx) * (nD * syy - sy * sy)))
+      .select(col("g").as("returnflag"), col("n"), col("elasticity"),
+        col("r2"))
+      .orderBy("returnflag")
+  }
+
+  val analyticsElasticitySql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    s"""WITH b AS (
+       |  SELECT l_returnflag AS g,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+       |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
+       |  FROM lineitem
+       |), l AS (
+       |  SELECT g, ${log2Sql("pc")} // 1000 AS x, ${log2Sql("qc")} // 1000 AS y
+       |  FROM b
+       |), s AS (
+       |  SELECT g, COUNT(*) AS n,
+       |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |         CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM l GROUP BY g
+       |)
+       |SELECT g AS returnflag, n,
+       |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS elasticity,
+       |       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+       |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+       |       ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+       |FROM s ORDER BY returnflag""".stripMargin
+  }
+
   // ---- Hill tail-index estimator ---------------------------------------
 
   private val HillK = 100
@@ -2590,8 +2672,16 @@ object StatQueries {
         max("ref_c").as("ref_c"),
         sum(log2s(col("x_c")) - log2s(col("ref_c"))).as("sum_log2_1e6"))
       .withColumn("alpha_hat",
-        lit(HillK * 1000000L).cast(DoubleType) /
-          col("sum_log2_1e6").cast(DoubleType) / lit(0.6931471805599453d))
+        // Zero guard — REQUIRED, not defensive: when every top-k value
+        // falls inside one mantissa step of the log2 kernel (resolution
+        // 0.0056 bits — a tail flatter than ±0.4%, seen live at sf0.1
+        // where the top-101 order values span 0.16%), the scaled sum is
+        // exactly 0 and ANSI Spark errors on the double division. A
+        // NULL α̂ is the honest answer for a tail the kernel cannot
+        // resolve; both engines spell the same guard.
+        when(col("sum_log2_1e6") > 0,
+          lit(HillK * 1000000L).cast(DoubleType) /
+            col("sum_log2_1e6").cast(DoubleType) / lit(0.6931471805599453d)))
       .select(col("k"), col("ref_c"), col("sum_log2_1e6"), col("alpha_hat"))
   }
 
@@ -2613,8 +2703,10 @@ object StatQueries {
        |  WHERE t.rn <= $HillK
        |)
        |SELECT k, ref_c, sum_log2_1e6,
-       |       CAST(${HillK}000000 AS DOUBLE) / CAST(sum_log2_1e6 AS DOUBLE)
-       |         / 0.6931471805599453 AS alpha_hat
+       |       CASE WHEN sum_log2_1e6 > 0
+       |            THEN CAST(${HillK}000000 AS DOUBLE)
+       |                 / CAST(sum_log2_1e6 AS DOUBLE) / 0.6931471805599453
+       |       END AS alpha_hat
        |FROM s""".stripMargin
   }
 

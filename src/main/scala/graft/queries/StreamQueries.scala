@@ -24,6 +24,37 @@ object StreamQueries {
       |FROM events
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** `stream_enrich` — the stream-static broadcast enrichment gate:
+    * every event LEFT-joined to the batch-precomputed per-user LTV
+    * quintile dimension ([[EventAnalytics.userSegments]]), unknown
+    * users flowing through with segment 0. The BATCH spelling is gated
+    * here; StreamingSpec drives the SAME function through
+    * readStream → memory sink and proves row-for-row agreement — the
+    * feature-store pattern end to end.
+    */
+  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    EventAnalytics.enrichWithSegments(ev, EventAnalytics.userSegments(ev))
+      .orderBy("event_id")
+  }
+
+  val streamEnrichSql: String =
+    """WITH dim AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |           AS ltv_c,
+      |         CAST(ntile(5) OVER (
+      |           ORDER BY CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+      |                         AS BIGINT) DESC, user_id) AS BIGINT) AS segment
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id
+      |)
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |       COALESCE(d.segment, 0) AS segment,
+      |       COALESCE(d.ltv_c, 0) AS user_ltv_c
+      |FROM events e LEFT JOIN dim d USING (user_id)
+      |ORDER BY e.event_id""".stripMargin
+
   /** `stream_hopping_agg` — 2h windows hopping every 30min: each event
     * counts in 4 overlapping windows. The oracle expands the hops
     * explicitly: window starts are the 4 slide multiples at or before
@@ -700,6 +731,68 @@ object StreamQueries {
       |)
       |SELECT doc_id, bin, COUNT(*) AS n_px
       |FROM b GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin
+
+  /** `multimodal_image_entropy` — Shannon entropy of each decoded
+    * raster's 16-bin intensity histogram, in exact scaled-log2 integers
+    * via the shared [[graft.functions.IntegerLog2]] kernel:
+    * H·1e6 = Σ_bins c·(log2s(n) − log2s(c)) DIV n — the standard
+    * flat/low-information image detector (a blank or single-tone image
+    * scores 0; a busy one approaches log2 16 = 4 bits), computed over
+    * the same real GIF decode path as `multimodal_image_histogram`.
+    * Pure integer arithmetic end to end — no fp entropy to align.
+    *
+    * Scale: narrow decode map + one (doc, bin) aggregate + an O(docs)
+    * rollup; the histogram is 16 rows per image regardless of raster
+    * size.
+    */
+  def multimodalImageEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IntegerLog2.log2s
+    val hist = table(spark, sfDir, "documents")
+      .where(octet_length(col("text")).between(1, 65535))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val dec = new graft.ops.MediaCodecs.RasterDecoder
+        it.flatMap { case (id, text) =>
+          val gif = graft.ops.MediaCodecs.encodeGrayGif(text.getBytes("UTF-8"))
+          val plane = dec.decodeLuma(gif).getOrElse(Array.empty[Int])
+          plane.groupBy(_ / 16).toSeq.map { case (bin, px) =>
+            (id, bin.toLong, px.length.toLong)
+          }
+        }
+      }.toDF("doc_id", "bin", "c")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    hist
+      .withColumn("n", sum("c").over(w))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_px"),
+        sum(col("c") * (log2s(col("n")) - log2s(col("c")))).as("hsum"))
+      .select(col("doc_id"), col("n_px"),
+        expr("hsum div n_px").as("entropy_1e6"))
+      .transform(gateSort(_, "doc_id"))
+  }
+
+  val multimodalImageEntropySql: String = {
+    import graft.functions.IntegerLog2.log2Sql
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) BETWEEN 1 AND 65535
+       |), h AS (
+       |  SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(codes) // 16 AS bin FROM m)
+       |  GROUP BY doc_id, bin
+       |), t AS (
+       |  SELECT doc_id, c,
+       |         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |  FROM h
+       |)
+       |SELECT doc_id, MAX(n) AS n_px,
+       |       CAST(CAST(SUM(c * (${log2Sql("n")} - ${log2Sql("c")}))
+       |            AS BIGINT) // MAX(n) AS BIGINT) AS entropy_1e6
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** The real WAV decoder under the gate: pack each document's leading
     * bytes (≤ 90, even) as the 16-bit PCM data chunk of a genuine

@@ -134,6 +134,42 @@ object EventAnalytics extends Serializable {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventsSchema).parquet(dir)
 
+  /** Static per-user dimension for the stream-static enrichment: each
+    * purchasing user's lifetime purchase revenue in exact cents plus
+    * its descending ntile(5) quintile (1 = highest spenders; ties
+    * break on user_id, so labels are deterministic). This is the
+    * "feature store" table a streaming pipeline precomputes in batch
+    * and joins into live traffic. Dimension-sized: one row per
+    * purchasing user.
+    */
+  def userSegments(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events.where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        * 100).cast("long").as("ltv_c"))
+      .withColumn("segment",
+        ntile(5).over(Window.orderBy(col("ltv_c").desc, col("user_id")))
+          .cast("long"))
+  }
+
+  /** Stream-static broadcast enrichment — THE most common production
+    * streaming join: live events LEFT-join a precomputed batch
+    * dimension ([[userSegments]]); users outside the dimension keep
+    * flowing with segment 0 (an inner join would silently drop them).
+    * One function, both engines-of-execution: on a batch frame it is a
+    * plain broadcast hash join (the driver-gated `stream_enrich`); on
+    * a streaming frame Spark plans the static side as a broadcast
+    * rebuilt per micro-batch — no state store, no watermark needed,
+    * unbounded-stream-safe by construction (StreamingSpec drives it
+    * through readStream → memory sink).
+    */
+  def enrichWithSegments(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("segment"), lit(0L)).as("segment"),
+        coalesce(col("ltv_c"), lit(0L)).as("user_ltv_c"))
+
   /** Stream-stream interval join: every (purchase, click) pair of the
     * same user with the click inside [purchase − windowMinutes,
     * purchase]. One function, both engines-of-execution: on batch

@@ -516,8 +516,95 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("k") == 100)
     assert(row.getAs[Long]("ref_c") == ref)
     assert(row.getAs[Long]("sum_log2_1e6") == want)
-    val alpha = row.getAs[Double]("alpha_hat")
-    assert(alpha > 0, s"alpha $alpha must be positive")
+    if (want > 0) assert(row.getAs[Double]("alpha_hat") > 0)
+    else assert(row.isNullAt(row.fieldIndex("alpha_hat")),
+      "flat tail must yield NULL alpha, not a division error")
+  }
+
+  test("analytics_elasticity equals a driver-side sufficient-stat recompute") {
+    import graft.functions.IntegerLog2.log2Scaled
+    val rows = graft.queries.StatQueries.analyticsElasticity(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    val li = graft.queries.RefQueries.table(spark, sf, "lineitem")
+      .selectExpr("l_returnflag AS g",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { row =>
+      val g = row.getString(0)
+      val xy = li.filter(_._1 == g)
+        .map(t => (log2Scaled(t._2) / 1000, log2Scaled(t._3) / 1000))
+      val n = xy.length.toDouble
+      val sx = xy.map(_._1).sum.toDouble
+      val sy = xy.map(_._2).sum.toDouble
+      val sxy = xy.map(t => t._1 * t._2).sum.toDouble
+      val sxx = xy.map(t => t._1 * t._1).sum.toDouble
+      val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(row.getAs[Long]("n") == xy.length)
+      assert(row.getAs[Double]("elasticity") == want, s"$g slope")
+      val r2 = row.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1, s"$g r2 $r2")
+    }
+  }
+
+  test("graph_rich_club equals a brute-force threshold sweep") {
+    val got = graft.queries.GraphQueries.graphRichClub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val und = graft.queries.GraphQueries.tradeEdgesForSpec(spark, sf)
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    (0L until 24L).foreach { k =>
+      val nk = deg.count(_._2 > k).toLong
+      if (nk >= 2) {
+        val ek = und.count(e => math.min(deg(e._1), deg(e._2)) > k).toLong
+        val phi = ek * 2000000L / (nk * (nk - 1))
+        assert(got(k) == ((nk, ek, phi)), s"k=$k: ${got.get(k)} != ($nk,$ek,$phi)")
+      } else assert(!got.contains(k), s"k=$k should be filtered")
+    }
+  }
+
+  test("multimodal_image_entropy is bounded and matches a recompute") {
+    import graft.functions.IntegerLog2.log2Scaled
+    val rows = graft.queries.StreamQueries.multimodalImageEntropy(spark, sf)
+      .collect()
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 4000000L),
+      "entropy of a 16-bin histogram lies in [0, 4] bits")
+    val docId = rows.head.getLong(0)
+    val text = graft.queries.RefQueries.table(spark, sf, "documents")
+      .where(col("doc_id") === docId).select("text").collect()(0).getString(0)
+    val counts = text.getBytes("UTF-8").map(b => (b & 0xff) / 16)
+      .groupBy(identity).values.map(_.length.toLong)
+    val n = counts.sum
+    val want = counts.map(c => c * (log2Scaled(n) - log2Scaled(c))).sum / n
+    val got = rows.find(_.getLong(0) == docId).get
+    assert(got.getLong(1) == n && got.getLong(2) == want, s"doc $docId")
+  }
+
+  test("analytics_markov_stationary equals a driver-side power iteration") {
+    val got = graft.queries.BehaviorQueries
+      .analyticsMarkovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trans = graft.queries.BehaviorQueries.analyticsMarkov(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nFrom = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pppm = trans.map { case (f, t, n) => (f, t) -> n * 1000000L / nFrom(f) }
+      .toMap
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    var pi = states.map(_ -> 1000000L / states.length).toMap
+    (1 to 6).foreach { _ =>
+      pi = states.map { j =>
+        j -> states.map(i => pi(i) * pppm.getOrElse((i, j), 0L)).sum / 1000000L
+      }.toMap
+    }
+    assert(got == pi, s"$got != $pi")
+    // mass survives up to the documented integer truncation leak
+    val total = got.values.sum
+    assert(total <= 1000000L && total > 990000L, s"mass $total")
   }
 
   test("analytics_attribution conserves purchase credit across models") {

@@ -324,6 +324,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.map(_._2).sum == 10000L)
   }
 
+  test("stream_enrich's feature-store join runs identically on the live stream") {
+    val batchEvents = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet")
+    val dim = EventAnalytics.userSegments(batchEvents)
+      // materialize the dimension once — in production this is the
+      // batch-written feature table, not a live recompute per batch
+      .cache()
+    val stream = EventAnalytics.readEventsStream(spark, eventsDir)
+    val q = EventAnalytics.enrichWithSegments(stream, dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("enrich_out")
+    val want = EventAnalytics.enrichWithSegments(batchEvents, dim)
+    assert(got.count() == 10000L, "every event flows through (left join)")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming enrichment differs from the batch spelling")
+    dim.unpersist()
+  }
+
   test("streaming dedup suppresses at-least-once replays with bounded state") {
     val dir = Files.createTempDirectory("graft-events-dd")
     val all = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet").cache()
