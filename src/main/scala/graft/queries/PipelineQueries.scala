@@ -277,4 +277,97 @@ object PipelineQueries {
       |WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
       |QUALIFY row_number() OVER w <= 10
       |ORDER BY source, rk""".stripMargin
+
+  /** Shared split rule: doc → {train, val, test} by a Knuth
+    * multiplicative hash of doc_id into permille buckets (900/50/50).
+    * Hash-based, not row-number-based, so membership is STABLE under
+    * corpus growth — a doc keeps its split when new docs arrive, the
+    * property that makes eval sets comparable across snapshots (a
+    * modulo-on-rank split reshuffles everything on every ingest).
+    * Engine-neutral positive-integer arithmetic — no md5 parsing, no
+    * engine hash to align.
+    */
+  private val SplitExpr =
+    "CASE WHEN (doc_id * 2654435761) % 2147483647 % 1000 < 900 THEN 'train' " +
+      "WHEN (doc_id * 2654435761) % 2147483647 % 1000 < 950 THEN 'val' " +
+      "ELSE 'test' END"
+
+  private val SplitExprSpark =
+    "CASE WHEN (doc_id * 2654435761L) % 2147483647L % 1000L < 900 THEN 'train' " +
+      "WHEN (doc_id * 2654435761L) % 2147483647L % 1000L < 950 THEN 'val' " +
+      "ELSE 'test' END"
+
+  /** `corpus_split` — the train/val/test split report, stratified view:
+    * per (source, split), document and character counts plus each
+    * split's permille share of its source — the sanity table a
+    * pipeline owner reads to confirm no source is accidentally
+    * concentrated in eval. The split rule itself is [[SplitExpr]]'s
+    * stable hash; the report is two dimension-sized aggregates.
+    */
+  def corpusSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = table(spark, sfDir, "documents")
+      .withColumn("split", expr(SplitExprSpark))
+    val bySrc = d.groupBy("source").agg(count(lit(1)).as("src_docs"))
+    d.groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .join(broadcast(bySrc), "source")
+      .select(col("source"), col("split"), col("n_docs"), col("n_chars"),
+        expr("n_docs * 1000L div src_docs").as("share_pml"))
+      .orderBy("source", "split")
+  }
+
+  val corpusSplitSql: String =
+    s"""WITH d AS (
+       |  SELECT source, n_chars, $SplitExpr AS split FROM documents
+       |), s AS (
+       |  SELECT source, COUNT(*) AS src_docs FROM d GROUP BY source
+       |)
+       |SELECT d.source, d.split, COUNT(*) AS n_docs,
+       |       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       |       CAST(COUNT(*) * 1000 // MAX(s.src_docs) AS BIGINT) AS share_pml
+       |FROM d JOIN s ON s.source = d.source
+       |GROUP BY d.source, d.split
+       |ORDER BY d.source, d.split""".stripMargin
+
+  /** `corpus_split_leakage` — the eval-contamination audit: MinHash
+    * near-duplicate pairs (J ≥ 0.7, the `dedup_minhash_lsh` contract)
+    * whose two documents land in DIFFERENT splits under [[SplitExpr]].
+    * A train↔test near-dup is a leaked eval answer; this is the check
+    * that says "dedup BEFORE you split" with a number attached, next
+    * to `text_contamination`'s n-gram-vs-eval-set variant. Output: one
+    * row per unordered split pair with the crossing count, plus the
+    * within-split rows for context.
+    */
+  def corpusSplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val split = docs.select(col("doc_id"), expr(SplitExprSpark).as("split"))
+    graft.ops.MinHashDedup.nearDupPairs(docs, n = 2, threshold = 0.7)
+      .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+      .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", (col("split_a") =!= col("split_b")).cast("long"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val corpusSplitLeakageSql: String =
+    s"""WITH pr AS (
+       |  SELECT d1, d2
+       |  FROM (${graft.queries.TextQueries.dedupNgramJaccardSqlAt(0.7)}) q
+       |), sp AS (
+       |  SELECT doc_id, $SplitExpr AS split FROM documents
+       |)
+       |SELECT least(a.split, b.split) AS split_a,
+       |       greatest(a.split, b.split) AS split_b,
+       |       COUNT(*) AS n_pairs,
+       |       CAST(CASE WHEN least(a.split, b.split)
+       |                      <> greatest(a.split, b.split)
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS leaky
+       |FROM pr
+       |JOIN sp a ON a.doc_id = pr.d1
+       |JOIN sp b ON b.doc_id = pr.d2
+       |GROUP BY 1, 2
+       |ORDER BY split_a, split_b""".stripMargin
 }

@@ -607,6 +607,35 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(total <= 1000000L && total > 990000L, s"mass $total")
   }
 
+  test("corpus_split is exhaustive, stable, and near the 90/5/5 target") {
+    val rows = graft.queries.PipelineQueries.corpusSplit(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.queries.RefQueries.table(spark, sf, "documents")
+      .count(), "every document lands in exactly one split")
+    val bySplit = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val trainShare = bySplit("train").toDouble / total
+    assert(trainShare > 0.85 && trainShare < 0.95,
+      s"train share $trainShare far from 90%")
+    // membership is a pure function of doc_id: a rerun is identical
+    val again = graft.queries.PipelineQueries.corpusSplit(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("corpus_split_leakage partitions the near-dup pairs by split pair") {
+    val rows = graft.queries.PipelineQueries.corpusSplitLeakage(spark, sf)
+      .collect()
+    val totalPairs = graft.queries.SimilarityQueries.dedupMinhash(spark, sf)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == totalPairs)
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1))
+      assert(r.getAs[Long]("leaky") ==
+        (if (r.getString(0) != r.getString(1)) 1L else 0L))
+    }
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
