@@ -223,6 +223,60 @@ object SourceQueries {
       |       label
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** `source_csv_malformed` — the reader-ROBUSTNESS gate the clean
+    * roundtrips don't cover: a CSV landing file with every 50th line
+    * corrupted (wrong shape, unparseable key) read under PERMISSIVE
+    * mode with `columnNameOfCorruptRecord` — bad lines flow through as
+    * NULL-filled rows carrying their raw text in the corrupt column
+    * instead of killing the job (FAILFAST) or vanishing silently
+    * (DROPMALFORMED). The gate aggregates good/quarantined counts and
+    * exact checksums of the GOOD rows; the oracle recomputes both from
+    * the clean table and the injection rule — proving corruption cost
+    * exactly the injected rows and nothing else. At 100 TB this is the
+    * difference between a nightly load that survives one bad producer
+    * and one that pages the on-call.
+    */
+  def sourceCsvMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stagingDir("csv-bad")
+    table(spark, sfDir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .as[(Long, String, Int, Double)]
+      .map { case (k, n, nk, b) =>
+        if (k % 50 == 0) s"corrupt#$k#row,with,wrong,shape"
+        else s"$k,$n,$nk,$b"
+      }
+      .write.mode("overwrite").text(dir)
+    val schema = StructType(SupplierSchema.fields :+
+      StructField("_corrupt", StringType))
+    val good = col("_corrupt").isNull
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(good, 1L).otherwise(0L)).as("n_good"),
+        sum(when(good.unary_!, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(good, (col("s_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType)).otherwise(0L)).as("good_bal_c"),
+        sum(when(good, col("s_suppkey")).otherwise(0L)).as("good_key_sum"))
+  }
+
+  val sourceCsvMalformedSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CASE WHEN s_suppkey % 50 <> 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_good,
+      |       CAST(SUM(CASE WHEN s_suppkey % 50 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_quarantined,
+      |       CAST(SUM(CASE WHEN s_suppkey % 50 <> 0
+      |                     THEN CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100
+      |                               AS BIGINT) ELSE 0 END)
+      |            AS BIGINT) AS good_bal_c,
+      |       CAST(SUM(CASE WHEN s_suppkey % 50 <> 0 THEN s_suppkey
+      |                     ELSE 0 END) AS BIGINT) AS good_key_sum
+      |FROM supplier""".stripMargin
+
   /** `source_xml_roundtrip` — customer through Spark 4's BUILT-IN XML
     * data source (the spark-xml connector was folded into core in
     * Spark 4): write with rootTag/rowTag, read back with an explicit

@@ -2555,6 +2555,71 @@ object StatQueries {
       |       median(slope_sc) AS median_slope_sc
       |FROM slopes""".stripMargin
 
+  // ---- historical VaR / CVaR -------------------------------------------
+
+  /** `analytics_var` — historical value-at-risk and expected shortfall
+    * of the daily revenue CHANGE series: VaR₉₅ is the exact 5th
+    * percentile of day-over-day deltas (integer cents, so the
+    * percentile interpolation is exact fp — the MAD doctrine), CVaR₉₅
+    * the mean of the tail at or below it (exact integer sum, one
+    * double division) — the risk pair every finance desk reports,
+    * quantifying "how bad is a bad day" beyond what variance-based
+    * anomaly scores say. The tail membership test compares exact
+    * integers against the exact interpolated percentile — the same
+    * doubles in both engines, so the boundary cannot flip.
+    *
+    * Scale: one fact-table hash aggregate to the calendar-bounded
+    * daily series; a lag window, one exact percentile over O(days)
+    * rows, and a broadcast-scalar tail rollup.
+    */
+  def analyticsVar(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, sfDir, "lineitem")
+      .select(col("l_shipdate").as("day"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev"))
+    val deltas = daily
+      .withColumn("prev", lag("rev", 1).over(Window.orderBy("day")))
+      .where(col("prev").isNotNull)
+      .select((col("rev") - col("prev")).as("delta_c"))
+      .localCheckpoint(true)
+    val q = deltas.agg(
+      count(lit(1)).as("n_days"),
+      percentile(col("delta_c"), lit(0.05)).as("var95_c"))
+    deltas.crossJoin(broadcast(q))
+      .where(col("delta_c").cast(DoubleType) <= col("var95_c"))
+      .agg(max("n_days").as("n_days"), max("var95_c").as("var95_c"),
+        count(lit(1)).as("n_tail"),
+        sum("delta_c").as("tail_sum_c"))
+      .withColumn("cvar95_c",
+        col("tail_sum_c").cast(DoubleType) / col("n_tail").cast(DoubleType))
+      .select("n_days", "var95_c", "n_tail", "tail_sum_c", "cvar95_c")
+  }
+
+  val analyticsVarSql: String =
+    """WITH daily AS (
+      |  SELECT l_shipdate AS day,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1
+      |), d AS (
+      |  SELECT CAST(rev - lag(rev) OVER (ORDER BY day) AS BIGINT) AS delta_c
+      |  FROM daily
+      |  QUALIFY lag(rev) OVER (ORDER BY day) IS NOT NULL
+      |), q AS (
+      |  SELECT COUNT(*) AS n_days,
+      |         quantile_cont(delta_c, 0.05) AS var95_c
+      |  FROM d
+      |)
+      |SELECT q.n_days, q.var95_c,
+      |       COUNT(*) AS n_tail,
+      |       CAST(SUM(d.delta_c) AS BIGINT) AS tail_sum_c,
+      |       CAST(SUM(d.delta_c) AS DOUBLE) / COUNT(*) AS cvar95_c
+      |FROM d, q
+      |WHERE CAST(d.delta_c AS DOUBLE) <= q.var95_c
+      |GROUP BY q.n_days, q.var95_c""".stripMargin
+
   // ---- log-log elasticity ----------------------------------------------
 
   /** `analytics_elasticity` — the log-log OLS slope of shipped quantity

@@ -636,6 +636,38 @@ class Round10dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("analytics_var tail accounting is consistent") {
+    val row = graft.queries.StatQueries.analyticsVar(spark, sf).collect()(0)
+    val nDays = row.getAs[Long]("n_days")
+    val nTail = row.getAs[Long]("n_tail")
+    val var95 = row.getAs[Double]("var95_c")
+    val cvar = row.getAs[Double]("cvar95_c")
+    // the 5% tail holds about 5% of days (interpolation admits +-1)
+    assert(nTail >= nDays / 20 - 1 && nTail <= nDays / 20 + 2,
+      s"tail $nTail of $nDays days")
+    // expected shortfall is at least as bad as the VaR boundary
+    assert(cvar <= var95, s"CVaR $cvar must not exceed VaR $var95")
+    assert(row.getAs[Long]("tail_sum_c") <= 0 || var95 > 0)
+  }
+
+  test("source_csv_malformed quarantines exactly the injected rows") {
+    val row = graft.queries.SourceQueries.sourceCsvMalformed(spark, sf)
+      .collect()(0)
+    val sup = graft.queries.RefQueries.table(spark, sf, "supplier")
+      .selectExpr("s_suppkey",
+        "CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getAs[Long]("n_rows") == sup.length,
+      "corrupt rows must still flow through as rows")
+    val bad = sup.count(_._1 % 50 == 0)
+    assert(row.getAs[Long]("n_quarantined") == bad)
+    assert(row.getAs[Long]("n_good") == sup.length - bad)
+    assert(row.getAs[Long]("good_bal_c") ==
+      sup.filter(_._1 % 50 != 0).map(_._2).sum)
+    assert(row.getAs[Long]("good_key_sum") ==
+      sup.filter(_._1 % 50 != 0).map(_._1).sum)
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
