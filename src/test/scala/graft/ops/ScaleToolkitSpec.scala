@@ -178,4 +178,50 @@ class ScaleToolkitSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"the k·d centroid table must broadcast:\n$plan")
   }
+
+  test("attribution plan: type filters reach the scan, match is a hash join") {
+    val df = graft.queries.BehaviorQueries
+      .analyticsAttribution(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(event_type,purchase)"),
+      s"the purchase filter must reach the parquet scan:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"the touch match must be an equi-join on user_id, not a loop:\n$plan")
+  }
+
+  test("ratio-to-parent plan: fact aggregates once, every dim broadcasts") {
+    val df = graft.queries.OlapQueries
+      .olapRatioToParent(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // customer map + nation + region all ride broadcasts; the only
+    // shuffles are the fact aggregate and the dimension-sized windows
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"no dimension join may shuffle the fact side:\n$plan")
+  }
+
+  test("weighted median plan: no global sort, windows partition by group") {
+    val df = graft.queries.StatQueries
+      .analyticsWeightedMedian(spark, TestSpark.Sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the cumulative window sorts WITHIN group partitions; the only
+    // range partitioning allowed is the final 3-row gate ORDER BY
+    val windowAt = plan.indexOf("Window")
+    val rangeAt = plan.indexOf("rangepartitioning")
+    assert(windowAt >= 0, plan)
+    assert(rangeAt < 0 || rangeAt < windowAt,
+      s"the group window must not sit on a global range sort:\n$plan")
+  }
+
+  test("IVFADC plan: cell join hashes on the probe key, ADC is codegen") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf001}/embeddings.parquet")
+    val df = graft.ops.Similarity.ivfPqTopKCosine(
+      emb.where(col("vec_id") < 10), emb, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"probing must join on the cell key, never cross the corpus:\n$plan")
+    assert(plan.contains("pq_adc"),
+      s"ADC must run the native kernel, not an interpreted fold:\n$plan")
+  }
 }
