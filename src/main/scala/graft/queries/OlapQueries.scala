@@ -221,12 +221,15 @@ object OlapQueries {
       |       string_agg(event_type, ',' ORDER BY ts_us, event_id) AS type_seq
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** `analytics_seasonality` — calendar bucketing (year/month extract)
-    * with exact revenue: the date-dimension rollup every BI layer
-    * needs. Plain partial+final aggregate; the date functions are
-    * codegen'd column ops, identical across engines.
+  /** `analytics_calendar_rollup` — calendar bucketing (year/month
+    * extract) with exact revenue: the date-dimension rollup every BI
+    * layer needs. Plain partial+final aggregate; the date functions
+    * are codegen'd column ops, identical across engines. (Formerly
+    * registered as `analytics_seasonality`, where the later
+    * day-of-week seasonality-index registration silently shadowed it
+    * in the query Map — two operators, one name; both now live.)
     */
-  def analyticsSeasonality(spark: SparkSession, sfDir: String): DataFrame =
+  def analyticsCalendarRollup(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "orders")
       .groupBy(
         year(col("o_orderdate")).as("yr"),
@@ -236,7 +239,7 @@ object OlapQueries {
         exactSum(col("o_totalprice")).as("revenue"))
       .orderBy("yr", "mo")
 
-  val analyticsSeasonalitySql: String =
+  val analyticsCalendarRollupSql: String =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
       |       CAST(month(o_orderdate) AS INTEGER) AS mo,
       |       COUNT(*) AS n_orders,
