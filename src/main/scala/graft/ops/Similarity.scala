@@ -168,6 +168,9 @@ object Similarity {
       threshold: Double = 0.4): DataFrame = {
     val quant = quantizedCorpus(corpus)
     val cents = seedCentroids(corpus, nCells)
+    // cached: BOTH sides of the within-cell self-join scan it (quantize
+    // + assignment would otherwise run twice). Caller contract as in
+    // cosineNearDupPairs: released by the session's clearCache.
     val assigned = assignFromQuant(quant, cents)
       .select(col("n_id"), col("cv"), col("cn"), col("cell"))
       .cache()
