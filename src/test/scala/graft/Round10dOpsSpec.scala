@@ -668,6 +668,36 @@ class Round10dOpsSpec extends AnyFunSuite {
       sup.filter(_._1 % 50 != 0).map(_._1).sum)
   }
 
+  test("analytics_price_index bases at exactly one million ppm") {
+    val rows = graft.queries.StatQueries.analyticsPriceIndex(spark, sf)
+      .collect()
+    val byMonth = rows.map(r =>
+      r.getString(0) -> (r.getAs[Long]("n_parts"), r.getAs[Long]("index_ppm")))
+    val (baseMonth, (_, baseIdx)) = byMonth.minBy(_._1)
+    assert(baseIdx == 1000000L,
+      s"$baseMonth: the base month's matched basket must index at 1e6")
+    assert(rows.forall(_.getAs[Long]("index_ppm") > 0))
+    // driver recompute for the second month
+    val li = graft.queries.RefQueries.table(spark, sf, "lineitem")
+      .selectExpr("date_format(l_shipdate, 'yyyy-MM') AS m", "l_partkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) div CAST(l_quantity AS BIGINT) AS u",
+        "CAST(l_quantity AS BIGINT) AS q")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pm = li.groupBy(t => (t._1, t._2)).map { case ((m, pk), ts) =>
+      (m, pk, ts.map(_._3).min, ts.map(_._4).sum)
+    }.toSeq
+    val m0 = pm.map(_._1).min
+    val base = pm.filter(_._1 == m0).map(t => t._2 -> (t._3, t._4)).toMap
+    val m1 = byMonth.map(_._1).sorted.apply(1)
+    val matched = pm.filter(t => t._1 == m1 && base.contains(t._2))
+    val num = matched.map(t => t._3 * base(t._2)._2).sum
+    val den = matched.map(t => base(t._2)._1 * base(t._2)._2).sum
+    val want = math.floor(num.toDouble * 1000000.0 / den.toDouble).toLong
+    val got = byMonth.toMap.apply(m1)
+    assert(got == ((matched.size.toLong, want)), s"$m1: $got != ($want)")
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
