@@ -2622,6 +2622,62 @@ object StatQueries {
       |GROUP BY pm.month
       |ORDER BY pm.month""".stripMargin
 
+  /** `analytics_volume_index` — the volume companion of
+    * [[analyticsPriceIndex]]: Laspeyres quantity index Σ p₀·q_t /
+    * Σ p₀·q₀ in floored ppm over the same matched basket, base-month
+    * PRICES as weights — together the pair decomposes the revenue
+    * trend into "charging more" vs "shipping more". Same exactness
+    * doctrine and horizons as the price index.
+    */
+  def analyticsVolumeIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_partkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("ec"),
+        col("l_quantity").cast(LongType).as("q"))
+      .withColumn("unit_c", expr("ec div q"))
+    val pm = li.groupBy("month", "l_partkey")
+      .agg(min("unit_c").as("p"), sum("q").as("qty"))
+      .localCheckpoint(true)
+    val m0 = pm.agg(min("month").as("m0"))
+    val base = pm.crossJoin(broadcast(m0))
+      .where(col("month") === col("m0"))
+      .select(col("l_partkey"), col("p").as("p0"), col("qty").as("q0"))
+    pm.join(broadcast(base), "l_partkey")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p0") * col("qty")).as("num"),
+        sum(col("p0") * col("q0")).as("den"))
+      .select(col("month"), col("n_parts"),
+        floor(col("num").cast(DoubleType) * lit(1000000.0d) /
+          col("den").cast(DoubleType)).cast(LongType).as("vol_index_ppm"))
+      .orderBy("month")
+  }
+
+  val analyticsVolumeIndexSql: String =
+    """WITH li AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           // CAST(l_quantity AS BIGINT) AS unit_c,
+      |         CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem
+      |), pm AS (
+      |  SELECT month, l_partkey, CAST(MIN(unit_c) AS BIGINT) AS p,
+      |         CAST(SUM(q) AS BIGINT) AS qty
+      |  FROM li GROUP BY month, l_partkey
+      |), base AS (
+      |  SELECT l_partkey, p AS p0, qty AS q0
+      |  FROM pm WHERE month = (SELECT MIN(month) FROM pm)
+      |)
+      |SELECT pm.month, COUNT(*) AS n_parts,
+      |       CAST(floor(CAST(SUM(b.p0 * pm.qty) AS DOUBLE) * 1000000.0
+      |                  / CAST(SUM(b.p0 * b.q0) AS DOUBLE)) AS BIGINT)
+      |         AS vol_index_ppm
+      |FROM pm JOIN base b USING (l_partkey)
+      |GROUP BY pm.month
+      |ORDER BY pm.month""".stripMargin
+
   // ---- historical VaR / CVaR -------------------------------------------
 
   /** `analytics_var` — historical value-at-risk and expected shortfall

@@ -698,6 +698,21 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(got == ((matched.size.toLong, want)), s"$m1: $got != ($want)")
   }
 
+  test("analytics_volume_index bases at 1e6 and shares the price basket") {
+    val vol = graft.queries.StatQueries.analyticsVolumeIndex(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("vol_index_ppm"))).toMap
+    val price = graft.queries.StatQueries.analyticsPriceIndex(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
+    assert(vol.keySet == price.keySet, "same month coverage")
+    vol.foreach { case (m, (n, idx)) =>
+      assert(n == price(m), s"$m: matched basket sizes differ")
+      assert(idx > 0)
+    }
+    val baseMonth = vol.keys.min
+    assert(vol(baseMonth)._2 == 1000000L, "base month indexes at 1e6")
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
