@@ -2127,4 +2127,109 @@ object GraphQueries {
        |             COALESCE(mn.mw, CAST(n.n_nationkey AS BIGINT))) AS scc_id
        |FROM nation n LEFT JOIN mn ON mn.v = CAST(n.n_nationkey AS BIGINT)
        |ORDER BY nationkey""".stripMargin
+
+  // ---- bow-tie decomposition -------------------------------------------
+
+  /** `graph_bowtie` — the Broder et al. (2000) bow-tie decomposition of
+    * the directed trade graph: the LARGEST strongly connected component
+    * is the CORE (ties to the smaller scc id), `in` nodes can reach the
+    * core without belonging to it, `out` nodes are reachable FROM the
+    * core, and everything else is `other` (tendrils/disconnected) —
+    * the canonical macro-structure question for any directed graph
+    * (who feeds the trading core, who only consumes from it). IN and
+    * OUT are disjoint by construction: a node in both would mutually
+    * reach the core and BE core.
+    *
+    * Composition of two shipped mechanisms: the FB-coloring SCC
+    * resolution ([[graft.ops.StronglyConnectedComponents]]) and the
+    * frontier BFS doctrine (forward over the edges from the core set,
+    * backward over the REVERSED edges) with `localCheckpoint` rounds
+    * and count-fingerprint convergence. The oracle restates the
+    * DEFINITION via one transitive closure used four ways — fine at
+    * oracle scale, impossible at 100 TB, which is the point of the
+    * iterative spelling.
+    */
+  def graphBowtie(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = tradeEdges(spark, sfDir)
+    val scc = graft.ops.StronglyConnectedComponents.resolve(nodes, edges)
+      .localCheckpoint(true)
+    // core scc: most members, ties to the smaller id — one tiny agg
+    val core = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("scc_id")).limit(1)
+      .select(col("scc_id").as("core_id"))
+    val coreSet = scc.crossJoin(broadcast(core))
+      .where(col("scc_id") === col("core_id"))
+      .select(col("node"))
+    def reach(seed: DataFrame, es: DataFrame): DataFrame = {
+      var r = seed.localCheckpoint(true)
+      var n = -1L
+      var converged = false
+      var it = 0
+      while (!converged && it < 40) {
+        val next = r.unionByName(
+          r.join(es.withColumnRenamed("src", "node"), "node")
+            .select(col("dst").as("node")))
+          .distinct().localCheckpoint(false)
+        val c = next.count()
+        converged = c == n
+        n = c
+        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(r)
+        r = next
+        it += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        "bow-tie reachability did not converge in 40 rounds")
+      r
+    }
+    val fwd = reach(coreSet, edges)
+      .select(col("node"), lit(1L).as("fwd"))
+    val bwd = reach(coreSet,
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("node"), lit(1L).as("bwd"))
+    scc.crossJoin(broadcast(core))
+      .join(broadcast(fwd), Seq("node"), "left")
+      .join(broadcast(bwd), Seq("node"), "left")
+      .select(col("node").as("nationkey"), col("scc_id"),
+        when(col("scc_id") === col("core_id"), "core")
+          .when(col("bwd").isNotNull, "in")
+          .when(col("fwd").isNotNull, "out")
+          .otherwise("other").as("component"))
+      .orderBy("nationkey")
+  }
+
+  val graphBowtieSql: String =
+    s"""WITH RECURSIVE $EdgeCtes, closure AS (
+       |  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+       |  UNION
+       |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src
+       |  WHERE c.a <> e.dst
+       |), mutual AS (
+       |  SELECT c1.a AS v, c1.b AS w
+       |  FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a
+       |), lab AS (
+       |  SELECT CAST(n.n_nationkey AS BIGINT) AS node,
+       |         LEAST(CAST(n.n_nationkey AS BIGINT),
+       |               COALESCE(mn.mw, CAST(n.n_nationkey AS BIGINT))) AS scc_id
+       |  FROM nation n LEFT JOIN (
+       |    SELECT v, MIN(w) AS mw FROM mutual GROUP BY v
+       |  ) mn ON mn.v = CAST(n.n_nationkey AS BIGINT)
+       |), core AS (
+       |  SELECT scc_id AS core_id FROM lab
+       |  GROUP BY scc_id ORDER BY COUNT(*) DESC, scc_id LIMIT 1
+       |), coreset AS (
+       |  SELECT l.node FROM lab l, core WHERE l.scc_id = core.core_id
+       |)
+       |SELECT l.node AS nationkey, l.scc_id,
+       |       CASE WHEN l.scc_id = core.core_id THEN 'core'
+       |            WHEN EXISTS (SELECT 1 FROM closure c JOIN coreset k
+       |                         ON c.b = k.node WHERE c.a = l.node)
+       |              THEN 'in'
+       |            WHEN EXISTS (SELECT 1 FROM closure c JOIN coreset k
+       |                         ON c.a = k.node WHERE c.b = l.node)
+       |              THEN 'out'
+       |            ELSE 'other' END AS component
+       |FROM lab l, core
+       |ORDER BY nationkey""".stripMargin
 }

@@ -713,6 +713,41 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(vol(baseMonth)._2 == 1000000L, "base month indexes at 1e6")
   }
 
+  test("graph_bowtie equals a driver-side reachability classification") {
+    val got = graft.queries.GraphQueries.graphBowtie(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val edges = graft.queries.GraphQueries.tradeEdgesForSpec(spark, sf)
+    val nodes = got.keySet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val radj = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    def reach(seed: Set[Long], a: Map[Long, Set[Long]]): Set[Long] = {
+      var r = seed; var grew = true
+      while (grew) {
+        val next = r ++ r.flatMap(a.getOrElse(_, Set.empty))
+        grew = next.size > r.size; r = next
+      }
+      r
+    }
+    // scc ids must match the gated SCC operator
+    val scc = graft.queries.GraphQueries.graphScc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (n, (id, _)) => assert(id == scc(n), s"$n scc id") }
+    val coreId = scc.values.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (id, sz) => (-sz, id) }.head._1
+    val coreSet = scc.filter(_._2 == coreId).keySet
+    val fwd = reach(coreSet, adj)
+    val bwd = reach(coreSet, radj)
+    nodes.foreach { n =>
+      val want =
+        if (coreSet(n)) "core"
+        else if (bwd(n)) "in"
+        else if (fwd(n)) "out"
+        else "other"
+      assert(got(n)._2 == want, s"$n: ${got(n)._2} != $want")
+    }
+    assert(got.values.count(_._2 == "core") == coreSet.size)
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
