@@ -2678,6 +2678,83 @@ object StatQueries {
       |GROUP BY pm.month
       |ORDER BY pm.month""".stripMargin
 
+  /** `analytics_fisher_index` — the full index-number trio per month:
+    * Laspeyres (base weights, overstates — consumers substitute away
+    * from price rises), Paasche (current weights, understates), and
+    * the Fisher IDEAL index √(L·P) that splits the substitution bias —
+    * the construction national statistics offices actually publish.
+    * L and P are floored ppm over the matched basket (shared doctrine
+    * with [[analyticsPriceIndex]]); Fisher is ⌊√(L_ppm·P_ppm)⌋ — the
+    * product of two ≤ ~2e6 ints is exact in double, √ is one correctly
+    * rounded op, identical bits both engines.
+    */
+  def analyticsFisherIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_partkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("ec"),
+        col("l_quantity").cast(LongType).as("q"))
+      .withColumn("unit_c", expr("ec div q"))
+    val pm = li.groupBy("month", "l_partkey")
+      .agg(min("unit_c").as("p"), sum("q").as("qty"))
+      .localCheckpoint(true)
+    val m0 = pm.agg(min("month").as("m0"))
+    val base = pm.crossJoin(broadcast(m0))
+      .where(col("month") === col("m0"))
+      .select(col("l_partkey"), col("p").as("p0"), col("qty").as("q0"))
+    val idx = pm.join(broadcast(base), "l_partkey")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p") * col("q0")).as("l_num"),
+        sum(col("p0") * col("q0")).as("l_den"),
+        sum(col("p") * col("qty")).as("p_num"),
+        sum(col("p0") * col("qty")).as("p_den"))
+      .withColumn("laspeyres_ppm",
+        floor(col("l_num").cast(DoubleType) * lit(1000000.0d) /
+          col("l_den").cast(DoubleType)).cast(LongType))
+      .withColumn("paasche_ppm",
+        floor(col("p_num").cast(DoubleType) * lit(1000000.0d) /
+          col("p_den").cast(DoubleType)).cast(LongType))
+    idx
+      .withColumn("fisher_ppm",
+        floor(sqrt((col("laspeyres_ppm") * col("paasche_ppm"))
+          .cast(DoubleType))).cast(LongType))
+      .select("month", "n_parts", "laspeyres_ppm", "paasche_ppm",
+        "fisher_ppm")
+      .orderBy("month")
+  }
+
+  val analyticsFisherIndexSql: String =
+    """WITH li AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           // CAST(l_quantity AS BIGINT) AS unit_c,
+      |         CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem
+      |), pm AS (
+      |  SELECT month, l_partkey, CAST(MIN(unit_c) AS BIGINT) AS p,
+      |         CAST(SUM(q) AS BIGINT) AS qty
+      |  FROM li GROUP BY month, l_partkey
+      |), base AS (
+      |  SELECT l_partkey, p AS p0, qty AS q0
+      |  FROM pm WHERE month = (SELECT MIN(month) FROM pm)
+      |), s AS (
+      |  SELECT pm.month, COUNT(*) AS n_parts,
+      |         CAST(floor(CAST(SUM(pm.p * b.q0) AS DOUBLE) * 1000000.0
+      |                    / CAST(SUM(b.p0 * b.q0) AS DOUBLE)) AS BIGINT)
+      |           AS laspeyres_ppm,
+      |         CAST(floor(CAST(SUM(pm.p * pm.qty) AS DOUBLE) * 1000000.0
+      |                    / CAST(SUM(b.p0 * pm.qty) AS DOUBLE)) AS BIGINT)
+      |           AS paasche_ppm
+      |  FROM pm JOIN base b USING (l_partkey)
+      |  GROUP BY pm.month
+      |)
+      |SELECT month, n_parts, laspeyres_ppm, paasche_ppm,
+      |       CAST(floor(sqrt(CAST(laspeyres_ppm * paasche_ppm AS DOUBLE)))
+      |            AS BIGINT) AS fisher_ppm
+      |FROM s ORDER BY month""".stripMargin
+
   // ---- historical VaR / CVaR -------------------------------------------
 
   /** `analytics_var` — historical value-at-risk and expected shortfall

@@ -748,6 +748,28 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(got.values.count(_._2 == "core") == coreSet.size)
   }
 
+  test("analytics_fisher_index lies between Paasche and Laspeyres") {
+    val rows = graft.queries.StatQueries.analyticsFisherIndex(spark, sf)
+      .collect()
+    val priceIdx = graft.queries.StatQueries.analyticsPriceIndex(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("index_ppm")).toMap
+    rows.foreach { r =>
+      val (m, l, p, f) = (r.getString(0), r.getAs[Long]("laspeyres_ppm"),
+        r.getAs[Long]("paasche_ppm"), r.getAs[Long]("fisher_ppm"))
+      assert(l == priceIdx(m), s"$m: Laspeyres disagrees with the price index")
+      // the geometric mean sits between its arguments (floor shifts <= 1)
+      assert(f >= math.min(l, p) - 1 && f <= math.max(l, p),
+        s"$m: Fisher $f outside [$p, $l]")
+      // floor(sqrt(l*p)) recomputed exactly
+      assert(f == math.floor(math.sqrt((l * p).toDouble)).toLong, s"$m")
+    }
+    val base = rows.map(_.getString(0)).min
+    val b = rows.find(_.getString(0) == base).get
+    assert(b.getAs[Long]("laspeyres_ppm") == 1000000L &&
+      b.getAs[Long]("paasche_ppm") == 1000000L &&
+      b.getAs[Long]("fisher_ppm") == 1000000L)
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
