@@ -145,6 +145,24 @@ object Similarity {
       .select("d1", "d2", "cos_sim")
   }
 
+  /** Public cell assignment over the shared deterministic seed
+    * centroids — (n_id, cell) for the balance/ops reports. Same
+    * assignment semantics as every IVF operator (−2.0 seed, strict >,
+    * lowest-index ties), so balance numbers describe the ACTUAL
+    * deployed inverted lists.
+    */
+  def assignCells(corpus: DataFrame, nCells: Int): DataFrame = {
+    val cents = seedCentroids(corpus, nCells)
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("n_id", LongType),
+          StructField("cell", IntegerType))))
+    }
+    assignFromQuant(quantizedCorpus(corpus), cents).select("n_id", "cell")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     * every embedding to an IVF-style coarse cell, then compare pairs
     * ONLY WITHIN a cell — a vector with a smaller-id cell-mate at

@@ -165,6 +165,51 @@ object SimilarityQueries {
       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
       |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
 
+  /** `sim_ivf_balance` — the inverted-list balance report for the IVF
+    * family: per-cell vector counts plus the corpus-level imbalance
+    * factor (max cell over ideal n/k, floored ppm) — the number that
+    * predicts ANN tail latency, because a query probing the heaviest
+    * cell scans `imbalance×` the ideal work. The operational sibling
+    * of the recall rows: recall says whether the index is right,
+    * balance says whether it is fast. Same deterministic 32-seed
+    * assignment as every IVF gate (one narrow map + one k-row
+    * aggregate).
+    */
+  def simIvfBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = Similarity.assignCells(
+      table(spark, sfDir, "embeddings"), nCells = 32)
+    val cells = assigned.where(col("cell") >= 0)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = cells.agg(sum("n_vectors").as("n_total"),
+      count(lit(1)).as("n_cells"), max("n_vectors").as("max_cell"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        expr("n_vectors * n_cells * 1000000L div n_total")
+          .as("load_ppm_of_ideal"),
+        expr("max_cell * n_cells * 1000000L div n_total")
+          .as("imbalance_ppm"))
+      .orderBy("cell")
+  }
+
+  val simIvfBalanceSql: String = IvfAssignSql +
+    """, cells AS (
+      |  SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vectors
+      |  FROM assigned WHERE cell >= 0 GROUP BY cell
+      |), tot AS (
+      |  SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+      |         COUNT(*) AS n_cells,
+      |         CAST(MAX(n_vectors) AS BIGINT) AS max_cell
+      |  FROM cells
+      |)
+      |SELECT c.cell, c.n_vectors,
+      |       CAST(c.n_vectors * t.n_cells * 1000000 // t.n_total AS BIGINT)
+      |         AS load_ppm_of_ideal,
+      |       CAST(t.max_cell * t.n_cells * 1000000 // t.n_total AS BIGINT)
+      |         AS imbalance_ppm
+      |FROM cells c, tot t
+      |ORDER BY c.cell""".stripMargin
+
   /** `sim_ann_ivfpq` — the COMPOSED IVFADC index
     * ([[graft.ops.Similarity.ivfPqTopKCosine]]): coarse cells prune the
     * scan to nProbe/nCells of the corpus, PQ/ADC table lookups score

@@ -770,6 +770,18 @@ class Round10dOpsSpec extends AnyFunSuite {
       b.getAs[Long]("fisher_ppm") == 1000000L)
   }
 
+  test("sim_ivf_balance accounts for the whole corpus with a shared max") {
+    val rows = graft.queries.SimilarityQueries.simIvfBalance(spark, sf)
+      .collect()
+    val n = graft.queries.RefQueries.table(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == n,
+      "every vector lands in exactly one cell")
+    val imb = rows.map(_.getAs[Long]("imbalance_ppm")).distinct
+    assert(imb.length == 1, "imbalance is a corpus-level constant")
+    assert(imb.head >= 1000000L, "max cell is at least the ideal load")
+    assert(rows.map(_.getAs[Long]("load_ppm_of_ideal")).max == imb.head)
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
