@@ -165,6 +165,68 @@ object SimilarityQueries {
       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) <= 5
       |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
 
+  /** `sim_ann_nprobe_sweep` — the IVF TUNING TABLE: recall@5 (totaled
+    * over the query set) at nProbe ∈ {1, 2, 4, 8} in one report — the
+    * measured recall-vs-work curve an operator reads before fixing the
+    * production probe count (each probe step costs ~nProbe/nCells of
+    * the corpus per query; this table says what each step buys).
+    * Composes the gated IVF operator at four parameter points against
+    * one shared exact truth set; the oracle unrolls the four probe
+    * depths over one shared assignment/scores prefix.
+    */
+  def simAnnNprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val exact = simTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+      .localCheckpoint(true)
+    Seq(1, 2, 4, 8).map { np =>
+      val ann = Similarity
+        .ivfTopKCosine(emb.where(col("vec_id") < 10), emb, k = 5, nProbe = np)
+        .select(col("q_id").as("q2"), col("n_id").as("n2"))
+      exact
+        .join(broadcast(ann),
+          col("q_id") === col("q2") && col("n_id") === col("n2"), "left")
+        .agg(lit(np.toLong).as("nprobe"),
+          count(lit(1)).as("total_k"),
+          sum(when(col("q2").isNotNull, 1L).otherwise(0L)).as("hits"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_ppm", expr("hits * 1000000L div total_k"))
+      .orderBy("nprobe")
+  }
+
+  private def ivfSweepCte(np: Int): String =
+    s"""p$np AS (
+       |  SELECT vec_id, unnest(list_transform(
+       |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, $np), r -> r.i)) AS cell
+       |  FROM scores WHERE vec_id < 10 GROUP BY vec_id
+       |), t$np AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) / (q.nrm * c.nrm) AS cos_sim
+       |  FROM (SELECT p.vec_id AS q_id, a.vec_id AS n_id
+       |        FROM p$np p JOIN assigned a ON p.cell = a.cell
+       |        WHERE p.vec_id <> a.vec_id) cand
+       |  JOIN vn q ON cand.q_id = q.vec_id
+       |  JOIN vn c ON cand.n_id = c.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY cand.q_id
+       |                             ORDER BY cos_sim DESC, cand.n_id) <= 5
+       |), r$np AS (
+       |  SELECT CAST($np AS BIGINT) AS nprobe,
+       |         COUNT(*) AS total_k,
+       |         CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS hits
+       |  FROM exact_r e
+       |  LEFT JOIN t$np t ON t.q_id = e.q_id AND t.n_id = e.n_id
+       |)""".stripMargin
+
+  val simAnnNprobeSweepSql: String = IvfAssignSql +
+    s""", exact_r AS (
+       |$simTopKSql
+       |), ${ivfSweepCte(1)}, ${ivfSweepCte(2)}, ${ivfSweepCte(4)}, ${ivfSweepCte(8)}
+       |SELECT nprobe, total_k, hits,
+       |       CAST(hits * 1000000 // total_k AS BIGINT) AS recall_ppm
+       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r8)
+       |ORDER BY nprobe""".stripMargin
+
   /** `sim_ivf_balance` — the inverted-list balance report for the IVF
     * family: per-cell vector counts plus the corpus-level imbalance
     * factor (max cell over ideal n/k, floored ppm) — the number that

@@ -2555,6 +2555,152 @@ object StatQueries {
       |       median(slope_sc) AS median_slope_sc
       |FROM slopes""".stripMargin
 
+  // ---- Wilson score interval -------------------------------------------
+
+  /** `analytics_wilson_ci` — per-weekday purchase conversion (users who
+    * purchased ÷ active users) with the WILSON 95% score interval: the
+    * interval that behaves at small n and extreme rates where the
+    * naive Wald ±z√(p̂q̂/n) collapses (the reason every A/B platform
+    * ships Wilson). Counts are exact integers from one dedupe +
+    * aggregate; the interval is one fixed double op sequence over them
+    * with the z = 1.96 literal, spelled identically in the oracle:
+    * center (p̂ + z²/2n)/(1 + z²/n), half-width
+    * z·√(p̂q̂/n + z²/4n²)/(1 + z²/n).
+    *
+    * Scale: one (user, weekday) dedupe (hash-partitioned on user) and
+    * a 7-row rollup — fact-table pass only.
+    */
+  def analyticsWilsonCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = table(spark, sfDir, "events")
+      .select(col("user_id"),
+        expr("((ts div 1000) div 86400000000 + 3) % 7").cast("long")
+          .as("weekday"),
+        (col("event_type") === "purchase").cast("long").as("isp"))
+      .groupBy("user_id", "weekday")
+      .agg(max("isp").as("purchased"))
+    val counts = ud.groupBy("weekday")
+      .agg(count(lit(1)).as("n_users"), sum("purchased").as("n_purchasers"))
+    val z = lit(1.96d)
+    val n = col("n_users").cast(DoubleType)
+    val p = col("n_purchasers").cast(DoubleType) / n
+    val z2n = z * z / n
+    val center = (p + z2n / lit(2.0d)) / (lit(1.0d) + z2n)
+    val half = z * sqrt(p * (lit(1.0d) - p) / n +
+      z * z / (lit(4.0d) * n * n)) / (lit(1.0d) + z2n)
+    counts
+      .withColumn("p_hat", p)
+      .withColumn("ci_lo", center - half)
+      .withColumn("ci_hi", center + half)
+      .select("weekday", "n_users", "n_purchasers", "p_hat", "ci_lo", "ci_hi")
+      .orderBy("weekday")
+  }
+
+  val analyticsWilsonCiSql: String =
+    """WITH ud AS (
+      |  SELECT user_id, (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday,
+      |         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS purchased
+      |  FROM events GROUP BY 1, 2
+      |), c AS (
+      |  SELECT weekday, COUNT(*) AS n_users,
+      |         CAST(SUM(purchased) AS BIGINT) AS n_purchasers
+      |  FROM ud GROUP BY weekday
+      |)
+      |SELECT weekday, n_users, n_purchasers,
+      |       CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) AS p_hat,
+      |       ((CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |         + 1.96 * 1.96 / CAST(n_users AS DOUBLE) / 2.0)
+      |        / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE)))
+      |       - (1.96 * sqrt(CAST(n_purchasers AS DOUBLE)
+      |              / CAST(n_users AS DOUBLE)
+      |              * (1.0 - CAST(n_purchasers AS DOUBLE)
+      |                 / CAST(n_users AS DOUBLE))
+      |              / CAST(n_users AS DOUBLE)
+      |            + 1.96 * 1.96 / (4.0 * CAST(n_users AS DOUBLE)
+      |                             * CAST(n_users AS DOUBLE)))
+      |          / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE))) AS ci_lo,
+      |       ((CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |         + 1.96 * 1.96 / CAST(n_users AS DOUBLE) / 2.0)
+      |        / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE)))
+      |       + (1.96 * sqrt(CAST(n_purchasers AS DOUBLE)
+      |              / CAST(n_users AS DOUBLE)
+      |              * (1.0 - CAST(n_purchasers AS DOUBLE)
+      |                 / CAST(n_users AS DOUBLE))
+      |              / CAST(n_users AS DOUBLE)
+      |            + 1.96 * 1.96 / (4.0 * CAST(n_users AS DOUBLE)
+      |                             * CAST(n_users AS DOUBLE)))
+      |          / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE))) AS ci_hi
+      |FROM c ORDER BY weekday""".stripMargin
+
+  // ---- odds ratio / relative risk --------------------------------------
+
+  /** `analytics_odds_ratio` — the 2×2 epidemiology pair over user-days:
+    * exposure = weekend, outcome = the user hit an `error` event that
+    * day; reports the contingency cells, the odds ratio ad/bc, and the
+    * relative risk [a/(a+b)]/[c/(c+d)] — the effect measures behind
+    * every incident review ("are weekends riskier, and by how
+    * much?"), where [[analyticsChi2]] only says "dependent". ENTIRELY
+    * integer: cells are exact counts and both ratios ship as floored
+    * ppm cross-multiplications (a·d·10⁶ DIV b·c — positive operands,
+    * engines agree). Overflow horizon: a·d·10⁶ needs a·d < 9.2e12,
+    * i.e. ≲ 3e6 user-days per arm; past that the ppm scale drops a
+    * decade, same doctrine as the other horizon notes.
+    *
+    * Scale: one (user, day) dedupe + a 4-cell rollup.
+    */
+  def analyticsOddsRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = table(spark, sfDir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").cast("long").as("day"),
+        expr("((ts div 1000) div 86400000000 + 3) % 7").cast("long")
+          .as("weekday"),
+        (col("event_type") === "error").cast("long").as("iserr"))
+      .groupBy("user_id", "day")
+      .agg(max("weekday").as("weekday"), max("iserr").as("is_case"))
+      .withColumn("exposed", (col("weekday") >= 5).cast("long"))
+    ud.agg(
+      sum(when(col("exposed") === 1 && col("is_case") === 1, 1L)
+        .otherwise(0L)).as("a"),
+      sum(when(col("exposed") === 1 && col("is_case") === 0, 1L)
+        .otherwise(0L)).as("b"),
+      sum(when(col("exposed") === 0 && col("is_case") === 1, 1L)
+        .otherwise(0L)).as("c"),
+      sum(when(col("exposed") === 0 && col("is_case") === 0, 1L)
+        .otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        expr("a * d * 1000000L div (b * c)").as("odds_ratio_ppm"),
+        expr("a * (c + d) * 1000000L div (c * (a + b))")
+          .as("relative_risk_ppm"))
+  }
+
+  val analyticsOddsRatioSql: String =
+    """WITH ud AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         MAX((epoch_us(ts) // 86400000000 + 3) % 7) AS weekday,
+      |         CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS is_case
+      |  FROM events GROUP BY 1, 2
+      |), f AS (
+      |  SELECT CASE WHEN weekday >= 5 THEN 1 ELSE 0 END AS exposed, is_case
+      |  FROM ud
+      |), cells AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN exposed = 1 AND is_case = 1 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN exposed = 1 AND is_case = 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN exposed = 0 AND is_case = 1 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN exposed = 0 AND is_case = 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS d
+      |  FROM f
+      |)
+      |SELECT a, b, c, d,
+      |       CAST(a * d * 1000000 // (b * c) AS BIGINT) AS odds_ratio_ppm,
+      |       CAST(a * (c + d) * 1000000 // (c * (a + b)) AS BIGINT)
+      |         AS relative_risk_ppm
+      |FROM cells""".stripMargin
+
   // ---- Laspeyres price index -------------------------------------------
 
   /** `analytics_price_index` — the monthly Laspeyres price index over

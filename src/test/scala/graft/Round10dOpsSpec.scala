@@ -782,6 +782,49 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("load_ppm_of_ideal")).max == imb.head)
   }
 
+  test("analytics_wilson_ci brackets p_hat and narrows with n") {
+    val rows = graft.queries.StatQueries.analyticsWilsonCi(spark, sf)
+      .collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("p_hat"), r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("ci_hi"))
+      assert(lo >= 0.0 && hi <= 1.0, "Wilson never leaves [0,1]")
+      assert(lo <= p && p <= hi, s"interval [$lo,$hi] must bracket $p")
+      assert(hi - lo > 0, "degenerate interval")
+    }
+  }
+
+  test("analytics_odds_ratio cells partition the user-days exactly") {
+    val r = graft.queries.StatQueries.analyticsOddsRatio(spark, sf)
+      .collect()(0)
+    val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("c"), r.getAs[Long]("d"))
+    val userDays = graft.queries.RefQueries.table(spark, sf, "events")
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+      .distinct().count()
+    assert(a + b + c + d == userDays, "cells must partition user-days")
+    assert(r.getAs[Long]("odds_ratio_ppm") == a * d * 1000000L / (b * c))
+    assert(r.getAs[Long]("relative_risk_ppm") ==
+      a * (c + d) * 1000000L / (c * (a + b)))
+  }
+
+  test("sim_ann_nprobe_sweep recall is monotone in probe depth") {
+    val rows = graft.queries.SimilarityQueries.simAnnNprobeSweep(spark, sf)
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach(r => assert(r.getAs[Long]("total_k") == 50))
+    // probing more cells can only ADD candidates: recall is monotone
+    rows.map(_.getAs[Long]("hits")).sliding(2).foreach {
+      case Array(x, y) => assert(x <= y, "recall fell as probes grew")
+      case _ => ()
+    }
+    // the nprobe=8 row must agree with the standalone IVF recall gate
+    val ivfHits = graft.queries.SimilarityQueries.simAnnRecallIvf(spark, sf)
+      .collect().map(_.getAs[Long]("hits")).sum
+    assert(rows.last.getAs[Long]("hits") == ivfHits)
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
