@@ -216,6 +216,106 @@ object TextQueries {
       |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** `dedup_bloom_eval` — Bloom-filter membership dedup with MEASURED
+    * error: the PRIOR corpus's content fingerprints populate a deliberately TIGHT 1024-bit
+    * / 4-hash Bloom filter (~83% fill at fixture scale, so the FP
+    * path is actually exercised, not vacuously zero) (engine-neutral LCG bit positions — no
+    * engine hash), the NEW batch probes it, and the report counts
+    * exact duplicates, Bloom hits, false positives, and the realized
+    * FPR in ppm against exact membership. THE streaming-ingest dedup
+    * design tool: a Bloom probe is O(k) bits per doc where the exact
+    * anti-join shuffles the corpus — this row says what that speed
+    * costs in wrongly-dropped fresh documents at a given m/k/n. No
+    * false NEGATIVES by construction (every inserted key's bits are
+    * set), which the spec pins.
+    *
+    * Scale: the filter is m = 1024 bits REGARDLESS of corpus size (the
+    * fixed-memory sketch contract); build and probe are narrow maps +
+    * one distinct over (i, bit) ≤ m·k rows; the exact side here is the
+    * oracle-gated yardstick, not the scale path.
+    */
+  def dedupBloomEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextOps
+    val as = Seq(1315423911L, 2654435761L, 2246822519L, 3266489917L)
+    val bs = Seq(97L, 193L, 389L, 769L)
+    val f = TextOps.analyze(docs(spark, sfDir))
+      .select(col("doc_id"), col("fingerprint").as("key"))
+      .localCheckpoint(true)
+    val prior = f.where(col("doc_id") % 10 =!= 0)
+    val batch = f.where(col("doc_id") % 10 === 0)
+    def bits(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("key"),
+        posexplode(array((0 until 4).map(i =>
+          (col("key") * as(i) + bs(i)) % 2147483647L % 1024L): _*))
+          .as(Seq("i", "bit")))
+    val bloomBits = bits(prior).select("i", "bit").distinct()
+      .withColumn("hit", lit(1L))
+    val probed = bits(batch)
+      .join(bloomBits, Seq("i", "bit"), "left")
+      .groupBy("doc_id", "key")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("nbits"))
+      .withColumn("bloom_hit", (col("nbits") === 4).cast("long"))
+    val exact = prior.select("key").distinct().withColumn("present", lit(1L))
+    probed.join(exact, Seq("key"), "left")
+      .withColumn("exact_dup",
+        when(col("present").isNotNull, 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_batch"),
+        sum("exact_dup").as("n_exact_dup"),
+        sum("bloom_hit").as("n_bloom_hits"),
+        sum(when(col("bloom_hit") === 1 && col("exact_dup") === 0, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .withColumn("fpr_ppm",
+        expr("n_false_pos * 1000000L div greatest(n_batch - n_exact_dup, 1L)"))
+  }
+
+  val dedupBloomEvalSql: String = {
+    val fpExpr =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(toks, t ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+        |        (a, c) -> (a * 131 + c) % 1000000007))),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007)""".stripMargin
+    DuckToks +
+      s""", f AS (
+         |  SELECT doc_id, $fpExpr AS key FROM d
+         |), prior AS (SELECT * FROM f WHERE doc_id % 10 <> 0
+         |), batch AS (SELECT * FROM f WHERE doc_id % 10 = 0
+         |), cfg AS (
+         |  SELECT i,
+         |         CASE i WHEN 0 THEN 1315423911 WHEN 1 THEN 2654435761
+         |                WHEN 2 THEN 2246822519 ELSE 3266489917 END AS a,
+         |         CASE i WHEN 0 THEN 97 WHEN 1 THEN 193
+         |                WHEN 2 THEN 389 ELSE 769 END AS b
+         |  FROM range(0, 4) r(i)
+         |), pbits AS (
+         |  SELECT DISTINCT c.i,
+         |         (p.key * c.a + c.b) % 2147483647 % 1024 AS bit
+         |  FROM prior p, cfg c
+         |), probe AS (
+         |  SELECT bt.doc_id, bt.key,
+         |         CAST(SUM(CASE WHEN pb.bit IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS nbits
+         |  FROM batch bt CROSS JOIN cfg c
+         |  LEFT JOIN pbits pb ON pb.i = c.i
+         |    AND pb.bit = (bt.key * c.a + c.b) % 2147483647 % 1024
+         |  GROUP BY bt.doc_id, bt.key
+         |), ex AS (SELECT DISTINCT key FROM prior)
+         |SELECT COUNT(*) AS n_batch,
+         |       CAST(SUM(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_exact_dup,
+         |       CAST(SUM(CASE WHEN p.nbits = 4 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_bloom_hits,
+         |       CAST(SUM(CASE WHEN p.nbits = 4 AND e.key IS NULL
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |       CAST(SUM(CASE WHEN p.nbits = 4 AND e.key IS NULL
+         |                     THEN 1 ELSE 0 END) * 1000000
+         |            // greatest(COUNT(*)
+         |                - SUM(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END),
+         |                1) AS BIGINT) AS fpr_ppm
+         |FROM probe p LEFT JOIN ex e ON e.key = p.key""".stripMargin
+  }
+
   // ---- dedup ----------------------------------------------------------
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =

@@ -825,6 +825,35 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("hits") == ivfHits)
   }
 
+  test("dedup_bloom_eval equals a driver-side filter simulation") {
+    val row = graft.queries.TextQueries.dedupBloomEval(spark, sf).collect()(0)
+    val keys = graft.ops.TextOps.analyze(
+      graft.queries.RefQueries.table(spark, sf, "documents")
+        .select("doc_id", "text"))
+      .select("doc_id", "fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val as = Seq(1315423911L, 2654435761L, 2246822519L, 3266489917L)
+    val bs = Seq(97L, 193L, 389L, 769L)
+    def bits(k: Long): Seq[(Int, Long)] =
+      (0 until 4).map(i => i -> ((k * as(i) + bs(i)) % 2147483647L % 1024L))
+    val prior = keys.filter(_._1 % 10 != 0)
+    val batch = keys.filter(_._1 % 10 == 0)
+    val filterBits = prior.flatMap(p => bits(p._2)).toSet
+    val priorKeys = prior.map(_._2).toSet
+    val hits = batch.count(b => bits(b._2).forall(filterBits))
+    val dups = batch.count(b => priorKeys(b._2))
+    val fps = batch.count(b =>
+      bits(b._2).forall(filterBits) && !priorKeys(b._2))
+    assert(row.getAs[Long]("n_batch") == batch.length)
+    assert(row.getAs[Long]("n_exact_dup") == dups)
+    assert(row.getAs[Long]("n_bloom_hits") == hits)
+    assert(row.getAs[Long]("n_false_pos") == fps)
+    // Bloom's contract: no false negatives, hits decompose exactly
+    assert(hits >= dups && hits == dups + fps)
+    assert(row.getAs[Long]("fpr_ppm") ==
+      fps * 1000000L / math.max(batch.length - dups, 1))
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
