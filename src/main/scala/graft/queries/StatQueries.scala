@@ -2555,6 +2555,92 @@ object StatQueries {
       |       median(slope_sc) AS median_slope_sc
       |FROM slopes""".stripMargin
 
+  // ---- one-way ANOVA ---------------------------------------------------
+
+  /** `analytics_anova` — one-way ANOVA F across market segments on
+    * account balance: the parametric MEANS test completing the family
+    * next to χ² (categorical), KS / Mann–Whitney (distribution-free)
+    * and the A/B z-test (two groups) — "do the five segments differ in
+    * mean balance at all". Sufficient statistics (n, Σx, Σx²) are
+    * exact BIGINTs in WHOLE-DOLLAR units (cents DIV 100, the autocorr
+    * unit doctrine: Σx² then stays < 2^53 through ~sf100, so the
+    * DOUBLE casts are exact; finer units would push the squared sums
+    * past exactness long before that). SSB/SSW/F are one fixed double
+    * sequence over them: SSW = Σx² − Σ_g S_g²/n_g,
+    * SSB = Σ_g S_g²/n_g − S²/n, F = (SSB/(k−1))/(SSW/(n−k)).
+    *
+    * Scale: one partial+final hash aggregate to k group rows, O(k)
+    * scalar math — the exact-sufficient-statistics doctrine.
+    */
+  def analyticsAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_mktsegment").as("g"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT) div 100").as("x"))
+    val groups = cust.groupBy("g").agg(
+      count(lit(1)).as("n"), sum("x").as("s"),
+      sum(col("x") * col("x")).as("ss"))
+      // the per-group S²/n term is FLOORED TO INTEGER MILLIS before the
+      // cross-group sum — summing the raw doubles would make the result
+      // depend on aggregation order (the one nondeterminism doubles
+      // have); floored BIGINTs sum exactly in any order. ≤ k millis of
+      // absolute error on SSB/SSW, declared here.
+      .withColumn("sg2n_milli",
+        floor((col("s") * col("s")).cast(DoubleType) /
+          col("n").cast(DoubleType) * lit(1000.0d)).cast(LongType))
+    val tot = groups.agg(
+      count(lit(1)).as("k"), sum("n").as("n_total"),
+      sum("s").as("s_total"), sum("ss").as("ss_total"),
+      sum("sg2n_milli").as("sg2n_milli"))
+    val nD = col("n_total").cast(DoubleType)
+    val kD = col("k").cast(DoubleType)
+    val sumSg2n = col("sg2n_milli").cast(DoubleType) / lit(1000.0d)
+    val ssb = sumSg2n -
+      col("s_total").cast(DoubleType) * col("s_total").cast(DoubleType) / nD
+    val ssw = col("ss_total").cast(DoubleType) - sumSg2n
+    tot
+      .withColumn("ssb", ssb)
+      .withColumn("ssw", ssw)
+      .withColumn("f_stat",
+        (col("ssb") / (kD - lit(1.0d))) / (col("ssw") / (nD - kD)))
+      .select("k", "n_total", "ssb", "ssw", "f_stat")
+  }
+
+  val analyticsAnovaSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS g,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100 AS x
+      |  FROM customer
+      |), g0 AS (
+      |  SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+      |         CAST(SUM(x * x) AS BIGINT) AS ss
+      |  FROM c GROUP BY g
+      |), grp AS (
+      |  SELECT g, n, s, ss,
+      |         CAST(floor(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+      |                    * 1000.0) AS BIGINT) AS sg2n_milli
+      |  FROM g0
+      |), t AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+      |         CAST(SUM(s) AS BIGINT) AS s_total,
+      |         CAST(SUM(ss) AS BIGINT) AS ss_total,
+      |         CAST(SUM(sg2n_milli) AS BIGINT) AS sg2n_milli
+      |  FROM grp
+      |)
+      |SELECT k, n_total,
+      |       CAST(sg2n_milli AS DOUBLE) / 1000.0
+      |         - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)
+      |           / CAST(n_total AS DOUBLE) AS ssb,
+      |       CAST(ss_total AS DOUBLE)
+      |         - CAST(sg2n_milli AS DOUBLE) / 1000.0 AS ssw,
+      |       ((CAST(sg2n_milli AS DOUBLE) / 1000.0
+      |         - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)
+      |           / CAST(n_total AS DOUBLE))
+      |        / (CAST(k AS DOUBLE) - 1.0)) /
+      |       ((CAST(ss_total AS DOUBLE)
+      |         - CAST(sg2n_milli AS DOUBLE) / 1000.0)
+      |        / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+      |FROM t""".stripMargin
+
   // ---- Wilson score interval -------------------------------------------
 
   /** `analytics_wilson_ci` — per-weekday purchase conversion (users who

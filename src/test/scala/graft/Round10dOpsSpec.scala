@@ -854,6 +854,32 @@ class Round10dOpsSpec extends AnyFunSuite {
       fps * 1000000L / math.max(batch.length - dups, 1))
   }
 
+  test("analytics_anova agrees with a driver-side decomposition") {
+    val row = graft.queries.StatQueries.analyticsAnova(spark, sf).collect()(0)
+    val xs = graft.queries.RefQueries.table(spark, sf, "customer")
+      .selectExpr("c_mktsegment AS g",
+        "CAST(round(c_acctbal * 100, 0) AS BIGINT) div 100 AS x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = xs.groupBy(_._1).values.toSeq
+    val k = groups.length
+    val n = xs.length
+    val sg2nMilli = groups.map { g =>
+      val s = g.map(_._2).sum
+      math.floor((s * s).toDouble / g.length * 1000.0).toLong
+    }.sum
+    val sTot = xs.map(_._2).sum
+    val ssTot = xs.map(t => t._2 * t._2).sum
+    val sumSg2n = sg2nMilli.toDouble / 1000.0
+    val ssb = sumSg2n - sTot.toDouble * sTot.toDouble / n
+    val ssw = ssTot.toDouble - sumSg2n
+    val f = (ssb / (k - 1.0)) / (ssw / (n.toDouble - k))
+    assert(row.getAs[Long]("k") == k && row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Double]("ssb") == ssb)
+    assert(row.getAs[Double]("ssw") == ssw)
+    assert(row.getAs[Double]("f_stat") == f)
+    assert(ssb >= 0 && ssw > 0 && f >= 0, "variance components sane")
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
