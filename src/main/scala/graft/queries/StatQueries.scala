@@ -2641,6 +2641,84 @@ object StatQueries {
       |        / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
       |FROM t""".stripMargin
 
+  /** `analytics_posthoc_pairs` — the pairwise follow-up to
+    * [[analyticsAnova]]: for every unordered segment pair, the mean
+    * balance difference and the pooled-MSE t statistic
+    * (x̄₁−x̄₂)/√(MSE·(1/n₁+1/n₂)) — "WHICH segments differ", the
+    * question the omnibus F leaves open. Group sums/counts are exact
+    * integers (whole-dollar units, ANOVA's doctrine); MSE reuses the
+    * milli-floored SSW; every exported double is one fixed op
+    * sequence per pair — no cross-row double accumulation anywhere.
+    *
+    * Scale: the pair frame is k(k−1)/2 rows over the k-row group
+    * aggregate — dimension-sized after one fact pass.
+    */
+  def analyticsPosthocPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_mktsegment").as("g"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT) div 100").as("x"))
+    val groups = cust.groupBy("g").agg(
+      count(lit(1)).as("n"), sum("x").as("s"),
+      sum(col("x") * col("x")).as("ss"))
+      .withColumn("sg2n_milli",
+        floor((col("s") * col("s")).cast(DoubleType) /
+          col("n").cast(DoubleType) * lit(1000.0d)).cast(LongType))
+      .localCheckpoint(true)
+    val tot = groups.agg(
+      count(lit(1)).as("k"), sum("n").as("n_total"),
+      sum("ss").as("ss_total"), sum("sg2n_milli").as("sg2n_milli"))
+      .withColumn("mse",
+        (col("ss_total").cast(DoubleType) -
+          col("sg2n_milli").cast(DoubleType) / lit(1000.0d)) /
+          (col("n_total").cast(DoubleType) - col("k").cast(DoubleType)))
+    val a = groups.select(col("g").as("g1"), col("n").as("n1"),
+      col("s").as("s1"))
+    val b = groups.select(col("g").as("g2"), col("n").as("n2"),
+      col("s").as("s2"))
+    a.join(b, col("g1") < col("g2"))
+      .crossJoin(broadcast(tot.select("mse")))
+      .withColumn("mean_diff",
+        col("s1").cast(DoubleType) / col("n1").cast(DoubleType) -
+          col("s2").cast(DoubleType) / col("n2").cast(DoubleType))
+      .withColumn("t_stat",
+        col("mean_diff") / sqrt(col("mse") *
+          (lit(1.0d) / col("n1").cast(DoubleType) +
+            lit(1.0d) / col("n2").cast(DoubleType))))
+      .select("g1", "g2", "n1", "n2", "mean_diff", "t_stat")
+      .orderBy("g1", "g2")
+  }
+
+  val analyticsPosthocPairsSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS g,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100 AS x
+      |  FROM customer
+      |), g0 AS (
+      |  SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+      |         CAST(SUM(x * x) AS BIGINT) AS ss
+      |  FROM c GROUP BY g
+      |), grp AS (
+      |  SELECT g, n, s, ss,
+      |         CAST(floor(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+      |                    * 1000.0) AS BIGINT) AS sg2n_milli
+      |  FROM g0
+      |), t AS (
+      |  SELECT (CAST(SUM(ss) AS DOUBLE)
+      |          - CAST(SUM(sg2n_milli) AS DOUBLE) / 1000.0)
+      |         / (CAST(SUM(n) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) AS mse
+      |  FROM grp
+      |)
+      |SELECT a.g AS g1, b.g AS g2,
+      |       CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2,
+      |       CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |         - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_diff,
+      |       (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |         - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+      |       / sqrt(t.mse * (1.0 / CAST(a.n AS DOUBLE)
+      |                       + 1.0 / CAST(b.n AS DOUBLE))) AS t_stat
+      |FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN t
+      |ORDER BY g1, g2""".stripMargin
+
   // ---- Wilson score interval -------------------------------------------
 
   /** `analytics_wilson_ci` — per-weekday purchase conversion (users who

@@ -880,6 +880,22 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(ssb >= 0 && ssw > 0 && f >= 0, "variance components sane")
   }
 
+  test("analytics_posthoc_pairs covers all pairs with sane t statistics") {
+    val rows = graft.queries.StatQueries.analyticsPosthocPairs(spark, sf)
+      .collect()
+    assert(rows.length == 10, "C(5,2) segment pairs")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "unordered pair key")
+      val d = r.getAs[Double]("mean_diff")
+      val t = r.getAs[Double]("t_stat")
+      assert(d.sign == t.sign || d == 0.0, "t carries the diff's sign")
+      assert(!t.isNaN && !t.isInfinite)
+    }
+    // antisymmetry closure: every segment appears in exactly 4 pairs
+    val segs = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+    assert(segs.groupBy(identity).values.forall(_.length == 4))
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
