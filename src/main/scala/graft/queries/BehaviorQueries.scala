@@ -349,6 +349,67 @@ object BehaviorQueries {
       |FROM activity a FULL OUTER JOIN churned c ON a.day = c.day
       |ORDER BY day""".stripMargin
 
+  /** `analytics_decile_lift` — the cumulative-gains ("lift") table:
+    * customers ranked by order revenue into deciles (ntile ties broken
+    * on the key, the RFM doctrine), each reporting its revenue share
+    * and the RUNNING cumulative share in floored ppm — the table every
+    * targeting/model evaluation reads ("the top decile holds X% of
+    * value"), the tabular form of the Lorenz curve whose scalar
+    * summaries (`analytics_gini`, `analytics_pareto`) already ship.
+    * Integer cents end to end; shares are positive-DIV ppm.
+    *
+    * Scale: one fact aggregate to customer grain, one global ntile
+    * over the DIMENSION-sized frame (the honest cost of exact decile
+    * labels — see analyticsRfm's note), then a 10-row rollup.
+    */
+  def analyticsDecileLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = table(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("rev_c"))
+    val d = ntile(10).over(
+      Window.orderBy(col("rev_c").desc, col("o_custkey")))
+    val deciles = perCust
+      .withColumn("decile", d.cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("rev_c").as("decile_rev_c"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deciles
+      .withColumn("cum_rev_c", sum("decile_rev_c").over(w))
+      .withColumn("total_c", sum("decile_rev_c").over(Window.partitionBy()))
+      .select(col("decile"), col("n_customers"), col("decile_rev_c"),
+        expr("decile_rev_c * 1000000L div total_c").as("share_ppm"),
+        expr("cum_rev_c * 1000000L div total_c").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  val analyticsDecileLiftSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+      |              AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY o_custkey
+      |), dd AS (
+      |  SELECT CAST(ntile(10) OVER (ORDER BY rev_c DESC, o_custkey)
+      |              AS BIGINT) AS decile, rev_c
+      |  FROM pc
+      |), agg AS (
+      |  SELECT decile, COUNT(*) AS n_customers,
+      |         CAST(SUM(rev_c) AS BIGINT) AS decile_rev_c
+      |  FROM dd GROUP BY decile
+      |), cum AS (
+      |  SELECT decile, n_customers, decile_rev_c,
+      |         CAST(SUM(decile_rev_c) OVER (ORDER BY decile
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c,
+      |         CAST(SUM(decile_rev_c) OVER () AS BIGINT) AS total_c
+      |  FROM agg
+      |)
+      |SELECT decile, n_customers, decile_rev_c,
+      |       CAST(decile_rev_c * 1000000 // total_c AS BIGINT) AS share_ppm,
+      |       CAST(cum_rev_c * 1000000 // total_c AS BIGINT) AS cum_share_ppm
+      |FROM cum ORDER BY decile""".stripMargin
+
   /** `analytics_rfm` — recency/frequency/monetary quintile segmentation
     * of customers from their order history, the standard CRM cut.
     * Recency anchors on a FIXED literal date (2001-09-01, just past the

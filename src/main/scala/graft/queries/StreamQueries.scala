@@ -55,6 +55,72 @@ object StreamQueries {
       |FROM events e LEFT JOIN dim d USING (user_id)
       |ORDER BY e.event_id""".stripMargin
 
+  /** `stream_gap_detection` — heartbeat monitoring over the event feed:
+    * per event type, the number of inter-arrival gaps, the WORST gap
+    * in exact microseconds with the instant it started, and the count
+    * of gaps above a 30-minute SLA — the "did the producer stall"
+    * report every ingest pipeline alerts on (the batch twin of a
+    * watermark-lag monitor). One lag window per type, pure integers;
+    * worst-gap ties resolve to the earliest start.
+    *
+    * Scale: one sort-based window partitioned by type + a type-sized
+    * rollup; the worst-gap lookup joins the tiny aggregate back as a
+    * broadcast.
+    */
+  def streamGapDetection(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    val gaps = table(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000").cast("long").as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .withColumn("gap_us", col("us") - col("prev_us"))
+      .localCheckpoint(true)
+    val agg = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), max("gap_us").as("max_gap_us"),
+        sum(when(col("gap_us") > 1800000000L, 1L).otherwise(0L))
+          .as("n_gaps_over_30m"))
+    val worst = gaps
+      .join(broadcast(agg.select(col("event_type"),
+        col("max_gap_us").as("mg"))), "event_type")
+      .where(col("gap_us") === col("mg"))
+      .groupBy("event_type")
+      .agg(min("prev_us").as("worst_gap_start_us"))
+    agg.join(broadcast(worst), "event_type")
+      .select("event_type", "n_gaps", "max_gap_us", "n_gaps_over_30m",
+        "worst_gap_start_us")
+      .orderBy("event_type")
+  }
+
+  val streamGapDetectionSql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+      |), g AS (
+      |  SELECT event_type, us,
+      |         lag(us) OVER (PARTITION BY event_type
+      |                       ORDER BY us, event_id) AS prev_us
+      |  FROM e
+      |), gg AS (
+      |  SELECT event_type, prev_us, us - prev_us AS gap_us
+      |  FROM g WHERE prev_us IS NOT NULL
+      |), agg AS (
+      |  SELECT event_type, COUNT(*) AS n_gaps,
+      |         CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      |         CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_gaps_over_30m
+      |  FROM gg GROUP BY event_type
+      |), worst AS (
+      |  SELECT gg.event_type, MIN(gg.prev_us) AS worst_gap_start_us
+      |  FROM gg JOIN agg ON agg.event_type = gg.event_type
+      |    AND gg.gap_us = agg.max_gap_us
+      |  GROUP BY gg.event_type
+      |)
+      |SELECT a.event_type, a.n_gaps, a.max_gap_us, a.n_gaps_over_30m,
+      |       w.worst_gap_start_us
+      |FROM agg a JOIN worst w USING (event_type)
+      |ORDER BY a.event_type""".stripMargin
+
   /** `stream_hopping_agg` — 2h windows hopping every 30min: each event
     * counts in 4 overlapping windows. The oracle expands the hops
     * explicitly: window starts are the 4 slide multiples at or before

@@ -316,6 +316,70 @@ object TextQueries {
          |FROM probe p LEFT JOIN ex e ON e.key = p.key""".stripMargin
   }
 
+  /** `text_burstiness` — the index of dispersion (variance-to-mean
+    * ratio) of the corpus's most frequent token's per-document counts,
+    * ZEROS INCLUDED: Church & Gale's burstiness — a token spread
+    * evenly across documents (function word) scores ≈1 like a Poisson
+    * process, a bursty topical term ≫1 — the signal that separates
+    * the two when raw frequency cannot. The top token picks
+    * deterministically (max count, then lexicographic); sufficient
+    * statistics are exact BIGINTs; D = (n·Σx²−(Σx)²)/(n·Σx) is one
+    * fixed double sequence.
+    *
+    * Scale: one token-count aggregate, one argmax, one per-doc count
+    * left-joined against the doc spine (zeros preserved — dropping
+    * them silently inflates D, the classic mistake), one rollup.
+    */
+  def textBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextOps
+    val d = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val tokCounts = d.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val top = tokCounts.orderBy(desc("cnt"), col("tok")).limit(1)
+      .select(col("tok").as("top_tok"), col("cnt").as("total_occurrences"))
+    val perDoc = d.crossJoin(broadcast(top))
+      .select(col("doc_id"), col("top_tok"), col("total_occurrences"),
+        size(filter(col("toks"), t => t === col("top_tok"))).cast("long")
+          .as("x"))
+    perDoc.groupBy("top_tok", "total_occurrences")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_docs_with"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("dispersion",
+        (col("n_docs").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n_docs").cast("double") * col("sx").cast("double")))
+      .select(col("top_tok").as("token"), col("n_docs"), col("n_docs_with"),
+        col("total_occurrences"), col("dispersion"))
+  }
+
+  val textBurstinessSql: String = DuckToks +
+    """, tc AS (
+      |  SELECT unnest(toks) AS tok FROM d
+      |), top AS (
+      |  SELECT tok AS top_tok, COUNT(*) AS total_occurrences
+      |  FROM tc GROUP BY tok
+      |  ORDER BY total_occurrences DESC, tok LIMIT 1
+      |), pd AS (
+      |  SELECT d.doc_id, t.top_tok, t.total_occurrences,
+      |         CAST(len(list_filter(d.toks, x -> x = t.top_tok))
+      |              AS BIGINT) AS x
+      |  FROM d CROSS JOIN top t
+      |), s AS (
+      |  SELECT top_tok, total_occurrences, COUNT(*) AS n_docs,
+      |         CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_docs_with,
+      |         CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM pd GROUP BY top_tok, total_occurrences
+      |)
+      |SELECT top_tok AS token, n_docs, n_docs_with, total_occurrences,
+      |       (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       / (CAST(n_docs AS DOUBLE) * CAST(sx AS DOUBLE)) AS dispersion
+      |FROM s""".stripMargin
+
   // ---- dedup ----------------------------------------------------------
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =

@@ -896,6 +896,66 @@ class Round10dOpsSpec extends AnyFunSuite {
     assert(segs.groupBy(identity).values.forall(_.length == 4))
   }
 
+  test("analytics_decile_lift telescopes to one and is concentration-ordered") {
+    val rows = graft.queries.BehaviorQueries.analyticsDecileLift(spark, sf)
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    val total = rows.map(_.getAs[Long]("decile_rev_c")).sum
+    assert(rows.last.getAs[Long]("cum_share_ppm") >= 1000000L - 10,
+      "cumulative share must reach ~1e6 (floor loss < 10 ppm)")
+    // decile 1 holds the top spenders: shares are non-increasing
+    rows.map(_.getAs[Long]("decile_rev_c")).sliding(2).foreach {
+      case Array(x, y) => assert(x >= y, "revenue must fall by decile")
+      case _ => ()
+    }
+    // cumulative column telescopes the share column
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("decile_rev_c")
+      assert(r.getAs[Long]("cum_share_ppm") == cum * 1000000L / total)
+    }
+  }
+
+  test("text_burstiness equals a driver-side dispersion recompute") {
+    val row = graft.queries.TextQueries.textBurstiness(spark, sf).collect()(0)
+    val toks = graft.queries.RefQueries.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val counts = toks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.head
+    assert(row.getString(0) == top._1 &&
+      row.getAs[Long]("total_occurrences") == top._2)
+    val xs = toks.map(_._2.count(_ == top._1).toLong)
+    val n = xs.length.toDouble
+    val sx = xs.sum.toDouble
+    val sxx = xs.map(x => x * x).sum.toDouble
+    val want = (n * sxx - sx * sx) / (n * sx)
+    assert(row.getAs[Double]("dispersion") == want)
+    assert(row.getAs[Long]("n_docs_with") == xs.count(_ > 0))
+  }
+
+  test("stream_gap_detection equals a driver-side gap scan") {
+    val got = graft.queries.StreamQueries.streamGapDetection(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = graft.queries.RefQueries.table(spark, sf, "events")
+      .selectExpr("event_type", "event_id", "ts div 1000 AS us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val gaps = ordered.sliding(2).collect {
+        case Array(a, b) => (a._3, b._3 - a._3)
+      }.toSeq
+      val maxGap = gaps.map(_._2).max
+      val want = (gaps.length.toLong, maxGap,
+        gaps.count(_._2 > 1800000000L).toLong,
+        gaps.filter(_._2 == maxGap).map(_._1).min)
+      assert(got(t) == want, s"$t: ${got(t)} != $want")
+    }
+  }
+
   test("analytics_attribution conserves purchase credit across models") {
     val rows = graft.queries.BehaviorQueries.analyticsAttribution(spark, sf)
       .collect()
