@@ -210,21 +210,21 @@ object MinHashDedup {
     val newSh = Dedup.shingles(newDocs, n)
       .where(size(col("shingle_set")) > 0)
       .cache()
-    val newBands = bandRowsFromShingles(newSh, k, bands)
+    val newBands = bandRowsFromShingles(newSh, k, bands).cache()
     val a = newBands.as("a")
-    // batch × index: either orientation (a batch doc can be the lower
-    // OR higher id), normalized to d1 < d2
-    val cross = a.join(index.as("b"),
+    // ONE probe join: the batch bands against (index ∪ batch bands) —
+    // covers batch×prior in either id orientation AND batch×batch
+    // (within-batch pairs emit in both orders; the least/greatest
+    // normalization + dedupe collapses them). One join + one shuffle
+    // where the two-join spelling (cross, within, union) paid three.
+    val rhs = index.select("doc_id", "band", "bucket")
+      .unionByName(newBands.select("doc_id", "band", "bucket"))
+    val cands = a.join(rhs.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-    // batch × batch: the new docs also dedup among themselves
-    val within = a.join(newBands.as("c"),
-        col("a.band") === col("c.band") && col("a.bucket") === col("c.bucket") &&
-          col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("c.doc_id").as("d2"))
-    val cands = cross.union(within).dropDuplicates("d1", "d2")
+      .dropDuplicates("d1", "d2")
     // exact-Jaccard verification: shingle only the prior docs that
     // actually appear in a candidate pair (semi-join), plus the batch
     val candIds = cands

@@ -251,6 +251,76 @@ object Similarity {
         <= eps2Q)
       .select("p", "q")
       .cache()
+    dbscanTail(base.select("vec_id"), half, minPts)
+  }
+
+  /** Bucketed DBSCAN — the scale-safe front end the exact [[dbscan]]
+    * scaladoc promises: candidate ε-pairs are generated ONLY within IVF
+    * coarse-quantizer cells (the same deterministic 32-seed assignment
+    * as `ivfTopKCosine` / [[semDedup]]), then fed into the identical
+    * core/CC/border tail. Pair generation drops from Ω(n²) to
+    * Σ_cell |cell|² ≈ n²/nCells (and at 100 TB the corpus is
+    * hash-partitioned by cell id, so each cell's self-join is
+    * co-located — no corpus×corpus shuffle ever materializes).
+    *
+    * The trade is recall at cell boundaries: an ε-pair split across two
+    * cells is not seen, so neighbor counts are lower bounds — some
+    * exact-core points demote to border/noise and clusters can split.
+    * That trade is MEASURED, not argued: `sim_dbscan_bucketed_agreement`
+    * cross-tabulates this operator's role/cluster labels against the
+    * exact spelling's, the same discipline as `sim_ann_recall_ivf`.
+    *
+    * MULTI-PROBE indexing (`nProbe`, default 4): each vector is indexed
+    * into its `nProbe` nearest cells (the exact probe spelling of
+    * `ivfTopKCosine` — descending (score, idx) struct sort), and a pair
+    * is a candidate if the probe sets intersect. Single-probe at small
+    * cells starves ε-neighborhoods below minPts and demotes most cores;
+    * multi-probe recovers boundary pairs at P²/nCells of the quadratic
+    * cost. Candidates sharing several cells are DISTINCT-deduped before
+    * the mirror. Zero-norm vectors (no direction → no probe cells) get
+    * no candidates → `noise`.
+    */
+  def dbscanBucketed(corpus: DataFrame, eps2Q: Long, minPts: Int,
+      nCells: Int = 32, nProbe: Int = 4): DataFrame = {
+    val quant = quantizedCorpus(corpus)
+    val cents = seedCentroids(corpus, nCells)
+    val centsLit = centsLiteral(cents)
+    val probeCells = slice(reverse(array_sort(
+      transform(centsLit, c => struct(
+        cellScore(col("cv"), col("cn"), c).as("s"),
+        c.getField("i").as("i"))))),
+      1, nProbe)
+    val probed = quant
+      .where(col("cn") > 0)
+      .withColumn("nq", normQ(col("cv")))
+      .withColumn("cell", explode(probeCells.getField("i")))
+      .select("n_id", "cv", "nq", "cell")
+      .cache()
+    val a = probed.select(col("cell"),
+      col("n_id").as("p"), col("cv").as("v1"), col("nq").as("n1"))
+    val b = probed.select(col("cell"),
+      col("n_id").as("q"), col("cv").as("v2"), col("nq").as("n2"))
+    // cached before the mirror for the same 2×-scan reason as dbscan's
+    val half = a.join(b, Seq("cell"))
+      .where(col("p") < col("q"))
+      .where(col("n1") + col("n2") - lit(2) * dotQ(col("v1"), col("v2"))
+        <= eps2Q)
+      .select("p", "q")
+      .distinct()
+      .cache()
+    dbscanTail(quant.select(col("n_id").as("vec_id")), half, minPts)
+  }
+
+  /** Shared DBSCAN tail: symmetric-mirror the deduped ε-pair list,
+    * count neighbors, threshold cores, CC-label the core-core graph,
+    * min-cluster border assignment. The density semantics live entirely
+    * here — exact and bucketed front ends differ only in which pairs
+    * they surface. `base` must expose `vec_id` (the full point set);
+    * `half` the (p < q) ε-pairs, ALREADY CACHED by the caller (the
+    * union mirror scans it twice).
+    */
+  private def dbscanTail(base: DataFrame, half: DataFrame,
+      minPts: Int): DataFrame = {
     val pairs = half
       .unionByName(half.select(col("q").as("p"), col("p").as("q")))
       .cache()

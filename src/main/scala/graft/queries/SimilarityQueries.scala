@@ -633,9 +633,16 @@ object SimilarityQueries {
     * quantized units ≈ the 1st percentile of pairwise distances,
     * minPts = 8): exact integer ε test, CC cluster labels, deterministic
     * min-cluster border assignment — see [[graft.ops.Similarity.dbscan]]
-    * for the contract and the sketch-front-end scale path. The oracle
-    * restates the definition: quadratic ε-pairs, degree threshold, and
-    * a recursive-CTE closure over the core-core graph.
+    * for the contract. The oracle restates the definition: quadratic
+    * ε-pairs, degree threshold, and a recursive-CTE closure over the
+    * core-core graph.
+    *
+    * SMALL-DATA CORRECTNESS BASELINE ONLY: the ε-pair generation here
+    * is the exact Ω(n²) contract. The production 100 TB spelling is
+    * `sim_dbscan_bucketed` (IVF-cell candidate generation, same tail);
+    * this exact spelling exists so the bucketed one's boundary-recall
+    * trade can be measured (`sim_dbscan_bucketed_agreement`), exactly
+    * as `sim_topk` anchors the ANN recall rows.
     */
   def simDbscan(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.dbscan(table(spark, sfDir, "embeddings"),
@@ -685,6 +692,108 @@ object SimilarityQueries {
       |LEFT JOIN corelab cl ON cl.vec_id = d.vec_id
       |LEFT JOIN borderlab bl ON bl.vec_id = d.vec_id
       |ORDER BY d.vec_id""".stripMargin
+
+  /** `sim_dbscan_bucketed` — the PRODUCTION DBSCAN spelling: candidate
+    * ε-pairs only within IVF coarse-quantizer cells (the shared
+    * deterministic 32-seed assignment), identical core/CC/border tail —
+    * see [[graft.ops.Similarity.dbscanBucketed]] for the n²/nCells
+    * scale contract. Same ε²/minPts as `sim_dbscan` so the agreement
+    * row measures exactly what the cell blocking trades away. The
+    * oracle composes the shared `IvfAssignSql` prefix with the same
+    * recursive-CTE density tail as the exact oracle.
+    */
+  def simDbscanBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.dbscanBucketed(table(spark, sfDir, "embeddings"),
+        eps2Q = 145000000L, minPts = 8)
+      .orderBy("vec_id")
+
+  val simDbscanBucketedSql: String =
+    IvfAssignSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """, dprob AS (
+      |  SELECT vec_id, unnest(list_transform(
+      |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, 4), r -> r.i)) AS cell
+      |  FROM scores WHERE nrm > 0 GROUP BY vec_id
+      |), bpair AS (
+      |  SELECT DISTINCT px.vec_id AS p, py.vec_id AS q
+      |  FROM dprob px
+      |  JOIN dprob py ON px.cell = py.cell AND px.vec_id < py.vec_id
+      |  JOIN vn x ON x.vec_id = px.vec_id
+      |  JOIN vn y ON y.vec_id = py.vec_id
+      |  WHERE list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(x.qv AS DOUBLE[]))
+      |      + list_dot_product(CAST(y.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+      |      - 2 * list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+      |      <= 145000000
+      |), dpairs AS (
+      |  SELECT p, q FROM bpair UNION ALL SELECT q AS p, p AS q FROM bpair
+      |), ddeg AS (
+      |  SELECT v.vec_id, COALESCE(c.nn, 0) AS n_neighbors
+      |  FROM v LEFT JOIN (SELECT p, COUNT(*) AS nn FROM dpairs GROUP BY p) c
+      |    ON c.p = v.vec_id
+      |), dcore AS (
+      |  SELECT vec_id FROM ddeg WHERE n_neighbors + 1 >= 8
+      |), dcedges AS (
+      |  SELECT p, q FROM dpairs
+      |  WHERE p IN (SELECT vec_id FROM dcore) AND q IN (SELECT vec_id FROM dcore)
+      |), dreach AS (
+      |  SELECT vec_id AS n, vec_id AS m FROM dcore
+      |  UNION
+      |  SELECT r.n, c.q FROM dreach r JOIN dcedges c ON r.m = c.p
+      |), dcorelab AS (
+      |  SELECT n AS vec_id, MIN(m) AS cluster FROM dreach GROUP BY n
+      |), dborderlab AS (
+      |  SELECT p.p AS vec_id, MIN(cl.cluster) AS bcluster
+      |  FROM dpairs p JOIN dcorelab cl ON cl.vec_id = p.q
+      |  WHERE p.p NOT IN (SELECT vec_id FROM dcore)
+      |  GROUP BY p.p
+      |)
+      |SELECT d.vec_id, CAST(d.n_neighbors AS BIGINT) AS n_neighbors,
+      |       CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+      |            WHEN bl.vec_id IS NOT NULL THEN 'border'
+      |            ELSE 'noise' END AS role,
+      |       CASE WHEN cl.vec_id IS NOT NULL THEN cl.cluster
+      |            ELSE bl.bcluster END AS cluster
+      |FROM ddeg d
+      |LEFT JOIN dcorelab cl ON cl.vec_id = d.vec_id
+      |LEFT JOIN dborderlab bl ON bl.vec_id = d.vec_id
+      |ORDER BY d.vec_id""".stripMargin
+
+  /** `sim_dbscan_bucketed_agreement` — the measured boundary-recall
+    * trade: cross-tabulation of the exact vs bucketed DBSCAN role
+    * labels (n points per (role_exact, role_bucketed) cell, plus how
+    * many agree on the cluster label too). The sketch-evaluation
+    * discipline of `sim_ann_recall_ivf` applied to density clustering:
+    * the off-diagonal cells ARE the points the cell blocking demoted.
+    * Scale: both inputs are per-point label sets — the join and rollup
+    * are linear; the expensive side is the exact baseline, which is
+    * precisely the thing this report exists to retire at scale.
+    */
+  def simDbscanBucketedAgreement(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val exact = simDbscan(spark, sfDir).select(col("vec_id"),
+      col("role").as("role_exact"), col("cluster").as("cluster_exact"))
+    val bucketed = simDbscanBucketed(spark, sfDir).select(col("vec_id"),
+      col("role").as("role_bucketed"), col("cluster").as("cluster_bucketed"))
+    exact.join(bucketed, "vec_id")
+      .groupBy("role_exact", "role_bucketed")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cluster_exact") <=> col("cluster_bucketed"), 1L)
+          .otherwise(0L)).as("same_cluster"))
+      .orderBy("role_exact", "role_bucketed")
+  }
+
+  val simDbscanBucketedAgreementSql: String =
+    s"""WITH ex AS (
+       |$simDbscanSql
+       |), bk AS (
+       |$simDbscanBucketedSql
+       |)
+       |SELECT ex.role AS role_exact, bk.role AS role_bucketed,
+       |       CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(SUM(CASE WHEN ex.cluster IS NOT DISTINCT FROM bk.cluster
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS same_cluster
+       |FROM ex JOIN bk ON ex.vec_id = bk.vec_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     // maxHamming=6 covers every planted near-dup at the gate SF with the
