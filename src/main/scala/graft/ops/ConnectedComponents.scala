@@ -27,13 +27,31 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Driver-local fast-path bound: an edge list at or below this count
+    * is collected and closed with union-find on the driver (≤ ~8 MB of
+    * long pairs) instead of paying the iterative loop's per-round fixed
+    * job overhead — the bounded-model-artifact doctrine of the bow-tie
+    * condensation closure, here made ADAPTIVE: the count is measured,
+    * never assumed, and anything larger runs the distributed loop
+    * unchanged. On the sandbox's 2 000-node DBSCAN core graphs the
+    * distributed loop was 7–8 s of wall-clock (≈1 s × rounds of tiny
+    * jobs) for a graph union-find closes in milliseconds.
+    */
+  val LocalEdgeThreshold = 500000L
+
   def resolve(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     // cache the forward edges BEFORE the self-union: union branches get
     // no common-subexpression elimination, so an uncached `pairs` plan
     // (here: the entire upstream near-dup pipeline) would execute twice
     // to fill the edges cache
     val fwd = pairs.select(col(aCol).as("n"), col(bCol).as("m")).cache()
+    if (fwd.count() <= localThreshold) {
+      val collected = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      fwd.unpersist()
+      return resolveLocal(pairs.sparkSession, collected)
+    }
     val edges = fwd
       .unionByName(fwd.select(col("m").as("n"), col("n").as("m")))
       .distinct()
@@ -94,6 +112,43 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIters rounds — " +
         "component diameter exceeds maxIters")
     labels.select(col("n").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Union-find closure of a DRIVER-BOUNDED edge list — union-by-min
+    * root (attaching the larger root under the smaller keeps the root
+    * equal to the component's minimum id) with path compression, so the
+    * label contract is IDENTICAL to the distributed loop's: every node
+    * appearing in the edges, labeled with its component's min id. The
+    * result is a LocalRelation (sorted by doc_id), so downstream joins
+    * against it broadcast instead of shuffling.
+    */
+  private def resolveLocal(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      parent.keys.toArray.sorted
+        .map(n => org.apache.spark.sql.Row(n, find(n))).toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** The O(log n)-round spelling: alternating LARGE-STAR / SMALL-STAR

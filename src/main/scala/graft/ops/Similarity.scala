@@ -233,31 +233,43 @@ object Similarity {
       blocks: Int = 8): DataFrame = {
     val base = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nq", normQ(col("v")))
-      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
       .cache()
-    val partners = array((0 until blocks).map(lit): _*)
-    val a = base.select(col("vec_id").as("p"), col("v").as("v1"),
-      col("nq").as("n1"), col("blk").as("b1"), explode(partners).as("b2"))
-    val b = base.select(col("vec_id").as("q"), col("v").as("v2"),
-      col("nq").as("n2"), col("blk").as("b2"), explode(partners).as("b1"))
     // cache BEFORE the self-union mirror: union branches get no
     // common-subexpression elimination, so an uncached `half` would run
     // the entire quadratic ε-scoring join TWICE (the
     // ConnectedComponents.resolve fwd-edges doctrine — measured 2×
     // wall-clock on the gated corpus)
-    val half = a.join(b, Seq("b1", "b2"))
+    val half = blockedEpsHalf(base, eps2Q, blocks).cache()
+    dbscanTail(base.select("vec_id"), half, minPts)
+  }
+
+  /** Exact blocked ε-pair generation shared by [[dbscan]] and
+    * [[dbscanAgreementLabels]]: `base` needs (`vec_id`, `v`, `nq`
+    * = |v|² as BIGINT) and SHOULD be cached by the caller (both sides
+    * of the quadratic self-join scan it). Returns the (p < q) half-pair
+    * list, NOT cached — callers cache it before the mirror.
+    */
+  private def blockedEpsHalf(base: DataFrame, eps2Q: Long,
+      blocks: Int): DataFrame = {
+    val blocked = base
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+    val partners = array((0 until blocks).map(lit): _*)
+    val a = blocked.select(col("vec_id").as("p"), col("v").as("v1"),
+      col("nq").as("n1"), col("blk").as("b1"), explode(partners).as("b2"))
+    val b = blocked.select(col("vec_id").as("q"), col("v").as("v2"),
+      col("nq").as("n2"), col("blk").as("b2"), explode(partners).as("b1"))
+    a.join(b, Seq("b1", "b2"))
       .where(col("p") < col("q"))
       .where(col("n1") + col("n2") - lit(2) * dotQ(col("v1"), col("v2"))
         <= eps2Q)
       .select("p", "q")
-      .cache()
-    dbscanTail(base.select("vec_id"), half, minPts)
   }
 
   /** Bucketed DBSCAN — the scale-safe front end the exact [[dbscan]]
     * scaladoc promises: candidate ε-pairs are generated ONLY within IVF
-    * coarse-quantizer cells (the same deterministic 32-seed assignment
-    * as `ivfTopKCosine` / [[semDedup]]), then fed into the identical
+    * coarse-quantizer cells (the same deterministic lowest-id seeding
+    * as `ivfTopKCosine` / [[semDedup]], with a CORPUS-DERIVED cell
+    * count — see GEOMETRY below), then fed into the identical
     * core/CC/border tail. Pair generation drops from Ω(n²) to
     * Σ_cell |cell|² ≈ n²/nCells (and at 100 TB the corpus is
     * hash-partitioned by cell id, so each cell's self-join is
@@ -270,61 +282,277 @@ object Similarity {
     * cross-tabulates this operator's role/cluster labels against the
     * exact spelling's, the same discipline as `sim_ann_recall_ivf`.
     *
-    * MULTI-PROBE indexing (`nProbe`, default 4): each vector is indexed
-    * into its `nProbe` nearest cells (the exact probe spelling of
-    * `ivfTopKCosine` — descending (score, idx) struct sort), and a pair
-    * is a candidate if the probe sets intersect. Single-probe at small
-    * cells starves ε-neighborhoods below minPts and demotes most cores;
-    * multi-probe recovers boundary pairs at P²/nCells of the quadratic
-    * cost. Candidates sharing several cells are DISTINCT-deduped before
-    * the mirror. Zero-norm vectors (no direction → no probe cells) get
-    * no candidates → `noise`.
+    * MULTI-PROBE indexing (`nProbe`, default [[DbscanNProbe]]): each
+    * vector is indexed into its `nProbe` nearest cells (the exact probe
+    * spelling of `ivfTopKCosine` — descending (score, idx) struct
+    * sort), and a pair is a candidate if the probe sets intersect.
+    * Single-probe at small cells starves ε-neighborhoods below minPts
+    * and demotes most cores; multi-probe recovers boundary pairs at
+    * nProbe²/nCells of the quadratic cost. Candidates sharing several
+    * cells are DISTINCT-deduped before the mirror. Zero-norm vectors
+    * (no direction → no probe cells) get no candidates → `noise`.
+    *
+    * GEOMETRY (`nCells` = 0 → derived, see [[dbscanNCells]]): the cell
+    * count scales with the corpus as 2·nProbe·⌈√n⌉ — the classic IVF
+    * sizing that balances the n·nCells assignment scan against the
+    * n²·nProbe²/nCells within-cell pairs, giving O(n^1.5·nProbe) total
+    * work instead of a fixed constant-factor cut. The round-11 fixed
+    * nCells=32 was measured at only a ~2× pair reduction at sf0.1 and
+    * LOST to the exact spelling; the derived geometry's reduction grows
+    * as √n/nProbe and is REPORTED, not asserted, by
+    * [[dbscanCandidateStats]] (`sim_dbscan_candidate_stats`).
     */
   def dbscanBucketed(corpus: DataFrame, eps2Q: Long, minPts: Int,
-      nCells: Int = 32, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 0, nProbe: Int = DbscanNProbe): DataFrame = {
+    val quant = quantizedCorpus(corpus).cache()
+    val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
+    val probed = probeAssign(quant, cells, nProbe).cache()
+    // cached before the mirror for the same 2×-scan reason as dbscan's
+    val half = bucketEpsHalf(probed, eps2Q).cache()
+    dbscanTail(quant.select(col("n_id").as("vec_id")), half, minPts,
+      pairsDistinct = false)
+  }
+
+  /** Default probe count for the bucketed DBSCAN family. Chosen by a
+    * measured (nProbe, nCells) sweep on the gate corpora: nProbe=4
+    * (round 11) kept only 97/259 exact cores at the derived cell count
+    * — below the agreement floor — while nProbe=6 keeps 193/259 at
+    * sf0.01 and 1935/2000 at sf0.1 with an 8.7×/16× candidate-pair
+    * reduction (see `sim_dbscan_candidate_stats` for the live numbers).
+    */
+  val DbscanNProbe = 6
+
+  /** Corpus-derived IVF cell count for [[dbscanBucketed]]:
+    * nCells = 2·nProbe·⌈√n⌉, floored at 4·nProbe² so nProbe² stays
+    * well below nCells even on tiny corpora. The cost balance
+    * (assignment n·nCells centroid scores vs within-cell pairs
+    * ≈ n²·nProbe²/nCells) has its optimum at nCells = nProbe·√n; the
+    * 2× over-provision buys half the candidate pairs at the measured
+    * recall above — per-candidate work (shuffle + distinct + ε dot) is
+    * the pricier unit, and the assignment scan is a narrow map. Both
+    * engines derive the SAME value from the corpus row count, so the
+    * oracle restates it as
+    * GREATEST(4·nProbe², 2·nProbe·ceil(sqrt(n))).
+    */
+  def dbscanNCells(n: Long, nProbe: Int = DbscanNProbe): Int =
+    math.max(4 * nProbe * nProbe,
+      2 * nProbe * math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Multi-probe IVF cell assignment over the quantized corpus: one row
+    * per (vector, probe cell) — (`n_id`, `cv`, `nq` = |v|² BIGINT,
+    * `cell`), zero-norm vectors dropped (no direction → no probes).
+    * Centroids are the `nCells` lowest-id corpus vectors (the shared
+    * deterministic seeding); probing is the descending (score, idx)
+    * order of `ivfTopKCosine`, computed by the native codegen kernel
+    * [[graft.functions.LongArrayProbeCells]] — the interpreted
+    * struct-sort HOF spelling cost 31 s at the corpus-derived geometry
+    * (540 cells × 2000 vectors at sf0.1); the kernel runs the same
+    * O(nCells·dim) scoring as primitive codegen flops (spec-pinned
+    * equal to the HOF spelling in Round12OpsSpec).
+    */
+  private def probeAssign(quant: DataFrame, nCells: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+      StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val cents = seedCentroidsFromQuant(quant, nCells)
+    // the centroid matrix rides a BROADCAST one-row frame, not a plan
+    // literal: at the corpus-derived geometry (540 cells × 64 dims at
+    // sf0.1) an inline matrix — whether nCells·dim `lit` nodes (~35k
+    // expression nodes, ~20 s of Catalyst analysis per run) or one
+    // Literal.create constant (re-serialized into every job's plan;
+    // measured ~1.5 s/query of driver overhead across the tail's jobs)
+    // — taxes every optimizer pass. The broadcast ships the matrix to
+    // executors ONCE and keeps the plan O(1) in nCells, which is also
+    // the only workable shape for a 100 TB corpus where a codebook can
+    // be megabytes.
+    val centsDf = quant.sparkSession.createDataFrame(
+      List(org.apache.spark.sql.Row(
+        cents.map(_._2.toSeq).toSeq,
+        cents.map { case (_, cv) =>
+          math.sqrt(cv.map(x => x.toDouble * x).sum) }.toSeq)).asJava,
+      StructType(Seq(
+        StructField("cents_m", ArrayType(ArrayType(LongType)),
+          nullable = false),
+        StructField("cents_n", ArrayType(DoubleType), nullable = false))))
+    quant
+      .where(col("cn") > 0)
+      .crossJoin(broadcast(centsDf))
+      .withColumn("nq", normQ(col("cv")))
+      .withColumn("cell", explode(graft.functions.LongArrayProbeCells
+        .probeCells(col("cv"), col("cents_m"), col("cents_n"), nProbe)))
+      .select("n_id", "cv", "nq", "cell")
+  }
+
+  /** Spec access to the kernel-backed probe assignment (n_id, cell). */
+  private[graft] def probeCellsForSpec(corpus: DataFrame, nCells: Int,
+      nProbe: Int): DataFrame =
+    probeAssign(quantizedCorpus(corpus), nCells, nProbe)
+      .select("n_id", "cell")
+
+  /** The interpreted HOF spelling of the probe assignment — reference
+    * semantics [[graft.functions.LongArrayProbeCells]] is spec-tested
+    * against; not on any hot path. Takes the same quantized-corpus
+    * projection as [[probeAssign]].
+    */
+  private[graft] def probeCellsRef(corpus: DataFrame, nCells: Int,
+      nProbe: Int): DataFrame = {
     val quant = quantizedCorpus(corpus)
-    val cents = seedCentroids(corpus, nCells)
-    val centsLit = centsLiteral(cents)
+    val centsLit = centsLiteral(seedCentroidsFromQuant(quant, nCells))
     val probeCells = slice(reverse(array_sort(
       transform(centsLit, c => struct(
         cellScore(col("cv"), col("cn"), c).as("s"),
         c.getField("i").as("i"))))),
       1, nProbe)
-    val probed = quant
+    quant
       .where(col("cn") > 0)
-      .withColumn("nq", normQ(col("cv")))
       .withColumn("cell", explode(probeCells.getField("i")))
-      .select("n_id", "cv", "nq", "cell")
-      .cache()
+      .select("n_id", "cell")
+  }
+
+  /** Within-cell candidate generation + exact ε test: the bucketed
+    * half-pair list, WITH multiplicity — a pair sharing k probe cells
+    * appears k times; the tail is multiplicity-insensitive when called
+    * with `pairsDistinct = false` (see [[dbscanTail]]), which saves a
+    * standalone DISTINCT exchange. `probed` SHOULD be cached by the
+    * caller (both sides of the per-cell self-join scan it). At 100 TB
+    * the corpus is hash-partitioned by `cell`, so each cell's self-join
+    * is co-located — no corpus×corpus shuffle ever materializes.
+    */
+  private def bucketEpsHalf(probed: DataFrame, eps2Q: Long): DataFrame = {
     val a = probed.select(col("cell"),
       col("n_id").as("p"), col("cv").as("v1"), col("nq").as("n1"))
     val b = probed.select(col("cell"),
       col("n_id").as("q"), col("cv").as("v2"), col("nq").as("n2"))
-    // cached before the mirror for the same 2×-scan reason as dbscan's
-    val half = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .where(col("p") < col("q"))
       .where(col("n1") + col("n2") - lit(2) * dotQ(col("v1"), col("v2"))
         <= eps2Q)
       .select("p", "q")
-      .distinct()
-      .cache()
-    dbscanTail(quant.select(col("n_id").as("vec_id")), half, minPts)
   }
 
-  /** Shared DBSCAN tail: symmetric-mirror the deduped ε-pair list,
+  /** Seed centroids from an ALREADY-QUANTIZED corpus projection — the
+    * `nCells` lowest n_ids' `cv` vectors; identical to [[seedCentroids]]
+    * (same quantization, same ordering), just skipping the re-quantize.
+    */
+  private def seedCentroidsFromQuant(quant: DataFrame,
+      nCells: Int): Array[(Long, Array[Long])] = quant
+    .orderBy("n_id").limit(nCells)
+    .select(col("n_id"), col("cv"))
+    .collect()
+    .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
+  /** MEASURED candidate-reduction evidence for [[dbscanBucketed]] — one
+    * row: corpus size, the derived geometry, the full-quadratic pair
+    * count n(n−1)/2, the DISTINCT probe-sharing candidate-pair count the
+    * bucketed spelling actually ε-tests, and how many of those pass ε.
+    * total_pairs/candidate_pairs IS the blocking reduction (grows as
+    * ~nCells/nProbe² ∝ √n/nProbe under the derived geometry) — reported
+    * from the data, not asserted in a scaladoc. Linear + per-cell work
+    * only: the exact quadratic side is ARITHMETIC (n(n−1)/2), never
+    * materialized.
+    */
+  def dbscanCandidateStats(corpus: DataFrame, eps2Q: Long,
+      nCells: Int = 0, nProbe: Int = DbscanNProbe): DataFrame = {
+    val quant = quantizedCorpus(corpus).cache()
+    val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
+    val probed = probeAssign(quant, cells, nProbe).cache()
+    // distinct candidate ids first (the 100 TB shape: dedup on the
+    // narrow (p, q) pairs, re-join vectors for the ε test after)
+    val cand = probed.select(col("cell"), col("n_id").as("p"))
+      .join(probed.select(col("cell"), col("n_id").as("q")), Seq("cell"))
+      .where(col("p") < col("q"))
+      .select("p", "q").distinct()
+    val vecs = quant.select(col("n_id"), col("cv"),
+      normQ(col("cv")).as("nq"))
+    val withVec = cand
+      .join(vecs.select(col("n_id").as("p"), col("cv").as("v1"),
+        col("nq").as("n1")), "p")
+      .join(vecs.select(col("n_id").as("q"), col("cv").as("v2"),
+        col("nq").as("n2")), "q")
+    val pairAgg = withVec.agg(
+      count(lit(1)).as("candidate_pairs"),
+      coalesce(sum(when(col("n1") + col("n2")
+          - lit(2) * dotQ(col("v1"), col("v2")) <= eps2Q, 1L)
+        .otherwise(0L)), lit(0L)).as("eps_pairs"))
+    quant.agg(count(lit(1)).as("n_points"))
+      .crossJoin(broadcast(pairAgg))
+      .select(col("n_points"),
+        lit(cells.toLong).as("n_cells"),
+        lit(nProbe.toLong).as("n_probe"),
+        shiftright(col("n_points") * (col("n_points") - lit(1)), 1)
+          .as("total_pairs"),
+        col("candidate_pairs"), col("eps_pairs"))
+  }
+
+  /** Exact-vs-bucketed DBSCAN labels from ONE shared pass — the
+    * agreement evaluation's engine. The naive spelling ran both
+    * pipelines from scratch (two corpus scans, two full pair
+    * generations — the most expensive query in the round-11 sweep);
+    * this one exploits the containment the Round11OpsSpec pins:
+    * bucketed candidates = exact ε-pairs ∩ "shares a probe cell", so
+    * the bucketed half-pair list is a semi-join of the CACHED exact
+    * half-pairs against the probe assignment — the quadratic ε scoring
+    * runs ONCE. Both label sets then run the identical
+    * core/CC/border tail. Output: one row per point,
+    * (vec_id, role_exact, cluster_exact, role_bucketed,
+    * cluster_bucketed).
+    */
+  def dbscanAgreementLabels(corpus: DataFrame, eps2Q: Long, minPts: Int,
+      nCells: Int = 0, nProbe: Int = DbscanNProbe,
+      blocks: Int = 8): DataFrame = {
+    val quant = quantizedCorpus(corpus).cache()
+    val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
+    val eb = quant.select(col("n_id").as("vec_id"), col("cv").as("v"))
+      .withColumn("nq", normQ(col("v")))
+      .cache()
+    val exactHalf = blockedEpsHalf(eb, eps2Q, blocks).cache()
+    // cached: both the p-side and the q-side of the semi-join scan it
+    val probed = probeAssign(quant, cells, nProbe).cache()
+    val bucketHalf = exactHalf
+      .join(probed.select(col("n_id").as("p"), col("cell")), "p")
+      .join(probed.select(col("n_id").as("q"), col("cell")), Seq("q", "cell"))
+      .select("p", "q")
+      .cache()
+    val base = quant.select(col("n_id").as("vec_id"))
+    val ex = dbscanTail(base, exactHalf, minPts)
+      .select(col("vec_id"), col("role").as("role_exact"),
+        col("cluster").as("cluster_exact"))
+    val bk = dbscanTail(base, bucketHalf, minPts, pairsDistinct = false)
+      .select(col("vec_id").as("vid_b"), col("role").as("role_bucketed"),
+        col("cluster").as("cluster_bucketed"))
+    // fresh alias (vid_b) on the bucketed side: both tails share the
+    // cached `base` lineage, and a USING join on vec_id would trip
+    // Spark's ambiguous-self-join detection
+    ex.join(bk, col("vec_id") === col("vid_b"))
+      .drop("vid_b")
+  }
+
+  /** Shared DBSCAN tail: symmetric-mirror the (p < q) ε-pair list,
     * count neighbors, threshold cores, CC-label the core-core graph,
     * min-cluster border assignment. The density semantics live entirely
     * here — exact and bucketed front ends differ only in which pairs
     * they surface. `base` must expose `vec_id` (the full point set);
     * `half` the (p < q) ε-pairs, ALREADY CACHED by the caller (the
     * union mirror scans it twice).
+    *
+    * `pairsDistinct = false` admits a half list with REPEATED pairs
+    * (the bucketed front end emits one row per shared probe cell): the
+    * degree count switches to count_distinct, and every other consumer
+    * is multiplicity-insensitive by construction — CC dedups edges
+    * (distributed) / union-find ignores repeats (local), and the border
+    * label is a MIN. Folding the dedup into the degree aggregate saves
+    * the standalone DISTINCT exchange the round-11 spelling paid
+    * between candidate generation and the tail.
     */
   private def dbscanTail(base: DataFrame, half: DataFrame,
-      minPts: Int): DataFrame = {
+      minPts: Int, pairsDistinct: Boolean = true): DataFrame = {
     val pairs = half
       .unionByName(half.select(col("q").as("p"), col("p").as("q")))
       .cache()
-    val cnt = pairs.groupBy("p").agg(count(lit(1)).as("nn"))
+    val cnt = pairs.groupBy("p").agg(
+      (if (pairsDistinct) count(lit(1))
+       else count_distinct(col("q"))).as("nn"))
     val deg = base.select("vec_id")
       .join(cnt.withColumnRenamed("p", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("nn"), lit(0L)).as("n_neighbors"))

@@ -44,13 +44,50 @@ import org.apache.spark.sql.graft.Bridge
   */
 object StronglyConnectedComponents {
 
+  /** Driver-local fast-path bound, the [[ConnectedComponents]]
+    * doctrine applied to SCC: a deduped edge list at or below this
+    * count is collected and resolved with iterative Tarjan on the
+    * driver — one linear pass instead of the FB-coloring loop's
+    * per-round fixed job overhead (measured ~4–5 s of tiny jobs on the
+    * ≤625-edge nation trade graph). The bound is MEASURED via
+    * limit(threshold+1), never assumed; larger graphs run the
+    * distributed peeling loop unchanged. Only edge-endpoint labels are
+    * computed locally — isolated nodes keep `scc_id = node` through a
+    * left join, so the node set itself is never collected.
+    */
+  val LocalEdgeThreshold = 500000L
+
   /** @param nodes one column `node` (long); singletons allowed
     * @param edges columns `src`, `dst` (long), directed
     * @return (`node`, `scc_id`) with scc_id = min member id of the SCC
     */
   def resolve(nodes: DataFrame, edges: DataFrame,
-      maxOuter: Int = 40, maxInner: Int = 50): DataFrame = {
+      maxOuter: Int = 40, maxInner: Int = 50,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val spark = nodes.sparkSession
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().cache()
+    // ONE job: grab threshold+1 rows; a short read means we already
+    // hold the complete edge list and can close it locally
+    val grabbed = e0.limit(localThreshold.toInt + 1).collect()
+    if (grabbed.length <= localThreshold) {
+      e0.unpersist()
+      val lab = tarjanLabels(grabbed.map(r => (r.getLong(0), r.getLong(1))))
+      import scala.jdk.CollectionConverters._
+      val labDf = spark.createDataFrame(
+        lab.toArray.sortBy(_._1)
+          .map { case (n, s) => org.apache.spark.sql.Row(n, s) }.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("lab_scc",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return nodes.select(col("node")).distinct()
+        .join(labDf, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("lab_scc"), col("node")).as("scc_id"))
+    }
+    e0.unpersist()
     var remaining = nodes.select(col("node")).distinct().localCheckpoint(true)
     var out = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -163,5 +200,73 @@ object StronglyConnectedComponents {
     if (nRemaining > 0) throw new IllegalStateException(
       s"SCC did not converge in $maxOuter peeling rounds")
     out
+  }
+
+  /** Iterative Tarjan over a DRIVER-BOUNDED edge list: (node → scc_id)
+    * for every edge endpoint, scc_id = MIN member id (computed while
+    * popping the component — Tarjan's root is the DFS root, not the
+    * minimum, so the label is derived, matching the distributed
+    * contract exactly). Explicit frame stack, no recursion — the edge
+    * bound caps depth but a half-million-node path would overflow the
+    * JVM stack recursively.
+    */
+  private[graft] def tarjanLabels(
+      edges: Array[(Long, Long)]): scala.collection.mutable.Map[Long, Long] = {
+    import scala.collection.mutable
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    val nodes = mutable.LinkedHashSet.empty[Long]
+    for ((s, d) <- edges) {
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      nodes += s
+      nodes += d
+    }
+    val index = mutable.Map.empty[Long, Int]
+    val lowlink = mutable.Map.empty[Long, Int]
+    val onStack = mutable.Set.empty[Long]
+    val stack = mutable.ArrayBuffer.empty[Long]
+    val labels = mutable.Map.empty[Long, Long]
+    var counter = 0
+    val empty = mutable.ArrayBuffer.empty[Long]
+    for (root <- nodes if !index.contains(root)) {
+      // frame = (node, next child offset)
+      val frames = mutable.ArrayBuffer[(Long, Int)]((root, 0))
+      while (frames.nonEmpty) {
+        val (v, ci) = frames.remove(frames.length - 1)
+        if (ci == 0) {
+          index(v) = counter; lowlink(v) = counter; counter += 1
+          stack += v; onStack += v
+        }
+        val kids = adj.getOrElse(v, empty)
+        var i = ci
+        var descended = false
+        while (i < kids.length && !descended) {
+          val w = kids(i)
+          if (!index.contains(w)) {
+            frames += ((v, i + 1))
+            frames += ((w, 0))
+            descended = true
+          } else {
+            if (onStack(w)) lowlink(v) = math.min(lowlink(v), index(w))
+            i += 1
+          }
+        }
+        if (!descended) {
+          if (lowlink(v) == index(v)) {
+            // pop the SCC, label with its min id
+            var minId = Long.MaxValue
+            val members = mutable.ArrayBuffer.empty[Long]
+            var w = 0L
+            while ({ w = stack.remove(stack.length - 1); onStack -= w
+              members += w; if (w < minId) minId = w; w != v }) ()
+            for (m <- members) labels(m) = minId
+          }
+          if (frames.nonEmpty) {
+            val (parent, _) = frames(frames.length - 1)
+            lowlink(parent) = math.min(lowlink(parent), lowlink(v))
+          }
+        }
+      }
+    }
+    labels
   }
 }

@@ -2169,10 +2169,21 @@ object GraphQueries {
       .withColumnRenamed("scc_id", "s1")
     val lab2 = scc.withColumnRenamed("node", "dst")
       .withColumnRenamed("scc_id", "s2")
-    val condensation = edges.join(lab, "src").join(lab2, "dst")
+    // guard the driver-bounded assumption instead of just documenting
+    // it (round-11 advice): grab bound+1 rows in ONE job — a short read
+    // proves the condensation is complete and collectable; overflow
+    // fails loudly with the doctrine pointer rather than silently
+    // ballooning the driver
+    val condBound = 1000000
+    val condRows = edges.join(lab, "src").join(lab2, "dst")
       .where(col("s1") =!= col("s2"))
       .select("s1", "s2").distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .limit(condBound + 1).collect()
+    if (condRows.length > condBound) throw new IllegalStateException(
+      s"graph_bowtie: SCC condensation exceeds $condBound edges — not " +
+        "driver-bounded; close reachability with the frontier-BFS " +
+        "spelling of graph_reachability instead")
+    val condensation = condRows.map(r => (r.getLong(0), r.getLong(1)))
     // core scc: most members, ties to the smaller id — one tiny agg
     val coreId = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("scc_id")).limit(1)

@@ -29,11 +29,19 @@ object ProfileQueries {
     * `n_distinct` is a plain `count` of the already-distinct groups.
     * No `Expand`: the multi-`countDistinct` single-aggregate spelling
     * plans 6× the input rows through the shuffle (one Expand branch per
-    * distinct column — measured 4.1 s vs ~0.9 s for this spelling at
-    * sf0.1), and the union-of-per-column-aggregates spelling scans the
-    * table once per column; at 100 TB either difference is the whole
-    * game. Profiles that can tolerate estimates swap in the HLL of
-    * SketchQueries.olapHllDistinct and keep a single aggregate.
+    * distinct column — measured 4.1 s vs 1.5 s in-sweep for this
+    * spelling at sf0.1; the residual 1.5 s is the 6× melt before the
+    * first map-side combine), and the union-of-per-column-aggregates
+    * spelling scans the table once per column; at 100 TB either
+    * difference is the whole game. Profiles that can tolerate estimates
+    * swap in the HLL of SketchQueries.olapHllDistinct and keep a single
+    * aggregate.
+    *
+    * EMPTY-INPUT SHAPE: an empty orders table yields ZERO rows (the
+    * melt emits nothing), not one zero-count row per column as the
+    * pre-round-11 single-aggregate spelling did — callers needing
+    * per-column rows on empty input right-join onto the literal
+    * col_name list.
     */
   def etlProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val specs = Seq(

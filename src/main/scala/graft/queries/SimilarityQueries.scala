@@ -629,6 +629,17 @@ object SimilarityQueries {
       |FROM assigned a LEFT JOIN reps r ON r.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  /** Shared DBSCAN-family configuration — ONE definition feeding both
+    * the Scala calls and the DuckDB oracle strings, so the two
+    * spellings cannot desync (round-11 advice: the bucketed oracle
+    * duplicated nProbe / ε² / nCells as magic literals). ε² ≈ the 1st
+    * percentile of pairwise quantized distances at the gate SF.
+    */
+  private val DbscanEps2Q = 145000000L
+  private val DbscanMinPts = 8
+  private val DbscanNProbe = Similarity.DbscanNProbe
+  private val DbscanMinCells = 4 * DbscanNProbe * DbscanNProbe
+
   /** `sim_dbscan` — DBSCAN over the embeddings table (ε² = 1.45e8 in
     * quantized units ≈ the 1st percentile of pairwise distances,
     * minPts = 8): exact integer ε test, CC cluster labels, deterministic
@@ -646,11 +657,11 @@ object SimilarityQueries {
     */
   def simDbscan(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.dbscan(table(spark, sfDir, "embeddings"),
-        eps2Q = 145000000L, minPts = 8)
+        eps2Q = DbscanEps2Q, minPts = DbscanMinPts)
       .orderBy("vec_id")
 
   val simDbscanSql: String =
-    """WITH RECURSIVE e AS (
+    s"""WITH RECURSIVE e AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
@@ -660,13 +671,13 @@ object SimilarityQueries {
       |  WHERE list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
       |      + list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
       |      - 2 * list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
-      |      <= 145000000
+      |      <= $DbscanEps2Q
       |), deg AS (
       |  SELECT e.vec_id, COALESCE(c.nn, 0) AS n_neighbors
       |  FROM e LEFT JOIN (SELECT p, COUNT(*) AS nn FROM pairs GROUP BY p) c
       |    ON c.p = e.vec_id
       |), core AS (
-      |  SELECT vec_id FROM deg WHERE n_neighbors + 1 >= 8
+      |  SELECT vec_id FROM deg WHERE n_neighbors + 1 >= $DbscanMinPts
       |), cedges AS (
       |  SELECT p, q FROM pairs
       |  WHERE p IN (SELECT vec_id FROM core) AND q IN (SELECT vec_id FROM core)
@@ -694,26 +705,74 @@ object SimilarityQueries {
       |ORDER BY d.vec_id""".stripMargin
 
   /** `sim_dbscan_bucketed` — the PRODUCTION DBSCAN spelling: candidate
-    * ε-pairs only within IVF coarse-quantizer cells (the shared
-    * deterministic 32-seed assignment), identical core/CC/border tail —
-    * see [[graft.ops.Similarity.dbscanBucketed]] for the n²/nCells
-    * scale contract. Same ε²/minPts as `sim_dbscan` so the agreement
-    * row measures exactly what the cell blocking trades away. The
-    * oracle composes the shared `IvfAssignSql` prefix with the same
-    * recursive-CTE density tail as the exact oracle.
+    * ε-pairs only within IVF coarse-quantizer cells at the
+    * CORPUS-DERIVED geometry (nCells = GREATEST(4·nProbe²,
+    * nProbe·⌈√n⌉) — [[graft.ops.Similarity.dbscanNCells]]), identical
+    * core/CC/border tail — see [[graft.ops.Similarity.dbscanBucketed]]
+    * for the O(n^1.5·nProbe) scale contract and
+    * `sim_dbscan_candidate_stats` for the MEASURED pair reduction. Same
+    * ε²/minPts as `sim_dbscan` so the agreement row measures exactly
+    * what the cell blocking trades away. The oracle composes the
+    * dynamic-geometry assign prefix ([[dbscanAssignSql]]) with the same
+    * recursive-CTE density tail as the exact oracle; every shared
+    * constant (ε², minPts, nProbe, the cell formula) is interpolated
+    * from ONE Scala definition.
     */
   def simDbscanBucketed(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.dbscanBucketed(table(spark, sfDir, "embeddings"),
-        eps2Q = 145000000L, minPts = 8)
+        eps2Q = DbscanEps2Q, minPts = DbscanMinPts)
       .orderBy("vec_id")
 
+  /** IVF assignment prefix with the CORPUS-DERIVED cell count of
+    * [[graft.ops.Similarity.dbscanNCells]] — the DBSCAN-family sibling
+    * of the fixed-32 [[IvfAssignSql]], built as a proper
+    * `WITH [RECURSIVE]` variant instead of string surgery on the shared
+    * prefix. CTEs: v (quantized), vn (norms), prm (derived ncells),
+    * cents (lowest-id seeds, row_number ≤ ncells), scores (guarded
+    * cosine per (vector, centroid) with the −2.0 / strict-> /
+    * lowest-index-tie kernel semantics).
+    */
+  private def dbscanAssignSql(recursive: Boolean): String = {
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$kw v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), vn AS (
+       |  SELECT vec_id, qv,
+       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS nrm
+       |  FROM v
+       |), prm AS (
+       |  SELECT GREATEST($DbscanMinCells, 2 * $DbscanNProbe * CAST(ceil(sqrt(count(*))) AS BIGINT)) AS ncells
+       |  FROM v
+       |), cents AS (
+       |  SELECT rn - 1 AS ci, qv AS cv,
+       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS cnrm
+       |  FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+       |  WHERE rn <= (SELECT ncells FROM prm)
+       |), scores AS (
+       |  SELECT vn.vec_id, vn.nrm, c.ci,
+       |         CASE WHEN vn.nrm > 0 AND c.cnrm > 0
+       |              THEN list_dot_product(CAST(vn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) / (vn.nrm * c.cnrm)
+       |              ELSE -2.0 END AS s
+       |  FROM vn CROSS JOIN cents c
+       |)""".stripMargin
+  }
+
+  /** The shared multi-probe CTE (top-nProbe cells per vector by the
+    * descending (s, i) struct sort) — appended after [[dbscanAssignSql]]
+    * by both the bucketed oracle and the candidate-stats oracle.
+    */
+  private def dbscanProbeSql: String =
+    s""", dprob AS (
+       |  SELECT vec_id, unnest(list_transform(
+       |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, $DbscanNProbe), r -> r.i)) AS cell
+       |  FROM scores WHERE nrm > 0 GROUP BY vec_id
+       |)""".stripMargin
+
   val simDbscanBucketedSql: String =
-    IvfAssignSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
-    """, dprob AS (
-      |  SELECT vec_id, unnest(list_transform(
-      |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, 4), r -> r.i)) AS cell
-      |  FROM scores WHERE nrm > 0 GROUP BY vec_id
-      |), bpair AS (
+    dbscanAssignSql(recursive = true) + dbscanProbeSql +
+    s""", bpair AS (
       |  SELECT DISTINCT px.vec_id AS p, py.vec_id AS q
       |  FROM dprob px
       |  JOIN dprob py ON px.cell = py.cell AND px.vec_id < py.vec_id
@@ -722,7 +781,7 @@ object SimilarityQueries {
       |  WHERE list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(x.qv AS DOUBLE[]))
       |      + list_dot_product(CAST(y.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
       |      - 2 * list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
-      |      <= 145000000
+      |      <= $DbscanEps2Q
       |), dpairs AS (
       |  SELECT p, q FROM bpair UNION ALL SELECT q AS p, p AS q FROM bpair
       |), ddeg AS (
@@ -730,7 +789,7 @@ object SimilarityQueries {
       |  FROM v LEFT JOIN (SELECT p, COUNT(*) AS nn FROM dpairs GROUP BY p) c
       |    ON c.p = v.vec_id
       |), dcore AS (
-      |  SELECT vec_id FROM ddeg WHERE n_neighbors + 1 >= 8
+      |  SELECT vec_id FROM ddeg WHERE n_neighbors + 1 >= $DbscanMinPts
       |), dcedges AS (
       |  SELECT p, q FROM dpairs
       |  WHERE p IN (SELECT vec_id FROM dcore) AND q IN (SELECT vec_id FROM dcore)
@@ -766,20 +825,25 @@ object SimilarityQueries {
     * Scale: both inputs are per-point label sets — the join and rollup
     * are linear; the expensive side is the exact baseline, which is
     * precisely the thing this report exists to retire at scale.
+    *
+    * Cost: ONE shared pass
+    * ([[graft.ops.Similarity.dbscanAgreementLabels]]) — the exact
+    * ε-pairs are generated once and the bucketed side is a semi-join of
+    * that cached pair list against the probe assignment (bucketed
+    * candidates ⊆ exact ε-pairs, the containment Round11OpsSpec pins).
+    * The round-11 spelling recomputed BOTH full pipelines from scratch
+    * and was the slowest query in the sweep (13.4 s); the shared pass
+    * pays the quadratic scoring once.
     */
   def simDbscanBucketedAgreement(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val exact = simDbscan(spark, sfDir).select(col("vec_id"),
-      col("role").as("role_exact"), col("cluster").as("cluster_exact"))
-    val bucketed = simDbscanBucketed(spark, sfDir).select(col("vec_id"),
-      col("role").as("role_bucketed"), col("cluster").as("cluster_bucketed"))
-    exact.join(bucketed, "vec_id")
+      sfDir: String): DataFrame =
+    Similarity.dbscanAgreementLabels(table(spark, sfDir, "embeddings"),
+        eps2Q = DbscanEps2Q, minPts = DbscanMinPts)
       .groupBy("role_exact", "role_bucketed")
       .agg(count(lit(1)).as("n"),
         sum(when(col("cluster_exact") <=> col("cluster_bucketed"), 1L)
           .otherwise(0L)).as("same_cluster"))
       .orderBy("role_exact", "role_bucketed")
-  }
 
   val simDbscanBucketedAgreementSql: String =
     s"""WITH ex AS (
@@ -794,6 +858,45 @@ object SimilarityQueries {
        |FROM ex JOIN bk ON ex.vec_id = bk.vec_id
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+
+  /** `sim_dbscan_candidate_stats` — the MEASURED candidate-pair
+    * reduction of the bucketed DBSCAN's derived geometry (one row:
+    * n_points, n_cells, n_probe, total_pairs = n(n−1)/2,
+    * candidate_pairs actually ε-tested, eps_pairs passing) — see
+    * [[graft.ops.Similarity.dbscanCandidateStats]]. total_pairs /
+    * candidate_pairs is the blocking reduction the round-11 verdict
+    * asked to evidence rather than assert; it grows as ~√n/nProbe under
+    * the derived geometry. The quadratic side is arithmetic, never
+    * materialized — the query itself is linear + per-cell work.
+    */
+  def simDbscanCandidateStats(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Similarity.dbscanCandidateStats(table(spark, sfDir, "embeddings"),
+      eps2Q = DbscanEps2Q)
+
+  val simDbscanCandidateStatsSql: String =
+    dbscanAssignSql(recursive = false) + dbscanProbeSql +
+    s""", cand AS (
+       |  SELECT DISTINCT px.vec_id AS p, py.vec_id AS q
+       |  FROM dprob px
+       |  JOIN dprob py ON px.cell = py.cell AND px.vec_id < py.vec_id
+       |), ce AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
+       |         CAST(COALESCE(SUM(CASE WHEN
+       |             list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(x.qv AS DOUBLE[]))
+       |           + list_dot_product(CAST(y.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+       |           - 2 * list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+       |           <= $DbscanEps2Q THEN 1 ELSE 0 END), 0) AS BIGINT) AS eps_pairs
+       |  FROM cand JOIN vn x ON x.vec_id = cand.p JOIN vn y ON y.vec_id = cand.q
+       |), np AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM v
+       |)
+       |SELECT np.n_points,
+       |       (SELECT CAST(ncells AS BIGINT) FROM prm) AS n_cells,
+       |       CAST($DbscanNProbe AS BIGINT) AS n_probe,
+       |       CAST(np.n_points * (np.n_points - 1) // 2 AS BIGINT) AS total_pairs,
+       |       ce.candidate_pairs, ce.eps_pairs
+       |FROM np CROSS JOIN ce""".stripMargin
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     // maxHamming=6 covers every planted near-dup at the gate SF with the

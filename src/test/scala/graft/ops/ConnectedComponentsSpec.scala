@@ -36,8 +36,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("exhausting maxIters fails loudly instead of returning a split component") {
     import spark.implicits._
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    // localThreshold = 0 forces the distributed loop — the driver-local
+    // union-find fast path needs no iterations and would succeed
     intercept[IllegalStateException] {
-      ConnectedComponents.resolve(pairs, "d1", "d2", maxIters = 3)
+      ConnectedComponents.resolve(pairs, "d1", "d2", maxIters = 3,
+        localThreshold = 0)
     }
   }
 
