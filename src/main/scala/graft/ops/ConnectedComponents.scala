@@ -42,16 +42,20 @@ object ConnectedComponents {
   def resolve(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    // ONE job decides the path AND (when short) delivers the data:
+    // limit(threshold+1) either returns the complete edge list — closed
+    // locally, no cache ever built — or proves it exceeds the bound
+    val fwd0 = pairs.select(col(aCol).as("n"), col(bCol).as("m"))
+    val grabbed = fwd0.limit(localThreshold.toInt + 1).collect()
+    if (grabbed.length <= localThreshold) {
+      return resolveLocal(pairs.sparkSession,
+        grabbed.map(r => (r.getLong(0), r.getLong(1))))
+    }
     // cache the forward edges BEFORE the self-union: union branches get
     // no common-subexpression elimination, so an uncached `pairs` plan
     // (here: the entire upstream near-dup pipeline) would execute twice
     // to fill the edges cache
-    val fwd = pairs.select(col(aCol).as("n"), col(bCol).as("m")).cache()
-    if (fwd.count() <= localThreshold) {
-      val collected = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
-      fwd.unpersist()
-      return resolveLocal(pairs.sparkSession, collected)
-    }
+    val fwd = fwd0.cache()
     val edges = fwd
       .unionByName(fwd.select(col("m").as("n"), col("n").as("m")))
       .distinct()

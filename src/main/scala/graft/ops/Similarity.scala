@@ -304,12 +304,16 @@ object Similarity {
     */
   def dbscanBucketed(corpus: DataFrame, eps2Q: Long, minPts: Int,
       nCells: Int = 0, nProbe: Int = DbscanNProbe): DataFrame = {
-    val quant = quantizedCorpus(corpus).cache()
-    val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
-    val probed = probeAssign(quant, cells, nProbe).cache()
+    // ONE cache — the probed frame every downstream consumer scans.
+    // The sizing count and the point-id base read the corpus directly
+    // (column-pruned parquet scans: the count touches no vector data,
+    // the base only vec_id); the quantized projection is consumed once
+    // into `probed`, so a second cache would only add a fill.
+    val cells = if (nCells > 0) nCells else dbscanNCells(corpus.count(), nProbe)
+    val probed = probeAssign(quantizedCorpus(corpus), cells, nProbe).cache()
     // cached before the mirror for the same 2×-scan reason as dbscan's
     val half = bucketEpsHalf(probed, eps2Q).cache()
-    dbscanTail(quant.select(col("n_id").as("vec_id")), half, minPts,
+    dbscanTail(corpus.select(col("vec_id")), half, minPts,
       pairsDistinct = false)
   }
 
@@ -454,16 +458,15 @@ object Similarity {
     */
   def dbscanCandidateStats(corpus: DataFrame, eps2Q: Long,
       nCells: Int = 0, nProbe: Int = DbscanNProbe): DataFrame = {
-    val quant = quantizedCorpus(corpus).cache()
-    val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
-    val probed = probeAssign(quant, cells, nProbe).cache()
+    val cells = if (nCells > 0) nCells else dbscanNCells(corpus.count(), nProbe)
+    val probed = probeAssign(quantizedCorpus(corpus), cells, nProbe).cache()
     // distinct candidate ids first (the 100 TB shape: dedup on the
     // narrow (p, q) pairs, re-join vectors for the ε test after)
     val cand = probed.select(col("cell"), col("n_id").as("p"))
       .join(probed.select(col("cell"), col("n_id").as("q")), Seq("cell"))
       .where(col("p") < col("q"))
       .select("p", "q").distinct()
-    val vecs = quant.select(col("n_id"), col("cv"),
+    val vecs = quantizedCorpus(corpus).select(col("n_id"), col("cv"),
       normQ(col("cv")).as("nq"))
     val withVec = cand
       .join(vecs.select(col("n_id").as("p"), col("cv").as("v1"),
@@ -475,7 +478,7 @@ object Similarity {
       coalesce(sum(when(col("n1") + col("n2")
           - lit(2) * dotQ(col("v1"), col("v2")) <= eps2Q, 1L)
         .otherwise(0L)), lit(0L)).as("eps_pairs"))
-    quant.agg(count(lit(1)).as("n_points"))
+    corpus.agg(count(lit(1)).as("n_points"))
       .crossJoin(broadcast(pairAgg))
       .select(col("n_points"),
         lit(cells.toLong).as("n_cells"),
@@ -501,20 +504,20 @@ object Similarity {
   def dbscanAgreementLabels(corpus: DataFrame, eps2Q: Long, minPts: Int,
       nCells: Int = 0, nProbe: Int = DbscanNProbe,
       blocks: Int = 8): DataFrame = {
-    val quant = quantizedCorpus(corpus).cache()
-    val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
-    val eb = quant.select(col("n_id").as("vec_id"), col("cv").as("v"))
+    val cells = if (nCells > 0) nCells else dbscanNCells(corpus.count(), nProbe)
+    val eb = quantizedCorpus(corpus)
+      .select(col("n_id").as("vec_id"), col("cv").as("v"))
       .withColumn("nq", normQ(col("v")))
       .cache()
     val exactHalf = blockedEpsHalf(eb, eps2Q, blocks).cache()
     // cached: both the p-side and the q-side of the semi-join scan it
-    val probed = probeAssign(quant, cells, nProbe).cache()
+    val probed = probeAssign(quantizedCorpus(corpus), cells, nProbe).cache()
     val bucketHalf = exactHalf
       .join(probed.select(col("n_id").as("p"), col("cell")), "p")
       .join(probed.select(col("n_id").as("q"), col("cell")), Seq("q", "cell"))
       .select("p", "q")
       .cache()
-    val base = quant.select(col("n_id").as("vec_id"))
+    val base = corpus.select(col("vec_id"))
     val ex = dbscanTail(base, exactHalf, minPts)
       .select(col("vec_id"), col("role").as("role_exact"),
         col("cluster").as("cluster_exact"))

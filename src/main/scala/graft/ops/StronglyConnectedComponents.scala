@@ -65,13 +65,14 @@ object StronglyConnectedComponents {
       maxOuter: Int = 40, maxInner: Int = 50,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val spark = nodes.sparkSession
-    val e0 = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct().cache()
-    // ONE job: grab threshold+1 rows; a short read means we already
-    // hold the complete edge list and can close it locally
-    val grabbed = e0.limit(localThreshold.toInt + 1).collect()
+    // ONE job: grab threshold+1 deduped edges; a short read means we
+    // already hold the complete edge list and can close it locally (no
+    // cache — the distributed loop re-derives its per-round edge set
+    // from `edges` anyway)
+    val grabbed = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .limit(localThreshold.toInt + 1).collect()
     if (grabbed.length <= localThreshold) {
-      e0.unpersist()
       val lab = tarjanLabels(grabbed.map(r => (r.getLong(0), r.getLong(1))))
       import scala.jdk.CollectionConverters._
       val labDf = spark.createDataFrame(
@@ -87,7 +88,6 @@ object StronglyConnectedComponents {
         .select(col("node"),
           coalesce(col("lab_scc"), col("node")).as("scc_id"))
     }
-    e0.unpersist()
     var remaining = nodes.select(col("node")).distinct().localCheckpoint(true)
     var out = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
