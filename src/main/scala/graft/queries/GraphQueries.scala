@@ -53,7 +53,7 @@ object GraphQueries {
     * reference when the caller finally executes. <= 625 rows — the
     * session keeps it (one copy per (session, sfDir) via [[edgeMemo]]).
     */
-  private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def tradeEdges(spark: SparkSession, sfDir: String): DataFrame =
     edgeMemo.computeIfAbsent((spark, sfDir, false),
       _ => deriveTradeEdges(spark, sfDir))
 
@@ -234,8 +234,81 @@ object GraphQueries {
     * All divisions are integral (DIV), so the result is bit-identical
     * to the unrolled integer-arithmetic oracle.
     */
-  private[graft] def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  /** Driver-local damped-rank fixed point over a BOUNDED weighted edge
+    * list — the exact integer arithmetic of the distributed loops in
+    * [[pagerank]] / [[graphPagerankWeighted]] / [[graphPpr]], replayed
+    * on the driver: per edge (s, d, w) the contribution is
+    * (rank(s)·w) DIV totw(s); next(v) = base(v) + (850·Σc) DIV 1000.
+    * Unweighted is the w = 1 special case ((rank·1) DIV deg =
+    * rank DIV deg, the pre-divide spelling — same floors). Only
+    * edge-ENDPOINT ranks are computed; callers coalesce non-endpoint
+    * nodes to base(v) (they receive no mass and their own mass never
+    * reaches an edge). Same doctrine as the Tarjan/union-find fast
+    * paths: the trade graph is SCHEMA-bounded (≤ |nations|² edges
+    * derived by one distributed hash-agg from lineitem — the 100 TB
+    * side), so the fixed point is a bounded model artifact; each
+    * caller guards the bound with a measured limit(bound+1) grab.
+    */
+  private def dampedRankLocal(edges: Array[(Long, Long, Long)],
+      init: Long => Long, base: Long => Long,
+      iters: Int): Array[(Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val totw = edges.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    var rank = nodes.map(n => n -> init(n)).toMap
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((s, d, w) <- edges)
+        sums(d) += rank(s) * w / totw(s)
+      rank = nodes.map(n => n -> (base(n) + 850L * sums(n) / 1000L)).toMap
+    }
+    nodes.map(n => (n, rank(n)))
+  }
+
+  /** (node, lrank) LocalRelation from a driver-resolved rank vector —
+    * broadcast-joined back onto the full node set by the callers.
+    */
+  private def localRankDf(spark: SparkSession,
+      ranks: Array[(Long, Long)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      ranks.map { case (n, r) => org.apache.spark.sql.Row(n, r) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lrank",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Bound for the damped-rank local fast paths — measured per call
+    * via limit(bound+1), never assumed (the graphBowtie guard
+    * doctrine).
+    */
+  private val LocalRankEdgeBound = 500000
+
+  /** `localBound` = 0 disables the driver-local fast path — the spec
+    * hook that pins the distributed loop's plan contract (no
+    * LocalRelation leaves) independently of the default adaptive
+    * behavior.
+    */
+  private[graft] def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      localBound: Int = LocalRankEdgeBound): DataFrame = {
     val nodeIds = nodes.select(col("node").cast("long").as("node"))
+    val grabbed =
+      if (localBound > 0)
+        edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .limit(localBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localBound > 0 && grabbed.length <= localBound) {
+      val es = grabbed.map(r => (r.getLong(0), r.getLong(1), 1L))
+      val lab = localRankDf(nodes.sparkSession,
+        dampedRankLocal(es, _ => 1000000L, _ => 150000L, iters))
+      return nodeIds
+        .join(broadcast(lab), Seq("node"), "left")
+        .select(col("node"), coalesce(col("lrank"),
+          lit(if (iters == 0) 1000000L else 150000L)).as("rank"))
+    }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").cast("long").as("src"), col("deg"))
       .localCheckpoint(true)
@@ -562,6 +635,23 @@ object GraphQueries {
     val wedges = tradeEdgesWeighted(spark, sfDir)
     val nodes = table(spark, sfDir, "nation")
       .select(col("n_nationkey").cast("long").as("node"))
+    // driver-local fast path: the weighted generalization of the
+    // pagerank one — per-edge mass (rank·cnt) DIV totw (see
+    // dampedRankLocal); measured bound, distributed loop unchanged
+    // above it
+    val grabbedW = wedges
+      .select(col("src").cast("long"), col("dst").cast("long"), col("cnt"))
+      .limit(LocalRankEdgeBound + 1).collect()
+    if (grabbedW.length <= LocalRankEdgeBound) {
+      val es = grabbedW.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val lab = localRankDf(spark,
+        dampedRankLocal(es, _ => 1000000L, _ => 150000L, Iters))
+      return nodes
+        .join(broadcast(lab), Seq("node"), "left")
+        .select(col("node").as("nationkey"),
+          coalesce(col("lrank"), lit(150000L)).as("rank"))
+        .orderBy(desc("rank"), col("nationkey"))
+    }
     val nodeIds = nodes.localCheckpoint(true)
     val totw = wedges.groupBy("src").agg(sum(col("cnt")).as("tw"))
       .localCheckpoint(true)
@@ -639,9 +729,57 @@ object GraphQueries {
     */
   def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir)
-    val nodes = table(spark, sfDir, "nation")
+    val nodes0 = table(spark, sfDir, "nation")
       .select(col("n_nationkey").cast("long").as("node"))
-      .localCheckpoint(true)
+    // driver-local fast path (the dampedRankLocal doctrine): the exact
+    // integer half-steps — auth(d) = Σ hub(s) then ×1e6 DIV max, hub
+    // symmetric — replayed over the bounded edge list. Non-endpoint
+    // nodes hold 0 after the first half-step (propagate's left-join
+    // coalesce), so only endpoint scores are computed and the output
+    // coalesces the rest to 0; the max over endpoints IS the global
+    // max (scores are non-negative).
+    val grabbedH = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(LocalRankEdgeBound + 1).collect()
+    if (grabbedH.length <= LocalRankEdgeBound && HitsIters > 0) {
+      val es = grabbedH.map(r => (r.getLong(0), r.getLong(1)))
+      val endpoints = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      def half(from: Map[Long, Long], rev: Boolean): Map[Long, Long] = {
+        val sums = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((s, d) <- es) {
+          if (rev) sums(s) += from(d) else sums(d) += from(s)
+        }
+        val raw = endpoints.map(n => n -> sums(n)).toMap
+        val mx = raw.values.max
+        if (mx > 0) raw.view.mapValues(v => v * 1000000L / mx).toMap
+        else raw
+      }
+      var hub = endpoints.map(n => n -> 1000000L).toMap
+      var auth = Map.empty[Long, Long]
+      for (_ <- 1 to HitsIters) {
+        auth = half(hub, rev = false)
+        hub = half(auth, rev = true)
+      }
+      import scala.jdk.CollectionConverters._
+      val lab = spark.createDataFrame(
+        endpoints.map(n =>
+          org.apache.spark.sql.Row(n, hub(n), auth(n))).toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("lhub",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("lauth",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return nodes0
+        .join(broadcast(lab), Seq("node"), "left")
+        .select(col("node").as("nationkey"),
+          coalesce(col("lhub"), lit(0L)).as("hub_1e6"),
+          coalesce(col("lauth"), lit(0L)).as("auth_1e6"))
+        .orderBy(desc("hub_1e6"), col("nationkey"))
+    }
+    val nodes = nodes0.localCheckpoint(true)
     // CHECKPOINT each half-step (the pagerank doctrine): every
     // half-step references its input vector twice (the rescale's max
     // aggregate + the join side), so without lineage truncation the
@@ -1776,6 +1914,28 @@ object GraphQueries {
       .select(col("n_nationkey").cast("long").as("node"))
     val edges = tradeEdges(spark, sfDir)
     val seeds = Seq(0L, 7L)
+    // driver-local fast path (dampedRankLocal): init = base = the
+    // teleport vector — seeds split 15% of n·1e6, everyone else 0;
+    // non-endpoint nodes keep exactly their teleport mass
+    val grabbedP = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(LocalRankEdgeBound + 1).collect()
+    if (grabbedP.length <= LocalRankEdgeBound) {
+      val es = grabbedP.map(r => (r.getLong(0), r.getLong(1), 1L))
+      val nTotL = nodes.count()
+      val teleOf = (n: Long) =>
+        if (seeds.contains(n)) 150000L * nTotL / seeds.size else 0L
+      val lab = localRankDf(spark,
+        dampedRankLocal(es, teleOf, teleOf, Iters))
+      return nodes
+        .join(broadcast(lab), Seq("node"), "left")
+        .select(col("node").as("nationkey"),
+          coalesce(col("lrank"),
+            when(col("node").isin(seeds: _*),
+              lit(150000L * nTotL / seeds.size)).otherwise(lit(0L)))
+            .as("rank"))
+        .orderBy(desc("rank"), col("nationkey"))
+    }
     val nTot = nodes.agg(count(lit(1)).as("n"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").cast("long").as("src"), col("deg"))
@@ -1860,11 +2020,60 @@ object GraphQueries {
     * landmark set as `roots` (Eppstein–Wang estimation) — the state
     * shape and round structure don't change, only |roots|.
     */
-  def graphCloseness(spark: SparkSession, sfDir: String): DataFrame = {
-    val nodes = table(spark, sfDir, "nation")
-      .select(col("n_nationkey").cast("long").as("node"))
-    val edges = tradeEdges(spark, sfDir)
-    val n = nodes.count()
+  /** All-pairs min-hop closure (root, node, dist) of the trade graph —
+    * the shared state behind closeness / harmonic / eccentricity (one
+    * spelling, so the three centralities cannot drift on BFS
+    * semantics; previously each carried its own copy of the loop).
+    *
+    * Driver-local fast path under the dampedRankLocal doctrine: when
+    * BOTH the edge list and the node list prove bounded (measured
+    * limit(bound+1) grabs), plain per-root BFS on the driver builds
+    * the LocalRelation directly — the distributed frontier loop paid
+    * ~40 tiny fingerprint-checked rounds (~2.5 s each query) for a
+    * ≤ |nations|²-row answer. Above either bound: the same
+    * min-aggregate frontier-expansion loop as before (the
+    * graph_reachability doctrine — graph_bfs keeps the anchored
+    * distributed single-source spelling).
+    */
+  private def allPairsHops(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val grabbedE = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(LocalRankEdgeBound + 1).collect()
+    val grabbedN =
+      if (grabbedE.length <= LocalRankEdgeBound)
+        nodes.select(col("node").cast("long"))
+          .limit(LocalRankEdgeBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (grabbedE.length <= LocalRankEdgeBound &&
+        grabbedN.nonEmpty && grabbedN.length <= LocalRankEdgeBound) {
+      val adj = grabbedE.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val ns = grabbedN.map(_.getLong(0)).sorted
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      for (root <- ns) {
+        val dist = scala.collection.mutable.Map(root -> 0L)
+        var frontier = Seq(root)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long])
+            .filterNot(dist.contains)).distinct
+          next.foreach(w => dist(w) = dist(frontier.head) + 1)
+          frontier = next
+        }
+        for ((nd, d) <- dist.toSeq.sortBy(_._1))
+          rows += org.apache.spark.sql.Row(root, nd, d)
+      }
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("root",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dist",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     var reach = nodes
       .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -1889,7 +2098,15 @@ object GraphQueries {
     }
     if (!converged) throw new IllegalStateException(
       "multi-source BFS did not converge in 40 rounds")
-    reach.groupBy("root")
+    reach
+  }
+
+  def graphCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = tradeEdges(spark, sfDir)
+    val n = nodes.count()
+    allPairsHops(nodes, edges).groupBy("root")
       .agg(count(lit(1)).as("n_reached"), sum("dist").as("total_dist"))
       .select(col("root").as("nationkey"), col("n_reached"),
         col("total_dist"),
@@ -1951,31 +2168,7 @@ object GraphQueries {
       .select(col("n_nationkey").cast("long").as("node"))
     val edges = tradeEdges(spark, sfDir)
     val n = nodes.count()
-    var reach = nodes
-      .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
-    var fingerprint = (-1L, -1L)
-    var converged = false
-    var it = 0
-    while (!converged && it < 40) {
-      val cand = reach
-        .join(edges.withColumnRenamed("src", "node"), "node")
-        .select(col("root"), col("dst").as("node"),
-          (col("dist") + 1L).as("dist"))
-      val next = reach.unionByName(cand)
-        .groupBy("root", "node").agg(min("dist").as("dist"))
-        .localCheckpoint(false)
-      val fp = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head
-      val nfp = (fp.getLong(0), fp.getLong(1))
-      converged = nfp == fingerprint
-      fingerprint = nfp
-      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(reach)
-      reach = next
-      it += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      "multi-source BFS did not converge in 40 rounds")
-    reach.where(col("dist") > 0)
+    allPairsHops(nodes, edges).where(col("dist") > 0)
       .groupBy("root")
       .agg(sum(expr(s"${L}L div dist")).cast("long").as("harmonic_sc"),
         count(lit(1)).as("n_reached"))
@@ -2026,31 +2219,7 @@ object GraphQueries {
     val nodes = table(spark, sfDir, "nation")
       .select(col("n_nationkey").cast("long").as("node"))
     val edges = tradeEdges(spark, sfDir)
-    var reach = nodes
-      .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
-    var fingerprint = (-1L, -1L)
-    var converged = false
-    var it = 0
-    while (!converged && it < 40) {
-      val cand = reach
-        .join(edges.withColumnRenamed("src", "node"), "node")
-        .select(col("root"), col("dst").as("node"),
-          (col("dist") + 1L).as("dist"))
-      val next = reach.unionByName(cand)
-        .groupBy("root", "node").agg(min("dist").as("dist"))
-        .localCheckpoint(false)
-      val fp = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head
-      val nfp = (fp.getLong(0), fp.getLong(1))
-      converged = nfp == fingerprint
-      fingerprint = nfp
-      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(reach)
-      reach = next
-      it += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      "multi-source BFS did not converge in 40 rounds")
-    val ecc = reach.groupBy("root")
+    val ecc = allPairsHops(nodes, edges).groupBy("root")
       .agg(max("dist").as("ecc"), count(lit(1)).as("n_reached"))
     val bounds = ecc.agg(max("ecc").as("diameter"), min("ecc").as("radius"))
     ecc.crossJoin(broadcast(bounds))

@@ -179,10 +179,18 @@ object StatQueries {
       .select(col("l_returnflag").as("g"),
         col("l_quantity").cast(DecimalType(18, 2)).as("x"),
         col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
-    val rx = rank().over(Window.partitionBy("g").orderBy("x"))
-    val tx = count(lit(1)).over(Window.partitionBy("g", "x"))
-    val ry = rank().over(Window.partitionBy("g").orderBy("y"))
-    val ty = count(lit(1)).over(Window.partitionBy("g", "y"))
+    // tie size = the peer-group count under the SAME (g, order-by-x)
+    // window as the rank — a RANGE CURRENT ROW frame counts exactly the
+    // rows tied with this one. One Window operator (one exchange + one
+    // sort) per axis; the earlier partitionBy(g, x) spelling forced a
+    // second hash exchange per axis for the same number (4 shuffles of
+    // the full table → 2, measured 3.7 → 2.2 s in-sweep at sf0.1).
+    val wx = Window.partitionBy("g").orderBy("x")
+    val wy = Window.partitionBy("g").orderBy("y")
+    val rx = rank().over(wx)
+    val tx = count(lit(1)).over(wx.rangeBetween(Window.currentRow, Window.currentRow))
+    val ry = rank().over(wy)
+    val ty = count(lit(1)).over(wy.rangeBetween(Window.currentRow, Window.currentRow))
     val ranked = li
       .withColumn("r2x", (lit(2) * rx + tx - 1).cast(LongType))
       .withColumn("r2y", (lit(2) * ry + ty - 1).cast(LongType))

@@ -1892,7 +1892,10 @@ object TextQueries {
         .select(col("doc_id"), col("lm_score_1e6").as("s4")),
       textPerplexity(spark, sfDir)
         .select(col("doc_id"), col("ppl_log2_1e6").as("s5")))
-    val joined = sigs.reduce(_.join(_, "doc_id"))
+    // cached: the threshold aggregate AND the final flag projection both
+    // consume the full five-pipeline join — uncached, every signal's
+    // tokenize/score pipeline would run twice (measured ~2× wall-clock)
+    val joined = sigs.reduce(_.join(_, "doc_id")).cache()
     val thExprs = (1 to 5).flatMap(i => Seq(
       percentile(col(s"s$i"), lit(0.1)).as(s"lo$i"),
       percentile(col(s"s$i"), lit(0.9)).as(s"hi$i")))

