@@ -871,10 +871,33 @@ object GraphQueries {
       .select(col("n_nationkey").cast("long").as("node"))
     // undirected neighbor relation: both orientations, deduped so a
     // mutual preferred pair still casts ONE vote per neighbor
-    val bidir = e.select(col("src").as("u"), col("dst").as("v"))
+    val bidir0 = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .localCheckpoint()
+    // driver-local fast path (the dampedRankLocal doctrine): replay the
+    // LpaIters argmax rounds — max vote count, ties to the SMALLEST
+    // label — over the bounded sparsified edge list; non-endpoint
+    // nodes never receive a vote and keep their own id
+    val grabbedL = bidir0.limit(LocalRankEdgeBound + 1).collect()
+    if (grabbedL.length <= LocalRankEdgeBound) {
+      val es = grabbedL.map(r => (r.getLong(0), r.getLong(1)))
+      val endpoints = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      var lbl = endpoints.map(n => n -> n).toMap
+      for (_ <- 1 to LpaIters) {
+        val votes = es.groupBy(_._2).view.mapValues { in =>
+          in.groupBy(p => lbl(p._1)).view.mapValues(_.length)
+            .toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }.toMap
+        lbl = endpoints.map(n => n -> votes.getOrElse(n, lbl(n))).toMap
+      }
+      return nodes
+        .join(broadcast(localRankDf(spark,
+          endpoints.map(n => (n, lbl(n))))), Seq("node"), "left")
+        .select(col("node").as("nationkey"),
+          coalesce(col("lrank"), col("node")).as("community"))
+        .orderBy("nationkey")
+    }
+    val bidir = bidir0.localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
     for (_ <- 1 to LpaIters) {
@@ -1066,9 +1089,26 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+    val adj0 = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
-      .localCheckpoint(true)
+    // driver-local fast path (the dampedRankLocal doctrine): replay the
+    // KcoreRounds peels over the bounded undirected adjacency
+    val grabbedK = adj0.limit(LocalRankEdgeBound + 1).collect()
+    if (grabbedK.length <= LocalRankEdgeBound) {
+      val es = grabbedK.map(r => (r.getLong(0), r.getLong(1)))
+      var surv = es.map(_._1).distinct.toSet
+      var degL = Map.empty[Long, Long]
+      for (_ <- 1 to KcoreRounds) {
+        degL = es.filter(p => surv(p._1) && surv(p._2))
+          .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+        surv = degL.filter(_._2 >= KcoreK).keySet
+      }
+      val rows = degL.toSeq.filter(_._2 >= KcoreK).sortBy(_._1)
+      return localRankDf(spark, rows.toArray)
+        .select(col("node").as("nationkey"), col("lrank").as("core_deg"))
+        .orderBy("nationkey")
+    }
+    val adj = adj0.localCheckpoint(true)
     var survivors = adj.select("x").distinct().localCheckpoint(true)
     var deg: DataFrame = null
     for (_ <- 1 to KcoreRounds) {
@@ -1211,9 +1251,29 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val adj = und.select(col("a").as("x"), col("b").as("nbr"))
+    val adj0 = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
-      .localCheckpoint(true)
+    // driver-local fast path: the h-index iteration — neighbors sorted
+    // by (coreness desc, id), c(x) = max_i min(i, nc_i) — replayed over
+    // the bounded adjacency, identical tie order to the window spelling
+    val grabbedC = adj0.limit(LocalRankEdgeBound + 1).collect()
+    if (grabbedC.length <= LocalRankEdgeBound) {
+      val es = grabbedC.map(r => (r.getLong(0), r.getLong(1)))
+      val nbrs = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var coreL = nbrs.view.mapValues(_.length.toLong).toMap
+      for (_ <- 1 to CorenessRounds) {
+        coreL = nbrs.map { case (x, ns) =>
+          val sorted = ns.map(nb => (coreL(nb), nb))
+            .sortBy { case (nc, nb) => (-nc, nb) }
+          x -> sorted.zipWithIndex
+            .map { case ((nc, _), i) => math.min(i + 1L, nc) }.max
+        }
+      }
+      return localRankDf(spark, coreL.toArray.sortBy(_._1))
+        .select(col("node").as("nationkey"), col("lrank").as("coreness"))
+        .orderBy("nationkey")
+    }
+    val adj = adj0.localCheckpoint(true)
     var core = adj.groupBy("x").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val w = Window.partitionBy("x").orderBy(desc("nc"), col("nbr"))
