@@ -3470,11 +3470,15 @@ object StatQueries {
         (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast(LongType)
           .as("w"))
       .groupBy("g", "price_c").agg(sum("w").as("w"))
-    val totals = li.groupBy("g").agg(sum("w").as("total_w"))
+    // totals via a whole-partition window over the SAME (g) exchange as
+    // the running sum (the oracle's own spelling) — the earlier
+    // groupBy-totals + broadcast-join branch re-ran the base aggregate
+    // a second time
     val w = Window.partitionBy("g").orderBy("price_c")
       .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy("g")
     li.withColumn("cw", sum("w").over(w))
-      .join(broadcast(totals), "g")
+      .withColumn("total_w", sum("w").over(wt))
       .where(col("cw") * 2 >= col("total_w"))
       .groupBy("g", "total_w").agg(min("price_c").as("wmedian_price_c"))
       .select(col("g").as("returnflag"), col("total_w"),

@@ -658,7 +658,9 @@ object TextQueries {
       .crossJoin(broadcast(nDocs))
       .where(col("df") * 10 <= col("n_docs"))
       .select("tok")
-    val kept = tf.join(rare, "tok")
+    // cached: norms and BOTH self-join sides scan it — uncached, the
+    // df-aggregate + stopword join would recompute once per consumer
+    val kept = tf.join(rare, "tok").cache()
     val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
