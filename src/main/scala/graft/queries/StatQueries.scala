@@ -2503,14 +2503,42 @@ object StatQueries {
       .localCheckpoint(true)
     val a = daily.select(col("d").as("d1"), col("rev").as("r1"))
     val b = daily.select(col("d").as("d2"), col("rev").as("r2"))
-    val slopes = a.crossJoin(b).where(col("d1") < col("d2"))
+    val slopes0 = a.crossJoin(b).where(col("d1") < col("d2"))
       .select(floor(
         ((col("r2") - col("r1")) * 1000000L).cast(DoubleType) /
           (col("d2") - col("d1")).cast(DoubleType)).cast(LongType)
         .as("slope_sc"))
-      // materialized once: the range partitioner's sampling pass and
-      // the shuffle itself would otherwise EACH re-run the pair join
-      .localCheckpoint(true)
+    // driver-local fast path: the slope multiset is CALENDAR-bounded —
+    // nDays·(nDays−1)/2 pairs regardless of row count (the property
+    // that makes this operator scale-invariant at 100 TB), and nDays is
+    // known from the checkpointed daily rollup, so the bound is
+    // measured before anything quadratic runs. Below it, one collect +
+    // local sort replaces the range-shuffle rank selection (the
+    // distributed spelling stays, unchanged, above the bound).
+    val nDays = daily.count()
+    if (nDays * (nDays - 1) / 2 <= 4000000L) {
+      val arr = slopes0.collect().map(_.getLong(0))
+      java.util.Arrays.sort(arr)
+      val n = arr.length.toLong
+      val median: java.lang.Double =
+        if (n == 0) null
+        else {
+          val lo = arr(((n + 1) / 2 - 1).toInt)
+          val hi = arr((n / 2).toInt)
+          (lo + hi).toDouble / 2.0d
+        }
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(
+        List(org.apache.spark.sql.Row(n, median)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_pairs",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("median_slope_sc",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    }
+    // materialized once: the range partitioner's sampling pass and
+    // the shuffle itself would otherwise EACH re-run the pair join
+    val slopes = slopes0.localCheckpoint(true)
     // Exact DISTRIBUTED median via rank-based selection: a plain
     // percentile aggregate funnels every pair slope into ONE reducer's
     // sort buffer (measured 10.7 s on the 2.9e6-pair frame — the whole
