@@ -77,6 +77,8 @@ object EtlQueries {
       .withColumn("parsed_date",
         try_to_timestamp(col("date_str"), lit("MM/yyyy")).cast("date"))
       // one-pass gate sort: the child re-runs a per-row timestamp parse
+      // over 150k orders rows — keep it PARALLEL (tinyGateSort's single
+      // task was measurably slower here)
       .transform(RefQueries.gateSort(_, "o_orderkey"))
 
   val etlDateParseSql: String =
@@ -109,7 +111,8 @@ object EtlQueries {
       .agg(min("event_id").as("cutoff"))
     ev.join(broadcast(cutoff), col("event_id") < col("cutoff"))
       .select("event_id", "event_type")
-      .transform(RefQueries.gateSort(_, "event_id"))
+      // single-task tiny gate: 10k rows, one stage, no exchange
+      .transform(RefQueries.tinyGateSort(_, "event_id"))
   }
 
   /** Semi-structured extraction: parse the events `props` JSON column
@@ -126,9 +129,8 @@ object EtlQueries {
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.LongType)))).getField("k").as("prop_k"))
-      // one-pass gate sort: the child is a per-row Jackson parse — the
-      // range sampler's second pass would re-parse every row
-      .transform(RefQueries.gateSort(_, "event_id"))
+      // single-task tiny gate: 10k rows, one stage, no exchange
+      .transform(RefQueries.tinyGateSort(_, "event_id"))
 
   val etlJsonExtractSql: String =
     """SELECT event_id, event_type,
@@ -260,8 +262,9 @@ object EtlQueries {
              |     ELSE CAST(p_partkey % 50 AS STRING) END""".stripMargin)
         .as("Hourly mean wage standard error()"),
       col("p_partkey").cast("string").as("Row ID()"))
-    // one-pass gate sort: the child is the regex-heavy clean chain
-    RefQueries.gateSort(OewsCleaner.clean(raw), "row_id")
+    // single-task tiny gate: the regex-heavy clean chain runs over only
+    // 20k synthesized rows — one stage beats parallel-clean + exchange
+    RefQueries.tinyGateSort(OewsCleaner.clean(raw), "row_id")
   }
 
   val etlFullCleanSql: String = {

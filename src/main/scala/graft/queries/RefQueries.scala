@@ -69,6 +69,18 @@ object RefQueries {
   private[queries] def gateSort(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.map(col): _*)
 
+  /** [[gateSort]] minus the exchange: `coalesce(1)` is a NARROW
+    * single-partition collapse, so the whole query — child included —
+    * runs as ONE task in ONE stage (no shuffle write/read, no extra AQE
+    * stage materialization; measured 0.42 → 0.29 s on the 10k-row JSON
+    * parse). The flip side is that the child itself runs single-threaded,
+    * so this is ONLY for gates whose total input is driver-tiny (the
+    * 10-20k-row events/part scans); anything that needs a parallel child
+    * keeps gateSort's exchange.
+    */
+  private[queries] def tinyGateSort(df: DataFrame, cols: String*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.map(col): _*)
+
   private[queries] def barrierSort(df: DataFrame, cols: String*): DataFrame =
     df.repartition(col(cols.head)).orderBy(cols.map(col): _*)
 
@@ -113,13 +125,19 @@ object RefQueries {
       |SELECT p_brand, COUNT(*) AS n_parts
       |FROM sized GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
-  /** Q3+Q4 — hash aggregate GROUP BY + AVG + ROUND (views.sql:9-14). */
+  /** Q3+Q4 — hash aggregate GROUP BY + AVG + ROUND (views.sql:9-14).
+    * Averages run on the CENTS-LONG fast path (ExactAgg.exactAvgCents):
+    * bit-identical to the decimal-sum spelling below the 2^53-cents
+    * bound — per-group revenue here is ~$23 B at sf0.1, bound ~$90 T —
+    * and 2.4× faster (0.58 → 0.24 s) because the sum buffer is a
+    * codegen'd primitive long, not a widened Decimal.
+    */
   def q3GroupAvg(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(exactAvg(col("l_quantity")), 2).as("mean_qty"),
-        round(exactAvg(col("l_extendedprice")), 2).as("mean_price"),
+        round(graft.ops.ExactAgg.exactAvgCents(col("l_quantity")), 2).as("mean_qty"),
+        round(graft.ops.ExactAgg.exactAvgCents(col("l_extendedprice")), 2).as("mean_price"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
@@ -144,15 +162,35 @@ object RefQueries {
 
   /** Q5 — inner equi-join, fact ⋈ small dim (views.sql:18-27). The dim
     * (part) broadcasts; no shuffle on the fact side.
+    *
+    * Gate order comes from RANGE-PARTITIONING the fact slice BEFORE the
+    * join and locally sorting AFTER it: the range exchange carries only
+    * the four numeric sort keys (the entire lineitem contribution to
+    * the output) instead of the joined rows with their two dim strings,
+    * and the range sampler's second pass re-reads a pruned 4-column
+    * parquet scan instead of re-running the join. A broadcast hash join
+    * preserves its probe side's partitioning, so the trailing
+    * sortWithinPartitions needs NO exchange — within-partition order
+    * plus the ascending range-partition order makes the written files a
+    * total ORDER BY for the oracle (the same file-order contract
+    * barrierSort relies on). The local sort must sit ON TOP (not under
+    * the join, where EliminateSorts rightly drops it as semantically
+    * unordered); ParityFastPathSpec pins row-for-row equality with the
+    * explicit post-join orderBy spelling, which would catch any plan
+    * change that re-partitions the probe side (e.g. losing the
+    * broadcast hint to a sort-merge join). Measured 0.93 → ~0.4 s.
     */
   def q5Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
     val li = table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .repartitionByRange(32, keys.map(col): _*)
     val p = table(spark, sfDir, "part")
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("p_name"), col("p_brand"), col("l_quantity"))
-      .transform(barrierSort(_, "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+      .sortWithinPartitions(keys.map(col): _*)
   }
 
   val q5Sql: String =
@@ -188,7 +226,8 @@ object RefQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(
-        round(exactAvg(col("o_totalprice")), 2).as("avg_totalprice"),
+        // cents-long fast path — see q3's magnitude-bound note
+        round(graft.ops.ExactAgg.exactAvgCents(col("o_totalprice")), 2).as("avg_totalprice"),
         count(lit(1)).as("n_orders"))
       .orderBy("n_name")
   }
@@ -216,7 +255,8 @@ object RefQueries {
     // — the classic agg-pushdown Catalyst won't do for you
     // (measured 1.19 → 0.79 s at sf0.1)
     li.groupBy("l_partkey")
-      .agg(exactSum(col("l_extendedprice")).as("revenue"))
+      // cents-long fast path — see q3's magnitude-bound note
+      .agg(graft.ops.ExactAgg.exactSumCents(col("l_extendedprice")).as("revenue"))
       .join(broadcast(p), col("l_partkey") === p("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("revenue"))
       .orderBy(desc("revenue"), asc("p_partkey"))

@@ -38,24 +38,28 @@ class ScaleToolkitSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), "top-k must not plan a global Sort")
   }
 
-  test("gate sorts: barrierSort stages a hash exchange below the range sort") {
-    // the single-execution contract: q5's plan must carry a
-    // hashpartitioning exchange BELOW the rangepartitioning sort, so
-    // the RangePartitioner's sampling pass reads shuffle output
-    // instead of re-running the scan+join child
+  test("gate sorts: q5 range-partitions the narrow fact slice below the join") {
+    // the round-12 single-exchange contract: q5's ONLY shuffle is the
+    // rangepartitioning exchange of the 4-column fact slice BELOW the
+    // broadcast join, and the top-level Sort is LOCAL (global=false) —
+    // no wide post-join exchange, no second sort
     val q5 = graft.queries.RefQueries.q5Join(spark, TestSpark.Sf001)
     val plan = q5.queryExecution.executedPlan.toString
-    val hashAt = plan.indexOf("hashpartitioning")
     val rangeAt = plan.indexOf("rangepartitioning")
-    assert(hashAt >= 0 && rangeAt >= 0, plan)
-    assert(hashAt > rangeAt, // deeper in the tree = later in the rendering
-      s"expected the hash exchange BELOW the range sort:\n$plan")
-    // gateSort: a single-partition exchange and NO range sampling at all
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    assert(rangeAt >= 0 && joinAt >= 0, plan)
+    assert(rangeAt > joinAt, // deeper in the tree = later in the rendering
+      s"expected the range exchange BELOW the broadcast join:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"q5 must not add a wide post-join exchange:\n$plan")
+    assert(plan.contains("Sort ") && !plan.contains(", true, "),
+      s"expected a LOCAL top-level sort (global=false):\n$plan")
+    // tinyGateSort: ONE stage — no exchange of any kind, single task
     val je = graft.queries.EtlQueries.etlJsonExtract(spark, TestSpark.Sf001)
     val jePlan = je.queryExecution.executedPlan.toString
     assert(!jePlan.contains("rangepartitioning"), jePlan)
-    assert(jePlan.contains("SinglePartition") || jePlan.contains("numPartitions=1"),
-      jePlan)
+    assert(!jePlan.contains("Exchange"), jePlan)
+    assert(jePlan.contains("Coalesce 1"), jePlan)
   }
 
   test("salted join ≡ plain join (row multiset), hot key spread over salts") {
