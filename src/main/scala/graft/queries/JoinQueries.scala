@@ -239,7 +239,8 @@ object JoinQueries {
       .groupBy("band_id", "lo", "hi")
       .agg(
         count(lit(1)).as("n_orders"),
-        RefQueries.exactSum(col("o_totalprice")).as("revenue"))
+        // cents-long fast path — see RefQueries.q3's magnitude-bound note
+        graft.ops.ExactAgg.exactSumCents(col("o_totalprice")).as("revenue"))
       .orderBy("band_id")
   }
 
@@ -303,7 +304,8 @@ object JoinQueries {
       .groupBy("c_custkey", "c_name")
       .agg(
         count(col("o_custkey")).as("n_big_orders"),
-        coalesce(RefQueries.exactSum(col("o_totalprice")), lit(0.0)).as("big_revenue"))
+        // cents fast path; empty group -> NULL sum -> coalesce 0.0, as before
+        coalesce(graft.ops.ExactAgg.exactSumCents(col("o_totalprice")), lit(0.0)).as("big_revenue"))
       .orderBy("c_custkey")
   }
 
@@ -435,7 +437,8 @@ object JoinQueries {
         .join(spark.table(ot), col("c_custkey") === col("o_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          RefQueries.exactSum(col("o_totalprice")).as("revenue"))
+          // cents-long fast path — see RefQueries.q3's magnitude-bound note
+          graft.ops.ExactAgg.exactSumCents(col("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment")
       // materialize BEFORE dropping: the grouped result is bounded by
       // distinct c_mktsegment (5 in TPC-H-shaped data), so localizing it

@@ -236,7 +236,8 @@ object OlapQueries {
         month(col("o_orderdate")).as("mo"))
       .agg(
         count(lit(1)).as("n_orders"),
-        exactSum(col("o_totalprice")).as("revenue"))
+        // cents-long fast path — see RefQueries.q3's magnitude-bound note
+        graft.ops.ExactAgg.exactSumCents(col("o_totalprice")).as("revenue"))
       .orderBy("yr", "mo")
 
   val analyticsCalendarRollupSql: String =
@@ -286,7 +287,8 @@ object OlapQueries {
       .orderBy(col("revenue").desc, col("p_partkey"))
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_partkey")
-      .agg(exactSum(col("l_extendedprice")).as("revenue"))
+      // cents-long fast path — see RefQueries.q3's magnitude-bound note
+      .agg(graft.ops.ExactAgg.exactSumCents(col("l_extendedprice")).as("revenue"))
       .withColumn("brand_rank", row_number().over(byBrand))
       .where(col("brand_rank") <= 3)
       .orderBy("p_brand", "brand_rank")
