@@ -29,6 +29,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries INT64 TIMESTAMP(NANOS) — see Verify.scala.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache defaults to 100 entries; a session
+      // serving 315 distinct queries in interleaved passes evicts
+      // every query's classes between its own samples, so each timed
+      // run re-pays Janino compilation (~0.1-0.3 s/query — measured as
+      // a uniform ~1.5× gap between in-sweep and isolated times). A
+      // long-lived analytics session serving hundreds of distinct
+      // plans wants the cache sized to its working set: bounded driver
+      // memory (generated classes, ~tens of MB at 10k entries) traded
+      // for not recompiling hot queries — the same reasoning a 128 GiB
+      // production driver would apply. Static conf: must be set before
+      // the session is built.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
