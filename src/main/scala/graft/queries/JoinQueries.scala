@@ -239,8 +239,10 @@ object JoinQueries {
       .groupBy("band_id", "lo", "hi")
       .agg(
         count(lit(1)).as("n_orders"),
-        // cents-long fast path — see RefQueries.q3's magnitude-bound note
-        graft.ops.ExactAgg.exactSumCents(col("o_totalprice")).as("revenue"))
+        // wide cents path: 20 FIXED bands — per-band totals scale with
+        // the corpus past the single-long 2^53 bound (the
+        // ExactAgg.exactSumCents routing rule)
+        graft.ops.ExactAgg.exactSumCentsWide(col("o_totalprice")).as("revenue"))
       .orderBy("band_id")
   }
 
@@ -304,7 +306,9 @@ object JoinQueries {
       .groupBy("c_custkey", "c_name")
       .agg(
         count(col("o_custkey")).as("n_big_orders"),
-        // cents fast path; empty group -> NULL sum -> coalesce 0.0, as before
+        // cents fast path — per-custkey scales with the corpus (the
+        // exactSumCents routing rule); empty group -> NULL sum ->
+        // coalesce 0.0, as before
         coalesce(graft.ops.ExactAgg.exactSumCents(col("o_totalprice")), lit(0.0)).as("big_revenue"))
       .orderBy("c_custkey")
   }
@@ -437,8 +441,10 @@ object JoinQueries {
         .join(spark.table(ot), col("c_custkey") === col("o_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          // cents-long fast path — see RefQueries.q3's magnitude-bound note
-          graft.ops.ExactAgg.exactSumCents(col("o_totalprice")).as("revenue"))
+          // wide cents path: 5 FIXED market segments — per-group totals
+          // scale with the corpus past the single-long 2^53 bound (the
+          // exactSumCents routing rule)
+          graft.ops.ExactAgg.exactSumCentsWide(col("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment")
       // materialize BEFORE dropping: the grouped result is bounded by
       // distinct c_mktsegment (5 in TPC-H-shaped data), so localizing it

@@ -236,8 +236,11 @@ object OlapQueries {
         month(col("o_orderdate")).as("mo"))
       .agg(
         count(lit(1)).as("n_orders"),
-        // cents-long fast path — see RefQueries.q3's magnitude-bound note
-        graft.ops.ExactAgg.exactSumCents(col("o_totalprice")).as("revenue"))
+        // wide cents path: calendar months are a FIXED-cardinality
+        // rollup relative to corpus growth — per-month totals scale
+        // with the data past the single-long 2^53 bound (the
+        // ExactAgg.exactSumCents routing rule)
+        graft.ops.ExactAgg.exactSumCentsWide(col("o_totalprice")).as("revenue"))
       .orderBy("yr", "mo")
 
   val analyticsCalendarRollupSql: String =
@@ -287,7 +290,9 @@ object OlapQueries {
       .orderBy(col("revenue").desc, col("p_partkey"))
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_partkey")
-      // cents-long fast path — see RefQueries.q3's magnitude-bound note
+      // cents-long fast path — per-partkey cardinality scales with the
+      // corpus, so per-group totals stay bounded (exactSumCents routing
+      // rule; its guard raises if the bound is ever breached)
       .agg(graft.ops.ExactAgg.exactSumCents(col("l_extendedprice")).as("revenue"))
       .withColumn("brand_rank", row_number().over(byBrand))
       .where(col("brand_rank") <= 3)

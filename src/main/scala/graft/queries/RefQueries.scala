@@ -126,18 +126,24 @@ object RefQueries {
       |FROM sized GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   /** Q3+Q4 — hash aggregate GROUP BY + AVG + ROUND (views.sql:9-14).
-    * Averages run on the CENTS-LONG fast path (ExactAgg.exactAvgCents):
-    * bit-identical to the decimal-sum spelling below the 2^53-cents
-    * bound — per-group revenue here is ~$23 B at sf0.1, bound ~$90 T —
-    * and 2.4× faster (0.58 → 0.24 s) because the sum buffer is a
-    * codegen'd primitive long, not a widened Decimal.
+    * Averages run on the WIDE cents path (ExactAgg.exactAvgCentsWide),
+    * NOT the single-long fast path: l_returnflag has FIXED cardinality
+    * (3 groups), so per-group totals grow linearly with the corpus —
+    * ~$23 B/group at sf0.1 is ~2.3e18 cents/group at 100 TB, 255× past
+    * the single-long path's 2^53-cents exactness bound (the routing
+    * rule at [[graft.ops.ExactAgg.exactSumCents]]). The wide path's
+    * quotient/remainder split keeps the primitive-long aggregation
+    * speed while staying bit-identical to the decimal spelling to
+    * ~1e25 cents per group — exact at 100 TB, ANSI-loud beyond. The
+    * single-long path is reserved for groupings whose key cardinality
+    * scales with the data (q8's per-partkey, q11's per-custkey).
     */
   def q3GroupAvg(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(graft.ops.ExactAgg.exactAvgCents(col("l_quantity")), 2).as("mean_qty"),
-        round(graft.ops.ExactAgg.exactAvgCents(col("l_extendedprice")), 2).as("mean_price"),
+        round(graft.ops.ExactAgg.exactAvgCentsWide(col("l_quantity")), 2).as("mean_qty"),
+        round(graft.ops.ExactAgg.exactAvgCentsWide(col("l_extendedprice")), 2).as("mean_price"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
@@ -226,8 +232,11 @@ object RefQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(
-        // cents-long fast path — see q3's magnitude-bound note
-        round(graft.ops.ExactAgg.exactAvgCents(col("o_totalprice")), 2).as("avg_totalprice"),
+        // wide cents path: per-nation is a FIXED 25-group rollup, so
+        // per-group totals scale with the corpus past the single-long
+        // 2^53 bound (the ExactAgg.exactSumCents routing rule); the
+        // quotient/remainder split stays exact to ~1e25 cents
+        round(graft.ops.ExactAgg.exactAvgCentsWide(col("o_totalprice")), 2).as("avg_totalprice"),
         count(lit(1)).as("n_orders"))
       .orderBy("n_name")
   }
@@ -255,7 +264,9 @@ object RefQueries {
     // — the classic agg-pushdown Catalyst won't do for you
     // (measured 1.19 → 0.79 s at sf0.1)
     li.groupBy("l_partkey")
-      // cents-long fast path — see q3's magnitude-bound note
+      // cents-long fast path — per-partkey cardinality SCALES with the
+      // corpus, so per-group totals stay bounded (the
+      // ExactAgg.exactSumCents routing rule; enforced by its guard)
       .agg(graft.ops.ExactAgg.exactSumCents(col("l_extendedprice")).as("revenue"))
       .join(broadcast(p), col("l_partkey") === p("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("revenue"))
