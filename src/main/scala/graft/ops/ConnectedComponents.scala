@@ -44,9 +44,15 @@ object ConnectedComponents {
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     // ONE job decides the path AND (when short) delivers the data:
     // limit(threshold+1) either returns the complete edge list — closed
-    // locally, no cache ever built — or proves it exceeds the bound
-    val fwd0 = pairs.select(col(aCol).as("n"), col(bCol).as("m"))
-    val grabbed = fwd0.limit(localThreshold.toInt + 1).collect()
+    // locally, no cache ever built — or proves it exceeds the bound.
+    // Both id columns are cast to long HERE so the two paths accept
+    // the same input types (the local getLong would ClassCastException
+    // on int/string ids the distributed join path happily coerced);
+    // the min() guards toInt overflow for thresholds near Int.MaxValue.
+    val fwd0 = pairs.select(col(aCol).cast("long").as("n"),
+      col(bCol).cast("long").as("m"))
+    val localLimit = math.min(localThreshold, Int.MaxValue - 1L).toInt
+    val grabbed = fwd0.limit(localLimit + 1).collect()
     if (grabbed.length <= localThreshold) {
       return resolveLocal(pairs.sparkSession,
         grabbed.map(r => (r.getLong(0), r.getLong(1))))

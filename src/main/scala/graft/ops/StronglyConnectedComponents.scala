@@ -69,9 +69,15 @@ object StronglyConnectedComponents {
     // already hold the complete edge list and can close it locally (no
     // cache — the distributed loop re-derives its per-round edge set
     // from `edges` anyway)
-    val grabbed = edges.select(col("src"), col("dst"))
+    // long casts + toInt-overflow guard: the [[ConnectedComponents]]
+    // fast-path contract — both paths accept whatever id types the
+    // distributed joins coerce, and a threshold near Int.MaxValue
+    // can't wrap the limit
+    val grabbed = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-      .limit(localThreshold.toInt + 1).collect()
+      .limit(math.min(localThreshold, Int.MaxValue - 1L).toInt + 1).collect()
     if (grabbed.length <= localThreshold) {
       val lab = tarjanLabels(grabbed.map(r => (r.getLong(0), r.getLong(1))))
       import scala.jdk.CollectionConverters._

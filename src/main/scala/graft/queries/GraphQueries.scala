@@ -287,6 +287,26 @@ object GraphQueries {
     */
   private val LocalRankEdgeBound = 500000
 
+  /** Node-count bound for the distributed damped-rank loops'
+    * per-round NODE-SIZED broadcasts (contrib/sums/rank frames): two
+    * longs per node is ~100 MB of hash relation at this bound — a safe
+    * executor-memory footprint. Above it the same joins run as plain
+    * shuffle joins (AQE still upgrades them back if runtime stats
+    * allow). The guard is MEASURED per call via limit(bound+1), never
+    * assumed (the LocalRankEdgeBound doctrine) — a generic caller with
+    * a billion-node graph must not broadcast O(nodes) every round.
+    */
+  private val BroadcastNodeBound = 2000000
+
+  /** The measured guard: returns `broadcast` when the node set fits
+    * [[BroadcastNodeBound]], identity otherwise. One bounded count job
+    * per distributed-loop invocation — negligible next to the loop.
+    */
+  private def nodeSideHint(nodeIds: DataFrame): DataFrame => DataFrame =
+    if (nodeIds.limit(BroadcastNodeBound + 1).count() <= BroadcastNodeBound)
+      broadcast
+    else identity
+
   /** `localBound` = 0 disables the driver-local fast path — the spec
     * hook that pins the distributed loop's plan contract (no
     * LocalRelation leaves) independently of the default adaptive
@@ -312,6 +332,10 @@ object GraphQueries {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").cast("long").as("src"), col("deg"))
       .localCheckpoint(true)
+    // contrib/sums are O(nodes) per round: broadcast only while the
+    // measured node count fits (nodeSideHint) — a generic caller with
+    // a node set past the bound gets plain shuffle joins instead
+    val side = nodeSideHint(nodeIds)
     var rank = nodeIds.withColumn("rank", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iters) {
       // pre-divide: each edge contributes rank_src DIV deg_src, so the
@@ -321,10 +345,10 @@ object GraphQueries {
         .select(col("src"), expr("rank DIV deg").as("c"))
       val sums = edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("node"))
-        .join(broadcast(contrib), "src")
+        .join(side(contrib), "src")
         .groupBy("node").agg(sum(col("c")).as("s"))
       val next = nodeIds
-        .join(broadcast(sums), Seq("node"), "left")
+        .join(side(sums), Seq("node"), "left")
         .select(col("node"),
           expr("150000L + (850L * coalesce(s, 0L)) DIV 1000L").as("rank"))
         .localCheckpoint(true)
@@ -655,15 +679,17 @@ object GraphQueries {
     val nodeIds = nodes.localCheckpoint(true)
     val totw = wedges.groupBy("src").agg(sum(col("cnt")).as("tw"))
       .localCheckpoint(true)
+    // node-sized broadcast guard — see nodeSideHint
+    val side = nodeSideHint(nodeIds)
     var rank = nodeIds.withColumn("rank", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to Iters) {
       val sums = wedges
-        .join(broadcast(rank.join(totw, rank("node") === totw("src"))
+        .join(side(rank.join(totw, rank("node") === totw("src"))
           .select(col("src"), col("rank"), col("tw"))), "src")
         .select(col("dst").as("node"), expr("(rank * cnt) DIV tw").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       val next = nodeIds
-        .join(broadcast(sums), Seq("node"), "left")
+        .join(side(sums), Seq("node"), "left")
         .select(col("node"),
           expr("150000L + (850L * coalesce(s, 0L)) DIV 1000L").as("rank"))
         .localCheckpoint(true)
@@ -741,7 +767,12 @@ object GraphQueries {
     val grabbedH = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .limit(LocalRankEdgeBound + 1).collect()
-    if (grabbedH.length <= LocalRankEdgeBound && HitsIters > 0) {
+    // nonEmpty guard: an empty edge list would make half()'s
+    // raw.values.max throw on an empty endpoint map — fall through to
+    // the distributed spelling, whose normalizeMax handles the
+    // null/zero-max case gracefully (all scores 0)
+    if (grabbedH.nonEmpty && grabbedH.length <= LocalRankEdgeBound &&
+        HitsIters > 0) {
       val es = grabbedH.map(r => (r.getLong(0), r.getLong(1)))
       val endpoints = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
       def half(from: Map[Long, Long], rev: Boolean): Map[Long, Long] = {
@@ -811,7 +842,11 @@ object GraphQueries {
 
   /** One HITS half-step: sum `scores` over edges from `from`-side into
     * `to`-side, left-joined back to the full node set (0 for nodes with
-    * no incident edge).
+    * no incident edge). CONTRACT: the node-sized score/sum frames
+    * broadcast unconditionally because every caller here runs on the
+    * schema-bounded nation graph (25 nodes); a generic-graph caller
+    * must wrap them with the measured [[nodeSideHint]] guard exactly as
+    * [[pagerank]] does.
     */
   private def propagate(nodes: DataFrame, edges: DataFrame,
       scores: DataFrame, from: String, to: String): DataFrame = {
@@ -874,16 +909,39 @@ object GraphQueries {
     val bidir0 = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
+    lpaLabels(nodes, bidir0, LpaIters)
+      .select(col("node").as("nationkey"), col("lbl").as("community"))
+      .orderBy("nationkey")
+  }
+
+  /** Synchronous LPA over a DEDUPED bidirected neighbor list `bidir0`
+    * (`u`, `v` long): each of `iters` rounds every node adopts the
+    * argmax-vote label of its in-neighbors — max count, ties to the
+    * SMALLEST label; nodes receiving no vote keep their label. Returns
+    * (`node`, `lbl`) for every node in `nodes`.
+    *
+    * `localBound` = 0 disables the driver-local fast path (the
+    * [[pagerank]] spec hook) — Round13OpsSpec pins the two paths
+    * label-for-label on seeded random graphs, so the replayed argmax
+    * (maxBy (count, −label)) cannot drift from the distributed
+    * max(struct(c, −lbl)) spelling.
+    */
+  private[graft] def lpaLabels(nodes: DataFrame, bidir0: DataFrame,
+      iters: Int, localBound: Int = LocalRankEdgeBound): DataFrame = {
+    val spark = nodes.sparkSession
     // driver-local fast path (the dampedRankLocal doctrine): replay the
-    // LpaIters argmax rounds — max vote count, ties to the SMALLEST
-    // label — over the bounded sparsified edge list; non-endpoint
-    // nodes never receive a vote and keep their own id
-    val grabbedL = bidir0.limit(LocalRankEdgeBound + 1).collect()
-    if (grabbedL.length <= LocalRankEdgeBound) {
+    // argmax rounds over the bounded edge list; non-endpoint nodes
+    // never receive a vote and keep their own id
+    val grabbedL =
+      if (localBound > 0)
+        bidir0.select(col("u").cast("long"), col("v").cast("long"))
+          .limit(localBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localBound > 0 && grabbedL.length <= localBound) {
       val es = grabbedL.map(r => (r.getLong(0), r.getLong(1)))
       val endpoints = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
       var lbl = endpoints.map(n => n -> n).toMap
-      for (_ <- 1 to LpaIters) {
+      for (_ <- 1 to iters) {
         val votes = es.groupBy(_._2).view.mapValues { in =>
           in.groupBy(p => lbl(p._1)).view.mapValues(_.length)
             .toSeq.maxBy { case (l, c) => (c, -l) }._1
@@ -893,14 +951,13 @@ object GraphQueries {
       return nodes
         .join(broadcast(localRankDf(spark,
           endpoints.map(n => (n, lbl(n))))), Seq("node"), "left")
-        .select(col("node").as("nationkey"),
-          coalesce(col("lrank"), col("node")).as("community"))
-        .orderBy("nationkey")
+        .select(col("node"),
+          coalesce(col("lrank"), col("node")).as("lbl"))
     }
     val bidir = bidir0.localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
-    for (_ <- 1 to LpaIters) {
+    for (_ <- 1 to iters) {
       val votes = bidir
         .join(labels.select(col("node").as("u"), col("lbl")), "u")
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -913,8 +970,6 @@ object GraphQueries {
         .localCheckpoint()
     }
     labels
-      .select(col("node").as("nationkey"), col("lbl").as("community"))
-      .orderBy("nationkey")
   }
 
   val graphLabelPropagationSql: String = {
@@ -1091,38 +1146,57 @@ object GraphQueries {
       .distinct()
     val adj0 = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+    kcoreSurvivors(adj0, KcoreK, KcoreRounds)
+      .select(col("node").as("nationkey"), col("core_deg"))
+      .orderBy("nationkey")
+  }
+
+  /** Synchronous k-core peeling over a bidirected adjacency `adj0`
+    * (`x`, `nbr` long, both orientations of each undirected edge):
+    * `rounds` fixed rounds of "recount degree among survivors, drop
+    * < k". Returns (`node`, `core_deg`) for the surviving members.
+    *
+    * `localBound` = 0 disables the driver-local replay (the
+    * [[pagerank]] spec hook); Round13OpsSpec pins local == distributed
+    * member-for-member on seeded random graphs.
+    */
+  private[graft] def kcoreSurvivors(adj0: DataFrame, k: Int, rounds: Int,
+      localBound: Int = LocalRankEdgeBound): DataFrame = {
+    val spark = adj0.sparkSession
     // driver-local fast path (the dampedRankLocal doctrine): replay the
-    // KcoreRounds peels over the bounded undirected adjacency
-    val grabbedK = adj0.limit(LocalRankEdgeBound + 1).collect()
-    if (grabbedK.length <= LocalRankEdgeBound) {
+    // peels over the bounded undirected adjacency
+    val grabbedK =
+      if (localBound > 0)
+        adj0.select(col("x").cast("long"), col("nbr").cast("long"))
+          .limit(localBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localBound > 0 && grabbedK.length <= localBound) {
       val es = grabbedK.map(r => (r.getLong(0), r.getLong(1)))
       var surv = es.map(_._1).distinct.toSet
       var degL = Map.empty[Long, Long]
-      for (_ <- 1 to KcoreRounds) {
+      for (_ <- 1 to rounds) {
         degL = es.filter(p => surv(p._1) && surv(p._2))
           .groupBy(_._1).view.mapValues(_.length.toLong).toMap
-        surv = degL.filter(_._2 >= KcoreK).keySet
+        surv = degL.filter(_._2 >= k).keySet
       }
-      val rows = degL.toSeq.filter(_._2 >= KcoreK).sortBy(_._1)
+      val rows = degL.toSeq.filter(_._2 >= k).sortBy(_._1)
       return localRankDf(spark, rows.toArray)
-        .select(col("node").as("nationkey"), col("lrank").as("core_deg"))
-        .orderBy("nationkey")
+        .select(col("node"), col("lrank").as("core_deg"))
     }
     val adj = adj0.localCheckpoint(true)
     var survivors = adj.select("x").distinct().localCheckpoint(true)
     var deg: DataFrame = null
-    for (_ <- 1 to KcoreRounds) {
+    for (_ <- 1 to rounds) {
       deg = adj
         .join(broadcast(survivors), "x")
         .join(broadcast(survivors.select(col("x").as("nbr"))), "nbr")
         .groupBy("x").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
-      survivors = deg.where(col("deg") >= KcoreK).select("x")
+      survivors = deg.where(col("deg") >= k).select("x")
         .localCheckpoint(true)
     }
-    deg.where(col("deg") >= KcoreK)
-      .select(col("x").as("nationkey"), col("deg").as("core_deg"))
-      .orderBy("nationkey")
+    deg.where(col("deg") >= k)
+      .select(col("x").cast("long").as("node"), col("deg").as("core_deg"))
   }
 
   val graphKcoreSql: String = {
@@ -1253,15 +1327,38 @@ object GraphQueries {
       .distinct()
     val adj0 = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
+    corenessLabels(adj0, CorenessRounds)
+      .select(col("node").as("nationkey"), col("coreness"))
+      .orderBy("nationkey")
+  }
+
+  /** The h-index coreness fixpoint over a bidirected adjacency `adj0`
+    * (`x`, `nbr` long): core⁰ = deg, core^{t+1}(x) = max_i min(i, nc_i)
+    * with neighbors sorted (coreness desc, id asc). Returns
+    * (`node`, `coreness`) for every edge endpoint.
+    *
+    * `localBound` = 0 disables the driver-local replay (the
+    * [[pagerank]] spec hook); Round13OpsSpec pins local == distributed
+    * value-for-value on seeded random graphs, so the replayed sort
+    * order can't drift from the window spelling's (desc nc, nbr).
+    */
+  private[graft] def corenessLabels(adj0: DataFrame, rounds: Int,
+      localBound: Int = LocalRankEdgeBound): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = adj0.sparkSession
     // driver-local fast path: the h-index iteration — neighbors sorted
     // by (coreness desc, id), c(x) = max_i min(i, nc_i) — replayed over
     // the bounded adjacency, identical tie order to the window spelling
-    val grabbedC = adj0.limit(LocalRankEdgeBound + 1).collect()
-    if (grabbedC.length <= LocalRankEdgeBound) {
+    val grabbedC =
+      if (localBound > 0)
+        adj0.select(col("x").cast("long"), col("nbr").cast("long"))
+          .limit(localBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localBound > 0 && grabbedC.length <= localBound) {
       val es = grabbedC.map(r => (r.getLong(0), r.getLong(1)))
       val nbrs = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       var coreL = nbrs.view.mapValues(_.length.toLong).toMap
-      for (_ <- 1 to CorenessRounds) {
+      for (_ <- 1 to rounds) {
         coreL = nbrs.map { case (x, ns) =>
           val sorted = ns.map(nb => (coreL(nb), nb))
             .sortBy { case (nc, nb) => (-nc, nb) }
@@ -1270,14 +1367,13 @@ object GraphQueries {
         }
       }
       return localRankDf(spark, coreL.toArray.sortBy(_._1))
-        .select(col("node").as("nationkey"), col("lrank").as("coreness"))
-        .orderBy("nationkey")
+        .select(col("node"), col("lrank").as("coreness"))
     }
     val adj = adj0.localCheckpoint(true)
     var core = adj.groupBy("x").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val w = Window.partitionBy("x").orderBy(desc("nc"), col("nbr"))
-    for (_ <- 1 to CorenessRounds) {
+    for (_ <- 1 to rounds) {
       val next = adj
         .join(broadcast(core.select(col("x").as("nbr"), col("c").as("nc"))),
           "nbr")
@@ -1288,8 +1384,7 @@ object GraphQueries {
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(core)
       core = next
     }
-    core.select(col("x").as("nationkey"), col("c").as("coreness"))
-      .orderBy("nationkey")
+    core.select(col("x").cast("long").as("node"), col("c").as("coreness"))
   }
 
   val graphCorenessSql: String = {
@@ -1669,9 +1764,18 @@ object GraphQueries {
     *
     * Scale: the projection self-join is keyed by customer and is
     * quadratic in BASKET SIZE, not in customers or parts — the
-    * standard market-basket shape (cap or sample whale baskets at
-    * 100 TB; this corpus's are bounded). Support floor + top-100 keep
-    * the output ranked and deterministic (count desc, pair asc).
+    * standard market-basket shape. Whale baskets are CAPPED in code,
+    * not in a comment: each basket keeps its [[CopurchaseBasketCap]]
+    * lowest part ids (row_number per customer) BEFORE the self-join,
+    * bounding any one customer's pair fan-out at cap·(cap−1)/2
+    * (~131k pairs) instead of letting a million-item basket become a
+    * 10¹²-pair hot key. The cap is deterministic (order by part) and
+    * INACTIVE on this corpus — measured max distinct-part basket is 90
+    * at sf0.01 / 105 at sf0.1, 5× under the cap, and TPC-H basket size
+    * grows with orders-per-customer (constant), not with SF — so the
+    * gate hash is the uncapped answer; the oracle applies the identical
+    * cap. Support floor + top-100 keep the output ranked and
+    * deterministic (count desc, pair asc).
     */
   def graphCopurchase(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = table(spark, sfDir, "orders")
@@ -1682,25 +1786,55 @@ object GraphQueries {
       .join(orders, li("l_orderkey") === orders("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
-      .cache()
-    baskets.select(col("cust"), col("part").as("p1"))
-      .join(baskets.select(col("cust"), col("part").as("p2")), "cust")
-      .where(col("p1") < col("p2"))
-      .groupBy("p1", "p2")
-      .agg(count(lit(1)).as("n_common"))
-      .where(col("n_common") >= 3)
+    copurchasePairs(baskets, minSupport = 3)
       .orderBy(desc("n_common"), col("p1"), col("p2"))
       .limit(100)
       .transform(RefQueries.gateSort(_, "p1", "p2"))
   }
 
+  /** Deterministic whale-basket cap for the co-purchase projection:
+    * per-customer pair work is bounded by cap·(cap−1)/2. 512 is ~5×
+    * the largest basket this corpus produces at any gate SF (90/105
+    * measured), so the cap changes nothing here while making the
+    * operator safe on real retail-shaped data where a single
+    * registry/bot account can hold millions of items.
+    */
+  private[graft] val CopurchaseBasketCap = 512
+
+  /** The capped part-part projection over a (`cust`, `part`) basket
+    * frame: keep each customer's `cap` lowest part ids, self-join on
+    * customer, count co-occurrences, floor at `minSupport`. Factored
+    * out so Round13OpsSpec can feed a synthetic whale basket and
+    * assert the pair count stays bounded.
+    */
+  private[graft] def copurchasePairs(baskets: DataFrame, minSupport: Int,
+      cap: Int = CopurchaseBasketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy("cust").orderBy("part")
+    val capped = baskets
+      .withColumn("rn", row_number().over(byCust))
+      .where(col("rn") <= cap)
+      .select("cust", "part")
+      .cache()
+    capped.select(col("cust"), col("part").as("p1"))
+      .join(capped.select(col("cust"), col("part").as("p2")), "cust")
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minSupport)
+  }
+
   val graphCopurchaseSql: String =
-    """WITH baskets AS (
+    s"""WITH baskets AS (
       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), capped AS (
+      |  SELECT cust, part FROM baskets
+      |  QUALIFY row_number() OVER (PARTITION BY cust ORDER BY part)
+      |          <= $CopurchaseBasketCap
       |), pairs AS (
       |  SELECT a.part AS p1, b.part AS p2, COUNT(*) AS n_common
-      |  FROM baskets a JOIN baskets b
+      |  FROM capped a JOIN capped b
       |    ON a.cust = b.cust AND a.part < b.part
       |  GROUP BY 1, 2
       |), top AS (
@@ -2006,6 +2140,8 @@ object GraphQueries {
           expr(s"(150000L * n) DIV ${seeds.size}")).otherwise(lit(0L))
           .as("tele"))
       .localCheckpoint(true)
+    // node-sized broadcast guard — see nodeSideHint
+    val side = nodeSideHint(nodes)
     var rank = tele.select(col("node"), col("tele").as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to Iters) {
@@ -2013,10 +2149,10 @@ object GraphQueries {
         .select(col("src"), expr("rank DIV deg").as("c"))
       val sums = edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("node"))
-        .join(broadcast(contrib), "src")
+        .join(side(contrib), "src")
         .groupBy("node").agg(sum(col("c")).as("s"))
       val next = tele
-        .join(broadcast(sums), Seq("node"), "left")
+        .join(side(sums), Seq("node"), "left")
         .select(col("node"),
           expr("tele + (850L * coalesce(s, 0L)) DIV 1000L").as("rank"))
         .localCheckpoint(true)
