@@ -304,13 +304,17 @@ object Similarity {
     */
   def dbscanBucketed(corpus: DataFrame, eps2Q: Long, minPts: Int,
       nCells: Int = 0, nProbe: Int = DbscanNProbe): DataFrame = {
-    // ONE cache — the probed frame every downstream consumer scans.
-    // The sizing count and the point-id base read the corpus directly
-    // (column-pruned parquet scans: the count touches no vector data,
-    // the base only vec_id); the quantized projection is consumed once
-    // into `probed`, so a second cache would only add a fill.
-    val cells = if (nCells > 0) nCells else dbscanNCells(corpus.count(), nProbe)
-    val probed = probeAssign(quantizedCorpus(corpus), cells, nProbe).cache()
+    // the quantized projection is CACHED and the geometry-sizing count
+    // runs on IT (quantization is row-preserving, so quant.count() ==
+    // corpus.count()): the sizing job doubles as the cache fill that
+    // centroid seeding and probe assignment then read — the r12
+    // spelling paid a standalone corpus.count() parquet job for the
+    // geometry and re-scanned parquet for the seed collect. Only the
+    // point-id base still reads the corpus directly (a vec_id-pruned
+    // scan).
+    val quant = quantizedCorpus(corpus).cache()
+    val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
+    val probed = probeAssign(quant, cells, nProbe).cache()
     // cached before the mirror for the same 2×-scan reason as dbscan's
     val half = bucketEpsHalf(probed, eps2Q).cache()
     dbscanTail(corpus.select(col("vec_id")), half, minPts,
@@ -448,8 +452,12 @@ object Similarity {
 
   /** MEASURED candidate-reduction evidence for [[dbscanBucketed]] — one
     * row: corpus size, the derived geometry, the full-quadratic pair
-    * count n(n−1)/2, the DISTINCT probe-sharing candidate-pair count the
-    * bucketed spelling actually ε-tests, and how many of those pass ε.
+    * count n(n−1)/2, the DISTINCT probe-sharing candidate-pair count,
+    * and how many of those pass ε. (The production bucketed spelling
+    * ε-tests pairs WITH per-shared-cell multiplicity since the
+    * pairsDistinct=false change, so the distinct count here slightly
+    * understates rows actually scored — it is the right blocking
+    * metric, distinct pairs, not a work meter.)
     * total_pairs/candidate_pairs IS the blocking reduction (grows as
     * ~nCells/nProbe² ∝ √n/nProbe under the derived geometry) — reported
     * from the data, not asserted in a scaladoc. Linear + per-cell work
@@ -458,33 +466,36 @@ object Similarity {
     */
   def dbscanCandidateStats(corpus: DataFrame, eps2Q: Long,
       nCells: Int = 0, nProbe: Int = DbscanNProbe): DataFrame = {
-    val cells = if (nCells > 0) nCells else dbscanNCells(corpus.count(), nProbe)
-    val probed = probeAssign(quantizedCorpus(corpus), cells, nProbe).cache()
+    // one cached quantized projection: its count sizes the geometry
+    // AND supplies n_points/total_pairs (row-preserving projection), so
+    // neither a standalone corpus.count() job nor a second parquet
+    // scan for the ε-test vectors survives (the dbscanBucketed fold)
+    val quant = quantizedCorpus(corpus).cache()
+    val n = quant.count()
+    val cells = if (nCells > 0) nCells else dbscanNCells(n, nProbe)
+    val probed = probeAssign(quant, cells, nProbe).cache()
     // distinct candidate ids first (the 100 TB shape: dedup on the
     // narrow (p, q) pairs, re-join vectors for the ε test after)
     val cand = probed.select(col("cell"), col("n_id").as("p"))
       .join(probed.select(col("cell"), col("n_id").as("q")), Seq("cell"))
       .where(col("p") < col("q"))
       .select("p", "q").distinct()
-    val vecs = quantizedCorpus(corpus).select(col("n_id"), col("cv"),
+    val vecs = quant.select(col("n_id"), col("cv"),
       normQ(col("cv")).as("nq"))
     val withVec = cand
       .join(vecs.select(col("n_id").as("p"), col("cv").as("v1"),
         col("nq").as("n1")), "p")
       .join(vecs.select(col("n_id").as("q"), col("cv").as("v2"),
         col("nq").as("n2")), "q")
-    val pairAgg = withVec.agg(
-      count(lit(1)).as("candidate_pairs"),
-      coalesce(sum(when(col("n1") + col("n2")
-          - lit(2) * dotQ(col("v1"), col("v2")) <= eps2Q, 1L)
-        .otherwise(0L)), lit(0L)).as("eps_pairs"))
-    corpus.agg(count(lit(1)).as("n_points"))
-      .crossJoin(broadcast(pairAgg))
-      .select(col("n_points"),
+    withVec.agg(
+        count(lit(1)).as("candidate_pairs"),
+        coalesce(sum(when(col("n1") + col("n2")
+            - lit(2) * dotQ(col("v1"), col("v2")) <= eps2Q, 1L)
+          .otherwise(0L)), lit(0L)).as("eps_pairs"))
+      .select(lit(n).as("n_points"),
         lit(cells.toLong).as("n_cells"),
         lit(nProbe.toLong).as("n_probe"),
-        shiftright(col("n_points") * (col("n_points") - lit(1)), 1)
-          .as("total_pairs"),
+        lit(n * (n - 1) / 2).as("total_pairs"),
         col("candidate_pairs"), col("eps_pairs"))
   }
 
@@ -504,14 +515,18 @@ object Similarity {
   def dbscanAgreementLabels(corpus: DataFrame, eps2Q: Long, minPts: Int,
       nCells: Int = 0, nProbe: Int = DbscanNProbe,
       blocks: Int = 8): DataFrame = {
-    val cells = if (nCells > 0) nCells else dbscanNCells(corpus.count(), nProbe)
-    val eb = quantizedCorpus(corpus)
+    // shared cached quantized projection: sizing count == cache fill,
+    // and both the exact-ε frame and the probe assignment read it
+    // (the dbscanBucketed fold)
+    val quant = quantizedCorpus(corpus).cache()
+    val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
+    val eb = quant
       .select(col("n_id").as("vec_id"), col("cv").as("v"))
       .withColumn("nq", normQ(col("v")))
       .cache()
     val exactHalf = blockedEpsHalf(eb, eps2Q, blocks).cache()
     // cached: both the p-side and the q-side of the semi-join scan it
-    val probed = probeAssign(quantizedCorpus(corpus), cells, nProbe).cache()
+    val probed = probeAssign(quant, cells, nProbe).cache()
     val bucketHalf = exactHalf
       .join(probed.select(col("n_id").as("p"), col("cell")), "p")
       .join(probed.select(col("n_id").as("q"), col("cell")), Seq("q", "cell"))

@@ -707,7 +707,7 @@ object SimilarityQueries {
   /** `sim_dbscan_bucketed` — the PRODUCTION DBSCAN spelling: candidate
     * ε-pairs only within IVF coarse-quantizer cells at the
     * CORPUS-DERIVED geometry (nCells = GREATEST(4·nProbe²,
-    * nProbe·⌈√n⌉) — [[graft.ops.Similarity.dbscanNCells]]), identical
+    * 2·nProbe·⌈√n⌉) — [[graft.ops.Similarity.dbscanNCells]]), identical
     * core/CC/border tail — see [[graft.ops.Similarity.dbscanBucketed]]
     * for the O(n^1.5·nProbe) scale contract and
     * `sim_dbscan_candidate_stats` for the MEASURED pair reduction. Same
@@ -729,8 +729,10 @@ object SimilarityQueries {
     * `WITH [RECURSIVE]` variant instead of string surgery on the shared
     * prefix. CTEs: v (quantized), vn (norms), prm (derived ncells),
     * cents (lowest-id seeds, row_number ≤ ncells), scores (guarded
-    * cosine per (vector, centroid) with the −2.0 / strict-> /
-    * lowest-index-tie kernel semantics).
+    * cosine per (vector, centroid) with the −2.0 zero-norm sentinel).
+    * The multi-probe tie order is the descending (score, index) struct
+    * sort of dprob / the probe kernel: equal scores break to the
+    * HIGHEST index first.
     */
   private def dbscanAssignSql(recursive: Boolean): String = {
     val kw = if (recursive) "WITH RECURSIVE" else "WITH"
