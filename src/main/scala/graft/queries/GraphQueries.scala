@@ -868,6 +868,205 @@ object GraphQueries {
           expr("(score * 1000000L) DIV __mx")).otherwise(col("score"))
           .as("score"))
 
+  private val BetweennessRounds = 6
+
+  /** `graph_betweenness` — betweenness centrality on the undirected
+    * trade graph, the pair-counting spelling: per-source BFS layers
+    * carry shortest-path COUNTS (σ at dist r = Σ of parents' σ at
+    * r−1), and B(v) = Σ_{s<t, v∉{s,t}} σ_sv·σ_tv/σ_st over pairs where
+    * d(s,v)+d(v,t) = d(s,t) — the identity that replaces Brandes'
+    * sequential backward accumulation with two joins, which is what
+    * makes the operator RELATIONAL (Brandes' δ-recursion is inherently
+    * per-source sequential; the σ-product identity is one shuffle).
+    * Per-term integral scoring ((σ_sv·σ_tv·10⁶) DIV σ_st, the RA
+    * doctrine) keeps both engines bit-identical with no float
+    * accumulation order.
+    *
+    * Scale: the all-pairs table is |sources|·|nodes| — exact
+    * betweenness is quadratic BY DEFINITION, so at 100 TB you sample
+    * pivots (Brandes & Pich 2007): the `sources` frame IS that sample
+    * (the gate passes all 25 nations; a billion-node caller passes K
+    * random pivots and the estimate concentrates as K grows). Each BFS
+    * round is one frontier ⋈ edges join + σ aggregate + anti-join —
+    * all keyed on (source, node), nothing driver-side; the bounded
+    * trade graph takes the measured driver-local replay instead.
+    * Fail-loudly (the bfs doctrine): a frontier still alive after
+    * [[BetweennessRounds]] throws rather than returning silently
+    * truncated centralities.
+    */
+  def graphBetweenness(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir)
+    val nodes = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"))
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val bidir = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    betweenness(nodes, bidir, BetweennessRounds)
+      .orderBy("nationkey")
+  }
+
+  /** The engine behind [[graphBetweenness]]: `bidir` is the bidirected
+    * neighbor list (`u`, `v` long), sources are every node in `nodes`
+    * (sampled-pivot callers pre-filter `nodes`' role as source by
+    * passing the sample — the output still covers all of `nodes`).
+    * Returns (`nationkey`, `btw_1e6`). `localBound` = 0 forces the
+    * distributed loop (the pagerank spec hook); Round13OpsSpec pins
+    * local == distributed on seeded random graphs.
+    */
+  private[graft] def betweenness(nodes: DataFrame, bidir: DataFrame,
+      maxRounds: Int, localBound: Int = LocalRankEdgeBound): DataFrame = {
+    val spark = nodes.sparkSession
+    val grabbedB =
+      if (localBound > 0)
+        bidir.select(col("u").cast("long"), col("v").cast("long"))
+          .limit(localBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localBound > 0 && grabbedB.length <= localBound) {
+      val es = grabbedB.map(r => (r.getLong(0), r.getLong(1)))
+      val nbrs = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val endpoints = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      // per-source BFS with path counts (dist, sigma)
+      val aps = endpoints.map { s =>
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1L)
+        var frontier = Seq(s)
+        var r = 0
+        while (frontier.nonEmpty && r < maxRounds) {
+          r += 1
+          val sums = scala.collection.mutable.Map.empty[Long, Long]
+            .withDefaultValue(0L)
+          for (u <- frontier; w <- nbrs.getOrElse(u, Array.empty[Long]))
+            if (!dist.contains(w)) sums(w) += sigma(u)
+          frontier = sums.keys.toSeq.sorted
+          for (w <- frontier) { dist(w) = r; sigma(w) = sums(w) }
+        }
+        if (frontier.nonEmpty && r == maxRounds) {
+          // one more half-step proves (in)completeness, the bfs contract
+          val more = frontier.exists(u =>
+            nbrs.getOrElse(u, Array.empty[Long]).exists(!dist.contains(_)))
+          if (more) throw new IllegalStateException(
+            s"betweenness BFS did not finish in $maxRounds rounds")
+        }
+        s -> ((dist.toMap, sigma.toMap))
+      }.toMap
+      val btw = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for {
+        s <- endpoints; t <- endpoints if s < t
+        (dst, sigst) <- aps(s)._1.get(t).map(d => (d, aps(s)._2(t))).toSeq
+        v <- endpoints if v != s && v != t
+        dsv <- aps(s)._1.get(v).toSeq
+        dtv <- aps(t)._1.get(v).toSeq
+        if dsv + dtv == dst
+      } btw(v) += aps(s)._2(v) * aps(t)._2(v) * 1000000L / sigst
+      return nodes
+        .join(broadcast(localRankDf(spark,
+          endpoints.map(n => (n, btw(n))))), Seq("node"), "left")
+        .select(col("node").as("nationkey"),
+          coalesce(col("lrank"), lit(0L)).as("btw_1e6"))
+    }
+    // distributed: layered frontier expansion carrying sigma, the
+    // (source, node)-keyed generalization of bfs
+    var reached = nodes
+      .select(col("node").as("s"), col("node").as("v"),
+        lit(0).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var frontier = reached
+    var r = 0
+    var frontierCount = 1L
+    while (frontierCount > 0 && r < maxRounds) {
+      r += 1
+      val newly = frontier
+        .join(bidir.select(col("u").cast("long").as("v"),
+          col("v").cast("long").as("w")), Seq("v"))
+        .groupBy(col("s"), col("w").as("nv"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(reached.select(col("s"), col("v").as("nv")),
+          Seq("s", "nv"), "left_anti")
+        .select(col("s"), col("nv").as("v"), lit(r).as("dist"), col("sigma"))
+        .localCheckpoint(true)
+      frontierCount = newly.count()
+      if (frontierCount > 0) {
+        reached = reached.unionByName(newly).localCheckpoint(true)
+        frontier = newly
+      }
+    }
+    if (frontierCount > 0) throw new IllegalStateException(
+      s"betweenness BFS did not finish in $maxRounds rounds")
+    val pr = reached.where(col("s") < col("v"))
+      .select(col("s"), col("v").as("t"),
+        col("dist").as("dst"), col("sigma").as("sigst"))
+    val i1 = reached.select(col("s"), col("v"),
+      col("dist").as("d1"), col("sigma").as("g1"))
+    val i2 = reached.select(col("s").as("t"), col("v"),
+      col("dist").as("d2"), col("sigma").as("g2"))
+    val terms = pr
+      .join(i1, Seq("s"))
+      .join(i2, Seq("t", "v"))
+      .where(col("v") =!= col("s") && col("v") =!= col("t") &&
+        col("d1") + col("d2") === col("dst"))
+      .groupBy("v")
+      .agg(sum(expr("(g1 * g2 * 1000000L) DIV sigst")).as("b"))
+    nodes
+      .join(terms.withColumnRenamed("v", "node"), Seq("node"), "left")
+      .select(col("node").as("nationkey"),
+        coalesce(col("b"), lit(0L)).as("btw_1e6"))
+  }
+
+  val graphBetweennessSql: String = {
+    val rounds = (1 to BetweennessRounds).map { r =>
+      // MATERIALIZED: DuckDB inlines CTEs by default, and each a_r is
+      // referenced twice per level (the NOT EXISTS and the union) plus
+      // three times in the tail — inlined, the chain re-expands
+      // exponentially (measured: OOM at 100 GiB on sf0.01)
+      s"""f$r AS MATERIALIZED (
+         |  SELECT p.s, b.v AS nv, SUM(p.sigma) AS sigma
+         |  FROM n${r - 1} p JOIN bidir b ON b.u = p.v
+         |  GROUP BY 1, 2
+         |), n$r AS MATERIALIZED (
+         |  SELECT f.s, f.nv AS v, $r AS dist, CAST(f.sigma AS BIGINT) AS sigma
+         |  FROM f$r f
+         |  WHERE NOT EXISTS (SELECT 1 FROM a${r - 1} x
+         |                    WHERE x.s = f.s AND x.v = f.nv)
+         |), a$r AS MATERIALIZED (
+         |  SELECT * FROM a${r - 1} UNION ALL SELECT * FROM n$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCtes, und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst
+       |), bidir AS (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL
+       |  SELECT b AS u, a AS v FROM und
+       |), nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), n0 AS MATERIALIZED (
+       |  SELECT node AS s, node AS v, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+       |  FROM nodes
+       |), a0 AS MATERIALIZED (
+       |  SELECT * FROM n0
+       |), $rounds, pr AS (
+       |  SELECT s, v AS t, dist AS dst, sigma AS sigst
+       |  FROM a$BetweennessRounds WHERE s < v
+       |), terms AS (
+       |  SELECT i1.v AS node,
+       |         SUM((i1.sigma * i2.sigma * 1000000) // p.sigst) AS b
+       |  FROM pr p
+       |  JOIN a$BetweennessRounds i1 ON i1.s = p.s
+       |  JOIN a$BetweennessRounds i2 ON i2.s = p.t AND i2.v = i1.v
+       |  WHERE i1.v != p.s AND i1.v != p.t
+       |    AND i1.dist + i2.dist = p.dst
+       |  GROUP BY i1.v
+       |)
+       |SELECT n.node AS nationkey, CAST(COALESCE(t.b, 0) AS BIGINT) AS btw_1e6
+       |FROM nodes n LEFT JOIN terms t ON t.node = n.node
+       |ORDER BY nationkey""".stripMargin
+  }
+
   /** Katz attenuation α = [[KatzAlphaNum]]/1000. Must satisfy
     * α·λmax < 1 for the truncated series to be the Katz limit's
     * prefix; λmax of the trade graph is bounded by its max in-degree

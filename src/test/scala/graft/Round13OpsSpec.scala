@@ -112,6 +112,28 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(eig.forall(e => e >= 0L && e <= 1000000L))
   }
 
+  test("betweenness local replay == distributed pair counting; star identity") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val bidir = randomUndirectedAdj(seed, 20, 40)
+        .select(col("x").as("u"), col("nbr").as("v"))
+      val nodes = (0L until 20L).toDF("node")
+      val local = GraphQueries.betweenness(nodes, bidir, maxRounds = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = GraphQueries.betweenness(nodes, bidir, maxRounds = 20,
+          localBound = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"seed $seed")
+    }
+    // hand-checkable star: the center carries every leaf pair exactly
+    // once (sigma products 1), leaves carry nothing
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("u", "v")
+    val got = GraphQueries.betweenness((0L to 4L).toDF("node"), star, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 6L * 1000000L, s"star center: ${got(0L)}")
+    (1L to 4L).foreach(l => assert(got(l) == 0L, s"leaf $l"))
+  }
+
   test("coreness local replay == distributed h-index, value for value") {
     for (seed <- 1 to 3) {
       val adj = randomUndirectedAdj(seed, 30, 90)
