@@ -30,14 +30,21 @@ import org.apache.spark.sql.functions._
   * Scale: piece counting and scoring are hash aggregates over the
   * TYPES table (the same frequency-compressed surface BPE trains on).
   * The DP itself is one narrow fold per word with the vocabulary as a
-  * broadcast map literal — vocab size is bounded by the MinCount
-  * filter (cap with a top-K cut at 100 TB, same documented-bounded
-  * class as maxVocab / the IVF centroid table); nothing shuffles.
+  * broadcast map literal — vocab size is bounded IN CODE by
+  * [[MaxVocab]]: multi-char pieces rank (count desc, piece) through a
+  * TakeOrdered top-K (single-char pieces always kept — the
+  * segmentability floor), so the caller's collect is a bounded model
+  * artifact by construction, not by a comment about the corpus (the
+  * MinCount filter alone stops bounding once type diversity grows
+  * with the data). The cap is 100k — far above any gate vocabulary,
+  * so gate hashes are the uncapped answer; the oracle applies the
+  * identical LIMIT. Nothing shuffles.
   */
 object UnigramLm {
 
   val MaxPiece = 4
   val MinCount = 5
+  val MaxVocab = 100000
 
   /** Weighted substring counts over the types table — every start
     * position, lengths 1..MaxPiece, each occurrence contributing the
@@ -51,13 +58,17 @@ object UnigramLm {
           ln => col("word").substr(st, ln))))).as("piece"))
       .groupBy("piece").agg(sum("wcnt").as("pcnt"))
 
-  /** MinCount-filtered vocabulary with 1e6-scaled log2 scores
-    * (single-char pieces always kept — the segmentability floor).
+  /** MinCount-filtered, [[MaxVocab]]-capped vocabulary with 1e6-scaled
+    * log2 scores (single-char pieces always kept — the segmentability
+    * floor; multi-char pieces take the deterministic (count desc,
+    * piece) top-K via TakeOrdered, the distributed top-k plan).
     */
   def vocabScores(pieces: DataFrame): DataFrame = {
     import graft.functions.IntegerLog2
-    val kept = pieces.where(length(col("piece")) === 1 ||
-      col("pcnt") >= MinCount)
+    val kept = pieces.where(length(col("piece")) === 1)
+      .unionByName(pieces
+        .where(length(col("piece")) > 1 && col("pcnt") >= MinCount)
+        .orderBy(desc("pcnt"), col("piece")).limit(MaxVocab))
     kept
       .crossJoin(broadcast(kept.agg(sum(col("pcnt")).as("t"))))
       .select(col("piece"),

@@ -105,9 +105,9 @@ object BpeQueries {
     * word, the unique (max log2-likelihood, then min pieces) optimum
     * under the corpus-frequency-scored substring vocabulary. Together
     * with the BPE gates this covers both mainstream subword tokenizer
-    * shapes. The vocabulary collect is a documented bounded artifact
-    * (MinCount-filtered; top-K-cap at 100 TB), the DP a narrow
-    * O(L·MaxPiece) fold per types row.
+    * shapes. The vocabulary collect is a bounded artifact IN CODE
+    * (MinCount filter + the UnigramLm.MaxVocab top-K cut, inactive at
+    * gate scale), the DP a narrow O(L·MaxPiece) fold per types row.
     */
   def textUnigramSegment(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.UnigramLm
@@ -136,7 +136,12 @@ object BpeQueries {
         |    FROM w)
         |  GROUP BY piece
         |), vocab AS (
-        |  SELECT piece, pcnt FROM pieces WHERE length(piece) = 1 OR pcnt >= 5
+        |  SELECT piece, pcnt FROM pieces WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, pcnt FROM (
+        |    SELECT piece, pcnt FROM pieces
+        |    WHERE length(piece) > 1 AND pcnt >= 5
+        |    ORDER BY pcnt DESC, piece LIMIT ${graft.ops.UnigramLm.MaxVocab})
         |), tot AS (SELECT CAST(SUM(pcnt) AS BIGINT) AS t FROM vocab),
         |scores AS (
         |  SELECT piece, CAST(${log2Sql("pcnt")} - ${log2Sql("t")} AS BIGINT) AS sc

@@ -307,6 +307,32 @@ object GraphQueries {
       broadcast
     else identity
 
+  /** Shared-neighbor hub cap for the co-occurrence link-prediction
+    * family (neighbor_overlap / resource_alloc / adamic_adar): the
+    * candidate self-join keys on the shared neighbor z and fans out
+    * deg(z)² pairs, so super-hub z's are EXCLUDED from candidate
+    * generation in code, not in a comment — the standard hub cut (for
+    * RA/AA a super-hub's per-term 1/deg ≈ 0 anyway; for raw common
+    * counts the cut is the documented approximation at web scale,
+    * exactly the CopurchaseBasketCap doctrine). 10⁴ is ~400× this
+    * corpus's max degree, so every gate hash is the uncapped answer;
+    * the oracles apply the identical filter.
+    */
+  private[graft] val HubNeighborCap = 10000L
+
+  /** Candidate-generation adjacency for the co-occurrence family:
+    * drops rows whose SHARED-NEIGHBOR key has degree above `cap`
+    * (degree by nbr == degree by x on a bidirected adjacency). The
+    * spec overrides `cap` to pin the cut on a synthetic hub.
+    */
+  private[graft] def capHubs(adj: DataFrame,
+      cap: Long = HubNeighborCap): DataFrame = {
+    val nonHub = adj.groupBy(col("nbr")).agg(count(lit(1)).as("__d"))
+      .where(col("__d") <= cap).select("nbr")
+    // re-project (x, nbr): the USING join puts the key column first
+    adj.join(broadcast(nonHub), Seq("nbr")).select("x", "nbr")
+  }
+
   /** `localBound` = 0 disables the driver-local fast path — the spec
     * hook that pins the distributed loop's plan contract (no
     * LocalRelation leaves) independently of the default adaptive
@@ -533,10 +559,10 @@ object GraphQueries {
     * co-occurrence shape. x < y canonicalizes each pair once;
     * |Γx∪Γy| = deg x + deg y − common by inclusion-exclusion, so no
     * second join pass. Scale: the join keys on the shared-neighbor id
-    * and hash-partitions by it; a hot hub fans out deg² pairs — the
-    * standard mitigations (cap/ sample hub neighborhoods, or the
-    * degree-ordered split used by graphTriangles) apply; here the
-    * adjacency is dimension-sized and broadcast.
+    * and hash-partitions by it; a hot hub fans out deg² pairs, so
+    * super-hub shared neighbors are CUT from candidate generation by
+    * the [[HubNeighborCap]] filter (in code, gate-inactive — see the
+    * cap's scaladoc); reported degrees stay the true degrees.
     */
   def graphNeighborOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir)
@@ -549,8 +575,9 @@ object GraphQueries {
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
       .cache()
     val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
-    val common = adj.select(col("x"), col("nbr"))
-      .join(broadcast(adj.select(col("x").as("y"), col("nbr"))), "nbr")
+    val cadj = capHubs(adj)
+    val common = cadj.select(col("x"), col("nbr"))
+      .join(broadcast(cadj.select(col("x").as("y"), col("nbr"))), "nbr")
       .where(col("x") < col("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("common"))
     common
@@ -572,9 +599,12 @@ object GraphQueries {
        |  SELECT b AS x, a AS nbr FROM und
        |), deg AS (
        |  SELECT x, COUNT(*) AS deg FROM adj GROUP BY x
+       |), cadj AS (
+       |  SELECT a.x, a.nbr FROM adj a
+       |  JOIN deg d ON d.x = a.nbr AND d.deg <= $HubNeighborCap
        |), common AS (
        |  SELECT a1.x AS x, a2.x AS y, COUNT(*) AS common
-       |  FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
+       |  FROM cadj a1 JOIN cadj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
        |  GROUP BY 1, 2
        |)
        |SELECT c.x, c.y, c.common, dx.deg AS deg_x, dy.deg AS deg_y,
@@ -598,9 +628,9 @@ object GraphQueries {
     * Scale: same co-occurrence self-join as neighbor_overlap, keyed on
     * the shared neighbor, plus ONE extra broadcast join against the
     * node-sized degree table to weight each match — no new shuffle
-    * shape. Hub fan-out mitigations are inherited (cap/sample hub
-    * neighborhoods at real scale; the adjacency here is
-    * dimension-sized and broadcast).
+    * shape. Hub fan-out is cut in code by the shared
+    * [[HubNeighborCap]] filter (a super-hub's 1/deg term is ≈ 0
+    * anyway; gate-inactive — see the cap's scaladoc).
     */
   def graphResourceAlloc(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir)
@@ -612,8 +642,9 @@ object GraphQueries {
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
       .cache()
     val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
-    adj.select(col("x"), col("nbr"))
-      .join(broadcast(adj.select(col("x").as("y"), col("nbr"))), "nbr")
+    val cadj = capHubs(adj)
+    cadj.select(col("x"), col("nbr"))
+      .join(broadcast(cadj.select(col("x").as("y"), col("nbr"))), "nbr")
       .where(col("x") < col("y"))
       .join(broadcast(deg), col("nbr") === col("z"))
       .groupBy("x", "y")
@@ -632,11 +663,14 @@ object GraphQueries {
        |  SELECT b AS x, a AS nbr FROM und
        |), deg AS (
        |  SELECT x AS z, COUNT(*) AS deg FROM adj GROUP BY x
+       |), cadj AS (
+       |  SELECT a.x, a.nbr FROM adj a
+       |  JOIN deg d ON d.z = a.nbr AND d.deg <= $HubNeighborCap
        |)
        |SELECT a1.x, a2.x AS y, COUNT(*) AS common,
        |       CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_1e6
-       |FROM adj a1
-       |JOIN adj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
+       |FROM cadj a1
+       |JOIN cadj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
        |JOIN deg d ON d.z = a1.nbr
        |GROUP BY 1, 2
        |ORDER BY a1.x, y""".stripMargin
@@ -1817,7 +1851,9 @@ object GraphQueries {
     *
     * Scale: identical shuffle shape to graph_resource_alloc — the
     * co-occurrence self-join keyed on the shared neighbor plus one
-    * broadcast degree join; the log kernel is a codegen'd narrow map.
+    * broadcast degree join, with the same in-code [[HubNeighborCap]]
+    * hub cut on candidate generation (a super-hub's 1/log term barely
+    * moves the score); the log kernel is a codegen'd narrow map.
     */
   def graphAdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.IntegerLog2
@@ -1830,8 +1866,9 @@ object GraphQueries {
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
       .cache()
     val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
-    adj.select(col("x"), col("nbr"))
-      .join(broadcast(adj.select(col("x").as("y"), col("nbr"))), "nbr")
+    val cadj = capHubs(adj)
+    cadj.select(col("x"), col("nbr"))
+      .join(broadcast(cadj.select(col("x").as("y"), col("nbr"))), "nbr")
       .where(col("x") < col("y"))
       .join(broadcast(deg), col("nbr") === col("z"))
       .withColumn("lg", IntegerLog2.log2s(col("deg")))
@@ -1852,11 +1889,14 @@ object GraphQueries {
        |  SELECT b AS x, a AS nbr FROM und
        |), deg AS (
        |  SELECT x AS z, COUNT(*) AS deg FROM adj GROUP BY x
+       |), cadj AS (
+       |  SELECT a.x, a.nbr FROM adj a
+       |  JOIN deg d ON d.z = a.nbr AND d.deg <= $HubNeighborCap
        |)
        |SELECT a1.x, a2.x AS y, COUNT(*) AS common,
        |       CAST(SUM(1000000000000 // $log2deg) AS BIGINT) AS aa_1e6
-       |FROM adj a1
-       |JOIN adj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
+       |FROM cadj a1
+       |JOIN cadj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
        |JOIN deg d ON d.z = a1.nbr
        |GROUP BY 1, 2
        |ORDER BY a1.x, y""".stripMargin

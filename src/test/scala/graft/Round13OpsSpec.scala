@@ -112,6 +112,26 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(eig.forall(e => e >= 0L && e <= 1000000L))
   }
 
+  test("hub cap cuts super-hub shared neighbors from candidate generation") {
+    import spark.implicits._
+    // star: hub 0 with 6 leaves, plus one normal edge (1,2) — with a
+    // cap of 5 the hub's rows vanish from the candidate adjacency and
+    // only the (1,2) edge survives; with a cap of 10 everything stays
+    val star = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))) ++
+      Seq((1L, 2L), (2L, 1L))
+    val adj = star.toDF("x", "nbr")
+    val capped = GraphQueries.capHubs(adj, cap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rows whose SHARED-NEIGHBOR key is the hub (nbr = 0) are cut;
+    // rows pointing AT low-degree nodes survive (incl. the hub's own
+    // (0, leaf) rows — leaf degrees are small)
+    assert(!capped.exists(_._2 == 0L), s"hub kept: $capped")
+    assert(capped.contains((1L, 2L)) && capped.contains((0L, 1L)))
+    val full = GraphQueries.capHubs(adj, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == star.toSet)
+  }
+
   test("betweenness local replay == distributed pair counting; star identity") {
     import spark.implicits._
     for (seed <- 1 to 3) {
