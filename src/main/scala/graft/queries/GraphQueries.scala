@@ -321,17 +321,24 @@ object GraphQueries {
   private[graft] val HubNeighborCap = 10000L
 
   /** Candidate-generation adjacency for the co-occurrence family:
-    * drops rows whose SHARED-NEIGHBOR key has degree above `cap`
-    * (degree by nbr == degree by x on a bidirected adjacency). The
-    * spec overrides `cap` to pin the cut on a synthetic hub.
+    * drops rows whose SHARED-NEIGHBOR key has degree above `cap`.
+    * `nbrDeg` (`nbr`, `deg`) is the caller's EXISTING degree frame
+    * re-keyed (degree by nbr == degree by x on a bidirected
+    * adjacency) — reusing it keeps the cap to one broadcast semi
+    * filter instead of adding a second degree aggregate (A/B'd:
+    * recomputing cost ~0.2–0.5 s of extra exchange per query). CACHED:
+    * every caller feeds it to BOTH sides of the co-occurrence
+    * self-join, and union/join branches get no common-subexpression
+    * elimination — uncached, each side re-derived the filter chain
+    * (the ConnectedComponents fwd-cache doctrine; A/B'd 3.6 → 2.6 s on
+    * neighbor_overlap). The spec overrides `cap` to pin the cut on a
+    * synthetic hub.
     */
-  private[graft] def capHubs(adj: DataFrame,
-      cap: Long = HubNeighborCap): DataFrame = {
-    val nonHub = adj.groupBy(col("nbr")).agg(count(lit(1)).as("__d"))
-      .where(col("__d") <= cap).select("nbr")
+  private[graft] def capHubs(adj: DataFrame, nbrDeg: DataFrame,
+      cap: Long = HubNeighborCap): DataFrame =
     // re-project (x, nbr): the USING join puts the key column first
-    adj.join(broadcast(nonHub), Seq("nbr")).select("x", "nbr")
-  }
+    adj.join(broadcast(nbrDeg.where(col("deg") <= cap).select("nbr")),
+      Seq("nbr")).select("x", "nbr").cache()
 
   /** `localBound` = 0 disables the driver-local fast path — the spec
     * hook that pins the distributed loop's plan contract (no
@@ -575,7 +582,7 @@ object GraphQueries {
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
       .cache()
     val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
-    val cadj = capHubs(adj)
+    val cadj = capHubs(adj, deg.select(col("x").as("nbr"), col("deg")))
     val common = cadj.select(col("x"), col("nbr"))
       .join(broadcast(cadj.select(col("x").as("y"), col("nbr"))), "nbr")
       .where(col("x") < col("y"))
@@ -642,7 +649,7 @@ object GraphQueries {
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
       .cache()
     val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
-    val cadj = capHubs(adj)
+    val cadj = capHubs(adj, deg.select(col("z").as("nbr"), col("deg")))
     cadj.select(col("x"), col("nbr"))
       .join(broadcast(cadj.select(col("x").as("y"), col("nbr"))), "nbr")
       .where(col("x") < col("y"))
@@ -1866,7 +1873,7 @@ object GraphQueries {
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
       .cache()
     val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
-    val cadj = capHubs(adj)
+    val cadj = capHubs(adj, deg.select(col("z").as("nbr"), col("deg")))
     cadj.select(col("x"), col("nbr"))
       .join(broadcast(cadj.select(col("x").as("y"), col("nbr"))), "nbr")
       .where(col("x") < col("y"))

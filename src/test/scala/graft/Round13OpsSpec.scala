@@ -120,14 +120,15 @@ class Round13OpsSpec extends AnyFunSuite {
     val star = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))) ++
       Seq((1L, 2L), (2L, 1L))
     val adj = star.toDF("x", "nbr")
-    val capped = GraphQueries.capHubs(adj, cap = 5)
+    val nbrDeg = adj.groupBy("nbr").agg(count(lit(1)).as("deg"))
+    val capped = GraphQueries.capHubs(adj, nbrDeg, cap = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // rows whose SHARED-NEIGHBOR key is the hub (nbr = 0) are cut;
     // rows pointing AT low-degree nodes survive (incl. the hub's own
     // (0, leaf) rows — leaf degrees are small)
     assert(!capped.exists(_._2 == 0L), s"hub kept: $capped")
     assert(capped.contains((1L, 2L)) && capped.contains((0L, 1L)))
-    val full = GraphQueries.capHubs(adj, cap = 10)
+    val full = GraphQueries.capHubs(adj, nbrDeg, cap = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == star.toSet)
   }
