@@ -1031,7 +1031,17 @@ object GraphQueries {
         .localCheckpoint(true)
       frontierCount = newly.count()
       if (frontierCount > 0) {
-        reached = reached.unionByName(newly).localCheckpoint(true)
+        val nextReached = reached.unionByName(newly).localCheckpoint(true)
+        // the replaced cumulative frame's blocks are dead once the new
+        // one is materialized — drop them or checkpoint storage grows
+        // linearly with rounds on a |sources|·|nodes|-sized frame (the
+        // ConnectedComponents doctrine). The consumed frontier's blocks
+        // die with it at r == 1 (same checkpoint); later rounds drop
+        // the prior frontier explicitly.
+        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(reached)
+        if (r > 1)
+          org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(frontier)
+        reached = nextReached
         frontier = newly
       }
     }
