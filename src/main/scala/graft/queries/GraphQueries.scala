@@ -1403,11 +1403,17 @@ object GraphQueries {
         .groupBy(col("v"))
         .agg(max(struct(col("c").as("c"), (-col("lbl")).as("ml"))).as("m"))
         .select(col("v").as("node"), (-col("m.ml")).as("win"))
-      labels = labels
+      val next = labels
         .join(votes, Seq("node"), "left")
         .select(col("node"), coalesce(col("win"), col("lbl")).as("lbl"))
         .localCheckpoint()
+      // replaced label vector's blocks are dead once `next` is
+      // materialized (the ConnectedComponents doctrine)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(labels)
+      labels = next
     }
+    // the FINAL labels checkpoint stays — the returned plan reads it
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(bidir)
     labels
   }
 
@@ -1626,14 +1632,23 @@ object GraphQueries {
     var survivors = adj.select("x").distinct().localCheckpoint(true)
     var deg: DataFrame = null
     for (_ <- 1 to rounds) {
-      deg = adj
+      val nextDeg = adj
         .join(broadcast(survivors), "x")
         .join(broadcast(survivors.select(col("x").as("nbr"))), "nbr")
         .groupBy("x").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
+      // replaced rounds' blocks are dead once nextDeg is materialized
+      // (the ConnectedComponents doctrine); the FINAL deg checkpoint
+      // stays — the returned plan reads it
+      if (deg != null)
+        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(deg)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(survivors)
+      deg = nextDeg
       survivors = deg.where(col("deg") >= k).select("x")
         .localCheckpoint(true)
     }
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(survivors)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(adj)
     deg.where(col("deg") >= k)
       .select(col("x").cast("long").as("node"), col("deg").as("core_deg"))
   }
@@ -1823,6 +1838,9 @@ object GraphQueries {
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(core)
       core = next
     }
+    // the FINAL core checkpoint stays (the returned plan reads it);
+    // the adjacency's blocks are dead once the loop is done
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(adj)
     core.select(col("x").cast("long").as("node"), col("c").as("coreness"))
   }
 
