@@ -119,9 +119,21 @@ object GraphQueries {
       .cache()
   }
 
-  /** The counted/edges CTE pair shared by every graph oracle. */
+  /** The counted/edges CTE pair shared by every graph oracle.
+    *
+    * TWIN DOCTRINE (learned the hard way, twice): DuckDB inlines CTEs
+    * by default, so any CTE referenced more than once PER LEVEL of an
+    * unrolled iteration multiplies the re-derivation of everything
+    * beneath it — the expansion is exponential in the round count
+    * (betweenness: measured OOM at 100 GiB; eigenvector: killed at
+    * 21 GB / 21 CPU-min, 0.87 s materialized; ktruss: 57.7 GB RSS).
+    * Every round CTE with >1 reference per level MUST carry
+    * `AS MATERIALIZED`. `counted` (self-referenced by the scalar SUM)
+    * and `edges` (referenced 1-3× by downstream CTEs) are materialized
+    * here so no twin ever re-runs the 4-way lineitem join.
+    */
   private val EdgeCtes =
-    """counted AS (
+    """counted AS MATERIALIZED (
       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
       |         CAST(s.s_nationkey AS BIGINT) AS dst,
       |         COUNT(*) AS cnt
@@ -130,7 +142,7 @@ object GraphQueries {
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  GROUP BY 1, 2
-      |), edges AS (
+      |), edges AS MATERIALIZED (
       |  SELECT src, dst FROM counted
       |  WHERE cnt * 550 >= (SELECT SUM(cnt) FROM counted)
       |)""".stripMargin
@@ -950,27 +962,49 @@ object GraphQueries {
   }
 
   /** The engine behind [[graphBetweenness]]: `bidir` is the bidirected
-    * neighbor list (`u`, `v` long), sources are every node in `nodes`
-    * (sampled-pivot callers pre-filter `nodes`' role as source by
-    * passing the sample — the output still covers all of `nodes`).
-    * Returns (`nationkey`, `btw_1e6`). `localBound` = 0 forces the
-    * distributed loop (the pagerank spec hook); Round13OpsSpec pins
-    * local == distributed on seeded random graphs.
+    * neighbor list (`u`, `v` long); `sources` (default = `nodes`) is
+    * the pivot set — the estimator is PAIR-RESTRICTED: B(v) sums over
+    * pairs s&lt;t with BOTH endpoints drawn from `sources` (so a K-pivot
+    * sample scores C(K,2)/C(n,2) of the pair terms; rescale driver-side
+    * if an unbiased magnitude is wanted — ranks concentrate without
+    * it). This is deliberately NOT the Brandes–Pich one-sided pivot
+    * estimator (sources × all-targets): pair restriction is what the
+    * σ-product identity computes with one join, and with
+    * sources = nodes the two coincide exactly. The output always
+    * covers all of `nodes`. Returns (`nationkey`, `btw_1e6`).
+    * `localBound` = 0 forces the distributed loop (the pagerank spec
+    * hook); Round13OpsSpec pins local == distributed on seeded random
+    * graphs and sampled(sources = nodes) == full.
     */
   private[graft] def betweenness(nodes: DataFrame, bidir: DataFrame,
-      maxRounds: Int, localBound: Int = LocalRankEdgeBound): DataFrame = {
+      maxRounds: Int, localBound: Int = LocalRankEdgeBound,
+      sources: DataFrame = null): DataFrame = {
     val spark = nodes.sparkSession
+    val srcFrame = Option(sources).getOrElse(nodes)
+      .select(col("node").cast("long").as("node"))
     val grabbedB =
       if (localBound > 0)
         bidir.select(col("u").cast("long"), col("v").cast("long"))
           .limit(localBound + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
-    if (localBound > 0 && grabbedB.length <= localBound) {
+    // the source set must also fit the driver for the local replay —
+    // same measured limit(bound+1) probe as the edge list
+    val grabbedS =
+      if (localBound > 0 && grabbedB.length <= localBound)
+        srcFrame.limit(localBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localBound > 0 && grabbedB.length <= localBound &&
+        grabbedS.length <= localBound && grabbedS.nonEmpty) {
       val es = grabbedB.map(r => (r.getLong(0), r.getLong(1)))
       val nbrs = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val endpoints = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      // BFS from exactly the source set — the same seeds as the
+      // distributed loop, so both paths compute the identical
+      // pair-restricted estimator (an isolated source reaches only
+      // itself and contributes no pair terms)
+      val srcs = grabbedS.map(_.getLong(0)).distinct.sorted
       // per-source BFS with path counts (dist, sigma)
-      val aps = endpoints.map { s =>
+      val aps = srcs.map { s =>
         val dist = scala.collection.mutable.Map(s -> 0)
         val sigma = scala.collection.mutable.Map(s -> 1L)
         var frontier = Seq(s)
@@ -995,8 +1029,10 @@ object GraphQueries {
       }.toMap
       val btw = scala.collection.mutable.Map.empty[Long, Long]
         .withDefaultValue(0L)
+      // pair loop over SOURCES only (both endpoints) — the same
+      // restriction the distributed tail's i2-join-on-reached imposes
       for {
-        s <- endpoints; t <- endpoints if s < t
+        s <- srcs; t <- srcs if s < t
         (dst, sigst) <- aps(s)._1.get(t).map(d => (d, aps(s)._2(t))).toSeq
         v <- endpoints if v != s && v != t
         dsv <- aps(s)._1.get(v).toSeq
@@ -1010,8 +1046,9 @@ object GraphQueries {
           coalesce(col("lrank"), lit(0L)).as("btw_1e6"))
     }
     // distributed: layered frontier expansion carrying sigma, the
-    // (source, node)-keyed generalization of bfs
-    var reached = nodes
+    // (source, node)-keyed generalization of bfs — seeded from the
+    // SOURCE set (default nodes), matching the local replay
+    var reached = srcFrame
       .select(col("node").as("s"), col("node").as("v"),
         lit(0).as("dist"), lit(1L).as("sigma"))
       .localCheckpoint(true)
@@ -1043,10 +1080,30 @@ object GraphQueries {
           org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(frontier)
         reached = nextReached
         frontier = newly
+      } else {
+        // terminal empty frontier: its checkpoint blocks are dead on
+        // arrival — free them now (the loop-leak class r13 closed
+        // elsewhere)
+        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(newly)
       }
     }
-    if (frontierCount > 0) throw new IllegalStateException(
-      s"betweenness BFS did not finish in $maxRounds rounds")
+    if (frontierCount > 0) {
+      // a BFS that filled its LAST legal round is complete, not
+      // truncated — mirror the local replay's one-step lookahead (one
+      // anti-join existence probe) before failing loudly
+      val more = frontier
+        .join(bidir.select(col("u").cast("long").as("v"),
+          col("v").cast("long").as("w")), Seq("v"))
+        .select(col("s"), col("w").as("v"))
+        .join(reached.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+        .limit(1).count()
+      if (more > 0) throw new IllegalStateException(
+        s"betweenness BFS did not finish in $maxRounds rounds")
+    }
+    // only `reached` feeds the pair-counting tail: the surviving
+    // frontier's blocks (when any productive round ran) are dead here
+    if (frontier ne reached)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(frontier)
     val pr = reached.where(col("s") < col("v"))
       .select(col("s"), col("v").as("t"),
         col("dist").as("dst"), col("sigma").as("sigst"))
@@ -1276,14 +1333,21 @@ object GraphQueries {
 
   val graphEigenvectorSql: String = {
     val rounds = (1 to Iters).map { r =>
-      s"""s$r AS (
+      // MATERIALIZED is load-bearing: e_r references s_r THREE times
+      // (two scalar MAX subqueries + the FROM); inlined, DuckDB
+      // re-derives the whole chain ~3^Iters times including the 4-way
+      // EdgeCtes join (measured: killed at 21 GB / 21 CPU-min at
+      // sf0.01; materialized: 0.87 s). Any round CTE referenced more
+      // than once per level must be MATERIALIZED — the EdgeCtes
+      // doctrine.
+      s"""s$r AS MATERIALIZED (
          |  SELECT n.node, COALESCE(x.s, 0) AS s
          |  FROM nodes n LEFT JOIN (
          |    SELECT b.v AS node, SUM(p.score) AS s
          |    FROM bidir b JOIN e${r - 1} p ON p.node = b.u
          |    GROUP BY b.v
          |  ) x ON x.node = n.node
-         |), e$r AS (
+         |), e$r AS MATERIALIZED (
          |  SELECT node,
          |         CAST(CASE WHEN (SELECT MAX(s) FROM s$r) > 0
          |              THEN (s * 1000000) // (SELECT MAX(s) FROM s$r)
@@ -2363,20 +2427,27 @@ object GraphQueries {
 
   val graphKtrussSql: String = {
     val rounds = (1 to 4).map { r =>
-      s"""adj$r AS (
+      // MATERIALIZED: u_{r-1} is referenced THREE times per level (the
+      // supp FROM + twice through adj) and adj_r twice — inlined,
+      // DuckDB re-derives ~5^4 copies of the chain down to the 4-way
+      // EdgeCtes join (measured: checker at 57.7 GB RSS at sf0.01,
+      // one version bump from the OOM that bit betweenness). The
+      // EdgeCtes doctrine: any round CTE referenced more than once
+      // per level must be MATERIALIZED.
+      s"""adj$r AS MATERIALIZED (
          |  SELECT a AS x, b AS n FROM u${r - 1}
          |  UNION ALL SELECT b, a FROM u${r - 1}
-         |), supp$r AS (
+         |), supp$r AS MATERIALIZED (
          |  SELECT u.a, u.b, COUNT(*) AS support
          |  FROM u${r - 1} u
          |  JOIN adj$r p ON p.x = u.a
          |  JOIN adj$r q ON q.x = u.b AND q.n = p.n
          |  GROUP BY u.a, u.b
-         |), u$r AS (
+         |), u$r AS MATERIALIZED (
          |  SELECT a, b FROM supp$r WHERE support >= 10
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, u0 AS (
+    s"""WITH $EdgeCtes, u0 AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src <> dst
        |), $rounds

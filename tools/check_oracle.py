@@ -1,15 +1,29 @@
 #!/usr/bin/env python3
 """Local self-check mimicking the driver's DuckDB oracle gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [only] [timeoutSec]
 
 For each query result parquet under <verifyOutDir>/<name>/, runs the
 matching SQL from oracle_sql.json in DuckDB over the sf parquet tables and
 compares values exactly (columns sorted by name, rows in file order).
+
+Hardened against single-query pathology (round 13: an unmaterialized
+round-CTE twin hung DuckDB for 21 CPU-minutes and reduced the round's
+entire correctness artifact to `{}`):
+  - every OK/FAIL line carries wall-clock seconds and current peak RSS;
+  - a per-query watchdog calls connection.interrupt() after timeoutSec
+    (default 120), records `FAIL <name>: oracle timeout` and CONTINUES;
+  - results are written INCREMENTALLY to <verifyOutDir>/check_results.json
+    after every query, so even a hard kill leaves a partial artifact
+    naming the last query started (status "started") instead of nothing.
+
 Dev-only tooling — not part of the Spark library.
 """
 import json
+import resource
 import sys
+import threading
+import time
 from pathlib import Path
 
 import duckdb
@@ -17,40 +31,73 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def main(sf_dir: str, out_dir: str, only: str = "") -> int:
+def rss_mb() -> int:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+
+def main(sf_dir: str, out_dir: str, only: str = "", timeout: str = "120") -> int:
     names = set(only.split(",")) if only else None
+    timeout_s = float(timeout)
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    results: dict = {}
+    results_path = Path(out_dir) / "check_results.json"
+
+    def flush():
+        results_path.write_text(json.dumps(results, indent=0))
+
+    def run_with_timeout(sql):
+        """Run sql; on watchdog expiry interrupt the connection and raise."""
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).fetchdf()
+        finally:
+            timer.cancel()
+
     failures = 0
+
+    def fail(name, msg, t0):
+        nonlocal failures
+        failures += 1
+        dt = time.time() - t0
+        print(f"FAIL {name}: {msg}  [{dt:.1f}s rss={rss_mb()}MB]", flush=True)
+        results[name] = {"status": "FAIL", "reason": msg, "sec": round(dt, 2)}
+        flush()
+
     for name, sql in sorted(oracle.items()):
         if names is not None and name not in names:
             continue
+        t0 = time.time()
+        # mark started BEFORE running: a hard kill mid-query still names
+        # the offender in the partial artifact
+        results[name] = {"status": "started"}
+        flush()
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
-            print(f"FAIL {name}: no spark result dir")
-            failures += 1
+            fail(name, "no spark result dir", t0)
             continue
         got = con.execute(
             f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
         try:
-            want = con.execute(sql).fetchdf()
+            want = run_with_timeout(sql)
+        except duckdb.InterruptException:
+            fail(name, f"oracle timeout after {timeout_s:.0f}s (interrupted)", t0)
+            continue
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
-            failures += 1
+            fail(name, f"oracle sql error: {e}", t0)
             continue
         gc, wc = sorted(got.columns), sorted(want.columns)
         if gc != wc:
-            print(f"FAIL {name}: columns {gc} != {wc}")
-            failures += 1
+            fail(name, f"columns {gc} != {wc}", t0)
             continue
         g, w = got[gc], want[wc]
         if len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
-            failures += 1
+            fail(name, f"rows {len(g)} != {len(w)}", t0)
             continue
         # exact value compare, row order as produced (both sides ORDER BY)
         mismatch = None
@@ -64,8 +111,7 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
                 break
         if mismatch:
             c, i, a, b = mismatch
-            print(f"FAIL {name}: col {c} row {i}: spark={a!r} duck={b!r}")
-            failures += 1
+            fail(name, f"col {c} row {i}: spark={a!r} duck={b!r}", t0)
             continue
         # dtype KIND seam: the driver's hash canonicalization distinguishes
         # 1 (int64) from 1.0 (float64) even when values compare equal —
@@ -77,13 +123,19 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
             if g[c].dtype.kind != w[c].dtype.kind]
         if kind_mismatch:
             c, gd, wd = kind_mismatch[0]
-            print(f"FAIL {name}: col {c} dtype kind spark={gd} duck={wd}"
-                  " (values equal; driver hash would differ)")
-            failures += 1
+            fail(name, f"col {c} dtype kind spark={gd} duck={wd}"
+                 " (values equal; driver hash would differ)", t0)
         else:
-            print(f"OK   {name}: {len(g)} rows x {len(gc)} cols")
+            dt = time.time() - t0
+            print(f"OK   {name}: {len(g)} rows x {len(gc)} cols"
+                  f"  [{dt:.1f}s rss={rss_mb()}MB]", flush=True)
+            results[name] = {"status": "OK", "rows": len(g),
+                             "sec": round(dt, 2)}
+            flush()
+    n_ok = sum(1 for r in results.values() if r.get("status") == "OK")
+    print(f"-- {n_ok} OK, {failures} FAIL, peak rss {rss_mb()}MB", flush=True)
     return failures
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], *sys.argv[3:4]))
+    sys.exit(main(sys.argv[1], sys.argv[2], *sys.argv[3:5]))
