@@ -53,7 +53,11 @@ object ConnectedComponents {
       col(bCol).cast("long").as("m"))
     val localLimit = math.min(localThreshold, Int.MaxValue - 1L).toInt
     val grabbed = fwd0.limit(localLimit + 1).collect()
-    if (grabbed.length <= localThreshold) {
+    // compare against the CLAMPED bound, not localThreshold: for a
+    // threshold past Int.MaxValue the limit() truncates, and an
+    // at-limit collect would otherwise take the local path on an
+    // INCOMPLETE edge list — fall through to the distributed loop
+    if (grabbed.length <= localLimit) {
       return resolveLocal(pairs.sparkSession,
         grabbed.map(r => (r.getLong(0), r.getLong(1))))
     }

@@ -73,12 +73,16 @@ object StronglyConnectedComponents {
     // fast-path contract — both paths accept whatever id types the
     // distributed joins coerce, and a threshold near Int.MaxValue
     // can't wrap the limit
+    val localLimit = math.min(localThreshold, Int.MaxValue - 1L).toInt
     val grabbed = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-      .limit(math.min(localThreshold, Int.MaxValue - 1L).toInt + 1).collect()
-    if (grabbed.length <= localThreshold) {
+      .limit(localLimit + 1).collect()
+    // compare against the CLAMPED bound (the ConnectedComponents fix):
+    // an at-limit collect under a >Int.MaxValue threshold is a
+    // truncated edge list and must fall through to the distributed loop
+    if (grabbed.length <= localLimit) {
       val lab = tarjanLabels(grabbed.map(r => (r.getLong(0), r.getLong(1))))
       import scala.jdk.CollectionConverters._
       val labDf = spark.createDataFrame(

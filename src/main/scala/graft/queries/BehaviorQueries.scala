@@ -160,7 +160,7 @@ object BehaviorQueries {
   }
 
   val analyticsCohortSql: String =
-    """WITH days AS (
+    """WITH days AS MATERIALIZED (
       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
       |  FROM events
       |), c AS (
@@ -307,10 +307,10 @@ object BehaviorQueries {
   }
 
   val analyticsGrowthAccountingSql: String =
-    """WITH days AS (
+    """WITH days AS MATERIALIZED (
       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
       |  FROM events
-      |), f AS (
+      |), f AS MATERIALIZED (
       |  SELECT user_id, day,
       |         MIN(day) OVER (PARTITION BY user_id) AS first_day
       |  FROM days
@@ -659,7 +659,7 @@ object BehaviorQueries {
 
   val analyticsMarkovStationarySql: String = {
     val rounds = (1 to StationaryRounds).map { r =>
-      s"""pi$r AS (
+      s"""pi$r AS MATERIALIZED (
          |  SELECT s.state,
          |         COALESCE(CAST(x.s AS BIGINT), 0) AS pi_ppm
          |  FROM states s LEFT JOIN (
@@ -678,17 +678,17 @@ object BehaviorQueries {
        |         lead(event_type) OVER (PARTITION BY user_id
        |                                ORDER BY us, event_id) AS to_type
        |  FROM e
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT from_type, to_type, COUNT(*) AS n
        |  FROM p0 WHERE to_type IS NOT NULL GROUP BY from_type, to_type
        |), totals AS (
        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
        |  FROM pairs GROUP BY from_type
-       |), trans AS (
+       |), trans AS MATERIALIZED (
        |  SELECT p.from_type, p.to_type,
        |         CAST(p.n * 1000000 // t.n_from AS BIGINT) AS p_ppm
        |  FROM pairs p JOIN totals t USING (from_type)
-       |), states AS (
+       |), states AS MATERIALIZED (
        |  SELECT DISTINCT from_type AS state FROM trans
        |  UNION
        |  SELECT DISTINCT to_type AS state FROM trans
@@ -710,7 +710,7 @@ object BehaviorQueries {
       |         LEAD(event_type) OVER (PARTITION BY user_id
       |                                ORDER BY us, event_id) AS next_type
       |  FROM e
-      |), pairs AS (
+      |), pairs AS MATERIALIZED (
       |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
       |  FROM s WHERE next_type IS NOT NULL
       |  GROUP BY event_type, next_type
@@ -790,7 +790,7 @@ object BehaviorQueries {
   }
 
   val analyticsStreaksSql: String =
-    s"""WITH days AS (
+    s"""WITH days AS MATERIALIZED (
       |  SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events
       |), isl AS (
       |  SELECT user_id,
@@ -857,7 +857,7 @@ object BehaviorQueries {
   }
 
   val analyticsActiveUsersSql: String =
-    s"""WITH days AS (
+    s"""WITH days AS MATERIALIZED (
       |  SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events
       |), dau AS (
       |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM days GROUP BY day
@@ -932,7 +932,7 @@ object BehaviorQueries {
       |         CASE WHEN event_type = 'purchase'
       |              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS pc
       |  FROM events
-      |), f AS (
+      |), f AS MATERIALIZED (
       |  SELECT user_id, event_id, event_type, us,
       |         last_value(CASE WHEN pc IS NOT NULL THEN us END IGNORE NULLS)
       |           OVER wp AS prev_us,
@@ -988,10 +988,10 @@ object BehaviorQueries {
   }
 
   val analyticsNewReturningSql: String =
-    """WITH ud AS (
+    """WITH ud AS MATERIALIZED (
       |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
       |  FROM events
-      |), fs AS (
+      |), fs AS MATERIALIZED (
       |  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
       |)
       |SELECT ud.day, COUNT(*) AS n_active,
@@ -1051,7 +1051,7 @@ object BehaviorQueries {
       |  SELECT DISTINCT user_id, event_type FROM events
       |), u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
       |marg AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
       |         COUNT(*) AS n_ab
       |  FROM ut a JOIN ut b ON a.user_id = b.user_id

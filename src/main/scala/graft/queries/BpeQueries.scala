@@ -125,7 +125,7 @@ object BpeQueries {
     // lexicographic optimum the Spark DP computes.
     TextQueries.DuckToks.replace("WITH d AS", "WITH RECURSIVE d AS") +
       s"""
-        |, w AS (
+        |, w AS MATERIALIZED (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
         |  FROM (SELECT unnest(toks) AS word FROM d) GROUP BY word
         |), pieces AS (
@@ -170,16 +170,21 @@ object BpeQueries {
   private def bpeCtes: String = {
     val rounds = (1 to Rounds).map { r =>
       val prev = s"t${r - 1}"
-      s"""p$r AS (
+      // MATERIALIZED on every round CTE: t_{r-1} is referenced THREE
+      // times per level (pair counting, match scan, rewrite) and top_r
+      // twice — inlined, DuckDB re-derives the whole chain ~3^Rounds
+      // times (measured: 23-31 s per bpe twin at sf0.01, 2.6 GB RSS;
+      // materialized the family runs in ~2 s). The EdgeCtes doctrine.
+      s"""p$r AS MATERIALIZED (
          |  SELECT pa, pb, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
          |    SELECT wcnt,
          |           unnest(list_slice(syms, 1, len(syms) - 1)) AS pa,
          |           unnest(list_slice(syms, 2, len(syms))) AS pb
          |    FROM $prev)
          |  GROUP BY pa, pb
-         |), top$r AS (
+         |), top$r AS MATERIALIZED (
          |  SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa, pb LIMIT 1
-         |), mt$r AS (
+         |), mt$r AS MATERIALIZED (
          |  SELECT word, i FROM (
          |    SELECT word, i,
          |           row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
@@ -196,9 +201,9 @@ object BpeQueries {
          |              FROM $prev t CROSS JOIN top$r x) y) z
          |      WHERE syms[i] = pa AND syms[i + 1] = pb))
          |  WHERE rn % 2 = 1
-         |), mp$r AS (
+         |), mp$r AS MATERIALIZED (
          |  SELECT word, list(i ORDER BY i) AS mpos FROM mt$r GROUP BY word
-         |), t$r AS (
+         |), t$r AS MATERIALIZED (
          |  SELECT t.word, t.wcnt,
          |         CASE WHEN m.mpos IS NULL THEN t.syms ELSE
          |           list_filter(list_transform(range(1, len(t.syms) + 1), j ->
@@ -211,10 +216,10 @@ object BpeQueries {
     }.mkString(", ")
     TextQueries.DuckToks +
       s"""
-        |, w AS (
+        |, w AS MATERIALIZED (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
         |  FROM (SELECT unnest(toks) AS word FROM d) GROUP BY word
-        |), t0 AS (
+        |), t0 AS MATERIALIZED (
         |  SELECT word, wcnt,
         |         list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
         |  FROM w
@@ -228,18 +233,18 @@ object BpeQueries {
 
   private def encodeCtes: String = bpeCtes +
     s"""
-      |, vocab AS (
+      |, vocab AS MATERIALIZED (
       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
       |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM t$Rounds)
-      |), dt AS (
+      |), dt AS MATERIALIZED (
       |  SELECT doc_id, unnest(toks) AS word,
       |         unnest(range(1, len(toks) + 1)) AS pos
       |  FROM d
-      |), ds AS (
+      |), ds AS MATERIALIZED (
       |  SELECT dt.doc_id, dt.pos, unnest(t.syms) AS sym,
       |         unnest(range(1, len(t.syms) + 1)) AS sp
       |  FROM dt JOIN t$Rounds t USING (word)
-      |), enc AS (
+      |), enc AS MATERIALIZED (
       |  SELECT ds.doc_id, ds.pos * 100000 + ds.sp AS ord, v.id
       |  FROM ds JOIN vocab v USING (sym)
       |)""".stripMargin
@@ -296,7 +301,7 @@ object BpeQueries {
   }
 
   val textBpeFertilitySql: String =
-    s"""WITH enc AS (
+    s"""WITH enc AS MATERIALIZED (
        |$textBpeEncodeSql
        |), w AS (
        |  SELECT doc_id, lang,

@@ -199,15 +199,15 @@ object GraphQueries {
   }
 
   val graphTrianglesSql: String =
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), tri AS (
+       |), tri AS MATERIALIZED (
        |  SELECT e1.a, e1.b, e2.b AS c
        |  FROM und e1
        |  JOIN und e2 ON e2.a = e1.b
        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-       |), corners AS (
+       |), corners AS MATERIALIZED (
        |  SELECT a AS node FROM tri
        |  UNION ALL SELECT b FROM tri
        |  UNION ALL SELECT c FROM tri
@@ -338,19 +338,25 @@ object GraphQueries {
     * re-keyed (degree by nbr == degree by x on a bidirected
     * adjacency) — reusing it keeps the cap to one broadcast semi
     * filter instead of adding a second degree aggregate (A/B'd:
-    * recomputing cost ~0.2–0.5 s of extra exchange per query). CACHED:
-    * every caller feeds it to BOTH sides of the co-occurrence
-    * self-join, and union/join branches get no common-subexpression
-    * elimination — uncached, each side re-derived the filter chain
-    * (the ConnectedComponents fwd-cache doctrine; A/B'd 3.6 → 2.6 s on
-    * neighbor_overlap). The spec overrides `cap` to pin the cut on a
-    * synthetic hub.
+    * recomputing cost ~0.2–0.5 s of extra exchange per query).
+    * PERSISTED per call via LAZY localCheckpoint, not cache(): every
+    * caller feeds it to BOTH sides of the co-occurrence self-join, and
+    * union/join branches get no common-subexpression elimination —
+    * unpersisted, each side re-derived the filter chain (the
+    * ConnectedComponents fwd-cache doctrine; A/B'd 3.6 → 2.6 s on
+    * neighbor_overlap). localCheckpoint's blocks are owned by the RDD,
+    * not the session CacheManager, so the ContextCleaner frees them as
+    * soon as the query's frames are dropped — a long-lived session
+    * running the co-occurrence family repeatedly accumulates nothing
+    * (cache() leaked one capped adjacency per invocation; r13 VERDICT
+    * item 5). The spec overrides `cap` to pin the cut on a synthetic
+    * hub and pins the no-cache-growth contract.
     */
   private[graft] def capHubs(adj: DataFrame, nbrDeg: DataFrame,
       cap: Long = HubNeighborCap): DataFrame =
     // re-project (x, nbr): the USING join puts the key column first
     adj.join(broadcast(nbrDeg.where(col("deg") <= cap).select("nbr")),
-      Seq("nbr")).select("x", "nbr").cache()
+      Seq("nbr")).select("x", "nbr").localCheckpoint(false)
 
   /** `localBound` = 0 disables the driver-local fast path — the spec
     * hook that pins the distributed loop's plan contract (no
@@ -429,9 +435,9 @@ object GraphQueries {
          |  ) c ON c.node = n.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, deg AS (
+    s"""WITH $EdgeCtes, deg AS MATERIALIZED (
        |  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
        |), r0 AS (
        |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
@@ -592,7 +598,7 @@ object GraphQueries {
     // bidirectional adjacency: (x, nbr) once per undirected edge end
     val adj = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
-      .cache()
+      .localCheckpoint(false)
     val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
     val cadj = capHubs(adj, deg.select(col("x").as("nbr"), col("deg")))
     val common = cadj.select(col("x"), col("nbr"))
@@ -609,14 +615,14 @@ object GraphQueries {
   }
 
   val graphNeighborOverlapSql: String =
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), adj AS (
+       |), adj AS MATERIALIZED (
        |  SELECT a AS x, b AS nbr FROM und
        |  UNION ALL
        |  SELECT b AS x, a AS nbr FROM und
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT x, COUNT(*) AS deg FROM adj GROUP BY x
        |), cadj AS (
        |  SELECT a.x, a.nbr FROM adj a
@@ -659,7 +665,7 @@ object GraphQueries {
       .distinct()
     val adj = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
-      .cache()
+      .localCheckpoint(false)
     val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
     val cadj = capHubs(adj, deg.select(col("z").as("nbr"), col("deg")))
     cadj.select(col("x"), col("nbr"))
@@ -673,14 +679,14 @@ object GraphQueries {
   }
 
   val graphResourceAllocSql: String =
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), adj AS (
+       |), adj AS MATERIALIZED (
        |  SELECT a AS x, b AS nbr FROM und
        |  UNION ALL
        |  SELECT b AS x, a AS nbr FROM und
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT x AS z, COUNT(*) AS deg FROM adj GROUP BY x
        |), cadj AS (
        |  SELECT a.x, a.nbr FROM adj a
@@ -771,12 +777,12 @@ object GraphQueries {
          |  ) c ON c.node = n.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, wedges AS (
+    s"""WITH $EdgeCtes, wedges AS MATERIALIZED (
        |  SELECT src, dst, cnt FROM counted
        |  WHERE cnt * 550 >= (SELECT SUM(cnt) FROM counted)
-       |), totw AS (
+       |), totw AS MATERIALIZED (
        |  SELECT src, CAST(SUM(cnt) AS BIGINT) AS tw FROM wedges GROUP BY src
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
        |), r0 AS (
        |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
@@ -864,6 +870,7 @@ object GraphQueries {
         .orderBy(desc("hub_1e6"), col("nationkey"))
     }
     val nodes = nodes0.localCheckpoint(true)
+    val side = nodeSideHint(nodes)
     // CHECKPOINT each half-step (the pagerank doctrine): every
     // half-step references its input vector twice (the rescale's max
     // aggregate + the join side), so without lineage truncation the
@@ -873,12 +880,12 @@ object GraphQueries {
     var hub = nodes.withColumn("score", lit(1000000L)).localCheckpoint(true)
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      val nextAuth = normalizeMax(propagate(nodes, edges, hub, "src", "dst"))
+      val nextAuth = normalizeMax(propagate(nodes, edges, hub, "src", "dst", side))
         .localCheckpoint(true)
       if (auth != null)
         org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(auth)
       auth = nextAuth
-      val nextHub = normalizeMax(propagate(nodes, edges, auth, "dst", "src"))
+      val nextHub = normalizeMax(propagate(nodes, edges, auth, "dst", "src", side))
         .localCheckpoint(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(hub)
       hub = nextHub
@@ -895,18 +902,19 @@ object GraphQueries {
 
   /** One HITS half-step: sum `scores` over edges from `from`-side into
     * `to`-side, left-joined back to the full node set (0 for nodes with
-    * no incident edge). CONTRACT: the node-sized score/sum frames
-    * broadcast unconditionally because every caller here runs on the
-    * schema-bounded nation graph (25 nodes); a generic-graph caller
-    * must wrap them with the measured [[nodeSideHint]] guard exactly as
-    * [[pagerank]] does.
+    * no incident edge). `side` hints the node-sized score/sum frames:
+    * callers pass the measured [[nodeSideHint]] guard (as [[pagerank]]
+    * does), so a generic-graph invocation past [[BroadcastNodeBound]]
+    * degrades to plain shuffle joins instead of broadcasting O(nodes)
+    * per half-step.
     */
   private def propagate(nodes: DataFrame, edges: DataFrame,
-      scores: DataFrame, from: String, to: String): DataFrame = {
+      scores: DataFrame, from: String, to: String,
+      side: DataFrame => DataFrame): DataFrame = {
     val summed = edges
-      .join(broadcast(scores.select(col("node").as(from), col("score"))), from)
+      .join(side(scores.select(col("node").as(from), col("score"))), from)
       .groupBy(col(to).as("node")).agg(sum(col("score")).as("s"))
-    nodes.join(broadcast(summed), Seq("node"), "left")
+    nodes.join(side(summed), Seq("node"), "left")
       .select(col("node"), coalesce(col("s"), lit(0L)).as("score"))
   }
 
@@ -1143,14 +1151,14 @@ object GraphQueries {
          |  SELECT * FROM a${r - 1} UNION ALL SELECT * FROM n$r
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), bidir AS (
+       |), bidir AS MATERIALIZED (
        |  SELECT a AS u, b AS v FROM und
        |  UNION ALL
        |  SELECT b AS u, a AS v FROM und
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
        |), n0 AS MATERIALIZED (
        |  SELECT node AS s, node AS v, 0 AS dist, CAST(1 AS BIGINT) AS sigma
@@ -1258,7 +1266,7 @@ object GraphQueries {
          |  ) c ON c.node = n.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, nodes AS (
+    s"""WITH $EdgeCtes, nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
        |), k0 AS (
        |  SELECT node, CAST(1000000 AS BIGINT) AS katz FROM nodes
@@ -1320,9 +1328,10 @@ object GraphQueries {
         .orderBy(desc("eig"), col("nationkey"))
     }
     val nodeIds = nodes.localCheckpoint(true)
+    val side = nodeSideHint(nodeIds)
     var x = nodeIds.withColumn("score", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to Iters) {
-      val next = normalizeMax(propagate(nodeIds, bidir, x, "u", "v"))
+      val next = normalizeMax(propagate(nodeIds, bidir, x, "u", "v", side))
         .localCheckpoint(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(x)
       x = next
@@ -1355,14 +1364,14 @@ object GraphQueries {
          |  FROM s$r
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), bidir AS (
+       |), bidir AS MATERIALIZED (
        |  SELECT a AS u, b AS v FROM und
        |  UNION ALL
        |  SELECT b AS u, a AS v FROM und
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
        |), e0 AS (
        |  SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes
@@ -1484,35 +1493,35 @@ object GraphQueries {
   val graphLabelPropagationSql: String = {
     val rounds = (1 to LpaIters).map { r =>
       val prev = s"l${r - 1}"
-      s"""v$r AS (
+      s"""v$r AS MATERIALIZED (
          |  SELECT b.v AS node, p.lbl, COUNT(*) AS c
          |  FROM bidir b JOIN $prev p ON p.node = b.u
          |  GROUP BY 1, 2
-         |), a$r AS (
+         |), a$r AS MATERIALIZED (
          |  SELECT node, max(struct_pack(c := c, ml := -lbl)) AS m
          |  FROM v$r GROUP BY node
-         |), l$r AS (
+         |), l$r AS MATERIALIZED (
          |  SELECT p.node,
          |         CAST(COALESCE(-(a.m).ml, p.lbl) AS BIGINT) AS lbl
          |  FROM $prev p LEFT JOIN a$r a USING (node)
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, wedges AS (
+    s"""WITH $EdgeCtes, wedges AS MATERIALIZED (
        |  SELECT src, dst, cnt FROM counted
        |  WHERE cnt * 550 >= (SELECT SUM(cnt) FROM counted)
-       |), top2 AS (
+       |), top2 AS MATERIALIZED (
        |  SELECT src, dst FROM (
        |    SELECT src, dst,
        |           row_number() OVER (PARTITION BY src
        |                              ORDER BY cnt DESC, dst) AS rn
        |    FROM wedges) WHERE rn <= 2
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
-       |), bidir AS (
+       |), bidir AS MATERIALIZED (
        |  SELECT src AS u, dst AS v FROM top2
        |  UNION
        |  SELECT dst AS u, src AS v FROM top2
-       |), l0 AS (
+       |), l0 AS MATERIALIZED (
        |  SELECT node, node AS lbl FROM nodes
        |), $rounds
        |SELECT node AS nationkey, lbl AS community
@@ -1521,11 +1530,11 @@ object GraphQueries {
 
   val graphHitsSql: String = {
     def half(prev: String, out: String, from: String, to: String): String =
-      s"""${out}_raw AS (
+      s"""${out}_raw AS MATERIALIZED (
          |  SELECT e.$to AS node, SUM(p.score) AS s
          |  FROM edges e JOIN $prev p ON p.node = e.$from
          |  GROUP BY e.$to
-         |), $out AS (
+         |), $out AS MATERIALIZED (
          |  SELECT n.node,
          |         CAST(COALESCE(r.s, 0) * 1000000 //
          |              GREATEST((SELECT MAX(COALESCE(r2.s, 0)) FROM nodes n2
@@ -1537,7 +1546,7 @@ object GraphQueries {
       half(if (i == 1) "h0" else s"h${i - 1}", s"a$i", "src", "dst") + ", " +
         half(s"a$i", s"h$i", "dst", "src")
     }.mkString(", ")
-    s"""WITH $EdgeCtes, nodes AS (
+    s"""WITH $EdgeCtes, nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
        |), h0 AS (
        |  SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes
@@ -1597,19 +1606,19 @@ object GraphQueries {
   }
 
   val graphClusteringCoeffSql: String =
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT x, COUNT(*) AS deg FROM (
        |    SELECT a AS x FROM und UNION ALL SELECT b FROM und
        |  ) GROUP BY x
-       |), tri AS (
+       |), tri AS MATERIALIZED (
        |  SELECT e1.a, e1.b, e2.b AS c
        |  FROM und e1
        |  JOIN und e2 ON e2.a = e1.b
        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-       |), corners AS (
+       |), corners AS MATERIALIZED (
        |  SELECT node, COUNT(*) AS tri FROM (
        |    SELECT a AS node FROM tri
        |    UNION ALL SELECT b FROM tri
@@ -1720,24 +1729,24 @@ object GraphQueries {
   val graphKcoreSql: String = {
     val rounds = (1 to KcoreRounds).map { r =>
       val prev = s"n${r - 1}"
-      s"""d$r AS (
+      s"""d$r AS MATERIALIZED (
          |  SELECT a.x, COUNT(*) AS deg
          |  FROM adj a
          |  JOIN $prev sx ON sx.x = a.x
          |  JOIN $prev sy ON sy.x = a.nbr
          |  GROUP BY a.x
-         |), n$r AS (
+         |), n$r AS MATERIALIZED (
          |  SELECT x FROM d$r WHERE deg >= $KcoreK
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), adj AS (
+       |), adj AS MATERIALIZED (
        |  SELECT a AS x, b AS nbr FROM und
        |  UNION ALL
        |  SELECT b AS x, a AS nbr FROM und
-       |), n0 AS (
+       |), n0 AS MATERIALIZED (
        |  SELECT DISTINCT x FROM adj
        |), $rounds
        |SELECT x AS nationkey, deg AS core_deg
@@ -1789,23 +1798,23 @@ object GraphQueries {
   }
 
   val graphRichClubSql: String =
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT x, CAST(COUNT(*) AS BIGINT) AS deg
        |  FROM (SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und)
        |  GROUP BY x
-       |), pm AS (
+       |), pm AS MATERIALIZED (
        |  SELECT least(da.deg, db.deg) AS mind
        |  FROM und
        |  JOIN deg da ON da.x = und.a
        |  JOIN deg db ON db.x = und.b
-       |), nk AS (
+       |), nk AS MATERIALIZED (
        |  SELECT r.k, CAST(COUNT(*) AS BIGINT) AS n_nodes
        |  FROM range(0, 24) r(k) JOIN deg d ON d.deg > r.k
        |  GROUP BY r.k
-       |), ek AS (
+       |), ek AS MATERIALIZED (
        |  SELECT r.k, CAST(COUNT(*) AS BIGINT) AS n_edges
        |  FROM range(0, 24) r(k) JOIN pm ON pm.mind > r.k
        |  GROUP BY r.k
@@ -1910,7 +1919,7 @@ object GraphQueries {
 
   val graphCorenessSql: String = {
     val rounds = (1 to CorenessRounds).map { r =>
-      s"""c$r AS (
+      s"""c$r AS MATERIALIZED (
          |  SELECT x, CAST(MAX(least(rn, nc)) AS BIGINT) AS c
          |  FROM (
          |    SELECT a.x, p.c AS nc,
@@ -1920,10 +1929,10 @@ object GraphQueries {
          |  ) GROUP BY x
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), adj AS (
+       |), adj AS MATERIALIZED (
        |  SELECT a AS x, b AS nbr FROM und
        |  UNION ALL
        |  SELECT b AS x, a AS nbr FROM und
@@ -1963,7 +1972,7 @@ object GraphQueries {
       .distinct()
     val adj = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
-      .cache()
+      .localCheckpoint(false)
     val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
     val cadj = capHubs(adj, deg.select(col("z").as("nbr"), col("deg")))
     cadj.select(col("x"), col("nbr"))
@@ -1979,14 +1988,14 @@ object GraphQueries {
 
   val graphAdamicAdarSql: String = {
     val log2deg = graft.functions.IntegerLog2.log2Sql("d.deg")
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), adj AS (
+       |), adj AS MATERIALIZED (
        |  SELECT a AS x, b AS nbr FROM und
        |  UNION ALL
        |  SELECT b AS x, a AS nbr FROM und
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT x AS z, COUNT(*) AS deg FROM adj GROUP BY x
        |), cadj AS (
        |  SELECT a.x, a.nbr FROM adj a
@@ -2025,7 +2034,7 @@ object GraphQueries {
   }
 
   val graphReciprocitySql: String =
-    s"""WITH $EdgeCtes, e AS (
+    s"""WITH $EdgeCtes, e AS MATERIALIZED (
        |  SELECT src, dst FROM edges WHERE src != dst
        |)
        |SELECT COUNT(*) AS n_edges,
@@ -2086,24 +2095,24 @@ object GraphQueries {
   }
 
   val graphModularitySql: String =
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), nat AS (
+       |), nat AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node,
        |         CAST(n_regionkey AS BIGINT) AS community
        |  FROM nation
-       |), tagged AS (
+       |), tagged AS MATERIALIZED (
        |  SELECT u.a, u.b, na.community AS ca, nb.community AS cb
        |  FROM und u
        |  JOIN nat na ON na.node = u.a
        |  JOIN nat nb ON nb.node = u.b
-       |), m AS (
+       |), m AS MATERIALIZED (
        |  SELECT COUNT(*) AS m FROM und
-       |), mc AS (
+       |), mc AS MATERIALIZED (
        |  SELECT ca AS community, COUNT(*) AS m_c
        |  FROM tagged WHERE ca = cb GROUP BY ca
-       |), dc AS (
+       |), dc AS MATERIALIZED (
        |  SELECT community, COUNT(*) AS d_c FROM (
        |    SELECT ca AS community FROM tagged
        |    UNION ALL
@@ -2172,14 +2181,14 @@ object GraphQueries {
   }
 
   val graphAssortativitySql: String =
-    s"""WITH $EdgeCtes, und AS (
+    s"""WITH $EdgeCtes, und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src != dst
-       |), adj AS (
+       |), adj AS MATERIALIZED (
        |  SELECT a AS u, b AS v FROM und
        |  UNION ALL
        |  SELECT b AS u, a AS v FROM und
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT u AS node, COUNT(*) AS deg FROM adj GROUP BY u
        |), s AS (
        |  SELECT COUNT(*) AS n_pairs,
@@ -2252,23 +2261,23 @@ object GraphQueries {
   val graphSsspWeightedSql: String = {
     val rounds = (1 to SsspRounds).map { r =>
       val prev = s"s${r - 1}"
-      s"""v$r AS (
+      s"""v$r AS MATERIALIZED (
          |  SELECT e.dst, MIN(p.dist + e.cost) AS via
          |  FROM wedges e JOIN $prev p ON p.node = e.src
          |  WHERE p.dist < $SsspInf
          |  GROUP BY e.dst
-         |), s$r AS (
+         |), s$r AS MATERIALIZED (
          |  SELECT p.node, LEAST(p.dist, COALESCE(v.via, $SsspInf)) AS dist
          |  FROM $prev p LEFT JOIN v$r v ON v.dst = p.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, wedges AS (
+    s"""WITH $EdgeCtes, wedges AS MATERIALIZED (
        |  SELECT src, dst, CAST(1000000000 // cnt AS BIGINT) AS cost
        |  FROM counted
        |  WHERE cnt * 550 >= (SELECT SUM(cnt) FROM counted)
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
-       |), s0 AS (
+       |), s0 AS MATERIALIZED (
        |  SELECT node,
        |         CASE WHEN node = 0 THEN 0
        |              ELSE CAST($SsspInf AS BIGINT) END AS dist
@@ -2366,14 +2375,14 @@ object GraphQueries {
   }
 
   val graphCopurchaseSql: String =
-    s"""WITH baskets AS (
+    s"""WITH baskets AS MATERIALIZED (
       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |), capped AS (
+      |), capped AS MATERIALIZED (
       |  SELECT cust, part FROM baskets
       |  QUALIFY row_number() OVER (PARTITION BY cust ORDER BY part)
       |          <= $CopurchaseBasketCap
-      |), pairs AS (
+      |), pairs AS MATERIALIZED (
       |  SELECT a.part AS p1, b.part AS p2, COUNT(*) AS n_common
       |  FROM capped a JOIN capped b
       |    ON a.cust = b.cust AND a.part < b.part
@@ -2494,7 +2503,7 @@ object GraphQueries {
 
   val graphRandomWalkSql: String = {
     val steps = (1 to 4).map { t =>
-      s"""s$t AS (
+      s"""s$t AS MATERIALIZED (
          |  SELECT s.start,
          |         (MIN(struct_pack(
          |            mix := (s.cur * 1315423911 + e.dst * 2654435761 + $t * 97)
@@ -2504,9 +2513,9 @@ object GraphQueries {
          |  GROUP BY s.start
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, nodes AS (
+    s"""WITH $EdgeCtes, nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
-       |), s0 AS (
+       |), s0 AS MATERIALIZED (
        |  SELECT node AS start, node AS cur FROM nodes
        |), $steps
        |SELECT start, step, cur AS node FROM (
@@ -2611,7 +2620,7 @@ object GraphQueries {
   }
 
   val graphTwoHopSql: String =
-    s"""WITH $EdgeCtes, e AS (
+    s"""WITH $EdgeCtes, e AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM edges WHERE src <> dst
        |), one AS (
        |  SELECT src, COUNT(DISTINCT dst) AS n_1hop FROM e GROUP BY src
@@ -2726,11 +2735,11 @@ object GraphQueries {
          |  ) c ON c.node = t.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCtes, deg AS (
+    s"""WITH $EdgeCtes, deg AS MATERIALIZED (
        |  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
-       |), tele AS (
+       |), tele AS MATERIALIZED (
        |  SELECT node,
        |         CASE WHEN node IN (0, 7)
        |              THEN CAST(150000 * (SELECT COUNT(*) FROM nodes) // 2 AS BIGINT)
@@ -2862,7 +2871,7 @@ object GraphQueries {
   }
 
   val graphClosenessSql: String =
-    s"""WITH RECURSIVE $EdgeCtes, nodes AS (
+    s"""WITH RECURSIVE $EdgeCtes, nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
        |), walk(root, node, dist) AS (
        |  SELECT node AS root, node, CAST(0 AS BIGINT) FROM nodes
@@ -2924,7 +2933,7 @@ object GraphQueries {
   }
 
   val graphHarmonicSql: String =
-    s"""WITH RECURSIVE $EdgeCtes, nodes AS (
+    s"""WITH RECURSIVE $EdgeCtes, nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
        |), walk(root, node, dist) AS (
        |  SELECT node AS root, node, CAST(0 AS BIGINT) FROM nodes
@@ -2975,7 +2984,7 @@ object GraphQueries {
   }
 
   val graphEccentricitySql: String =
-    s"""WITH RECURSIVE $EdgeCtes, nodes AS (
+    s"""WITH RECURSIVE $EdgeCtes, nodes AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
        |), walk(root, node, dist) AS (
        |  SELECT node AS root, node, CAST(0 AS BIGINT) FROM nodes
@@ -2985,11 +2994,11 @@ object GraphQueries {
        |  WHERE w.dist < 24
        |), best AS (
        |  SELECT root, node, MIN(dist) AS dist FROM walk GROUP BY root, node
-       |), ecc AS (
+       |), ecc AS MATERIALIZED (
        |  SELECT root, CAST(MAX(dist) AS BIGINT) AS ecc,
        |         COUNT(*) AS n_reached
        |  FROM best GROUP BY root
-       |), b AS (
+       |), b AS MATERIALIZED (
        |  SELECT MAX(ecc) AS diameter, MIN(ecc) AS radius FROM ecc
        |)
        |SELECT root AS nationkey, n_reached, ecc, b.diameter, b.radius,
@@ -3032,7 +3041,7 @@ object GraphQueries {
        |), mutual AS (
        |  SELECT c1.a AS v, c1.b AS w
        |  FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a
-       |), mn AS (
+       |), mn AS MATERIALIZED (
        |  SELECT v, MIN(w) AS mw FROM mutual GROUP BY v
        |)
        |SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
@@ -3134,17 +3143,17 @@ object GraphQueries {
        |), mutual AS (
        |  SELECT c1.a AS v, c1.b AS w
        |  FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a
-       |), lab AS (
+       |), lab AS MATERIALIZED (
        |  SELECT CAST(n.n_nationkey AS BIGINT) AS node,
        |         LEAST(CAST(n.n_nationkey AS BIGINT),
        |               COALESCE(mn.mw, CAST(n.n_nationkey AS BIGINT))) AS scc_id
        |  FROM nation n LEFT JOIN (
        |    SELECT v, MIN(w) AS mw FROM mutual GROUP BY v
        |  ) mn ON mn.v = CAST(n.n_nationkey AS BIGINT)
-       |), core AS (
+       |), core AS MATERIALIZED (
        |  SELECT scc_id AS core_id FROM lab
        |  GROUP BY scc_id ORDER BY COUNT(*) DESC, scc_id LIMIT 1
-       |), coreset AS (
+       |), coreset AS MATERIALIZED (
        |  SELECT l.node FROM lab l, core WHERE l.scc_id = core.core_id
        |)
        |SELECT l.node AS nationkey, l.scc_id,

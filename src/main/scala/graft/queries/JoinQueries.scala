@@ -46,10 +46,10 @@ object JoinQueries {
   }
 
   val joinAsOfSql: String =
-    """WITH l AS (
+    """WITH l AS MATERIALIZED (
       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
       |  FROM events WHERE event_type = 'purchase'
-      |), r AS (
+      |), r AS MATERIALIZED (
       |  SELECT user_id, epoch_us(ts) AS click_ts_us,
       |         event_id AS click_id, value AS click_value
       |  FROM events WHERE event_type = 'click'
@@ -98,10 +98,10 @@ object JoinQueries {
   }
 
   val joinAsOfToleranceSql: String =
-    """WITH l AS (
+    """WITH l AS MATERIALIZED (
       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
       |  FROM events WHERE event_type = 'purchase'
-      |), r AS (
+      |), r AS MATERIALIZED (
       |  SELECT user_id, epoch_us(ts) AS click_ts_us,
       |         event_id AS click_id, value AS click_value
       |  FROM events WHERE event_type = 'click'
@@ -147,10 +147,10 @@ object JoinQueries {
   }
 
   val joinAsOfForwardSql: String =
-    """WITH l AS (
+    """WITH l AS MATERIALIZED (
       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
       |  FROM events WHERE event_type = 'purchase'
-      |), r AS (
+      |), r AS MATERIALIZED (
       |  SELECT user_id, epoch_us(ts) AS click_ts_us,
       |         event_id AS click_id, value AS click_value
       |  FROM events WHERE event_type = 'click'
@@ -196,10 +196,10 @@ object JoinQueries {
   }
 
   val joinAsOfNearestSql: String =
-    """WITH l AS (
+    """WITH l AS MATERIALIZED (
       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
       |  FROM events WHERE event_type = 'purchase'
-      |), r AS (
+      |), r AS MATERIALIZED (
       |  SELECT user_id, epoch_us(ts) AS click_ts_us,
       |         event_id AS click_id, value AS click_value
       |  FROM events WHERE event_type = 'click'

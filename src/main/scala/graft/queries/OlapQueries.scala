@@ -210,7 +210,7 @@ object OlapQueries {
       .orderBy("user_id")
 
   val olapCollectSql: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
       |  FROM events
       |)
@@ -341,7 +341,7 @@ object OlapQueries {
   }
 
   val analyticsWindowSql: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
       |         CAST(round(value * 100) AS BIGINT) AS cents, event_type
       |  FROM events
@@ -381,7 +381,7 @@ object OlapQueries {
   }
 
   val analyticsRangeWindowSql: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
       |         CAST(round(value * 100) AS BIGINT) AS cents
       |  FROM events
@@ -518,11 +518,11 @@ object OlapQueries {
   }
 
   val analyticsFunnelSql: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
-      |), s1 AS (
+      |), s1 AS MATERIALIZED (
       |  SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
-      |), s2 AS (
+      |), s2 AS MATERIALIZED (
       |  SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
       |  WHERE event_type = 'click' AND t > t1 AND t <= t1 + 86400000000
       |  GROUP BY e.user_id
@@ -558,7 +558,7 @@ object OlapQueries {
       .orderBy("l_returnflag", "metric")
 
   val olapUnpivotSql: String =
-    """WITH w AS (
+    """WITH w AS MATERIALIZED (
       |  SELECT l_returnflag,
       |         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
       |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
@@ -648,9 +648,9 @@ object OlapQueries {
   }
 
   val olapSetsimSql: String =
-    """WITH tu AS (
+    """WITH tu AS MATERIALIZED (
       |  SELECT DISTINCT event_type, user_id FROM events
-      |), sz AS (
+      |), sz AS MATERIALIZED (
       |  SELECT event_type, COUNT(*) AS sz FROM tu GROUP BY event_type
       |), inter AS (
       |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
@@ -698,12 +698,12 @@ object OlapQueries {
   }
 
   val olapSkylineSql: String =
-    """WITH p AS (
+    """WITH p AS MATERIALIZED (
       |  SELECT p_brand, p_partkey,
       |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
       |         CAST(p_size AS BIGINT) AS psize
       |  FROM part
-      |), w AS (
+      |), w AS MATERIALIZED (
       |  SELECT *,
       |    max(psize) OVER (PARTITION BY p_brand ORDER BY price_cents
       |                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_cheaper,
@@ -752,7 +752,7 @@ object OlapQueries {
       |  SELECT c_custkey, c_mktsegment AS segment,
       |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
       |  FROM customer
-      |), w AS (
+      |), w AS MATERIALIZED (
       |  SELECT segment, c_custkey, bal_c,
       |         row_number() OVER win AS rn,
       |         percent_rank() OVER win AS pct_rank,
@@ -808,7 +808,7 @@ object OlapQueries {
   }
 
   val olapRatioToParentSql: String =
-    """WITH bn AS (
+    """WITH bn AS MATERIALIZED (
       |  SELECT c.c_nationkey,
       |         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS nation_c

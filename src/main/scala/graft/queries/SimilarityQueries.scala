@@ -32,15 +32,15 @@ object SimilarityQueries {
   }
 
   val simTopKSql: String =
-    """WITH q AS (
+    """WITH q AS MATERIALIZED (
       |  SELECT vec_id AS q_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings WHERE vec_id < 10
-      |), c AS (
+      |), c AS MATERIALIZED (
       |  SELECT vec_id AS n_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cv
       |  FROM embeddings
-      |), scored AS (
+      |), scored AS MATERIALIZED (
       |  SELECT q_id, n_id,
       |         CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS BIGINT) AS dot_q,
       |         list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
@@ -68,11 +68,11 @@ object SimilarityQueries {
     * literals are INT32).
     */
   val simAnnLshSql: String =
-    """WITH v AS (
+    """WITH v AS MATERIALIZED (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
-      |), sig AS (
+      |), sig AS MATERIALIZED (
       |  SELECT vec_id, qv,
       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS nrm,
       |         list_sum(list_transform(range(0, 16), i ->
@@ -81,14 +81,14 @@ object SimilarityQueries {
       |                           THEN 1 ELSE -1 END))) >= 0
       |                THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS sig
       |  FROM v
-      |), banded AS (
+      |), banded AS MATERIALIZED (
       |  SELECT vec_id, qv, nrm, b, (sig >> (b*4)) & 15 AS chunk
       |  FROM sig, range(0, 4) r(b)
       |), cands AS (
       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
       |  FROM banded q JOIN banded c ON q.b = c.b AND q.chunk = c.chunk
       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
-      |), scored AS (
+      |), scored AS MATERIALIZED (
       |  SELECT cand.q_id, cand.n_id,
       |         CAST(list_dot_product(CAST(qs.qv AS DOUBLE[]), CAST(cs.qv AS DOUBLE[])) AS BIGINT) AS dot_q,
       |         list_dot_product(CAST(qs.qv AS DOUBLE[]), CAST(cs.qv AS DOUBLE[])) / (qs.nrm * cs.nrm) AS cos_sim
@@ -120,11 +120,11 @@ object SimilarityQueries {
     * can't drift on assignment semantics.
     */
   private val IvfAssignSql: String =
-    """WITH v AS (
+    """WITH v AS MATERIALIZED (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
-      |), vn AS (
+      |), vn AS MATERIALIZED (
       |  SELECT vec_id, qv,
       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS nrm
       |  FROM v
@@ -132,13 +132,13 @@ object SimilarityQueries {
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv,
       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS cnrm
       |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 32)
-      |), scores AS (
+      |), scores AS MATERIALIZED (
       |  SELECT vn.vec_id, vn.nrm, c.ci,
       |         CASE WHEN vn.nrm > 0 AND c.cnrm > 0
       |              THEN list_dot_product(CAST(vn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) / (vn.nrm * c.cnrm)
       |              ELSE -2.0 END AS s
       |  FROM vn CROSS JOIN cents c
-      |), assigned AS (
+      |), assigned AS MATERIALIZED (
       |  SELECT vec_id, CASE WHEN s > -2.0 THEN ci ELSE -1 END AS cell
       |  FROM (SELECT vec_id, ci, s,
       |               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
@@ -155,7 +155,7 @@ object SimilarityQueries {
       |  SELECT p.vec_id AS q_id, a.vec_id AS n_id
       |  FROM probes p JOIN assigned a ON p.cell = a.cell
       |  WHERE p.vec_id <> a.vec_id
-      |), scored AS (
+      |), scored AS MATERIALIZED (
       |  SELECT cand.q_id, cand.n_id,
       |         CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot_q,
       |         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) / (q.nrm * c.nrm) AS cos_sim
@@ -194,11 +194,11 @@ object SimilarityQueries {
   }
 
   private def ivfSweepCte(np: Int): String =
-    s"""p$np AS (
+    s"""p$np AS MATERIALIZED (
        |  SELECT vec_id, unnest(list_transform(
        |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, $np), r -> r.i)) AS cell
        |  FROM scores WHERE vec_id < 10 GROUP BY vec_id
-       |), t$np AS (
+       |), t$np AS MATERIALIZED (
        |  SELECT cand.q_id, cand.n_id,
        |         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) / (q.nrm * c.nrm) AS cos_sim
        |  FROM (SELECT p.vec_id AS q_id, a.vec_id AS n_id
@@ -208,7 +208,7 @@ object SimilarityQueries {
        |  JOIN vn c ON cand.n_id = c.vec_id
        |  QUALIFY row_number() OVER (PARTITION BY cand.q_id
        |                             ORDER BY cos_sim DESC, cand.n_id) <= 5
-       |), r$np AS (
+       |), r$np AS MATERIALIZED (
        |  SELECT CAST($np AS BIGINT) AS nprobe,
        |         COUNT(*) AS total_k,
        |         CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -218,7 +218,7 @@ object SimilarityQueries {
        |)""".stripMargin
 
   val simAnnNprobeSweepSql: String = IvfAssignSql +
-    s""", exact_r AS (
+    s""", exact_r AS MATERIALIZED (
        |$simTopKSql
        |), ${ivfSweepCte(1)}, ${ivfSweepCte(2)}, ${ivfSweepCte(4)}, ${ivfSweepCte(8)}
        |SELECT nprobe, total_k, hits,
@@ -255,7 +255,7 @@ object SimilarityQueries {
   }
 
   val simIvfBalanceSql: String = IvfAssignSql +
-    """, cells AS (
+    """, cells AS MATERIALIZED (
       |  SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vectors
       |  FROM assigned WHERE cell >= 0 GROUP BY cell
       |), tot AS (
@@ -288,7 +288,7 @@ object SimilarityQueries {
   }
 
   val simAnnIvfPqSql: String = IvfAssignSql +
-    """, cb AS (
+    """, cb AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
       |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 16)
       |), enc AS (
@@ -304,7 +304,7 @@ object SimilarityQueries {
       |  SELECT vec_id, unnest(list_transform(
       |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, 8), r -> r.i)) AS cell
       |  FROM scores WHERE vec_id < 10 GROUP BY vec_id
-      |), qs AS (
+      |), qs AS MATERIALIZED (
       |  SELECT vec_id AS q_id, qv, nrm AS qn FROM vn WHERE vec_id < 10
       |), cand0 AS (
       |  SELECT p.vec_id AS q_id, a.vec_id AS n_id
@@ -319,7 +319,7 @@ object SimilarityQueries {
       |  JOIN cb ON cb.cid = co.code
       |  JOIN qs q ON q.q_id = c0.q_id
       |  GROUP BY c0.q_id, co.vec_id
-      |), cand AS (
+      |), cand AS MATERIALIZED (
       |  SELECT q_id, n_id FROM adc
       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, n_id) <= 20
       |)
@@ -389,17 +389,17 @@ object SimilarityQueries {
   }
 
   val dedupCrossSourceSql: String =
-    s"""WITH pr AS (
+    s"""WITH pr AS MATERIALIZED (
        |  SELECT d1, d2 FROM (${TextQueries.dedupNgramJaccardSqlAt(0.7)}) q
-       |), cnt AS (
+       |), cnt AS MATERIALIZED (
        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
-       |), lab AS (
+       |), lab AS MATERIALIZED (
        |  SELECT least(a.source, b.source) AS source_a,
        |         greatest(a.source, b.source) AS source_b
        |  FROM pr
        |  JOIN documents a ON a.doc_id = pr.d1
        |  JOIN documents b ON b.doc_id = pr.d2
-       |), m AS (
+       |), m AS MATERIALIZED (
        |  SELECT source_a, source_b, COUNT(*) AS n_pairs
        |  FROM lab GROUP BY source_a, source_b
        |)
@@ -479,11 +479,11 @@ object SimilarityQueries {
     * engines would diverge on non-uniform-dim corpora.
     */
   val simAnnPqSql: String =
-    """WITH v AS (
+    """WITH v AS MATERIALIZED (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
-      |), cb AS (
+      |), cb AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
       |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
       |), enc AS (
@@ -495,7 +495,7 @@ object SimilarityQueries {
       |), codes AS (
       |  SELECT vec_id, b, cid AS code FROM enc
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, cid) = 1
-      |), qs AS (
+      |), qs AS MATERIALIZED (
       |  SELECT vec_id AS q_id, qv,
       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS qn
       |  FROM v WHERE vec_id < 10
@@ -508,7 +508,7 @@ object SimilarityQueries {
       |  CROSS JOIN qs q
       |  WHERE q.q_id <> co.vec_id
       |  GROUP BY q.q_id, co.vec_id
-      |), cand AS (
+      |), cand AS MATERIALIZED (
       |  SELECT q_id, n_id FROM adc
       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, n_id) <= 20
       |)
@@ -559,9 +559,9 @@ object SimilarityQueries {
   }
 
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE pr AS (
+    s"""WITH RECURSIVE pr AS MATERIALIZED (
        |  SELECT d1, d2 FROM (${TextQueries.dedupNgramJaccardSqlAt(0.7)}) q
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT d1 AS n, d2 AS m FROM pr
        |  UNION
        |  SELECT d2 AS n, d1 AS m FROM pr
@@ -569,7 +569,7 @@ object SimilarityQueries {
        |  SELECT DISTINCT n, n AS m FROM edges
        |  UNION
        |  SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
-       |), lab AS (
+       |), lab AS MATERIALIZED (
        |  SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n
        |)
        |SELECT l.doc_id, l.cluster, CAST(c.n_members AS BIGINT) AS cluster_size
@@ -583,7 +583,7 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
 
   val dedupEmbeddingCosineSql: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
@@ -661,33 +661,33 @@ object SimilarityQueries {
       .orderBy("vec_id")
 
   val simDbscanSql: String =
-    s"""WITH RECURSIVE e AS (
+    s"""WITH RECURSIVE e AS MATERIALIZED (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
-      |), pairs AS (
+      |), pairs AS MATERIALIZED (
       |  SELECT a.vec_id AS p, b.vec_id AS q
       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
       |  WHERE list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
       |      + list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
       |      - 2 * list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
       |      <= $DbscanEps2Q
-      |), deg AS (
+      |), deg AS MATERIALIZED (
       |  SELECT e.vec_id, COALESCE(c.nn, 0) AS n_neighbors
       |  FROM e LEFT JOIN (SELECT p, COUNT(*) AS nn FROM pairs GROUP BY p) c
       |    ON c.p = e.vec_id
-      |), core AS (
+      |), core AS MATERIALIZED (
       |  SELECT vec_id FROM deg WHERE n_neighbors + 1 >= $DbscanMinPts
-      |), cedges AS (
+      |), cedges AS MATERIALIZED (
       |  SELECT p, q FROM pairs
       |  WHERE p IN (SELECT vec_id FROM core) AND q IN (SELECT vec_id FROM core)
       |), reach AS (
       |  SELECT vec_id AS n, vec_id AS m FROM core
       |  UNION
       |  SELECT r.n, c.q FROM reach r JOIN cedges c ON r.m = c.p
-      |), corelab AS (
+      |), corelab AS MATERIALIZED (
       |  SELECT n AS vec_id, MIN(m) AS cluster FROM reach GROUP BY n
-      |), borderlab AS (
+      |), borderlab AS MATERIALIZED (
       |  SELECT p.p AS vec_id, MIN(cl.cluster) AS bcluster
       |  FROM pairs p JOIN corelab cl ON cl.vec_id = p.q
       |  WHERE p.p NOT IN (SELECT vec_id FROM core)
@@ -736,15 +736,15 @@ object SimilarityQueries {
     */
   private def dbscanAssignSql(recursive: Boolean): String = {
     val kw = if (recursive) "WITH RECURSIVE" else "WITH"
-    s"""$kw v AS (
+    s"""$kw v AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
        |  FROM embeddings
-       |), vn AS (
+       |), vn AS MATERIALIZED (
        |  SELECT vec_id, qv,
        |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS nrm
        |  FROM v
-       |), prm AS (
+       |), prm AS MATERIALIZED (
        |  SELECT GREATEST($DbscanMinCells, 2 * $DbscanNProbe * CAST(ceil(sqrt(count(*))) AS BIGINT)) AS ncells
        |  FROM v
        |), cents AS (
@@ -752,7 +752,7 @@ object SimilarityQueries {
        |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS cnrm
        |  FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
        |  WHERE rn <= (SELECT ncells FROM prm)
-       |), scores AS (
+       |), scores AS MATERIALIZED (
        |  SELECT vn.vec_id, vn.nrm, c.ci,
        |         CASE WHEN vn.nrm > 0 AND c.cnrm > 0
        |              THEN list_dot_product(CAST(vn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) / (vn.nrm * c.cnrm)
@@ -766,7 +766,7 @@ object SimilarityQueries {
     * by both the bucketed oracle and the candidate-stats oracle.
     */
   private def dbscanProbeSql: String =
-    s""", dprob AS (
+    s""", dprob AS MATERIALIZED (
        |  SELECT vec_id, unnest(list_transform(
        |           list_slice(list_reverse(list_sort(list({'s': s, 'i': ci}))), 1, $DbscanNProbe), r -> r.i)) AS cell
        |  FROM scores WHERE nrm > 0 GROUP BY vec_id
@@ -774,7 +774,7 @@ object SimilarityQueries {
 
   val simDbscanBucketedSql: String =
     dbscanAssignSql(recursive = true) + dbscanProbeSql +
-    s""", bpair AS (
+    s""", bpair AS MATERIALIZED (
       |  SELECT DISTINCT px.vec_id AS p, py.vec_id AS q
       |  FROM dprob px
       |  JOIN dprob py ON px.cell = py.cell AND px.vec_id < py.vec_id
@@ -784,13 +784,13 @@ object SimilarityQueries {
       |      + list_dot_product(CAST(y.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
       |      - 2 * list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
       |      <= $DbscanEps2Q
-      |), dpairs AS (
+      |), dpairs AS MATERIALIZED (
       |  SELECT p, q FROM bpair UNION ALL SELECT q AS p, p AS q FROM bpair
-      |), ddeg AS (
+      |), ddeg AS MATERIALIZED (
       |  SELECT v.vec_id, COALESCE(c.nn, 0) AS n_neighbors
       |  FROM v LEFT JOIN (SELECT p, COUNT(*) AS nn FROM dpairs GROUP BY p) c
       |    ON c.p = v.vec_id
-      |), dcore AS (
+      |), dcore AS MATERIALIZED (
       |  SELECT vec_id FROM ddeg WHERE n_neighbors + 1 >= $DbscanMinPts
       |), dcedges AS (
       |  SELECT p, q FROM dpairs
@@ -799,7 +799,7 @@ object SimilarityQueries {
       |  SELECT vec_id AS n, vec_id AS m FROM dcore
       |  UNION
       |  SELECT r.n, c.q FROM dreach r JOIN dcedges c ON r.m = c.p
-      |), dcorelab AS (
+      |), dcorelab AS MATERIALIZED (
       |  SELECT n AS vec_id, MIN(m) AS cluster FROM dreach GROUP BY n
       |), dborderlab AS (
       |  SELECT p.p AS vec_id, MIN(cl.cluster) AS bcluster
@@ -848,9 +848,9 @@ object SimilarityQueries {
       .orderBy("role_exact", "role_bucketed")
 
   val simDbscanBucketedAgreementSql: String =
-    s"""WITH ex AS (
+    s"""WITH ex AS MATERIALIZED (
        |$simDbscanSql
-       |), bk AS (
+       |), bk AS MATERIALIZED (
        |$simDbscanBucketedSql
        |)
        |SELECT ex.role AS role_exact, bk.role AS role_bucketed,
@@ -878,11 +878,11 @@ object SimilarityQueries {
 
   val simDbscanCandidateStatsSql: String =
     dbscanAssignSql(recursive = false) + dbscanProbeSql +
-    s""", cand AS (
+    s""", cand AS MATERIALIZED (
        |  SELECT DISTINCT px.vec_id AS p, py.vec_id AS q
        |  FROM dprob px
        |  JOIN dprob py ON px.cell = py.cell AND px.vec_id < py.vec_id
-       |), ce AS (
+       |), ce AS MATERIALIZED (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
        |         CAST(COALESCE(SUM(CASE WHEN
        |             list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(x.qv AS DOUBLE[]))
@@ -890,7 +890,7 @@ object SimilarityQueries {
        |           - 2 * list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
        |           <= $DbscanEps2Q THEN 1 ELSE 0 END), 0) AS BIGINT) AS eps_pairs
        |  FROM cand JOIN vn x ON x.vec_id = cand.p JOIN vn y ON y.vec_id = cand.q
-       |), np AS (
+       |), np AS MATERIALIZED (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM v
        |)
        |SELECT np.n_points,
@@ -937,17 +937,17 @@ object SimilarityQueries {
       |  SELECT doc_id, j,
       |         SUM(CASE WHEN ((y * y) % 1000003) % 2 = 1 THEN 1 ELSE -1 END) AS v
       |  FROM ys GROUP BY doc_id, j
-      |), sig AS (
+      |), sig AS MATERIALIZED (
       |  SELECT doc_id,
       |         CAST(SUM(CASE WHEN v >= 0 THEN
       |                (CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
       |                      ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INTEGER) AS HUGEINT) END)
       |              ELSE 0 END) AS BIGINT) AS sim
       |  FROM votes GROUP BY doc_id
-      |), banded AS (
+      |), banded AS MATERIALIZED (
       |  SELECT doc_id, sim, b, (sim >> CAST(b*8 AS INTEGER)) & 255 AS chunk
       |  FROM sig, range(0, 8) r(b)
-      |), pairs AS (
+      |), pairs AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sim AS sim1, b.sim AS sim2
       |  FROM banded a JOIN banded b ON a.b = b.b AND a.chunk = b.chunk
       |                             AND a.doc_id < b.doc_id
@@ -991,15 +991,15 @@ object SimilarityQueries {
     * family as sim_topk_bruteforce), the vote, and the tie-breaks.
     */
   val simKnnClassifySql: String =
-    """WITH q AS (
+    """WITH q AS MATERIALIZED (
       |  SELECT vec_id AS q_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings WHERE vec_id % 7 = 3
-      |), c AS (
+      |), c AS MATERIALIZED (
       |  SELECT vec_id AS n_id, label,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cv
       |  FROM embeddings
-      |), scored AS (
+      |), scored AS MATERIALIZED (
       |  SELECT q_id, n_id, label,
       |         list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))
       |           / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
@@ -1060,16 +1060,16 @@ object SimilarityQueries {
   }
 
   val simCentroidClassifySql: String =
-    """WITH q AS (
+    """WITH q AS MATERIALIZED (
       |  SELECT vec_id, CAST(label AS BIGINT) AS true_label,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
-      |), dims AS (
+      |), dims AS MATERIALIZED (
       |  -- dim fixed at 64 by the embeddings generator (the PQ oracle
       |  -- hardcodes the same 8x8 layout)
       |  SELECT vec_id, true_label, CAST(r.d AS INTEGER) AS dim, qv[r.d] AS v
       |  FROM q CROSS JOIN range(1, 65) r(d)
-      |), cent AS (
+      |), cent AS MATERIALIZED (
       |  SELECT true_label AS c_label, dim,
       |         CAST(round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
       |  FROM dims GROUP BY true_label, dim
@@ -1123,7 +1123,7 @@ object SimilarityQueries {
       s"""       CAST(SUM(CASE WHEN ((r.d - 1) * 1315423911 + ${i.toLong * 2654435761L}) % 1000003 % 2 = 0
          |                     THEN qv[r.d] ELSE -qv[r.d] END) AS BIGINT) AS p_$i""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""WITH q AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
        |  FROM embeddings
@@ -1145,11 +1145,11 @@ object SimilarityQueries {
       .transform(RefQueries.gateSort(_, "dim_i", "dim_j"))
 
   val simGramMatrixSql: String =
-    """WITH v AS (
+    """WITH v AS MATERIALIZED (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
-      |), e AS (
+      |), e AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(qv, 1) AS p, unnest(qv) AS x
       |  FROM v
       |)
@@ -1170,7 +1170,7 @@ object SimilarityQueries {
       .transform(RefQueries.gateSort(_, "cell", "dim"))
 
   val simKmeansStepSql: String = IvfAssignSql +
-    """, ex AS (
+    """, ex AS MATERIALIZED (
       |  SELECT a.cell, generate_subscripts(v.qv, 1) AS p, unnest(v.qv) AS x
       |  FROM assigned a JOIN v USING (vec_id)
       |  WHERE a.cell >= 0
@@ -1237,13 +1237,13 @@ object SimilarityQueries {
       |  SELECT vec_id, embedding,
       |         list_max(list_transform(embedding, x -> abs(x))) AS amax
       |  FROM embeddings
-      |), quant AS (
+      |), quant AS MATERIALIZED (
       |  SELECT vec_id, amax,
       |         list_transform(embedding, x ->
       |           CAST(round(CAST(x AS DOUBLE) * 127.0 / CAST(amax AS DOUBLE))
       |                AS BIGINT)) AS qv
       |  FROM base WHERE amax > 0
-      |), scored AS (
+      |), scored AS MATERIALIZED (
       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
       |         CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
       |                               CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot_i8,
@@ -1296,7 +1296,7 @@ object SimilarityQueries {
   }
 
   val simFuzzyNamesSql: String =
-    """WITH names AS (
+    """WITH names AS MATERIALIZED (
       |  SELECT p_name AS name, COUNT(*) AS n,
       |         split_part(p_name, ' ', 1) AS blk
       |  FROM part GROUP BY p_name
@@ -1325,14 +1325,14 @@ object SimilarityQueries {
 
   val simKmeansTrainSql: String = {
     def assign(cents: String, out: String): String =
-      s"""scores_$out AS (
+      s"""scores_$out AS MATERIALIZED (
          |  SELECT vn.vec_id, c.ci,
          |         CASE WHEN vn.nrm > 0 AND c.cnrm > 0
          |              THEN list_dot_product(CAST(vn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
          |                   / (vn.nrm * c.cnrm)
          |              ELSE -2.0 END AS s
          |  FROM vn CROSS JOIN $cents c
-         |), $out AS (
+         |), $out AS MATERIALIZED (
          |  SELECT vec_id, CASE WHEN s > -2.0 THEN ci ELSE -1 END AS cell
          |  FROM (SELECT vec_id, ci, s,
          |               row_number() OVER (PARTITION BY vec_id
@@ -1341,14 +1341,14 @@ object SimilarityQueries {
          |  WHERE rn = 1
          |)""".stripMargin
     def update(r: Int): String =
-      s"""sums_$r AS (
+      s"""sums_$r AS MATERIALIZED (
          |  SELECT a.cell AS ci, t.d,
          |         CAST(CAST(SUM(vn.qv[CAST(t.d AS INTEGER)]) AS BIGINT)
          |              // COUNT(*) AS BIGINT) AS cd
          |  FROM a$r a JOIN vn ON vn.vec_id = a.vec_id, range(1, 65) t(d)
          |  WHERE a.cell >= 0
          |  GROUP BY a.cell, t.d
-         |), cents$r AS (
+         |), cents$r AS MATERIALIZED (
          |  SELECT ci, cv,
          |         sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]),
          |                                    CAST(cv AS DOUBLE[])) AS DOUBLE)) AS cnrm
@@ -1359,15 +1359,15 @@ object SimilarityQueries {
          |    WHERE ci NOT IN (SELECT DISTINCT cell FROM a$r WHERE cell >= 0)
          |  )
          |)""".stripMargin
-    s"""WITH v AS (
+    s"""WITH v AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
        |  FROM embeddings
-       |), vn AS (
+       |), vn AS MATERIALIZED (
        |  SELECT vec_id, qv,
        |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS nrm
        |  FROM v
-       |), cents0 AS (
+       |), cents0 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS cv,
        |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS cnrm
        |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 8)
@@ -1415,7 +1415,7 @@ object SimilarityQueries {
   }
 
   val simAnnRecallSql: String =
-    s"""WITH exact_r AS (
+    s"""WITH exact_r AS MATERIALIZED (
        |$simTopKSql
        |), ann_r AS (
        |$simAnnLshSql
@@ -1497,22 +1497,22 @@ object SimilarityQueries {
   }
 
   val simSilhouetteSql: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT vec_id, CAST(label AS BIGINT) AS own,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
-      |), long AS (
+      |), long AS MATERIALIZED (
       |  SELECT vec_id, own, i - 1 AS pos, qv[i] AS x
       |  FROM e, UNNEST(range(1, len(qv) + 1)) AS t(i)
-      |), cent AS (
+      |), cent AS MATERIALIZED (
       |  SELECT own AS label, pos, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS c
       |  FROM long GROUP BY own, pos
-      |), d2 AS (
+      |), d2 AS MATERIALIZED (
       |  SELECT l.vec_id, ct.label, any_value(ct.c) AS c,
       |         CAST(SUM((ct.c * l.x - ct.s) * (ct.c * l.x - ct.s)) AS BIGINT) AS d2
       |  FROM long l JOIN cent ct ON ct.pos = l.pos
       |  GROUP BY l.vec_id, ct.label
-      |), scored AS (
+      |), scored AS MATERIALIZED (
       |  SELECT d.vec_id, d.label, d.c, d.d2, e.own
       |  FROM d2 d JOIN e ON e.vec_id = d.vec_id
       |), own_d AS (
@@ -1625,7 +1625,7 @@ object SimilarityQueries {
   }
 
   val simAnnRecallPqSql: String =
-    s"""WITH exact_r AS (
+    s"""WITH exact_r AS MATERIALIZED (
        |$simTopKSql
        |), ann_r AS (
        |$simAnnPqSql
@@ -1662,7 +1662,7 @@ object SimilarityQueries {
   }
 
   val simAnnRecallIvfSql: String =
-    s"""WITH exact_r AS (
+    s"""WITH exact_r AS MATERIALIZED (
        |$simTopKSql
        |), ann_r AS (
        |$simAnnIvfSql
@@ -1699,7 +1699,7 @@ object SimilarityQueries {
   }
 
   val simAnnRecallIvfPqSql: String =
-    s"""WITH exact_r AS (
+    s"""WITH exact_r AS MATERIALIZED (
        |$simTopKSql
        |), ann_r AS (
        |$simAnnIvfPqSql
@@ -1780,7 +1780,7 @@ object SimilarityQueries {
   val simMmrDiversifySql: String = {
     val rounds = (2 to MmrK).map { r =>
       val prev = s"sel${r - 1}"
-      s"""pen$r AS (
+      s"""pen$r AS MATERIALIZED (
          |  SELECT p.q_id, p.n_id, p.rel,
          |         MAX(CAST(list_dot_product(CAST(p.cv AS DOUBLE[]),
          |                                   CAST(ps.cv AS DOUBLE[])) AS BIGINT)) AS pen
@@ -1790,32 +1790,32 @@ object SimilarityQueries {
          |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
          |                    WHERE x.q_id = p.q_id AND x.n_id = p.n_id)
          |  GROUP BY p.q_id, p.n_id, p.rel
-         |), pick$r AS (
+         |), pick$r AS MATERIALIZED (
          |  SELECT q_id, n_id, CAST($r AS BIGINT) AS pick_order,
          |         rel * 7 - pen * 3 AS mmr_score
          |  FROM pen$r
          |  QUALIFY row_number() OVER (PARTITION BY q_id
          |            ORDER BY rel * 7 - pen * 3 DESC, n_id) = 1
-         |), sel$r AS (
+         |), sel$r AS MATERIALIZED (
          |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$r
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH q AS (
+    s"""WITH q AS MATERIALIZED (
        |  SELECT vec_id AS q_id,
        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
        |  FROM embeddings WHERE vec_id < 3
-       |), c AS (
+       |), c AS MATERIALIZED (
        |  SELECT vec_id AS n_id,
        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cv
        |  FROM embeddings
-       |), pool AS (
+       |), pool AS MATERIALIZED (
        |  SELECT q_id, n_id, cv,
        |         CAST(list_dot_product(CAST(qv AS DOUBLE[]),
        |                               CAST(cv AS DOUBLE[])) AS BIGINT) AS rel
        |  FROM c CROSS JOIN q WHERE q_id <> n_id
        |  QUALIFY row_number() OVER (PARTITION BY q_id
        |            ORDER BY rel DESC, n_id) <= $MmrPool
-       |), sel1 AS (
+       |), sel1 AS MATERIALIZED (
        |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS pick_order,
        |         rel * 7 AS mmr_score
        |  FROM pool

@@ -86,12 +86,12 @@ object SketchQueries {
   }
 
   val olapHllDistinctSql: String =
-    """WITH h AS (
+    """WITH h AS MATERIALIZED (
       |  SELECT l_returnflag AS flag,
       |         (CAST(l_partkey AS BIGINT) % 1000003 * 1315423911 + 2654435761)
       |           % 2147483647 AS h
       |  FROM lineitem
-      |), g AS (
+      |), g AS MATERIALIZED (
       |  SELECT flag, (h * h % 2147483647 * 1315423911 + 97) % 2147483647 AS g
       |  FROM h
       |), b AS (
@@ -105,13 +105,13 @@ object SketchQueries {
       |         SUM(CAST(1 AS BIGINT) << CAST(26 - mj AS INTEGER)) AS sp,
       |         COUNT(*) AS nreg
       |  FROM regs GROUP BY flag
-      |), e AS (
+      |), e AS MATERIALIZED (
       |  -- SUM(BIGINT) is HUGEINT in DuckDB; cast back or pandas sees float64
       |  SELECT flag,
       |         CAST((CAST(2904064 AS BIGINT) * 67108864)
       |           // (1000 * (sp + (64 - nreg) * 67108864)) AS BIGINT) AS est_distinct
       |  FROM s
-      |), x AS (
+      |), x AS MATERIALIZED (
       |  SELECT l_returnflag AS flag, COUNT(DISTINCT l_partkey) AS n_exact
       |  FROM lineitem GROUP BY 1
       |)
@@ -170,27 +170,27 @@ object SketchQueries {
   }
 
   val olapCmsTopkSql: String =
-    """WITH cfg AS (
+    """WITH cfg AS MATERIALIZED (
       |  SELECT i,
       |         CASE i WHEN 0 THEN 1315423911 WHEN 1 THEN 2654435761
       |                WHEN 2 THEN 2246822519 ELSE 3266489917 END AS a,
       |         CASE i WHEN 0 THEN 97 WHEN 1 THEN 193
       |                WHEN 2 THEN 389 ELSE 769 END AS b
       |  FROM range(0, 4) r(i)
-      |), k AS (
+      |), k AS MATERIALIZED (
       |  SELECT CAST(o_custkey AS BIGINT) AS ck FROM orders
       |), sketch AS (
       |  SELECT i, (ck % 1000003 * a + b) % 2147483647 % 2048 AS idx,
       |         COUNT(*) AS cell
       |  FROM k, cfg GROUP BY 1, 2
-      |), est AS (
+      |), est AS MATERIALIZED (
       |  SELECT d.ck, MIN(s.cell) AS est_cnt
       |  FROM (SELECT DISTINCT ck FROM k) d, cfg c, sketch s
       |  WHERE s.i = c.i
       |    AND s.idx = (d.ck % 1000003 * c.a + c.b) % 2147483647 % 2048
       |  GROUP BY d.ck
       |  HAVING MIN(s.cell) >= 18
-      |), exact AS (
+      |), exact AS MATERIALIZED (
       |  SELECT ck, COUNT(*) AS n_exact FROM k GROUP BY ck
       |)
       |SELECT est.ck AS custkey, est.est_cnt, exact.n_exact
@@ -245,23 +245,23 @@ object SketchQueries {
   }
 
   val olapQuantileSketchSql: String =
-    """WITH h AS (
+    """WITH h AS MATERIALIZED (
       |  SELECT CAST(floor(o_totalprice / 500) AS BIGINT) AS b, COUNT(*) AS c
       |  FROM orders GROUP BY 1
-      |), cum AS (
+      |), cum AS MATERIALIZED (
       |  SELECT b, CAST(SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
       |             AS BIGINT) AS cum
       |  FROM h
-      |), n AS (
+      |), n AS MATERIALIZED (
       |  SELECT COUNT(*) AS n FROM orders
-      |), p AS (
+      |), p AS MATERIALIZED (
       |  SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pctl
-      |), sel AS (
+      |), sel AS MATERIALIZED (
       |  SELECT p.pctl, MIN(c.b) AS mb
       |  FROM p, n, cum c
       |  WHERE c.cum * 100 >= p.pctl * n.n
       |  GROUP BY p.pctl
-      |), x AS (
+      |), x AS MATERIALIZED (
       |  SELECT CAST(50 AS BIGINT) AS pctl,
       |         quantile_cont(o_totalprice, 0.50) AS exact_val FROM orders
       |  UNION ALL
@@ -329,7 +329,7 @@ object SketchQueries {
   }
 
   val joinBloomPruneSql: String =
-    """WITH cfg AS (
+    """WITH cfg AS MATERIALIZED (
       |  SELECT i,
       |         CASE i WHEN 0 THEN 1315423911 WHEN 1 THEN 2654435761
       |                ELSE 2246822519 END AS a,
@@ -419,10 +419,10 @@ object SketchQueries {
       |  SELECT 'o_orderdate_day', epoch_us(o_orderdate) // 86400000000 FROM orders
       |  UNION ALL
       |  SELECT 'o_totalprice_cents', CAST(round(o_totalprice * 100) AS BIGINT) FROM orders
-      |), h AS (
+      |), h AS MATERIALIZED (
       |  SELECT col_name, (k % 1000003 * 1315423911 + 2654435761) % 2147483647 AS h
       |  FROM keyed
-      |), g AS (
+      |), g AS MATERIALIZED (
       |  SELECT col_name, (h * h % 2147483647 * 1315423911 + 97) % 2147483647 AS g
       |  FROM h
       |), b AS (
@@ -436,12 +436,12 @@ object SketchQueries {
       |         SUM(CAST(1 AS BIGINT) << CAST(26 - mj AS INTEGER)) AS sp,
       |         COUNT(*) AS nreg
       |  FROM regs GROUP BY col_name
-      |), e AS (
+      |), e AS MATERIALIZED (
       |  SELECT col_name,
       |         CAST((CAST(2904064 AS BIGINT) * 67108864)
       |           // (1000 * (sp + (64 - nreg) * 67108864)) AS BIGINT) AS est_distinct
       |  FROM s
-      |), x AS (
+      |), x AS MATERIALIZED (
       |  SELECT col_name, COUNT(DISTINCT k) AS n_exact, COUNT(*) AS n_rows
       |  FROM keyed GROUP BY col_name
       |)
@@ -515,7 +515,7 @@ object SketchQueries {
   }
 
   val olapKmvIntersectSql: String =
-    s"""WITH src AS (
+    s"""WITH src AS MATERIALIZED (
        |  SELECT CASE WHEN l_shipdate < TIMESTAMP '1995-02-01' THEN 'a'
        |              ELSE 'b' END AS flag,
        |         CAST(l_partkey AS BIGINT) AS pk
@@ -531,7 +531,7 @@ object SketchQueries {
        |  SELECT ((pk % 1000003 * 1315423911 + 2654435761) % 2147483647) AS h,
        |         in_a, in_b
        |  FROM pkf
-       |), flagged AS (
+       |), flagged AS MATERIALIZED (
        |  SELECT (h * h % 2147483647 * 1315423911 + 97) % 2147483647 AS g,
        |         MAX(in_a) AS in_a, MAX(in_b) AS in_b
        |  FROM hashed GROUP BY 1
@@ -544,7 +544,7 @@ object SketchQueries {
        |  FROM kmin
        |), nu AS (
        |  SELECT COUNT(*) AS n_union FROM flagged
-       |), exact AS (
+       |), exact AS MATERIALIZED (
        |  SELECT COUNT(*) AS n_exact_intersect FROM (
        |    SELECT DISTINCT pk FROM src WHERE flag = 'a'
        |    INTERSECT
@@ -619,12 +619,12 @@ object SketchQueries {
     """WITH ev AS (
       |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
       |), days AS (SELECT DISTINCT day FROM ev),
-      |h AS (
+      |h AS MATERIALIZED (
       |  SELECT day,
       |         (user_id % 1000003 * 1315423911 + 2654435761) % 2147483647 AS h,
       |         user_id
       |  FROM ev
-      |), g AS (
+      |), g AS MATERIALIZED (
       |  SELECT day, (h * h % 2147483647 * 1315423911 + 97) % 2147483647 AS g
       |  FROM h
       |), b AS (
@@ -639,7 +639,7 @@ object SketchQueries {
       |  SELECT s.wend, s.reg, MAX(s.mj) AS mj
       |  FROM scat s JOIN days d ON d.day = s.wend
       |  GROUP BY s.wend, s.reg
-      |), est AS (
+      |), est AS MATERIALIZED (
       |  SELECT wend,
       |         CAST((CAST(2904064 AS BIGINT) * 67108864)
       |           // (1000 * (SUM(CAST(1 AS BIGINT) << CAST(26 - mj AS INTEGER))
@@ -647,7 +647,7 @@ object SketchQueries {
       |  FROM merged GROUP BY wend
       |), exact_scat AS (
       |  SELECT DISTINCT day, user_id FROM ev
-      |), exact AS (
+      |), exact AS MATERIALIZED (
       |  SELECT s.wend, COUNT(DISTINCT s.user_id) AS n_exact
       |  FROM (SELECT user_id, unnest(range(day, day + 7)) AS wend
       |        FROM exact_scat) s

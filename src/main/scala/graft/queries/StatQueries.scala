@@ -88,7 +88,7 @@ object StatQueries {
       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
       |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
       |  FROM lineitem GROUP BY l_returnflag
-      |), m AS (
+      |), m AS MATERIALIZED (
       |  SELECT returnflag, n,
       |         (CAST(n AS DOUBLE) * sxy - sx * sy) /
       |         (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
@@ -313,11 +313,11 @@ object StatQueries {
   }
 
   val analyticsIqrSql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT c_mktsegment AS segment,
       |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
       |  FROM customer
-      |), q AS (
+      |), q AS MATERIALIZED (
       |  SELECT segment, quantile_cont(bal_c, 0.25) AS q1_c,
       |         quantile_cont(bal_c, 0.75) AS q3_c
       |  FROM c GROUP BY segment
@@ -336,18 +336,18 @@ object StatQueries {
       |GROUP BY c.segment ORDER BY c.segment""".stripMargin
 
   val analyticsMadSql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT c_mktsegment AS segment,
       |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
       |  FROM customer
-      |), med AS (
+      |), med AS MATERIALIZED (
       |  SELECT segment, quantile_cont(bal_c, 0.5) AS median_bal_c
       |  FROM c GROUP BY segment
-      |), dev AS (
+      |), dev AS MATERIALIZED (
       |  SELECT c.segment, abs(CAST(c.bal_c AS DOUBLE) - med.median_bal_c) AS adev_c,
       |         med.median_bal_c
       |  FROM c JOIN med ON c.segment = med.segment
-      |), mad AS (
+      |), mad AS MATERIALIZED (
       |  SELECT segment, quantile_cont(adev_c, 0.5) AS mad_c
       |  FROM dev GROUP BY segment
       |)
@@ -387,11 +387,11 @@ object StatQueries {
   }
 
   val etlImputeSql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
       |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
       |  FROM customer
-      |), m AS (
+      |), m AS MATERIALIZED (
       |  SELECT segment,
       |         CAST(SUM(bal_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_c
       |  FROM c WHERE bal_c >= 0 GROUP BY segment
@@ -568,10 +568,10 @@ object StatQueries {
       |  SELECT c.c_mktsegment AS segment, CAST(c.c_nationkey AS BIGINT) AS nationkey,
       |         o.o_orderpriority AS sensitive
       |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-      |), cells AS (
+      |), cells AS MATERIALIZED (
       |  SELECT segment, nationkey, sensitive, COUNT(*) AS cnt
       |  FROM j GROUP BY 1, 2, 3
-      |), g AS (
+      |), g AS MATERIALIZED (
       |  SELECT segment, nationkey,
       |         CAST(SUM(cnt) AS BIGINT) AS group_size,
       |         COUNT(*) AS l_distinct,
@@ -634,7 +634,7 @@ object StatQueries {
   }
 
   val analyticsAbtestSql: String =
-    """WITH u AS (
+    """WITH u AS MATERIALIZED (
       |  SELECT user_id,
       |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
       |              SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS converted,
@@ -691,7 +691,7 @@ object StatQueries {
   }
 
   val analyticsGiniSql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT c_custkey, c_mktsegment AS segment,
       |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
       |  FROM customer
@@ -738,13 +738,13 @@ object StatQueries {
   }
 
   val analyticsBenfordSql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
-      |), d AS (
+      |), d AS MATERIALIZED (
       |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
       |         COUNT(*) AS n
       |  FROM c WHERE c > 0 GROUP BY 1
-      |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM d)
+      |), t AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM d)
       |SELECT d.digit, d.n,
       |       CAST(d.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
       |FROM d CROSS JOIN t ORDER BY d.digit""".stripMargin
@@ -776,7 +776,7 @@ object StatQueries {
   }
 
   val analyticsCumulativeSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT l_returnflag AS returnflag,
       |         strftime(l_shipdate, '%Y-%m') AS month,
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS month_cents
@@ -823,15 +823,15 @@ object StatQueries {
   }
 
   val analyticsChi2Sql: String =
-    """WITH cells AS (
+    """WITH cells AS MATERIALIZED (
       |  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday, event_type,
       |         COUNT(*) AS observed
       |  FROM events GROUP BY 1, 2
-      |), rt AS (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS row_n
+      |), rt AS MATERIALIZED (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS row_n
       |          FROM cells GROUP BY weekday),
-      |ct AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS col_n
+      |ct AS MATERIALIZED (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS col_n
       |       FROM cells GROUP BY event_type),
-      |g AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+      |g AS MATERIALIZED (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
       |SELECT c.weekday, c.event_type, c.observed,
       |       CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(g.n AS DOUBLE) AS expected,
       |       ((CAST(c.observed AS DOUBLE) -
@@ -890,15 +890,15 @@ object StatQueries {
 
   val analyticsMutualInfoSql: String = {
     import graft.functions.IntegerLog2.log2Sql
-    s"""WITH cells AS (
+    s"""WITH cells AS MATERIALIZED (
        |  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday, event_type,
        |         COUNT(*) AS observed
        |  FROM events GROUP BY 1, 2
-       |), rt AS (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS row_n
+       |), rt AS MATERIALIZED (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS row_n
        |          FROM cells GROUP BY weekday),
-       |ct AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS col_n
+       |ct AS MATERIALIZED (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS col_n
        |       FROM cells GROUP BY event_type),
-       |g AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
+       |g AS MATERIALIZED (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
        |j AS (
        |  SELECT c.weekday, c.event_type, c.observed, rt.row_n, ct.col_n, g.n
        |  FROM cells c
@@ -951,7 +951,7 @@ object StatQueries {
   }
 
   val analyticsMomSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT l_returnflag AS returnflag,
       |         strftime(l_shipdate, '%Y-%m') AS month,
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -1020,7 +1020,7 @@ object StatQueries {
   }
 
   val analyticsRunsTestSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |              AS BIGINT) AS c
@@ -1138,7 +1138,7 @@ object StatQueries {
   }
 
   val analyticsPeaksSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |              AS BIGINT) AS c
@@ -1237,7 +1237,7 @@ object StatQueries {
   }
 
   val etlStandardizeSql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT c_custkey, c_mktsegment AS segment,
       |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
       |  FROM customer
@@ -1297,7 +1297,7 @@ object StatQueries {
   }
 
   val analyticsDrawdownSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |              AS BIGINT) AS level_c
@@ -1307,7 +1307,7 @@ object StatQueries {
       |         MAX(level_c) OVER (PARTITION BY event_type ORDER BY day
       |           ROWS UNBOUNDED PRECEDING) AS peak_c
       |  FROM daily
-      |), dd2 AS (
+      |), dd2 AS MATERIALIZED (
       |  SELECT event_type, day, peak_c - level_c AS dd_c, peak_c FROM dd
       |), agg AS (
       |  SELECT event_type, COUNT(*) AS n_days,
@@ -1380,7 +1380,7 @@ object StatQueries {
   }
 
   val analyticsHoltSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |              AS BIGINT) AS y
@@ -1444,7 +1444,7 @@ object StatQueries {
   }
 
   val analyticsForecastSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS actual_c
       |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
@@ -1564,7 +1564,7 @@ object StatQueries {
   }
 
   val analyticsBollingerSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_c
       |  FROM events GROUP BY 1, 2
@@ -1666,7 +1666,7 @@ object StatQueries {
   }
 
   val analyticsSurvivalSql: String =
-    """WITH RECURSIVE per_user AS (
+    """WITH RECURSIVE per_user AS MATERIALIZED (
       |  SELECT user_id,
       |         COALESCE(MIN(CASE WHEN event_type = 'purchase'
       |                           THEN epoch_us(ts) // 86400000000 END),
@@ -1676,7 +1676,7 @@ object StatQueries {
       |                       THEN epoch_us(ts) // 86400000000 END) IS NOT NULL
       |              AS BIGINT) AS ev
       |  FROM events GROUP BY user_id
-      |), by_dur AS (
+      |), by_dur AS MATERIALIZED (
       |  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS leaving
       |  FROM per_user GROUP BY dur
       |), steps AS (
@@ -1686,7 +1686,7 @@ object StatQueries {
       |               (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
       |                AND 1 PRECEDING), 0) AS BIGINT) AS n
       |  FROM by_dur QUALIFY d > 0
-      |), numbered AS (
+      |), numbered AS MATERIALIZED (
       |  SELECT t, d, n, row_number() OVER (ORDER BY t) AS rn FROM steps
       |), fold AS (
       |  SELECT t, d, n, rn,
@@ -1751,7 +1751,7 @@ object StatQueries {
   }
 
   val analyticsCusumSql: String =
-    """WITH RECURSIVE daily AS (
+    """WITH RECURSIVE daily AS MATERIALIZED (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_c
       |  FROM events GROUP BY 1, 2
@@ -1759,12 +1759,12 @@ object StatQueries {
       |  SELECT event_type, COUNT(*) AS n,
       |         CAST(SUM(day_c) AS BIGINT) AS sm
       |  FROM daily GROUP BY event_type
-      |), devs AS (
+      |), devs AS MATERIALIZED (
       |  SELECT d.event_type, d.day, d.day_c,
       |         d.day_c * t.n - t.sm AS dev,
       |         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
       |  FROM daily d JOIN tot t USING (event_type)
-      |), sumabs AS (
+      |), sumabs AS MATERIALIZED (
       |  SELECT event_type, CAST(SUM(abs(dev)) AS BIGINT) AS sumabs
       |  FROM devs GROUP BY event_type
       |), fold AS (
@@ -1824,7 +1824,7 @@ object StatQueries {
 
   val analyticsTheilSql: String = {
     import graft.functions.IntegerLog2.log2Sql
-    s"""WITH src AS (
+    s"""WITH src AS MATERIALIZED (
        |  SELECT segment, x FROM (
        |    SELECT c_mktsegment AS segment,
        |           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
@@ -1892,7 +1892,7 @@ object StatQueries {
       |  SELECT CAST(ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) AS BIGINT) AS decile,
       |         spend_c
       |  FROM spend
-      |), rolled AS (
+      |), rolled AS MATERIALIZED (
       |  SELECT decile, COUNT(*) AS n_customers,
       |         CAST(SUM(spend_c) AS BIGINT) AS decile_cents
       |  FROM dec GROUP BY decile
@@ -1944,12 +1944,12 @@ object StatQueries {
   }
 
   val analyticsStlDecomposeSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT epoch_ms(l_shipdate) // 86400000 AS day,
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS rev_c
       |  FROM lineitem GROUP BY 1
-      |), t AS (
+      |), t AS MATERIALIZED (
       |  SELECT day, rev_c,
       |         COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
       |         CAST(SUM(rev_c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
@@ -1960,7 +1960,7 @@ object StatQueries {
       |         CASE WHEN n7 = 7 THEN s7 // 7 END AS trend_c,
       |         (day + 4) % 7 AS weekday
       |  FROM t
-      |), det AS (
+      |), det AS MATERIALIZED (
       |  SELECT *, rev_c - trend_c AS det_c FROM tr
       |), seas AS (
       |  SELECT weekday, CAST(SUM(det_c) // COUNT(*) AS BIGINT) AS seasonal_c
@@ -2009,10 +2009,10 @@ object StatQueries {
   }
 
   val analyticsChurnSql: String =
-    """WITH active AS (
+    """WITH active AS MATERIALIZED (
       |  SELECT DISTINCT epoch_us(ts) // 604800000000 AS week, user_id
       |  FROM events
-      |), mx AS (
+      |), mx AS MATERIALIZED (
       |  SELECT MAX(week) AS maxw FROM active
       |)
       |SELECT a.week, COUNT(*) AS n_active,
@@ -2060,11 +2060,11 @@ object StatQueries {
   }
 
   val analyticsWinsorizedMeanSql: String =
-    """WITH src AS (
+    """WITH src AS MATERIALIZED (
       |  SELECT c_mktsegment AS segment,
       |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
       |  FROM customer
-      |), b AS (
+      |), b AS MATERIALIZED (
       |  SELECT segment,
       |         CAST(ceil(quantile_cont(x, 0.05)) AS BIGINT) AS lo_c,
       |         CAST(floor(quantile_cont(x, 0.95)) AS BIGINT) AS hi_c
@@ -2120,7 +2120,7 @@ object StatQueries {
   }
 
   val analyticsKsTestSql: String =
-    """WITH src AS (
+    """WITH src AS MATERIALIZED (
       |  SELECT c_mktsegment AS seg,
       |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
       |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
@@ -2129,7 +2129,7 @@ object StatQueries {
       |         SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
       |         SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS c2
       |  FROM src GROUP BY v
-      |), cum AS (
+      |), cum AS MATERIALIZED (
       |  SELECT v,
       |         SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
       |         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
@@ -2186,7 +2186,7 @@ object StatQueries {
   }
 
   val analyticsMannWhitneySql: String =
-    """WITH src AS (
+    """WITH src AS MATERIALIZED (
       |  SELECT c_mktsegment AS seg,
       |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
       |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
@@ -2270,7 +2270,7 @@ object StatQueries {
   val analyticsAutocorrSql: String = {
     val lagUnion = AcfLags
       .map(k => s"SELECT CAST($k AS BIGINT) AS lag").mkString(" UNION ALL ")
-    s"""WITH daily AS (
+    s"""WITH daily AS MATERIALIZED (
        |  SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
        |                       AS BIGINT)) // 100000 AS BIGINT) AS rev,
        |         row_number() OVER (ORDER BY l_shipdate) AS rn
@@ -2346,15 +2346,15 @@ object StatQueries {
   }
 
   val analyticsCramersVSql: String =
-    """WITH cells AS (
+    """WITH cells AS MATERIALIZED (
       |  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday, event_type,
       |         COUNT(*) AS observed
       |  FROM events GROUP BY 1, 2
-      |), rt AS (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS row_n
+      |), rt AS MATERIALIZED (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS row_n
       |          FROM cells GROUP BY weekday),
-      |ct AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS col_n
+      |ct AS MATERIALIZED (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS col_n
       |       FROM cells GROUP BY event_type),
-      |g AS (SELECT CAST(SUM(observed) AS BIGINT) AS n,
+      |g AS MATERIALIZED (SELECT CAST(SUM(observed) AS BIGINT) AS n,
       |             CAST(COUNT(DISTINCT weekday) AS BIGINT) AS r,
       |             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS c
       |      FROM cells),
@@ -2438,16 +2438,16 @@ object StatQueries {
   }
 
   val analyticsKendallTauSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT l_returnflag AS g, l_shipdate AS day,
       |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS x,
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS y
       |  FROM lineitem GROUP BY 1, 2
-      |), nd AS (
+      |), nd AS MATERIALIZED (
       |  SELECT g, COUNT(*) AS n_days FROM daily GROUP BY g
-      |), c AS (
+      |), c AS MATERIALIZED (
       |  SELECT a.g,
       |         COUNT(*) AS n0,
       |         CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
@@ -2577,7 +2577,7 @@ object StatQueries {
   }
 
   val analyticsTheilSenSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT epoch_ms(l_shipdate) // 86400000 AS d,
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS rev
@@ -2642,7 +2642,7 @@ object StatQueries {
   }
 
   val analyticsAnovaSql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT c_mktsegment AS g,
       |         CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100 AS x
       |  FROM customer
@@ -2650,12 +2650,12 @@ object StatQueries {
       |  SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
       |         CAST(SUM(x * x) AS BIGINT) AS ss
       |  FROM c GROUP BY g
-      |), grp AS (
+      |), grp AS MATERIALIZED (
       |  SELECT g, n, s, ss,
       |         CAST(floor(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
       |                    * 1000.0) AS BIGINT) AS sg2n_milli
       |  FROM g0
-      |), t AS (
+      |), t AS MATERIALIZED (
       |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
       |         CAST(SUM(s) AS BIGINT) AS s_total,
       |         CAST(SUM(ss) AS BIGINT) AS ss_total,
@@ -2725,7 +2725,7 @@ object StatQueries {
   }
 
   val analyticsPosthocPairsSql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT c_mktsegment AS g,
       |         CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100 AS x
       |  FROM customer
@@ -2733,12 +2733,12 @@ object StatQueries {
       |  SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
       |         CAST(SUM(x * x) AS BIGINT) AS ss
       |  FROM c GROUP BY g
-      |), grp AS (
+      |), grp AS MATERIALIZED (
       |  SELECT g, n, s, ss,
       |         CAST(floor(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
       |                    * 1000.0) AS BIGINT) AS sg2n_milli
       |  FROM g0
-      |), t AS (
+      |), t AS MATERIALIZED (
       |  SELECT (CAST(SUM(ss) AS DOUBLE)
       |          - CAST(SUM(sg2n_milli) AS DOUBLE) / 1000.0)
       |         / (CAST(SUM(n) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) AS mse
@@ -2801,7 +2801,7 @@ object StatQueries {
       |         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |              AS BIGINT) AS purchased
       |  FROM events GROUP BY 1, 2
-      |), c AS (
+      |), c AS MATERIALIZED (
       |  SELECT weekday, COUNT(*) AS n_users,
       |         CAST(SUM(purchased) AS BIGINT) AS n_purchasers
       |  FROM ud GROUP BY weekday
@@ -2883,7 +2883,7 @@ object StatQueries {
       |), f AS (
       |  SELECT CASE WHEN weekday >= 5 THEN 1 ELSE 0 END AS exposed, is_case
       |  FROM ud
-      |), cells AS (
+      |), cells AS MATERIALIZED (
       |  SELECT
       |    CAST(SUM(CASE WHEN exposed = 1 AND is_case = 1 THEN 1 ELSE 0 END)
       |         AS BIGINT) AS a,
@@ -2952,7 +2952,7 @@ object StatQueries {
       |           // CAST(l_quantity AS BIGINT) AS unit_c,
       |         CAST(l_quantity AS BIGINT) AS q
       |  FROM lineitem
-      |), pm AS (
+      |), pm AS MATERIALIZED (
       |  SELECT month, l_partkey, CAST(MIN(unit_c) AS BIGINT) AS p,
       |         CAST(SUM(q) AS BIGINT) AS qty
       |  FROM li GROUP BY month, l_partkey
@@ -3008,7 +3008,7 @@ object StatQueries {
       |           // CAST(l_quantity AS BIGINT) AS unit_c,
       |         CAST(l_quantity AS BIGINT) AS q
       |  FROM lineitem
-      |), pm AS (
+      |), pm AS MATERIALIZED (
       |  SELECT month, l_partkey, CAST(MIN(unit_c) AS BIGINT) AS p,
       |         CAST(SUM(q) AS BIGINT) AS qty
       |  FROM li GROUP BY month, l_partkey
@@ -3078,7 +3078,7 @@ object StatQueries {
       |           // CAST(l_quantity AS BIGINT) AS unit_c,
       |         CAST(l_quantity AS BIGINT) AS q
       |  FROM lineitem
-      |), pm AS (
+      |), pm AS MATERIALIZED (
       |  SELECT month, l_partkey, CAST(MIN(unit_c) AS BIGINT) AS p,
       |         CAST(SUM(q) AS BIGINT) AS qty
       |  FROM li GROUP BY month, l_partkey
@@ -3144,16 +3144,16 @@ object StatQueries {
   }
 
   val analyticsVarSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT l_shipdate AS day,
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS rev
       |  FROM lineitem GROUP BY 1
-      |), d AS (
+      |), d AS MATERIALIZED (
       |  SELECT CAST(rev - lag(rev) OVER (ORDER BY day) AS BIGINT) AS delta_c
       |  FROM daily
       |  QUALIFY lag(rev) OVER (ORDER BY day) IS NOT NULL
-      |), q AS (
+      |), q AS MATERIALIZED (
       |  SELECT COUNT(*) AS n_days,
       |         quantile_cont(delta_c, 0.05) AS var95_c
       |  FROM d
@@ -3216,7 +3216,7 @@ object StatQueries {
 
   val analyticsElasticitySql: String = {
     import graft.functions.IntegerLog2.log2Sql
-    s"""WITH b AS (
+    s"""WITH b AS MATERIALIZED (
        |  SELECT l_returnflag AS g,
        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
@@ -3298,13 +3298,13 @@ object StatQueries {
 
   val analyticsHillSql: String = {
     import graft.functions.IntegerLog2.log2Sql
-    s"""WITH top AS (
+    s"""WITH top AS MATERIALIZED (
        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x_c,
        |         row_number() OVER (ORDER BY CAST(round(o_totalprice * 100)
        |           AS BIGINT) DESC, o_orderkey) AS rn
        |  FROM orders
        |  ORDER BY x_c DESC, o_orderkey LIMIT ${HillK + 1}
-       |), ref AS (
+       |), ref AS MATERIALIZED (
        |  SELECT x_c AS ref_c FROM top WHERE rn = ${HillK + 1}
        |), s AS (
        |  SELECT COUNT(*) AS k, MAX(ref.ref_c) AS ref_c,
@@ -3371,7 +3371,7 @@ object StatQueries {
   }
 
   val analyticsMannKendallSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT epoch_ms(l_shipdate) // 86400000 AS d,
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS rev
@@ -3452,12 +3452,12 @@ object StatQueries {
   }
 
   val analyticsChangepointSql: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       |  SELECT epoch_ms(l_shipdate) // 86400000 AS d,
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS rev
       |  FROM lineitem GROUP BY 1
-      |), cum AS (
+      |), cum AS MATERIALIZED (
       |  SELECT d,
       |         CAST(COUNT(*) OVER w AS BIGINT) AS k,
       |         CAST(SUM(rev) OVER w AS BIGINT) AS p
@@ -3521,7 +3521,7 @@ object StatQueries {
       |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS w
       |  FROM lineitem GROUP BY 1, 2
-      |), cum AS (
+      |), cum AS MATERIALIZED (
       |  SELECT g, price_c, w,
       |         CAST(SUM(w) OVER (PARTITION BY g ORDER BY price_c
       |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,

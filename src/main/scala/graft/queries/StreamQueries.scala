@@ -101,10 +101,10 @@ object StreamQueries {
       |         lag(us) OVER (PARTITION BY event_type
       |                       ORDER BY us, event_id) AS prev_us
       |  FROM e
-      |), gg AS (
+      |), gg AS MATERIALIZED (
       |  SELECT event_type, prev_us, us - prev_us AS gap_us
       |  FROM g WHERE prev_us IS NOT NULL
-      |), agg AS (
+      |), agg AS MATERIALIZED (
       |  SELECT event_type, COUNT(*) AS n_gaps,
       |         CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
       |         CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
@@ -171,7 +171,7 @@ object StreamQueries {
       |  SELECT event_type,
       |         (us // 1800000000) * 1800000000 - k.k * 1800000000 AS ws
       |  FROM e, range(0, 4) k(k)
-      |), agg AS (
+      |), agg AS MATERIALIZED (
       |  SELECT ws, event_type, COUNT(*) AS n_events
       |  FROM hop GROUP BY ws, event_type
       |), ranked AS (
@@ -238,7 +238,7 @@ object StreamQueries {
       .orderBy("user_id", "event_type")
 
   val streamDedupSql: String =
-    """WITH r AS (
+    """WITH r AS MATERIALIZED (
       |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value,
       |         row_number() OVER (PARTITION BY user_id, event_type
       |                            ORDER BY epoch_us(ts), event_id) AS rn
@@ -457,7 +457,7 @@ object StreamQueries {
       val hi = s"greatest((${b + 1}*len(luma))//4, $lo + 1)"
       s"""COALESCE(CAST(list_sum(luma[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
     }
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
        |  SELECT doc_id, text, length(text)//3 AS w FROM documents
        |  WHERE octet_length(encode(text)) >= 3
        |), c AS (
@@ -530,7 +530,7 @@ object StreamQueries {
       val hi = s"greatest((${b + 1}*len(codes))//4, $lo + 1)"
       s"""COALESCE(CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
     }
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
        |  SELECT doc_id, text,
        |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
        |  FROM documents
@@ -588,7 +588,7 @@ object StreamQueries {
       val hi = s"greatest((${b + 1}*len(codes))//4, $lo + 1)"
       s"""COALESCE(CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
     }
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
        |  SELECT doc_id, text,
        |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
        |  FROM documents
@@ -650,7 +650,7 @@ object StreamQueries {
       val hi = s"greatest((${b + 1}*len(codes))//4, $lo + 1)"
       s"""COALESCE(CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
     }
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
        |  SELECT doc_id, text,
        |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
        |  FROM documents
@@ -720,7 +720,7 @@ object StreamQueries {
   }
 
   val multimodalAudioFingerprintSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
       |), l AS (
       |  SELECT doc_id,
@@ -729,7 +729,7 @@ object StreamQueries {
       |), f AS (
       |  SELECT doc_id, unnest(range(0, len(plane)//8)) AS frame_idx, plane
       |  FROM l
-      |), fr AS (
+      |), fr AS MATERIALIZED (
       |  SELECT doc_id, frame_idx,
       |         list_transform(plane[frame_idx*8 + 1 : frame_idx*8 + 8],
       |                        s -> s - 128) AS s
@@ -742,7 +742,7 @@ object StreamQueries {
       |                  THEN s[CAST(j AS INTEGER) + 1]
       |                  ELSE -s[CAST(j AS INTEGER) + 1] END))) AS c
       |  FROM fr
-      |), dom AS (
+      |), dom AS MATERIALIZED (
       |  SELECT doc_id, frame_idx,
       |         (list_min(list_transform(range(1, 8), k ->
       |            struct_pack(na := -abs(c[CAST(k AS INTEGER) + 1]), k := k)))).k AS d
@@ -787,7 +787,7 @@ object StreamQueries {
   }
 
   val multimodalImageHistogramSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id,
       |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
       |  FROM documents
@@ -840,7 +840,7 @@ object StreamQueries {
 
   val multimodalImageEntropySql: String = {
     import graft.functions.IntegerLog2.log2Sql
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
        |  SELECT doc_id,
        |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
        |  FROM documents
@@ -961,10 +961,10 @@ object StreamQueries {
     * bytes + n//2 nibble bytes + word pad.
     */
   val multimodalAdpcmSql: String =
-    """WITH RECURSIVE m AS (
+    """WITH RECURSIVE m AS MATERIALIZED (
       |  SELECT doc_id, text, length(text) AS n FROM documents
       |  WHERE octet_length(encode(text)) BETWEEN 1 AND 65535
-      |), tabs AS (
+      |), tabs AS MATERIALIZED (
       |  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
       |          41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
       |          190,209,230,253,279,307,337,371,408,449,494,544,598,658,
@@ -997,18 +997,18 @@ object StreamQueries {
       |    FROM rec r JOIN m USING (doc_id) CROSS JOIN tabs t
       |    WHERE r.i < m.n
       |  )
-      |), dec AS (
+      |), dec AS MATERIALIZED (
       |  -- floor(pred/256), NOT pred // 256: DuckDB's // truncates
       |  -- toward zero on negatives while Scala's >> 8 floors; /256.0
       |  -- is exact in a double for |pred| <= 32768, so floor is exact
       |  SELECT doc_id, i, CAST(floor(pred / 256.0) AS BIGINT) + 128 AS r8 FROM rec
-      |), feats AS (
+      |), feats AS MATERIALIZED (
       |  SELECT d.doc_id,
       |         CAST(COUNT(*) AS BIGINT) AS n_samples,
       |         CAST(SUM(d.r8) AS BIGINT) AS sum8,
       |         CAST(MAX(abs(d.r8 - unicode(m.text[d.i]))) AS BIGINT) AS max_err
       |  FROM dec d JOIN m USING (doc_id) GROUP BY d.doc_id
-      |), fr AS (
+      |), fr AS MATERIALIZED (
       |  SELECT doc_id, CAST(to_json(list(r8 ORDER BY i)[1:8]) AS VARCHAR) AS frame_samples_json
       |  FROM dec GROUP BY doc_id
       |)
@@ -1065,7 +1065,7 @@ object StreamQueries {
     * word pad.
     */
   val multimodalMulawSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, length(text) AS n FROM documents
       |  WHERE octet_length(encode(text)) BETWEEN 1 AND 65535
       |), lin AS (
@@ -1083,22 +1083,22 @@ object StreamQueries {
       |              WHEN mb >= 1024 THEN 3 WHEN mb >= 512 THEN 2
       |              WHEN mb >= 256 THEN 1 ELSE 0 END AS e
       |  FROM enc
-      |), dec AS (
+      |), dec AS MATERIALIZED (
       |  SELECT doc_id, i, sign, e,
       |         ((((mb // (1 << (e + 3))) % 16) * 8 + 132) * (1 << e)) - 132 AS mag
       |  FROM chord
-      |), r AS (
+      |), r AS MATERIALIZED (
       |  SELECT doc_id, i,
       |         CAST(floor((CASE WHEN sign = 128 THEN -mag ELSE mag END) / 256.0)
       |              AS BIGINT) + 128 AS r8
       |  FROM dec
-      |), feats AS (
+      |), feats AS MATERIALIZED (
       |  SELECT r.doc_id,
       |         CAST(COUNT(*) AS BIGINT) AS n_samples,
       |         CAST(SUM(r.r8) AS BIGINT) AS sum8,
       |         CAST(MAX(abs(r.r8 - unicode(m.text[r.i]))) AS BIGINT) AS max_err
       |  FROM r JOIN m USING (doc_id) GROUP BY r.doc_id
-      |), fr AS (
+      |), fr AS MATERIALIZED (
       |  SELECT doc_id, CAST(to_json(list(r8 ORDER BY i)[1:8]) AS VARCHAR) AS frame_samples_json
       |  FROM r GROUP BY doc_id
       |)
@@ -1140,7 +1140,7 @@ object StreamQueries {
   }
 
   val multimodalAudioEnergySql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
       |), l AS (
       |  SELECT doc_id,
@@ -1200,7 +1200,7 @@ object StreamQueries {
   }
 
   val multimodalAudioZcrSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
       |), l AS (
       |  SELECT doc_id,
@@ -1229,7 +1229,7 @@ object StreamQueries {
       val hi = s"greatest((${b + 1}*len(plane))//4, $lo + 1)"
       s"""COALESCE(CAST(list_sum(plane[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
     }
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
        |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
        |), l AS (
        |  SELECT doc_id, dl,
@@ -1289,7 +1289,7 @@ object StreamQueries {
     * non-negative, so floor == truncation).
     */
   val multimodalResizeSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, (length(text)//3)//12 AS h FROM documents
       |), l AS (
       |  SELECT doc_id, h,
@@ -1365,7 +1365,7 @@ object StreamQueries {
     * bands, so exact pairwise is the semantic definition.
     */
   val multimodalPhashDedupSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, length(text)//3 AS w FROM documents
       |  WHERE octet_length(encode(text)) >= 6
       |), l AS (
@@ -1378,7 +1378,7 @@ object StreamQueries {
       |           CAST(list_sum(luma[ox*w//64 + 1 : greatest((ox+1)*w//64, ox*w//64 + 1)])
       |                // (greatest((ox+1)*w//64, ox*w//64 + 1) - ox*w//64) AS BIGINT)) AS b
       |  FROM l
-      |), sig AS (
+      |), sig AS MATERIALIZED (
       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 63), i ->
       |           CASE WHEN b[i+2] > b[i+1] THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS sim
       |  FROM rz
@@ -1476,7 +1476,7 @@ object StreamQueries {
     * directly; geometry is the constant the container was built with.
     */
   val multimodalVideoFramesSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, 2 + doc_id % 3 AS nf FROM documents
       |  WHERE octet_length(encode(text)) >= 4
       |), s AS (
@@ -1560,7 +1560,7 @@ object StreamQueries {
     * byte index wraps (i mod len) exactly as the encoder's.
     */
   val multimodalSceneChangeSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, 4 + doc_id % 3 AS nf,
       |         octet_length(encode(text)) AS blen
       |  FROM documents WHERE octet_length(encode(text)) >= 6
@@ -1638,7 +1638,7 @@ object StreamQueries {
       |  SELECT doc_id, n, 2*n//3 AS m,
       |         list_transform(range(0, n), i -> unicode(text[2*i+2]) + 128) AS s
       |  FROM m0
-      |), r AS (
+      |), r AS MATERIALIZED (
       |  SELECT doc_id, n, m,
       |         list_transform(range(0, m), i ->
       |           (s[(i*(n-1))//(m-1) + 1] * (m-1 - (i*(n-1)) % (m-1))
@@ -1668,7 +1668,7 @@ object StreamQueries {
       val hi = s"greatest((${b + 1}*len(codes))//4, $lo + 1)"
       s"""COALESCE(CAST(list_sum(codes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo), 0.0) AS thumb_$b"""
     }
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
        |  SELECT doc_id, 'text/utf-8' AS media_type, text,
        |         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
        |  FROM documents
@@ -1781,7 +1781,7 @@ object StreamQueries {
   }
 
   val multimodalPatchTokensSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, (length(text)//3)//12 AS h FROM documents
       |), l AS (
       |  SELECT doc_id, h,
@@ -1851,7 +1851,7 @@ object StreamQueries {
   }
 
   val multimodalAudioWhtSql: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT doc_id, text, least(90, (length(text)//2)*2) AS dl FROM documents
       |), l AS (
       |  SELECT doc_id,
@@ -1860,7 +1860,7 @@ object StreamQueries {
       |), f AS (
       |  SELECT doc_id, unnest(range(0, len(plane)//8)) AS frame_idx, plane
       |  FROM l
-      |), fr AS (
+      |), fr AS MATERIALIZED (
       |  SELECT doc_id, frame_idx,
       |         list_transform(plane[frame_idx*8 + 1 : frame_idx*8 + 8],
       |                        s -> s - 128) AS s
@@ -1928,7 +1928,7 @@ object StreamQueries {
        |  SELECT event_id, event_type, epoch_us(ts) AS us,
        |         epoch_us(ts) + (event_id % 7) * 300000000 AS arrival
        |  FROM events
-       |), m AS (
+       |), m AS MATERIALIZED (
        |  SELECT event_type, us,
        |         MAX(us) OVER (ORDER BY arrival, event_id
        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

@@ -16,9 +16,14 @@ object TextQueries {
   private[queries] def docs(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
 
-  /** Shared DuckDB tokenizer CTE (mirrors TextOps.tokens). */
+  /** Shared DuckDB tokenizer CTE (mirrors TextOps.tokens).
+    * MATERIALIZED: nearly every text twin references `d` 2-7 times
+    * (and the bpe chain feeds it into a 6-round unroll) — DuckDB
+    * inlines CTEs by default, re-running the regex tokenization per
+    * reference (the GraphQueries.EdgeCtes doctrine).
+    */
   private[queries] val DuckToks =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       |  SELECT doc_id, text, lang,
       |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
       |  FROM documents
@@ -132,7 +137,7 @@ object TextQueries {
   }
 
   val corpusGopherRulesSql: String = DuckToks +
-    """, g AS (
+    """, g AS MATERIALIZED (
       |  SELECT doc_id,
       |         CAST(len(toks) AS BIGINT) AS n_words,
       |         CAST(list_sum(list_transform(toks, t -> length(t)))
@@ -181,7 +186,7 @@ object TextQueries {
 
   val textLangidSql: String = DuckToks +
     """
-      |, scored AS (
+      |, scored AS MATERIALIZED (
       |  SELECT doc_id, lang,
       |         len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is'])) AS score_en,
       |         len(list_intersect(list_distinct(toks), ['der','die','das','und','ist'])) AS score_de,
@@ -300,7 +305,7 @@ object TextQueries {
          |  LEFT JOIN pbits pb ON pb.i = c.i
          |    AND pb.bit = (bt.key * c.a + c.b) % 2147483647 % 1024
          |  GROUP BY bt.doc_id, bt.key
-         |), ex AS (SELECT DISTINCT key FROM prior)
+         |), ex AS MATERIALIZED (SELECT DISTINCT key FROM prior)
          |SELECT COUNT(*) AS n_batch,
          |       CAST(SUM(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END)
          |            AS BIGINT) AS n_exact_dup,
@@ -418,17 +423,17 @@ object TextQueries {
   def dedupNgramJaccardSqlAt(threshold: Double,
       pairWhere: String = ""): String = DuckToks +
     s"""
-      |, sh AS (
+      |, sh AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
       |    ELSE [] END) AS s
       |  FROM d
-      |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      |pairs AS (
+      |), ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS intersect_size
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
-      |), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+      |), sizes AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM sh)
       |SELECT d1, d2, intersect_size, s1.n AS n1, s2.n AS n2,
       |       CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) AS jaccard
       |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
@@ -455,7 +460,7 @@ object TextQueries {
 
   val corpusCurateSql: String = DuckToks +
     """
-      |, scored AS (
+      |, scored AS MATERIALIZED (
       |  SELECT doc_id, text, toks, length(text) AS n_chars, len(toks) AS n_tokens,
       |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
       |         len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is'])) AS score_en,
@@ -463,26 +468,26 @@ object TextQueries {
       |         len(list_intersect(list_distinct(toks), ['el','la','de','los','y'])) AS score_es,
       |         len(list_intersect(list_distinct(toks), ['le','les','et','est','un'])) AS score_fr
       |  FROM d
-      |), quality AS (
+      |), quality AS MATERIALIZED (
       |  SELECT * FROM scored
       |  WHERE n_tokens >= 30 AND punct_ratio <= 0.5 AND score_en >= 1
       |    AND score_en >= greatest(score_en, score_de, score_es, score_fr)
-      |), keepx AS (
+      |), keepx AS MATERIALIZED (
       |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY text
-      |), kept AS (
+      |), kept AS MATERIALIZED (
       |  SELECT q.* FROM quality q JOIN keepx k ON q.doc_id = k.doc_id
-      |), sh AS (
+      |), sh AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
       |    ELSE [] END) AS s
       |  FROM kept
-      |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      |pairs AS (
+      |), ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS intersect_size
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
-      |), sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-      |losers AS (
+      |), sizes AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM sh),
+      |losers AS MATERIALIZED (
       |  SELECT DISTINCT d2 FROM pairs
       |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
       |  WHERE CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) >= 0.7
@@ -552,7 +557,7 @@ object TextQueries {
 
   val textTermFreqSql: String = DuckToks +
     """
-      |, t AS (SELECT doc_id, unnest(toks) AS tok FROM d)
+      |, t AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM d)
       |SELECT tok, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
       |FROM t GROUP BY tok
       |ORDER BY doc_freq DESC, term_freq DESC, tok LIMIT 50""".stripMargin
@@ -596,11 +601,11 @@ object TextQueries {
 
   val textTfidfSql: String = DuckToks +
     """
-      |, t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
-      |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
-      |n AS (SELECT COUNT(*) AS n_docs FROM d),
-      |scored AS (
+      |, t AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM d),
+      |tf AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+      |df AS MATERIALIZED (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+      |n AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM d),
+      |scored AS MATERIALIZED (
       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
       |         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
       |  FROM tf JOIN df USING (tok) CROSS JOIN n
@@ -678,19 +683,19 @@ object TextQueries {
 
   val simSparseCosineSql: String = DuckToks +
     """
-      |, sh AS (
+      |, sh AS MATERIALIZED (
       |  SELECT doc_id,
       |         unnest(list_transform(range(1, len(toks) - 1),
       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tok
       |  FROM d WHERE len(toks) >= 3
-      |), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM sh GROUP BY doc_id, tok),
-      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |), tf AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS tf FROM sh GROUP BY doc_id, tok),
+      |n AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM documents),
       |rare AS (
       |  SELECT tok FROM tf CROSS JOIN n GROUP BY tok, n.n_docs
       |  HAVING COUNT(*) * 10 <= n.n_docs
-      |), kept AS (SELECT tf.* FROM tf JOIN rare USING (tok)),
+      |), kept AS MATERIALIZED (SELECT tf.* FROM tf JOIN rare USING (tok)),
       |norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY doc_id),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
       |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -732,7 +737,7 @@ object TextQueries {
       |, starts AS (
       |  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 20)) AS start
       |  FROM d
-      |), w AS (SELECT * FROM starts WHERE start < len(toks))
+      |), w AS MATERIALIZED (SELECT * FROM starts WHERE start < len(toks))
       |SELECT doc_id, start // 20 AS chunk_seq,
       |       len(toks[start+1 : start+30]) AS n_chunk_tokens,
       |       array_to_string(toks[start+1 : start+30], ' ') AS chunk_text
@@ -763,7 +768,7 @@ object TextQueries {
 
   val textPackSequencesSql: String = DuckToks +
     """
-      |, sized AS (
+      |, sized AS MATERIALIZED (
       |  SELECT doc_id, doc_id % 8 AS shard, CAST(len(toks) AS BIGINT) AS n_tokens
       |  FROM d
       |), placed AS (
@@ -886,22 +891,22 @@ object TextQueries {
   }
 
   val textContaminationSql: String =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       |  SELECT doc_id,
       |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
       |  FROM documents
-      |), g AS (
+      |), g AS MATERIALIZED (
       |  SELECT doc_id,
       |         unnest(list_transform(range(1, len(toks) - 6),
       |                i -> array_to_string(toks[i:i+7], ' '))) AS gram
       |  FROM d WHERE len(toks) >= 8
       |), train AS (
       |  SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0
-      |), ev AS (
+      |), ev AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 2 = 1
-      |), ng AS (
+      |), ng AS MATERIALIZED (
       |  SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY doc_id
-      |), ov AS (
+      |), ov AS MATERIALIZED (
       |  SELECT doc_id, COUNT(*) AS n_overlap FROM ev
       |  WHERE gram IN (SELECT gram FROM train) GROUP BY doc_id
       |)
@@ -979,7 +984,7 @@ object TextQueries {
       |  FROM starts WHERE start < len(toks)
       |), banned AS (
       |  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3
-      |), kept AS (
+      |), kept AS MATERIALIZED (
       |  SELECT doc_id, count(*) AS n_kept,
       |         string_agg(seg, ' ' ORDER BY seg_seq) AS cleaned_text
       |  FROM segs WHERE seg NOT IN (SELECT seg FROM banned)
@@ -1034,18 +1039,18 @@ object TextQueries {
 
   val textRepetitionSql: String = DuckToks +
     """
-      |, base AS (
+      |, base AS MATERIALIZED (
       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
       |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac
       |  FROM d
-      |), bg AS (
+      |), bg AS MATERIALIZED (
       |  SELECT doc_id,
       |         unnest(list_transform(range(1, len(toks)),
       |                i -> toks[i] || ' ' || toks[i+1])) AS bigram
       |  FROM d WHERE len(toks) >= 2
       |), cnts AS (
       |  SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram
-      |), bi AS (
+      |), bi AS MATERIALIZED (
       |  SELECT doc_id, sum(cnt) AS total_bi, max(cnt) AS top_bi,
       |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_bi
       |  FROM cnts GROUP BY doc_id
@@ -1107,9 +1112,9 @@ object TextQueries {
       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM d
       |), e AS (
       |  SELECT doc_id, pos, toks[pos] AS tok FROM pts
-      |), cnt AS (
+      |), cnt AS MATERIALIZED (
       |  SELECT tok, count(*) AS c FROM e GROUP BY tok
-      |), vocab AS (
+      |), vocab AS MATERIALIZED (
       |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS id
       |  FROM cnt QUALIFY id <= 20
       |), enc AS (
@@ -1157,7 +1162,7 @@ object TextQueries {
   }
 
   val corpusMixTemperatureSql: String =
-    """WITH w AS (
+    """WITH w AS MATERIALIZED (
       |  SELECT lang, count(*) AS n_docs,
       |         CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS wq
       |  FROM documents GROUP BY lang
@@ -1185,17 +1190,17 @@ object TextQueries {
 
   val dedupContainmentSql: String = DuckToks +
     """
-      |, sh AS (
+      |, sh AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
       |    ELSE [] END) AS s
       |  FROM d
-      |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      |pairs AS (
+      |), ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS intersect_size
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id != b.doc_id
       |  GROUP BY 1, 2
-      |), sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+      |), sizes AS MATERIALIZED (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
       |SELECT d1, d2, intersect_size, s1.n AS n1, s2.n AS n2,
       |       CAST(intersect_size AS DOUBLE) / s1.n AS containment
       |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
@@ -1237,12 +1242,12 @@ object TextQueries {
 
   val textBigramScoreSql: String = DuckToks +
     """
-      |, bg AS (
+      |, bg AS MATERIALIZED (
       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
       |    ELSE [] END) AS g
       |  FROM d
-      |), counts AS (SELECT g, COUNT(*) AS cf FROM bg GROUP BY g)
+      |), counts AS MATERIALIZED (SELECT g, COUNT(*) AS cf FROM bg GROUP BY g)
       |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
       |       CAST(SUM(counts.cf) AS BIGINT) AS freq_mass
       |FROM bg JOIN counts ON bg.g = counts.g
@@ -1301,17 +1306,17 @@ object TextQueries {
 
   val textLmScoreSql: String = DuckToks +
     """
-      |, bg AS (
+      |, bg AS MATERIALIZED (
       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
       |    ELSE [] END) AS g
       |  FROM d
-      |), bgw AS (
+      |), bgw AS MATERIALIZED (
       |  SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM bg
-      |), cnt AS (SELECT g, COUNT(*) AS cg FROM bgw GROUP BY g),
-      |pre AS (SELECT split_part(g, ' ', 1) AS w1,
+      |), cnt AS MATERIALIZED (SELECT g, COUNT(*) AS cg FROM bgw GROUP BY g),
+      |pre AS MATERIALIZED (SELECT split_part(g, ' ', 1) AS w1,
       |        CAST(SUM(cg) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
-      |vocab AS (
+      |vocab AS MATERIALIZED (
       |  SELECT COUNT(DISTINCT t) AS v
       |  FROM (SELECT unnest(toks) AS t FROM d)
       |)
@@ -1375,24 +1380,24 @@ object TextQueries {
     import graft.functions.IntegerLog2.log2Sql
     DuckToks +
       s"""
-        |, bg AS (
+        |, bg AS MATERIALIZED (
         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
         |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
         |    ELSE [] END) AS g
         |  FROM d
-        |), bgw AS (
+        |), bgw AS MATERIALIZED (
         |  SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM bg
-        |), cnt AS (SELECT g, COUNT(*) AS cg FROM bgw GROUP BY g),
-        |pre AS (SELECT split_part(g, ' ', 1) AS w1,
+        |), cnt AS MATERIALIZED (SELECT g, COUNT(*) AS cg FROM bgw GROUP BY g),
+        |pre AS MATERIALIZED (SELECT split_part(g, ' ', 1) AS w1,
         |        CAST(SUM(cg) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
-        |vocab AS (
+        |vocab AS MATERIALIZED (
         |  SELECT COUNT(DISTINCT t) AS v
         |  FROM (SELECT unnest(toks) AS t FROM d)
         |), terms AS (
         |  SELECT b.doc_id, CAST(c.cg + 1 AS BIGINT) AS num,
         |         CAST(p.c1 + vocab.v AS BIGINT) AS den
         |  FROM bgw b JOIN cnt c USING (g) JOIN pre p USING (w1), vocab
-        |), ll AS (
+        |), ll AS MATERIALIZED (
         |  SELECT doc_id, ${log2Sql("num")} - ${log2Sql("den")} AS ll
         |  FROM terms
         |)
@@ -1489,7 +1494,7 @@ object TextQueries {
 
   val textNormalizeSql: String = DuckToks +
     """
-      |, n AS (
+      |, n AS MATERIALIZED (
       |  SELECT doc_id, toks,
       |         list_filter(toks, t -> t NOT IN ('the','a','of','and','to','in','is')) AS content
       |  FROM d
@@ -1563,18 +1568,18 @@ object TextQueries {
 
   val textKeyphrasesSql: String = DuckToks +
     """
-      |, toked AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
-      |uni AS (
+      |, toked AS MATERIALIZED (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+      |uni AS MATERIALIZED (
       |  SELECT w, COUNT(*) AS cw
       |  FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w
-      |), unitot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_uni FROM uni),
-      |docbg AS (
+      |), unitot AS MATERIALIZED (SELECT CAST(SUM(cw) AS BIGINT) AS n_uni FROM uni),
+      |docbg AS MATERIALIZED (
       |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
       |             {'w1': toks[i], 'w2': toks[i+1]})) AS bg
       |    FROM toked)
-      |), bi AS (SELECT w1, w2, COUNT(*) AS cb FROM docbg GROUP BY w1, w2),
-      |bitot AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_bi FROM bi),
+      |), bi AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cb FROM docbg GROUP BY w1, w2),
+      |bitot AS MATERIALIZED (SELECT CAST(SUM(cb) AS BIGINT) AS n_bi FROM bi),
       |cand AS (
       |  SELECT db.doc_id, db.w1, db.w2, bi.cb,
       |         (CAST(bi.cb AS DOUBLE) / CAST(bitot.n_bi AS DOUBLE)) /
@@ -1644,7 +1649,7 @@ object TextQueries {
 
   val dedupSubstringSql: String = DuckToks +
     """
-      |, th AS (
+      |, th AS MATERIALIZED (
       |  SELECT doc_id,
       |         list_transform(toks, t ->
       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1767,7 +1772,7 @@ object TextQueries {
     val lgRank = graft.functions.IntegerLog2.log2Sql("rank")
     val lgFreq = graft.functions.IntegerLog2.log2Sql("freq")
     DuckToks +
-      s""", tf AS (
+      s""", tf AS MATERIALIZED (
          |  SELECT tok, COUNT(*) AS freq
          |  FROM (SELECT unnest(toks) AS tok FROM d)
          |  GROUP BY tok ORDER BY freq DESC, tok LIMIT $ZipfTopN
@@ -1841,7 +1846,7 @@ object TextQueries {
 
   val textNgramNoveltySql: String = DuckToks +
     """
-      |, pairs AS (
+      |, pairs AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, g FROM (
       |    SELECT doc_id,
       |           unnest(CASE WHEN len(toks) >= 3
@@ -1920,24 +1925,24 @@ object TextQueries {
       s"CASE WHEN j.s$i >= t.lo$i AND j.s$i <= t.hi$i THEN 1 ELSE 0 END AS pass$i")
       .mkString(",\n       ")
     val passCols = (1 to 5).map(i => s"pass$i").mkString(" + ")
-    s"""WITH e1 AS (
+    s"""WITH e1 AS MATERIALIZED (
        |$textEntropySql
-       |), e2 AS (
+       |), e2 AS MATERIALIZED (
        |$textLexicalDiversitySql
-       |), e3 AS (
+       |), e3 AS MATERIALIZED (
        |$textReadabilitySql
-       |), e4 AS (
+       |), e4 AS MATERIALIZED (
        |$textLmScoreSql
-       |), e5 AS (
+       |), e5 AS MATERIALIZED (
        |$textPerplexitySql
-       |), j AS (
+       |), j AS MATERIALIZED (
        |  SELECT e1.doc_id, e1.ent_1e6 AS s1, e2.ttr_1e6 AS s2,
        |         e3.flesch_1e3 AS s3, e4.lm_score_1e6 AS s4,
        |         e5.ppl_log2_1e6 AS s5
        |  FROM e1
        |  JOIN e2 USING (doc_id) JOIN e3 USING (doc_id)
        |  JOIN e4 USING (doc_id) JOIN e5 USING (doc_id)
-       |), t AS (
+       |), t AS MATERIALIZED (
        |  SELECT quantile_cont(s1, 0.1) AS lo1, quantile_cont(s1, 0.9) AS hi1,
        |         quantile_cont(s2, 0.1) AS lo2, quantile_cont(s2, 0.9) AS hi2,
        |         quantile_cont(s3, 0.1) AS lo3, quantile_cont(s3, 0.9) AS hi3,
@@ -2011,9 +2016,9 @@ object TextQueries {
     import graft.functions.IntegerLog2.log2Sql
     DuckToks +
       s"""
-         |, tok AS (
+         |, tok AS MATERIALIZED (
          |  SELECT doc_id, lang, unnest(toks) AS t FROM d
-         |), raw AS (
+         |), raw AS MATERIALIZED (
          |  SELECT t, COUNT(*) AS cr FROM tok GROUP BY t
          |), tgt AS (
          |  SELECT t, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY t
@@ -2024,7 +2029,7 @@ object TextQueries {
          |           CAST((SELECT COUNT(*) FROM tok)
          |                + (SELECT COUNT(*) FROM raw) AS BIGINT) AS nrv
          |  )
-         |), scored AS (
+         |), scored AS MATERIALIZED (
          |  SELECT doc_id, COUNT(*) AS n_tokens,
          |         SUM(${log2Sql("ctp")} - ${log2Sql("crp")}) AS tsum
          |  FROM (
@@ -2077,9 +2082,9 @@ object TextQueries {
   }
 
   val corpusPerplexityFilterSql: String =
-    s"""WITH p AS (
+    s"""WITH p AS MATERIALIZED (
        |$textPerplexitySql
-       |), th AS (
+       |), th AS MATERIALIZED (
        |  SELECT quantile_cont(ppl_log2_1e6, 0.33) AS p33,
        |         quantile_cont(ppl_log2_1e6, 0.67) AS p67
        |  FROM p
@@ -2124,7 +2129,7 @@ object TextQueries {
     import graft.functions.IntegerLog2.log2Sql
     DuckToks +
       s"""
-         |, n AS (
+         |, n AS MATERIALIZED (
          |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens FROM d
          |  WHERE len(toks) >= 1
          |), b AS (
@@ -2171,7 +2176,7 @@ object TextQueries {
   }
 
   val textKwicSql: String =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       |  SELECT doc_id, lower(text) AS ltext FROM documents
       |), occ AS (
       |  SELECT doc_id, ltext,
@@ -2276,7 +2281,7 @@ object TextQueries {
   val textFeatureHashingSql: String =
     DuckToks +
       """
-        |, tok AS (
+        |, tok AS MATERIALIZED (
         |  SELECT doc_id, unnest(toks) AS t FROM d
         |), h AS (
         |  SELECT doc_id,
@@ -2351,18 +2356,18 @@ object TextQueries {
     import graft.functions.IntegerLog2.log2Sql
     DuckToks +
       s"""
-         |, uni AS (
+         |, uni AS MATERIALIZED (
          |  SELECT t, COUNT(*) AS c
          |  FROM (SELECT unnest(toks) AS t FROM d) GROUP BY t
-         |), ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
-         |bg AS (
+         |), ntot AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+         |bg AS MATERIALIZED (
          |  SELECT unnest(CASE WHEN len(toks) >= 2
          |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
          |    ELSE [] END) AS g
          |  FROM d
-         |), cnt AS (SELECT g, COUNT(*) AS cb FROM bg GROUP BY g),
-         |mtot AS (SELECT CAST(SUM(cb) AS BIGINT) AS m FROM cnt),
-         |j AS (
+         |), cnt AS MATERIALIZED (SELECT g, COUNT(*) AS cb FROM bg GROUP BY g),
+         |mtot AS MATERIALIZED (SELECT CAST(SUM(cb) AS BIGINT) AS m FROM cnt),
+         |j AS MATERIALIZED (
          |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
          |         cnt.cb, u1.c AS c1, u2.c AS c2, ntot.n, mtot.m
          |  FROM cnt

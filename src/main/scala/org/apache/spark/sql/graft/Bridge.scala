@@ -39,4 +39,12 @@ object Bridge {
         }
       case _ => ()
     }
+
+  /** True when the session's CacheManager holds no cached plans —
+    * the spec hook behind the "a query leaves no net cached frames"
+    * contract (CacheManager is private[sql]; this shim is the same
+    * reach-in pattern as the Column bridge above).
+    */
+  def cacheManagerIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
 }
