@@ -64,7 +64,7 @@ object BehaviorQueries {
   }
 
   val analyticsCumulativeDistinctSql: String =
-    """WITH byday AS (
+    """WITH byday AS MATERIALIZED (
       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
       |), firstseen AS (
       |  SELECT user_id, MIN(day) AS day FROM byday GROUP BY user_id
@@ -114,7 +114,7 @@ object BehaviorQueries {
       |         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
       |         CAST(round(value * 100) AS BIGINT) AS c
       |  FROM events
-      |), bydow AS (
+      |), bydow AS MATERIALIZED (
       |  SELECT event_type, dow, COUNT(*) AS n_events,
       |         CAST(SUM(c) AS BIGINT) AS sum_c
       |  FROM base GROUP BY 1, 2
@@ -163,7 +163,7 @@ object BehaviorQueries {
     """WITH days AS MATERIALIZED (
       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
       |  FROM events
-      |), c AS (
+      |), c AS MATERIALIZED (
       |  SELECT user_id, day,
       |         MIN(day) OVER (PARTITION BY user_id) AS cohort
       |  FROM days
@@ -224,7 +224,7 @@ object BehaviorQueries {
       |                       THEN CAST(round(value * 100) AS BIGINT)
       |                       ELSE 0 END) AS BIGINT) AS rev_c
       |  FROM events GROUP BY 1, 2
-      |), c AS (
+      |), c AS MATERIALIZED (
       |  SELECT user_id, day, rev_c,
       |         MIN(day) OVER (PARTITION BY user_id) AS cohort
       |  FROM pud
@@ -235,7 +235,7 @@ object BehaviorQueries {
       |  SELECT cohort, day - cohort AS day_offset,
       |         CAST(SUM(rev_c) AS BIGINT) AS period_rev_c
       |  FROM c GROUP BY cohort, day - cohort
-      |), cum AS (
+      |), cum AS MATERIALIZED (
       |  SELECT cohort, day_offset, period_rev_c,
       |         CAST(SUM(period_rev_c) OVER (PARTITION BY cohort
       |              ORDER BY day_offset ROWS UNBOUNDED PRECEDING)
@@ -398,7 +398,7 @@ object BehaviorQueries {
       |  SELECT decile, COUNT(*) AS n_customers,
       |         CAST(SUM(rev_c) AS BIGINT) AS decile_rev_c
       |  FROM dd GROUP BY decile
-      |), cum AS (
+      |), cum AS MATERIALIZED (
       |  SELECT decile, n_customers, decile_rev_c,
       |         CAST(SUM(decile_rev_c) OVER (ORDER BY decile
       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c,
@@ -749,7 +749,7 @@ object BehaviorQueries {
   }
 
   val analyticsResampleSql: String =
-    s"""WITH daily AS (
+    s"""WITH daily AS MATERIALIZED (
       |  SELECT user_id, epoch_us(ts) // $UsPerDay AS day, COUNT(*) AS n_events
       |  FROM events WHERE user_id < 100
       |  GROUP BY user_id, epoch_us(ts) // $UsPerDay
@@ -859,10 +859,10 @@ object BehaviorQueries {
   val analyticsActiveUsersSql: String =
     s"""WITH days AS MATERIALIZED (
       |  SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events
-      |), dau AS (
+      |), dau AS MATERIALIZED (
       |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM days GROUP BY day
       |), spine AS (SELECT DISTINCT day AS d FROM days
-      |), wau AS (
+      |), wau AS MATERIALIZED (
       |  SELECT s.d, COUNT(DISTINCT days.user_id) AS wau
       |  FROM days JOIN spine s
       |    ON days.day >= s.d - 6 AND days.day <= s.d
@@ -1047,10 +1047,10 @@ object BehaviorQueries {
   }
 
   val analyticsBasketLiftSql: String =
-    """WITH ut AS (
+    """WITH ut AS MATERIALIZED (
       |  SELECT DISTINCT user_id, event_type FROM events
-      |), u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
-      |marg AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+      |), u AS MATERIALIZED (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+      |marg AS MATERIALIZED (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
       |pairs AS MATERIALIZED (
       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
       |         COUNT(*) AS n_ab
@@ -1112,10 +1112,10 @@ object BehaviorQueries {
   }
 
   val analyticsAttributionSql: String =
-    """WITH p AS (
+    """WITH p AS MATERIALIZED (
       |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
       |  FROM events WHERE event_type = 'purchase'
-      |), t AS (
+      |), t AS MATERIALIZED (
       |  SELECT event_id AS t_id, user_id, epoch_us(ts) AS t_us,
       |         event_type AS touch_type
       |  FROM events WHERE event_type IN ('click', 'view')

@@ -128,14 +128,14 @@ object BpeQueries {
         |, w AS MATERIALIZED (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
         |  FROM (SELECT unnest(toks) AS word FROM d) GROUP BY word
-        |), pieces AS (
+        |), pieces AS MATERIALIZED (
         |  SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS pcnt FROM (
         |    SELECT wcnt, unnest(flatten(list_transform(range(1, length(word)+1), st ->
         |      list_transform(range(1, least(4, length(word)-st+1)+1), ln ->
         |        word[st : st+ln-1])))) AS piece
         |    FROM w)
         |  GROUP BY piece
-        |), vocab AS (
+        |), vocab AS MATERIALIZED (
         |  SELECT piece, pcnt FROM pieces WHERE length(piece) = 1
         |  UNION ALL
         |  SELECT piece, pcnt FROM (
@@ -303,7 +303,7 @@ object BpeQueries {
   val textBpeFertilitySql: String =
     s"""WITH enc AS MATERIALIZED (
        |$textBpeEncodeSql
-       |), w AS (
+       |), w AS MATERIALIZED (
        |  SELECT doc_id, lang,
        |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
        |                              t -> t != '')) AS BIGINT) AS n_words

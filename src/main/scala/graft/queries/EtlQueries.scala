@@ -182,7 +182,7 @@ object EtlQueries {
   }
 
   val etlSurvivorshipSql: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
       |         CASE WHEN event_type <> 'view' THEN value END AS a_val,
       |         CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 <> 0
@@ -193,17 +193,17 @@ object EtlQueries {
       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_records,
       |         min(us) AS first_seen_us, max(us) AS last_seen_us
       |  FROM e GROUP BY user_id
-      |), lt AS (
+      |), lt AS MATERIALIZED (
       |  SELECT user_id, event_type AS last_type FROM (
       |    SELECT user_id, event_type,
       |           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
       |    FROM e) WHERE rn = 1
-      |), lv AS (
+      |), lv AS MATERIALIZED (
       |  SELECT user_id, a_val AS last_val FROM (
       |    SELECT user_id, a_val,
       |           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
       |    FROM e WHERE a_val IS NOT NULL) WHERE rn = 1
-      |), lk AS (
+      |), lk AS MATERIALIZED (
       |  SELECT user_id, a_k AS last_k FROM (
       |    SELECT user_id, a_k,
       |           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
@@ -385,11 +385,11 @@ object EtlQueries {
   }
 
   val etlTableDiffSql: String =
-    """WITH b AS (
+    """WITH b AS MATERIALIZED (
       |  SELECT o_orderkey,
       |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM orders
-      |), a AS (
+      |), a AS MATERIALIZED (
       |  SELECT o_orderkey,
       |         CASE WHEN o_orderkey % 97 = 0 THEN cents + 500 ELSE cents END AS cents
       |  FROM b WHERE o_orderkey % 101 <> 0
@@ -434,7 +434,7 @@ object EtlQueries {
   }
 
   val etlStratifiedSampleSql: String =
-    """WITH h AS (
+    """WITH h AS MATERIALIZED (
       |  SELECT doc_id, lang,
       |         ((doc_id % 1000003) * 2654435761) % 1000003 AS h
       |  FROM documents
@@ -486,7 +486,7 @@ object EtlQueries {
       |FROM c ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
 
   val etlUpsertSql: String =
-    """WITH o AS (
+    """WITH o AS MATERIALIZED (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
       |), u AS (
       |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -538,7 +538,7 @@ object EtlQueries {
   }
 
   val etlFfillSql: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
       |         CASE WHEN event_type != 'error'
       |              THEN CAST(round(value * 100) AS BIGINT) END AS reading
@@ -692,7 +692,7 @@ object EtlQueries {
   }
 
   val etlIncrementalSql: String =
-    """WITH wm AS (
+    """WITH wm AS MATERIALIZED (
       |  SELECT MAX(o_orderdate) AS wm FROM orders
       |  WHERE o_orderdate <= TIMESTAMP '1999-01-01'
       |)
@@ -741,7 +741,7 @@ object EtlQueries {
   }
 
   val etlDateDimSql: String =
-    """WITH o AS (
+    """WITH o AS MATERIALIZED (
       |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
       |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM orders

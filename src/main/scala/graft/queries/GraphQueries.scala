@@ -624,10 +624,10 @@ object GraphQueries {
        |  SELECT b AS x, a AS nbr FROM und
        |), deg AS MATERIALIZED (
        |  SELECT x, COUNT(*) AS deg FROM adj GROUP BY x
-       |), cadj AS (
+       |), cadj AS MATERIALIZED (
        |  SELECT a.x, a.nbr FROM adj a
        |  JOIN deg d ON d.x = a.nbr AND d.deg <= $HubNeighborCap
-       |), common AS (
+       |), common AS MATERIALIZED (
        |  SELECT a1.x AS x, a2.x AS y, COUNT(*) AS common
        |  FROM cadj a1 JOIN cadj a2 ON a1.nbr = a2.nbr AND a1.x < a2.x
        |  GROUP BY 1, 2
@@ -688,7 +688,7 @@ object GraphQueries {
        |  SELECT b AS x, a AS nbr FROM und
        |), deg AS MATERIALIZED (
        |  SELECT x AS z, COUNT(*) AS deg FROM adj GROUP BY x
-       |), cadj AS (
+       |), cadj AS MATERIALIZED (
        |  SELECT a.x, a.nbr FROM adj a
        |  JOIN deg d ON d.z = a.nbr AND d.deg <= $HubNeighborCap
        |)
@@ -1997,7 +1997,7 @@ object GraphQueries {
        |  SELECT b AS x, a AS nbr FROM und
        |), deg AS MATERIALIZED (
        |  SELECT x AS z, COUNT(*) AS deg FROM adj GROUP BY x
-       |), cadj AS (
+       |), cadj AS MATERIALIZED (
        |  SELECT a.x, a.nbr FROM adj a
        |  JOIN deg d ON d.z = a.nbr AND d.deg <= $HubNeighborCap
        |)

@@ -341,8 +341,8 @@ object JoinQueries {
   }
 
   val q12SetOpsSql: String =
-    """WITH used AS (SELECT l_partkey AS key FROM lineitem),
-      |     big AS (SELECT p_partkey AS key FROM part WHERE p_size > 45)
+    """WITH used AS MATERIALIZED (SELECT l_partkey AS key FROM lineitem),
+      |     big AS MATERIALIZED (SELECT p_partkey AS key FROM part WHERE p_size > 45)
       |SELECT 'big_and_used' AS tag, key FROM (SELECT key FROM big INTERSECT SELECT key FROM used)
       |UNION ALL
       |SELECT 'big_unused' AS tag, key FROM (SELECT key FROM big EXCEPT SELECT key FROM used)

@@ -464,14 +464,14 @@ object OlapQueries {
   }
 
   val analyticsAnomalySql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
       |  FROM events
       |), s AS (
       |  SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sm,
       |         CAST(sum(cents * cents) AS BIGINT) AS ss
       |  FROM c GROUP BY event_type
-      |), z AS (
+      |), z AS MATERIALIZED (
       |  SELECT event_id, event_type, cents,
       |         (cents - CAST(sm AS DOUBLE) / n)
       |           / sqrt(CAST(ss AS DOUBLE) / n
@@ -748,7 +748,7 @@ object OlapQueries {
   }
 
   val olapPercentRankSql: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       |  SELECT c_custkey, c_mktsegment AS segment,
       |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
       |  FROM customer

@@ -61,7 +61,7 @@ object PipelineQueries {
       .orderBy("shard")
 
   val etlShardSql: String =
-    s"""WITH s AS (
+    s"""WITH s AS MATERIALIZED (
        |  SELECT doc_id,
        |         ${duckFingerprint("text")} % $NShards AS shard,
        |         len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS n_tokens
@@ -104,11 +104,11 @@ object PipelineQueries {
   }
 
   val corpusQualityBinsSql: String =
-    """WITH sized AS (
+    """WITH sized AS MATERIALIZED (
       |  SELECT doc_id,
       |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens
       |  FROM documents
-      |), q AS (
+      |), q AS MATERIALIZED (
       |  SELECT quantile_cont(n_tokens, 0.25) AS q1,
       |         quantile_cont(n_tokens, 0.5) AS q2,
       |         quantile_cont(n_tokens, 0.75) AS q3
@@ -317,9 +317,9 @@ object PipelineQueries {
   }
 
   val corpusSplitSql: String =
-    s"""WITH d AS (
+    s"""WITH d AS MATERIALIZED (
        |  SELECT source, n_chars, $SplitExpr AS split FROM documents
-       |), s AS (
+       |), s AS MATERIALIZED (
        |  SELECT source, COUNT(*) AS src_docs FROM d GROUP BY source
        |)
        |SELECT d.source, d.split, COUNT(*) AS n_docs,
@@ -353,10 +353,10 @@ object PipelineQueries {
   }
 
   val corpusSplitLeakageSql: String =
-    s"""WITH pr AS (
+    s"""WITH pr AS MATERIALIZED (
        |  SELECT d1, d2
        |  FROM (${graft.queries.TextQueries.dedupNgramJaccardSqlAt(0.7)}) q
-       |), sp AS (
+       |), sp AS MATERIALIZED (
        |  SELECT doc_id, $SplitExpr AS split FROM documents
        |)
        |SELECT least(a.split, b.split) AS split_a,

@@ -136,7 +136,7 @@ object ProfileQueries {
       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) % 1024 AS p,
       |         CAST(l_suppkey AS BIGINT) % 1024 AS s
       |  FROM lineitem
-      |), z AS (
+      |), z AS MATERIALIZED (
       |  SELECT p, s,
       |         CAST(list_sum(list_transform(range(0, 10), b ->
       |           (p >> b) % 2 * (CAST(1 AS BIGINT) << (2 * b))
@@ -200,7 +200,7 @@ object ProfileQueries {
   }
 
   val etlTypeInferenceSql: String =
-    """WITH src AS (
+    """WITH src AS MATERIALIZED (
       |  SELECT CAST(o_orderkey AS VARCHAR) AS c_key,
       |         CAST(o_totalprice AS VARCHAR) AS c_price,
       |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS c_date,

@@ -36,7 +36,7 @@ object RetrievalQueries {
     * truth for constants; TextQueries.DuckToks is the same shape).
     */
   private val DuckToks =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       |  SELECT doc_id, text,
       |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
       |  FROM documents
@@ -85,14 +85,14 @@ object RetrievalQueries {
 
   val textBm25Sql: String = DuckToks +
     """
-      |, dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-      |c AS (SELECT COUNT(*) AS n_docs,
+      |, dl AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      |c AS MATERIALIZED (SELECT COUNT(*) AS n_docs,
       |             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
       |      FROM dl),
-      |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+      |t AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM d),
+      |tf AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS tf FROM t
       |       WHERE tok IN ('spark', 'hash') GROUP BY doc_id, tok),
-      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |df AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
       |scored AS (
       |  SELECT tf.doc_id,
       |         ((CAST(c.n_docs - df.df AS DOUBLE) + 0.5) /
@@ -131,7 +131,7 @@ object RetrievalQueries {
 
   val textSearchBooleanSql: String = DuckToks +
     """
-      |, t AS (SELECT doc_id, unnest(toks) AS tok FROM d)
+      |, t AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM d)
       |SELECT doc_id, COUNT(*) AS tf_total
       |FROM t WHERE tok IN ('spark', 'merge', 'window')
       |GROUP BY doc_id
@@ -203,7 +203,7 @@ object RetrievalQueries {
 
   val textPhraseSearchSql: String = DuckToks +
     """
-      |, t AS (
+      |, t AS MATERIALIZED (
       |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
       |  FROM d
       |), m AS (

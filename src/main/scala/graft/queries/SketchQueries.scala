@@ -335,13 +335,13 @@ object SketchQueries {
       |                ELSE 2246822519 END AS a,
       |         CASE i WHEN 0 THEN 11 WHEN 1 THEN 227 ELSE 499 END AS b
       |  FROM range(0, 3) r(i)
-      |), dim AS (
+      |), dim AS MATERIALIZED (
       |  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k
       |  FROM supplier WHERE s_acctbal > 5000
-      |), bits AS (
+      |), bits AS MATERIALIZED (
       |  SELECT DISTINCT (k % 1000003 * a + b) % 2147483647 % 256 AS pos
       |  FROM dim, cfg
-      |), probe AS (
+      |), probe AS MATERIALIZED (
       |  SELECT CAST(l_suppkey AS BIGINT) AS sk, l_returnflag AS flag
       |  FROM lineitem
       |), passed AS (
@@ -411,7 +411,7 @@ object SketchQueries {
   }
 
   val etlProfileApproxSql: String =
-    """WITH keyed AS (
+    """WITH keyed AS MATERIALIZED (
       |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS BIGINT) AS k FROM orders
       |  UNION ALL
       |  SELECT 'o_custkey', CAST(o_custkey AS BIGINT) FROM orders
@@ -616,9 +616,9 @@ object SketchQueries {
   }
 
   val analyticsSlidingHllSql: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
-      |), days AS (SELECT DISTINCT day FROM ev),
+      |), days AS MATERIALIZED (SELECT DISTINCT day FROM ev),
       |h AS MATERIALIZED (
       |  SELECT day,
       |         (user_id % 1000003 * 1315423911 + 2654435761) % 2147483647 AS h,

@@ -80,7 +80,7 @@ object StatQueries {
   }
 
   val analyticsRegressionSql: String =
-    """WITH s AS (
+    """WITH s AS MATERIALIZED (
       |  SELECT l_returnflag AS returnflag, COUNT(*) AS n,
       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
       |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
@@ -134,7 +134,7 @@ object StatQueries {
   }
 
   val analyticsCorrSql: String =
-    """WITH s AS (
+    """WITH s AS MATERIALIZED (
       |  SELECT l_returnflag AS returnflag, COUNT(*) AS n,
       |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx,
       |         CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sy,
@@ -215,7 +215,7 @@ object StatQueries {
   }
 
   val analyticsSpearmanSql: String =
-    """WITH r AS (
+    """WITH r AS MATERIALIZED (
       |  SELECT l_returnflag AS g,
       |         CAST(2 * rank() OVER (PARTITION BY l_returnflag
       |                ORDER BY CAST(l_quantity AS DECIMAL(18,2)))
@@ -226,7 +226,7 @@ object StatQueries {
       |              + COUNT(*) OVER (PARTITION BY l_returnflag,
       |                  CAST(l_extendedprice AS DECIMAL(18,2))) - 1 AS BIGINT) AS r2y
       |  FROM lineitem
-      |), s AS (
+      |), s AS MATERIALIZED (
       |  SELECT g, COUNT(*) AS n,
       |         CAST(SUM(r2x) AS BIGINT) AS sx, CAST(SUM(r2y) AS BIGINT) AS sy,
       |         CAST(SUM(r2x * r2x) AS DECIMAL(38,0)) AS sxx,
@@ -424,15 +424,21 @@ object StatQueries {
         col("l_extendedprice"),
         ((col("price_c") - col("min_c")).cast(DoubleType) /
           (col("max_c") - col("min_c")).cast(DoubleType)).as("scaled"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus (the
+      // gateSort doctrine): extend the key until tied rows are
+      // identical in every output column — returnflag+extendedprice
+      // determine `scaled`, so this order is content-total and the
+      // row-by-row gate compare is engine-order-independent
+      .orderBy("l_orderkey", "l_linenumber", "returnflag",
+        "l_extendedprice")
   }
 
   val etlMinmaxScaleSql: String =
-    """WITH li AS (
+    """WITH li AS MATERIALIZED (
       |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
       |  FROM lineitem
-      |), r AS (
+      |), r AS MATERIALIZED (
       |  SELECT l_returnflag, MIN(price_c) AS min_c, MAX(price_c) AS max_c
       |  FROM li GROUP BY l_returnflag
       |)
@@ -441,7 +447,8 @@ object StatQueries {
       |       CAST(li.price_c - r.min_c AS DOUBLE) /
       |       CAST(r.max_c - r.min_c AS DOUBLE) AS scaled
       |FROM li JOIN r ON li.l_returnflag = r.l_returnflag
-      |ORDER BY li.l_orderkey, li.l_linenumber""".stripMargin
+      |ORDER BY li.l_orderkey, li.l_linenumber, returnflag,
+      |         li.l_extendedprice""".stripMargin
 
   // ---- order-independent table checksum ------------------------------
 
@@ -652,7 +659,7 @@ object StatQueries {
       |         CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
       |         CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p_pool
       |  FROM w
-      |), s AS (
+      |), s AS MATERIALIZED (
       |  SELECT *, sqrt(p_pool * (1.0 - p_pool) *
       |                 (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS se
       |  FROM p
@@ -696,7 +703,7 @@ object StatQueries {
       |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
       |  FROM customer
       |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
-      |), r AS (
+      |), r AS MATERIALIZED (
       |  SELECT segment, bal_c,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY segment
       |                                 ORDER BY bal_c, c_custkey) AS BIGINT) AS i
@@ -1090,7 +1097,7 @@ object StatQueries {
 
   val analyticsGeoMeanSql: String = {
     import graft.functions.IntegerLog2.log2Sql
-    s"""WITH s AS (
+    s"""WITH s AS MATERIALIZED (
        |  SELECT l_returnflag AS returnflag, CAST(l_quantity AS BIGINT) AS q
        |  FROM lineitem WHERE CAST(l_quantity AS BIGINT) >= 1
        |), l AS (
@@ -1241,7 +1248,7 @@ object StatQueries {
       |  SELECT c_custkey, c_mktsegment AS segment,
       |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
       |  FROM customer
-      |), s AS (
+      |), s AS MATERIALIZED (
       |  SELECT segment, COUNT(*) AS n, CAST(SUM(bal_c) AS BIGINT) AS sx,
       |         CAST(SUM(bal_c * bal_c) AS BIGINT) AS sxx
       |  FROM c GROUP BY segment
@@ -1496,7 +1503,7 @@ object StatQueries {
   }
 
   val analyticsHhiSql: String =
-    """WITH rev AS (
+    """WITH rev AS MATERIALIZED (
       |  SELECT c.c_mktsegment AS segment, o.o_custkey,
       |         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |           // 100000 AS rev_k
@@ -2281,7 +2288,7 @@ object StatQueries {
        |  FROM lags l
        |  JOIN daily x ON TRUE
        |  JOIN daily y ON y.rn = x.rn + l.lag
-       |), s AS (
+       |), s AS MATERIALIZED (
        |  SELECT lag, COUNT(*) AS n_pairs,
        |         CAST(SUM(x) AS DOUBLE) AS sx,
        |         CAST(SUM(y) AS DOUBLE) AS sy,
@@ -2358,7 +2365,7 @@ object StatQueries {
       |             CAST(COUNT(DISTINCT weekday) AS BIGINT) AS r,
       |             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS c
       |      FROM cells),
-      |s AS (
+      |s AS MATERIALIZED (
       |  SELECT g.n, g.r, g.c,
       |         CAST(SUM(CAST(floor(
       |           ((CAST(cl.observed AS DOUBLE) -
@@ -2946,7 +2953,7 @@ object StatQueries {
   }
 
   val analyticsPriceIndexSql: String =
-    """WITH li AS (
+    """WITH li AS MATERIALIZED (
       |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
       |           // CAST(l_quantity AS BIGINT) AS unit_c,
@@ -3002,7 +3009,7 @@ object StatQueries {
   }
 
   val analyticsVolumeIndexSql: String =
-    """WITH li AS (
+    """WITH li AS MATERIALIZED (
       |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
       |           // CAST(l_quantity AS BIGINT) AS unit_c,
@@ -3072,7 +3079,7 @@ object StatQueries {
   }
 
   val analyticsFisherIndexSql: String =
-    """WITH li AS (
+    """WITH li AS MATERIALIZED (
       |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
       |           // CAST(l_quantity AS BIGINT) AS unit_c,
@@ -3085,7 +3092,7 @@ object StatQueries {
       |), base AS (
       |  SELECT l_partkey, p AS p0, qty AS q0
       |  FROM pm WHERE month = (SELECT MIN(month) FROM pm)
-      |), s AS (
+      |), s AS MATERIALIZED (
       |  SELECT pm.month, COUNT(*) AS n_parts,
       |         CAST(floor(CAST(SUM(pm.p * b.q0) AS DOUBLE) * 1000000.0
       |                    / CAST(SUM(b.p0 * b.q0) AS DOUBLE)) AS BIGINT)
@@ -3224,7 +3231,7 @@ object StatQueries {
        |), l AS (
        |  SELECT g, ${log2Sql("pc")} // 1000 AS x, ${log2Sql("qc")} // 1000 AS y
        |  FROM b
-       |), s AS (
+       |), s AS MATERIALIZED (
        |  SELECT g, COUNT(*) AS n,
        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
@@ -3306,7 +3313,7 @@ object StatQueries {
        |  ORDER BY x_c DESC, o_orderkey LIMIT ${HillK + 1}
        |), ref AS MATERIALIZED (
        |  SELECT x_c AS ref_c FROM top WHERE rn = ${HillK + 1}
-       |), s AS (
+       |), s AS MATERIALIZED (
        |  SELECT COUNT(*) AS k, MAX(ref.ref_c) AS ref_c,
        |         CAST(SUM(${log2Sql("t.x_c")} - ${log2Sql("ref.ref_c")})
        |              AS BIGINT) AS sum_log2_1e6
@@ -3376,7 +3383,7 @@ object StatQueries {
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
       |                       AS BIGINT)) AS BIGINT) AS rev
       |  FROM lineitem GROUP BY 1
-      |), s AS (
+      |), s AS MATERIALIZED (
       |  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END)
       |              - SUM(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END)
       |              AS BIGINT) AS s_stat

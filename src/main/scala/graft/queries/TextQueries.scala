@@ -282,11 +282,11 @@ object TextQueries {
         |        (a, c) -> (a * 131 + c) % 1000000007))),
         |    (acc, h) -> (acc * 31 + h) % 1000000007)""".stripMargin
     DuckToks +
-      s""", f AS (
+      s""", f AS MATERIALIZED (
          |  SELECT doc_id, $fpExpr AS key FROM d
-         |), prior AS (SELECT * FROM f WHERE doc_id % 10 <> 0
+         |), prior AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 10 <> 0
          |), batch AS (SELECT * FROM f WHERE doc_id % 10 = 0
-         |), cfg AS (
+         |), cfg AS MATERIALIZED (
          |  SELECT i,
          |         CASE i WHEN 0 THEN 1315423911 WHEN 1 THEN 2654435761
          |                WHEN 2 THEN 2246822519 ELSE 3266489917 END AS a,
@@ -371,7 +371,7 @@ object TextQueries {
       |         CAST(len(list_filter(d.toks, x -> x = t.top_tok))
       |              AS BIGINT) AS x
       |  FROM d CROSS JOIN top t
-      |), s AS (
+      |), s AS MATERIALIZED (
       |  SELECT top_tok, total_occurrences, COUNT(*) AS n_docs,
       |         CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
       |           AS n_docs_with,
@@ -694,7 +694,7 @@ object TextQueries {
       |  SELECT tok FROM tf CROSS JOIN n GROUP BY tok, n.n_docs
       |  HAVING COUNT(*) * 10 <= n.n_docs
       |), kept AS MATERIALIZED (SELECT tf.* FROM tf JOIN rare USING (tok)),
-      |norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY doc_id),
+      |norms AS MATERIALIZED (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY doc_id),
       |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
@@ -833,7 +833,7 @@ object TextQueries {
   }
 
   val dedupFuzzyEditSql: String =
-    """WITH b AS (
+    """WITH b AS MATERIALIZED (
       |  SELECT doc_id, text, substr(text, 1, 16) AS pre FROM documents
       |)
       |SELECT a.doc_id AS d1, c.doc_id AS d2,
@@ -978,7 +978,7 @@ object TextQueries {
       |, starts AS (
       |  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 5)) AS start
       |  FROM d
-      |), segs AS (
+      |), segs AS MATERIALIZED (
       |  SELECT doc_id, start // 5 AS seg_seq,
       |         array_to_string(toks[start+1 : start+5], ' ') AS seg
       |  FROM starts WHERE start < len(toks)
@@ -989,7 +989,7 @@ object TextQueries {
       |         string_agg(seg, ' ' ORDER BY seg_seq) AS cleaned_text
       |  FROM segs WHERE seg NOT IN (SELECT seg FROM banned)
       |  GROUP BY doc_id
-      |), tot AS (
+      |), tot AS MATERIALIZED (
       |  SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id
       |)
       |SELECT tot.doc_id AS doc_id, n_segs,
@@ -1110,7 +1110,7 @@ object TextQueries {
     """
       |, pts AS (
       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM d
-      |), e AS (
+      |), e AS MATERIALIZED (
       |  SELECT doc_id, pos, toks[pos] AS tok FROM pts
       |), cnt AS MATERIALIZED (
       |  SELECT tok, count(*) AS c FROM e GROUP BY tok
@@ -1166,8 +1166,8 @@ object TextQueries {
       |  SELECT lang, count(*) AS n_docs,
       |         CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS wq
       |  FROM documents GROUP BY lang
-      |), tot AS (SELECT sum(wq) AS w_sum FROM w),
-      |rates AS (
+      |), tot AS MATERIALIZED (SELECT sum(wq) AS w_sum FROM w),
+      |rates AS MATERIALIZED (
       |  SELECT lang,
       |         CAST(floor(least(1.0, 250.0 * wq / w_sum / n_docs) * 1000003) AS BIGINT) AS cut
       |  FROM w, tot
@@ -1498,7 +1498,7 @@ object TextQueries {
       |  SELECT doc_id, toks,
       |         list_filter(toks, t -> t NOT IN ('the','a','of','and','to','in','is')) AS content
       |  FROM d
-      |), s AS (
+      |), s AS MATERIALIZED (
       |  SELECT doc_id, toks, content,
       |         list_transform(content, t ->
       |           CASE WHEN length(t) > 5 AND t LIKE '%ing'
@@ -1656,14 +1656,14 @@ object TextQueries {
       |             list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
       |             (a, c) -> (a * 131 + c) % 1000000007)) AS th
       |  FROM d WHERE len(toks) >= 20
-      |), wins AS (
+      |), wins AS MATERIALIZED (
       |  SELECT doc_id, unnest(list_transform(range(1, len(th) - 18), i ->
       |           list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+19]),
       |             (acc, h) -> (acc * 131 + h) % 1000000007))) AS wh
       |  FROM th
       |), dup AS (
       |  SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
-      |), hits AS (
+      |), hits AS MATERIALIZED (
       |  SELECT DISTINCT w.wh, w.doc_id FROM wins w JOIN dup USING (wh)
       |)
       |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_windows
@@ -1782,7 +1782,7 @@ object TextQueries {
          |  FROM tf
          |), scaled AS (
          |  SELECT $lgRank // 10 AS x, $lgFreq // 10 AS y FROM ranked
-         |), s AS (
+         |), s AS MATERIALIZED (
          |  SELECT COUNT(*) AS n_ranks,
          |         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
          |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
@@ -1949,7 +1949,7 @@ object TextQueries {
        |         quantile_cont(s4, 0.1) AS lo4, quantile_cont(s4, 0.9) AS hi4,
        |         quantile_cont(s5, 0.1) AS lo5, quantile_cont(s5, 0.9) AS hi5
        |  FROM j
-       |), f AS (
+       |), f AS MATERIALIZED (
        |  SELECT j.doc_id,
        |       $flags
        |  FROM j CROSS JOIN t
@@ -2132,7 +2132,7 @@ object TextQueries {
          |, n AS MATERIALIZED (
          |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens FROM d
          |  WHERE len(toks) >= 1
-         |), b AS (
+         |), b AS MATERIALIZED (
          |  SELECT n_tokens, ${log2Sql("n_tokens")} // 1000000 AS bucket FROM n
          |)
          |SELECT bucket, COUNT(*) AS n_docs,
