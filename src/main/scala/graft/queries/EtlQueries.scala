@@ -332,7 +332,12 @@ object EtlQueries {
         // the cast the multiply stays 32-bit and overflows under ANSI
         "((pmod(l_orderkey, 1000003) * 2654435761 + CAST(l_linenumber AS BIGINT) * 1315423911) % 1000003) % 10 = 0"))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus: sort
+      // over every output column so tied rows are identical and the
+      // row-by-row gate compare is engine-order-independent (the
+      // etl_minmax_scale lesson; tools/check_sort_total.py flagged
+      // 1193 divergent tie groups under the two-column key)
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
 
   val etlSampleSql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
@@ -340,7 +345,7 @@ object EtlQueries {
       |WHERE (((l_orderkey % 1000003) * 2654435761
       |        + CAST(l_linenumber AS BIGINT) * 1315423911)
       |       % 1000003) % 10 = 0
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
 
   /** `etl_upsert` — latest-wins MERGE over the orders snapshot: every
     * 10th key gets a price-bumped update row, keys ≡ 7 (mod 1000)
