@@ -945,9 +945,12 @@ object GraphQueries {
     *
     * Scale: the all-pairs table is |sources|·|nodes| — exact
     * betweenness is quadratic BY DEFINITION, so at 100 TB you sample
-    * pivots (Brandes & Pich 2007): the `sources` frame IS that sample
-    * (the gate passes all 25 nations; a billion-node caller passes K
-    * random pivots and the estimate concentrates as K grows). Each BFS
+    * pivots (in the spirit of Brandes & Pich 2007; see
+    * [[betweenness]] for the PAIR-RESTRICTED estimator this engine
+    * actually computes): the `sources` parameter IS that sample (the
+    * gate passes all 25 nations, where the estimator IS exact
+    * betweenness; a billion-node caller passes K random pivots and
+    * rescales by C(n,2)/C(K,2) if magnitudes matter). Each BFS
     * round is one frontier ⋈ edges join + σ aggregate + anti-join —
     * all keyed on (source, node), nothing driver-side; the bounded
     * trade graph takes the measured driver-local replay instead.
