@@ -26,12 +26,14 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
+      // start line BEFORE running (the check_oracle.py 'started'
+      // marker, mirrored): a wedged query names itself in the driver's
+      // log instead of leaving a silent stall attributable only by
+      // diffing iteration order against the ok lines
+      System.err.println(s"[verify] $name start")
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // per-query timing on stderr: a wedged query names itself in
-        // the driver's log instead of leaving a silent stall (the
-        // check_oracle.py hardening, mirrored on the Spark side)
         System.err.println(
           f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       }

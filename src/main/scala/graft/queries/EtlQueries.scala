@@ -493,7 +493,7 @@ object EtlQueries {
   val etlUpsertSql: String =
     """WITH o AS MATERIALIZED (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
-      |), u AS (
+      |), u AS MATERIALIZED (
       |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
       |         o_totalprice + 100000 AS o_totalprice
       |  FROM o WHERE o_orderkey % 10 = 0

@@ -991,8 +991,13 @@ object GraphQueries {
       maxRounds: Int, localBound: Int = LocalRankEdgeBound,
       sources: DataFrame = null): DataFrame = {
     val spark = nodes.sparkSession
+    // distinct: the local replay dedups its collected pivot list, so
+    // the distributed seed must too — a pivot sampled twice (sampling
+    // with replacement) would otherwise seed sigma = 2 at its own
+    // source row and inflate every pair term through it
     val srcFrame = Option(sources).getOrElse(nodes)
       .select(col("node").cast("long").as("node"))
+      .distinct()
     val grabbedB =
       if (localBound > 0)
         bidir.select(col("u").cast("long"), col("v").cast("long"))

@@ -197,7 +197,7 @@ object StreamQueries {
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-      |), s AS (
+      |), s AS MATERIALIZED (
       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
       |                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       |  FROM g

@@ -45,7 +45,11 @@ class GateHygieneSpec extends AnyFunSuite {
       q = Pattern.quote(name)
       // recursive member: references itself inside its own body
       if s"(?i)(?:FROM|JOIN)\\s+$q\\b".r.findFirstIn(cteBody(sql, m.end)).isEmpty
-      refs = s"(?<![\\w.])$q\\b(?!\\s+AS\\s)".r
+      // the lookahead excludes DEFINITION sites only (`name AS (` /
+      // `name AS MATERIALIZED (`); `FROM name AS alias` is a real
+      // reference and must count — a broader `AS` exclusion would
+      // under-flag aliased self-joins, the exact hazard class
+      refs = s"(?i)(?<![\\w.])$q\\b(?!\\s+AS\\s+(MATERIALIZED\\s+)?\\()".r
         .findAllIn(sql.substring(m.end)).size
       if refs >= 2
     } yield s"$qname: $name x$refs"

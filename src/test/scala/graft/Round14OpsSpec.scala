@@ -65,6 +65,24 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("betweenness: duplicated pivots count once (sampling with replacement)") {
+    import spark.implicits._
+    val bidir = randomUndirectedBidir(11, 20, 40)
+    val nodes = (0L until 20L).toDF("node")
+    val sample = (0L until 20L by 3L).toDF("node")
+    val dupSample = sample.unionAll(sample) // every pivot twice
+    for (lb <- Seq(500000, 0)) {
+      val clean = GraphQueries.betweenness(nodes, bidir, maxRounds = 20,
+          localBound = lb, sources = sample)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val duped = GraphQueries.betweenness(nodes, bidir, maxRounds = 20,
+          localBound = lb, sources = dupSample)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(duped == clean, s"localBound=$lb: a pivot sampled twice " +
+        "must not seed sigma=2 or double pair terms")
+    }
+  }
+
   test("betweenness: pair-restricted estimator hand identity on the star") {
     import spark.implicits._
     // star 0-{1..4}: sources = {1,2,3} → C(3,2) = 3 leaf pairs, every

@@ -50,7 +50,12 @@ def audit(sql: str):
         if re.search(rf"(?:FROM|JOIN)\s+{re.escape(name)}\b", body, re.I):
             continue
         rest = sql[m.end():]
-        refs = len(re.findall(rf"(?<![\w.]){re.escape(name)}\b(?!\s+AS\s)", rest))
+        # exclude DEFINITION sites only (`name AS (`): `FROM name AS
+        # alias` is a real reference and must count, or aliased
+        # self-joins under-flag (the GateHygieneSpec contract)
+        refs = len(re.findall(
+            rf"(?<![\w.]){re.escape(name)}\b(?!\s+AS\s+(?:MATERIALIZED\s+)?\()",
+            rest, re.I))
         if refs >= 2:
             flagged.append((name, refs))
     return flagged

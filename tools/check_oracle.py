@@ -58,6 +58,14 @@ def main(sf_dir: str, out_dir: str, only: str = "", timeout: str = "120") -> int
             return con.execute(sql).fetchdf()
         finally:
             timer.cancel()
+            # absorb a late interrupt: the timer can fire in the race
+            # window after fetchdf() returns but before cancel(), which
+            # would poison the shared connection and kill the NEXT
+            # query's unguarded execute — swallow it on a no-op here
+            try:
+                con.execute("SELECT 1")
+            except duckdb.InterruptException:
+                pass
 
     failures = 0
 
@@ -81,8 +89,12 @@ def main(sf_dir: str, out_dir: str, only: str = "", timeout: str = "120") -> int
         if not res_dir.exists():
             fail(name, "no spark result dir", t0)
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
+        except Exception as e:
+            fail(name, f"spark result read error: {e}", t0)
+            continue
         try:
             want = run_with_timeout(sql)
         except duckdb.InterruptException:
