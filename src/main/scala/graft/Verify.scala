@@ -48,8 +48,9 @@ object Verify {
         }
         rm(new java.io.File(s"$outDir/$name"))
       }
-      // operators cache intermediates (shingle sets, signatures); release
-      // between queries so blocks don't accumulate across the whole run
+      // defensive sweep: operator intermediates are lazy localCheckpoints
+      // now (ContextCleaner-owned — nothing to clear), but the persistent
+      // catalog's cached views / any future cache() stay bounded per query
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

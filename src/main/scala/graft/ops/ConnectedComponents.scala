@@ -61,15 +61,15 @@ object ConnectedComponents {
       return resolveLocal(pairs.sparkSession,
         grabbed.map(r => (r.getLong(0), r.getLong(1))))
     }
-    // cache the forward edges BEFORE the self-union: union branches get
-    // no common-subexpression elimination, so an uncached `pairs` plan
+    // persist the forward edges BEFORE the self-union: union branches get
+    // no common-subexpression elimination, so an unpersisted `pairs` plan
     // (here: the entire upstream near-dup pipeline) would execute twice
-    // to fill the edges cache
-    val fwd = fwd0.cache()
+    // to fill the edges checkpoint
+    val fwd = fwd0.localCheckpoint(false)
     val edges = fwd
       .unionByName(fwd.select(col("m").as("n"), col("n").as("m")))
       .distinct()
-      .cache()
+      .localCheckpoint(false)
 
     // CHECKPOINT each iteration, don't just cache: an iterative
     // DataFrame loop otherwise nests every prior round's plan inside
@@ -115,8 +115,11 @@ object ConnectedComponents {
       labels = next
       it += 1
     }
-    edges.unpersist()
-    fwd.unpersist()
+    // both are lazy localCheckpoints now (not CacheManager entries):
+    // free their blocks explicitly — the returned plan references only
+    // the final labels checkpoint, never edges/fwd
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(edges)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(fwd)
     // a silently partial labeling is WORSE than failing: a component
     // wider than maxIters hops would come back split, and a downstream
     // keep-one-per-cluster would under-delete — the bug this operator
@@ -221,12 +224,12 @@ object ConnectedComponents {
       canonical(linkNbrs.unionByName(linkSelf))
     }
 
-    // cache the raw pairs BEFORE fanning out: edges reads them once and
+    // persist the raw pairs BEFORE fanning out: edges reads them once and
     // the nodes union reads them twice more (union branches get no
-    // common-subexpression elimination), so an uncached `pairs` plan —
+    // common-subexpression elimination), so an unpersisted `pairs` plan —
     // here the entire upstream minhash pipeline — would execute three
     // times (the `resolve` fwd-cache doctrine)
-    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v")).cache()
+    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v")).localCheckpoint(false)
     var edges = canonical(p0).localCheckpoint(true)
     // node universe from the RAW pairs, not the canonical edges:
     // canonical() drops self-loops, and a node appearing only as (x,x)
@@ -236,7 +239,9 @@ object ConnectedComponents {
       .unionByName(p0.select(col("v").as("n")))
       .distinct()
       .localCheckpoint(true)
-    p0.unpersist() // both consumers are checkpointed; the cache is dead
+    // both consumers are EAGER checkpoints, so p0's lazy-checkpoint
+    // blocks are dead the moment they exist — free them now
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(p0)
 
     var converged = false
     var round = 0

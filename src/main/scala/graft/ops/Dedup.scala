@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
   *
-  * Caller contract: the pairwise operators `.cache()` their shingle
-  * frame for reuse within one invocation and do not unpersist (the
-  * returned plan still references it lazily). Long-lived sessions
-  * should `spark.catalog.clearCache()` between operator invocations, as
-  * Verify/Bench do.
+  * Persistence: the pairwise operators persist their shingle frame for
+  * reuse within one invocation via LAZY `localCheckpoint(false)`, never
+  * `cache()`. The blocks are owned by the checkpointed RDD — the
+  * ContextCleaner frees them once the returned plan's frames are
+  * garbage-collected — so long-lived sessions accumulate nothing and
+  * owe no `clearCache()` (the capHubs doctrine, r14; `cache()` entries
+  * lived in the session CacheManager until an explicit clear).
   *
   * Exact dedup is a hash aggregate on the content key — one shuffle,
   * map-side combined, AQE-skew-safe. N-gram Jaccard is the exact
@@ -147,11 +149,11 @@ object Dedup {
       blocks: Int = 8,
       maxVocab: Int = 1 << 16): DataFrame = {
     import JaccardStrategy._
-    val sh = shingles(docs, n).cache()
+    val sh = shingles(docs, n).localCheckpoint(false)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
     val strategy0 = strategy match {
       case Auto =>
-        // one df-aggregate + the (cached) doc count; resolution is a
+        // one df-aggregate + the (persisted) doc count; resolution is a
         // driver-side formula over four numbers
         val st = exploded.groupBy("g").agg(count(lit(1)).as("df"))
           .agg(count(lit(1)).as("vocab"), sum(col("df")).as("sum_df"),
@@ -269,7 +271,7 @@ object Dedup {
         "use PrefixFilter for large-vocabulary corpora")
     val nWords = math.max(1, (vocab.length + 63) / 64)
     val vocabDf = vocab.zipWithIndex.toSeq.toDF("g", "id")
-    // cached: BOTH sides of the self-join scan it — uncached it would
+    // persisted: BOTH sides of the self-join scan it — unpersisted it would
     // be built twice (two groupBy shuffles each)
     val packed = exploded.join(broadcast(vocabDf), "g")
       .withColumn("word", (col("id") / lit(64)).cast("int"))
@@ -282,7 +284,7 @@ object Dedup {
         transform(sequence(lit(0), lit(nWords - 1)),
           w => coalesce(element_at(col("wm"), w), lit(0L))).as("bm"))
       .join(sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh")), "doc_id")
-      .cache()
+      .localCheckpoint(false)
     val base = packed
       .withColumn("blk", pmod(hash(col("doc_id")), lit(blocks)))
     val partners = array((0 until blocks).map(lit): _*)
@@ -331,7 +333,7 @@ object Dedup {
       threshold: Double = 0.9,
       blocks: Int = 8,
       maxVocab: Int = 1 << 16): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    val sh = shingles(docs, n).localCheckpoint(false)
     val exploded = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
     // ONE vocabulary job decides the spelling AND feeds the bitmap id
     // assignment: collect at most maxVocab+1 sorted shingles — the

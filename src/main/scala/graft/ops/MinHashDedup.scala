@@ -120,7 +120,7 @@ object MinHashDedup {
       k: Int = 128, bands: Int = 32): DataFrame = {
     val sh = Dedup.shingles(docs, n)
       .where(size(col("shingle_set")) > 0)
-      .cache()
+      .localCheckpoint(false)
     // verify candidates with exact set Jaccard (shingle sets re-joined)
     bandCandidates(sh, k, bands)
       .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
@@ -209,8 +209,8 @@ object MinHashDedup {
       k: Int = 128, bands: Int = 32): DataFrame = {
     val newSh = Dedup.shingles(newDocs, n)
       .where(size(col("shingle_set")) > 0)
-      .cache()
-    val newBands = bandRowsFromShingles(newSh, k, bands).cache()
+      .localCheckpoint(false)
+    val newBands = bandRowsFromShingles(newSh, k, bands).localCheckpoint(false)
     val a = newBands.as("a")
     // ONE probe join: the batch bands against (index ∪ batch bands) —
     // covers batch×prior in either id orientation AND batch×batch
@@ -289,7 +289,7 @@ object MinHashDedup {
       k: Int = 128, bands: Int = 32): DataFrame = {
     val sh = Dedup.shingles(docs, n)
       .where(size(col("shingle_set")) > 0)
-      .cache()
+      .localCheckpoint(false)
     val unordered = bandCandidates(sh, k, bands)
       .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")

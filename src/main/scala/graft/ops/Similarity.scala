@@ -122,14 +122,16 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       blocks: Int = 8): DataFrame = {
-    // cached: BOTH sides of the self-join scan it (scan + interpreted
-    // quantize transform would otherwise run twice). Caller contract as
-    // in Dedup: cache released by the session's clearCache.
+    // persisted (lazy localCheckpoint): BOTH sides of the self-join scan it (scan + interpreted
+    // quantize transform would otherwise run twice). Lazy localCheckpoint,
+    // not cache(): blocks are RDD-owned, so the ContextCleaner frees them
+    // when the returned frames drop — no caller clearCache obligation
+    // (the capHubs doctrine; see Dedup's object scaladoc).
     val base = corpus.select(
       col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("ns", sqrt(normQ(col("v")).cast("double")))
       .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
-      .cache()
+      .localCheckpoint(false)
     val partners = array((0 until blocks).map(lit): _*)
     val a = base.select(
       col("vec_id").as("d1"), col("v").as("v1"), col("ns").as("n1s"),
@@ -186,12 +188,12 @@ object Similarity {
       threshold: Double = 0.4): DataFrame = {
     val quant = quantizedCorpus(corpus)
     val cents = seedCentroids(corpus, nCells)
-    // cached: BOTH sides of the within-cell self-join scan it (quantize
-    // + assignment would otherwise run twice). Caller contract as in
-    // cosineNearDupPairs: released by the session's clearCache.
+    // persisted (lazy localCheckpoint): BOTH sides of the within-cell self-join scan it (quantize
+    // + assignment would otherwise run twice). Lazy localCheckpoint as in
+    // cosineNearDupPairs: ContextCleaner-owned, freed when the frames drop.
     val assigned = assignFromQuant(quant, cents)
       .select(col("n_id"), col("cv"), col("cn"), col("cell"))
-      .cache()
+      .localCheckpoint(false)
     val a = assigned.where(col("cell") >= 0).select(col("cell"),
       col("n_id").as("d1"), col("cv").as("v1"), col("cn").as("n1s"))
     val b = assigned.where(col("cell") >= 0).select(col("cell"),
@@ -233,21 +235,21 @@ object Similarity {
       blocks: Int = 8): DataFrame = {
     val base = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nq", normQ(col("v")))
-      .cache()
-    // cache BEFORE the self-union mirror: union branches get no
-    // common-subexpression elimination, so an uncached `half` would run
+      .localCheckpoint(false)
+    // persist BEFORE the self-union mirror: union branches get no
+    // common-subexpression elimination, so an unpersisted `half` would run
     // the entire quadratic ε-scoring join TWICE (the
     // ConnectedComponents.resolve fwd-edges doctrine — measured 2×
     // wall-clock on the gated corpus)
-    val half = blockedEpsHalf(base, eps2Q, blocks).cache()
+    val half = blockedEpsHalf(base, eps2Q, blocks).localCheckpoint(false)
     dbscanTail(base.select("vec_id"), half, minPts)
   }
 
   /** Exact blocked ε-pair generation shared by [[dbscan]] and
     * [[dbscanAgreementLabels]]: `base` needs (`vec_id`, `v`, `nq`
-    * = |v|² as BIGINT) and SHOULD be cached by the caller (both sides
+    * = |v|² as BIGINT) and SHOULD be persisted by the caller (both sides
     * of the quadratic self-join scan it). Returns the (p < q) half-pair
-    * list, NOT cached — callers cache it before the mirror.
+    * list, NOT persisted — callers persist it before the mirror.
     */
   private def blockedEpsHalf(base: DataFrame, eps2Q: Long,
       blocks: Int): DataFrame = {
@@ -304,19 +306,19 @@ object Similarity {
     */
   def dbscanBucketed(corpus: DataFrame, eps2Q: Long, minPts: Int,
       nCells: Int = 0, nProbe: Int = DbscanNProbe): DataFrame = {
-    // the quantized projection is CACHED and the geometry-sizing count
+    // the quantized projection is PERSISTED and the geometry-sizing count
     // runs on IT (quantization is row-preserving, so quant.count() ==
-    // corpus.count()): the sizing job doubles as the cache fill that
+    // corpus.count()): the sizing job doubles as the checkpoint fill that
     // centroid seeding and probe assignment then read — the r12
     // spelling paid a standalone corpus.count() parquet job for the
     // geometry and re-scanned parquet for the seed collect. Only the
     // point-id base still reads the corpus directly (a vec_id-pruned
     // scan).
-    val quant = quantizedCorpus(corpus).cache()
+    val quant = quantizedCorpus(corpus).localCheckpoint(false)
     val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
-    val probed = probeAssign(quant, cells, nProbe).cache()
-    // cached before the mirror for the same 2×-scan reason as dbscan's
-    val half = bucketEpsHalf(probed, eps2Q).cache()
+    val probed = probeAssign(quant, cells, nProbe).localCheckpoint(false)
+    // persisted before the mirror for the same 2×-scan reason as dbscan's
+    val half = bucketEpsHalf(probed, eps2Q).localCheckpoint(false)
     dbscanTail(corpus.select(col("vec_id")), half, minPts,
       pairsDistinct = false)
   }
@@ -422,7 +424,7 @@ object Similarity {
     * half-pair list, WITH multiplicity — a pair sharing k probe cells
     * appears k times; the tail is multiplicity-insensitive when called
     * with `pairsDistinct = false` (see [[dbscanTail]]), which saves a
-    * standalone DISTINCT exchange. `probed` SHOULD be cached by the
+    * standalone DISTINCT exchange. `probed` SHOULD be persisted by the
     * caller (both sides of the per-cell self-join scan it). At 100 TB
     * the corpus is hash-partitioned by `cell`, so each cell's self-join
     * is co-located — no corpus×corpus shuffle ever materializes.
@@ -466,14 +468,14 @@ object Similarity {
     */
   def dbscanCandidateStats(corpus: DataFrame, eps2Q: Long,
       nCells: Int = 0, nProbe: Int = DbscanNProbe): DataFrame = {
-    // one cached quantized projection: its count sizes the geometry
+    // one persisted quantized projection: its count sizes the geometry
     // AND supplies n_points/total_pairs (row-preserving projection), so
     // neither a standalone corpus.count() job nor a second parquet
     // scan for the ε-test vectors survives (the dbscanBucketed fold)
-    val quant = quantizedCorpus(corpus).cache()
+    val quant = quantizedCorpus(corpus).localCheckpoint(false)
     val n = quant.count()
     val cells = if (nCells > 0) nCells else dbscanNCells(n, nProbe)
-    val probed = probeAssign(quant, cells, nProbe).cache()
+    val probed = probeAssign(quant, cells, nProbe).localCheckpoint(false)
     // distinct candidate ids first (the 100 TB shape: dedup on the
     // narrow (p, q) pairs, re-join vectors for the ε test after)
     val cand = probed.select(col("cell"), col("n_id").as("p"))
@@ -505,7 +507,7 @@ object Similarity {
     * generations — the most expensive query in the round-11 sweep);
     * this one exploits the containment the Round11OpsSpec pins:
     * bucketed candidates = exact ε-pairs ∩ "shares a probe cell", so
-    * the bucketed half-pair list is a semi-join of the CACHED exact
+    * the bucketed half-pair list is a semi-join of the PERSISTED exact
     * half-pairs against the probe assignment — the quadratic ε scoring
     * runs ONCE. Both label sets then run the identical
     * core/CC/border tail. Output: one row per point,
@@ -515,23 +517,23 @@ object Similarity {
   def dbscanAgreementLabels(corpus: DataFrame, eps2Q: Long, minPts: Int,
       nCells: Int = 0, nProbe: Int = DbscanNProbe,
       blocks: Int = 8): DataFrame = {
-    // shared cached quantized projection: sizing count == cache fill,
+    // shared persisted quantized projection: sizing count == checkpoint fill,
     // and both the exact-ε frame and the probe assignment read it
     // (the dbscanBucketed fold)
-    val quant = quantizedCorpus(corpus).cache()
+    val quant = quantizedCorpus(corpus).localCheckpoint(false)
     val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
     val eb = quant
       .select(col("n_id").as("vec_id"), col("cv").as("v"))
       .withColumn("nq", normQ(col("v")))
-      .cache()
-    val exactHalf = blockedEpsHalf(eb, eps2Q, blocks).cache()
-    // cached: both the p-side and the q-side of the semi-join scan it
-    val probed = probeAssign(quant, cells, nProbe).cache()
+      .localCheckpoint(false)
+    val exactHalf = blockedEpsHalf(eb, eps2Q, blocks).localCheckpoint(false)
+    // persisted: both the p-side and the q-side of the semi-join scan it
+    val probed = probeAssign(quant, cells, nProbe).localCheckpoint(false)
     val bucketHalf = exactHalf
       .join(probed.select(col("n_id").as("p"), col("cell")), "p")
       .join(probed.select(col("n_id").as("q"), col("cell")), Seq("q", "cell"))
       .select("p", "q")
-      .cache()
+      .localCheckpoint(false)
     val base = corpus.select(col("vec_id"))
     val ex = dbscanTail(base, exactHalf, minPts)
       .select(col("vec_id"), col("role").as("role_exact"),
@@ -539,8 +541,8 @@ object Similarity {
     val bk = dbscanTail(base, bucketHalf, minPts, pairsDistinct = false)
       .select(col("vec_id").as("vid_b"), col("role").as("role_bucketed"),
         col("cluster").as("cluster_bucketed"))
-    // fresh alias (vid_b) on the bucketed side: both tails share the
-    // cached `base` lineage, and a USING join on vec_id would trip
+    // fresh alias (vid_b) on the bucketed side: both tails share
+    // `base`'s lineage, and a USING join on vec_id would trip
     // Spark's ambiguous-self-join detection
     ex.join(bk, col("vec_id") === col("vid_b"))
       .drop("vid_b")
@@ -551,7 +553,7 @@ object Similarity {
     * min-cluster border assignment. The density semantics live entirely
     * here — exact and bucketed front ends differ only in which pairs
     * they surface. `base` must expose `vec_id` (the full point set);
-    * `half` the (p < q) ε-pairs, ALREADY CACHED by the caller (the
+    * `half` the (p < q) ε-pairs, ALREADY PERSISTED by the caller (the
     * union mirror scans it twice).
     *
     * `pairsDistinct = false` admits a half list with REPEATED pairs
@@ -567,7 +569,7 @@ object Similarity {
       minPts: Int, pairsDistinct: Boolean = true): DataFrame = {
     val pairs = half
       .unionByName(half.select(col("q").as("p"), col("p").as("q")))
-      .cache()
+      .localCheckpoint(false)
     val cnt = pairs.groupBy("p").agg(
       (if (pairsDistinct) count(lit(1))
        else count_distinct(col("q"))).as("nn"))
@@ -575,7 +577,7 @@ object Similarity {
       .join(cnt.withColumnRenamed("p", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("nn"), lit(0L)).as("n_neighbors"))
       .withColumn("is_core", col("n_neighbors") + 1 >= minPts)
-      .cache()
+      .localCheckpoint(false)
     val coreIds = deg.where(col("is_core")).select("vec_id")
     val coreEdges = pairs
       .join(coreIds.select(col("vec_id").as("p")), "p")
@@ -651,7 +653,7 @@ object Similarity {
     * Catalyst constant-folds them into the generated code's references.
     */
   /** (n_id, cv, cn): the quantized-corpus projection every IVF stage
-    * scans — factored out so the Lloyd loop can cache it once.
+    * scans — factored out so the Lloyd loop can persist it once.
     */
   private def quantizedCorpus(corpus: DataFrame): DataFrame =
     corpus
@@ -714,10 +716,11 @@ object Similarity {
           StructField("dot_q", LongType), StructField("cos_sim", DoubleType))))
     }
     // the quantized corpus projection is scanned once per Lloyd
-    // iteration plus once for the final assignment — cache it when
+    // iteration plus once for the final assignment — persist it (lazy
+    // localCheckpoint, ContextCleaner-owned; see object scaladoc) when
     // iterating so the interpreted quantize transform runs once
-    val quant = quantizedCorpus(corpus)
-    if (lloydIters > 0) quant.cache()
+    val quant0 = quantizedCorpus(corpus)
+    val quant = if (lloydIters > 0) quant0.localCheckpoint(false) else quant0
     for (_ <- 0 until lloydIters) {
       val assigned = assignFromQuant(quant, cents)
       val means = assigned
@@ -1068,7 +1071,7 @@ object Similarity {
           StructField("inertia", LongType))))
     }
     val dim = cents.head._2.length
-    val quant = quantizedCorpus(corpus).cache()
+    val quant = quantizedCorpus(corpus).localCheckpoint(false)
     for (_ <- 0 until iters) {
       val means = assignFromQuant(quant, cents)
         .where(col("cell") >= 0)

@@ -1587,7 +1587,7 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .cache()
+      .localCheckpoint(false)
     val deg = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
@@ -2076,7 +2076,7 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .cache()
+      .localCheckpoint(false)
     val nat = table(spark, sfDir, "nation")
       .select(col("n_nationkey").cast("long").as("node"),
         col("n_regionkey").cast("long").as("community"))
@@ -2166,7 +2166,7 @@ object GraphQueries {
       .distinct()
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-      .cache()
+      .localCheckpoint(false)
     val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val pairs = adj
       .join(broadcast(deg.select(col("node").as("u"), col("deg").as("dx"))), "u")
@@ -2373,7 +2373,7 @@ object GraphQueries {
       .withColumn("rn", row_number().over(byCust))
       .where(col("rn") <= cap)
       .select("cust", "part")
-      .cache()
+      .localCheckpoint(false)
     capped.select(col("cust"), col("part").as("p1"))
       .join(capped.select(col("cust"), col("part").as("p2")), "cust")
       .where(col("p1") < col("p2"))

@@ -586,7 +586,7 @@ object SketchQueries {
     val ev = table(spark, sfDir, "events")
       .select(expr("(ts div 1000) div 86400000000").cast("long").as("day"),
         col("user_id"))
-    val days = ev.select("day").distinct().cache()
+    val days = ev.select("day").distinct().localCheckpoint(false)
     val hashed = ev
       .withColumn("h", lcg(col("user_id"), 1315423911L, 2654435761L))
       .withColumn("g", (col("h") * col("h") % Prime * 1315423911L + 97L) % Prime)

@@ -582,10 +582,10 @@ object TextQueries {
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val terms = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
     // tf has exactly one row per (doc, term), so df falls out of tf by
-    // a second aggregate — cached, the tokenize+explode runs ONCE
+    // a second aggregate — persisted, the tokenize+explode runs ONCE
     // instead of once per branch (tf, df are separate plan branches and
     // Spark does no cross-branch common-subexpression elimination)
-    val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache()
+    val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).localCheckpoint(false)
     val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok"))
@@ -640,7 +640,7 @@ object TextQueries {
     * generation (no broadcast: the rare-shingle vocabulary is
     * corpus-sized at scale, unlike the 31-token unigram vocab — AQE can
     * still downgrade to broadcast at this SF). The tf aggregate is
-    * cached: tf, df and both self-join sides read it, and Spark does no
+    * persisted: tf, df and both self-join sides read it, and Spark does no
     * cross-branch common-subexpression elimination.
     */
   def simSparseCosine(spark: SparkSession, sfDir: String): DataFrame = {
@@ -657,15 +657,15 @@ object TextQueries {
         concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2")))
     ).otherwise(array().cast("array<string>"))
     val tf = d.select(col("doc_id"), explode(grams).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache()
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).localCheckpoint(false)
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .where(col("df") * 10 <= col("n_docs"))
       .select("tok")
-    // cached: norms and BOTH self-join sides scan it — uncached, the
+    // persisted: norms and BOTH self-join sides scan it — unpersisted, the
     // df-aggregate + stopword join would recompute once per consumer
-    val kept = tf.join(rare, "tok").cache()
+    val kept = tf.join(rare, "tok").localCheckpoint(false)
     val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -815,11 +815,11 @@ object TextQueries {
     * only for the pairs that pass everything.
     */
   def dedupFuzzyEdit(spark: SparkSession, sfDir: String): DataFrame = {
-    // self-join input cached: both sides re-run the scan otherwise
+    // self-join input persisted: both sides re-run the scan otherwise
     val blocked = docs(spark, sfDir)
       .select(col("doc_id"), col("text"), substring(col("text"), 1, 16).as("pre"),
         length(col("text")).as("len"))
-      .cache()
+      .localCheckpoint(false)
     blocked.as("a").join(blocked.as("c"),
         col("a.pre") === col("c.pre") &&
           col("a.doc_id") < col("c.doc_id") &&
@@ -864,14 +864,14 @@ object TextQueries {
   def textContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    // cached: three consumers below (train set, per-doc gram counts,
+    // persisted: three consumers below (train set, per-doc gram counts,
     // overlap join) would each re-run the corpus-wide tokenize+explode
     val grams = d
       .where(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 8)," +
           " i -> array_join(slice(toks, i + 1, 8), ' '))")).as("gram"))
-      .cache()
+      .localCheckpoint(false)
     val train = grams.where(col("doc_id") % 2 === 0).select("gram").distinct()
     val evalG = grams.where(col("doc_id") % 2 === 1)
       .select("doc_id", "gram").distinct()
@@ -950,9 +950,9 @@ object TextQueries {
       .where(col("start") < size(col("toks")))
       .select(col("doc_id"), (col("start") / segLen).cast("long").as("seg_seq"),
         array_join(slice(col("toks"), col("start") + 1, lit(segLen)), " ").as("seg"))
-      // cached: the banned-set agg, the anti-join probe, and the per-doc
+      // persisted: the banned-set agg, the anti-join probe, and the per-doc
       // totals would each re-run tokenize+explode over the corpus
-      .cache()
+      .localCheckpoint(false)
     val banned = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs).select("seg")
@@ -1232,7 +1232,7 @@ object TextQueries {
     ).otherwise(array().cast("array<string>"))
     val bg = docs(spark, sfDir)
       .select(col("doc_id"), explode(grams).as("g"))
-      .cache() // scored against counts derived from ITSELF — one extraction
+      .localCheckpoint(false) // scored against counts derived from ITSELF — one extraction
     val counts = bg.groupBy("g").agg(count(lit(1)).as("cf"))
     bg.join(broadcast(counts), "g")
       .groupBy("doc_id")
@@ -1285,7 +1285,7 @@ object TextQueries {
     val d = docs(spark, sfDir)
     val bg = d.select(col("doc_id"), explode(grams).as("g"))
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
-      .cache() // feeds the bigram counts, the prefix counts, and scoring
+      .localCheckpoint(false) // feeds the bigram counts, the prefix counts, and scoring
     val cnt = bg.groupBy("g").agg(count(lit(1)).as("cg"))
     // prefix counts re-aggregate the BIGRAM-TYPE table (c₁(w₁) = Σ over
     // its bigrams of cg), not the token-mass bg — one fewer full pass
@@ -1354,7 +1354,7 @@ object TextQueries {
     val d = docs(spark, sfDir)
     val bg = d.select(col("doc_id"), explode(grams).as("g"))
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
-      .cache()
+      .localCheckpoint(false)
     val cnt = bg.groupBy("g").agg(count(lit(1)).as("cg"))
     val pre = cnt
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
@@ -1534,7 +1534,7 @@ object TextQueries {
     val toked = docs(spark, sfDir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .where(size(col("toks")) >= 2)
-      .cache()
+      .localCheckpoint(false)
     val uni = toked.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val uniTot = uni.agg(sum("cw").as("n_uni"))
@@ -1832,7 +1832,7 @@ object TextQueries {
     val pairs = docs(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(grams3)).as("g"))
-      .cache()
+      .localCheckpoint(false)
     val first = pairs.groupBy("g").agg(min("doc_id").as("first_doc"))
     pairs.join(first, "g")
       .groupBy("doc_id")
@@ -1899,10 +1899,10 @@ object TextQueries {
         .select(col("doc_id"), col("lm_score_1e6").as("s4")),
       textPerplexity(spark, sfDir)
         .select(col("doc_id"), col("ppl_log2_1e6").as("s5")))
-    // cached: the threshold aggregate AND the final flag projection both
-    // consume the full five-pipeline join — uncached, every signal's
+    // persisted: the threshold aggregate AND the final flag projection both
+    // consume the full five-pipeline join — unpersisted, every signal's
     // tokenize/score pipeline would run twice (measured ~2× wall-clock)
-    val joined = sigs.reduce(_.join(_, "doc_id")).cache()
+    val joined = sigs.reduce(_.join(_, "doc_id")).localCheckpoint(false)
     val thExprs = (1 to 5).flatMap(i => Seq(
       percentile(col(s"s$i"), lit(0.1)).as(s"lo$i"),
       percentile(col(s"s$i"), lit(0.9)).as(s"hi$i")))
@@ -1987,7 +1987,7 @@ object TextQueries {
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(col("text"))).as("t"))
-      .cache()
+      .localCheckpoint(false)
     val rawCnt = tok.groupBy("t").agg(count(lit(1)).as("cr"))
     val tgtCnt = tok.where(col("lang") === "en")
       .groupBy("t").agg(count(lit(1)).as("ct"))
@@ -2324,17 +2324,18 @@ object TextQueries {
       transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1")))
     ).otherwise(array().cast("array<string>"))
     val d = docs(spark, sfDir)
-    // cached: the unigram table feeds BOTH broadcast joins plus the N
-    // total, the bigram table feeds the main stream plus the M total —
-    // uncached, each consumer re-runs the corpus tokenize scan (the
-    // textPerplexity doctrine; released by the session's clearCache)
+    // persisted (lazy localCheckpoint): the unigram table feeds BOTH
+    // broadcast joins plus the N total, the bigram table feeds the main
+    // stream plus the M total — unpersisted, each consumer re-runs the
+    // corpus tokenize scan (the textPerplexity doctrine; blocks are
+    // ContextCleaner-owned, freed when the query's frames drop)
     val uni = d.select(explode(toks).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-      .cache()
+      .localCheckpoint(false)
     val nTot = uni.agg(sum(col("c")).as("n"))
     val bg = d.select(explode(grams).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cb"))
-      .cache()
+      .localCheckpoint(false)
     val mTot = bg.agg(sum(col("cb")).as("m"))
     bg.where(col("cb") >= 3)
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Round-15 operator pins.
+  *
+  * 1. The r14 capHubs persistence doctrine now covers EVERY per-query
+  *    persist site: operator intermediates use lazy
+  *    `localCheckpoint(false)` (blocks RDD-owned, freed by the
+  *    ContextCleaner when the query's frames drop), never `cache()`
+  *    (CacheManager-owned until an explicit `clearCache` — the r13
+  *    leak class: a long-lived session running `sim_*`/`dedup_*`
+  *    repeatedly accumulated one cached frame per invocation). One
+  *    representative gated query per migrated family must leave the
+  *    session CacheManager empty. The ONLY sanctioned `cache()` sites
+  *    left in main are the session-lifetime [[graft.queries.GraphQueries]]
+  *    edgeMemo frames, probed separately: a migrated graph query may
+  *    add nothing beyond the memo's own entry.
+  * 2. SkewJoin.hotKeys must free its histogram checkpoint blocks on
+  *    exit (its only persistence is function-local — the one operator
+  *    whose frame never escapes, so leaving blocks to the
+  *    ContextCleaner would be a pure leak of one histogram per call).
+  */
+class Round15OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // one representative gated query per family whose persist sites moved
+  // from cache() to lazy localCheckpoint this round
+  private val familyReps = Seq(
+    "sim (IVF/bucketed DBSCAN)" -> "sim_dbscan_bucketed",
+    "sim (exact pairwise)" -> "dedup_embedding_cosine",
+    "dedup (MinHash LSH)" -> "dedup_minhash_lsh",
+    "dedup (connected components)" -> "dedup_clusters",
+    "text" -> "text_tfidf",
+    "corpus (curation pipeline)" -> "corpus_curate",
+    "behavior analytics" -> "analytics_basket_lift",
+    "stat analytics" -> "analytics_churn",
+    "sketch analytics" -> "analytics_sliding_hll",
+  )
+
+  for ((family, name) <- familyReps)
+    test(s"$name leaves the session CacheManager empty — $family") {
+      spark.catalog.clearCache()
+      val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001).collect()
+      assert(rows.nonEmpty, s"$name returned no rows at sf0.001")
+      assert(Bridge.cacheManagerIsEmpty(spark),
+        s"$name registered frames in the CacheManager — operator " +
+          "intermediates must persist via lazy localCheckpoint " +
+          "(ContextCleaner-owned), not cache() (the r13 leak class)")
+    }
+
+  test("graph queries add no CacheManager entries beyond the edgeMemo") {
+    spark.catalog.clearCache()
+    // warm the documented session-lifetime memo first so its own entry
+    // is accounted for, then run a query whose per-query frames were
+    // migrated to localCheckpoint this round
+    val edges = graft.queries.GraphQueries.tradeEdges(spark, TestSpark.Sf0001)
+    edges.count()
+    val rows = SparkEntry.queries("graph_clustering_coeff")(
+      spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    // dropping the memo's one sanctioned entry must leave the manager
+    // empty — i.e. the query itself registered nothing
+    edges.unpersist(blocking = true)
+    assert(Bridge.cacheManagerIsEmpty(spark),
+      "graph_clustering_coeff registered CacheManager frames beyond " +
+        "the documented edgeMemo entry")
+    // restore the memoized frame's cache for later suites in this JVM
+    edges.cache()
+    ()
+  }
+
+  test("SkewJoin.hotKeys frees its histogram checkpoint and registers nothing") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // 500 rows of key 1 vs 500 singleton keys: mean count ≈ 2, so only
+    // key 1 clears skewFactor = 4
+    val big = (1 to 1000)
+      .map(i => (if (i % 2 == 0) 1L else i.toLong, i)).toDF("k", "x")
+    val hot = graft.ops.SkewJoin.hotKeys(big, "k", skewFactor = 4.0)
+    assert(hot == Seq(1L))
+    assert(Bridge.cacheManagerIsEmpty(spark),
+      "hotKeys must not register in the CacheManager")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"hotKeys left persisted RDD blocks behind: ids $leaked — the " +
+        "histogram checkpoint must be freed in the finally block")
+  }
+}
