@@ -72,6 +72,34 @@ class Round15OpsSpec extends AnyFunSuite {
     ()
   }
 
+  test("edgeMemo evicts a session's entries when its application ends") {
+    import graft.queries.GraphQueries
+    val s2 = spark.newSession()
+    assert(GraphQueries.edgeMemoEntryCount(s2) == 0)
+    assert(GraphQueries.tradeEdges(s2, TestSpark.Sf0001).count() > 0)
+    assert(GraphQueries.edgeMemoEntryCount(s2) == 1)
+    val listener = GraphQueries.memoListeners.get(s2)
+    assert(listener != null,
+      "first memo use must register the session's eviction listener")
+    // fire the REAL registered listener instance: stopping the suite's
+    // one shared local context would kill every later test in this JVM,
+    // and delivering the event on context stop is Spark's contract —
+    // the eviction body is what is ours to pin
+    listener.onApplicationEnd(
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(GraphQueries.edgeMemoEntryCount(s2) == 0,
+      "application end must evict the session's memo entries")
+    assert(GraphQueries.memoListeners.get(s2) == null,
+      "application end must drop the session's listener bookkeeping")
+    // a fresh use after eviction re-derives and re-hooks
+    assert(GraphQueries.tradeEdges(s2, TestSpark.Sf0001).count() > 0)
+    assert(GraphQueries.edgeMemoEntryCount(s2) == 1)
+    assert(GraphQueries.memoListeners.get(s2) != null,
+      "re-use after eviction must re-register the listener")
+    // drop the synthetic session's state so later suites start clean
+    assert(GraphQueries.evictEdgeMemo(s2) == 1)
+  }
+
   test("SkewJoin.hotKeys frees its histogram checkpoint and registers nothing") {
     import spark.implicits._
     spark.catalog.clearCache()
