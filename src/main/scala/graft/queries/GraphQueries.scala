@@ -1039,9 +1039,10 @@ object GraphQueries {
     * neighbor list (`u`, `v` long); `sources` (default = `nodes`) is
     * the pivot set — the estimator is PAIR-RESTRICTED: B(v) sums over
     * pairs s&lt;t with BOTH endpoints drawn from `sources` (so a K-pivot
-    * sample scores C(K,2)/C(n,2) of the pair terms; rescale driver-side
-    * if an unbiased magnitude is wanted — ranks concentrate without
-    * it). This is deliberately NOT the Brandes–Pich one-sided pivot
+    * sample scores C(K,2)/C(n,2) of the pair terms; pass
+    * `rescale = true` for the unbiased magnitude — see the factor's
+    * derivation and variance bound at the `finish` helper below; ranks
+    * concentrate without it). This is deliberately NOT the Brandes–Pich one-sided pivot
     * estimator (sources × all-targets): pair restriction is what the
     * σ-product identity computes with one join, and with
     * sources = nodes the two coincide exactly. The output always
@@ -1052,7 +1053,7 @@ object GraphQueries {
     */
   private[graft] def betweenness(nodes: DataFrame, bidir: DataFrame,
       maxRounds: Int, localBound: Int = LocalRankEdgeBound,
-      sources: DataFrame = null): DataFrame = {
+      sources: DataFrame = null, rescale: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
     // distinct: the local replay dedups its collected pivot list, so
     // the distributed seed must too — a pivot sampled twice (sampling
@@ -1061,6 +1062,30 @@ object GraphQueries {
     val srcFrame = Option(sources).getOrElse(nodes)
       .select(col("node").cast("long").as("node"))
       .distinct()
+    // `rescale`: multiply the pair-restricted estimate by
+    // C(n,2)/C(K,2) — a K-pivot sample scores C(K,2) of the C(n,2)
+    // pair terms, so for pivots drawn uniformly without replacement
+    // every pair has inclusion probability C(K,2)/C(n,2) and the
+    // rescaled sum is UNBIASED in expectation (Horvitz–Thompson with
+    // equal inclusion probabilities; linearity of expectation needs no
+    // pair independence). Per-node spread concentrates as
+    // O(1/√C(K,2)) of the node's max pair contribution (Hoeffding over
+    // the sampled bounded pair terms) — ranks concentrate much faster,
+    // magnitudes carry the stated variance. Applied identically on the
+    // local and distributed exits, AFTER the shared integer pipeline,
+    // as one exact integer multiply + floor-DIV (floor error < 1 unit
+    // of the 1e6 scale). The two counts are a node-frame aggregate and
+    // a pivot-frame aggregate — both driver-bounded by contract.
+    def finish(res: DataFrame): DataFrame =
+      if (!rescale) res
+      else {
+        val n = nodes.select(col("node")).distinct().count()
+        val k = srcFrame.count()
+        if (k < 2 || k >= n) res
+        else res.withColumn("btw_1e6", expr(
+          s"CAST((CAST(btw_1e6 AS DECIMAL(38,0)) * ${n * (n - 1)}L) " +
+            s"DIV ${k * (k - 1)}L AS BIGINT)"))
+      }
     val grabbedB =
       if (localBound > 0)
         bidir.select(col("u").cast("long"), col("v").cast("long"))
@@ -1118,11 +1143,11 @@ object GraphQueries {
         dtv <- aps(t)._1.get(v).toSeq
         if dsv + dtv == dst
       } btw(v) += aps(s)._2(v) * aps(t)._2(v) * 1000000L / sigst
-      return nodes
+      return finish(nodes
         .join(broadcast(localRankDf(spark,
           endpoints.map(n => (n, btw(n))))), Seq("node"), "left")
         .select(col("node").as("nationkey"),
-          coalesce(col("lrank"), lit(0L)).as("btw_1e6"))
+          coalesce(col("lrank"), lit(0L)).as("btw_1e6")))
     }
     // distributed: layered frontier expansion carrying sigma, the
     // (source, node)-keyed generalization of bfs — seeded from the
@@ -1197,10 +1222,10 @@ object GraphQueries {
         col("d1") + col("d2") === col("dst"))
       .groupBy("v")
       .agg(sum(expr("(g1 * g2 * 1000000L) DIV sigst")).as("b"))
-    nodes
+    finish(nodes
       .join(terms.withColumnRenamed("v", "node"), Seq("node"), "left")
       .select(col("node").as("nationkey"),
-        coalesce(col("b"), lit(0L)).as("btw_1e6"))
+        coalesce(col("b"), lit(0L)).as("btw_1e6")))
   }
 
   val graphBetweennessSql: String = {
