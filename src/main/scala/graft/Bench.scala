@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with total + per-query
@@ -179,14 +180,42 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","calib_sec":$calib,"parity_sec":$parity}"""
     // The driver keeps only a TAIL of stdout, which has truncated away
-    // parity_sec and half the per-query map in past rounds (BENCH_r06).
-    // Persist the full line where it survives: target/bench_full.json.
-    try {
-      val out = java.nio.file.Paths.get("target", "bench_full.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case scala.util.control.NonFatal(_) => () } // stdout still has it
+    // parity_sec and half the per-query map in EVERY round so far
+    // (BENCH_r* all carry "parsed": null with ~25-29 of 318 queries) —
+    // so round-over-round regression triage was running on an 8 %
+    // sample. Persist the full line where it survives:
+    //   - target/bench_full.json (scratch, latest run), and
+    //   - bench_full_r{N}.json at the repo root — the COMMITTED
+    //     per-round artifact; N = max existing BENCH_r*.json round + 1
+    //     (the driver writes BENCH_r{N}.json at the NEXT round's start,
+    //     so the max present while round N runs is N−1). Overridable
+    //     via SPARK_GRAFT_BENCH_FULL_OUT for ad-hoc sweeps.
+    val fullOut: java.nio.file.Path =
+      sys.env.get("SPARK_GRAFT_BENCH_FULL_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse {
+          val cwd = java.nio.file.Paths.get(".")
+          val r = "BENCH_r(\\d+)\\.json".r
+          val prev =
+            try {
+              val s = java.nio.file.Files.list(cwd)
+              try s.iterator().asScala
+                .flatMap(p => r.findFirstMatchIn(p.getFileName.toString)
+                  .map(_.group(1).toInt))
+                .foldLeft(0)(math.max)
+              finally s.close()
+            } catch { case scala.util.control.NonFatal(_) => 0 }
+          cwd.resolve(s"bench_full_r${prev + 1}.json")
+        }
+    for (out <- Seq(java.nio.file.Paths.get("target", "bench_full.json"),
+        fullOut)) {
+      try {
+        if (out.getParent != null)
+          java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(_) => () } // stdout still has it
+    }
     println(line)
     // The full line above is ~6 KB with 150+ queries and the driver's
     // stdout tail is smaller: BENCH_r08 captured only the line's back
