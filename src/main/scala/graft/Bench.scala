@@ -207,8 +207,13 @@ object Bench {
             } catch { case scala.util.control.NonFatal(_) => 0 }
           cwd.resolve(s"bench_full_r${prev + 1}.json")
         }
-    for (out <- Seq(java.nio.file.Paths.get("target", "bench_full.json"),
-        fullOut)) {
+    // a SPARK_GRAFT_BENCH_ONLY partial sweep never writes the per-round
+    // artifact (it would silently replace the committed full-sweep
+    // record with a partial map); the explicit env override still wins
+    val writeRound =
+      only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_FULL_OUT")
+    for (out <- Seq(java.nio.file.Paths.get("target", "bench_full.json")) ++
+        (if (writeRound) Seq(fullOut) else Nil)) {
       try {
         if (out.getParent != null)
           java.nio.file.Files.createDirectories(out.getParent)

@@ -49,8 +49,10 @@ object Verify {
         rm(new java.io.File(s"$outDir/$name"))
       }
       // defensive sweep: operator intermediates are lazy localCheckpoints
-      // now (ContextCleaner-owned — nothing to clear), but the persistent
-      // catalog's cached views / any future cache() stay bounded per query
+      // now (ContextCleaner-owned — not CacheManager entries), so the
+      // only standing victim is the edgeMemo's sanctioned entry, which
+      // memoEdges re-caches on its next hit; any future cache() stays
+      // bounded per query
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -76,7 +76,13 @@ object GraphQueries {
         it.remove(); n += 1
       }
     }
-    memoListeners.remove(spark)
+    // drop the listener from the shared context's bus too (when the
+    // context is still alive — the spec's simulated fire, or any future
+    // non-app-end eviction): an evict + re-use cycle would otherwise
+    // accumulate one dead listener per cycle for the context lifetime
+    val l = memoListeners.remove(spark)
+    if (l != null && !spark.sparkContext.isStopped)
+      spark.sparkContext.removeSparkListener(l)
     n
   }
 
@@ -98,7 +104,22 @@ object GraphQueries {
       l
     })
     edgeMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    edgeMemo.computeIfAbsent((spark, sfDir, weighted), _ => derive)
+    // the listener map must not retain dead sessions either (a context
+    // stopped without its ApplicationEnd reaching our listener — e.g.
+    // a dropped AsyncEventQueue event — would otherwise pin the
+    // session object here for the JVM lifetime)
+    memoListeners.keySet.removeIf(s => s.sparkContext.isStopped)
+    val frame = edgeMemo.computeIfAbsent((spark, sfDir, weighted), _ => derive)
+    // re-cache on hit: harness sweeps (Verify/Bench run clearCache per
+    // query) uncache the memo's one sanctioned CacheManager entry, and
+    // without this every later graph query would re-run the 4-way
+    // derivation once per plan reference — the exact recompute the
+    // memo exists to prevent. This also self-heals the shared-plan
+    // seam: sessions of one context share the CacheManager by
+    // canonicalized plan, so another session's eviction uncaching the
+    // shared entry costs one re-cache here, never a silent recompute.
+    if (!org.apache.spark.sql.graft.Bridge.isPlanCached(frame)) frame.cache()
+    frame
   }
 
   /** Spec probe: memo entries held for `spark`. */
@@ -1076,11 +1097,14 @@ object GraphQueries {
     // as one exact integer multiply + floor-DIV (floor error < 1 unit
     // of the 1e6 scale). The two counts are a node-frame aggregate and
     // a pivot-frame aggregate — both driver-bounded by contract.
-    def finish(res: DataFrame): DataFrame =
+    // `kKnown` skips the pivot-count job on the local fast path, where
+    // the complete deduped pivot set was already collected (srcs.length
+    // IS K) — the path exists to avoid per-job overhead on small graphs
+    def finish(res: DataFrame, kKnown: Long = -1L): DataFrame =
       if (!rescale) res
       else {
         val n = nodes.select(col("node")).distinct().count()
-        val k = srcFrame.count()
+        val k = if (kKnown >= 0) kKnown else srcFrame.count()
         if (k < 2 || k >= n) res
         else res.withColumn("btw_1e6", expr(
           s"CAST((CAST(btw_1e6 AS DECIMAL(38,0)) * ${n * (n - 1)}L) " +
@@ -1147,7 +1171,8 @@ object GraphQueries {
         .join(broadcast(localRankDf(spark,
           endpoints.map(n => (n, btw(n))))), Seq("node"), "left")
         .select(col("node").as("nationkey"),
-          coalesce(col("lrank"), lit(0L)).as("btw_1e6")))
+          coalesce(col("lrank"), lit(0L)).as("btw_1e6")),
+        kKnown = srcs.length.toLong)
     }
     // distributed: layered frontier expansion carrying sigma, the
     // (source, node)-keyed generalization of bfs — seeded from the

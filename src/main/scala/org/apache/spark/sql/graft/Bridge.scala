@@ -40,6 +40,17 @@ object Bridge {
       case _ => ()
     }
 
+  /** True when the frame's plan has a live CacheManager entry — the
+    * re-cache-on-hit probe for session-lifetime memo frames (harness
+    * sweeps call `clearCache` per query, which would otherwise leave a
+    * memoized frame permanently uncached).
+    */
+  def isPlanCached(df: org.apache.spark.sql.DataFrame): Boolean = df match {
+    case d: org.apache.spark.sql.classic.Dataset[_] =>
+      d.sparkSession.sharedState.cacheManager.lookupCachedData(d).isDefined
+    case _ => false
+  }
+
   /** True when the session's CacheManager holds no cached plans —
     * the spec hook behind the "a query leaves no net cached frames"
     * contract (CacheManager is private[sql]; this shim is the same

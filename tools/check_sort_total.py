@@ -61,18 +61,29 @@ _EXPR_KEYWORDS = {
 
 
 def trailing_order_items(sql: str):
-    """Raw expression items of the statement's final ORDER BY, or None."""
+    """(items, limit) of the statement's final ORDER BY, or None.
+    `limit` is the trailing LIMIT's row count when present, else None."""
     idx = sql.upper().rfind("ORDER BY")
     if idx < 0:
         return None
     tail = sql[idx + len("ORDER BY"):]
-    # the trailing clause may be followed only by LIMIT/OFFSET
-    tail = re.split(r"(?i)\bLIMIT\b|\bOFFSET\b", tail)[0]
-    # a final ORDER BY inside a parenthesized subquery is not trailing
+    # paren-balance check BEFORE stripping LIMIT: a nested
+    # '... ORDER BY a LIMIT 3) t ...' must not be mistaken for a
+    # trailing clause (splitting at LIMIT first would remove the
+    # unmatched ')' this check exists to see)
     if ")" in tail and tail.count(")") > tail.count("("):
         return None
-    return [re.sub(r"(?i)\b(ASC|DESC|NULLS\s+(FIRST|LAST))\b", "", item).strip()
-            for item in split_top_level(tail, ",")]
+    m = re.search(r"(?i)\bLIMIT\s+(\d+)", tail)
+    limit = int(m.group(1)) if m else None
+    tail = re.split(r"(?i)\bLIMIT\b|\bOFFSET\b", tail)[0]
+    items, dirs = [], []
+    for item in split_top_level(tail, ","):
+        suffix = " ".join(m.group(0) for m in re.finditer(
+            r"(?i)\b(ASC|DESC|NULLS\s+(FIRST|LAST))\b", item))
+        items.append(re.sub(
+            r"(?i)\b(ASC|DESC|NULLS\s+(FIRST|LAST))\b", "", item).strip())
+        dirs.append(suffix.upper())
+    return items, dirs, limit
 
 
 def split_top_level(s: str, sep: str):
@@ -160,6 +171,41 @@ def splice_sort_keys(sql: str, items):
     return sql[:from_pos] + ", " + extra + " " + sql[from_pos:]
 
 
+def boundary_hazard(con, sql, items, dirs, limit, row_cols):
+    """For a trailing ORDER BY ... LIMIT k: re-run the respliced twin
+    WITHOUT the limit and test whether the tie group containing the
+    k-th row straddles the cut with >1 distinct full row — the one
+    hazard the post-limit result parquet cannot show (the two engines
+    may legitimately return different members at the boundary).
+    Returns True (hazard) / False (clean) / None (shape defeats the
+    check — caller reports it loudly)."""
+    spliced = splice_sort_keys(sql, items)
+    if spliced is None:
+        return None
+    sans = re.sub(r"(?is)\bLIMIT\s+\d+(\s+OFFSET\s+\d+)?\s*$", "", spliced)
+    if sans == spliced:
+        return None  # the LIMIT is not the statement's trailing clause
+    order = ", ".join(f"__sk{j} {d}".strip() for j, d in enumerate(dirs))
+    keys = ", ".join(f"__sk{j}" for j in range(len(items)))
+    row = "(" + ", ".join(f'"{c}"' for c in row_cols) + ")"
+    key_eq = " AND ".join(
+        f"r.__sk{j} IS NOT DISTINCT FROM b.__sk{j}"
+        for j in range(len(items)))
+    try:
+        out = con.execute(
+            f"WITH __ranked AS ("
+            f"  SELECT *, ROW_NUMBER() OVER (ORDER BY {order}) AS __rn"
+            f"  FROM ({sans})"
+            f"), __b AS (SELECT {keys} FROM __ranked WHERE __rn = {limit}) "
+            f"SELECT COALESCE(MAX(r.__rn) > {limit}, FALSE)"
+            f"       AND COUNT(DISTINCT {row}) > 1 "
+            f"FROM __ranked r, __b b WHERE {key_eq}"
+        ).fetchone()[0]
+        return bool(out)
+    except Exception:
+        return None
+
+
 def main(sf_dir: str, out_dir: str, only: str = "") -> int:
     names = set(only.split(",")) if only else None
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
@@ -196,11 +242,11 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
             continue
-        items = trailing_order_items(sql)
+        parsed = trailing_order_items(sql)
         allcols = result_cols(res_dir)
         parquet_src = f"read_parquet('{res_dir}/*.parquet')"
 
-        if items is None:
+        if parsed is None:
             if n_rows(res_dir) <= 1:
                 skip_ok += 1
                 print(f"SKIP-OK {name}: no trailing ORDER BY, single-row result")
@@ -214,73 +260,85 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
                       f"trailing ORDER BY — produced order is engine-defined")
             continue
 
+        items, dirs, limit = parsed
         # positional ORDER BY (ORDER BY 1, 2) refers to output columns
         items = [allcols[int(it) - 1]
                  if re.fullmatch(r"\d+", it) and 0 < int(it) <= len(allcols)
                  else it
                  for it in items]
 
+        # interior check: tie groups WITHIN the produced rows
+        interior = None  # tie-group count, or None = unverifiable
+        how = ""
         bare = [it.split(".")[-1].strip() for it in items]
         if all(re.fullmatch(r"[A-Za-z_]\w*", b) for b in bare) and \
                 all(b in allcols for b in bare):
-            n = tie_groups(parquet_src, [f'"{b}"' for b in bare], allcols)
-            if n:
-                flagged += 1
-                print(f"FLAG {name}: {n} sort-key groups with divergent rows "
-                      f"(key: {', '.join(bare)})")
-            else:
-                ok += 1
-            continue
-
-        # expression keys fully expressible over the result columns
-        if all(identifiers(it) <= set(allcols) for it in items):
+            interior = tie_groups(parquet_src, [f'"{b}"' for b in bare], allcols)
+            how = f"key: {', '.join(bare)}"
+        elif all(identifiers(it) <= set(allcols) for it in items):
             try:
-                n = tie_groups(parquet_src, items, allcols)
+                interior = tie_groups(parquet_src, items, allcols)
+                how = f"expr keys over result: {', '.join(items)}"
             except Exception as e:
-                n = None
-                print(f"SKIP-UNVERIFIED {name}: expression keys failed over "
-                      f"the result: {e}")
+                how = f"expression keys failed over the result: {e}"
+        if interior is None and not how.startswith("expression keys failed"):
+            # sort keys reference columns the projection dropped: re-run
+            # the twin with the keys spliced into the outermost SELECT
+            spliced = splice_sort_keys(sql, items)
+            if spliced is not None:
+                try:
+                    sks = [f"__sk{j}" for j in range(len(items))]
+                    row = "(" + ", ".join(f'"{c}"' for c in allcols) + ")"
+                    interior = con.execute(
+                        f"SELECT COUNT(*) FROM ("
+                        f"  SELECT {', '.join(sks)} FROM ({spliced})"
+                        f"  GROUP BY ALL HAVING COUNT(DISTINCT {row}) > 1)"
+                    ).fetchone()[0]
+                    how = f"respliced twin; keys: {', '.join(items)}"
+                except Exception:
+                    interior = None  # malformed splice — fall through
+
+        if interior is None:
+            if n_rows(res_dir) <= 1:
+                skip_ok += 1
+                print(f"SKIP-OK {name}: unverifiable sort keys but "
+                      f"single-row result")
+            else:
                 unverified += 1
-            if n is not None:
-                if n:
-                    flagged += 1
-                    print(f"FLAG {name}: {n} sort-key groups with divergent "
-                          f"rows (expr keys: {', '.join(items)})")
-                else:
-                    ok += 1
-                    print(f"OK {name} (expr keys over result)")
+                print(f"SKIP-UNVERIFIED {name}: multi-row and sort keys "
+                      f"not verifiable ({how or 'twin resplice failed'}) — "
+                      f"verify by hand")
+            continue
+        if interior:
+            flagged += 1
+            print(f"FLAG {name}: {interior} sort-key groups with divergent "
+                  f"rows ({how})")
             continue
 
-        # sort keys reference columns the projection dropped: re-run the
-        # twin with the keys spliced into the outermost SELECT list
-        spliced = splice_sort_keys(sql, items)
-        n = None
-        if spliced is not None:
-            try:
-                sks = [f"__sk{j}" for j in range(len(items))]
-                row = "(" + ", ".join(f'"{c}"' for c in allcols) + ")"
-                n = con.execute(
-                    f"SELECT COUNT(*) FROM ("
-                    f"  SELECT {', '.join(sks)} FROM ({spliced})"
-                    f"  GROUP BY ALL HAVING COUNT(DISTINCT {row}) > 1)"
-                ).fetchone()[0]
-            except Exception:
-                n = None  # malformed splice (union/group-by shapes) — fall back
-        if n is not None:
-            if n:
+        # boundary check: a trailing LIMIT can cut THROUGH a pre-limit
+        # tie group, in which case the engines may return different
+        # members even though the produced rows show no interior tie —
+        # invisible to every post-limit check above
+        if limit is not None:
+            hz = boundary_hazard(con, sql, items, dirs, limit, allcols)
+            if hz is True:
                 flagged += 1
-                print(f"FLAG {name}: {n} sort-key groups with divergent rows "
-                      f"(respliced twin; keys: {', '.join(items)})")
-            else:
-                ok += 1
-                print(f"OK {name} (respliced twin)")
-        elif n_rows(res_dir) <= 1:
-            skip_ok += 1
-            print(f"SKIP-OK {name}: dropped sort cols but single-row result")
-        else:
-            unverified += 1
-            print(f"SKIP-UNVERIFIED {name}: multi-row, sort keys not in "
-                  f"result and twin resplice failed — verify by hand")
+                print(f"FLAG {name}: the pre-limit tie group at the LIMIT "
+                      f"{limit} boundary straddles the cut with divergent "
+                      f"rows")
+                continue
+            if hz is None:
+                unverified += 1
+                print(f"SKIP-UNVERIFIED {name}: interior ties clean but the "
+                      f"LIMIT {limit} boundary could not be re-checked "
+                      f"against the twin")
+                continue
+            ok += 1
+            print(f"OK {name} ({how}; limit-{limit} boundary clean)")
+            continue
+        ok += 1
+        if not how.startswith("key:"):
+            print(f"OK {name} ({how})")
 
     print(f"-- {flagged} flagged, {unverified} unverified, {ok} verified, "
           f"{skip_ok} single-row")
