@@ -371,6 +371,40 @@ object SourceQueries {
       |WHERE epoch_us(ts) // 86400000000 = 19725
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Bucketed-table co-located join, end to end: write orders and
+    * lineitem as catalog tables bucketed on their join keys (equal
+    * bucket counts), then join WITHOUT a shuffle on either side and
+    * roll revenue up per order priority. The value hash gates layout
+    * fidelity (bucketed write → catalog read → join must reproduce the
+    * plain join's rows exactly); BucketedTablesSpec separately pins the
+    * zero-Exchange plan property the layout exists to buy. Fixed
+    * 5-value priority rollup → wide cents path (the ExactAgg routing
+    * rule).
+    */
+  def sourceBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.BucketedTables.writeBucketed(
+      table(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority"),
+      "graft_bkt_orders", "o_orderkey", buckets = 8)
+    graft.sources.BucketedTables.writeBucketed(
+      table(spark, sfDir, "lineitem").select("l_orderkey", "l_extendedprice"),
+      "graft_bkt_lineitem", "l_orderkey", buckets = 8)
+    graft.sources.BucketedTables.cobucketedJoin(spark,
+        "graft_bkt_orders", "graft_bkt_lineitem", "o_orderkey", "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        graft.ops.ExactAgg.exactSumCentsWide(col("l_extendedprice"))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  val sourceBucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val sourceMergeSchemaSql: String =
     """SELECT p_partkey, CAST(1 AS BIGINT) AS source_batch, p_name,
       |       CAST(NULL AS INTEGER) AS p_size, CAST(NULL AS DOUBLE) AS p_retailprice
