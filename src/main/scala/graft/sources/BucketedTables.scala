@@ -43,6 +43,21 @@ object BucketedTables {
   def writeBucketed(df: DataFrame, tableName: String, key: String,
       buckets: Int): Unit = {
     require(buckets > 0, "bucket count must be positive")
+    val spark = df.sparkSession
+    // a managed table's warehouse directory can outlive its catalog
+    // entry (the in-memory catalog dies with the session, the files do
+    // not), and saveAsTable refuses to ADOPT an orphaned location even
+    // in Overwrite mode (LOCATION_ALREADY_EXISTS) — so a re-run in a
+    // fresh session would fail on the previous session's leavings.
+    // When no live table claims the default-database location, clear it
+    // first; when the table EXISTS, Overwrite handles replacement.
+    if (!spark.catalog.tableExists(tableName)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(wh, tableName.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.format("parquet").mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(tableName)

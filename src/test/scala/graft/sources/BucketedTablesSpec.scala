@@ -59,6 +59,23 @@ class BucketedTablesSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("writeBucketed recovers an orphaned warehouse location") {
+    // a managed table's directory can outlive its catalog entry (prior
+    // JVM's leavings): saveAsTable refuses to adopt it, so writeBucketed
+    // clears the unclaimed location first — pin the recovery
+    import org.apache.hadoop.fs.Path
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new Path(wh, "bkt_spec_orphan")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(loc, "stale"))
+    assert(!spark.catalog.tableExists("bkt_spec_orphan"))
+    BucketedTables.writeBucketed(
+      RefQueries.table(spark, TestSpark.Sf0001, "region")
+        .select("r_regionkey", "r_name"),
+      "bkt_spec_orphan", "r_regionkey", buckets = 2)
+    assert(spark.table("bkt_spec_orphan").count() > 0)
+  }
+
   test("mismatched bucket counts re-shuffle (the layout-constant guard)") {
     writePair(buckets = 4, rightBuckets = 3)
     val joined = BucketedTables.cobucketedJoin(spark,
