@@ -254,7 +254,7 @@ object JoinQueries {
       |  FROM range(0, 20) t(i)
       |)
       |SELECT band_id, lo, hi, COUNT(*) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
       |FROM orders JOIN bands ON lo <= o_totalprice AND o_totalprice < hi
       |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
 
@@ -316,7 +316,7 @@ object JoinQueries {
   val q11OuterJoinSql: String =
     """SELECT c_custkey, c_name,
       |       COUNT(o_custkey) AS n_big_orders,
-      |       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS big_revenue
+      |       COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE), 0.0) AS big_revenue
       |FROM customer
       |LEFT OUTER JOIN (SELECT o_custkey, o_totalprice FROM orders
       |                 WHERE o_totalprice > 400000) o
@@ -412,7 +412,7 @@ object JoinQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders o
       |WHERE o_totalprice > CAST(1.5 AS DOUBLE) * (
-      |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
       |         / COUNT(*)
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
@@ -466,7 +466,7 @@ object JoinQueries {
 
   val joinBucketedSql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }

@@ -70,7 +70,7 @@ object OlapQueries {
       |                 WHEN l_linestatus IS NULL THEN 1
       |                 ELSE 0 END AS BIGINT) AS gid,
       |       COUNT(*) AS n_rows,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY gid, returnflag, linestatus""".stripMargin
@@ -107,7 +107,7 @@ object OlapQueries {
       |                 WHEN o_orderpriority IS NULL THEN 1
       |                 ELSE 0 END AS BIGINT) AS gid,
       |       COUNT(*) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, status, priority""".stripMargin
@@ -247,7 +247,7 @@ object OlapQueries {
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
       |       CAST(month(o_orderdate) AS INTEGER) AS mo,
       |       COUNT(*) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
   /** `olap_count_distinct` — exact multi-column COUNT(DISTINCT) per
@@ -303,9 +303,9 @@ object OlapQueries {
     """SELECT p_brand, p_partkey, revenue, CAST(brand_rank AS INTEGER) AS brand_rank
       |FROM (
       |  SELECT p_brand, p_partkey,
-      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue,
       |         row_number() OVER (PARTITION BY p_brand
-      |                            ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
+      |                            ORDER BY CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) DESC,
       |                                     p_partkey) AS brand_rank
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY p_brand, p_partkey

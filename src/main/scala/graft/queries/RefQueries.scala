@@ -149,8 +149,8 @@ object RefQueries {
 
   val q3Sql: String =
     """SELECT l_returnflag,
-      |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 2) AS mean_qty,
-      |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 2) AS mean_price,
+      |       ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(l_quantity), 2) AS mean_qty,
+      |       ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(l_extendedprice), 2) AS mean_price,
       |       COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
@@ -243,7 +243,7 @@ object RefQueries {
 
   val q7Sql: String =
     """SELECT n_name,
-      |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice), 2) AS avg_totalprice,
+      |       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(o_totalprice), 2) AS avg_totalprice,
       |       COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -276,7 +276,7 @@ object RefQueries {
 
   val q8Sql: String =
     """SELECT p_partkey, p_name,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_partkey, p_name
       |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin

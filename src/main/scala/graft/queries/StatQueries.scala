@@ -82,11 +82,11 @@ object StatQueries {
   val analyticsRegressionSql: String =
     """WITH s AS MATERIALIZED (
       |  SELECT l_returnflag AS returnflag, COUNT(*) AS n,
-      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sx,
+      |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sy,
+      |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sxx,
+      |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sxy,
+      |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS syy
       |  FROM lineitem GROUP BY l_returnflag
       |), m AS MATERIALIZED (
       |  SELECT returnflag, n,
@@ -136,11 +136,11 @@ object StatQueries {
   val analyticsCorrSql: String =
     """WITH s AS MATERIALIZED (
       |  SELECT l_returnflag AS returnflag, COUNT(*) AS n,
-      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-      |         CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-      |         CAST(SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sx,
+      |         CAST(CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sy,
+      |         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sxx,
+      |         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sxy,
+      |         CAST(CAST(SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS syy
       |  FROM lineitem GROUP BY l_returnflag
       |)
       |SELECT returnflag, n,

@@ -20,7 +20,7 @@ object StreamQueries {
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |       event_type,
       |       COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
@@ -141,7 +141,7 @@ object StreamQueries {
       |SELECT strftime(to_timestamp(ws / 1000000.0), '%Y-%m-%d %H:%M:%S') AS window_start,
       |       event_type,
       |       COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_value
       |FROM hop
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
@@ -206,7 +206,7 @@ object StreamQueries {
       |       strftime(to_timestamp(MIN(us) / 1000000.0), '%Y-%m-%d %H:%M:%S') AS session_start,
       |       strftime(to_timestamp(MAX(us) / 1000000.0), '%Y-%m-%d %H:%M:%S') AS session_end,
       |       COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""DECIMAL→DOUBLE cast determinism auditor/fixer for the oracle twins.
+
+DuckDB (1.0.0) casts DECIMAL to DOUBLE by converting the unscaled
+int128 to double and dividing by 10^scale — TWO roundings. When the
+exact value needs more significand than a double holds and sits on a
+rounding boundary, the result is one ulp away from the correctly
+rounded double (observed: 7096786968835.8685 → ...f7a instead of
+...f79 — analytics_regression's syy at sf0.001). Spark's
+Decimal→Double goes through BigDecimal.doubleValue(), which IS
+correctly rounded, so the gate's bit compare flips on exactly those
+values: a latent per-SF coin toss across every twin that casts a
+DECIMAL aggregate to DOUBLE.
+
+The fix routes the twin's cast through text — CAST(CAST(x AS STRING)
+AS DOUBLE) — because decimal→string is exact and string→double
+(strtod) is correctly rounded in both engines. `STRING` (not VARCHAR)
+because the one SHARED statement (q14_correlated runs the same text in
+Spark and DuckDB) must parse in both dialects; for Spark the hop is a
+no-op by value (its direct cast is already correctly rounded).
+
+Scans triple-quoted SQL literals in the query files for
+CAST(<expr containing DECIMAL(> AS DOUBLE) spans missing the hop.
+
+Usage: python3 tools/fix_decimal_double_casts.py [--fix] [files...]
+Default files: src/main/scala/graft/queries/*.scala
+Exit code (without --fix) = number of unhopped sites. Dev-only tooling.
+"""
+import re
+import sys
+from pathlib import Path
+
+TRIPLE = re.compile(r'"""(.*?)"""', re.DOTALL)
+
+
+def cast_spans(text: str):
+    """(start, end, inner) for every CAST( ... ) span, outermost-first."""
+    out = []
+    for m in re.finditer(r"(?i)\bCAST\s*\(", text):
+        i = m.end()  # just past '('
+        depth = 1
+        j = i
+        while j < len(text) and depth:
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+            j += 1
+        if depth == 0:
+            out.append((m.start(), j, text[i:j - 1]))
+    return out
+
+
+def needs_hop(inner: str) -> bool:
+    body = inner.rstrip()
+    m = re.search(r"(?is)\bAS\s+DOUBLE\s*$", body)
+    if not m:
+        return False
+    expr = body[:m.start()].rstrip()
+    if not re.search(r"(?i)\bDECIMAL\s*\(", expr):
+        return False  # not decimal-typed by spelling — out of scope
+    if re.search(r"(?is)\bAS\s+STRING\s*\)\s*$", expr):
+        return False  # already hopped
+    return True
+
+
+def hop(inner: str) -> str:
+    body = inner.rstrip()
+    m = re.search(r"(?is)\bAS\s+DOUBLE\s*$", body)
+    expr = body[:m.start()].rstrip(" \t")
+    return f"CAST({expr} AS STRING) AS DOUBLE"
+
+
+def process(path: Path, fix: bool) -> int:
+    src = path.read_text()
+    hits = 0
+    offset_shift = 0
+    new_src = src
+    for lit in TRIPLE.finditer(src):
+        content = lit.group(1)
+        spans = [s for s in cast_spans(content) if needs_hop(s[2])]
+        if not spans:
+            continue
+        # rewrite right-to-left so offsets stay valid; skip spans nested
+        # inside an already-selected outer span
+        chosen = []
+        for s in spans:
+            if not any(o[0] <= s[0] and s[1] <= o[1] and o != s for o in spans):
+                chosen.append(s)
+        hits += len(chosen)
+        if fix:
+            new_content = content
+            for start, end, inner in sorted(chosen, reverse=True):
+                new_content = (new_content[:start] + "CAST(" + hop(inner) +
+                               ")" + new_content[end:])
+            lit_start = lit.start(1) + offset_shift
+            lit_end = lit.end(1) + offset_shift
+            new_src = new_src[:lit_start] + new_content + new_src[lit_end:]
+            offset_shift += len(new_content) - len(content)
+        else:
+            for start, _end, inner in chosen:
+                line = content[:start].count("\n") + src[:lit.start(1)].count("\n") + 1
+                print(f"{path}:{line}: unhopped DECIMAL→DOUBLE cast: "
+                      f"{' '.join(inner.split())[:90]}")
+    if fix and hits:
+        path.write_text(new_src)
+        print(f"{path}: rewrote {hits} cast(s)")
+    return hits
+
+
+def main(argv):
+    fix = "--fix" in argv
+    files = [Path(a) for a in argv if not a.startswith("--")]
+    if not files:
+        files = sorted(Path("src/main/scala/graft/queries").glob("*.scala"))
+    total = sum(process(p, fix) for p in files)
+    print(f"-- {total} {'rewritten' if fix else 'unhopped'} "
+          f"DECIMAL→DOUBLE cast site(s)")
+    return 0 if fix else total
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
