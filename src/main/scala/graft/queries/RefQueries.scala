@@ -149,8 +149,8 @@ object RefQueries {
 
   val q3Sql: String =
     """SELECT l_returnflag,
-      |       ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(l_quantity), 2) AS mean_qty,
-      |       ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(l_extendedprice), 2) AS mean_price,
+      |       CAST(ROUND(CAST(CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(l_quantity) AS STRING) AS DECIMAL(38,18)), 2) AS DOUBLE) AS mean_qty,
+      |       CAST(ROUND(CAST(CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(l_extendedprice) AS STRING) AS DECIMAL(38,18)), 2) AS DOUBLE) AS mean_price,
       |       COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
@@ -163,7 +163,7 @@ object RefQueries {
       .orderBy("p_partkey")
 
   val q4Sql: String =
-    """SELECT p_partkey, ROUND(p_retailprice / 7, 2) AS price_div7
+    """SELECT p_partkey, CAST(ROUND(CAST(CAST(p_retailprice / 7 AS STRING) AS DECIMAL(38,18)), 2) AS DOUBLE) AS price_div7
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** Q5 — inner equi-join, fact ⋈ small dim (views.sql:18-27). The dim
@@ -243,7 +243,7 @@ object RefQueries {
 
   val q7Sql: String =
     """SELECT n_name,
-      |       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(o_totalprice), 2) AS avg_totalprice,
+      |       CAST(ROUND(CAST(CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(o_totalprice) AS STRING) AS DECIMAL(38,18)), 2) AS DOUBLE) AS avg_totalprice,
       |       COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey

@@ -61,6 +61,12 @@ def needs_hop(inner: str) -> bool:
         return False  # not decimal-typed by spelling — out of scope
     if re.search(r"(?is)\bAS\s+STRING\s*\)\s*$", expr):
         return False  # already hopped
+    if re.match(r"(?is)\s*ROUND\s*\(", expr) and \
+            re.search(r"(?i)DECIMAL\s*\(38,\s*18\s*\)", expr):
+        # the Spark-parity ROUND respell: its result is a small-scale
+        # decimal whose significand fits a double exactly — the outer
+        # cast is single-rounding-safe by construction
+        return False
     return True
 
 
@@ -71,6 +77,67 @@ def hop(inner: str) -> str:
     return f"CAST({expr} AS STRING) AS DOUBLE"
 
 
+def first_top_level_arg(s: str) -> str:
+    depth = 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return s[:i]
+    return s
+
+
+def round_hazards(content: str):
+    """ROUND(x, n) spans whose argument is not the Spark-parity respell.
+
+    Spark's ROUND on DOUBLE rounds the SHORTEST DECIMAL REPRESENTATION
+    half-up (BigDecimal via Double.toString); DuckDB's round(double)
+    scales-and-rounds the binary value — they disagree on values whose
+    shortest representation ends in 5 but whose binary value sits below
+    the boundary (1.005 → Spark 1.01, DuckDB 1.00: measured, round 15).
+    The twin spelling that reproduces Spark in DuckDB is
+      CAST(ROUND(CAST(CAST(x AS STRING) AS DECIMAL(38,18)), 2) AS DOUBLE)
+    (shortest double→text in both engines, exact text→decimal, decimal
+    ROUND is half-away-from-zero in both; valid for |x| < 1e20). A
+    ROUND over a genuinely DECIMAL-typed argument is exact and may be
+    left bare — review any flag before respelling.
+
+    Scale-0 rounds (ROUND(x) / ROUND(x, 0) — the cents/quantize
+    spellings all over the twins) are EXEMPT: the scale-0 half boundary
+    N.5 is exactly representable in binary for |N| < 2^52, so the
+    shortest representation ends in .5 IFF the binary value IS the
+    boundary — both engines then see the same tie and both break it
+    away from zero. The repr-vs-binary seam only opens at scale ≥ 1,
+    where x.xx5 is not exactly representable.
+    """
+    out = []
+    for m in re.finditer(r"(?i)\bROUND\s*\(", content):
+        i = m.end()
+        depth = 1
+        j = i
+        while j < len(content) and depth:
+            if content[j] == "(":
+                depth += 1
+            elif content[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            continue
+        inner = content[i:j - 1]
+        first_arg = first_top_level_arg(inner).rstrip()
+        rest = inner[len(first_arg):].lstrip(" ,\n|\t")
+        scale = rest.split(")")[0].strip() if rest else ""
+        if scale in ("", "0"):
+            continue  # scale-0: the N.5 boundary is exact — no seam
+        if re.search(r"(?is)AS\s+STRING\s*\)\s*AS\s+DECIMAL\s*\(38,\s*18\s*\)\s*\)\s*$",
+                     first_arg):
+            continue  # already the Spark-parity respell
+        out.append((m.start(), " ".join(inner.split())[:90]))
+    return out
+
+
 def process(path: Path, fix: bool) -> int:
     src = path.read_text()
     hits = 0
@@ -78,6 +145,16 @@ def process(path: Path, fix: bool) -> int:
     new_src = src
     for lit in TRIPLE.finditer(src):
         content = lit.group(1)
+        # report-only class: ROUND over a non-respelled argument (no
+        # autofix — a ROUND over a true DECIMAL is exact and may stay
+        # bare; every flag needs a human eye)
+        if not fix:
+            for start, snippet in round_hazards(content):
+                line = (content[:start].count("\n") +
+                        src[:lit.start(1)].count("\n") + 1)
+                print(f"{path}:{line}: ROUND without the Spark-parity "
+                      f"respell (review): {snippet}")
+                hits += 1
         spans = [s for s in cast_spans(content) if needs_hop(s[2])]
         if not spans:
             continue
