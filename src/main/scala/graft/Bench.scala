@@ -181,7 +181,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","calib_sec":$calib,"parity_sec":$parity}"""
     // The driver keeps only a TAIL of stdout, which has truncated away
     // parity_sec and half the per-query map in EVERY round so far
-    // (BENCH_r* all carry "parsed": null with ~25-29 of 318 queries) —
+    // (BENCH_r* all carry "parsed": null with ~25-29 of the sweep's
+    // 300+ queries) —
     // so round-over-round regression triage was running on an 8 %
     // sample. Persist the full line where it survives:
     //   - target/bench_full.json (scratch, latest run), and
@@ -209,9 +210,24 @@ object Bench {
         }
     // a SPARK_GRAFT_BENCH_ONLY partial sweep never writes the per-round
     // artifact (it would silently replace the committed full-sweep
-    // record with a partial map); the explicit env override still wins
-    val writeRound =
-      only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_FULL_OUT")
+    // record with a partial map); the explicit env override still wins.
+    // An INFERRED round path that already exists is likewise refused:
+    // the N = max(BENCH_r*)+1 inference assumes the driver's
+    // one-bench-per-round cadence, and an ad-hoc rerun (or a run from a
+    // cwd with a stale BENCH_r* listing) would otherwise silently
+    // replace a committed full-sweep record. Overwrite only via the
+    // explicit SPARK_GRAFT_BENCH_FULL_OUT.
+    val explicitOut = sys.env.contains("SPARK_GRAFT_BENCH_FULL_OUT")
+    val writeRound = (only.isEmpty || explicitOut) && {
+      val clash = !explicitOut && java.nio.file.Files.exists(fullOut)
+      if (clash)
+        System.err.println(s"[bench] NOT overwriting existing $fullOut " +
+          "(ad-hoc rerun? set SPARK_GRAFT_BENCH_FULL_OUT to force); " +
+          "full map still in target/bench_full.json")
+      !clash
+    }
+    if (writeRound)
+      System.err.println(s"[bench] full per-query map -> $fullOut")
     for (out <- Seq(java.nio.file.Paths.get("target", "bench_full.json")) ++
         (if (writeRound) Seq(fullOut) else Nil)) {
       try {

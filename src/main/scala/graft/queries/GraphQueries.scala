@@ -71,8 +71,15 @@ object GraphQueries {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq spark) {
-        if (!spark.sparkContext.isStopped)
-          e.getValue.unpersist(blocking = false)
+        // per-entry guard: this runs on the listener-bus thread during
+        // context stop, where isStopped can flip between the check and
+        // the unpersist (teardown race) — one entry's failure must not
+        // abort the sweep and pin the REMAINING entries for the JVM
+        // lifetime (the exact retention this eviction exists to prevent)
+        try {
+          if (!spark.sparkContext.isStopped)
+            e.getValue.unpersist(blocking = false)
+        } catch { case scala.util.control.NonFatal(_) => () }
         it.remove(); n += 1
       }
     }
@@ -81,8 +88,10 @@ object GraphQueries {
     // non-app-end eviction): an evict + re-use cycle would otherwise
     // accumulate one dead listener per cycle for the context lifetime
     val l = memoListeners.remove(spark)
-    if (l != null && !spark.sparkContext.isStopped)
-      spark.sparkContext.removeSparkListener(l)
+    try {
+      if (l != null && !spark.sparkContext.isStopped)
+        spark.sparkContext.removeSparkListener(l)
+    } catch { case scala.util.control.NonFatal(_) => () }
     n
   }
 

@@ -431,12 +431,16 @@ object JoinQueries {
     val pid = ProcessHandle.current().pid()
     val (ct, ot) = (s"cust_bkt_$pid", s"ord_bkt_$pid")
     try {
-      table(spark, sfDir, "customer")
-        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable(ct)
-      table(spark, sfDir, "orders")
-        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable(ot)
+      // the one shared bucketed-write path (BucketedTables): pid-keyed
+      // names rarely orphan, but a crashed prior run of the SAME pid
+      // range would otherwise die on LOCATION_ALREADY_EXISTS — and two
+      // spellings of the same write is drift waiting to happen
+      graft.sources.BucketedTables.writeBucketed(
+        table(spark, sfDir, "customer"), ct, "c_custkey", buckets = 8,
+        source = Some(sfDir))
+      graft.sources.BucketedTables.writeBucketed(
+        table(spark, sfDir, "orders"), ot, "o_custkey", buckets = 8,
+        source = Some(sfDir))
       val result = spark.table(ct).hint("merge")
         .join(spark.table(ot), col("c_custkey") === col("o_custkey"))
         .groupBy("c_mktsegment")

@@ -384,10 +384,10 @@ object SourceQueries {
   def sourceBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     graft.sources.BucketedTables.writeBucketed(
       table(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority"),
-      "graft_bkt_orders", "o_orderkey", buckets = 8)
+      "graft_bkt_orders", "o_orderkey", buckets = 8, source = Some(sfDir))
     graft.sources.BucketedTables.writeBucketed(
       table(spark, sfDir, "lineitem").select("l_orderkey", "l_extendedprice"),
-      "graft_bkt_lineitem", "l_orderkey", buckets = 8)
+      "graft_bkt_lineitem", "l_orderkey", buckets = 8, source = Some(sfDir))
     graft.sources.BucketedTables.cobucketedJoin(spark,
         "graft_bkt_orders", "graft_bkt_lineitem", "o_orderkey", "l_orderkey")
       .groupBy("o_orderpriority")
@@ -404,6 +404,55 @@ object SourceQueries {
       |       COUNT(*) AS n_items
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Bucketed layout, STEADY STATE: the read-only sibling of
+    * [[sourceBucketedJoin]]. That gate deliberately re-pays the layout
+    * write per run (layout-write fidelity IS its subject); this one
+    * materializes the co-bucketed pair only when absent or built from a
+    * different sfDir ([[graft.sources.BucketedTables.ensureBucketed]])
+    * and then runs purely over the catalog tables — so the bench tracks
+    * the amortized plan the layout exists to buy, per round. The plan
+    * exercises BOTH exchange-free shapes the layout provides: the
+    * sort-merge join with zero Exchange on either side, AND the
+    * groupBy on the bucket key (HashPartitioning(o_orderkey, 8) from
+    * the scan satisfies the aggregate's clustering requirement — the
+    * appended o_orderpriority key costs nothing, grouping on a superset
+    * of the partitioning keys stays co-located). BucketedTablesSpec
+    * asserts the aggregate's executed plan holds no Exchange; the only
+    * shuffle in the gated query is the output ORDER BY, which is gate
+    * contract, not plan.
+    */
+  def sourceBucketedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.BucketedTables.ensureBucketed(spark,
+      "graft_bkt_orders", "o_orderkey", buckets = 8, source = sfDir)(
+      table(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority"))
+    graft.sources.BucketedTables.ensureBucketed(spark,
+      "graft_bkt_lineitem", "l_orderkey", buckets = 8, source = sfDir)(
+      table(spark, sfDir, "lineitem").select("l_orderkey", "l_extendedprice"))
+    sourceBucketedAggPlan(spark).orderBy("o_orderkey")
+  }
+
+  /** The read-only aggregate over the pre-built pair, WITHOUT the gate
+    * sort — the plan BucketedTablesSpec pins exchange-free.
+    */
+  private[graft] def sourceBucketedAggPlan(spark: SparkSession): DataFrame =
+    graft.sources.BucketedTables.cobucketedJoin(spark,
+        "graft_bkt_orders", "graft_bkt_lineitem", "o_orderkey", "l_orderkey")
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        // cents-long fast path: per-orderkey cardinality scales with the
+        // corpus, per-group totals stay bounded (exactSumCents routing
+        // rule; its guard raises if the bound is ever breached)
+        graft.ops.ExactAgg.exactSumCents(col("l_extendedprice"))
+          .as("revenue"))
+
+  val sourceBucketedAggSql: String =
+    """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_orderpriority
+      |ORDER BY o_orderkey""".stripMargin
 
   val sourceMergeSchemaSql: String =
     """SELECT p_partkey, CAST(1 AS BIGINT) AS source_batch, p_name,

@@ -58,4 +58,155 @@ class GateHygieneSpec extends AnyFunSuite {
         "inlining hazard — add AS MATERIALIZED):\n" +
         violations.mkString("\n"))
   }
+
+  // ---- float-seam doctrine (round 15, test-enforced round 16) --------
+  //
+  // Two cross-engine float seams in twin SQL, both per-scale-factor
+  // coin tosses (r15 found 27 latent sites that had sat green for ten
+  // rounds before one flipped analytics_regression at sf0.001 only):
+  //
+  //   1. DuckDB's direct DECIMAL→DOUBLE cast DOUBLE-ROUNDS (int128 →
+  //      double → ÷10^scale); Spark's goes through BigDecimal and is
+  //      correctly rounded — one ulp apart on boundary values. Twins
+  //      must hop through text: CAST(CAST(x AS STRING) AS DOUBLE).
+  //   2. ROUND(double, n≥1): Spark rounds the SHORTEST REPRESENTATION
+  //      half-up (1.005 → 1.01), DuckDB the binary value (→ 1.00).
+  //      Twins respell as
+  //      CAST(ROUND(CAST(CAST(x AS STRING) AS DECIMAL(38,18)), n) AS DOUBLE).
+  //      Scale-0 rounds are exempt: the N.5 boundary is exactly
+  //      representable, so both engines see the same tie.
+  //
+  // `tools/fix_decimal_double_casts.py` is the ad-hoc twin (it also
+  // --fix-rewrites class 1); these tests make reintroduction fail
+  // `sbt test` instead of a future scale factor. The checks run over
+  // the REGISTERED oracle strings — the exact text DuckDB executes —
+  // so programmatically-built twins are covered too.
+
+  /** (start, inner) for every balanced `CAST( … )` span in `sql`. */
+  private def castSpans(sql: String): Seq[(Int, String)] =
+    "(?i)\\bCAST\\s*\\(".r.findAllMatchIn(sql).toSeq.flatMap { m =>
+      var depth = 1
+      var j = m.end
+      while (j < sql.length && depth > 0) {
+        if (sql(j) == '(') depth += 1
+        else if (sql(j) == ')') depth -= 1
+        j += 1
+      }
+      if (depth == 0) Some((m.start, sql.substring(m.end, j - 1))) else None
+    }
+
+  /** Inner texts of `CAST(<decimal-typed expr> AS DOUBLE)` spans missing
+    * the text hop (mirrors the tool's needs_hop).
+    */
+  private[graft] def unhoppedDecimalDoubleCasts(sql: String): Seq[String] =
+    castSpans(sql).map(_._2).filter { inner =>
+      val body = inner.reverse.dropWhile(_.isWhitespace).reverse
+      "(?is)\\bAS\\s+DOUBLE\\s*$".r.findFirstMatchIn(body) match {
+        case None => false
+        case Some(m) =>
+          val expr = body.substring(0, m.start).trim
+          "(?i)\\bDECIMAL\\s*\\(".r.findFirstIn(expr).isDefined &&
+            "(?is)\\bAS\\s+STRING\\s*\\)\\s*$".r.findFirstIn(expr).isEmpty &&
+            // the Spark-parity ROUND respell: its result is a small-scale
+            // decimal whose significand fits a double exactly — the outer
+            // cast is single-rounding-safe by construction
+            !("(?is)^\\s*ROUND\\s*\\(".r.findFirstIn(expr).isDefined &&
+              "(?i)DECIMAL\\s*\\(38,\\s*18\\s*\\)".r.findFirstIn(expr).isDefined)
+      }
+    }.map(_.split("\\s+").mkString(" ").take(90))
+
+  /** `ROUND(x, n≥1)` spans whose argument is not the Spark-parity
+    * respell (mirrors the tool's round_hazards, incl. the scale-0
+    * exemption).
+    */
+  private[graft] def bareRoundHazards(sql: String): Seq[String] =
+    "(?i)\\bROUND\\s*\\(".r.findAllMatchIn(sql).toSeq.flatMap { m =>
+      var depth = 1
+      var j = m.end
+      while (j < sql.length && depth > 0) {
+        if (sql(j) == '(') depth += 1
+        else if (sql(j) == ')') depth -= 1
+        j += 1
+      }
+      if (depth != 0) None
+      else {
+        val inner = sql.substring(m.end, j - 1)
+        // first top-level argument
+        var d = 0
+        var cut = inner.length
+        var i = 0
+        while (i < inner.length && cut == inner.length) {
+          inner(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case ',' if d == 0 => cut = i
+            case _ =>
+          }
+          i += 1
+        }
+        val firstArg = inner.substring(0, cut).reverse
+          .dropWhile(_.isWhitespace).reverse
+        val rest = inner.substring(firstArg.length)
+          .dropWhile(c => c == ' ' || c == ',' || c == '\n' || c == '|' || c == '\t')
+        val scale = if (rest.isEmpty) "" else rest.split("\\)")(0).trim
+        if (scale == "" || scale == "0") None // N.5 exact — no seam
+        else if ("(?is)AS\\s+STRING\\s*\\)\\s*AS\\s+DECIMAL\\s*\\(38,\\s*18\\s*\\)\\s*\\)\\s*$".r
+            .findFirstIn(firstArg).isDefined) None // already the respell
+        else Some(inner.split("\\s+").mkString(" ").take(90))
+      }
+    }
+
+  test("no oracle twin carries a raw DECIMAL→DOUBLE cast (double-rounding seam)") {
+    val violations = for {
+      (qname, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      site <- unhoppedDecimalDoubleCasts(sql)
+    } yield s"$qname: $site"
+    assert(violations.isEmpty,
+      "raw CAST(<decimal> AS DOUBLE) in oracle twins — DuckDB double-" +
+        "rounds this (a per-SF gate coin toss); hop through text as " +
+        "CAST(CAST(x AS STRING) AS DOUBLE), or run tools/" +
+        "fix_decimal_double_casts.py --fix:\n" + violations.mkString("\n"))
+  }
+
+  test("no oracle twin carries a bare ROUND(x, n>=1) (repr-vs-binary seam)") {
+    val violations = for {
+      (qname, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      site <- bareRoundHazards(sql)
+    } yield s"$qname: $site"
+    assert(violations.isEmpty,
+      "bare ROUND(x, n>=1) in oracle twins — Spark rounds the shortest " +
+        "repr, DuckDB the binary value; respell as CAST(ROUND(CAST(" +
+        "CAST(x AS STRING) AS DECIMAL(38,18)), n) AS DOUBLE) (a ROUND " +
+        "over a genuinely DECIMAL-typed argument is exact: if that's " +
+        "the case, restructure so the auditor sees the DECIMAL(38,18) " +
+        "spelling):\n" + violations.mkString("\n"))
+  }
+
+  test("the decimal-cast auditor fires on the raw spelling (bad fixture)") {
+    val bad = "SELECT CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) FROM t"
+    assert(unhoppedDecimalDoubleCasts(bad).nonEmpty,
+      "auditor must flag the raw decimal→double cast")
+    val hopped =
+      "SELECT CAST(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS STRING) AS DOUBLE) FROM t"
+    assert(unhoppedDecimalDoubleCasts(hopped).isEmpty,
+      "auditor must pass the text hop")
+    val respell = "SELECT CAST(ROUND(CAST(CAST(x AS STRING) AS " +
+      "DECIMAL(38,18)), 2) AS DOUBLE) FROM t"
+    assert(unhoppedDecimalDoubleCasts(respell).isEmpty,
+      "auditor must pass the ROUND respell's outer cast")
+    val plainDouble = "SELECT CAST(x AS DOUBLE) FROM t"
+    assert(unhoppedDecimalDoubleCasts(plainDouble).isEmpty,
+      "a cast with no decimal in scope is out of the seam's reach")
+  }
+
+  test("the ROUND auditor fires on the bare spelling (bad fixture)") {
+    assert(bareRoundHazards("SELECT ROUND(AVG(x), 2) FROM t").nonEmpty,
+      "auditor must flag bare ROUND(x, 2)")
+    assert(bareRoundHazards("SELECT ROUND(x) + ROUND(y, 0) FROM t").isEmpty,
+      "scale-0 rounds are exempt (the N.5 boundary is exact)")
+    val respelled = "SELECT CAST(ROUND(CAST(CAST(x AS STRING) AS " +
+      "DECIMAL(38,18)), 2) AS DOUBLE) FROM t"
+    assert(bareRoundHazards(respelled).isEmpty,
+      "auditor must pass the Spark-parity respell")
+  }
 }

@@ -59,21 +59,122 @@ class BucketedTablesSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  private def seedOrphan(name: String): org.apache.hadoop.fs.Path = {
+    // a realistic orphan: the files a prior JVM's managed parquet write
+    // leaves behind (part files + _SUCCESS), with the catalog entry gone
+    import org.apache.hadoop.fs.Path
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new Path(wh, name)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    fs.create(new Path(loc, "part-00000-dead_00000.c000.snappy.parquet"))
+      .close()
+    fs.create(new Path(loc, "_SUCCESS")).close()
+    loc
+  }
+
   test("writeBucketed recovers an orphaned warehouse location") {
     // a managed table's directory can outlive its catalog entry (prior
     // JVM's leavings): saveAsTable refuses to adopt it, so writeBucketed
     // clears the unclaimed location first — pin the recovery
-    import org.apache.hadoop.fs.Path
-    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new Path(wh, "bkt_spec_orphan")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(loc, "stale"))
+    seedOrphan("bkt_spec_orphan")
     assert(!spark.catalog.tableExists("bkt_spec_orphan"))
     BucketedTables.writeBucketed(
       RefQueries.table(spark, TestSpark.Sf0001, "region")
         .select("r_regionkey", "r_name"),
       "bkt_spec_orphan", "r_regionkey", buckets = 2)
     assert(spark.table("bkt_spec_orphan").count() > 0)
+  }
+
+  test("orphan recovery refuses a directory it cannot prove it owns") {
+    // the unclaimed location holds a file no managed parquet write ever
+    // produces (someone else's data at our default path): deleting it
+    // would destroy data the library cannot prove is ours — refuse loud
+    import org.apache.hadoop.fs.Path
+    val loc = seedOrphan("bkt_spec_foreign")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(loc, "somebody_elses_data.csv")).close()
+    val e = intercept[IllegalStateException] {
+      BucketedTables.writeBucketed(
+        RefQueries.table(spark, TestSpark.Sf0001, "region")
+          .select("r_regionkey", "r_name"),
+        "bkt_spec_foreign", "r_regionkey", buckets = 2)
+    }
+    assert(e.getMessage.contains("somebody_elses_data.csv"))
+    assert(fs.exists(new Path(loc, "somebody_elses_data.csv")),
+      "the foreign file must survive the refusal")
+    fs.delete(loc, true) // clean up for re-runs
+  }
+
+  test("a database-qualified name resolves to the database's location") {
+    // the orphan path comes from the session catalog (defaultTablePath),
+    // not string-building against the warehouse root — a db.table name
+    // must recover ITS location, under the database directory
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktspecdb")
+    import org.apache.hadoop.fs.Path
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new Path(new Path(wh, "bktspecdb.db"), "bkt_spec_q")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    fs.create(new Path(loc, "part-00000-dead.c000.snappy.parquet")).close()
+    fs.create(new Path(loc, "_SUCCESS")).close()
+    assert(!spark.catalog.tableExists("bktspecdb.bkt_spec_q"))
+    BucketedTables.writeBucketed(
+      RefQueries.table(spark, TestSpark.Sf0001, "region")
+        .select("r_regionkey", "r_name"),
+      "bktspecdb.bkt_spec_q", "r_regionkey", buckets = 2)
+    assert(spark.table("bktspecdb.bkt_spec_q").count() > 0)
+    spark.sql("DROP TABLE bktspecdb.bkt_spec_q")
+    spark.sql("DROP DATABASE bktspecdb")
+  }
+
+  test("ensureBucketed reuses a fresh layout and rebuilds a stale one") {
+    val dim = RefQueries.table(spark, TestSpark.Sf0001, "region")
+      .select("r_regionkey", "r_name")
+    assert(BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+      "r_regionkey", buckets = 2, source = "src-A")(dim),
+      "first ensure must write")
+    // same source: reuse — the by-name build must never be constructed
+    assert(!BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+      "r_regionkey", buckets = 2, source = "src-A")(
+      sys.error("build constructed on a fresh layout")))
+    // different source: the stamp is stale — rebuild
+    assert(BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+      "r_regionkey", buckets = 2, source = "src-B")(dim),
+      "a stale source stamp must trigger a rebuild")
+  }
+
+  test("read-only bucketed agg: zero Exchange through join AND groupBy") {
+    // the steady-state plan source_bucketed_agg gates: both tables
+    // pre-built, then join + aggregate on the bucket key with no
+    // shuffle anywhere — the scan's HashPartitioning(o_orderkey, 8)
+    // satisfies the join's distribution AND the aggregate's clustering
+    // (grouping on a superset of the partitioning keys is co-located)
+    BucketedTables.ensureBucketed(spark, "graft_bkt_orders",
+      "o_orderkey", buckets = 8, source = TestSpark.Sf0001)(
+      RefQueries.table(spark, TestSpark.Sf0001, "orders")
+        .select("o_orderkey", "o_orderpriority"))
+    BucketedTables.ensureBucketed(spark, "graft_bkt_lineitem",
+      "l_orderkey", buckets = 8, source = TestSpark.Sf0001)(
+      RefQueries.table(spark, TestSpark.Sf0001, "lineitem")
+        .select("l_orderkey", "l_extendedprice"))
+    val agg = graft.queries.SourceQueries.sourceBucketedAggPlan(spark)
+    agg.collect() // AQE finalizes the plan on execution
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"),
+      "pre-built layout must satisfy join AND aggregate without a " +
+        "shuffle:\n" + plan.take(2000))
+    // and the layout is never a semantic change
+    val want = RefQueries.table(spark, TestSpark.Sf0001, "orders")
+      .join(RefQueries.table(spark, TestSpark.Sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.ops.ExactAgg.exactSumCents(col("l_extendedprice"))
+          .as("revenue"))
+      .orderBy("o_orderkey").collect()
+    assert(agg.orderBy("o_orderkey").collect().sameElements(want))
   }
 
   test("mismatched bucket counts re-shuffle (the layout-constant guard)") {

@@ -15,9 +15,14 @@ twin of this check lives in GateHygieneSpec — the doctrine is enforced
 at test time, this script is for ad-hoc sweeps.
 
 Usage: python3 tools/audit_cte.py <oracle_sql.json> [only]
+  <oracle_sql.json>  the oracle dump a `graft.Verify` run writes
+                     (<outDir>/oracle_sql.json); a dump DIRECTORY is
+                     accepted and resolved to the file inside it
+  [only]             comma-separated query names to restrict the audit
 Exit code = number of queries with violations (0 = clean).
 Dev-only tooling — not part of the Spark library.
 """
+import argparse
 import json
 import re
 import sys
@@ -61,9 +66,33 @@ def audit(sql: str):
     return flagged
 
 
+def load_oracle(path_arg: str) -> dict:
+    """Resolve and parse the Verify oracle dump, failing with a usage-
+    grade message (not a traceback) on every misuse observed in the
+    wild: a directory, a missing file, non-JSON, or JSON of the wrong
+    shape."""
+    path = Path(path_arg)
+    if path.is_dir():  # accept the dump dir itself
+        path = path / "oracle_sql.json"
+    if not path.is_file():
+        sys.exit(f"error: {path} not found — expected the oracle_sql.json "
+                 f"a `graft.Verify` run writes into its output directory "
+                 f"(or that directory itself)")
+    try:
+        oracle = json.loads(path.read_text())
+    except json.JSONDecodeError as e:
+        sys.exit(f"error: {path} is not JSON ({e.msg} at line {e.lineno}) — "
+                 f"expected the Verify dump's oracle_sql.json")
+    if not (isinstance(oracle, dict)
+            and all(isinstance(v, str) for v in oracle.values())):
+        sys.exit(f"error: {path} is not a {{query_name: sql}} object — "
+                 f"expected the Verify dump's oracle_sql.json")
+    return oracle
+
+
 def main(path: str, only: str = "") -> int:
     names = set(only.split(",")) if only else None
-    oracle = json.loads(Path(path).read_text())
+    oracle = load_oracle(path)
     bad = 0
     for qname, sql in sorted(oracle.items()):
         if names is not None and qname not in names:
@@ -77,4 +106,15 @@ def main(path: str, only: str = "") -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:]))
+    ap = argparse.ArgumentParser(
+        description="Audit oracle twins for the DuckDB CTE-inlining "
+                    "hazard (multiply-referenced CTEs missing AS "
+                    "MATERIALIZED). Exit code = flagged query count.")
+    ap.add_argument("oracle_json",
+                    help="oracle_sql.json written by a graft.Verify run "
+                         "(or the Verify output directory containing it)")
+    ap.add_argument("only", nargs="?", default="",
+                    help="comma-separated query names to audit "
+                         "(default: all)")
+    args = ap.parse_args()
+    sys.exit(main(args.oracle_json, args.only))

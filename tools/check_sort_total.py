@@ -27,8 +27,15 @@ one DISTINCT full row. Every query lands in exactly one class:
                  etl_sample-style hazard this tool exists to catch)
 
 Usage: python3 tools/check_sort_total.py <sfDir> <verifyOutDir> [only]
+  <sfDir>         a testdata scale-factor dir (e.g. /root/testdata/sf0.01)
+                  holding the <table>.parquet inputs — the resplice path
+                  re-runs twins against these tables
+  <verifyOutDir>  the output directory of a `graft.Verify` run: one
+                  result-parquet subdir per query plus oracle_sql.json
+  [only]          comma-separated query names to restrict the check
 Exit code = flagged + unverified. Dev-only tooling.
 """
+import argparse
 import json
 import re
 import sys
@@ -208,12 +215,28 @@ def boundary_hazard(con, sql, items, dirs, limit, row_cols):
 
 def main(sf_dir: str, out_dir: str, only: str = "") -> int:
     names = set(only.split(",")) if only else None
-    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    oracle_path = Path(out_dir) / "oracle_sql.json"
+    if not oracle_path.is_file():
+        sys.exit(f"error: {oracle_path} not found — <verifyOutDir> must be "
+                 f"the output directory of a `graft.Verify` run (one result "
+                 f"subdir per query plus oracle_sql.json)")
+    try:
+        oracle = json.loads(oracle_path.read_text())
+    except json.JSONDecodeError as e:
+        sys.exit(f"error: {oracle_path} is not JSON ({e.msg} at line "
+                 f"{e.lineno}) — expected the Verify dump's oracle_sql.json")
     con = duckdb.connect()
+    mounted = 0
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            mounted += 1
+    if mounted == 0:
+        sys.exit(f"error: no <table>.parquet found under {sf_dir} — <sfDir> "
+                 f"must be a testdata scale-factor dir such as "
+                 f"/root/testdata/sf0.01 (the resplice path re-runs twins "
+                 f"against these tables)")
     flagged, unverified, ok, skip_ok = 0, 0, 0, 0
 
     def result_cols(res_dir):
@@ -346,4 +369,18 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:]))
+    ap = argparse.ArgumentParser(
+        description="Verify every gate query's trailing ORDER BY is "
+                    "content-total (no tie group holds two distinct "
+                    "rows). Exit code = flagged + unverified.")
+    ap.add_argument("sf_dir", metavar="sfDir",
+                    help="testdata scale-factor dir holding the "
+                         "<table>.parquet inputs (e.g. /root/testdata/sf0.01)")
+    ap.add_argument("out_dir", metavar="verifyOutDir",
+                    help="graft.Verify output dir: per-query result "
+                         "parquet subdirs + oracle_sql.json")
+    ap.add_argument("only", nargs="?", default="",
+                    help="comma-separated query names to check "
+                         "(default: all)")
+    args = ap.parse_args()
+    sys.exit(main(args.sf_dir, args.out_dir, args.only))

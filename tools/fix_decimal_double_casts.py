@@ -23,9 +23,14 @@ Scans triple-quoted SQL literals in the query files for
 CAST(<expr containing DECIMAL(> AS DOUBLE) spans missing the hop.
 
 Usage: python3 tools/fix_decimal_double_casts.py [--fix] [files...]
-Default files: src/main/scala/graft/queries/*.scala
-Exit code (without --fix) = number of unhopped sites. Dev-only tooling.
+  [files...]  Scala query files whose triple-quoted SQL literals to
+              audit (default: src/main/scala/graft/queries/*.scala,
+              resolved from the repo root — run from there)
+  --fix       rewrite unhopped DECIMAL→DOUBLE casts in place (the
+              ROUND class is report-only; review each flag)
+Exit code (without --fix) = number of flagged sites. Dev-only tooling.
 """
+import argparse
 import re
 import sys
 from pathlib import Path
@@ -186,14 +191,34 @@ def process(path: Path, fix: bool) -> int:
 
 
 def main(argv):
-    fix = "--fix" in argv
-    files = [Path(a) for a in argv if not a.startswith("--")]
+    ap = argparse.ArgumentParser(
+        description="Audit (or --fix) the two cross-engine float seams "
+                    "in oracle-twin SQL: raw CAST(<decimal expr> AS "
+                    "DOUBLE) double-rounding, and ROUND(double, n>=1) "
+                    "repr-vs-binary divergence (report-only). Exit code "
+                    "without --fix = flagged site count.")
+    ap.add_argument("--fix", action="store_true",
+                    help="rewrite unhopped DECIMAL→DOUBLE casts in place")
+    ap.add_argument("files", nargs="*", type=Path,
+                    help="Scala files to scan (default: "
+                         "src/main/scala/graft/queries/*.scala)")
+    args = ap.parse_args(argv)
+    files = args.files
     if not files:
-        files = sorted(Path("src/main/scala/graft/queries").glob("*.scala"))
-    total = sum(process(p, fix) for p in files)
-    print(f"-- {total} {'rewritten' if fix else 'unhopped'} "
-          f"DECIMAL→DOUBLE cast site(s)")
-    return 0 if fix else total
+        default_glob = Path("src/main/scala/graft/queries")
+        files = sorted(default_glob.glob("*.scala"))
+        if not files:
+            sys.exit(f"error: no Scala files under {default_glob}/ — run "
+                     f"from the repo root or pass files explicitly")
+    missing = [p for p in files if not p.is_file()]
+    if missing:
+        sys.exit("error: not a file: " +
+                 ", ".join(str(p) for p in missing) +
+                 " — expected Scala query files holding triple-quoted SQL")
+    total = sum(process(p, args.fix) for p in files)
+    print(f"-- {total} {'rewritten' if args.fix else 'flagged'} "
+          f"float-seam site(s)")
+    return 0 if args.fix else total
 
 
 if __name__ == "__main__":
