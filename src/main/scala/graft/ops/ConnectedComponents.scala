@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -65,11 +66,11 @@ object ConnectedComponents {
     // no common-subexpression elimination, so an unpersisted `pairs` plan
     // (here: the entire upstream near-dup pipeline) would execute twice
     // to fill the edges checkpoint
-    val fwd = fwd0.localCheckpoint(false)
+    val fwd = fwd0.persistIntermediate
     val edges = fwd
       .unionByName(fwd.select(col("m").as("n"), col("n").as("m")))
       .distinct()
-      .localCheckpoint(false)
+      .persistIntermediate
 
     // CHECKPOINT each iteration, don't just cache: an iterative
     // DataFrame loop otherwise nests every prior round's plan inside
@@ -104,6 +105,8 @@ object ConnectedComponents {
         .select(col("n"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"),
           (coalesce(col("nbrMin"), col("label")) < col("label")).as("changed"))
+        // truncation-purpose, NOT knob-subject (Persist.intermediate's
+        // scope note): cache mode would nest every round's plan
         .localCheckpoint(false)
       converged = next
         .agg(count(when(col("changed"), lit(1))).as("c"))
@@ -115,11 +118,12 @@ object ConnectedComponents {
       labels = next
       it += 1
     }
-    // both are lazy localCheckpoints now (not CacheManager entries):
-    // free their blocks explicitly — the returned plan references only
-    // the final labels checkpoint, never edges/fwd
-    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(edges)
-    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(fwd)
+    // free both reuse frames explicitly through the mode-aware helper
+    // (Bridge's checkpoint-block path alone would silently no-op under
+    // cache mode) — the returned plan references only the final labels
+    // checkpoint, never edges/fwd
+    Persist.release(edges)
+    Persist.release(fwd)
     // a silently partial labeling is WORSE than failing: a component
     // wider than maxIters hops would come back split, and a downstream
     // keep-one-per-cluster would under-delete — the bug this operator
@@ -229,7 +233,7 @@ object ConnectedComponents {
     // common-subexpression elimination), so an unpersisted `pairs` plan —
     // here the entire upstream minhash pipeline — would execute three
     // times (the `resolve` fwd-cache doctrine)
-    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v")).localCheckpoint(false)
+    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persistIntermediate
     var edges = canonical(p0).localCheckpoint(true)
     // node universe from the RAW pairs, not the canonical edges:
     // canonical() drops self-loops, and a node appearing only as (x,x)
@@ -239,9 +243,9 @@ object ConnectedComponents {
       .unionByName(p0.select(col("v").as("n")))
       .distinct()
       .localCheckpoint(true)
-    // both consumers are EAGER checkpoints, so p0's lazy-checkpoint
-    // blocks are dead the moment they exist — free them now
-    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(p0)
+    // both consumers are EAGER checkpoints, so p0's persisted rows are
+    // dead the moment they exist — free them now (mode-aware helper)
+    Persist.release(p0)
 
     var converged = false
     var round = 0
@@ -255,6 +259,7 @@ object ConnectedComponents {
       // the next round (or the final join) reads it. A test that could
       // short-circuit on a narrow plan (e.g. where+isEmpty with no
       // exchange) would leave a partial checkpoint — keep the barrier.
+      // truncation-purpose, NOT knob-subject (see Persist.intermediate)
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       // Fixpoint test in ONE aggregate job, not count+count+exceptAll
       // (the except alone was a wide shuffle over both edge sets every

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -52,7 +53,7 @@ object Curation {
     // stage 2 IS Dedup.exact — single-sourced so its keep rule (min id
     // per identical text) can never drift from the standalone operator
     val keep = Dedup.exact(quality).select(col("keep_doc_id").as("doc_id"))
-    val kept = quality.join(keep, Seq("doc_id")).localCheckpoint(false)
+    val kept = quality.join(keep, Seq("doc_id")).persistIntermediate
     // no distinct() on losers: anti-join semantics are duplicate-
     // insensitive, a distinct would just add a shuffle
     val losers = MinHashDedup

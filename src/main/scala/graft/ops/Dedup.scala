@@ -1,17 +1,32 @@
 package graft.ops
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
   *
   * Persistence: the pairwise operators persist their shingle frame for
-  * reuse within one invocation via LAZY `localCheckpoint(false)`, never
-  * `cache()`. The blocks are owned by the checkpointed RDD — the
-  * ContextCleaner frees them once the returned plan's frames are
-  * garbage-collected — so long-lived sessions accumulate nothing and
-  * owe no `clearCache()` (the capHubs doctrine, r14; `cache()` entries
-  * lived in the session CacheManager until an explicit clear).
+  * reuse within one invocation via [[Persist.intermediate]] — in the
+  * default (static-executor / local) mode a LAZY
+  * `localCheckpoint(false)`, never `cache()`. The blocks are owned by
+  * the checkpointed RDD — the ContextCleaner frees them once the
+  * returned plan's frames are garbage-collected — so long-lived
+  * sessions accumulate nothing and owe no `clearCache()` (the capHubs
+  * doctrine, r14; `cache()` entries lived in the session CacheManager
+  * until an explicit clear). The hygiene is NOT free: a locally
+  * checkpointed frame has no lineage to recompute from, so an
+  * executor loss — and in particular a dynamic-allocation
+  * decommission, which Spark's docs call out as unsafe with
+  * localCheckpoint — fails the query instead of recomputing. That is
+  * why the mechanism is a knob, not a constant: under
+  * `spark.dynamicAllocation.enabled` the `auto` mode switches to
+  * reliable `checkpoint()` (when `spark.checkpoint.dir` is set) or to
+  * lineage-preserving `cache()` — see [[Persist]] for the full
+  * contract. Every reuse-purpose persist in the engine routes through
+  * that one helper; only in-loop lineage TRUNCATION sites (iterative
+  * operators) spell `localCheckpoint` directly, because no other
+  * mechanism cuts the per-round plan growth.
   *
   * Exact dedup is a hash aggregate on the content key — one shuffle,
   * map-side combined, AQE-skew-safe. N-gram Jaccard is the exact
@@ -149,7 +164,7 @@ object Dedup {
       blocks: Int = 8,
       maxVocab: Int = 1 << 16): DataFrame = {
     import JaccardStrategy._
-    val sh = shingles(docs, n).localCheckpoint(false)
+    val sh = shingles(docs, n).persistIntermediate
     val exploded = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
     val strategy0 = strategy match {
       case Auto =>
@@ -284,7 +299,7 @@ object Dedup {
         transform(sequence(lit(0), lit(nWords - 1)),
           w => coalesce(element_at(col("wm"), w), lit(0L))).as("bm"))
       .join(sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh")), "doc_id")
-      .localCheckpoint(false)
+      .persistIntermediate
     val base = packed
       .withColumn("blk", pmod(hash(col("doc_id")), lit(blocks)))
     val partners = array((0 until blocks).map(lit): _*)
@@ -333,7 +348,7 @@ object Dedup {
       threshold: Double = 0.9,
       blocks: Int = 8,
       maxVocab: Int = 1 << 16): DataFrame = {
-    val sh = shingles(docs, n).localCheckpoint(false)
+    val sh = shingles(docs, n).persistIntermediate
     val exploded = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
     // ONE vocabulary job decides the spelling AND feeds the bitmap id
     // assignment: collect at most maxVocab+1 sorted shingles — the

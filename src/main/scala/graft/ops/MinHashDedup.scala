@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -120,7 +121,7 @@ object MinHashDedup {
       k: Int = 128, bands: Int = 32): DataFrame = {
     val sh = Dedup.shingles(docs, n)
       .where(size(col("shingle_set")) > 0)
-      .localCheckpoint(false)
+      .persistIntermediate
     // verify candidates with exact set Jaccard (shingle sets re-joined)
     bandCandidates(sh, k, bands)
       .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
@@ -209,8 +210,8 @@ object MinHashDedup {
       k: Int = 128, bands: Int = 32): DataFrame = {
     val newSh = Dedup.shingles(newDocs, n)
       .where(size(col("shingle_set")) > 0)
-      .localCheckpoint(false)
-    val newBands = bandRowsFromShingles(newSh, k, bands).localCheckpoint(false)
+      .persistIntermediate
+    val newBands = bandRowsFromShingles(newSh, k, bands).persistIntermediate
     val a = newBands.as("a")
     // ONE probe join: the batch bands against (index ∪ batch bands) —
     // covers batch×prior in either id orientation AND batch×batch
@@ -289,7 +290,7 @@ object MinHashDedup {
       k: Int = 128, bands: Int = 32): DataFrame = {
     val sh = Dedup.shingles(docs, n)
       .where(size(col("shingle_set")) > 0)
-      .localCheckpoint(false)
+      .persistIntermediate
     val unordered = bandCandidates(sh, k, bands)
       .join(sh.select(col("doc_id").as("d1"), col("shingle_set").as("s1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingle_set").as("s2")), "d2")

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -122,16 +123,17 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       blocks: Int = 8): DataFrame = {
-    // persisted (lazy localCheckpoint): BOTH sides of the self-join scan it (scan + interpreted
-    // quantize transform would otherwise run twice). Lazy localCheckpoint,
-    // not cache(): blocks are RDD-owned, so the ContextCleaner frees them
+    // persisted (Persist.intermediate — lazy localCheckpoint in the
+    // default mode): BOTH sides of the self-join scan it (scan +
+    // interpreted quantize transform would otherwise run twice).
+    // Checkpoint blocks are RDD-owned, so the ContextCleaner frees them
     // when the returned frames drop — no caller clearCache obligation
-    // (the capHubs doctrine; see Dedup's object scaladoc).
+    // (the capHubs doctrine; mode caveats in Persist's scaladoc).
     val base = corpus.select(
       col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("ns", sqrt(normQ(col("v")).cast("double")))
       .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
-      .localCheckpoint(false)
+      .persistIntermediate
     val partners = array((0 until blocks).map(lit): _*)
     val a = base.select(
       col("vec_id").as("d1"), col("v").as("v1"), col("ns").as("n1s"),
@@ -188,12 +190,12 @@ object Similarity {
       threshold: Double = 0.4): DataFrame = {
     val quant = quantizedCorpus(corpus)
     val cents = seedCentroids(corpus, nCells)
-    // persisted (lazy localCheckpoint): BOTH sides of the within-cell self-join scan it (quantize
-    // + assignment would otherwise run twice). Lazy localCheckpoint as in
-    // cosineNearDupPairs: ContextCleaner-owned, freed when the frames drop.
+    // persisted (Persist.intermediate): BOTH sides of the within-cell
+    // self-join scan it (quantize + assignment would otherwise run
+    // twice). Same mode contract as cosineNearDupPairs.
     val assigned = assignFromQuant(quant, cents)
       .select(col("n_id"), col("cv"), col("cn"), col("cell"))
-      .localCheckpoint(false)
+      .persistIntermediate
     val a = assigned.where(col("cell") >= 0).select(col("cell"),
       col("n_id").as("d1"), col("cv").as("v1"), col("cn").as("n1s"))
     val b = assigned.where(col("cell") >= 0).select(col("cell"),
@@ -235,13 +237,13 @@ object Similarity {
       blocks: Int = 8): DataFrame = {
     val base = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nq", normQ(col("v")))
-      .localCheckpoint(false)
+      .persistIntermediate
     // persist BEFORE the self-union mirror: union branches get no
     // common-subexpression elimination, so an unpersisted `half` would run
     // the entire quadratic ε-scoring join TWICE (the
     // ConnectedComponents.resolve fwd-edges doctrine — measured 2×
     // wall-clock on the gated corpus)
-    val half = blockedEpsHalf(base, eps2Q, blocks).localCheckpoint(false)
+    val half = blockedEpsHalf(base, eps2Q, blocks).persistIntermediate
     dbscanTail(base.select("vec_id"), half, minPts)
   }
 
@@ -314,11 +316,11 @@ object Similarity {
     // geometry and re-scanned parquet for the seed collect. Only the
     // point-id base still reads the corpus directly (a vec_id-pruned
     // scan).
-    val quant = quantizedCorpus(corpus).localCheckpoint(false)
+    val quant = quantizedCorpus(corpus).persistIntermediate
     val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
-    val probed = probeAssign(quant, cells, nProbe).localCheckpoint(false)
+    val probed = probeAssign(quant, cells, nProbe).persistIntermediate
     // persisted before the mirror for the same 2×-scan reason as dbscan's
-    val half = bucketEpsHalf(probed, eps2Q).localCheckpoint(false)
+    val half = bucketEpsHalf(probed, eps2Q).persistIntermediate
     dbscanTail(corpus.select(col("vec_id")), half, minPts,
       pairsDistinct = false)
   }
@@ -472,10 +474,10 @@ object Similarity {
     // AND supplies n_points/total_pairs (row-preserving projection), so
     // neither a standalone corpus.count() job nor a second parquet
     // scan for the ε-test vectors survives (the dbscanBucketed fold)
-    val quant = quantizedCorpus(corpus).localCheckpoint(false)
+    val quant = quantizedCorpus(corpus).persistIntermediate
     val n = quant.count()
     val cells = if (nCells > 0) nCells else dbscanNCells(n, nProbe)
-    val probed = probeAssign(quant, cells, nProbe).localCheckpoint(false)
+    val probed = probeAssign(quant, cells, nProbe).persistIntermediate
     // distinct candidate ids first (the 100 TB shape: dedup on the
     // narrow (p, q) pairs, re-join vectors for the ε test after)
     val cand = probed.select(col("cell"), col("n_id").as("p"))
@@ -520,20 +522,20 @@ object Similarity {
     // shared persisted quantized projection: sizing count == checkpoint fill,
     // and both the exact-ε frame and the probe assignment read it
     // (the dbscanBucketed fold)
-    val quant = quantizedCorpus(corpus).localCheckpoint(false)
+    val quant = quantizedCorpus(corpus).persistIntermediate
     val cells = if (nCells > 0) nCells else dbscanNCells(quant.count(), nProbe)
     val eb = quant
       .select(col("n_id").as("vec_id"), col("cv").as("v"))
       .withColumn("nq", normQ(col("v")))
-      .localCheckpoint(false)
-    val exactHalf = blockedEpsHalf(eb, eps2Q, blocks).localCheckpoint(false)
+      .persistIntermediate
+    val exactHalf = blockedEpsHalf(eb, eps2Q, blocks).persistIntermediate
     // persisted: both the p-side and the q-side of the semi-join scan it
-    val probed = probeAssign(quant, cells, nProbe).localCheckpoint(false)
+    val probed = probeAssign(quant, cells, nProbe).persistIntermediate
     val bucketHalf = exactHalf
       .join(probed.select(col("n_id").as("p"), col("cell")), "p")
       .join(probed.select(col("n_id").as("q"), col("cell")), Seq("q", "cell"))
       .select("p", "q")
-      .localCheckpoint(false)
+      .persistIntermediate
     val base = corpus.select(col("vec_id"))
     val ex = dbscanTail(base, exactHalf, minPts)
       .select(col("vec_id"), col("role").as("role_exact"),
@@ -569,7 +571,7 @@ object Similarity {
       minPts: Int, pairsDistinct: Boolean = true): DataFrame = {
     val pairs = half
       .unionByName(half.select(col("q").as("p"), col("p").as("q")))
-      .localCheckpoint(false)
+      .persistIntermediate
     val cnt = pairs.groupBy("p").agg(
       (if (pairsDistinct) count(lit(1))
        else count_distinct(col("q"))).as("nn"))
@@ -577,7 +579,7 @@ object Similarity {
       .join(cnt.withColumnRenamed("p", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("nn"), lit(0L)).as("n_neighbors"))
       .withColumn("is_core", col("n_neighbors") + 1 >= minPts)
-      .localCheckpoint(false)
+      .persistIntermediate
     val coreIds = deg.where(col("is_core")).select("vec_id")
     val coreEdges = pairs
       .join(coreIds.select(col("vec_id").as("p")), "p")
@@ -716,11 +718,13 @@ object Similarity {
           StructField("dot_q", LongType), StructField("cos_sim", DoubleType))))
     }
     // the quantized corpus projection is scanned once per Lloyd
-    // iteration plus once for the final assignment — persist it (lazy
-    // localCheckpoint, ContextCleaner-owned; see object scaladoc) when
-    // iterating so the interpreted quantize transform runs once
+    // iteration plus once for the final assignment — persist it
+    // (Persist.intermediate; see object scaladoc) when iterating so
+    // the interpreted quantize transform runs once. quant is never
+    // reassigned, so this is reuse, not per-round truncation — the
+    // knob applies
     val quant0 = quantizedCorpus(corpus)
-    val quant = if (lloydIters > 0) quant0.localCheckpoint(false) else quant0
+    val quant = if (lloydIters > 0) quant0.persistIntermediate else quant0
     for (_ <- 0 until lloydIters) {
       val assigned = assignFromQuant(quant, cents)
       val means = assigned
@@ -1071,7 +1075,7 @@ object Similarity {
           StructField("inertia", LongType))))
     }
     val dim = cents.head._2.length
-    val quant = quantizedCorpus(corpus).localCheckpoint(false)
+    val quant = quantizedCorpus(corpus).persistIntermediate
     for (_ <- 0 until iters) {
       val means = assignFromQuant(quant, cents)
         .where(col("cell") >= 0)

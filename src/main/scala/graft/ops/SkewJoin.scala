@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -107,12 +108,13 @@ object SkewJoin {
   def hotKeys(big: DataFrame, key: String,
       skewFactor: Double = 4.0, maxHotKeys: Int = 1000): Seq[Any] = {
     require(skewFactor > 0 && maxHotKeys > 0)
-    // persisted (lazy localCheckpoint): the mean job and the filtered collect would otherwise
+    // persisted (Persist.intermediate, released in the finally): the
+    // mean job and the filtered collect would otherwise
     // each re-run the full big-side scan+groupBy — the histogram is
     // bounded by distinct-key count, the scan is not
     val counts = big.where(col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .persistIntermediate
     try {
       // mean folded in as a broadcast 1-row aggregate instead of a
       // separate collect: one job (the broadcast build fills the checkpoint,
@@ -126,7 +128,7 @@ object SkewJoin {
         .orderBy(desc("n"), col(key))
         .limit(maxHotKeys)
         .select(col(key)).collect().map(_.get(0)).toSeq
-    } finally org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(counts)
+    } finally Persist.release(counts)
   }
 
   /** Hot-key candidates in ONE narrow pass, no shuffle: Spark's

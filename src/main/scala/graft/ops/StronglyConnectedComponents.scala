@@ -154,6 +154,7 @@ object StronglyConnectedComponents {
                 .as("color"),
               (coalesce(col("nbrMin"), col("color")) < col("color"))
                 .as("changed"))
+            // truncation-purpose, NOT knob-subject (Persist.intermediate)
             .localCheckpoint(false)
           converged = next
             .agg(count(when(col("changed"), lit(1))).as("c"))
@@ -181,6 +182,9 @@ object StronglyConnectedComponents {
             .select("node", "color")
             .distinct()
             .join(reached.select("node"), Seq("node"), "left_anti")
+            // in-loop: localCheckpoint, not the Persist knob — a cached
+            // per-round frame would pin one CacheManager entry per
+            // iteration for the loop's life
             .localCheckpoint(false)
           val nAdd = add.count()
           if (nAdd == 0L) converged = true

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -974,7 +975,7 @@ object BehaviorQueries {
       .select(expr("us DIV 86400000000").cast("long").as("day"),
         col("user_id"))
       .distinct()
-      .localCheckpoint(false)
+      .persistIntermediate
     val firstSeen = ud.groupBy("user_id").agg(min("day").as("first_day"))
     ud.join(firstSeen, "user_id")
       .groupBy("day")
@@ -1023,7 +1024,7 @@ object BehaviorQueries {
     */
   def analyticsBasketLift(spark: SparkSession, sfDir: String): DataFrame = {
     val ut = table(spark, sfDir, "events")
-      .select(col("user_id"), col("event_type")).distinct().localCheckpoint(false)
+      .select(col("user_id"), col("event_type")).distinct().persistIntermediate
     val users = ut.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("n_users"))
     val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))

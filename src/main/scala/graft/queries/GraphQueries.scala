@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -432,24 +433,27 @@ object GraphQueries {
     * adjacency) — reusing it keeps the cap to one broadcast semi
     * filter instead of adding a second degree aggregate (A/B'd:
     * recomputing cost ~0.2–0.5 s of extra exchange per query).
-    * PERSISTED per call via LAZY localCheckpoint, not cache(): every
+    * PERSISTED per call via Persist.intermediate (default mode: LAZY
+    * localCheckpoint, not cache()): every
     * caller feeds it to BOTH sides of the co-occurrence self-join, and
     * union/join branches get no common-subexpression elimination —
     * unpersisted, each side re-derived the filter chain (the
     * ConnectedComponents fwd-cache doctrine; A/B'd 3.6 → 2.6 s on
-    * neighbor_overlap). localCheckpoint's blocks are owned by the RDD,
+    * neighbor_overlap). Default-mode blocks are owned by the RDD,
     * not the session CacheManager, so the ContextCleaner frees them as
     * soon as the query's frames are dropped — a long-lived session
     * running the co-occurrence family repeatedly accumulates nothing
     * (cache() leaked one capped adjacency per invocation; r13 VERDICT
-    * item 5). The spec overrides `cap` to pin the cut on a synthetic
-    * hub and pins the no-cache-growth contract.
+    * item 5; under the knob's explicit cache mode that obligation
+    * returns and is documented at Persist). The spec overrides `cap`
+    * to pin the cut on a synthetic hub and pins the no-cache-growth
+    * contract.
     */
   private[graft] def capHubs(adj: DataFrame, nbrDeg: DataFrame,
       cap: Long = HubNeighborCap): DataFrame =
     // re-project (x, nbr): the USING join puts the key column first
     adj.join(broadcast(nbrDeg.where(col("deg") <= cap).select("nbr")),
-      Seq("nbr")).select("x", "nbr").localCheckpoint(false)
+      Seq("nbr")).select("x", "nbr").persistIntermediate
 
   /** `localBound` = 0 disables the driver-local fast path — the spec
     * hook that pins the distributed loop's plan contract (no
@@ -630,7 +634,8 @@ object GraphQueries {
         // partition, filling the checkpoint and answering convergence
         // in ONE job per round instead of eager-checkpoint + isEmpty
         // (the ConnectedComponents doctrine — isEmpty short-circuits
-        // and would leave a partial lazy checkpoint)
+        // and would leave a partial lazy checkpoint). Truncation-
+        // purpose, NOT Persist.intermediate-subject.
         .localCheckpoint(false)
       converged = next
         .agg(count(when(col("changed"), lit(1))).as("c"))
@@ -691,7 +696,7 @@ object GraphQueries {
     // bidirectional adjacency: (x, nbr) once per undirected edge end
     val adj = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
-      .localCheckpoint(false)
+      .persistIntermediate
     val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
     val cadj = capHubs(adj, deg.select(col("x").as("nbr"), col("deg")))
     val common = cadj.select(col("x"), col("nbr"))
@@ -758,7 +763,7 @@ object GraphQueries {
       .distinct()
     val adj = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
-      .localCheckpoint(false)
+      .persistIntermediate
     val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
     val cadj = capHubs(adj, deg.select(col("z").as("nbr"), col("deg")))
     cadj.select(col("x"), col("nbr"))
@@ -1709,7 +1714,7 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(false)
+      .persistIntermediate
     val deg = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
@@ -2102,7 +2107,7 @@ object GraphQueries {
       .distinct()
     val adj = und.select(col("a").as("x"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("x"), col("a").as("nbr")))
-      .localCheckpoint(false)
+      .persistIntermediate
     val deg = adj.groupBy(col("x").as("z")).agg(count(lit(1)).as("deg"))
     val cadj = capHubs(adj, deg.select(col("z").as("nbr"), col("deg")))
     cadj.select(col("x"), col("nbr"))
@@ -2198,7 +2203,7 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(false)
+      .persistIntermediate
     val nat = table(spark, sfDir, "nation")
       .select(col("n_nationkey").cast("long").as("node"),
         col("n_regionkey").cast("long").as("community"))
@@ -2288,7 +2293,7 @@ object GraphQueries {
       .distinct()
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(false)
+      .persistIntermediate
     val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val pairs = adj
       .join(broadcast(deg.select(col("node").as("u"), col("deg").as("dx"))), "u")
@@ -2495,7 +2500,7 @@ object GraphQueries {
       .withColumn("rn", row_number().over(byCust))
       .where(col("rn") <= cap)
       .select("cust", "part")
-      .localCheckpoint(false)
+      .persistIntermediate
     capped.select(col("cust"), col("part").as("p1"))
       .join(capped.select(col("cust"), col("part").as("p2")), "cust")
       .where(col("p1") < col("p2"))
@@ -2970,6 +2975,7 @@ object GraphQueries {
           (col("dist") + 1L).as("dist"))
       val next = reach.unionByName(cand)
         .groupBy("root", "node").agg(min("dist").as("dist"))
+        // truncation-purpose, NOT knob-subject (Persist.intermediate)
         .localCheckpoint(false)
       val fp = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head
       val nfp = (fp.getLong(0), fp.getLong(1))

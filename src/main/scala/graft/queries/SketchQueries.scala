@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -586,7 +587,7 @@ object SketchQueries {
     val ev = table(spark, sfDir, "events")
       .select(expr("(ts div 1000) div 86400000000").cast("long").as("day"),
         col("user_id"))
-    val days = ev.select("day").distinct().localCheckpoint(false)
+    val days = ev.select("day").distinct().persistIntermediate
     val hashed = ev
       .withColumn("h", lcg(col("user_id"), 1315423911L, 2654435761L))
       .withColumn("g", (col("h") * col("h") % Prime * 1315423911L + 97L) % Prime)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -1131,7 +1132,7 @@ object StatQueries {
         (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
       .groupBy("event_type", "day")
       .agg(sum("cents").as("c"))
-      .localCheckpoint(false)
+      .persistIntermediate
     daily.as("x")
       .join(daily.as("p"), col("p.event_type") === col("x.event_type") &&
         col("p.day") === col("x.day") - 1)
@@ -1995,7 +1996,7 @@ object StatQueries {
       .select(expr("CAST((ts DIV 1000) DIV 604800000000 AS BIGINT)").as("week"),
         col("user_id"))
       .distinct()
-      .localCheckpoint(false)
+      .persistIntermediate
     val next = active.select((col("week") - 1).as("wk_prev"),
       col("user_id").as("uid2"), lit(1L).as("back"))
     val weeks = active.select(max("week").as("maxw"))

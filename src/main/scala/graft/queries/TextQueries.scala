@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Curation, Dedup, TextOps}
@@ -585,7 +586,7 @@ object TextQueries {
     // a second aggregate — persisted, the tokenize+explode runs ONCE
     // instead of once per branch (tf, df are separate plan branches and
     // Spark does no cross-branch common-subexpression elimination)
-    val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).localCheckpoint(false)
+    val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persistIntermediate
     val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok"))
@@ -657,7 +658,7 @@ object TextQueries {
         concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2")))
     ).otherwise(array().cast("array<string>"))
     val tf = d.select(col("doc_id"), explode(grams).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).localCheckpoint(false)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persistIntermediate
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -665,7 +666,7 @@ object TextQueries {
       .select("tok")
     // persisted: norms and BOTH self-join sides scan it — unpersisted, the
     // df-aggregate + stopword join would recompute once per consumer
-    val kept = tf.join(rare, "tok").localCheckpoint(false)
+    val kept = tf.join(rare, "tok").persistIntermediate
     val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -819,7 +820,7 @@ object TextQueries {
     val blocked = docs(spark, sfDir)
       .select(col("doc_id"), col("text"), substring(col("text"), 1, 16).as("pre"),
         length(col("text")).as("len"))
-      .localCheckpoint(false)
+      .persistIntermediate
     blocked.as("a").join(blocked.as("c"),
         col("a.pre") === col("c.pre") &&
           col("a.doc_id") < col("c.doc_id") &&
@@ -871,7 +872,7 @@ object TextQueries {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 8)," +
           " i -> array_join(slice(toks, i + 1, 8), ' '))")).as("gram"))
-      .localCheckpoint(false)
+      .persistIntermediate
     val train = grams.where(col("doc_id") % 2 === 0).select("gram").distinct()
     val evalG = grams.where(col("doc_id") % 2 === 1)
       .select("doc_id", "gram").distinct()
@@ -952,7 +953,7 @@ object TextQueries {
         array_join(slice(col("toks"), col("start") + 1, lit(segLen)), " ").as("seg"))
       // persisted: the banned-set agg, the anti-join probe, and the per-doc
       // totals would each re-run tokenize+explode over the corpus
-      .localCheckpoint(false)
+      .persistIntermediate
     val banned = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs).select("seg")
@@ -1232,7 +1233,7 @@ object TextQueries {
     ).otherwise(array().cast("array<string>"))
     val bg = docs(spark, sfDir)
       .select(col("doc_id"), explode(grams).as("g"))
-      .localCheckpoint(false) // scored against counts derived from ITSELF — one extraction
+      .persistIntermediate // scored against counts derived from ITSELF — one extraction
     val counts = bg.groupBy("g").agg(count(lit(1)).as("cf"))
     bg.join(broadcast(counts), "g")
       .groupBy("doc_id")
@@ -1285,7 +1286,7 @@ object TextQueries {
     val d = docs(spark, sfDir)
     val bg = d.select(col("doc_id"), explode(grams).as("g"))
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
-      .localCheckpoint(false) // feeds the bigram counts, the prefix counts, and scoring
+      .persistIntermediate // feeds the bigram counts, the prefix counts, and scoring
     val cnt = bg.groupBy("g").agg(count(lit(1)).as("cg"))
     // prefix counts re-aggregate the BIGRAM-TYPE table (c₁(w₁) = Σ over
     // its bigrams of cg), not the token-mass bg — one fewer full pass
@@ -1354,7 +1355,7 @@ object TextQueries {
     val d = docs(spark, sfDir)
     val bg = d.select(col("doc_id"), explode(grams).as("g"))
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
-      .localCheckpoint(false)
+      .persistIntermediate
     val cnt = bg.groupBy("g").agg(count(lit(1)).as("cg"))
     val pre = cnt
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
@@ -1534,7 +1535,7 @@ object TextQueries {
     val toked = docs(spark, sfDir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .where(size(col("toks")) >= 2)
-      .localCheckpoint(false)
+      .persistIntermediate
     val uni = toked.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val uniTot = uni.agg(sum("cw").as("n_uni"))
@@ -1832,7 +1833,7 @@ object TextQueries {
     val pairs = docs(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(grams3)).as("g"))
-      .localCheckpoint(false)
+      .persistIntermediate
     val first = pairs.groupBy("g").agg(min("doc_id").as("first_doc"))
     pairs.join(first, "g")
       .groupBy("doc_id")
@@ -1902,7 +1903,7 @@ object TextQueries {
     // persisted: the threshold aggregate AND the final flag projection both
     // consume the full five-pipeline join — unpersisted, every signal's
     // tokenize/score pipeline would run twice (measured ~2× wall-clock)
-    val joined = sigs.reduce(_.join(_, "doc_id")).localCheckpoint(false)
+    val joined = sigs.reduce(_.join(_, "doc_id")).persistIntermediate
     val thExprs = (1 to 5).flatMap(i => Seq(
       percentile(col(s"s$i"), lit(0.1)).as(s"lo$i"),
       percentile(col(s"s$i"), lit(0.9)).as(s"hi$i")))
@@ -1987,7 +1988,7 @@ object TextQueries {
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(col("text"))).as("t"))
-      .localCheckpoint(false)
+      .persistIntermediate
     val rawCnt = tok.groupBy("t").agg(count(lit(1)).as("cr"))
     val tgtCnt = tok.where(col("lang") === "en")
       .groupBy("t").agg(count(lit(1)).as("ct"))
@@ -2324,18 +2325,19 @@ object TextQueries {
       transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1")))
     ).otherwise(array().cast("array<string>"))
     val d = docs(spark, sfDir)
-    // persisted (lazy localCheckpoint): the unigram table feeds BOTH
+    // persisted (Persist.intermediate): the unigram table feeds BOTH
     // broadcast joins plus the N total, the bigram table feeds the main
     // stream plus the M total — unpersisted, each consumer re-runs the
-    // corpus tokenize scan (the textPerplexity doctrine; blocks are
-    // ContextCleaner-owned, freed when the query's frames drop)
+    // corpus tokenize scan (the textPerplexity doctrine; default-mode
+    // blocks are ContextCleaner-owned, freed when the query's frames
+    // drop)
     val uni = d.select(explode(toks).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .persistIntermediate
     val nTot = uni.agg(sum(col("c")).as("n"))
     val bg = d.select(explode(grams).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cb"))
-      .localCheckpoint(false)
+      .persistIntermediate
     val mTot = bg.agg(sum(col("cb")).as("m"))
     bg.where(col("cb") >= 3)
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))

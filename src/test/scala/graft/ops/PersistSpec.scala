@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import graft.TestSpark
+
+/** Pins for the [[Persist]] knob — the one place the engine decides how
+  * a reuse-purpose intermediate frame is pinned (r16, from the r15
+  * advice: the fleet-wide localCheckpoint migration traded fault
+  * tolerance for cache hygiene silently; the knob makes it a documented,
+  * config-gated choice).
+  *
+  * Contract pinned here:
+  *   - every mode returns the same ROWS (persistence must never change
+  *     results);
+  *   - default/auto on a static-executor session = lazy localCheckpoint
+  *     (blocks RDD-owned, NO CacheManager entry — the doctrine);
+  *   - auto + dynamicAllocation resolves to reliable checkpoint when a
+  *     checkpoint dir exists, else lineage-preserving cache();
+  *   - `reliable` without a checkpoint dir fails loudly, never
+  *     silently downgrades;
+  *   - [[Persist.release]] frees the storage of WHICHEVER mechanism was
+  *     applied (Dataset.unpersist alone cannot free checkpoint blocks;
+  *     Bridge's block path alone cannot free a cache entry).
+  */
+class PersistSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def frame() = {
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .where(col("id") % 3 =!= 0)
+  }
+
+  private def withMode[A](mode: Option[String])(body: => A): A = {
+    mode.foreach(m => spark.conf.set(Persist.ModeKey, m))
+    try body
+    finally spark.conf.unset(Persist.ModeKey)
+  }
+
+  private def isLogicalRddBacked(df: org.apache.spark.sql.DataFrame) =
+    df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        d.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+      case _ => false
+    }
+
+  test("every mode returns identical rows") {
+    val expected = frame().collect().map(_.toString).sorted.toSeq
+    for (mode <- Seq(None, Some("local"), Some("cache"), Some("none"))) {
+      val got = withMode(mode) {
+        val p = Persist.intermediate(frame())
+        val rows = p.collect().map(_.toString).sorted.toSeq
+        Persist.release(p)
+        rows
+      }
+      assert(got == expected, s"mode=$mode changed the result rows")
+    }
+  }
+
+  test("default mode is the doctrine: localCheckpoint, no CacheManager entry") {
+    spark.catalog.clearCache()
+    val p = Persist.intermediate(frame()).toDF()
+    assert(isLogicalRddBacked(p),
+      "default-mode intermediate must be a (lazy) localCheckpoint plan")
+    assert(p.count() == 67)
+    assert(!Bridge.isPlanCached(p) && Bridge.cacheManagerIsEmpty(spark),
+      "default mode must not register CacheManager frames")
+    Persist.release(p)
+  }
+
+  test("auto resolution rule: static → local; dyn → reliable-or-cache") {
+    // spark.dynamicAllocation.enabled is a launch-time core conf —
+    // RuntimeConfig refuses to modify it, so the rule is pinned as the
+    // pure function intermediate() delegates to
+    assert(Persist.autoResolve(dyn = false, hasCheckpointDir = false) == "local")
+    assert(Persist.autoResolve(dyn = false, hasCheckpointDir = true) == "local")
+    assert(Persist.autoResolve(dyn = true, hasCheckpointDir = true) == "reliable")
+    assert(Persist.autoResolve(dyn = true, hasCheckpointDir = false) == "cache",
+      "no durable checkpoint storage under dynamic allocation must fall " +
+        "back to lineage-preserving cache(), never localCheckpoint")
+  }
+
+  test("explicit cache mode: release frees the CacheManager entry") {
+    spark.catalog.clearCache()
+    withMode(Some("cache")) {
+      val p = Persist.intermediate(frame()).toDF()
+      assert(p.count() == 67)
+      assert(Bridge.isPlanCached(p))
+      Persist.release(p)
+      assert(Bridge.cacheManagerIsEmpty(spark))
+    }
+  }
+
+  test("local mode: release frees the checkpoint blocks") {
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    val before = persisted
+    withMode(Some("local")) {
+      val p = Persist.intermediate(frame()).toDF()
+      assert(p.count() == 67)
+      assert(persisted == before + 1,
+        "materialized localCheckpoint must pin exactly one RDD")
+      Persist.release(p)
+      assert(persisted == before,
+        "release() must drop the checkpoint RDD's blocks " +
+          "(Dataset.unpersist alone cannot — the Bridge contract)")
+    }
+  }
+
+  test("none mode: passthrough, nothing persisted, release is a no-op") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    withMode(Some("none")) {
+      val f = frame()
+      val p = Persist.intermediate(f)
+      assert(p eq f, "none mode must return the frame untouched")
+      assert(p.count() == 67)
+      assert(spark.sparkContext.getPersistentRDDs.size == before)
+      Persist.release(p) // must not throw on an unpersisted frame
+      assert(Bridge.cacheManagerIsEmpty(spark))
+    }
+  }
+
+  test("reliable mode without a checkpoint dir fails loudly") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    withMode(Some("reliable")) {
+      val ex = intercept[IllegalStateException] {
+        Persist.intermediate(frame())
+      }
+      assert(ex.getMessage.contains("spark.checkpoint.dir"))
+    }
+  }
+
+  test("unknown mode names every accepted value") {
+    withMode(Some("eager")) {
+      val ex = intercept[IllegalArgumentException] {
+        Persist.intermediate(frame())
+      }
+      assert(ex.getMessage.contains("auto|local|cache|reliable|none"))
+    }
+  }
+
+  // LAST in source order and tagged as such: setting a checkpoint dir is
+  // irreversible on a SparkContext, and the auto+dyn test above assumes
+  // none is set. ScalaTest runs tests in registration order, so the
+  // ordering is deterministic within this suite; other suites never set
+  // one.
+  test("reliable mode checkpoints to the dir — runs last") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val expected = frame().collect().map(_.toString).sorted.toSeq
+    withMode(Some("reliable")) {
+      val p = Persist.intermediate(frame())
+      assert(p.collect().map(_.toString).sorted.toSeq == expected)
+      Persist.release(p) // best-effort no-op for reliable — must not throw
+    }
+    // the dir now holds the checkpointed partitions
+    def hasFiles(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.exists(k => k.isFile || hasFiles(k))
+    }
+    assert(hasFiles(new java.io.File(dir)),
+      "reliable mode wrote no checkpoint files")
+  }
+}

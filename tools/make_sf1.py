@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Build a one-time sf1-scale dataset by replicating sf0.1 tenfold.
+
+Usage:
+    python3 tools/make_sf1.py [--src /root/testdata/sf0.1] [--out /tmp/sf1]
+                              [--copies 10]
+
+The driver ships sf{0.001,0.01,0.1} only; the 100x-scale claims in the
+engine's scaladocs are extrapolated from the 10x gate run. This tool
+manufactures the missing measured point: each table is replicated
+`copies` times with entity keys shifted by a per-table stride
+(max(key)+1), so referential integrity (orders->customer,
+lineitem->orders/part/supplier, events->user) is preserved per copy and
+copies never collide.
+
+Two columns get more than a key shift, because verbatim replication
+would manufacture a pathology the engine would never meet on naturally
+grown data:
+
+* documents.text — 10 verbatim copies of every doc would make EVERY
+  near-dup cluster 10x wider (candidate pairs 100x on 10x data), so the
+  banded dedup queries would look superlinear for a reason that is an
+  artifact of the generator, not the algorithm. Copy i>0 appends a
+  per-copy 2-letter tag to every alphanumeric token run: a bijection on
+  the token alphabet, so WITHIN-copy shingle sets (and hence n-gram
+  Jaccard / MinHash structure) are preserved exactly, while cross-copy
+  shingle overlap drops to ~0. n_chars is recomputed.
+* embeddings.embedding — copy i>0 negates dimension (i-1) mod d: an
+  isometry for dot product and cosine, so within-copy neighbor
+  structure is exact, while cross-copy exact-duplicate vectors (cosine
+  1.0 with their 9 clones) are destroyed.
+
+Known realism caveats (documented, accepted for a scale smoke):
+dimension-table names (c_name/s_name/p_name) replicate verbatim under
+shifted keys, so name-cardinality is 10x key-cardinality lower than a
+natural sf1; region/nation stay fixed (TPC-H semantics); timestamps
+replicate verbatim (10x the traffic per day, not 10x the days).
+
+Output is parquet readable by both the engine (graft.Verify) and the
+DuckDB oracle (tools/check_oracle.py). Writes ONLY under --out; never
+touches /root/testdata.
+"""
+import argparse
+import os
+import sys
+
+STRIDED = {
+    # table -> {column: stride-source table} ; stride = max(key)+1 of the
+    # source table so foreign keys shift in lockstep with their dimension
+    "customer": {"c_custkey": ("customer", "c_custkey")},
+    "supplier": {"s_suppkey": ("supplier", "s_suppkey")},
+    "part": {"p_partkey": ("part", "p_partkey")},
+    "orders": {
+        "o_orderkey": ("orders", "o_orderkey"),
+        "o_custkey": ("customer", "c_custkey"),
+    },
+    "lineitem": {
+        "l_orderkey": ("orders", "o_orderkey"),
+        "l_partkey": ("part", "p_partkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+    },
+    "events": {
+        "event_id": ("events", "event_id"),
+        "user_id": ("events", "user_id"),
+    },
+    "documents": {"doc_id": ("documents", "doc_id")},
+    "embeddings": {"vec_id": ("embeddings", "vec_id")},
+}
+VERBATIM = ["region", "nation"]
+
+
+def copy_tag(i: int) -> str:
+    # 2-letter per-copy token suffix: 'bb', 'cc', ... (copy 0 untouched)
+    c = chr(ord("a") + i)
+    return c + c
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(
+        description=__doc__.splitlines()[0],
+        epilog="expects the driver-style parquet star schema under --src",
+    )
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--copies", type=int, default=10)
+    args = ap.parse_args()
+
+    try:
+        import duckdb
+    except ImportError:
+        print("make_sf1.py needs the driver-side duckdb (pip) environment",
+              file=sys.stderr)
+        return 2
+
+    for t in VERBATIM + list(STRIDED):
+        if not os.path.isfile(f"{args.src}/{t}.parquet"):
+            print(f"error: {args.src}/{t}.parquet missing — --src must "
+                  "point at a driver testdata sf directory", file=sys.stderr)
+            return 2
+    os.makedirs(args.out, exist_ok=True)
+
+    con = duckdb.connect()
+    strides = {}
+    for t, cols in STRIDED.items():
+        for col, (st, sc) in cols.items():
+            if (st, sc) not in strides:
+                strides[(st, sc)] = con.sql(
+                    f"SELECT max({sc}) + 1 FROM '{args.src}/{st}.parquet'"
+                ).fetchone()[0]
+
+    for t in VERBATIM:
+        con.sql(f"COPY (SELECT * FROM '{args.src}/{t}.parquet') TO "
+                f"'{args.out}/{t}.parquet' (FORMAT parquet)")
+        print(f"{t}: verbatim")
+
+    for t, cols in STRIDED.items():
+        src = f"'{args.src}/{t}.parquet'"
+        desc = con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()
+        names = [d[0] for d in desc]
+        selects = []
+        for i in range(args.copies):
+            exprs = []
+            for name in names:
+                if name in cols:
+                    st, sc = cols[name]
+                    exprs.append(f"{name} + {i} * {strides[(st, sc)]} "
+                                 f"AS {name}")
+                elif t == "documents" and name == "text" and i > 0:
+                    exprs.append(
+                        "regexp_replace(text, '([A-Za-z0-9]+)', "
+                        f"'\\1{copy_tag(i)}', 'g') AS text")
+                elif t == "documents" and name == "n_chars" and i > 0:
+                    exprs.append(
+                        "CAST(length(regexp_replace(text, "
+                        f"'([A-Za-z0-9]+)', '\\1{copy_tag(i)}', 'g')) "
+                        "AS BIGINT) AS n_chars")
+                elif t == "embeddings" and name == "embedding" and i > 0:
+                    d = con.sql(f"SELECT len(embedding) FROM {src} LIMIT 1"
+                                ).fetchone()[0]
+                    neg = (i - 1) % d + 1  # 1-based list index
+                    exprs.append(
+                        "CAST(list_transform(list_zip(embedding, "
+                        f"range(1, {d + 1})), z -> CASE WHEN z[2] = {neg} "
+                        "THEN -z[1] ELSE z[1] END) AS FLOAT[]) AS embedding")
+                else:
+                    exprs.append(name)
+            selects.append(f"SELECT {', '.join(exprs)} FROM {src}")
+        union = " UNION ALL ".join(selects)
+        con.sql(f"COPY ({union}) TO '{args.out}/{t}.parquet' "
+                "(FORMAT parquet)")
+        n = con.sql(f"SELECT count(*) FROM '{args.out}/{t}.parquet'"
+                    ).fetchone()[0]
+        print(f"{t}: {n} rows ({args.copies} copies)")
+    print(f"done -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
