@@ -124,6 +124,28 @@ class PersistSpec extends AnyFunSuite {
     }
   }
 
+  // operator-level invariance: representative gated queries whose
+  // pipelines route through Persist.intermediate (LSH dedup, IVF
+  // similarity, text self-join, skew histogram) must return identical
+  // rows under every mechanism — i.e. no operator silently depends on a
+  // persistence side effect (materialization barriers, block identity).
+  // In-loop truncation sites are explicit localCheckpoint by doctrine
+  // and are exercised unchanged underneath (dedup_clusters_star).
+  for (rep <- Seq("dedup_minhash_lsh", "sim_ann_ivf", "text_tfidf",
+      "dedup_clusters_star")) {
+    test(s"$rep rows are persistence-mode-invariant") {
+      def run() = graft.SparkEntry.queries(rep)(spark, TestSpark.Sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      val expected = run() // default (local) mode
+      for (mode <- Seq("cache", "none")) {
+        spark.catalog.clearCache()
+        val got = withMode(Some(mode))(run())
+        assert(got == expected, s"$rep diverged under mode=$mode")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("reliable mode without a checkpoint dir fails loudly") {
     assume(spark.sparkContext.getCheckpointDir.isEmpty)
     withMode(Some("reliable")) {
