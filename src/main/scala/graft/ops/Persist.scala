@@ -83,6 +83,15 @@ object Persist {
           throw new IllegalStateException(
             s"$ModeKey=reliable needs spark.checkpoint.dir (durable " +
               "storage) — set it, or use cache/local")
+        // Spark's standard checkpoint costs apply and are the
+        // deliberate price of loss-safety here: the checkpoint-write
+        // job recomputes the upstream once beyond the first action
+        // (the classic persist-before-checkpoint advice — a caller
+        // that wants to amortize it pre-caches and clears explicitly),
+        // and the written files are owned by spark.checkpoint.dir
+        // retention (set spark.cleaner.referenceTracking
+        // .cleanCheckpoints, or purge the dir) — release() cannot and
+        // does not delete them.
         ds.checkpoint(eager = false)
       case "none" => ds
       case other =>
@@ -95,6 +104,16 @@ object Persist {
     * localCheckpoint; dynamic allocation → reliable checkpoint when
     * durable storage is configured, else lineage-preserving cache()
     * (decommissioned blocks recompute; the caller owns `clearCache`).
+    *
+    * The cache() leg re-accepts the obligation the doctrine was built
+    * to remove: most reuse sites' frames outlive the operator call (the
+    * returned plan references them), so the engine cannot release them
+    * itself, and a long-lived dynamic-allocation session that never
+    * clears the cache accumulates one entry per query invocation
+    * (exactly the r13 leak class). That is the documented trade against
+    * failing queries on decommission — a deployment that wants neither
+    * sets `spark.checkpoint.dir` (→ reliable) or accepts recompute with
+    * mode=none.
     */
   private[ops] def autoResolve(dyn: Boolean,
       hasCheckpointDir: Boolean): String =
@@ -116,12 +135,9 @@ object Persist {
     * from both mechanisms: the frame must never be evaluated again.
     */
   def release[T](ds: Dataset[T]): Unit = {
-    ds match {
-      case df: org.apache.spark.sql.DataFrame @unchecked =>
-        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(df)
-      case _ => ()
-    }
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(ds)
     ds.unpersist(blocking = false)
+    ()
   }
 
   /** `frame.persistIntermediate` chaining syntax for [[intermediate]]. */

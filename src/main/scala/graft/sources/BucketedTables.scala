@@ -91,13 +91,30 @@ object BucketedTables {
       .saveAsTable(tableName)
     // provenance stamp for [[ensureBucketed]]'s staleness check — set
     // AFTER the write so a failed write never leaves a fresh-looking
-    // stamp on stale data
-    source.foreach(s => df.sparkSession.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES('$SourceProp'='$s')"))
+    // stamp on stale data. Values go through the SQL-literal escape
+    // (a path with a quote must not break — or truncate — the ALTER
+    // after the table write already succeeded), and the LAYOUT stamp
+    // records key/buckets/columns so a layout built by older code from
+    // the same source still reads as stale when the shape changed.
+    source.foreach { s =>
+      def q(v: String) = v.replace("'", "''")
+      val layout = s"$key/$buckets/${df.columns.mkString(",")}"
+      df.sparkSession.sql(
+        s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+          s"'$SourceProp'='${q(s)}', '$LayoutProp'='${q(layout)}')")
+      ()
+    }
   }
 
   /** Table property recording what a bucketed table was built FROM. */
   val SourceProp: String = "graft.bucketed.source"
+
+  /** Table property recording the layout SHAPE (bucket key, bucket
+    * count, column list) the table was built WITH — the second half of
+    * [[ensureBucketed]]'s freshness check: same source + different
+    * shape is a rebuild, not a reuse.
+    */
+  val LayoutProp: String = "graft.bucketed.layout"
 
   /** Idempotent layout materialization — the steady-state entry point.
     * Build and write the bucketed table ONLY when it is absent or was
@@ -119,8 +136,14 @@ object BucketedTables {
       val fresh = spark.catalog.tableExists(tableName) && {
         val ident =
           spark.sessionState.sqlParser.parseTableIdentifier(tableName)
-        spark.sessionState.catalog.getTableMetadata(ident)
-          .properties.get(SourceProp).contains(source)
+        val props = spark.sessionState.catalog.getTableMetadata(ident)
+          .properties
+        // freshness = same source AND same layout shape (key + bucket
+        // count — checkable without constructing the by-name build;
+        // the stamped column list additionally catches cross-shape
+        // drift on writeBucketed-side rebuilds)
+        props.get(SourceProp).contains(source) &&
+          props.get(LayoutProp).exists(_.startsWith(s"$key/$buckets/"))
       }
       if (fresh) false
       else {

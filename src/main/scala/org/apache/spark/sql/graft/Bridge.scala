@@ -28,7 +28,7 @@ object Bridge {
     * strongest check reachable from library code — the never-evaluate-
     * again contract above still rests on the caller).
     */
-  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
     df match {
       case d: org.apache.spark.sql.classic.Dataset[_] =>
         d.queryExecution.analyzed match {

@@ -98,6 +98,28 @@ class GateHygieneSpec extends AnyFunSuite {
   /** Inner texts of `CAST(<decimal-typed expr> AS DOUBLE)` spans missing
     * the text hop (mirrors the tool's needs_hop).
     */
+  /** True iff expr is, in whole, one `CAST( … AS STRING)` — the leading
+    * CAST's paren must close at the very end. A mere trailing
+    * `AS STRING)` (e.g. `SUM(dec) + CAST(y AS STRING)`) is NOT a hop:
+    * the decimal seam beside it is still live (mirrors the tool).
+    */
+  private def isWholeStringCast(expr0: String): Boolean = {
+    val e = expr0.reverse.dropWhile(_.isWhitespace).reverse
+    "(?is)^\\s*CAST\\s*\\(".r.findFirstMatchIn(e) match {
+      case Some(m)
+          if "(?is)\\bAS\\s+STRING\\s*\\)\\s*$".r.findFirstIn(e).isDefined =>
+        var depth = 1
+        var i = m.end
+        while (i < e.length && depth > 0) {
+          if (e(i) == '(') depth += 1
+          else if (e(i) == ')') depth -= 1
+          i += 1
+        }
+        depth == 0 && i == e.length
+      case _ => false
+    }
+  }
+
   private[graft] def unhoppedDecimalDoubleCasts(sql: String): Seq[String] =
     castSpans(sql).map(_._2).filter { inner =>
       val body = inner.reverse.dropWhile(_.isWhitespace).reverse
@@ -106,7 +128,7 @@ class GateHygieneSpec extends AnyFunSuite {
         case Some(m) =>
           val expr = body.substring(0, m.start).trim
           "(?i)\\bDECIMAL\\s*\\(".r.findFirstIn(expr).isDefined &&
-            "(?is)\\bAS\\s+STRING\\s*\\)\\s*$".r.findFirstIn(expr).isEmpty &&
+            !isWholeStringCast(expr) &&
             // the Spark-parity ROUND respell: its result is a small-scale
             // decimal whose significand fits a double exactly — the outer
             // cast is single-rounding-safe by construction
@@ -197,6 +219,14 @@ class GateHygieneSpec extends AnyFunSuite {
     val plainDouble = "SELECT CAST(x AS DOUBLE) FROM t"
     assert(unhoppedDecimalDoubleCasts(plainDouble).isEmpty,
       "a cast with no decimal in scope is out of the seam's reach")
+    // a trailing unrelated string cast must NOT read as the hop: the
+    // decimal seam beside it is still live (r16 review finding — the
+    // old check anchored on a mere 'AS STRING)' suffix)
+    val trailing = "SELECT CAST(SUM(CAST(x AS DECIMAL(18,2))) + " +
+      "CAST(y AS STRING) AS DOUBLE) FROM t"
+    assert(unhoppedDecimalDoubleCasts(trailing).nonEmpty,
+      "auditor must flag a live decimal seam beside an unrelated " +
+        "trailing string cast")
   }
 
   test("the ROUND auditor fires on the bare spelling (bad fixture)") {

@@ -142,6 +142,19 @@ class BucketedTablesSpec extends AnyFunSuite {
     assert(BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
       "r_regionkey", buckets = 2, source = "src-B")(dim),
       "a stale source stamp must trigger a rebuild")
+    // same source, different layout SHAPE: stale too (r16 review
+    // finding — a layout built by older code from the same source must
+    // not be silently reused with the wrong bucket count or key)
+    assert(BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+      "r_regionkey", buckets = 4, source = "src-B")(dim),
+      "a changed bucket count must trigger a rebuild")
+    assert(BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+      "r_name", buckets = 4, source = "src-B")(dim),
+      "a changed bucket key must trigger a rebuild")
+    assert(!BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+      "r_name", buckets = 4, source = "src-B")(
+      sys.error("build constructed on a fresh layout")),
+      "unchanged source+shape must reuse again")
   }
 
   test("read-only bucketed agg: zero Exchange through join AND groupBy") {

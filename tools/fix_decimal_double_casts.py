@@ -56,6 +56,25 @@ def cast_spans(text: str):
     return out
 
 
+def is_whole_string_cast(expr: str) -> bool:
+    """True iff expr is, in whole, one CAST( ... AS STRING) — the leading
+    CAST's paren must close at the very end. A mere trailing
+    'AS STRING)' (e.g. `SUM(dec_expr) + CAST(y AS STRING)`) is NOT a
+    hop: the decimal seam beside it is still live."""
+    e = expr.rstrip()
+    m = re.match(r"(?is)\s*CAST\s*\(", e)
+    if not m or not re.search(r"(?is)\bAS\s+STRING\s*\)\s*$", e):
+        return False
+    depth, i = 1, m.end()
+    while i < len(e) and depth > 0:
+        if e[i] == "(":
+            depth += 1
+        elif e[i] == ")":
+            depth -= 1
+        i += 1
+    return depth == 0 and i == len(e)
+
+
 def needs_hop(inner: str) -> bool:
     body = inner.rstrip()
     m = re.search(r"(?is)\bAS\s+DOUBLE\s*$", body)
@@ -64,7 +83,7 @@ def needs_hop(inner: str) -> bool:
     expr = body[:m.start()].rstrip()
     if not re.search(r"(?i)\bDECIMAL\s*\(", expr):
         return False  # not decimal-typed by spelling — out of scope
-    if re.search(r"(?is)\bAS\s+STRING\s*\)\s*$", expr):
+    if is_whole_string_cast(expr):
         return False  # already hopped
     if re.match(r"(?is)\s*ROUND\s*\(", expr) and \
             re.search(r"(?i)DECIMAL\s*\(38,\s*18\s*\)", expr):

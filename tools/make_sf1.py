@@ -25,10 +25,14 @@ grown data:
   the token alphabet, so WITHIN-copy shingle sets (and hence n-gram
   Jaccard / MinHash structure) are preserved exactly, while cross-copy
   shingle overlap drops to ~0. n_chars is recomputed.
-* embeddings.embedding — copy i>0 negates dimension (i-1) mod d: an
-  isometry for dot product and cosine, so within-copy neighbor
-  structure is exact, while cross-copy exact-duplicate vectors (cosine
-  1.0 with their 9 clones) are destroyed.
+* embeddings.embedding — copy i>0 applies a SIGNED CIRCULAR SHIFT:
+  dimension j takes s(i,j) * v[(j+i) mod d] with a deterministic
+  per-(copy, dim) sign. A signed permutation is an isometry for dot
+  product and cosine, so within-copy neighbor structure is exact,
+  while cross-copy similarity scrambles toward 0. (A single-dimension
+  negation is NOT enough: cosine(v, flip_k(v)) = 1 - 2*v_k^2/|v|^2,
+  ~0.97 at d=64 — every vector would stay a near-dup of its 9 clones
+  and the sim family would inherit the manufactured 100x pathology.)
 
 Known realism caveats (documented, accepted for a scale smoke):
 dimension-table names (c_name/s_name/p_name) replicate verbatim under
@@ -84,6 +88,12 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
+    if not (1 <= args.copies <= 26):
+        # copy_tag walks 'a'..'z'; past 26 the tag characters leave
+        # [A-Za-z0-9] and tokenizers would strip them, silently
+        # reintroducing verbatim text clones
+        print("error: --copies must be in [1, 26]", file=sys.stderr)
+        return 2
 
     try:
         import duckdb
@@ -137,11 +147,15 @@ def main() -> int:
                 elif t == "embeddings" and name == "embedding" and i > 0:
                     d = con.sql(f"SELECT len(embedding) FROM {src} LIMIT 1"
                                 ).fetchone()[0]
-                    neg = (i - 1) % d + 1  # 1-based list index
+                    # signed circular shift by i with hash-derived signs:
+                    # out[j] = s(i,j) * v[(j-1+i) mod d + 1]
                     exprs.append(
-                        "CAST(list_transform(list_zip(embedding, "
-                        f"range(1, {d + 1})), z -> CASE WHEN z[2] = {neg} "
-                        "THEN -z[1] ELSE z[1] END) AS FLOAT[]) AS embedding")
+                        "CAST(list_transform(range(1, {d1}), j -> "
+                        "(CASE WHEN (hash(j + {i} * 1000003) & 1) = 0 "
+                        "THEN 1 ELSE -1 END) * "
+                        "embedding[1 + ((j - 1 + {i}) % {d})]) "
+                        "AS FLOAT[]) AS embedding"
+                        .format(d1=d + 1, d=d, i=i))
                 else:
                     exprs.append(name)
             selects.append(f"SELECT {', '.join(exprs)} FROM {src}")
