@@ -357,7 +357,9 @@ object BehaviorQueries {
     * targeting/model evaluation reads ("the top decile holds X% of
     * value"), the tabular form of the Lorenz curve whose scalar
     * summaries (`analytics_gini`, `analytics_pareto`) already ship.
-    * Integer cents end to end; shares are positive-DIV ppm.
+    * Integer cents end to end; shares are positive-DIV ppm with the
+    * ×10⁶ step widened to DECIMAL(38,0)/HUGEINT — cents·10⁶ measured a
+    * long overflow at sf1 (the analytics_pareto finding).
     *
     * Scale: one fact aggregate to customer grain, one global ntile
     * over the DIMENSION-sized frame (the honest cost of exact decile
@@ -380,8 +382,10 @@ object BehaviorQueries {
       .withColumn("cum_rev_c", sum("decile_rev_c").over(w))
       .withColumn("total_c", sum("decile_rev_c").over(Window.partitionBy()))
       .select(col("decile"), col("n_customers"), col("decile_rev_c"),
-        expr("decile_rev_c * 1000000L div total_c").as("share_ppm"),
-        expr("cum_rev_c * 1000000L div total_c").as("cum_share_ppm"))
+        expr("CAST(decile_rev_c AS DECIMAL(38,0)) * 1000000 DIV total_c")
+          .as("share_ppm"),
+        expr("CAST(cum_rev_c AS DECIMAL(38,0)) * 1000000 DIV total_c")
+          .as("cum_share_ppm"))
       .orderBy("decile")
   }
 
@@ -407,8 +411,10 @@ object BehaviorQueries {
       |  FROM agg
       |)
       |SELECT decile, n_customers, decile_rev_c,
-      |       CAST(decile_rev_c * 1000000 // total_c AS BIGINT) AS share_ppm,
-      |       CAST(cum_rev_c * 1000000 // total_c AS BIGINT) AS cum_share_ppm
+      |       CAST(CAST(decile_rev_c AS HUGEINT) * 1000000 // total_c
+      |            AS BIGINT) AS share_ppm,
+      |       CAST(CAST(cum_rev_c AS HUGEINT) * 1000000 // total_c
+      |            AS BIGINT) AS cum_share_ppm
       |FROM cum ORDER BY decile""".stripMargin
 
   /** `analytics_rfm` — recency/frequency/monetary quintile segmentation

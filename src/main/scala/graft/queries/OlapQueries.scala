@@ -802,8 +802,13 @@ object OlapQueries {
       .withColumn("total_c", sum("nation_c").over(Window.partitionBy()))
       .select(col("r_name").as("region"), col("n_name").as("nation"),
         col("nation_c"), col("region_c"),
-        expr("nation_c * 1000000L div region_c").as("share_of_region_ppm"),
-        expr("region_c * 1000000L div total_c").as("share_of_total_ppm"))
+        // ppm scale through DECIMAL(38,0): region_c·10⁶ sits ~2× under
+        // 2⁶³ at sf1 (the analytics_pareto overflow class) — widened
+        // before it becomes the next scale factor's failure
+        expr("CAST(nation_c AS DECIMAL(38,0)) * 1000000 DIV region_c")
+          .as("share_of_region_ppm"),
+        expr("CAST(region_c AS DECIMAL(38,0)) * 1000000 DIV total_c")
+          .as("share_of_total_ppm"))
       .orderBy("region", "nation")
   }
 
@@ -824,9 +829,9 @@ object OlapQueries {
       |  JOIN region r ON n.n_regionkey = r.r_regionkey
       |)
       |SELECT region, nation, nation_c, region_c,
-      |       CAST(nation_c * 1000000 // region_c AS BIGINT)
+      |       CAST(CAST(nation_c AS HUGEINT) * 1000000 // region_c AS BIGINT)
       |         AS share_of_region_ppm,
-      |       CAST(region_c * 1000000 // total_c AS BIGINT)
+      |       CAST(CAST(region_c AS HUGEINT) * 1000000 // total_c AS BIGINT)
       |         AS share_of_total_ppm
       |FROM j ORDER BY region, nation""".stripMargin
 }

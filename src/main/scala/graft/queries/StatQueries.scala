@@ -1864,7 +1864,10 @@ object StatQueries {
     *
     * Determinism: the rank order is total (spend desc, custkey), ntile
     * remainder distribution is the SQL-standard front-loading in both
-    * engines, and all arithmetic is BIGINT cents.
+    * engines, and all arithmetic is integer cents — with the ppm scale
+    * routed through DECIMAL(38,0) (HUGEINT in the twin): cum_cents·10⁶
+    * measured a long overflow at sf1 (~2.3e13 total cents × 1e6 >
+    * 2⁶³), the first operator the 100×-scale run actually named.
     *
     * Scale: per-customer rollup is one hash aggregate; the ranking
     * window is over the CUSTOMER aggregate (not the fact table) and
@@ -1887,7 +1890,8 @@ object StatQueries {
     dec.crossJoin(broadcast(tot))
       .withColumn("cum_cents", sum("decile_cents").over(wCum))
       .select(col("decile"), col("n_customers"), col("decile_cents"),
-        expr("cum_cents * 1000000L DIV total_cents").as("cum_share_ppm"))
+        expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 DIV total_cents")
+          .as("cum_share_ppm"))
       .orderBy("decile")
   }
 
@@ -1906,7 +1910,8 @@ object StatQueries {
       |  FROM dec GROUP BY decile
       |)
       |SELECT decile, n_customers, decile_cents,
-      |       CAST(SUM(decile_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |       CAST(CAST(SUM(decile_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |            AS HUGEINT)
       |            * 1000000 // (SELECT SUM(decile_cents) FROM rolled) AS BIGINT)
       |         AS cum_share_ppm
       |FROM rolled ORDER BY decile""".stripMargin
