@@ -150,4 +150,15 @@ def main(sf_dir: str, out_dir: str, only: str = "", timeout: str = "120") -> int
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], *sys.argv[3:5]))
+    args = sys.argv[1:]
+    if len(args) < 2 or args[0] in ("-h", "--help"):
+        usage = next(
+            l for l in __doc__.splitlines() if l.startswith("Usage:"))
+        print(f"{usage}\n\nexpects <sfDir> with the driver parquet tables "
+              "and <verifyOutDir> from graft.Verify (holding "
+              "oracle_sql.json + one parquet dir per query); [only] is a "
+              "comma-separated query-name filter, [timeoutSec] the "
+              "per-query DuckDB watchdog (default 120).",
+              file=sys.stderr)
+        sys.exit(0 if args and args[0] in ("-h", "--help") else 2)
+    sys.exit(main(args[0], args[1], *args[2:4]))
