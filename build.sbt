@@ -28,3 +28,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// PersistDynAllocSpec boots its OWN SparkContext: dynamic allocation is
+// a launch-time core conf and SparkContext.setCheckpointDir is set-once,
+// so neither may ever touch the shared TestSpark context (the r16
+// PersistSpec set the dir on it in its last test — order-fragile and it
+// leaked the temp dir). Run that suite in its own forked JVM.
+Test / testGrouping := {
+  val opts = ForkOptions()
+    .withWorkingDirectory(Some(baseDirectory.value))
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (iso, rest) = (Test / definedTests).value
+    .partition(_.name.endsWith("PersistDynAllocSpec"))
+  Seq(
+    Tests.Group("persist-dynalloc", iso, Tests.SubProcess(opts)),
+    Tests.Group("main", rest, Tests.SubProcess(opts)))
+}

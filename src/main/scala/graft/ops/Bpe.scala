@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -22,7 +23,8 @@ import org.apache.spark.sql.functions._
   * broadcast-joined back (never collected to the driver — the
   * fixed-iteration doctrine shared with pagerank), and the merge
   * application is a narrow per-row fold. Each round ends in
-  * `localCheckpoint` so the plan doesn't double per iteration.
+  * [[Persist.truncate]] lineage truncation so the plan doesn't double
+  * per iteration.
   *
   * Merge semantics: greedy LEFT-TO-RIGHT non-overlapping replacement
   * of the round's pair (a, b) — "aaa" under (a,a) becomes [aa, a].
@@ -96,13 +98,13 @@ object Bpe {
     */
   def learn(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds > 0)
-    var types = wordTypes(docs).localCheckpoint()
+    var types = wordTypes(docs).truncateLineage()
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val top = pairCounts(types)
         .orderBy(desc("cnt"), col("pa"), col("pb"))
         .limit(1)
-        .localCheckpoint() // 1 row, materialized: cuts the loop lineage
+        .truncateLineage() // 1 row, materialized: cuts the loop lineage
       merges += top.select(lit(r.toLong).as("round"),
         col("pa"), col("pb"), col("cnt"))
       // LEFT join on true: an empty top (no pairs left) must be a
@@ -110,7 +112,7 @@ object Bpe {
       types = types.join(broadcast(top.select("pa", "pb")), lit(true), "left")
         .withColumn("syms", mergeAdjacent(col("syms"), col("pa"), col("pb")))
         .select("word", "wcnt", "syms")
-        .localCheckpoint()
+        .truncateLineage()
     }
     (merges.result().reduce(_ union _), types)
   }

@@ -76,13 +76,14 @@ object ConnectedComponents {
     // DataFrame loop otherwise nests every prior round's plan inside
     // the next one — the logical plan grows exponentially with rounds
     // (a 12-hop chain OOMed on plan STRINGIFICATION alone before any
-    // data moved). localCheckpoint materializes the round's rows and
-    // truncates lineage; a cluster deployment would point
-    // spark.checkpoint.dir at durable storage and use checkpoint()
-    // for executor-loss recovery — same contract.
+    // data moved). Persist.truncate materializes the round's rows and
+    // truncates lineage — localCheckpoint here, reliable checkpoint()
+    // for executor-loss recovery once a dynamic-allocation deployment
+    // points spark.checkpoint.dir at durable storage (the conf IS read:
+    // truncateAutoResolve).
     var labels = edges.select(col("n")).distinct()
       .withColumn("label", col("n"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -107,7 +108,7 @@ object ConnectedComponents {
           (coalesce(col("nbrMin"), col("label")) < col("label")).as("changed"))
         // truncation-purpose, NOT knob-subject (Persist.intermediate's
         // scope note): cache mode would nest every round's plan
-        .localCheckpoint(false)
+        .truncateLineage(false)
       converged = next
         .agg(count(when(col("changed"), lit(1))).as("c"))
         .head.getLong(0) == 0L
@@ -234,7 +235,7 @@ object ConnectedComponents {
     // here the entire upstream minhash pipeline — would execute three
     // times (the `resolve` fwd-cache doctrine)
     val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persistIntermediate
-    var edges = canonical(p0).localCheckpoint(true)
+    var edges = canonical(p0).truncateLineage(true)
     // node universe from the RAW pairs, not the canonical edges:
     // canonical() drops self-loops, and a node appearing only as (x,x)
     // must still come back labeled x — `resolve` keeps it, and the two
@@ -242,7 +243,7 @@ object ConnectedComponents {
     val nodes = p0.select(col("u").as("n"))
       .unionByName(p0.select(col("v").as("n")))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage(true)
     // both consumers are EAGER checkpoints, so p0's persisted rows are
     // dead the moment they exist — free them now (mode-aware helper)
     Persist.release(p0)
@@ -260,7 +261,7 @@ object ConnectedComponents {
       // short-circuit on a narrow plan (e.g. where+isEmpty with no
       // exchange) would leave a partial checkpoint — keep the barrier.
       // truncation-purpose, NOT knob-subject (see Persist.intermediate)
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val next = smallStar(largeStar(edges)).truncateLineage(false)
       // Fixpoint test in ONE aggregate job, not count+count+exceptAll
       // (the except alone was a wide shuffle over both edge sets every
       // round): a canonical edge set is a fixpoint of small∘large star

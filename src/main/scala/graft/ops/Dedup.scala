@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   * reliable `checkpoint()` (when `spark.checkpoint.dir` is set) or to
   * lineage-preserving `cache()` — see [[Persist]] for the full
   * contract. Every reuse-purpose persist in the engine routes through
-  * that one helper; only in-loop lineage TRUNCATION sites (iterative
-  * operators) spell `localCheckpoint` directly, because no other
-  * mechanism cuts the per-round plan growth.
+  * that one helper; in-loop lineage TRUNCATION sites (iterative
+  * operators) route through the sibling [[Persist.truncate]], whose
+  * mode space has no cache leg (caching never cuts the per-round plan
+  * growth) and whose `auto` honors `spark.checkpoint.dir` under
+  * dynamic allocation — the conf-only loss-safety contract PORTING.md
+  * documents.
   *
   * Exact dedup is a hash aggregate on the content key — one shuffle,
   * map-side combined, AQE-skew-safe. N-gram Jaccard is the exact

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -23,7 +24,8 @@ import org.apache.spark.sql.graft.Bridge
   * keyed by component, and one label refresh through
   * [[ConnectedComponents.resolve]] over the accumulated tree (tree
   * edges number < n). Nothing driver-side except the O(1) crossing
-  * count; every round's state is `localCheckpoint`ed. Handles
+  * count; every round's state is truncated via [[Persist.truncate]].
+  * Handles
   * disconnected inputs naturally (the result is a spanning FOREST —
   * the loop stops when no crossing edges remain).
   */
@@ -39,7 +41,7 @@ object Mst {
       maxRounds: Int = 32): DataFrame = {
     val spark = nodes.sparkSession
     val nodeIds = nodes.select(col("node").cast("long").as("node"))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage(true)
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"),
@@ -48,7 +50,7 @@ object Mst {
       .groupBy("a", "b").agg(min("cost").as("cost"))
       .withColumn("w",
         col("cost") * 1048576L + col("a") * 1024L + col("b"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
 
     var tree = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -72,12 +74,12 @@ object Mst {
             Seq("node"), "left")
           .select(col("node"),
             coalesce(col("cluster"), col("node")).as("comp"))
-      val lab = labels.localCheckpoint(true)
+      val lab = labels.truncateLineage(true)
       val crossing = und
         .join(lab.select(col("node").as("a"), col("comp").as("compA")), "a")
         .join(lab.select(col("node").as("b"), col("comp").as("compB")), "b")
         .where(col("compA") =!= col("compB"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       if (crossing.isEmpty) done = true
       else {
         val e = struct(col("w"), col("a"), col("b"), col("cost"))
@@ -87,7 +89,7 @@ object Mst {
           .select(col("e.a").as("a"), col("e.b").as("b"),
             col("e.cost").as("cost"), col("e.w").as("w"))
           .distinct()
-        val nextTree = tree.unionByName(picks).localCheckpoint(true)
+        val nextTree = tree.unionByName(picks).truncateLineage(true)
         Bridge.unpersistLocalCheckpoint(tree)
         tree = nextTree
       }

@@ -42,11 +42,18 @@ import org.apache.spark.sql.Dataset
   * (ConnectedComponents, SCC, MST, label propagation …) are
   * lineage-TRUNCATION, not reuse — `cache()` is not a valid substitute
   * there (a cached plan still nests every prior round's lineage, and
-  * the plan blow-up returns), so those sites spell their mechanism
-  * directly and are not subject to this knob. A dynamic-allocation
-  * deployment that needs loss-safe iteration points
-  * `spark.checkpoint.dir` at durable storage; the iterative operators
-  * document that contract at their loops (e.g. ConnectedComponents).
+  * the plan blow-up returns), so truncation has its own helper,
+  * [[truncate]], with its own smaller mode space (local | reliable —
+  * no cache leg, because caching does not truncate). Its `auto`
+  * upgrades to reliable `checkpoint()` exactly when dynamic allocation
+  * is on AND `spark.checkpoint.dir` points at durable storage — the
+  * conf-only contract PORTING.md promises (r17: before [[truncate]],
+  * the in-loop sites called `localCheckpoint` unconditionally and the
+  * promised conf was never read, so dynamic-allocation deployments
+  * following the doc still failed on decommission). Everywhere else —
+  * every static-executor deployment, the gate, the bench, the tests —
+  * it resolves to the doctrine's `localCheckpoint(eager)`,
+  * byte-identical to the pre-r17 spelling.
   */
 object Persist {
 
@@ -140,9 +147,72 @@ object Persist {
     ()
   }
 
+  /** Conf key selecting the [[truncate]] mechanism:
+    * `auto` (default) | `local` | `reliable`.
+    */
+  val TruncateModeKey = "spark.graft.persist.truncate"
+
+  /** Truncate a frame's lineage — the iterative operators' in-loop
+    * mechanism (each round's plan must not nest every prior round's).
+    * `eager = true` materializes now (the loop-body contract: the
+    * round's rows exist before the next round plans over them);
+    * `eager = false` is the lazy variant for loop-internal frames whose
+    * first action materializes them.
+    *
+    * Mode space is deliberately smaller than [[intermediate]]'s:
+    * `cache()` is NOT a valid truncation (a cached plan still nests the
+    * full lineage and the per-round plan blow-up returns), so the only
+    * legs are the doctrine's `localCheckpoint(eager)` and reliable
+    * `checkpoint(eager)`. `auto` resolves reliable exactly when dynamic
+    * allocation is enabled AND `spark.checkpoint.dir` is set (see
+    * [[truncateAutoResolve]]) — which makes PORTING.md's "point
+    * spark.checkpoint.dir at durable storage for loss-safe iteration"
+    * a true conf-only contract. On dynamic allocation WITHOUT a
+    * checkpoint dir the resolution stays local and the loss-on-
+    * decommission risk stands — documented, since no loss-safe
+    * truncation exists without durable storage.
+    */
+  def truncate[T](ds: Dataset[T], eager: Boolean): Dataset[T] = {
+    val spark = ds.sparkSession
+    val resolved = spark.conf.get(TruncateModeKey, "auto") match {
+      case "auto" => truncateAutoResolve(
+        dyn = spark.conf
+          .get("spark.dynamicAllocation.enabled", "false").toBoolean,
+        hasCheckpointDir = spark.sparkContext.getCheckpointDir.isDefined)
+      case m => m
+    }
+    resolved match {
+      case "local" => ds.localCheckpoint(eager)
+      case "reliable" =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            s"$TruncateModeKey=reliable needs spark.checkpoint.dir " +
+              "(durable storage) — set it, or use local")
+        ds.checkpoint(eager)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$TruncateModeKey=$other — expected auto|local|reliable")
+    }
+  }
+
+  /** The [[truncate]] `auto` rule, as data: reliable checkpoint only
+    * when BOTH dynamic allocation is on (executor decommission makes
+    * localCheckpoint blocks unrecoverable) and a checkpoint dir exists
+    * (there is nowhere durable to write otherwise).
+    */
+  private[ops] def truncateAutoResolve(dyn: Boolean,
+      hasCheckpointDir: Boolean): String =
+    if (dyn && hasCheckpointDir) "reliable" else "local"
+
   /** `frame.persistIntermediate` chaining syntax for [[intermediate]]. */
   implicit final class PersistOps[T](private val ds: Dataset[T])
       extends AnyVal {
     def persistIntermediate: Dataset[T] = intermediate(ds)
+
+    /** `frame.truncateLineage(eager)` syntax for [[truncate]]; the
+      * no-arg default mirrors `Dataset.localCheckpoint()`'s eagerness.
+      */
+    def truncateLineage(eager: Boolean = true): Dataset[T] =
+      truncate(ds, eager)
   }
 }

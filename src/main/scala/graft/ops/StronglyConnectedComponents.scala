@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -30,9 +31,11 @@ import org.apache.spark.sql.graft.Bridge
   *
   * Every step is joins + aggregates over (node)- or (edge)-sized
   * DataFrames — nothing is collected to the driver except one O(1)
-  * convergence count per round, and every round `localCheckpoint`s to
-  * truncate lineage (the ConnectedComponents doctrine; a cluster
-  * deployment would use checkpoint() on durable storage). Inner rounds
+  * convergence count per round, and every round truncates lineage via
+  * [[Persist.truncate]] (the ConnectedComponents doctrine —
+  * localCheckpoint on static executors, reliable checkpoint() when
+  * dynamic allocation is on and `spark.checkpoint.dir` points at
+  * durable storage). Inner rounds
   * are bounded by subgraph diameter; outer rounds by the number of
   * peeling levels — each round extracts EVERY current color root's SCC,
   * so chains of SCCs peel from all minima at once. Worst case (one
@@ -98,7 +101,7 @@ object StronglyConnectedComponents {
         .select(col("node"),
           coalesce(col("lab_scc"), col("node")).as("scc_id"))
     }
-    var remaining = nodes.select(col("node")).distinct().localCheckpoint(true)
+    var remaining = nodes.select(col("node")).distinct().truncateLineage(true)
     var out = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -114,7 +117,7 @@ object StronglyConnectedComponents {
         .join(remaining.select(col("node").as("dst")), "dst")
         .where(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
-        .localCheckpoint(true)
+        .truncateLineage(true)
 
       // TRIM: nodes with no in-edges or no out-edges in the remainder
       // can be on no cycle — each is its own SCC. Peeling them here
@@ -123,11 +126,11 @@ object StronglyConnectedComponents {
       // from costing one color phase per node.
       val hasIn = e.select(col("dst").as("node")).distinct()
       val hasOut = e.select(col("src").as("node")).distinct()
-      val nonTrivial = hasIn.join(hasOut, "node").localCheckpoint(true)
+      val nonTrivial = hasIn.join(hasOut, "node").truncateLineage(true)
       val trivial = remaining.join(nonTrivial, Seq("node"), "left_anti")
         .select(col("node"), col("node").as("scc_id"))
-        .localCheckpoint(true)
-      out = out.unionByName(trivial).localCheckpoint(true)
+        .truncateLineage(true)
+      out = out.unionByName(trivial).truncateLineage(true)
       remaining = nonTrivial
       nRemaining = remaining.count()
       if (nRemaining > 0) {
@@ -135,11 +138,11 @@ object StronglyConnectedComponents {
           .join(remaining.select(col("node").as("src")), "src")
           .join(remaining.select(col("node").as("dst")), "dst")
           .select("src", "dst")
-          .localCheckpoint(true)
+          .truncateLineage(true)
 
         // COLOR: forward min-id propagation to fixpoint
         var colors = remaining.withColumn("color", col("node"))
-          .localCheckpoint(true)
+          .truncateLineage(true)
         var converged = false
         var it = 0
         while (!converged && it < maxInner) {
@@ -155,7 +158,7 @@ object StronglyConnectedComponents {
               (coalesce(col("nbrMin"), col("color")) < col("color"))
                 .as("changed"))
             // truncation-purpose, NOT knob-subject (Persist.intermediate)
-            .localCheckpoint(false)
+            .truncateLineage(false)
           converged = next
             .agg(count(when(col("changed"), lit(1))).as("c"))
             .head.getLong(0) == 0L
@@ -169,7 +172,7 @@ object StronglyConnectedComponents {
         // CONTAIN: backward reachability to the color root, inside the
         // color class only
         var reached = colors.where(col("color") === col("node"))
-          .select("node", "color").localCheckpoint(true)
+          .select("node", "color").truncateLineage(true)
         converged = false
         it = 0
         while (!converged && it < maxInner) {
@@ -182,17 +185,17 @@ object StronglyConnectedComponents {
             .select("node", "color")
             .distinct()
             .join(reached.select("node"), Seq("node"), "left_anti")
-            // in-loop: localCheckpoint, not the Persist knob — a cached
-            // per-round frame would pin one CacheManager entry per
-            // iteration for the loop's life
-            .localCheckpoint(false)
+            // in-loop: Persist.truncate, not the intermediate knob — a
+            // cached per-round frame would pin one CacheManager entry
+            // per iteration for the loop's life (and never truncate)
+            .truncateLineage(false)
           val nAdd = add.count()
           if (nAdd == 0L) converged = true
           else {
             // EAGER checkpoint before dropping the old frontier: a lazy
             // one would still reference the unpersisted blocks when
             // first materialized
-            val next = reached.unionByName(add).localCheckpoint(true)
+            val next = reached.unionByName(add).truncateLineage(true)
             Bridge.unpersistLocalCheckpoint(reached)
             reached = next
           }
@@ -203,10 +206,10 @@ object StronglyConnectedComponents {
 
         out = out.unionByName(
           reached.select(col("node"), col("color").as("scc_id")))
-          .localCheckpoint(true)
+          .truncateLineage(true)
         remaining = remaining
           .join(reached.select("node"), Seq("node"), "left_anti")
-          .localCheckpoint(true)
+          .truncateLineage(true)
         nRemaining = remaining.count()
       }
       outer += 1

@@ -246,7 +246,7 @@ object TextQueries {
     val bs = Seq(97L, 193L, 389L, 769L)
     val f = TextOps.analyze(docs(spark, sfDir))
       .select(col("doc_id"), col("fingerprint").as("key"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val prior = f.where(col("doc_id") % 10 =!= 0)
     val batch = f.where(col("doc_id") % 10 === 0)
     def bits(df: DataFrame): DataFrame =

@@ -129,8 +129,9 @@ class PersistSpec extends AnyFunSuite {
   // similarity, text self-join, skew histogram) must return identical
   // rows under every mechanism — i.e. no operator silently depends on a
   // persistence side effect (materialization barriers, block identity).
-  // In-loop truncation sites are explicit localCheckpoint by doctrine
-  // and are exercised unchanged underneath (dedup_clusters_star).
+  // In-loop truncation sites route through Persist.truncate (local on
+  // this static session) and are exercised unchanged underneath
+  // (dedup_clusters_star).
   for (rep <- Seq("dedup_minhash_lsh", "sim_ann_ivf", "text_tfidf",
       "dedup_clusters_star")) {
     test(s"$rep rows are persistence-mode-invariant") {
@@ -165,26 +166,58 @@ class PersistSpec extends AnyFunSuite {
     }
   }
 
-  // LAST in source order and tagged as such: setting a checkpoint dir is
-  // irreversible on a SparkContext, and the auto+dyn test above assumes
-  // none is set. ScalaTest runs tests in registration order, so the
-  // ordering is deterministic within this suite; other suites never set
-  // one.
-  test("reliable mode checkpoints to the dir — runs last") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
-    val expected = frame().collect().map(_.toString).sorted.toSeq
-    withMode(Some("reliable")) {
-      val p = Persist.intermediate(frame())
-      assert(p.collect().map(_.toString).sorted.toSeq == expected)
-      Persist.release(p) // best-effort no-op for reliable — must not throw
-    }
-    // the dir now holds the checkpointed partitions
-    def hasFiles(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      kids.exists(k => k.isFile || hasFiles(k))
-    }
-    assert(hasFiles(new java.io.File(dir)),
-      "reliable mode wrote no checkpoint files")
+  // The reliable-mode EXECUTION legs (checkpoint files actually written,
+  // gated-query equality, the dynamic-allocation cache leg) live in
+  // PersistDynAllocSpec, which boots its OWN SparkContext in its OWN
+  // forked JVM (build.sbt testGrouping): SparkContext.setCheckpointDir
+  // is set-once, so the shared TestSpark context must never see one —
+  // the r16 spelling set it here in a "runs last" test, which made the
+  // assume-guarded test above order-fragile and leaked the temp dir
+  // (the r17 advice item).
+
+  test("truncate auto rule: reliable only under dyn AND a checkpoint dir") {
+    assert(Persist.truncateAutoResolve(dyn = false,
+      hasCheckpointDir = false) == "local")
+    assert(Persist.truncateAutoResolve(dyn = false,
+      hasCheckpointDir = true) == "local")
+    assert(Persist.truncateAutoResolve(dyn = true,
+      hasCheckpointDir = false) == "local",
+      "no durable storage -> nothing loss-safe to write; stays local")
+    assert(Persist.truncateAutoResolve(dyn = true,
+      hasCheckpointDir = true) == "reliable")
+  }
+
+  test("truncate default resolves to localCheckpoint on this static session") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val t = Persist.truncate(frame(), eager = true)
+    assert(t.count() == 67)
+    assert(sc.getPersistentRDDs.size == before + 1,
+      "static-session truncation must be the doctrine's localCheckpoint")
+    Persist.release(t)
+    assert(sc.getPersistentRDDs.size == before)
+  }
+
+  test("truncate mode reliable without a checkpoint dir fails loudly") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.conf.set(Persist.TruncateModeKey, "reliable")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Persist.truncate(frame(), eager = false)
+      }
+      assert(ex.getMessage.contains("spark.checkpoint.dir"))
+    } finally spark.conf.unset(Persist.TruncateModeKey)
+  }
+
+  test("truncate unknown mode names every accepted value") {
+    spark.conf.set(Persist.TruncateModeKey, "cache")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Persist.truncate(frame(), eager = true)
+      }
+      assert(ex.getMessage.contains("auto|local|reliable"),
+        "cache is deliberately NOT a truncation mode (it never cuts " +
+          "per-round plan growth) and the error must say what is")
+    } finally spark.conf.unset(Persist.TruncateModeKey)
   }
 }
