@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{MinHashDedup, SimHashDedup, Similarity}
@@ -177,7 +178,7 @@ object SimilarityQueries {
   def simAnnNprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = table(spark, sfDir, "embeddings")
     val exact = simTopK(spark, sfDir).select(col("q_id"), col("n_id"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     Seq(1, 2, 4, 8).map { np =>
       val ann = Similarity
         .ivfTopKCosine(emb.where(col("vec_id") < 10), emb, k = 5, nProbe = np)
@@ -640,13 +641,97 @@ object SimilarityQueries {
   private val DbscanNProbe = Similarity.DbscanNProbe
   private val DbscanMinCells = 4 * DbscanNProbe * DbscanNProbe
 
+  /** Embedding dimensionality of the driver's `embeddings` table (all
+    * SFs ship 64; `TESTDATA.md`). The DBSCAN twins quantize into
+    * DuckDB's FIXED-SIZE `DOUBLE[$EmbeddingDim]` arrays so the ε tests
+    * run through the vectorized `array_inner_product` kernel instead of
+    * per-row `list_dot_product` over casted LISTs — the r16 sf1
+    * campaign measured the LIST spelling's exact twin at > 3600 s for
+    * 20 k vectors, vs 55 s for this one (bucketed: 62 s), with
+    * BIT-IDENTICAL values: every quantized coordinate is an integer
+    * ≤ ~6e3 (|x| ≤ 0.58 × 10⁴), so each dot product is an exact
+    * integer < 2.2e9 ≪ 2⁵³ in DOUBLE regardless of summation order.
+    * The cast fails loudly (not silently truncates) if a future corpus
+    * changes dimensionality.
+    */
+  private val EmbeddingDim = 64
+
+  /** Fixed round count for the unrolled min-label connected-components
+    * closure ([[dbscanClosureSql]]). Label distance covered doubles
+    * per round (the pointer-jump term), so 24 rounds converge for any
+    * component the gate or the sf1 canary can hold; a [[dbscanClosureSql]]
+    * convergence guard `error()`s the whole query — never returns a
+    * wrong labeling — if a pathological graph ever needs more.
+    */
+  private val DbscanCcRounds = 24
+
+  /** Unrolled min-label + pointer-doubling connected-components
+    * closure over a MIRRORED core-edge CTE — the r17 replacement for
+    * the recursive-CTE reachability closure, whose working set is the
+    * full (origin, reached) relation: Σ |cluster|² rows, quadratic in
+    * cluster size (the r16 sf1 campaign's > 3600 s oracle hole; a
+    * 20 k-vector corpus with a dominant cluster materializes ~10⁸
+    * closure rows through the recursive UNION's dedup). This spelling
+    * carries one (node, best-label) row per node per round:
+    * round t+1's label = MIN(own, neighbors' labels, label-of-label) —
+    * the label-of-label term is pointer jumping, so the hop distance
+    * the label has traveled doubles per round and [[DbscanCcRounds]]
+    * rounds suffice for any component of size < 2²⁴. Convergence is
+    * NOT assumed: the final `conv` CTE counts label changes in the
+    * last round and the consumer guards on it with DuckDB `error()`,
+    * so an unconverged closure fails the gate loudly instead of
+    * hash-mismatching. Engine twin: [[graft.ops.ConnectedComponents]]
+    * (large-star/small-star — same fixpoint, distributed spelling).
+    *
+    * Emits `<pfx>lab0 … <pfx>lab$rounds` and `<pfx>conv`; the caller
+    * reads labels from `<pfx>lab$rounds` (v, l) under the guard
+    * `(SELECT CASE WHEN c > 0 THEN error(…) ELSE 0 END FROM <pfx>conv) = 0`.
+    */
+  private def dbscanClosureSql(edgesCte: String, seedCte: String,
+      pfx: String, rounds: Int = DbscanCcRounds): String = {
+    val lab0 =
+      s"""${pfx}lab0 AS MATERIALIZED (
+         |  SELECT vec_id AS v, vec_id AS l FROM $seedCte
+         |)""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      val prev = s"${pfx}lab${t - 1}"
+      s"""${pfx}lab$t AS MATERIALIZED (
+         |  SELECT v, MIN(l) AS l FROM (
+         |    SELECT v, l FROM $prev
+         |    UNION ALL
+         |    SELECT c.q AS v, x.l FROM $edgesCte c JOIN $prev x ON x.v = c.p
+         |    UNION ALL
+         |    SELECT a.v, b.l FROM $prev a JOIN $prev b ON b.v = a.l
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }
+    val conv =
+      s"""${pfx}conv AS MATERIALIZED (
+         |  SELECT COUNT(*) AS c FROM ${pfx}lab$rounds a
+         |  JOIN ${pfx}lab${rounds - 1} b ON a.v = b.v AND a.l <> b.l
+         |)""".stripMargin
+    (lab0 +: steps :+ conv).mkString(", ")
+  }
+
+  /** The closure consumers' convergence guard (see [[dbscanClosureSql]]). */
+  private def dbscanConvGuard(pfx: String): String =
+    s"""(SELECT CASE WHEN c > 0
+       |            THEN error('dbscan closure not converged in $DbscanCcRounds rounds')
+       |            ELSE 0 END FROM ${pfx}conv) = 0""".stripMargin
+
   /** `sim_dbscan` — DBSCAN over the embeddings table (ε² = 1.45e8 in
     * quantized units ≈ the 1st percentile of pairwise distances,
     * minPts = 8): exact integer ε test, CC cluster labels, deterministic
     * min-cluster border assignment — see [[graft.ops.Similarity.dbscan]]
     * for the contract. The oracle restates the definition: quadratic
-    * ε-pairs, degree threshold, and a recursive-CTE closure over the
-    * core-core graph.
+    * ε-pairs (exact, through the vectorized fixed-size-array kernel —
+    * see [[EmbeddingDim]] for the measured 65× and the bit-exactness
+    * argument), degree threshold, and the unrolled min-label closure
+    * of [[dbscanClosureSql]] over the core-core graph (the r16
+    * recursive-CTE reach closure was the sf1 campaign's only oracle
+    * hole: quadratic-in-cluster-size working set, > 3600 s at 20 k
+    * vectors; this twin value-matches it at every gate SF and runs
+    * 55 s at sf1).
     *
     * SMALL-DATA CORRECTNESS BASELINE ONLY: the ε-pair generation here
     * is the exact Ω(n²) contract. The production 100 TB spelling is
@@ -661,17 +746,18 @@ object SimilarityQueries {
       .orderBy("vec_id")
 
   val simDbscanSql: String =
-    s"""WITH RECURSIVE e AS MATERIALIZED (
+    s"""WITH e AS MATERIALIZED (
       |  SELECT vec_id,
-      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |         CAST(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS DOUBLE[$EmbeddingDim]) AS av
       |  FROM embeddings
-      |), pairs AS MATERIALIZED (
+      |), en AS MATERIALIZED (
+      |  SELECT vec_id, av, array_inner_product(av, av) AS nq FROM e
+      |), hp AS MATERIALIZED (
       |  SELECT a.vec_id AS p, b.vec_id AS q
-      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
-      |  WHERE list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
-      |      + list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
-      |      - 2 * list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
-      |      <= $DbscanEps2Q
+      |  FROM en a JOIN en b ON a.vec_id < b.vec_id
+      |  WHERE a.nq + b.nq - 2 * array_inner_product(a.av, b.av) <= $DbscanEps2Q
+      |), pairs AS MATERIALIZED (
+      |  SELECT p, q FROM hp UNION ALL SELECT q AS p, p AS q FROM hp
       |), deg AS MATERIALIZED (
       |  SELECT e.vec_id, COALESCE(c.nn, 0) AS n_neighbors
       |  FROM e LEFT JOIN (SELECT p, COUNT(*) AS nn FROM pairs GROUP BY p) c
@@ -681,12 +767,9 @@ object SimilarityQueries {
       |), cedges AS MATERIALIZED (
       |  SELECT p, q FROM pairs
       |  WHERE p IN (SELECT vec_id FROM core) AND q IN (SELECT vec_id FROM core)
-      |), reach AS (
-      |  SELECT vec_id AS n, vec_id AS m FROM core
-      |  UNION
-      |  SELECT r.n, c.q FROM reach r JOIN cedges c ON r.m = c.p
-      |), corelab AS MATERIALIZED (
-      |  SELECT n AS vec_id, MIN(m) AS cluster FROM reach GROUP BY n
+      |), ${dbscanClosureSql("cedges", "core", "")}, corelab AS MATERIALIZED (
+      |  SELECT v AS vec_id, l AS cluster FROM lab$DbscanCcRounds
+      |  WHERE ${dbscanConvGuard("")}
       |), borderlab AS MATERIALIZED (
       |  SELECT p.p AS vec_id, MIN(cl.cluster) AS bcluster
       |  FROM pairs p JOIN corelab cl ON cl.vec_id = p.q
@@ -714,9 +797,10 @@ object SimilarityQueries {
     * ε²/minPts as `sim_dbscan` so the agreement row measures exactly
     * what the cell blocking trades away. The oracle composes the
     * dynamic-geometry assign prefix ([[dbscanAssignSql]]) with the same
-    * recursive-CTE density tail as the exact oracle; every shared
-    * constant (ε², minPts, nProbe, the cell formula) is interpolated
-    * from ONE Scala definition.
+    * unrolled min-label density tail ([[dbscanClosureSql]]) as the
+    * exact oracle (62 s at sf1, vs > 3600 s for the r16 recursive-CTE
+    * closure); every shared constant (ε², minPts, nProbe, the cell
+    * formula) is interpolated from ONE Scala definition.
     */
   def simDbscanBucketed(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.dbscanBucketed(table(spark, sfDir, "embeddings"),
@@ -725,41 +809,41 @@ object SimilarityQueries {
 
   /** IVF assignment prefix with the CORPUS-DERIVED cell count of
     * [[graft.ops.Similarity.dbscanNCells]] — the DBSCAN-family sibling
-    * of the fixed-32 [[IvfAssignSql]], built as a proper
-    * `WITH [RECURSIVE]` variant instead of string surgery on the shared
-    * prefix. CTEs: v (quantized), vn (norms), prm (derived ncells),
-    * cents (lowest-id seeds, row_number ≤ ncells), scores (guarded
-    * cosine per (vector, centroid) with the −2.0 zero-norm sentinel).
-    * The multi-probe tie order is the descending (score, index) struct
-    * sort of dprob / the probe kernel: equal scores break to the
-    * HIGHEST index first.
+    * of the fixed-32 [[IvfAssignSql]]. CTEs: v (quantized into the
+    * fixed-size array — see [[EmbeddingDim]] for the exactness
+    * argument: the centroid scoring here is the bucketed family's
+    * n·nCells hot loop, 34 M dot products at sf1), vn (norms), prm
+    * (derived ncells), cents (lowest-id seeds, row_number ≤ ncells),
+    * scores (guarded cosine per (vector, centroid) with the −2.0
+    * zero-norm sentinel). The multi-probe tie order is the descending
+    * (score, index) struct sort of dprob / the probe kernel: equal
+    * scores break to the HIGHEST index first — score values are
+    * bit-identical to the r16 LIST spelling because every dot product
+    * is an exact integer in DOUBLE.
     */
-  private def dbscanAssignSql(recursive: Boolean): String = {
-    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
-    s"""$kw v AS MATERIALIZED (
+  private def dbscanAssignSql: String =
+    s"""WITH v AS MATERIALIZED (
        |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |         CAST(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS DOUBLE[$EmbeddingDim]) AS av
        |  FROM embeddings
        |), vn AS MATERIALIZED (
-       |  SELECT vec_id, qv,
-       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS nrm
+       |  SELECT vec_id, av, sqrt(array_inner_product(av, av)) AS nrm
        |  FROM v
        |), prm AS MATERIALIZED (
        |  SELECT GREATEST($DbscanMinCells, 2 * $DbscanNProbe * CAST(ceil(sqrt(count(*))) AS BIGINT)) AS ncells
        |  FROM v
        |), cents AS (
-       |  SELECT rn - 1 AS ci, qv AS cv,
-       |         sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) AS cnrm
-       |  FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+       |  SELECT rn - 1 AS ci, av AS cav,
+       |         sqrt(array_inner_product(av, av)) AS cnrm
+       |  FROM (SELECT av, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
        |  WHERE rn <= (SELECT ncells FROM prm)
        |), scores AS MATERIALIZED (
        |  SELECT vn.vec_id, vn.nrm, c.ci,
        |         CASE WHEN vn.nrm > 0 AND c.cnrm > 0
-       |              THEN list_dot_product(CAST(vn.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) / (vn.nrm * c.cnrm)
+       |              THEN array_inner_product(vn.av, c.cav) / (vn.nrm * c.cnrm)
        |              ELSE -2.0 END AS s
        |  FROM vn CROSS JOIN cents c
        |)""".stripMargin
-  }
 
   /** The shared multi-probe CTE (top-nProbe cells per vector by the
     * descending (s, i) struct sort) — appended after [[dbscanAssignSql]]
@@ -773,17 +857,15 @@ object SimilarityQueries {
        |)""".stripMargin
 
   val simDbscanBucketedSql: String =
-    dbscanAssignSql(recursive = true) + dbscanProbeSql +
+    dbscanAssignSql + dbscanProbeSql +
     s""", bpair AS MATERIALIZED (
       |  SELECT DISTINCT px.vec_id AS p, py.vec_id AS q
       |  FROM dprob px
       |  JOIN dprob py ON px.cell = py.cell AND px.vec_id < py.vec_id
       |  JOIN vn x ON x.vec_id = px.vec_id
       |  JOIN vn y ON y.vec_id = py.vec_id
-      |  WHERE list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(x.qv AS DOUBLE[]))
-      |      + list_dot_product(CAST(y.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
-      |      - 2 * list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
-      |      <= $DbscanEps2Q
+      |  WHERE array_inner_product(x.av, x.av) + array_inner_product(y.av, y.av)
+      |      - 2 * array_inner_product(x.av, y.av) <= $DbscanEps2Q
       |), dpairs AS MATERIALIZED (
       |  SELECT p, q FROM bpair UNION ALL SELECT q AS p, p AS q FROM bpair
       |), ddeg AS MATERIALIZED (
@@ -792,15 +874,12 @@ object SimilarityQueries {
       |    ON c.p = v.vec_id
       |), dcore AS MATERIALIZED (
       |  SELECT vec_id FROM ddeg WHERE n_neighbors + 1 >= $DbscanMinPts
-      |), dcedges AS (
+      |), dcedges AS MATERIALIZED (
       |  SELECT p, q FROM dpairs
       |  WHERE p IN (SELECT vec_id FROM dcore) AND q IN (SELECT vec_id FROM dcore)
-      |), dreach AS (
-      |  SELECT vec_id AS n, vec_id AS m FROM dcore
-      |  UNION
-      |  SELECT r.n, c.q FROM dreach r JOIN dcedges c ON r.m = c.p
-      |), dcorelab AS MATERIALIZED (
-      |  SELECT n AS vec_id, MIN(m) AS cluster FROM dreach GROUP BY n
+      |), ${dbscanClosureSql("dcedges", "dcore", "d")}, dcorelab AS MATERIALIZED (
+      |  SELECT v AS vec_id, l AS cluster FROM dlab$DbscanCcRounds
+      |  WHERE ${dbscanConvGuard("d")}
       |), dborderlab AS (
       |  SELECT p.p AS vec_id, MIN(cl.cluster) AS bcluster
       |  FROM dpairs p JOIN dcorelab cl ON cl.vec_id = p.q
@@ -877,7 +956,7 @@ object SimilarityQueries {
       eps2Q = DbscanEps2Q)
 
   val simDbscanCandidateStatsSql: String =
-    dbscanAssignSql(recursive = false) + dbscanProbeSql +
+    dbscanAssignSql + dbscanProbeSql +
     s""", cand AS MATERIALIZED (
        |  SELECT DISTINCT px.vec_id AS p, py.vec_id AS q
        |  FROM dprob px
@@ -885,9 +964,8 @@ object SimilarityQueries {
        |), ce AS MATERIALIZED (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
        |         CAST(COALESCE(SUM(CASE WHEN
-       |             list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(x.qv AS DOUBLE[]))
-       |           + list_dot_product(CAST(y.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
-       |           - 2 * list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+       |             array_inner_product(x.av, x.av) + array_inner_product(y.av, y.av)
+       |           - 2 * array_inner_product(x.av, y.av)
        |           <= $DbscanEps2Q THEN 1 ELSE 0 END), 0) AS BIGINT) AS eps_pairs
        |  FROM cand JOIN vn x ON x.vec_id = cand.p JOIN vn y ON y.vec_id = cand.q
        |), np AS MATERIALIZED (
@@ -1753,12 +1831,12 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(rankW))
       .where(col("rn") <= MmrPool)
       .select("q_id", "n_id", "cv", "rel")
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var selected = pool.groupBy("q_id")
       .agg(max(struct(col("rel").as("mmr"), (-col("n_id")).as("mn"))).as("m"))
       .select(col("q_id"), (-col("m.mn")).as("n_id"),
         lit(1L).as("pick_order"), (col("m.mmr") * 7).as("mmr_score"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     for (r <- 2 to MmrK) {
       val selVec = selected.join(pool, Seq("q_id", "n_id"))
         .select(col("q_id"), col("cv").as("sv"))
@@ -1772,7 +1850,7 @@ object SimilarityQueries {
         .agg(max(struct(col("mmr").as("mmr"), (-col("n_id")).as("mn"))).as("m"))
         .select(col("q_id"), (-col("m.mn")).as("n_id"),
           lit(r.toLong).as("pick_order"), col("m.mmr").as("mmr_score"))
-      selected = selected.unionByName(pick).localCheckpoint(true)
+      selected = selected.unionByName(pick).truncateLineage(true)
     }
     selected.orderBy("q_id", "pick_order")
   }
