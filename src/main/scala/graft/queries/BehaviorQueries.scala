@@ -102,8 +102,14 @@ object BehaviorQueries {
     val tot = byDow.groupBy("event_type")
       .agg(sum(col("n_events")).as("tot_n"), sum(col("sum_c")).as("tot_c"))
     byDow.join(broadcast(tot), "event_type")
-      .withColumn("dow_avg_mc", expr("(sum_c * 1000) DIV n_events"))
-      .withColumn("all_avg_mc", expr("(tot_c * 1000) DIV tot_n"))
+      // ×1000 over SUMMED cents routes through DECIMAL(38,0) — the
+      // analytics_pareto overflow class (tools/audit_overflow.py):
+      // tot_c·10³ clears 2⁶³ around ~10³× the sf1 event volume. The
+      // DIV lands back in LONG, so downstream algebra is unchanged.
+      .withColumn("dow_avg_mc",
+        expr("CAST(sum_c AS DECIMAL(38,0)) * 1000 DIV n_events"))
+      .withColumn("all_avg_mc",
+        expr("CAST(tot_c AS DECIMAL(38,0)) * 1000 DIV tot_n"))
       .select(col("event_type"), col("dow"), col("n_events"), col("sum_c"),
         expr("(dow_avg_mc * 1000000) DIV all_avg_mc").as("index_1e6"))
       .orderBy("event_type", "dow")
@@ -125,8 +131,8 @@ object BehaviorQueries {
       |  FROM bydow GROUP BY event_type
       |)
       |SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow, b.n_events, b.sum_c,
-      |       CAST(((b.sum_c * 1000 // b.n_events) * 1000000)
-      |            // (t.tot_c * 1000 // t.tot_n) AS BIGINT) AS index_1e6
+      |       CAST(((CAST(b.sum_c AS HUGEINT) * 1000 // b.n_events) * 1000000)
+      |            // (CAST(t.tot_c AS HUGEINT) * 1000 // t.tot_n) AS BIGINT) AS index_1e6
       |FROM bydow b JOIN tot t USING (event_type)
       |ORDER BY b.event_type, b.dow""".stripMargin
 
@@ -214,7 +220,10 @@ object BehaviorQueries {
           .as("cohort_date"),
         col("day_offset"), col("n_cohort_users"), col("period_rev_c"),
         col("cum_rev_c"),
-        expr("cum_rev_c * 1000L div n_cohort_users").as("ltv_mc"))
+        // cumulative cents ×10³ → DECIMAL(38,0): the analytics_pareto
+        // overflow class (tools/audit_overflow.py); DIV returns LONG
+        expr("CAST(cum_rev_c AS DECIMAL(38,0)) * 1000 DIV n_cohort_users")
+          .as("ltv_mc"))
       .orderBy("cohort_date", "day_offset")
   }
 
@@ -246,7 +255,8 @@ object BehaviorQueries {
       |SELECT strftime(to_timestamp(cohort * 86400), '%Y-%m-%d') AS cohort_date,
       |       cum.day_offset, s.n_cohort_users, cum.period_rev_c,
       |       cum.cum_rev_c,
-      |       CAST(cum.cum_rev_c * 1000 // s.n_cohort_users AS BIGINT) AS ltv_mc
+      |       CAST(CAST(cum.cum_rev_c AS HUGEINT) * 1000 // s.n_cohort_users
+      |            AS BIGINT) AS ltv_mc
       |FROM cum JOIN sizes s USING (cohort)
       |ORDER BY cohort_date, day_offset""".stripMargin
 
@@ -268,7 +278,7 @@ object BehaviorQueries {
     val days = eventsUs(spark, sfDir)
       .select(col("user_id"), expr(s"us div $UsPerDay").cast("long").as("day"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val w = Window.partitionBy("user_id")
     val flagged = days.withColumn("first_day", min("day").over(w))
     val prev = days.select(col("user_id"), (col("day") + 1).as("day"),
@@ -640,14 +650,14 @@ object BehaviorQueries {
     val trans = pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"),
         expr("n * 1000000L div n_from").as("p_ppm"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val states = trans.select(col("from_type").as("state"))
       .unionByName(trans.select(col("to_type").as("state")))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage(true)
     val k = states.agg(count(lit(1)).as("k"))
     var pi = states.crossJoin(broadcast(k))
       .select(col("state"), expr("1000000L div k").as("pi_ppm"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     for (_ <- 1 to StationaryRounds) {
       val next = trans
         .join(broadcast(pi.select(col("state").as("from_type"),
@@ -656,7 +666,7 @@ object BehaviorQueries {
         .agg(expr("CAST(sum(p_in * p_ppm) div 1000000L AS BIGINT)").as("s"))
       val updated = states.join(next, Seq("state"), "left")
         .select(col("state"), coalesce(col("s"), lit(0L)).as("pi_ppm"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(pi)
       pi = updated
     }

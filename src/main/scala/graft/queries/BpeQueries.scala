@@ -296,7 +296,12 @@ object BpeQueries {
       .groupBy("lang")
       .agg(sum("n_words").as("n_words"), sum("n_subwords").as("n_subwords"))
       .select(col("lang"), col("n_words"), col("n_subwords"),
-        expr("n_subwords * 1000000L DIV n_words").as("fertility_ppm"))
+        // token-count sums beat the row-count ×10⁶ headroom (~10³
+        // tokens/doc): n_subwords·10⁶ clears 2⁶³ near a 100 TB corpus,
+        // so the ppm scale widens through DECIMAL(38,0) — the
+        // analytics_pareto overflow class (tools/audit_overflow.py)
+        expr("CAST(n_subwords AS DECIMAL(38,0)) * 1000000 DIV n_words")
+          .as("fertility_ppm"))
       .orderBy("lang")
   }
 
@@ -311,8 +316,8 @@ object BpeQueries {
        |)
        |SELECT w.lang, CAST(SUM(w.n_words) AS BIGINT) AS n_words,
        |       CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
-       |       CAST(SUM(e.n_subwords) * 1000000 // SUM(w.n_words) AS BIGINT)
-       |         AS fertility_ppm
+       |       CAST(CAST(SUM(e.n_subwords) AS HUGEINT) * 1000000
+       |            // SUM(w.n_words) AS BIGINT) AS fertility_ppm
        |FROM enc e JOIN w USING (doc_id)
        |GROUP BY w.lang ORDER BY w.lang""".stripMargin
 }

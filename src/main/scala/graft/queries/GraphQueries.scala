@@ -479,12 +479,12 @@ object GraphQueries {
     }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").cast("long").as("src"), col("deg"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     // contrib/sums are O(nodes) per round: broadcast only while the
     // measured node count fits (nodeSideHint) — a generic caller with
     // a node set past the bound gets plain shuffle joins instead
     val side = nodeSideHint(nodeIds)
-    var rank = nodeIds.withColumn("rank", lit(1000000L)).localCheckpoint(true)
+    var rank = nodeIds.withColumn("rank", lit(1000000L)).truncateLineage(true)
     for (_ <- 1 to iters) {
       // pre-divide: each edge contributes rank_src DIV deg_src, so the
       // broadcast side carries the quotient directly (one row per
@@ -499,7 +499,7 @@ object GraphQueries {
         .join(side(sums), Seq("node"), "left")
         .select(col("node"),
           expr("150000L + (850L * coalesce(s, 0L)) DIV 1000L").as("rank"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rank)
       rank = next
     }
@@ -613,7 +613,7 @@ object GraphQueries {
       source: Long, maxIters: Int): DataFrame = {
     var dist = nodes.select(col("node").cast("long").as("node"))
       .withColumn("dist", when(col("node") === source, 0L))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -636,7 +636,7 @@ object GraphQueries {
         // (the ConnectedComponents doctrine — isEmpty short-circuits
         // and would leave a partial lazy checkpoint). Truncation-
         // purpose, NOT Persist.intermediate-subject.
-        .localCheckpoint(false)
+        .truncateLineage(false)
       converged = next
         .agg(count(when(col("changed"), lit(1))).as("c"))
         .head.getLong(0) == 0L
@@ -833,12 +833,12 @@ object GraphQueries {
           coalesce(col("lrank"), lit(150000L)).as("rank"))
         .orderBy(desc("rank"), col("nationkey"))
     }
-    val nodeIds = nodes.localCheckpoint(true)
+    val nodeIds = nodes.truncateLineage(true)
     val totw = wedges.groupBy("src").agg(sum(col("cnt")).as("tw"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     // node-sized broadcast guard — see nodeSideHint
     val side = nodeSideHint(nodeIds)
-    var rank = nodeIds.withColumn("rank", lit(1000000L)).localCheckpoint(true)
+    var rank = nodeIds.withColumn("rank", lit(1000000L)).truncateLineage(true)
     for (_ <- 1 to Iters) {
       val sums = wedges
         .join(side(rank.join(totw, rank("node") === totw("src"))
@@ -849,7 +849,7 @@ object GraphQueries {
         .join(side(sums), Seq("node"), "left")
         .select(col("node"),
           expr("150000L + (850L * coalesce(s, 0L)) DIV 1000L").as("rank"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rank)
       rank = next
     }
@@ -967,7 +967,7 @@ object GraphQueries {
           coalesce(col("lauth"), lit(0L)).as("auth_1e6"))
         .orderBy(desc("hub_1e6"), col("nationkey"))
     }
-    val nodes = nodes0.localCheckpoint(true)
+    val nodes = nodes0.truncateLineage(true)
     val side = nodeSideHint(nodes)
     // CHECKPOINT each half-step (the pagerank doctrine): every
     // half-step references its input vector twice (the rescale's max
@@ -975,16 +975,16 @@ object GraphQueries {
     // plan DOUBLES per half-step — 2^6 subplan executions by round 3,
     // measured 151 s at sf0.1 vs ~2 s checkpointed. The replaced
     // vector's blocks drop as soon as the next one is materialized.
-    var hub = nodes.withColumn("score", lit(1000000L)).localCheckpoint(true)
+    var hub = nodes.withColumn("score", lit(1000000L)).truncateLineage(true)
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
       val nextAuth = normalizeMax(propagate(nodes, edges, hub, "src", "dst", side))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       if (auth != null)
         org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(auth)
       auth = nextAuth
       val nextHub = normalizeMax(propagate(nodes, edges, auth, "dst", "src", side))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(hub)
       hub = nextHub
     }
@@ -1194,7 +1194,7 @@ object GraphQueries {
     var reached = srcFrame
       .select(col("node").as("s"), col("node").as("v"),
         lit(0).as("dist"), lit(1L).as("sigma"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var frontier = reached
     var r = 0
     var frontierCount = 1L
@@ -1208,10 +1208,10 @@ object GraphQueries {
         .join(reached.select(col("s"), col("v").as("nv")),
           Seq("s", "nv"), "left_anti")
         .select(col("s"), col("nv").as("v"), lit(r).as("dist"), col("sigma"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       frontierCount = newly.count()
       if (frontierCount > 0) {
-        val nextReached = reached.unionByName(newly).localCheckpoint(true)
+        val nextReached = reached.unionByName(newly).truncateLineage(true)
         // the replaced cumulative frame's blocks are dead once the new
         // one is materialized — drop them or checkpoint storage grows
         // linearly with rounds on a |sources|·|nodes|-sized frame (the
@@ -1367,9 +1367,9 @@ object GraphQueries {
           coalesce(col("lrank"), lit(1000000L)).as("katz"))
         .orderBy(desc("katz"), col("nationkey"))
     }
-    val nodeIds = nodes.localCheckpoint(true)
+    val nodeIds = nodes.truncateLineage(true)
     val side = nodeSideHint(nodeIds)
-    var x = nodeIds.withColumn("katz", lit(1000000L)).localCheckpoint(true)
+    var x = nodeIds.withColumn("katz", lit(1000000L)).truncateLineage(true)
     for (_ <- 1 to Iters) {
       val sums = edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("node"))
@@ -1380,7 +1380,7 @@ object GraphQueries {
         .select(col("node"),
           expr(s"1000000L + ($KatzAlphaNum * coalesce(s, 0L)) DIV 1000L")
             .as("katz"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(x)
       x = next
     }
@@ -1462,12 +1462,12 @@ object GraphQueries {
           coalesce(col("lrank"), lit(0L)).as("eig"))
         .orderBy(desc("eig"), col("nationkey"))
     }
-    val nodeIds = nodes.localCheckpoint(true)
+    val nodeIds = nodes.truncateLineage(true)
     val side = nodeSideHint(nodeIds)
-    var x = nodeIds.withColumn("score", lit(1000000L)).localCheckpoint(true)
+    var x = nodeIds.withColumn("score", lit(1000000L)).truncateLineage(true)
     for (_ <- 1 to Iters) {
       val next = normalizeMax(propagate(nodeIds, bidir, x, "u", "v", side))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(x)
       x = next
     }
@@ -1601,9 +1601,9 @@ object GraphQueries {
         .select(col("node"),
           coalesce(col("lrank"), col("node")).as("lbl"))
     }
-    val bidir = bidir0.localCheckpoint()
+    val bidir = bidir0.truncateLineage()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .truncateLineage()
     for (_ <- 1 to iters) {
       val votes = bidir
         .join(labels.select(col("node").as("u"), col("lbl")), "u")
@@ -1614,7 +1614,7 @@ object GraphQueries {
       val next = labels
         .join(votes, Seq("node"), "left")
         .select(col("node"), coalesce(col("win"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .truncateLineage()
       // replaced label vector's blocks are dead once `next` is
       // materialized (the ConnectedComponents doctrine)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(labels)
@@ -1836,15 +1836,15 @@ object GraphQueries {
       return localRankDf(spark, rows.toArray)
         .select(col("node"), col("lrank").as("core_deg"))
     }
-    val adj = adj0.localCheckpoint(true)
-    var survivors = adj.select("x").distinct().localCheckpoint(true)
+    val adj = adj0.truncateLineage(true)
+    var survivors = adj.select("x").distinct().truncateLineage(true)
     var deg: DataFrame = null
     for (_ <- 1 to rounds) {
       val nextDeg = adj
         .join(broadcast(survivors), "x")
         .join(broadcast(survivors.select(col("x").as("nbr"))), "nbr")
         .groupBy("x").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       // replaced rounds' blocks are dead once nextDeg is materialized
       // (the ConnectedComponents doctrine); the FINAL deg checkpoint
       // stays — the returned plan reads it
@@ -1853,7 +1853,7 @@ object GraphQueries {
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(survivors)
       deg = nextDeg
       survivors = deg.where(col("deg") >= k).select("x")
-        .localCheckpoint(true)
+        .truncateLineage(true)
     }
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(survivors)
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(adj)
@@ -1912,7 +1912,7 @@ object GraphQueries {
     val adj = und.select(col("a").as("x"))
       .unionByName(und.select(col("b").as("x")))
     val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val pairMin = und
       .join(deg.select(col("x").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("x").as("b"), col("deg").as("db")), "b")
@@ -2031,9 +2031,9 @@ object GraphQueries {
       return localRankDf(spark, coreL.toArray.sortBy(_._1))
         .select(col("node"), col("lrank").as("coreness"))
     }
-    val adj = adj0.localCheckpoint(true)
+    val adj = adj0.truncateLineage(true)
     var core = adj.groupBy("x").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val w = Window.partitionBy("x").orderBy(desc("nc"), col("nbr"))
     for (_ <- 1 to rounds) {
       val next = adj
@@ -2042,7 +2042,7 @@ object GraphQueries {
         .withColumn("rn", row_number().over(w))
         .groupBy("x")
         .agg(max(least(col("rn").cast("long"), col("nc"))).as("c"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(core)
       core = next
     }
@@ -2224,8 +2224,14 @@ object GraphQueries {
       .select(col("community"),
         coalesce(col("m_c"), lit(0L)).as("m_c"),
         coalesce(col("d_c"), lit(0L)).as("d_c"),
-        expr("(4 * m * coalesce(m_c, 0L) - coalesce(d_c, 0L) * coalesce(d_c, 0L))" +
-          " * 1000000L DIV (4 * m * m)").as("contrib_1e6"))
+        // m is the TOTAL edge count, so 4·m² (and d_c²·10⁶) clears 2⁶³
+        // on a ~10⁹-edge graph — whole contribution widened through
+        // DECIMAL(38,0), the analytics_pareto overflow class
+        // (tools/audit_overflow.py); DIV returns LONG either way
+        expr("(CAST(4 AS DECIMAL(38,0)) * m * coalesce(m_c, 0L)" +
+          " - CAST(coalesce(d_c, 0L) AS DECIMAL(38,0)) * coalesce(d_c, 0L))" +
+          " * 1000000 DIV (CAST(4 AS DECIMAL(38,0)) * m * m)")
+          .as("contrib_1e6"))
       .orderBy("community")
   }
 
@@ -2257,9 +2263,9 @@ object GraphQueries {
        |SELECT CAST(r.r_regionkey AS BIGINT) AS community,
        |       COALESCE(mc.m_c, 0) AS m_c,
        |       COALESCE(dc.d_c, 0) AS d_c,
-       |       CAST((4 * m.m * COALESCE(mc.m_c, 0)
-       |             - COALESCE(dc.d_c, 0) * COALESCE(dc.d_c, 0))
-       |            * 1000000 // (4 * m.m * m.m) AS BIGINT) AS contrib_1e6
+       |       CAST((CAST(4 AS HUGEINT) * m.m * COALESCE(mc.m_c, 0)
+       |             - CAST(COALESCE(dc.d_c, 0) AS HUGEINT) * COALESCE(dc.d_c, 0))
+       |            * 1000000 // (CAST(4 AS HUGEINT) * m.m * m.m) AS BIGINT) AS contrib_1e6
        |FROM region r
        |LEFT JOIN mc ON mc.community = CAST(r.r_regionkey AS BIGINT)
        |LEFT JOIN dc ON dc.community = CAST(r.r_regionkey AS BIGINT)
@@ -2369,13 +2375,13 @@ object GraphQueries {
     val wedges = tradeEdgesWeighted(spark, sfDir)
       .select(col("src"), col("dst"),
         expr("1000000000L DIV cnt").as("cost"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val nodes = table(spark, sfDir, "nation")
       .select(col("n_nationkey").cast("long").as("node"))
     var dist = nodes
       .withColumn("dist",
         when(col("node") === 0L, lit(0L)).otherwise(lit(SsspInf)))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     for (_ <- 1 to SsspRounds) {
       val relax = wedges
         .join(broadcast(dist.select(col("node").as("src"), col("dist"))), "src")
@@ -2385,7 +2391,7 @@ object GraphQueries {
         .join(broadcast(relax), col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("dist"), coalesce(col("via"), lit(SsspInf))).as("dist"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
     }
     dist
       .select(col("node").as("nationkey"),
@@ -2550,7 +2556,7 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var und = base
     var supp: DataFrame = null
     for (_ <- 1 to 4) {
@@ -2560,9 +2566,9 @@ object GraphQueries {
         .join(adj.select(col("x").as("a"), col("n")), "a")
         .join(adj.select(col("x").as("b"), col("n")), Seq("b", "n"))
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       und = supp.where(col("support") >= KtrussSupport)
-        .select("a", "b").localCheckpoint(true)
+        .select("a", "b").truncateLineage(true)
     }
     supp.where(col("support") >= KtrussSupport)
       .select("a", "b", "support")
@@ -2825,17 +2831,17 @@ object GraphQueries {
     val nTot = nodes.agg(count(lit(1)).as("n"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").cast("long").as("src"), col("deg"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val tele = nodes.crossJoin(broadcast(nTot))
       .select(col("node"),
         when(col("node").isin(seeds: _*),
           expr(s"(150000L * n) DIV ${seeds.size}")).otherwise(lit(0L))
           .as("tele"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     // node-sized broadcast guard — see nodeSideHint
     val side = nodeSideHint(nodes)
     var rank = tele.select(col("node"), col("tele").as("rank"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     for (_ <- 1 to Iters) {
       val contrib = rank.join(deg, rank("node") === deg("src"))
         .select(col("src"), expr("rank DIV deg").as("c"))
@@ -2847,7 +2853,7 @@ object GraphQueries {
         .join(side(sums), Seq("node"), "left")
         .select(col("node"),
           expr("tele + (850L * coalesce(s, 0L)) DIV 1000L").as("rank"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rank)
       rank = next
     }
@@ -2964,7 +2970,7 @@ object GraphQueries {
     }
     var reach = nodes
       .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var fingerprint = (-1L, -1L)
     var converged = false
     var it = 0
@@ -2976,7 +2982,7 @@ object GraphQueries {
       val next = reach.unionByName(cand)
         .groupBy("root", "node").agg(min("dist").as("dist"))
         // truncation-purpose, NOT knob-subject (Persist.intermediate)
-        .localCheckpoint(false)
+        .truncateLineage(false)
       val fp = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head
       val nfp = (fp.getLong(0), fp.getLong(1))
       converged = nfp == fingerprint
@@ -3220,7 +3226,7 @@ object GraphQueries {
       .select(col("n_nationkey").cast("long").as("node"))
     val edges = tradeEdges(spark, sfDir)
     val scc = graft.ops.StronglyConnectedComponents.resolve(nodes, edges)
-      .localCheckpoint(true)
+      .truncateLineage(true)
     // condensation: distinct (scc(src), scc(dst)) pairs, self-loops
     // dropped — a bounded artifact (≤ |sccs|² rows)
     val lab = scc.withColumnRenamed("node", "src")

@@ -640,12 +640,21 @@ object SketchQueries {
       |  SELECT s.wend, s.reg, MAX(s.mj) AS mj
       |  FROM scat s JOIN days d ON d.day = s.wend
       |  GROUP BY s.wend, s.reg
+      |), regsum AS (
+      |  -- hoisted like the engine's est stage: sp <= 64 registers x 2^26
+      |  -- and nreg <= 64 are REGISTER-bounded (never corpus-sized), and
+      |  -- the hoist lets the overflow auditor (tools/audit_overflow.py)
+      |  -- see bounded plain identifiers instead of an inline SUM
+      |  SELECT wend,
+      |         SUM(CAST(1 AS BIGINT) << CAST(26 - mj AS INTEGER)) AS reg_min_sp,
+      |         COUNT(*) AS reg_used
+      |  FROM merged GROUP BY wend
       |), est AS MATERIALIZED (
       |  SELECT wend,
       |         CAST((CAST(2904064 AS BIGINT) * 67108864)
-      |           // (1000 * (SUM(CAST(1 AS BIGINT) << CAST(26 - mj AS INTEGER))
-      |                      + (64 - COUNT(*)) * 67108864)) AS BIGINT) AS est_distinct
-      |  FROM merged GROUP BY wend
+      |           // (1000 * (reg_min_sp + (64 - reg_used) * 67108864))
+      |           AS BIGINT) AS est_distinct
+      |  FROM regsum
       |), exact_scat AS (
       |  SELECT DISTINCT day, user_id FROM ev
       |), exact AS MATERIALIZED (

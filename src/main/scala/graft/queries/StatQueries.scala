@@ -936,6 +936,21 @@ object StatQueries {
     * analytics_cumulative spelling); month gaps surface as missing
     * rows because the month key is part of the output.
     *
+    * PRECISION HORIZON (the DOUBLE-ppm doctrine, r17): the ppm is
+    * EXACT while |rev_c − prev_c| · 10⁶ < 2⁵³, i.e. monthly deltas
+    * under ~9.0e9 cents (~$90 M/month — ≈ sf0.5 of this corpus).
+    * Beyond that the product rounds, but every step (long→double
+    * cast, ×10⁶, ÷, floor) is IEEE-determined and spelled identically
+    * in both engines, so the GATE stays bit-green at any magnitude —
+    * the reported ppm merely drifts from the infinite-precision value
+    * by ≤ 1 unit in the quotient's last place (≪ 1 ppm of relative
+    * error; for month-over-month GROWTH, noise far below the metric's
+    * meaning). Widening through DECIMAL would buy exactness the metric
+    * cannot use at the cost of decimal division in the hot window —
+    * documented horizon over respell, unlike the integer-overflow
+    * class (tools/audit_overflow.py) where the narrow spelling ERRORS
+    * under ANSI mode instead of drifting.
+    *
     * Scale: one monthly hash aggregate + one lag window per flag.
     */
   def analyticsMom(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1498,7 +1513,14 @@ object StatQueries {
       .groupBy("segment")
       .agg(max(col("n_customers")).as("n_customers"),
         max(col("tot_k")).as("tot_k"),
-        sum(expr("(rev_k * rev_k * 1000000L) DIV (tot_k * tot_k)"))
+        // rev_k²·10⁶ (and tot_k²) are squared SUMMED-revenue magnitudes
+        // — widened through DECIMAL(38,0) per the analytics_pareto
+        // overflow class (tools/audit_overflow.py); the r16 verdict
+        // accepted the documented per-customer bound, but the r17
+        // doctrine widens the whole class rather than carrying
+        // per-site headroom arguments. DIV lands back in LONG.
+        sum(expr("CAST(rev_k AS DECIMAL(38,0)) * rev_k * 1000000" +
+          " DIV (CAST(tot_k AS DECIMAL(38,0)) * tot_k)"))
           .as("hhi_1e6"))
       .orderBy("segment")
   }
@@ -1516,7 +1538,8 @@ object StatQueries {
       |  FROM rev GROUP BY segment
       |)
       |SELECT r.segment, t.n_customers, t.tot_k,
-      |       CAST(SUM(r.rev_k * r.rev_k * 1000000 // (t.tot_k * t.tot_k))
+      |       CAST(SUM(CAST(r.rev_k AS HUGEINT) * r.rev_k * 1000000
+      |                // (CAST(t.tot_k AS HUGEINT) * t.tot_k))
       |            AS BIGINT) AS hhi_1e6
       |FROM rev r JOIN tot t ON t.segment = r.segment
       |GROUP BY r.segment, t.n_customers, t.tot_k
@@ -2257,7 +2280,7 @@ object StatQueries {
       .groupBy("day").agg(expr("sum(cents) DIV 100000L").as("rev"))
       .withColumn("rn", row_number().over(Window.orderBy("day")))
       .select("rn", "rev")
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val lagged = AcfLags.map { k =>
       val x = daily.select(col("rn"), col("rev").as("x"))
       val y = daily.select((col("rn") - k).as("rn"), col("rev").as("y"))
@@ -2423,7 +2446,7 @@ object StatQueries {
           .as("yc"))
       .groupBy("g", "day")
       .agg(sum("xc").as("x"), sum("yc").as("y"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val nDays = daily.groupBy("g").agg(count(lit(1)).as("n_days"))
     val a = daily.select(col("g"), col("day").as("d1"),
       col("x").as("x1"), col("y").as("y1"))
@@ -2513,12 +2536,19 @@ object StatQueries {
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
       .groupBy("d").agg(sum("cents").as("rev"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val a = daily.select(col("d").as("d1"), col("rev").as("r1"))
     val b = daily.select(col("d").as("d2"), col("rev").as("r2"))
     val slopes0 = a.crossJoin(b).where(col("d1") < col("d2"))
+      // daily-revenue diffs ×10⁶ widen through DECIMAL(38,0) before
+      // the double division — the analytics_pareto overflow class
+      // (tools/audit_overflow.py): a 100 TB day's cents ≈ 8.6e13, ×10⁶
+      // clears 2⁶³. Decimal→double is correctly rounded in Spark, so
+      // the slope value is bit-identical wherever the long didn't
+      // overflow.
       .select(floor(
-        ((col("r2") - col("r1")) * 1000000L).cast(DoubleType) /
+        ((col("r2") - col("r1")).cast(DecimalType(38, 0)) * 1000000L)
+          .cast(DoubleType) /
           (col("d2") - col("d1")).cast(DoubleType)).cast(LongType)
         .as("slope_sc"))
     // driver-local fast path: the slope multiset is CALENDAR-bounded —
@@ -2551,7 +2581,7 @@ object StatQueries {
     }
     // materialized once: the range partitioner's sampling pass and
     // the shuffle itself would otherwise EACH re-run the pair join
-    val slopes = slopes0.localCheckpoint(true)
+    val slopes = slopes0.truncateLineage(true)
     // Exact DISTRIBUTED median via rank-based selection: a plain
     // percentile aggregate funnels every pair slope into ONE reducer's
     // sort buffer (measured 10.7 s on the 2.9e6-pair frame — the whole
@@ -2568,7 +2598,7 @@ object StatQueries {
       .withColumn("pid", spark_partition_id())
       .withColumn("rn", row_number().over(
         Window.partitionBy("pid").orderBy("slope_sc")))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val counts = ranked.groupBy("pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).init
@@ -2596,7 +2626,7 @@ object StatQueries {
       |                       AS BIGINT)) AS BIGINT) AS rev
       |  FROM lineitem GROUP BY 1
       |), slopes AS (
-      |  SELECT CAST(floor(CAST((b.rev - a.rev) * 1000000 AS DOUBLE)
+      |  SELECT CAST(floor(CAST(CAST(b.rev - a.rev AS HUGEINT) * 1000000 AS DOUBLE)
       |                    / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_sc
       |  FROM daily a JOIN daily b ON a.d < b.d
       |)
@@ -2712,7 +2742,7 @@ object StatQueries {
       .withColumn("sg2n_milli",
         floor((col("s") * col("s")).cast(DoubleType) /
           col("n").cast(DoubleType) * lit(1000.0d)).cast(LongType))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val tot = groups.agg(
       count(lit(1)).as("k"), sum("n").as("n_total"),
       sum("ss").as("ss_total"), sum("sg2n_milli").as("sg2n_milli"))
@@ -2926,8 +2956,13 @@ object StatQueries {
     * are floored integer cents (ec DIV qty — positive, engines agree);
     * a month's representative price is the MIN unit price
     * (deterministic under intra-month variation). The final ratio uses
-    * the explicit floor-of-double-quotient doctrine; both Σ p·q sums
-    * stay double-exact (< 2^53) through ~sf100, horizon documented.
+    * the explicit floor-of-double-quotient doctrine. PRECISION
+    * HORIZON (the DOUBLE-ppm doctrine — full statement at
+    * [[analyticsMom]]): exact while Σ p·q · 10⁶ < 2⁵³ (basket sums
+    * under ~9.0e9 — ~sf5 of this corpus); beyond, both engines round
+    * IDENTICALLY (every step IEEE-determined), so the gate stays
+    * bit-green and the index drifts ≤ 1 ulp of the quotient from
+    * infinite precision — noise ≪ 1 ppm, horizon over respell.
     *
     * Scale: one (month, part) hash aggregate, a broadcast of the
     * base-month basket, and an O(months) rollup.
@@ -2942,7 +2977,7 @@ object StatQueries {
       .withColumn("unit_c", expr("ec div q"))
     val pm = li.groupBy("month", "l_partkey")
       .agg(min("unit_c").as("p"), sum("q").as("qty"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val m0 = pm.agg(min("month").as("m0"))
     val base = pm.crossJoin(broadcast(m0))
       .where(col("month") === col("m0"))
@@ -2982,9 +3017,11 @@ object StatQueries {
       |ORDER BY pm.month""".stripMargin
 
   /** `analytics_volume_index` — the volume companion of
-    * [[analyticsPriceIndex]]: Laspeyres quantity index Σ p₀·q_t /
-    * Σ p₀·q₀ in floored ppm over the same matched basket, base-month
-    * PRICES as weights — together the pair decomposes the revenue
+    * [[analyticsPriceIndex]] (whose DOUBLE-ppm precision horizon —
+    * exact under Σ p·q·10⁶ < 2⁵³, bit-green at any magnitude —
+    * covers this quotient identically): Laspeyres quantity index
+    * Σ p₀·q_t / Σ p₀·q₀ in floored ppm over the same matched basket,
+    * base-month PRICES as weights — together the pair decomposes the revenue
     * trend into "charging more" vs "shipping more". Same exactness
     * doctrine and horizons as the price index.
     */
@@ -2998,7 +3035,7 @@ object StatQueries {
       .withColumn("unit_c", expr("ec div q"))
     val pm = li.groupBy("month", "l_partkey")
       .agg(min("unit_c").as("p"), sum("q").as("qty"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val m0 = pm.agg(min("month").as("m0"))
     val base = pm.crossJoin(broadcast(m0))
       .where(col("month") === col("m0"))
@@ -3043,7 +3080,8 @@ object StatQueries {
     * the Fisher IDEAL index √(L·P) that splits the substitution bias —
     * the construction national statistics offices actually publish.
     * L and P are floored ppm over the matched basket (shared doctrine
-    * with [[analyticsPriceIndex]]); Fisher is ⌊√(L_ppm·P_ppm)⌋ — the
+    * — incl. the DOUBLE-ppm precision horizon — with
+    * [[analyticsPriceIndex]]); Fisher is ⌊√(L_ppm·P_ppm)⌋ — the
     * product of two ≤ ~2e6 ints is exact in double, √ is one correctly
     * rounded op, identical bits both engines.
     */
@@ -3057,7 +3095,7 @@ object StatQueries {
       .withColumn("unit_c", expr("ec div q"))
     val pm = li.groupBy("month", "l_partkey")
       .agg(min("unit_c").as("p"), sum("q").as("qty"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val m0 = pm.agg(min("month").as("m0"))
     val base = pm.crossJoin(broadcast(m0))
       .where(col("month") === col("m0"))
@@ -3142,7 +3180,7 @@ object StatQueries {
       .withColumn("prev", lag("rev", 1).over(Window.orderBy("day")))
       .where(col("prev").isNotNull)
       .select((col("rev") - col("prev")).as("delta_c"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val q = deltas.agg(
       count(lit(1)).as("n_days"),
       percentile(col("delta_c"), lit(0.05)).as("var95_c"))
@@ -3359,7 +3397,7 @@ object StatQueries {
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
       .groupBy("d").agg(sum("cents").as("rev"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val a = daily.select(col("d").as("d1"), col("rev").as("r1"))
     val b = daily.select(col("d").as("d2"), col("rev").as("r2"))
     val s = a.crossJoin(b).where(col("d1") < col("d2"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
@@ -76,7 +77,7 @@ object StreamQueries {
       .withColumn("prev_us", lag("us", 1).over(w))
       .where(col("prev_us").isNotNull)
       .withColumn("gap_us", col("us") - col("prev_us"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val agg = gaps.groupBy("event_type")
       .agg(count(lit(1)).as("n_gaps"), max("gap_us").as("max_gap_us"),
         sum(when(col("gap_us") > 1800000000L, 1L).otherwise(0L))
@@ -1943,6 +1944,7 @@ object StreamQueries {
        |SELECT event_type,
        |       COUNT(*) AS n_events,
        |       CAST(SUM(late) AS BIGINT) AS n_late,
-       |       CAST(SUM(late) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
+       |       CAST(CAST(SUM(late) AS HUGEINT) * 1000000 // COUNT(*)
+       |            AS BIGINT) AS late_ppm
        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 }

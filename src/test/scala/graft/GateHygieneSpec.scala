@@ -239,4 +239,232 @@ class GateHygieneSpec extends AnyFunSuite {
     assert(bareRoundHazards(respelled).isEmpty,
       "auditor must pass the Spark-parity respell")
   }
+
+  // ---- integer-overflow doctrine (round 17, named by the sf1 run) -----
+  //
+  // The class the r16 sf1 campaign caught by MEASUREMENT (the only two
+  // real failures at 100x the gate scale): an unbounded SUM/cumulative
+  // magnitude — revenue cents summed over the fact table — multiplied
+  // by a ppm/percent scale constant in BIGINT. `cum_cents * 1000000`
+  // sat green at sf0.001–sf0.1 for ten rounds and overflowed 2^63 at
+  // sf1 (~2.3e13 cents x 1e6); 100 TB is another ~10^4 beyond that.
+  // The fix routes the multiply through DECIMAL(38,0) (Spark) /
+  // HUGEINT (DuckDB) — exact integer floor division either way.
+  //
+  // This check makes the class fail `sbt test` instead of a future
+  // scale factor: every REGISTERED oracle twin is swept for
+  // multiplicative chains holding an integer literal >= 1000 and an
+  // unbounded-magnitude factor with no widening cast in the chain.
+  // `tools/audit_overflow.py` is the ad-hoc twin (it additionally
+  // sweeps the engine expr("...") strings in the query files); the
+  // heuristic, exemptions and their headroom arithmetic are documented
+  // there — the two implementations must stay in lockstep.
+
+  private val OvfLit = """(?<![\w.$])(\d{4,})(?:L\b)?(?![\w.])""".r
+  private val OvfMagnitude =
+    ("(?i)(?:^|_)(cum\\w*|total\\w*|sum\\w*|rev|revenue|spend\\w*|sales|" +
+      "cents\\w*)(?:_|$)|_(?:c|mc|cents)$|^grand").r
+  private val OvfBounded =
+    "(?i)(?:^|_)(avg|mean|max|min|med|p\\d+|stddev)(?:_|$)|^(list|array)_".r
+  private val OvfIndicatorSum =
+    "(?is)\\bSUM\\s*\\(\\s*CASE\\s+WHEN\\b.*?\\bTHEN\\s+1\\s+ELSE\\s+0\\s+END\\s*\\)".r
+  private val OvfWidened =
+    "(?is)\\bAS\\s+(?:DECIMAL\\s*\\(\\s*38\\s*,\\s*0\\s*\\)|HUGEINT)\\s*\\)".r
+  private val OvfFloating =
+    "(?is)\\bAS\\s+(?:DOUBLE|FLOAT|REAL)\\s*\\)\\s*$|\\d\\.\\d".r
+  private val OvfCountScaleMax = BigInt(1000000)
+
+  private def ovfIsWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '.' || c == '$'
+
+  private def ovfSkipWs(s: String, i0: Int, step: Int): Int = {
+    var i = i0
+    while (i >= 0 && i < s.length &&
+        (s(i) == ' ' || s(i) == '\t' || s(i) == '\n' || s(i) == '\r' ||
+          s(i) == '|')) i += step
+    i
+  }
+
+  /** Factor ending at s(i) scanning left; (start, text) or None. */
+  private def ovfFactorLeft(s: String, i0: Int): Option[(Int, String)] = {
+    val i = ovfSkipWs(s, i0, -1)
+    if (i < 0) None
+    else if (s(i) == ')') {
+      var depth = 1
+      var j = i - 1
+      while (j >= 0 && depth > 0) {
+        if (s(j) == ')') depth += 1
+        else if (s(j) == '(') depth -= 1
+        j -= 1
+      }
+      if (depth > 0) None
+      else {
+        var k = j
+        while (k >= 0 && ovfIsWordChar(s(k))) k -= 1
+        Some((k + 1, s.substring(k + 1, i + 1)))
+      }
+    } else if (ovfIsWordChar(s(i))) {
+      var k = i
+      while (k >= 0 && ovfIsWordChar(s(k))) k -= 1
+      Some((k + 1, s.substring(k + 1, i + 1)))
+    } else None
+  }
+
+  /** Factor starting at s(i) scanning right; (endExcl, text) or None. */
+  private def ovfFactorRight(s: String, i0: Int): Option[(Int, String)] = {
+    val i = ovfSkipWs(s, i0, 1)
+    if (i >= s.length) None
+    else if (ovfIsWordChar(s(i))) {
+      var k = i
+      while (k < s.length && ovfIsWordChar(s(k))) k += 1
+      val j0 = ovfSkipWs(s, k, 1)
+      if (j0 < s.length && s(j0) == '(') {
+        var depth = 1
+        var j = j0 + 1
+        while (j < s.length && depth > 0) {
+          if (s(j) == '(') depth += 1
+          else if (s(j) == ')') depth -= 1
+          j += 1
+        }
+        if (depth > 0) None else Some((j, s.substring(i, j)))
+      } else Some((k, s.substring(i, k)))
+    } else if (s(i) == '(') {
+      var depth = 1
+      var j = i + 1
+      while (j < s.length && depth > 0) {
+        if (s(j) == '(') depth += 1
+        else if (s(j) == ')') depth -= 1
+        j += 1
+      }
+      if (depth > 0) None else Some((j, s.substring(i, j)))
+    } else None
+  }
+
+  /** All factor texts in the maximal multiplicative chain around the
+    * literal at [litStart, litEnd).
+    */
+  private def ovfChainAround(s: String, litStart: Int,
+      litEnd: Int): Seq[String] = {
+    val factors = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = ovfSkipWs(s, litStart - 1, -1)
+    var continue = i >= 0 && s(i) == '*'
+    while (continue) {
+      ovfFactorLeft(s, i - 1) match {
+        case Some((start, text)) =>
+          factors += text
+          i = ovfSkipWs(s, start - 1, -1)
+          continue = i >= 0 && s(i) == '*'
+        case None => continue = false
+      }
+    }
+    var j = ovfSkipWs(s, litEnd, 1)
+    continue = j < s.length && s(j) == '*'
+    while (continue) {
+      ovfFactorRight(s, j + 1) match {
+        case Some((end, text)) =>
+          factors += text
+          j = ovfSkipWs(s, end, 1)
+          continue = j < s.length && s(j) == '*'
+        case None => continue = false
+      }
+    }
+    factors.toSeq
+  }
+
+  private def ovfIdentSegments(factor: String): Seq[String] =
+    "[A-Za-z_][\\w.$]*".r.findAllIn(factor).toSeq
+      .map(_.split('.').last)
+
+  private val OvfLengthFactor =
+    "(?is)^\\s*(?:CAST\\s*\\(\\s*)?(?:bit_|octet_)?len(?:gth)?\\s*\\(".r
+
+  private def ovfIsUnbounded(factor: String, lit: BigInt): Boolean = {
+    // a value-width (length) factor is per-value bounded (≤ 64 for
+    // bin(BIGINT) — the log2 kernel's bit-length × 10⁶)
+    if (OvfLengthFactor.findFirstIn(factor).isDefined) return false
+    val stripped = OvfIndicatorSum.replaceAllIn(factor, " ")
+    if ("(?i)\\bSUM\\s*\\(".r.findFirstIn(stripped).isDefined) true
+    else if ("(?i)\\bCOUNT\\s*\\(".r.findFirstIn(factor).isDefined ||
+        OvfIndicatorSum.findFirstIn(factor).isDefined)
+      lit > OvfCountScaleMax
+    else {
+      val segs = ovfIdentSegments(factor).filterNot(s =>
+        "(?i)^(sum|count|cast|coalesce|case|when|then|else|end|greatest|least)$"
+          .r.matches(s))
+      if (segs.exists(s => OvfBounded.findFirstIn(s).isDefined)) false
+      else segs.exists(s => OvfMagnitude.findFirstIn(s).isDefined)
+    }
+  }
+
+  private[graft] def unwidenedScaleMultiplies(sql: String): Seq[String] =
+    OvfLit.findAllMatchIn(sql).toSeq.flatMap { m =>
+      val lit = BigInt(m.group(1))
+      val factors = ovfChainAround(sql, m.start, m.end)
+      if (factors.isEmpty) Nil
+      else if (factors.exists(f => OvfWidened.findFirstIn(f).isDefined)) Nil
+      else if (factors.exists(f => OvfFloating.findFirstIn(f).isDefined)) Nil
+      else {
+        val hot = factors.filter(f => ovfIsUnbounded(f, lit))
+        if (hot.isEmpty) Nil
+        else Seq(s"*${m.group(1)} over " +
+          hot.map(_.split("\\s+").mkString(" ").take(70)).mkString("; "))
+      }
+    }
+
+  test("no oracle twin multiplies an unbounded magnitude by a scale " +
+      "constant in narrow integers (the sf1 overflow class)") {
+    val violations = for {
+      (qname, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      site <- unwidenedScaleMultiplies(sql)
+    } yield s"$qname: $site"
+    assert(violations.isEmpty,
+      "narrow scale-constant multiply over an unbounded SUM/cents " +
+        "magnitude (the cum_cents*1e6 shape sf1 caught by measurement) " +
+        "— widen through CAST(x AS HUGEINT) in the twin / " +
+        "DECIMAL(38,0) in the engine, or restructure per tools/" +
+        "audit_overflow.py:\n" + violations.mkString("\n"))
+  }
+
+  test("the overflow auditor fires on the narrow spelling (bad fixture)") {
+    val bad = "SELECT CAST(cum_cents * 1000000 // total_c AS BIGINT) FROM t"
+    assert(unwidenedScaleMultiplies(bad).nonEmpty,
+      "auditor must flag the narrow cum_cents*1e6 shape")
+    val widened = "SELECT CAST(CAST(cum_cents AS HUGEINT) * 1000000 " +
+      "// total_c AS BIGINT) FROM t"
+    assert(unwidenedScaleMultiplies(widened).isEmpty,
+      "auditor must pass the HUGEINT widening")
+    val widenedSpark =
+      "SELECT CAST(cum_cents AS DECIMAL(38,0)) * 1000000 DIV total_c FROM t"
+    assert(unwidenedScaleMultiplies(widenedSpark).isEmpty,
+      "auditor must pass the DECIMAL(38,0) widening")
+    val sumBad = "SELECT SUM(e.n_subwords) * 1000000 // SUM(w.n_words) FROM t"
+    assert(unwidenedScaleMultiplies(sumBad).nonEmpty,
+      "auditor must flag a non-indicator SUM under a scale constant")
+    val indicator = "SELECT SUM(CASE WHEN x THEN 1 ELSE 0 END) * 1000000 " +
+      "// n FROM t"
+    assert(unwidenedScaleMultiplies(indicator).isEmpty,
+      "row-count magnitudes are exempt under <= 1e6 (documented ~9x " +
+        "headroom at a 100 TB row count)")
+    assert(unwidenedScaleMultiplies(
+      "SELECT COUNT(*) * 67108864 FROM t").nonEmpty,
+      "a row count under a > 1e6 constant is back in scope")
+    assert(unwidenedScaleMultiplies(
+      "SELECT avg_cents * 1000000 // n FROM t").isEmpty,
+      "per-row-bounded statistics (avg/mean/max/min stems) are exempt")
+    assert(unwidenedScaleMultiplies(
+      "SELECT CAST(length(bin(t.x_c)) - 1 AS BIGINT) * 1000000 FROM t")
+      .isEmpty,
+      "a value-width (length) factor is per-value bounded — the log2 " +
+        "kernel's bit-length x 1e6")
+    assert(unwidenedScaleMultiplies(
+      "SELECT cum_cents * 1000000.0 / total_c FROM t").isEmpty,
+      "floating-point chains are the float-seam doctrine's beat, not " +
+        "this one's")
+    // widening anywhere in a factor counts: HUGEINT propagates through
+    // integer division, so the outer multiply is already wide
+    val propagated = "SELECT ((CAST(sum_c AS HUGEINT) * 1000 // n) * " +
+      "1000000) // d FROM t"
+    assert(unwidenedScaleMultiplies(propagated).isEmpty,
+      "a widened inner factor makes the whole chain wide")
+  }
 }
