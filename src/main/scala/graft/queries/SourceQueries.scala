@@ -424,10 +424,12 @@ object SourceQueries {
     */
   def sourceBucketedAgg(spark: SparkSession, sfDir: String): DataFrame = {
     graft.sources.BucketedTables.ensureBucketed(spark,
-      "graft_bkt_orders", "o_orderkey", buckets = 8, source = sfDir)(
+      "graft_bkt_orders", "o_orderkey", buckets = 8, source = sfDir,
+      columns = Seq("o_orderkey", "o_orderpriority"))(
       table(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority"))
     graft.sources.BucketedTables.ensureBucketed(spark,
-      "graft_bkt_lineitem", "l_orderkey", buckets = 8, source = sfDir)(
+      "graft_bkt_lineitem", "l_orderkey", buckets = 8, source = sfDir,
+      columns = Seq("l_orderkey", "l_extendedprice"))(
       table(spark, sfDir, "lineitem").select("l_orderkey", "l_extendedprice"))
     sourceBucketedAggPlan(spark).orderBy("o_orderkey")
   }

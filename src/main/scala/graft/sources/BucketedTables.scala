@@ -112,7 +112,10 @@ object BucketedTables {
   /** Table property recording the layout SHAPE (bucket key, bucket
     * count, column list) the table was built WITH — the second half of
     * [[ensureBucketed]]'s freshness check: same source + different
-    * shape is a rebuild, not a reuse.
+    * shape is a rebuild, not a reuse. Key and bucket count are always
+    * compared; the column list only when the caller passes its
+    * expected `columns` (the by-name build must not be constructed
+    * just to read a schema off it).
     */
   val LayoutProp: String = "graft.bucketed.layout"
 
@@ -131,19 +134,29 @@ object BucketedTables {
     * directly.
     */
   def ensureBucketed(spark: SparkSession, tableName: String, key: String,
-      buckets: Int, source: String)(build: => DataFrame): Boolean =
+      buckets: Int, source: String, columns: Seq[String] = Nil)(
+      build: => DataFrame): Boolean =
     synchronized {
       val fresh = spark.catalog.tableExists(tableName) && {
         val ident =
           spark.sessionState.sqlParser.parseTableIdentifier(tableName)
         val props = spark.sessionState.catalog.getTableMetadata(ident)
           .properties
-        // freshness = same source AND same layout shape (key + bucket
-        // count — checkable without constructing the by-name build;
-        // the stamped column list additionally catches cross-shape
-        // drift on writeBucketed-side rebuilds)
+        // freshness = same source AND same layout shape. Key + bucket
+        // count are always compared (checkable without constructing
+        // the by-name build). The stamped COLUMN LIST is compared only
+        // when the caller passes `columns` — the by-name contract (a
+        // reuse never constructs `build`) means the expected projection
+        // must arrive as data, not be inferred from the frame; callers
+        // that omit it accept that same-key/same-bucket column drift is
+        // caught only on writeBucketed-side rebuilds (r17 advice: the
+        // earlier scaladoc overstated what the bare prefix check saw).
         props.get(SourceProp).contains(source) &&
-          props.get(LayoutProp).exists(_.startsWith(s"$key/$buckets/"))
+          props.get(LayoutProp).exists { stamped =>
+            if (columns.nonEmpty)
+              stamped == s"$key/$buckets/${columns.mkString(",")}"
+            else stamped.startsWith(s"$key/$buckets/")
+          }
       }
       if (fresh) false
       else {

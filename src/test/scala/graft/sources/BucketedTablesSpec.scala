@@ -155,6 +155,25 @@ class BucketedTablesSpec extends AnyFunSuite {
       "r_name", buckets = 4, source = "src-B")(
       sys.error("build constructed on a fresh layout")),
       "unchanged source+shape must reuse again")
+    // column drift (r17 advice): same key/buckets/source but a
+    // DIFFERENT projected column set — caught exactly when the caller
+    // states its expectation, reused (documented) when it doesn't
+    assert(BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+      "r_name", buckets = 4, source = "src-B",
+      columns = Seq("r_name", "r_comment"))(
+      dim.withColumnRenamed("r_regionkey", "r_comment")
+        .select("r_name", "r_comment")),
+      "a stated column list that differs from the stamp must rebuild")
+    assert(!BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+      "r_name", buckets = 4, source = "src-B",
+      columns = Seq("r_name", "r_comment"))(
+      sys.error("build constructed on a fresh layout")),
+      "a stated column list matching the stamp must reuse")
+    assert(!BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+      "r_name", buckets = 4, source = "src-B")(
+      sys.error("build constructed on a fresh layout")),
+      "the no-columns form still reuses on key+buckets alone " +
+        "(documented limitation)")
   }
 
   test("read-only bucketed agg: zero Exchange through join AND groupBy") {
