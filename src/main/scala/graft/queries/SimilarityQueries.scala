@@ -26,6 +26,25 @@ import graft.ops.{MinHashDedup, SimHashDedup, Similarity}
 object SimilarityQueries {
   import RefQueries.table
 
+  /** Embedding dimensionality of the driver's `embeddings` table (all
+    * SFs ship 64; `TESTDATA.md`). The exact-pairwise and DBSCAN twins
+    * quantize into DuckDB's FIXED-SIZE `DOUBLE[$EmbeddingDim]` arrays
+    * so the ε/cosine tests run through the vectorized
+    * `array_inner_product` kernel instead of per-row
+    * `list_dot_product` over casted LISTs — the r16 sf1 campaign
+    * measured the LIST spelling's exact DBSCAN twin at > 3600 s for
+    * 20 k vectors, vs 55 s for the array one (bucketed: 62 s;
+    * embedding-cosine 448 s → 45 s), with BIT-IDENTICAL values: every
+    * quantized coordinate is an integer ≤ ~6e3 (|x| ≤ 0.58 × 10⁴), so
+    * each dot product is an exact integer < 2.2e9 ≪ 2⁵³ in DOUBLE
+    * regardless of summation order. The cast fails loudly (not
+    * silently truncates) if a future corpus changes dimensionality.
+    * FIRST declaration in the object on purpose: object vals
+    * initialize in declaration order, and an earlier SQL val
+    * interpolating a later-declared Int would silently read 0.
+    */
+  private val EmbeddingDim = 64
+
   def simTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = table(spark, sfDir, "embeddings")
     Similarity.topKCosine(emb.where(col("vec_id") < 10), emb, k = 5)
@@ -583,20 +602,27 @@ object SimilarityQueries {
     Similarity.cosineNearDupPairs(table(spark, sfDir, "embeddings"), 0.4)
       .orderBy("d1", "d2")
 
+  /** The deliberately-exact pairwise twin on the DBSCAN twins' array
+    * kernel (see [[EmbeddingDim]] for the bit-exactness argument:
+    * integer dots < 2.2e9 ≪ 2⁵³, and the precomputed per-row
+    * `sqrt(|v|²)` multiplies to exactly the old inline
+    * `sqrt(a)·sqrt(b)`). The r16 LIST spelling needed a raised 448 s
+    * budget at sf1; this one runs the same 2·10⁸ exact dot products
+    * in 45 s — the exact-baseline oracle is sf1-checkable in the
+    * default budget's neighborhood, not by exception.
+    */
   val dedupEmbeddingCosineSql: String =
-    """WITH e AS MATERIALIZED (
+    s"""WITH e AS MATERIALIZED (
       |  SELECT vec_id,
-      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |         CAST(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS DOUBLE[$EmbeddingDim]) AS av
       |  FROM embeddings
+      |), en AS MATERIALIZED (
+      |  SELECT vec_id, av, sqrt(array_inner_product(av, av)) AS nrm FROM e
       |)
       |SELECT a.vec_id AS d1, b.vec_id AS d2,
-      |       list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
-      |         / (sqrt(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[])))
-      |            * sqrt(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])))) AS cos_sim
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
-      |        / (sqrt(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[])))
-      |           * sqrt(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])))) >= 0.4
+      |       array_inner_product(a.av, b.av) / (a.nrm * b.nrm) AS cos_sim
+      |FROM en a JOIN en b ON a.vec_id < b.vec_id
+      |WHERE array_inner_product(a.av, b.av) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY d1, d2""".stripMargin
 
   /** `dedup_semantic` — SemDeDup over the embeddings table: IVF-cell
@@ -640,21 +666,6 @@ object SimilarityQueries {
   private val DbscanMinPts = 8
   private val DbscanNProbe = Similarity.DbscanNProbe
   private val DbscanMinCells = 4 * DbscanNProbe * DbscanNProbe
-
-  /** Embedding dimensionality of the driver's `embeddings` table (all
-    * SFs ship 64; `TESTDATA.md`). The DBSCAN twins quantize into
-    * DuckDB's FIXED-SIZE `DOUBLE[$EmbeddingDim]` arrays so the ε tests
-    * run through the vectorized `array_inner_product` kernel instead of
-    * per-row `list_dot_product` over casted LISTs — the r16 sf1
-    * campaign measured the LIST spelling's exact twin at > 3600 s for
-    * 20 k vectors, vs 55 s for this one (bucketed: 62 s), with
-    * BIT-IDENTICAL values: every quantized coordinate is an integer
-    * ≤ ~6e3 (|x| ≤ 0.58 × 10⁴), so each dot product is an exact
-    * integer < 2.2e9 ≪ 2⁵³ in DOUBLE regardless of summation order.
-    * The cast fails loudly (not silently truncates) if a future corpus
-    * changes dimensionality.
-    */
-  private val EmbeddingDim = 64
 
   /** Fixed round count for the unrolled min-label connected-components
     * closure ([[dbscanClosureSql]]). Label distance covered doubles
