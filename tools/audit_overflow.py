@@ -59,6 +59,14 @@ bad-fixture proofs) and runs over every REGISTERED oracle string, so
 programmatically-built twins are covered; this script is the ad-hoc
 file sweep.
 
+KNOWN REACH LIMIT: Column-DSL arithmetic (`(col(a) - col(b)) *
+1000000L`) is invisible to both implementations — the r17 sweep
+adjudicated every such site by hand (one live find: the Theil-Sen
+slope scaling, widened; the rest are double-context, tiny constants,
+or driver-local small-graph operators whose scaladocs bound the
+input). New scale multiplies should prefer expr("...") strings,
+which this auditor sees.
+
 Usage: python3 tools/audit_overflow.py [files...]
   [files...]  Scala query files to audit (default:
               src/main/scala/graft/queries/*.scala, resolved from the
