@@ -171,6 +171,27 @@ object Persist {
     * checkpoint dir the resolution stays local and the loss-on-
     * decommission risk stands — documented, since no loss-safe
     * truncation exists without durable storage.
+    *
+    * THE RELIABLE LEG'S TWO OPERATIONAL COSTS (r17 review):
+    *
+    *   1. '''Retention''': loops write one checkpoint per round and
+    *      [[release]]/Bridge cleanup are deliberate no-ops for
+    *      reliable files — a reliable-truncation deployment MUST set
+    *      `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
+    *      ContextCleaner then deletes each round's files once its
+    *      frame is GC'd) or own `spark.checkpoint.dir` retention,
+    *      exactly as [[intermediate]]'s reliable leg documents.
+    *      Without either, a long iterative session fills the dir
+    *      linearly in total rounds.
+    *   2. '''Double compute''': `Dataset.checkpoint` does not persist
+    *      before the checkpoint-write job, so a bare eager checkpoint
+    *      computes each round's plan twice. The eager leg below
+    *      mitigates with the standard persist-before-checkpoint
+    *      sandwich (persist → checkpoint → unpersist); the LAZY leg
+    *      cannot (the write happens at some later action, after which
+    *      this method has long returned) and pays the documented
+    *      one-extra-compute, the same price [[intermediate]]'s
+    *      reliable leg accepts.
     */
   def truncate[T](ds: Dataset[T], eager: Boolean): Dataset[T] = {
     val spark = ds.sparkSession
@@ -188,7 +209,15 @@ object Persist {
           throw new IllegalStateException(
             s"$TruncateModeKey=reliable needs spark.checkpoint.dir " +
               "(durable storage) — set it, or use local")
-        ds.checkpoint(eager)
+        if (eager) {
+          // persist-before-checkpoint: the materializing job fills the
+          // cache, the checkpoint-write job reads it back instead of
+          // recomputing the round's whole plan (scaladoc cost 2)
+          ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val out = ds.checkpoint(eager = true)
+          ds.unpersist(blocking = false)
+          out
+        } else ds.checkpoint(eager = false)
       case other =>
         throw new IllegalArgumentException(
           s"$TruncateModeKey=$other — expected auto|local|reliable")

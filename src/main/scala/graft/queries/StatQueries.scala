@@ -2540,12 +2540,18 @@ object StatQueries {
     val a = daily.select(col("d").as("d1"), col("rev").as("r1"))
     val b = daily.select(col("d").as("d2"), col("rev").as("r2"))
     val slopes0 = a.crossJoin(b).where(col("d1") < col("d2"))
-      // daily-revenue diffs ×10⁶ widen through DECIMAL(38,0) before
-      // the double division — the analytics_pareto overflow class
-      // (tools/audit_overflow.py): a 100 TB day's cents ≈ 8.6e13, ×10⁶
-      // clears 2⁶³. Decimal→double is correctly rounded in Spark, so
-      // the slope value is bit-identical wherever the long didn't
-      // overflow.
+      // the INTERMEDIATE ×10⁶ widens through DECIMAL(38,0) — the
+      // analytics_pareto overflow class (tools/audit_overflow.py);
+      // decimal→double is correctly rounded in Spark, so the slope is
+      // bit-identical wherever the narrow spelling didn't overflow.
+      // The OUTPUT UNIT keeps its own horizon (r17 review): slope_sc
+      // is micro-cents/day in a LONG, which saturates when
+      // |Δrev|·10⁶/gap > 2⁶³ — adjacent-day swings above ~9.2e12
+      // cents (~$92 B/day). Both engines fail LOUDLY there (ANSI cast
+      // error / DuckDB conversion error, never silent corruption); a
+      // deployment at that magnitude rescales the slope unit (plain
+      // cents/day keeps 10⁶× headroom and loses resolution the
+      // magnitude doesn't need).
       .select(floor(
         ((col("r2") - col("r1")).cast(DecimalType(38, 0)) * 1000000L)
           .cast(DoubleType) /

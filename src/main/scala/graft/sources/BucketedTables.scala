@@ -160,7 +160,18 @@ object BucketedTables {
       }
       if (fresh) false
       else {
-        writeBucketed(build, tableName, key, buckets, Some(source))
+        val df = build
+        // loud once, not a silent rebuild loop: a stated column list
+        // that can never match what the build stamps would fail the
+        // freshness check on EVERY call and re-pay the full layout
+        // shuffle each time (r17 review) — at scale the dominant cost
+        if (columns.nonEmpty && df.columns.toSeq != columns)
+          throw new IllegalArgumentException(
+            s"ensureBucketed($tableName): stated columns " +
+              s"(${columns.mkString(",")}) != the built frame's " +
+              s"(${df.columns.mkString(",")}) — the layout stamp could " +
+              "never match and every call would silently rebuild")
+        writeBucketed(df, tableName, key, buckets, Some(source))
         true
       }
     }

@@ -467,4 +467,29 @@ class GateHygieneSpec extends AnyFunSuite {
     assert(unwidenedScaleMultiplies(propagated).isEmpty,
       "a widened inner factor makes the whole chain wide")
   }
+
+  test("the Scala auditor agrees with tools/audit_overflow.py on the " +
+      "shared fixture corpus") {
+    // THE lockstep anchor between the two hand-written implementations
+    // (r17 review: 'stay in lockstep' was previously enforced by
+    // nothing): both this test and `audit_overflow.py --selftest` run
+    // against the SAME tools/overflow_fixtures.tsv, so a heuristic
+    // change updates the fixtures once and both sides re-verify.
+    val path = java.nio.file.Paths.get("tools", "overflow_fixtures.tsv")
+    assert(java.nio.file.Files.isRegularFile(path),
+      s"$path missing — run sbt test from the repo root")
+    val disagreements = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.lines(path).iterator()).asScala
+      .filter(_.trim.nonEmpty)
+      .flatMap { ln =>
+        val Array(verdict, sql) = ln.split("\t", 2)
+        val got =
+          if (unwidenedScaleMultiplies(sql).nonEmpty) "FLAG" else "PASS"
+        if (got != verdict) Some(s"want=$verdict got=$got: $sql") else None
+      }.toSeq
+    assert(disagreements.isEmpty,
+      "Scala auditor disagrees with the shared fixture corpus (run " +
+        "python3 tools/audit_overflow.py --selftest for the other " +
+        "side):\n" + disagreements.mkString("\n"))
+  }
 }

@@ -139,17 +139,22 @@ class PersistDynAllocSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
-  test("explicit truncate mode reliable without a dir would fail loudly " +
-      "(message contract, pinned on the pure path)") {
-    // the dir IS set by now on this context — pin the message through
-    // the resolver contract instead of a second context
-    assert(Persist.truncateAutoResolve(dyn = true, hasCheckpointDir = true)
-      == "reliable")
-    assert(Persist.truncateAutoResolve(dyn = true, hasCheckpointDir = false)
-      == "local")
-    assert(Persist.truncateAutoResolve(dyn = false, hasCheckpointDir = true)
-      == "local")
-    assert(Persist.truncateAutoResolve(dyn = false, hasCheckpointDir = false)
-      == "local")
+  test("EXPLICIT truncate mode=reliable on the dir-bearing dyn session " +
+      "executes the persist-sandwiched eager checkpoint end-to-end") {
+    // the one combination no other test reaches: mode forced (not
+    // auto-resolved) on a session where the dir exists — exercises the
+    // reliable eager leg's persist→checkpoint→unpersist sandwich for
+    // real (r17 review replaced a test that only re-asserted the pure
+    // resolver rules PersistSpec already pins)
+    spark.conf.set(Persist.TruncateModeKey, "reliable")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val t = Persist.truncate(frame(), eager = true)
+      assert(t.collect().map(_.getLong(0)).sorted.toSeq ==
+        (1 to 100).filter(_ % 3 != 0).map(_.toLong))
+      assert(spark.sparkContext.getPersistentRDDs.size == before,
+        "the persist-before-checkpoint sandwich must unpersist its " +
+          "own cache entry after the checkpoint write")
+    } finally spark.conf.unset(Persist.TruncateModeKey)
   }
 }

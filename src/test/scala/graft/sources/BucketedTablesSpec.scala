@@ -174,6 +174,16 @@ class BucketedTablesSpec extends AnyFunSuite {
       sys.error("build constructed on a fresh layout")),
       "the no-columns form still reuses on key+buckets alone " +
         "(documented limitation)")
+    // a stated list the BUILD can never satisfy must fail loudly ONCE,
+    // not silently re-pay the layout write on every call (r17 review)
+    val ex = intercept[IllegalArgumentException] {
+      BucketedTables.ensureBucketed(spark, "bkt_spec_ensure",
+        "r_name", buckets = 4, source = "src-C",
+        columns = Seq("r_comment", "r_name"))( // reordered vs build
+        dim.withColumnRenamed("r_regionkey", "r_comment")
+          .select("r_name", "r_comment"))
+    }
+    assert(ex.getMessage.contains("silently rebuild"))
   }
 
   test("read-only bucketed agg: zero Exchange through join AND groupBy") {

@@ -67,12 +67,18 @@ or driver-local small-graph operators whose scaladocs bound the
 input). New scale multiplies should prefer expr("...") strings,
 which this auditor sees.
 
-Usage: python3 tools/audit_overflow.py [files...]
+Usage: python3 tools/audit_overflow.py [--selftest] [files...]
   [files...]  Scala query files to audit (default:
               src/main/scala/graft/queries/*.scala, resolved from the
               repo root — run from there)
-Exit code = number of flagged sites (0 = clean). Dev-only tooling —
-not part of the Spark library.
+  --selftest  check this implementation against the SHARED fixture
+              corpus tools/overflow_fixtures.tsv (verdict<TAB>sql per
+              line) — the same file GateHygieneSpec runs its Scala
+              mirror against, which is what actually keeps the two
+              implementations in lockstep: a heuristic change updates
+              the fixtures once and both sides re-verify
+Exit code = number of flagged sites / fixture disagreements (0 =
+clean). Dev-only tooling — not part of the Spark library.
 """
 import re
 import sys
@@ -259,10 +265,27 @@ def audit_file(path: Path):
     return sites
 
 
+def selftest() -> int:
+    fixtures = Path(__file__).resolve().parent / "overflow_fixtures.tsv"
+    bad = 0
+    for ln in fixtures.read_text().splitlines():
+        if not ln.strip():
+            continue
+        verdict, sql = ln.split("\t", 1)
+        got = "FLAG" if flagged_chains(sql) else "PASS"
+        if got != verdict:
+            bad += 1
+            print(f"DISAGREE want={verdict} got={got}: {sql}")
+    print(f"-- selftest: {bad} disagreement(s) over shared fixtures")
+    return bad
+
+
 def main():
     args = sys.argv[1:]
     if args and args[0] in ("-h", "--help"):
         sys.exit(__doc__)
+    if args and args[0] == "--selftest":
+        sys.exit(selftest())
     files = [Path(a) for a in args] if args else sorted(
         Path("src/main/scala/graft/queries").glob("*.scala"))
     if not files:
