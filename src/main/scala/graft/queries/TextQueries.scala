@@ -974,6 +974,94 @@ object TextQueries {
       .transform(RefQueries.gateSort(_, "doc_id"))
   }
 
+  /** `dedup_repeated_spans` — EXACT cross-document substring-repetition
+    * detection at token-span granularity (the "exact substring dedup"
+    * signal of Lee et al. 2022, Deduplicating Training Data Makes
+    * Language Models Better — memorization studies draw the leakage
+    * line at spans of this order): every OVERLAPPING 15-token window,
+    * reported per distinct span appearing in ≥ 2 DISTINCT documents,
+    * with its document count, total occurrence count, and first
+    * (lowest) doc id. [[dedupLines]] is the complementary
+    * NON-overlapping boilerplate primitive; overlapping windows catch
+    * spans that straddle segment boundaries — quotes and templates
+    * embedded mid-document, the actual memorization shape.
+    *
+    * Scale — the two-phase shape [[dedupLines]]' scaladoc only
+    * promises, implemented for real here: the window list is LINEAR in
+    * corpus tokens (each token starts at most one window). Phase 1
+    * aggregates on `xxhash64(span)` — an 8-byte shuffle key instead of
+    * a ~100-byte string, map-side combined — and keeps hashes seen
+    * ≥ 2 times, a pure SUPERSET of the answer (a span in two documents
+    * occurs twice, so its hash count is ≥ 2; a hash seen once cannot
+    * hide one). Phase 2 semi-joins the survivors and groups on the
+    * ACTUAL span string, so a hash collision can never merge two
+    * distinct spans — exactness lives entirely in phase 2; phase 1 is
+    * only pruning. The DuckDB twin restates the direct single-phase
+    * group-by, which is value-identical BECAUSE the prefilter is a
+    * superset — the property Round17OpsSpec pins by running both
+    * spellings. (Cross-engine hashes never need to agree: the hash
+    * exists only inside phase 1.)
+    */
+  def dedupRepeatedSpans(spark: SparkSession, sfDir: String): DataFrame =
+    repeatedSpans(docs(spark, sfDir), spanLen = 15)
+      .transform(RefQueries.gateSort(_, "span"))
+
+  /** The two-phase core of [[dedupRepeatedSpans]], factored on a docs
+    * frame so the spec can feed fixtures and pin phase-equivalence.
+    */
+  private[graft] def repeatedSpans(docsDf: DataFrame,
+      spanLen: Int): DataFrame = {
+    val wins = docsDf
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .where(size(col("toks")) >= spanLen)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${spanLen - 1})," +
+          s" i -> array_join(slice(toks, i, $spanLen), ' '))")).as("span"))
+      .withColumn("h", xxhash64(col("span")))
+      // persisted: the phase-1 hash aggregate AND the phase-2 probe
+      // both scan the exploded window frame
+      .persistIntermediate
+    val hot = wins.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("h")
+    wins.join(hot, Seq("h"), "left_semi")
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+  }
+
+  /** Single-phase reference spelling (direct group-by on the span
+    * string, no hash prefilter) — what the DuckDB twin restates;
+    * Round17OpsSpec pins it row-identical to [[repeatedSpans]].
+    */
+  private[graft] def repeatedSpansDirect(docsDf: DataFrame,
+      spanLen: Int): DataFrame =
+    docsDf
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .where(size(col("toks")) >= spanLen)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${spanLen - 1})," +
+          s" i -> array_join(slice(toks, i, $spanLen), ' '))")).as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+
+  val dedupRepeatedSpansSql: String = DuckToks +
+    """
+      |, w AS (
+      |  SELECT doc_id, array_to_string(toks[i : i+14], ' ') AS span
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 13)) AS i
+      |        FROM d WHERE len(toks) >= 15)
+      |)
+      |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_occurrences,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc
+      |FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY span""".stripMargin
+
   val dedupLinesSql: String = DuckToks +
     """
       |, starts AS (
