@@ -6,8 +6,8 @@ The r16 sf1 campaign (tools/make_sf1.py + a full 320-query sweep,
 sf0.001-sf0.1 gating could never surface. A 56-minute campaign is
 one-time by design; this canary is the cheap standing version: a
 fixed ~13-query subset chosen to re-walk every scale cliff the
-campaign found, once per round, in roughly ten minutes of engine
-time:
+campaign found, once per round, in roughly ten-to-fifteen minutes of
+engine time:
 
   * analytics_pareto, analytics_decile_lift — the two queries sf1
     actually broke (cum_cents*1e6 > 2^63), now DECIMAL(38,0)-widened;
@@ -52,6 +52,9 @@ QUERIES = [
     "dedup_containment_minhash", "sim_ann_ivf", "dedup_ngram_jaccard",
     "sim_dbscan_bucketed", "source_bucketed_join", "source_bucketed_agg",
     "stream_window_agg",
+    # r17's two-phase hash-prefilter exact-span op: 21.4s / 89,390 rows
+    # at sf1 on first measure (exactly 10x the sf0.1 rows - linear)
+    "dedup_repeated_spans",
 ]
 
 
