@@ -1049,6 +1049,83 @@ object TextQueries {
         min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= 2)
 
+  /** `text_dup_span_fraction` — the per-DOCUMENT rollup of
+    * [[dedupRepeatedSpans]] and the form a curation pipeline actually
+    * filters on (the RefinedWeb/Gopher "duplicated n-gram fraction"
+    * rule): for every document, how many of its overlapping 15-token
+    * windows are CROSS-DOCUMENT duplicated text, as an exact ppm.
+    * Documents shorter than one window report zero spans and 0 ppm
+    * (the honest value: nothing measurable is duplicated), so the
+    * output stays one row per document — filterable downstream without
+    * an existence join.
+    *
+    * Scale: the same linear window frame and hash-prefiltered shared
+    * set as [[dedupRepeatedSpans]] (see there for the two-phase
+    * exactness argument), plus one doc-keyed count each side — nothing
+    * quadratic anywhere. The ppm is integer arithmetic: per-doc window
+    * counts are bounded by the document's own token count, far inside
+    * the overflow auditor's row-count headroom.
+    */
+  def textDupSpanFraction(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpanFraction(docs(spark, sfDir), spanLen = 15)
+      .transform(RefQueries.gateSort(_, "doc_id"))
+
+  /** Core of [[textDupSpanFraction]], factored for fixture specs. */
+  private[graft] def dupSpanFraction(docsDf: DataFrame,
+      spanLen: Int): DataFrame = {
+    val wins = docsDf
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .where(size(col("toks")) >= spanLen)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${spanLen - 1})," +
+          s" i -> array_join(slice(toks, i, $spanLen), ' '))")).as("span"))
+      .withColumn("h", xxhash64(col("span")))
+      // persisted: the hash prefilter, the shared-set group, and both
+      // per-doc counts all scan the exploded window frame
+      .persistIntermediate
+    val hot = wins.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("h")
+    val shared = wins.join(hot, Seq("h"), "left_semi")
+      .groupBy("span").agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("span")
+    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dup = wins.join(shared, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    docsDf.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ppm",
+        expr("CASE WHEN n_spans = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE n_dup_spans * 1000000L DIV n_spans END"))
+  }
+
+  val textDupSpanFractionSql: String = DuckToks +
+    """
+      |, w AS MATERIALIZED (
+      |  SELECT doc_id, array_to_string(toks[i : i+14], ' ') AS span
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 13)) AS i
+      |        FROM d WHERE len(toks) >= 15)
+      |), shared AS MATERIALIZED (
+      |  SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+      |), per_doc AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS n_spans FROM w GROUP BY doc_id
+      |), dup AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS n_dup_spans FROM w
+      |  WHERE span IN (SELECT span FROM shared) GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+      |       CAST(COALESCE(u.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      |       CAST(CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0
+      |                 ELSE COALESCE(u.n_dup_spans, 0) * 1000000
+      |                      // p.n_spans END AS BIGINT) AS dup_ppm
+      |FROM d LEFT JOIN per_doc p USING (doc_id)
+      |LEFT JOIN dup u USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val dedupRepeatedSpansSql: String = DuckToks +
     """
       |, w AS (

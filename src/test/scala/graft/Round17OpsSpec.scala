@@ -27,7 +27,7 @@ class Round17OpsSpec extends AnyFunSuite {
     2L -> s"$shared completely different ending tokens now",
     3L -> (s"selfrepeat $shared" + s" and again $shared"), // also cross-doc
     4L -> ("solo unique tokens one two three four five six seven eight " +
-      "nine ten eleven"), // 15 tokens, no partner
+      "nine ten eleven twelve"), // 15 tokens, no partner
     5L -> "too short")
 
   test("repeated spans: shared 15-token span found with exact counts") {
@@ -61,6 +61,24 @@ class Round17OpsSpec extends AnyFunSuite {
       12L -> "short doc"), spanLen = 15).collect()
     assert(out.length == 1 && out.head.getLong(1) == 2L &&
       out.head.getLong(2) == 2L)
+  }
+
+  test("dup-span fraction: per-doc rollup counts shared windows exactly") {
+    val out = TextQueries.dupSpanFraction(fixture, spanLen = 15)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      "one row per document, including sub-window-length docs")
+    // doc 1: 'intro words here' + 15 shared + 'trailing tail' = 20 toks
+    // -> 6 windows; only the pure shared window is cross-doc
+    assert(out(1L) == ((6L, 1L, 166666L)), s"doc1: ${out(1L)}")
+    // doc 4 has exactly one window, unshared; doc 5 has none
+    assert(out(4L) == ((1L, 0L, 0L)))
+    assert(out(5L) == ((0L, 0L, 0L)))
+    // doc 2: 15 shared + 5 own = 20 toks -> 6 windows, 1 shared
+    assert(out(2L)._1 == 6L && out(2L)._2 == 1L)
   }
 
   test("two-phase (hash prefilter) equals the direct single-phase " +
