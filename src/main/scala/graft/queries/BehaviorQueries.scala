@@ -110,8 +110,15 @@ object BehaviorQueries {
         expr("CAST(sum_c AS DECIMAL(38,0)) * 1000 DIV n_events"))
       .withColumn("all_avg_mc",
         expr("CAST(tot_c AS DECIMAL(38,0)) * 1000 DIV tot_n"))
+      // the second step widens TOO (r17 advice): the twin's chain is
+      // HUGEINT end-to-end, so leaving dow_avg_mc·10⁶ in LONG would
+      // ANSI-error on Spark's side alone once average milli-cents
+      // clear ~9.2e12 — a loud gate DIVERGENCE (oracle returns, engine
+      // throws) rather than a shared loud failure. Post-aggregate
+      // site: 7×|types| rows, decimal cost immaterial.
       .select(col("event_type"), col("dow"), col("n_events"), col("sum_c"),
-        expr("(dow_avg_mc * 1000000) DIV all_avg_mc").as("index_1e6"))
+        expr("(CAST(dow_avg_mc AS DECIMAL(38,0)) * 1000000)" +
+          " DIV all_avg_mc").as("index_1e6"))
       .orderBy("event_type", "dow")
   }
 

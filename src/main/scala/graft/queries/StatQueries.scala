@@ -2540,21 +2540,31 @@ object StatQueries {
     val a = daily.select(col("d").as("d1"), col("rev").as("r1"))
     val b = daily.select(col("d").as("d2"), col("rev").as("r2"))
     val slopes0 = a.crossJoin(b).where(col("d1") < col("d2"))
-      // the INTERMEDIATE ×10⁶ widens through DECIMAL(38,0) — the
-      // analytics_pareto overflow class (tools/audit_overflow.py);
-      // decimal→double is correctly rounded in Spark, so the slope is
-      // bit-identical wherever the narrow spelling didn't overflow.
-      // The OUTPUT UNIT keeps its own horizon (r17 review): slope_sc
-      // is micro-cents/day in a LONG, which saturates when
+      // the INTERMEDIATE ×10⁶ runs on the DOUBLE route (overflow-free
+      // per tools/audit_overflow.py's float exemption): Δrev is a safe
+      // LONG subtraction, its →double cast is correctly rounded, and
+      // ×1e6 (an exactly-representable constant) is one IEEE multiply
+      // — so below 2⁵³ the product is EXACT (identical to the r17
+      // DECIMAL(38,0) intermediate, pinned by the gate), and ABOVE it
+      // both engines perform the SAME two correctly-rounded IEEE ops
+      // and stay bit-identical at every magnitude. The r17 decimal
+      // spelling could not say that: Spark's DECIMAL→DOUBLE rounds
+      // once, DuckDB's HUGEINT→DOUBLE rounds twice (upper·2⁶⁴+lower),
+      // so past 2⁵³ the floored quotients could differ by 1 and break
+      // the gate — the double route retires that seam AND the ~1.1×
+      // per-pair decimal-multiply tax (~3e6 pairs; A/B in
+      // ARCHITECTURE.md). The OUTPUT UNIT keeps its own horizon:
+      // slope_sc is micro-cents/day in a LONG, which saturates when
       // |Δrev|·10⁶/gap > 2⁶³ — adjacent-day swings above ~9.2e12
       // cents (~$92 B/day). Both engines fail LOUDLY there (ANSI cast
       // error / DuckDB conversion error, never silent corruption); a
       // deployment at that magnitude rescales the slope unit (plain
       // cents/day keeps 10⁶× headroom and loses resolution the
-      // magnitude doesn't need).
+      // magnitude doesn't need). Past 2⁵³ micro-cents the slope value
+      // itself drifts ≤ 1 ulp from infinite precision (DOUBLE-ppm
+      // doctrine, [[analyticsMom]]) — identically in both engines.
       .select(floor(
-        ((col("r2") - col("r1")).cast(DecimalType(38, 0)) * 1000000L)
-          .cast(DoubleType) /
+        (col("r2") - col("r1")).cast(DoubleType) * lit(1000000.0d) /
           (col("d2") - col("d1")).cast(DoubleType)).cast(LongType)
         .as("slope_sc"))
     // driver-local fast path: the slope multiset is CALENDAR-bounded —
@@ -2632,7 +2642,7 @@ object StatQueries {
       |                       AS BIGINT)) AS BIGINT) AS rev
       |  FROM lineitem GROUP BY 1
       |), slopes AS (
-      |  SELECT CAST(floor(CAST(CAST(b.rev - a.rev AS HUGEINT) * 1000000 AS DOUBLE)
+      |  SELECT CAST(floor(CAST(b.rev - a.rev AS DOUBLE) * 1000000.0
       |                    / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_sc
       |  FROM daily a JOIN daily b ON a.d < b.d
       |)

@@ -40,6 +40,28 @@ object Bridge {
       case _ => ()
     }
 
+  /** The id of the RDD backing a `localCheckpoint`ed frame's
+    * `LogicalRDD`, when there is one. Spec hook: persistence tests
+    * must assert on THIS id's presence/absence in
+    * `sc.getPersistentRDDs` — never on the global set's SIZE, which
+    * the ContextCleaner shrinks asynchronously whenever an earlier
+    * suite's unreferenced checkpoint gets GC'd (the r17 416/417
+    * full-suite flake). The specific id is race-free both ways: the
+    * frame under test strongly references its RDD (the cleaner cannot
+    * touch it), and `RDD.unpersist` removes the map entry
+    * synchronously even with `blocking = false` (only block deletion
+    * is deferred).
+    */
+  def localCheckpointRddId(df: org.apache.spark.sql.Dataset[_]): Option[Int] =
+    df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        d.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd.id)
+          case _ => None
+        }
+      case _ => None
+    }
+
   /** True when the frame's plan has a live CacheManager entry — the
     * re-cache-on-hit probe for session-lifetime memo frames (harness
     * sweeps call `clearCache` per query, which would otherwise leave a

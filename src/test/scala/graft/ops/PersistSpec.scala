@@ -94,17 +94,25 @@ class PersistSpec extends AnyFunSuite {
     }
   }
 
+  // NOTE (r17 flake, 416/417): these tests must assert on the SPECIFIC
+  // checkpointed RDD id — never on `getPersistentRDDs.size` deltas. The
+  // global set shrinks asynchronously under the ContextCleaner (earlier
+  // suites' unreferenced checkpoints get GC'd and unpersisted between a
+  // `before` snapshot and the assertion), while the specific id is
+  // race-free: the frame under test strongly references its RDD, and
+  // unpersist removes the map ENTRY synchronously even when
+  // `blocking = false` (only block deletion is deferred).
   test("local mode: release frees the checkpoint blocks") {
     val sc = spark.sparkContext
-    def persisted = sc.getPersistentRDDs.size
-    val before = persisted
     withMode(Some("local")) {
       val p = Persist.intermediate(frame()).toDF()
       assert(p.count() == 67)
-      assert(persisted == before + 1,
-        "materialized localCheckpoint must pin exactly one RDD")
+      val id = Bridge.localCheckpointRddId(p).getOrElse(
+        fail("materialized localCheckpoint must be LogicalRDD-backed"))
+      assert(sc.getPersistentRDDs.contains(id),
+        "materialized localCheckpoint must pin its RDD")
       Persist.release(p)
-      assert(persisted == before,
+      assert(!sc.getPersistentRDDs.contains(id),
         "release() must drop the checkpoint RDD's blocks " +
           "(Dataset.unpersist alone cannot — the Bridge contract)")
     }
@@ -112,13 +120,13 @@ class PersistSpec extends AnyFunSuite {
 
   test("none mode: passthrough, nothing persisted, release is a no-op") {
     spark.catalog.clearCache()
-    val before = spark.sparkContext.getPersistentRDDs.size
     withMode(Some("none")) {
       val f = frame()
       val p = Persist.intermediate(f)
       assert(p eq f, "none mode must return the frame untouched")
       assert(p.count() == 67)
-      assert(spark.sparkContext.getPersistentRDDs.size == before)
+      assert(Bridge.localCheckpointRddId(p.toDF()).isEmpty,
+        "none mode must not have checkpointed the frame")
       Persist.release(p) // must not throw on an unpersisted frame
       assert(Bridge.cacheManagerIsEmpty(spark))
     }
@@ -189,13 +197,18 @@ class PersistSpec extends AnyFunSuite {
 
   test("truncate default resolves to localCheckpoint on this static session") {
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
     val t = Persist.truncate(frame(), eager = true)
     assert(t.count() == 67)
-    assert(sc.getPersistentRDDs.size == before + 1,
-      "static-session truncation must be the doctrine's localCheckpoint")
+    // specific-id assertion, not set cardinality — see the flake note
+    // above the local-mode test
+    val id = Bridge.localCheckpointRddId(t).getOrElse(
+      fail("static-session truncation must be the doctrine's " +
+        "localCheckpoint (LogicalRDD-backed)"))
+    assert(sc.getPersistentRDDs.contains(id),
+      "eager local truncation must pin its checkpoint RDD")
     Persist.release(t)
-    assert(sc.getPersistentRDDs.size == before)
+    assert(!sc.getPersistentRDDs.contains(id),
+      "release() must free the truncation's checkpoint RDD")
   }
 
   test("truncate mode reliable without a checkpoint dir fails loudly") {
