@@ -364,8 +364,114 @@ object SimilarityQueries {
         n = 2, threshold = 0.7)
       .orderBy("d1", "d2")
 
-  /** Must equal the exact inverted-index algorithm's output at 0.7. */
-  val dedupMinhashSql: String = TextQueries.dedupNgramJaccardSqlAt(0.7)
+  /** TWIN-SCALABILITY respell (r18 — the PORTING.md doctrine): the twin
+    * must equal the exact inverted-index algorithm's output at 0.7, but
+    * the r17 spelling generated pairs with `ex a JOIN ex b ON a.g = b.g`
+    * — Σ df² rows, ~73 M per sf0.1-unit on this 931-shingle-vocabulary
+    * corpus — and timed out DuckDB-side at sf10 (>1200 s, 57 GB RSS)
+    * while the engine's banded path ran in ~60 s. A PPJoin-style exact
+    * prefix filter was measured WORSE here (303 s vs 7 s at sf0.1):
+    * with a 931-shingle vocabulary even the rarest-first prefixes carry
+    * df in the hundreds, so prefix-sharing prunes almost nothing —
+    * per-shingle rarity is the wrong pruning axis for small-vocab/
+    * high-df corpora; whole-set similarity is the right one. So the
+    * twin restates candidate generation through MinHash BANDING with an
+    * INDEPENDENT hash family — DuckDB's own `hash()` under its own
+    * affine constants ([[bandedShingleCtes]]), sharing nothing with the
+    * engine's xxhash64 family — and exact-verifies candidates with one
+    * list-intersect per pair. The final threshold predicate is
+    * byte-identical to r17's, so the output is identical for ANY
+    * sufficient candidate set (false candidates are removed by
+    * verification; DuckDB hash-version changes only reshape the
+    * superset). The residual risk is a pair BOTH independent families
+    * miss: this corpus's qualifying pairs sit at J ≥ 0.818 (min J
+    * measured over the full qualifying set at sf0.1 on respell — the
+    * replica generator's token bijection preserves within-copy Jaccard
+    * exactly, so the floor carries to sf1/sf10), where one r=4×b=32
+    * banding misses with p = (1−J⁴)³² ≤ (1−0.818⁴)³² ≈ 1.5e-8 — and a
+    * SINGLE miss by EITHER family alone already trips the gate's row
+    * diff, so a silent pass needs both families to miss the SAME pair:
+    * p² ≈ 2e-16 per pair, ~1e-12 across every pair sf10 holds. Diffed
+    * empirically against the exact twin at sf0.01/sf0.1/sf1 on
+    * respell.
+    */
+  val dedupMinhashSql: String = bandedJaccardSql(0.7)
+
+  /** Shared banded-candidate CTE chain for the sf10-scalable MinHash
+    * twins: tokenize → 2-shingle sets → per-shingle base hashes under
+    * DuckDB's `hash()` mod P (Mersenne 2³¹−1, the standard minhash
+    * modulus — also the engine's, though the families differ in both
+    * base hash and affine constants) → k=128 affine minhashes folded
+    * into b=32 4-row band buckets (band index folded into the bucket
+    * hash, so one equi-join on `bucket` is the whole candidate
+    * generation) → `bkt` (doc_id, bucket). Affine constants are drawn
+    * once from a fixed-seed JVM RNG at twin-construction time — the
+    * SQL text is deterministic across runs and sessions.
+    *
+    * Empty shingle sets are excluded from banding (their list_min is
+    * NULL, which would bucket every empty doc together); they cannot
+    * reach any positive threshold, and the r17 exact twin dropped them
+    * implicitly the same way (no inverted-index rows).
+    *
+    * Scale: per-doc work is k·|shingles| hash-affine ops over a LIST
+    * kernel (one row per doc — no Σ df² blow-up anywhere); the bucket
+    * join emits only same-bucket pairs, linear in corpus size for a
+    * corpus whose near-dup cluster sizes are bounded.
+    */
+  private def bandedShingleCtes(): String = {
+    val p = 2147483647L
+    val k = 128
+    val bands = 32
+    val r = k / bands
+    val rng = new scala.util.Random(0xD10CB5EED1L)
+    val ab = Array.fill(k)((1L + rng.nextLong(p - 1), rng.nextLong(p)))
+    val bucketExprs = (0 until bands).map { b =>
+      val mins = (0 until r).map { j =>
+        val (a, c) = ab(b * r + j)
+        s"list_min(list_transform(hl, x -> ($a * x + $c) % $p))"
+      }
+      s"hash($b, ${mins.mkString(", ")})"
+    }
+    s"""
+      |, sh AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS s
+      |  FROM d
+      |), sizes AS MATERIALIZED (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+      |hs AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list_transform(s, g -> CAST(hash(g) % $p AS BIGINT)) AS hl
+      |  FROM sh WHERE len(s) > 0
+      |), bkt AS MATERIALIZED (
+      |  SELECT doc_id, unnest([
+      |    ${bucketExprs.mkString(",\n      |    ")}
+      |  ]) AS bucket
+      |  FROM hs
+      |)""".stripMargin
+  }
+
+  /** Banded-candidate exact-Jaccard twin at `threshold` — candidate
+    * pairs from one bucket equi-join, verified by list-intersect; the
+    * SELECT tail (and hence the output) is byte-identical to
+    * [[TextQueries.dedupNgramJaccardSqlAt]]'s.
+    */
+  private def bandedJaccardSql(threshold: Double): String =
+    TextQueries.DuckToks + bandedShingleCtes() +
+    s"""
+      |, cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |), pairs AS MATERIALIZED (
+      |  SELECT c.d1, c.d2,
+      |         CAST(len(list_intersect(s1.s, s2.s)) AS BIGINT) AS intersect_size
+      |  FROM cand c JOIN sh s1 ON c.d1 = s1.doc_id JOIN sh s2 ON c.d2 = s2.doc_id
+      |)
+      |SELECT d1, d2, intersect_size, s1.n AS n1, s2.n AS n2,
+      |       CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) AS jaccard
+      |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |WHERE CAST(intersect_size AS DOUBLE) / (s1.n + s2.n - intersect_size) >= $threshold
+      |ORDER BY d1, d2""".stripMargin
 
   /** `dedup_cross_source` — the curation REPORT over the near-dup pair
     * list: for every unordered source pair (a ≤ b), how many MinHash
@@ -480,7 +586,35 @@ object SimilarityQueries {
         n = 2, threshold = 0.8)
       .orderBy("d1", "d2")
 
-  val dedupContainmentMinhashSql: String = TextQueries.dedupContainmentSql
+  /** Same twin-scalability respell as [[dedupMinhashSql]], for the
+    * DIRECTIONAL containment gate: candidates from the same independent
+    * banded-candidate CTEs, both orderings kept (containment is
+    * asymmetric), verified with the exact containment predicate —
+    * byte-identical tail to the r17 exact twin. Banding on whole-set
+    * Jaccard is sufficient for THIS corpus's containment pairs for the
+    * same reason the ENGINE's banding is (scaladoc above): size ratios
+    * ≤ 1.1 keep qualifying pairs at J ≥ 0.818 measured, so the
+    * both-families-miss probability is ~2e-16 per pair; a corpus with
+    * genuinely embedded docs would need the wide-band config on BOTH
+    * sides of the gate (measured floor here: min J over the
+    * containment-qualifying set is the same 0.818 at sf0.1).
+    */
+  val dedupContainmentMinhashSql: String =
+    TextQueries.DuckToks + bandedShingleCtes() +
+    """
+      |, cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id != b.doc_id
+      |), pairs AS MATERIALIZED (
+      |  SELECT c.d1, c.d2,
+      |         CAST(len(list_intersect(s1.s, s2.s)) AS BIGINT) AS intersect_size
+      |  FROM cand c JOIN sh s1 ON c.d1 = s1.doc_id JOIN sh s2 ON c.d2 = s2.doc_id
+      |)
+      |SELECT d1, d2, intersect_size, s1.n AS n1, s2.n AS n2,
+      |       CAST(intersect_size AS DOUBLE) / s1.n AS containment
+      |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |WHERE CAST(intersect_size AS DOUBLE) / s1.n >= 0.8
+      |ORDER BY d1, d2""".stripMargin
 
   def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = table(spark, sfDir, "embeddings")

@@ -492,4 +492,172 @@ class GateHygieneSpec extends AnyFunSuite {
         "python3 tools/audit_overflow.py --selftest for the other " +
         "side):\n" + disagreements.mkString("\n"))
   }
+
+  // ---- twin-scalability doctrine (round 18, named by two measured
+  //      oracle holes) ------------------------------------------------
+  //
+  // The class: a twin restating a candidate-generation query's
+  // quadratic DEFINITION instead of a scalable candidate set. r17's
+  // DBSCAN twins (>3600 s at sf1, LIST-kernel all-pairs) and r18's
+  // MinHash twins (>1200 s / 57 GB at sf10, inverted-index sum-df^2
+  // join) were both this shape; both were retired by restating a
+  // scalable candidate structure (grid closure / independent-family
+  // banding). Two shapes are flagged — a self-equijoin of a
+  // content-unnest CTE on its unnest output column, and a self-join
+  // with NO cross-alias equality conjunct (pure pair expansion).
+  // Deliberately-exact baselines are exempt via the SHARED ledger
+  // tools/twin_scalability_exemptions.tsv (query<TAB>tier-bound
+  // justification); tools/audit_twin_scalability.py is the ad-hoc twin
+  // and both run the SAME tools/twin_scalability_fixtures.tsv.
+
+  private val TwinContentUnnest =
+    Pattern.compile("""\bunnest\s*\(\s*(?!\[)""",
+      Pattern.CASE_INSENSITIVE)
+  private val TwinLiteralUnnest =
+    Pattern.compile("""\bunnest\s*\(\s*\[""", Pattern.CASE_INSENSITIVE)
+  private val TwinCteHead =
+    Pattern.compile("""\b(\w+)\s+AS\s+(?:MATERIALIZED\s+)?\(""",
+      Pattern.CASE_INSENSITIVE)
+  private val TwinSelfJoin = Pattern.compile(
+    """(?<![\w.])(?!(?:FROM|WHERE|SELECT|AND|OR|ON|AS|WHEN|THEN|ELSE|BY|IN)\b)(\w+)""" +
+      """(?:\s+(?!(?:LEFT|RIGHT|FULL|OUTER|INNER|CROSS|JOIN)\b)(\w+))?""" +
+      """\s+(?:(?:LEFT|RIGHT|FULL|OUTER|INNER|CROSS)\s+)*JOIN\s+""" +
+      """(\w+)(?:\s+(?!ON\b)(\w+))?\s+ON\s+""",
+    Pattern.CASE_INSENSITIVE)
+  private val TwinClauseEnd = Pattern.compile(
+    """^(?:WHERE|GROUP\s+BY|QUALIFY|ORDER\s+BY|JOIN|LEFT|RIGHT|INNER|""" +
+      """CROSS|UNION|WINDOW|HAVING|LIMIT|SELECT)\b""",
+    Pattern.CASE_INSENSITIVE)
+  private val TwinCrossEq =
+    Pattern.compile("""\b(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""")
+
+  private def twinCteBodies(sql: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    val m = TwinCteHead.matcher(sql)
+    while (m.find()) {
+      var i = m.end
+      var depth = 1
+      while (i < sql.length && depth > 0) {
+        if (sql(i) == '(') depth += 1
+        else if (sql(i) == ')') depth -= 1
+        i += 1
+      }
+      val name = m.group(1).toLowerCase
+      if (!out.contains(name)) out(name) = sql.substring(m.end, i - 1)
+    }
+    out.toMap
+  }
+
+  private def twinOnClause(sql: String, start: Int): String = {
+    var depth = 0
+    var j = start
+    var done = false
+    while (j < sql.length && !done) {
+      val c = sql(j)
+      if (c == '(') depth += 1
+      else if (c == ')') {
+        if (depth == 0) done = true else depth -= 1
+      } else if (depth == 0 && (j == start || " \t\n\r|".contains(sql(j - 1)))
+          && TwinClauseEnd.matcher(sql).region(j, sql.length).lookingAt()) {
+        done = true
+      }
+      if (!done) j += 1
+    }
+    sql.substring(start, j)
+  }
+
+  /** (shape, cte, detail) per flagged self-join — the exact mirror of
+    * tools/audit_twin_scalability.py's flagged_sites.
+    */
+  private[graft] def twinScalabilityFlags(sql: String): Seq[String] = {
+    val ctes = twinCteBodies(sql)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = TwinSelfJoin.matcher(sql)
+    while (m.find()) {
+      if (m.group(1).equalsIgnoreCase(m.group(3))) {
+        val name = m.group(1)
+        val a1 = Option(m.group(2)).getOrElse(m.group(1))
+        val a2 = Option(m.group(4)).getOrElse(m.group(3))
+        val on = twinOnClause(sql, m.end)
+        val body = ctes.getOrElse(name.toLowerCase, "")
+        val eqm = TwinCrossEq.matcher(on)
+        val cross = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (eqm.find()) {
+          if (Set(eqm.group(1), eqm.group(3)) == Set(a1, a2))
+            cross += ((eqm.group(2), eqm.group(4)))
+        }
+        if (cross.isEmpty) {
+          out += s"PAIR_EXPANSION on $name (" +
+            on.split("\\s+").mkString(" ").take(80) + ")"
+        } else if (TwinContentUnnest.matcher(body).find() &&
+            !TwinLiteralUnnest.matcher(body).find()) {
+          cross.collectFirst {
+            case (c1, c2) if c1 == c2 && Pattern.compile(
+                """\bunnest\s*\([^)]*\)\s+AS\s+""" + Pattern.quote(c1) +
+                  """\b""", Pattern.CASE_INSENSITIVE)
+                .matcher(body).find() => c1
+          }.foreach(c => out += s"INVERTED_ALLPAIRS on $name ($c)")
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def twinExemptions(): Map[String, String] = {
+    val path = java.nio.file.Paths.get(
+      "tools", "twin_scalability_exemptions.tsv")
+    assert(java.nio.file.Files.isRegularFile(path),
+      s"$path missing — run sbt test from the repo root")
+    scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.lines(path).iterator()).asScala
+      .filter(ln => ln.trim.nonEmpty && !ln.startsWith("#"))
+      .map { ln =>
+        val Array(q, reason) = ln.split("\t", 2)
+        q -> reason
+      }.toMap
+  }
+
+  test("no oracle twin restates quadratic candidate generation " +
+      "unexempted (the sf10 oracle-hole class)") {
+    val exempt = twinExemptions()
+    val used = scala.collection.mutable.Set.empty[String]
+    val violations = for {
+      (qname, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      site <- twinScalabilityFlags(sql)
+      if !exempt.contains(qname) || { used += qname; false }
+    } yield s"$qname: $site"
+    assert(violations.isEmpty,
+      "quadratic candidate generation in oracle twins — restate a " +
+        "scalable candidate structure (grid closure / independent-" +
+        "family banding, see SimilarityQueries.bandedShingleCtes) or " +
+        "add a tier-bound justification to tools/" +
+        "twin_scalability_exemptions.tsv:\n" + violations.mkString("\n"))
+    val stale = (exempt.keySet -- used).toSeq.sorted
+    assert(stale.isEmpty,
+      "STALE twin-scalability exemptions (twin no longer flags or is " +
+        "not registered — remove the ledger line):\n" +
+        stale.mkString("\n"))
+  }
+
+  test("the Scala twin-scalability auditor agrees with " +
+      "tools/audit_twin_scalability.py on the shared fixture corpus") {
+    val path = java.nio.file.Paths.get(
+      "tools", "twin_scalability_fixtures.tsv")
+    assert(java.nio.file.Files.isRegularFile(path),
+      s"$path missing — run sbt test from the repo root")
+    val disagreements = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.lines(path).iterator()).asScala
+      .filter(ln => ln.trim.nonEmpty && !ln.startsWith("#"))
+      .flatMap { ln =>
+        val Array(verdict, sql) = ln.split("\t", 2)
+        val got =
+          if (twinScalabilityFlags(sql).nonEmpty) "FLAG" else "PASS"
+        if (got != verdict) Some(s"want=$verdict got=$got: ${sql.take(100)}")
+        else None
+      }.toSeq
+    assert(disagreements.isEmpty,
+      "Scala twin-scalability auditor disagrees with the shared " +
+        "fixtures (run python3 tools/audit_twin_scalability.py " +
+        "--selftest for the other side):\n" + disagreements.mkString("\n"))
+  }
 }

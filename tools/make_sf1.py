@@ -25,14 +25,26 @@ grown data:
   the token alphabet, so WITHIN-copy shingle sets (and hence n-gram
   Jaccard / MinHash structure) are preserved exactly, while cross-copy
   shingle overlap drops to ~0. n_chars is recomputed.
-* embeddings.embedding — copy i>0 applies a SIGNED CIRCULAR SHIFT:
-  dimension j takes s(i,j) * v[(j+i) mod d] with a deterministic
-  per-(copy, dim) sign. A signed permutation is an isometry for dot
-  product and cosine, so within-copy neighbor structure is exact,
-  while cross-copy similarity scrambles toward 0. (A single-dimension
+* embeddings.embedding — copy i>0 applies a RANDOM SIGNED
+  PERMUTATION drawn deterministically from (source row count, copy
+  index). A signed permutation is an isometry for dot product and
+  cosine, so within-copy neighbor structure is exact, while
+  cross-copy similarity scrambles toward 0. (A single-dimension
   negation is NOT enough: cosine(v, flip_k(v)) = 1 - 2*v_k^2/|v|^2,
   ~0.97 at d=64 — every vector would stay a near-dup of its 9 clones
-  and the sim family would inherit the manufactured 100x pathology.)
+  and the sim family would inherit the manufactured 100x pathology.
+  A signed circular SHIFT — the r17 spelling — is not enough either,
+  for chained builds: shifts live in the 64-element group Z_d, so
+  composing two 10-copy levels (sf10 = 10 copies OF /tmp/sf1) made
+  total-shift collisions routine — measured aligned-clone |cos| up
+  to 0.47 — and copy (i, 0) at level 1 composed with (0, i) at
+  level 2 is the SAME total shift with the SAME per-copy signs, an
+  EXACT cross-copy clone. Random permutations live in S_d (~1e89 at
+  d=64): any two distinct (level, copy) transforms align in ~Poisson(1)
+  dimensions, and the per-level salt — the SOURCE table's row count,
+  which differs at every chain level — makes every composed
+  transform unique, so aligned-clone |cos| stays at the ~1/sqrt(d)
+  noise floor at every ladder level.)
 
 Known realism caveats (documented, accepted for a scale smoke):
 dimension-table names (c_name/s_name/p_name) replicate verbatim under
@@ -46,6 +58,7 @@ touches /root/testdata.
 """
 import argparse
 import os
+import random
 import sys
 
 STRIDED = {
@@ -77,6 +90,23 @@ def copy_tag(i: int) -> str:
     # 2-letter per-copy token suffix: 'bb', 'cc', ... (copy 0 untouched)
     c = chr(ord("a") + i)
     return c + c
+
+
+def signed_perm_expr(d: int, salt: int, i: int) -> str:
+    """SQL for copy i's random signed permutation of a FLOAT[d] column.
+
+    The RNG seed folds in a per-LEVEL salt (the source table's row
+    count) so chained builds (sf10 = this tool over /tmp/sf1) never
+    reuse a transform across levels: level-1 copy i and level-2 copy i
+    draw different permutations, and no composition of two levels can
+    reproduce a single-level transform (see module docstring).
+    """
+    rng = random.Random(salt * 1000003 + i)
+    perm = rng.sample(range(1, d + 1), d)  # 1-indexed for DuckDB lists
+    signs = [rng.choice((1, -1)) for _ in range(d)]
+    terms = ", ".join(
+        f"{'' if s == 1 else '-'}embedding[{p}]" for s, p in zip(signs, perm))
+    return f"CAST(list_value({terms}) AS FLOAT[]) AS embedding"
 
 
 def main() -> int:
@@ -147,15 +177,9 @@ def main() -> int:
                 elif t == "embeddings" and name == "embedding" and i > 0:
                     d = con.sql(f"SELECT len(embedding) FROM {src} LIMIT 1"
                                 ).fetchone()[0]
-                    # signed circular shift by i with hash-derived signs:
-                    # out[j] = s(i,j) * v[(j-1+i) mod d + 1]
-                    exprs.append(
-                        "CAST(list_transform(range(1, {d1}), j -> "
-                        "(CASE WHEN (hash(j + {i} * 1000003) & 1) = 0 "
-                        "THEN 1 ELSE -1 END) * "
-                        "embedding[1 + ((j - 1 + {i}) % {d})]) "
-                        "AS FLOAT[]) AS embedding"
-                        .format(d1=d + 1, d=d, i=i))
+                    salt = con.sql(f"SELECT count(*) FROM {src}"
+                                   ).fetchone()[0]
+                    exprs.append(signed_perm_expr(d, salt, i))
                 else:
                     exprs.append(name)
             selects.append(f"SELECT {', '.join(exprs)} FROM {src}")
