@@ -92,20 +92,49 @@ def copy_tag(i: int) -> str:
     return c + c
 
 
-def signed_perm_expr(d: int, salt: int, i: int) -> str:
-    """SQL for copy i's random signed permutation of a FLOAT[d] column.
+def signed_perm_expr(d: int, salt: int, i: int, copies: int) -> str:
+    """SQL for copy i's signed circular shift of a FLOAT[d] column:
+    out[t] = sign_i[t] * v[(t + i) mod d], with the SIGN chain drawn
+    from (level salt, copy index).
 
-    The RNG seed folds in a per-LEVEL salt (the source table's row
-    count) so chained builds (sf10 = this tool over /tmp/sf1) never
-    reuse a transform across levels: level-1 copy i and level-2 copy i
-    draw different permutations, and no composition of two levels can
-    reproduce a single-level transform (see module docstring).
+    Why shifts and not random permutations (r18, all measured on this
+    corpus): an isometry's cross-copy cosine has two damage sources —
+    ALIGNED coordinates (same source lands at the same target:
+    contributes sigma*v_k^2) and CROSS TERMS (two heavy coordinates of
+    v paired by the transform quotient: contributes +-v_p*v_q). This
+    corpus holds vectors with up to 33% of their energy in ONE
+    coordinate, so either source can cost ~0.3+. Random permutations
+    scatter the quotient pairing and pay the cross-term price
+    IMMEDIATELY: measured max aligned-clone |cos| 0.51-0.53 at sf1
+    under both independent and framed random perms. Small-lag shifts
+    pair only coordinates within lag <= copies-1, and this corpus's
+    heavy coordinates are never that close: measured max 0.09 at sf1 —
+    the shift family is the measured optimum within a level.
+
+    The r17 defect was CROSS-LEVEL, not within-level: shifts live in
+    Z_d (order 64), so a chained sf10 build (10 copies OF /tmp/sf1)
+    collides total shifts — and r17 derived signs from the copy index
+    ALONE, so level-1 copy (i,0) and level-2 copy (0,i) were the SAME
+    transform: EXACT cross-copy clones. The per-level salt in the sign
+    seed removes the exact-clone case; colliding totals degrade to
+    |sum sigma_t v_t^2| over a fresh random sign pattern (~0.35-0.5 on
+    the heaviest vectors).
+
+    That residual is a FLOOR, not an implementation gap: at most d
+    permutations of d points can pairwise disagree everywhere (Latin
+    square rows), so ANY >64-copy isometric family at d=64 has either
+    full-alignment collisions (the shift family) or scattered
+    cross-term pairings (any permutation family) — both ~0.33+ on a
+    33%-peak-energy corpus. Ladder builds therefore RECORD the measured
+    cross-copy contamination against the sim operators' actual
+    thresholds (pairs >= 0.4 etc.) instead of claiming a uniform
+    isolation bound; within-level pairs — the bulk — stay at ~0.09.
     """
-    rng = random.Random(salt * 1000003 + i)
-    perm = rng.sample(range(1, d + 1), d)  # 1-indexed for DuckDB lists
-    signs = [rng.choice((1, -1)) for _ in range(d)]
+    rng_i = random.Random(salt * 1000003 + i)
+    signs = [rng_i.choice((1, -1)) for _ in range(d)]
     terms = ", ".join(
-        f"{'' if s == 1 else '-'}embedding[{p}]" for s, p in zip(signs, perm))
+        f"{'' if s == 1 else '-'}embedding[{(t + i) % d + 1}]"
+        for t, s in enumerate(signs))
     return f"CAST(list_value({terms}) AS FLOAT[]) AS embedding"
 
 
@@ -179,7 +208,7 @@ def main() -> int:
                                 ).fetchone()[0]
                     salt = con.sql(f"SELECT count(*) FROM {src}"
                                    ).fetchone()[0]
-                    exprs.append(signed_perm_expr(d, salt, i))
+                    exprs.append(signed_perm_expr(d, salt, i, args.copies))
                 else:
                     exprs.append(name)
             selects.append(f"SELECT {', '.join(exprs)} FROM {src}")

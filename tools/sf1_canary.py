@@ -55,6 +55,10 @@ QUERIES = [
     # r17's two-phase hash-prefilter exact-span op: 21.4s / 89,390 rows
     # at sf1 on first measure (exactly 10x the sf0.1 rows - linear)
     "dedup_repeated_spans",
+    # r18: the sibling per-doc duplicated-span ppm (same linear window
+    # frame) — seated after its own sf1 value-match; per-doc ppm must be
+    # copy-invariant under the generator's token bijection
+    "text_dup_span_fraction",
 ]
 
 
