@@ -21,10 +21,12 @@ grown data:
   near-dup cluster 10x wider (candidate pairs 100x on 10x data), so the
   banded dedup queries would look superlinear for a reason that is an
   artifact of the generator, not the algorithm. Copy i>0 appends a
-  per-copy 2-letter tag to every alphanumeric token run: a bijection on
-  the token alphabet, so WITHIN-copy shingle sets (and hence n-gram
-  Jaccard / MinHash structure) are preserved exactly, while cross-copy
-  shingle overlap drops to ~0. n_chars is recomputed.
+  per-copy 2-letter tag (level letter + copy letter — see copy_tag)
+  to every alphanumeric token run: a bijection on the token alphabet,
+  so WITHIN-copy shingle sets (and hence n-gram Jaccard / MinHash
+  structure) are preserved exactly, while cross-copy shingle overlap
+  drops to ~0 — enforced by a distinct-text conservation assert after
+  the build. n_chars is recomputed.
 * embeddings.embedding — copy i>0 applies a RANDOM SIGNED
   PERMUTATION drawn deterministically from (source row count, copy
   index). A signed permutation is an isometry for dot product and
@@ -86,10 +88,24 @@ STRIDED = {
 VERBATIM = ["region", "nation"]
 
 
-def copy_tag(i: int) -> str:
-    # 2-letter per-copy token suffix: 'bb', 'cc', ... (copy 0 untouched)
-    c = chr(ord("a") + i)
-    return c + c
+def copy_tag(i: int, salt: int) -> str:
+    """Per-copy token suffix: a LEVEL letter (drawn from the level salt)
+    plus the copy letter, e.g. 'qb', 'qc', ... (copy 0 untouched).
+
+    The r17 spelling was copy-index-only ('bb', 'cc', ...), which made
+    chained builds clone whole sub-corpora: level-1 copy (i, 0) and
+    level-2 copy (0, i) appended the SAME suffix to the same base text
+    — 9 pairs of textually IDENTICAL 5k-doc sub-corpora at sf10,
+    inflating every cross-copy dedup/span count (measured:
+    dedup_repeated_spans read 2.46 M rows at sf10 vs the ~0.89 M a
+    non-manufacturing replica gives). The level letter makes tags
+    level-distinct; main() additionally ASSERTS distinct-text
+    conservation (|distinct(out)| == copies * |distinct(src)|) so any
+    future collision across chain levels fails the build loudly
+    instead of silently manufacturing clones.
+    """
+    lvl = chr(ord("a") + random.Random(salt * 1000003 - 13).randrange(26))
+    return lvl + chr(ord("a") + i)
 
 
 def signed_perm_expr(d: int, salt: int, i: int, copies: int) -> str:
@@ -130,10 +146,20 @@ def signed_perm_expr(d: int, salt: int, i: int, copies: int) -> str:
     thresholds (pairs >= 0.4 etc.) instead of claiming a uniform
     isolation bound; within-level pairs — the bulk — stay at ~0.09.
     """
+    # Per-level random ODD step: copy i shifts by (i*step) mod d. Within
+    # a level the quotient shift (i-j)*step is never 0 (step odd,
+    # |i-j| < d), so no within-level full alignment; ACROSS chained
+    # levels the composed totals {i*step1 + j*step2} collide in only
+    # ~(copies^2)^2/d residue classes for independent odd steps
+    # (measured sf10: 285 colliding copy-pairs at step1=step2=1 -> ~6
+    # at random steps), which is what drives the >=0.4 contamination
+    # count down; the ~0.5 max-|cos| floor itself is corpus-intrinsic
+    # (heavy coordinates) and unchanged by any step choice.
+    step = random.Random(salt * 1000003 - 7).choice(range(1, d, 2))
     rng_i = random.Random(salt * 1000003 + i)
     signs = [rng_i.choice((1, -1)) for _ in range(d)]
     terms = ", ".join(
-        f"{'' if s == 1 else '-'}embedding[{(t + i) % d + 1}]"
+        f"{'' if s == 1 else '-'}embedding[{(t + i * step) % d + 1}]"
         for t, s in enumerate(signs))
     return f"CAST(list_value({terms}) AS FLOAT[]) AS embedding"
 
@@ -186,6 +212,7 @@ def main() -> int:
         src = f"'{args.src}/{t}.parquet'"
         desc = con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()
         names = [d[0] for d in desc]
+        salt_doc = con.sql(f"SELECT count(*) FROM {src}").fetchone()[0]
         selects = []
         for i in range(args.copies):
             exprs = []
@@ -197,18 +224,18 @@ def main() -> int:
                 elif t == "documents" and name == "text" and i > 0:
                     exprs.append(
                         "regexp_replace(text, '([A-Za-z0-9]+)', "
-                        f"'\\1{copy_tag(i)}', 'g') AS text")
+                        f"'\\1{copy_tag(i, salt_doc)}', 'g') AS text")
                 elif t == "documents" and name == "n_chars" and i > 0:
                     exprs.append(
                         "CAST(length(regexp_replace(text, "
-                        f"'([A-Za-z0-9]+)', '\\1{copy_tag(i)}', 'g')) "
+                        "'([A-Za-z0-9]+)', "
+                        f"'\\1{copy_tag(i, salt_doc)}', 'g')) "
                         "AS BIGINT) AS n_chars")
                 elif t == "embeddings" and name == "embedding" and i > 0:
                     d = con.sql(f"SELECT len(embedding) FROM {src} LIMIT 1"
                                 ).fetchone()[0]
-                    salt = con.sql(f"SELECT count(*) FROM {src}"
-                                   ).fetchone()[0]
-                    exprs.append(signed_perm_expr(d, salt, i, args.copies))
+                    exprs.append(signed_perm_expr(d, salt_doc, i,
+                                                  args.copies))
                 else:
                     exprs.append(name)
             selects.append(f"SELECT {', '.join(exprs)} FROM {src}")
@@ -218,6 +245,24 @@ def main() -> int:
         n = con.sql(f"SELECT count(*) FROM '{args.out}/{t}.parquet'"
                     ).fetchone()[0]
         print(f"{t}: {n} rows ({args.copies} copies)")
+        if t == "documents":
+            # distinct-text conservation: per-copy tags are bijections
+            # on disjoint tag alphabets, so the distinct-text count must
+            # scale EXACTLY with copies; a cross-level tag collision
+            # (the r17 chained-build clone bug) breaks this loudly here
+            # instead of silently inflating every dedup/span count
+            dsrc = con.sql(f"SELECT count(DISTINCT text) FROM {src}"
+                           ).fetchone()[0]
+            dout = con.sql("SELECT count(DISTINCT text) FROM "
+                           f"'{args.out}/{t}.parquet'").fetchone()[0]
+            if dout != args.copies * dsrc:
+                print(f"error: distinct-text conservation violated — "
+                      f"{dout} != {args.copies} * {dsrc}; cross-copy "
+                      "tag collision (see copy_tag docstring)",
+                      file=sys.stderr)
+                return 1
+            print(f"documents: distinct-text conservation OK "
+                  f"({dout} = {args.copies} x {dsrc})")
     print(f"done -> {args.out}")
     return 0
 
