@@ -21,32 +21,27 @@ grown data:
   near-dup cluster 10x wider (candidate pairs 100x on 10x data), so the
   banded dedup queries would look superlinear for a reason that is an
   artifact of the generator, not the algorithm. Copy i>0 appends a
-  per-copy 2-letter tag (level letter + copy letter — see copy_tag)
-  to every alphanumeric token run: a bijection on the token alphabet,
-  so WITHIN-copy shingle sets (and hence n-gram Jaccard / MinHash
+  per-copy 3-letter tag (two level letters + copy letter — see
+  copy_tag; --level-tag overrides the level part) to every
+  alphanumeric token run: a bijection on the token alphabet, so
+  WITHIN-copy shingle sets (and hence n-gram Jaccard / MinHash
   structure) are preserved exactly, while cross-copy shingle overlap
   drops to ~0 — enforced by a distinct-text conservation assert after
   the build. n_chars is recomputed.
-* embeddings.embedding — copy i>0 applies a RANDOM SIGNED
-  PERMUTATION drawn deterministically from (source row count, copy
-  index). A signed permutation is an isometry for dot product and
-  cosine, so within-copy neighbor structure is exact, while
-  cross-copy similarity scrambles toward 0. (A single-dimension
-  negation is NOT enough: cosine(v, flip_k(v)) = 1 - 2*v_k^2/|v|^2,
-  ~0.97 at d=64 — every vector would stay a near-dup of its 9 clones
-  and the sim family would inherit the manufactured 100x pathology.
-  A signed circular SHIFT — the r17 spelling — is not enough either,
-  for chained builds: shifts live in the 64-element group Z_d, so
-  composing two 10-copy levels (sf10 = 10 copies OF /tmp/sf1) made
-  total-shift collisions routine — measured aligned-clone |cos| up
-  to 0.47 — and copy (i, 0) at level 1 composed with (0, i) at
-  level 2 is the SAME total shift with the SAME per-copy signs, an
-  EXACT cross-copy clone. Random permutations live in S_d (~1e89 at
-  d=64): any two distinct (level, copy) transforms align in ~Poisson(1)
-  dimensions, and the per-level salt — the SOURCE table's row count,
-  which differs at every chain level — makes every composed
-  transform unique, so aligned-clone |cos| stays at the ~1/sqrt(d)
-  noise floor at every ladder level.)
+* embeddings.embedding — copy i>0 applies a SIGNED CIRCULAR SHIFT
+  with a per-level random ODD step, sign chain drawn from (level
+  salt, copy index) — see signed_perm_expr for the full measured
+  derivation. The shift is an isometry for dot product and cosine,
+  so within-copy neighbor structure is exact; cross-copy similarity
+  is scrambled but NOT to the 1/sqrt(d) noise floor: this corpus
+  carries up to 33% of a vector's energy in ONE coordinate, so ANY
+  >d-copy isometric family at d=64 has a corpus-intrinsic residual
+  (measured aligned-pair max |cos| ~0.49 at sf1, ~0.76 at sf10;
+  14% of aligned cross-copy pairs sit above the sim family's 0.4
+  threshold at sf10, 0.8% at sf1). Within-level pairs — the bulk —
+  stay at ~0.09. Ladder gates on threshold-band operators must
+  therefore score the WITHIN-copy (bijection-exact) subset and treat
+  cross-copy extras as verify-only — see sf10_ladder.py.
 
 Known realism caveats (documented, accepted for a scale smoke):
 dimension-table names (c_name/s_name/p_name) replicate verbatim under
@@ -61,6 +56,7 @@ touches /root/testdata.
 import argparse
 import os
 import random
+import re
 import sys
 
 STRIDED = {
@@ -88,9 +84,10 @@ STRIDED = {
 VERBATIM = ["region", "nation"]
 
 
-def copy_tag(i: int, salt: int) -> str:
-    """Per-copy token suffix: a LEVEL letter (drawn from the level salt)
-    plus the copy letter, e.g. 'qb', 'qc', ... (copy 0 untouched).
+def copy_tag(i: int, salt: int, level_tag: str = "") -> str:
+    """Per-copy token suffix: a 2-letter LEVEL tag (drawn from the level
+    salt, or --level-tag verbatim) plus the copy letter, e.g. 'qxb',
+    'qxc', ... (copy 0 untouched).
 
     The r17 spelling was copy-index-only ('bb', 'cc', ...), which made
     chained builds clone whole sub-corpora: level-1 copy (i, 0) and
@@ -98,13 +95,21 @@ def copy_tag(i: int, salt: int) -> str:
     — 9 pairs of textually IDENTICAL 5k-doc sub-corpora at sf10,
     inflating every cross-copy dedup/span count (measured:
     dedup_repeated_spans read 2.46 M rows at sf10 vs the ~0.89 M a
-    non-manufacturing replica gives). The level letter makes tags
-    level-distinct; main() additionally ASSERTS distinct-text
-    conservation (|distinct(out)| == copies * |distinct(src)|) so any
-    future collision across chain levels fails the build loudly
-    instead of silently manufacturing clones.
+    non-manufacturing replica gives). The level tag makes tags
+    level-distinct; two letters (676 combinations, vs the r18 single
+    letter's 1/26 collision odds per level pair) because a salt
+    collision is deterministic — re-running reproduces it — so the
+    only recovery was a code change. The remaining 1/676 residual has
+    an in-band recovery path: pass --level-tag explicitly. main()
+    additionally ASSERTS distinct-text conservation
+    (|distinct(out)| == copies * |distinct(src)|) so any collision
+    across chain levels fails the build loudly instead of silently
+    manufacturing clones.
     """
-    lvl = chr(ord("a") + random.Random(salt * 1000003 - 13).randrange(26))
+    lvl = level_tag
+    if not lvl:
+        r = random.Random(salt * 1000003 - 13).randrange(26 * 26)
+        lvl = chr(ord("a") + r // 26) + chr(ord("a") + r % 26)
     return lvl + chr(ord("a") + i)
 
 
@@ -146,6 +151,11 @@ def signed_perm_expr(d: int, salt: int, i: int, copies: int) -> str:
     thresholds (pairs >= 0.4 etc.) instead of claiming a uniform
     isolation bound; within-level pairs — the bulk — stay at ~0.09.
     """
+    # The within-level no-full-alignment argument below needs
+    # copies <= d (an odd step is a unit mod d=2^k, so (i-j)*step mod d
+    # is 0 only when d | i-j); enforce it here rather than relying on
+    # main()'s independent [1, 26] bound.
+    assert copies <= d, f"copies={copies} > d={d}: shift family aligns"
     # Per-level random ODD step: copy i shifts by (i*step) mod d. Within
     # a level the quotient shift (i-j)*step is never 0 (step odd,
     # |i-j| < d), so no within-level full alignment; ACROSS chained
@@ -172,7 +182,16 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--level-tag", default="",
+                    help="explicit 2-letter [a-z] level tag for copy_tag "
+                         "(recovery path for a cross-level salt collision; "
+                         "default: derived from the source row count)")
     args = ap.parse_args()
+    if args.level_tag and not re.fullmatch(r"[a-z]{2}", args.level_tag):
+        print("error: --level-tag must be exactly two [a-z] letters "
+              "(anything else leaves the tokenizers' [A-Za-z0-9] class "
+              "or collides with the copy letter space)", file=sys.stderr)
+        return 2
     if not (1 <= args.copies <= 26):
         # copy_tag walks 'a'..'z'; past 26 the tag characters leave
         # [A-Za-z0-9] and tokenizers would strip them, silently
@@ -224,12 +243,12 @@ def main() -> int:
                 elif t == "documents" and name == "text" and i > 0:
                     exprs.append(
                         "regexp_replace(text, '([A-Za-z0-9]+)', "
-                        f"'\\1{copy_tag(i, salt_doc)}', 'g') AS text")
+                        f"'\\1{copy_tag(i, salt_doc, args.level_tag)}', 'g') AS text")
                 elif t == "documents" and name == "n_chars" and i > 0:
                     exprs.append(
                         "CAST(length(regexp_replace(text, "
                         "'([A-Za-z0-9]+)', "
-                        f"'\\1{copy_tag(i, salt_doc)}', 'g')) "
+                        f"'\\1{copy_tag(i, salt_doc, args.level_tag)}', 'g')) "
                         "AS BIGINT) AS n_chars")
                 elif t == "embeddings" and name == "embedding" and i > 0:
                     d = con.sql(f"SELECT len(embedding) FROM {src} LIMIT 1"

@@ -26,7 +26,7 @@ holes the banded twins closed. Linearity EXPECTATIONS are asserted for
 the four queries where the replica construction pins them exactly.
 
 Usage: python3 tools/sf10_ladder.py [--sf1 /tmp/sf1] [--sf10 /tmp/sf10]
-                                    [--out /tmp/sf10_out] [--cpus 32]
+                                    [--out /tmp/sf10_out] [--cpus 16]
                                     [--timeout 1200]
 Exit code = engine failures + oracle mismatches + linearity breaks.
 Dev-only tooling.
@@ -63,7 +63,12 @@ def main():
     ap.add_argument("--sf1", default="/tmp/sf1")
     ap.add_argument("--sf10", default="/tmp/sf10")
     ap.add_argument("--out", default="/tmp/sf10_out")
-    ap.add_argument("--cpus", default="32")
+    # 16, not 32: the VM's 32 vCPUs are 16 physical cores (HT hidden
+    # from the guest — lscpu reports 1 thread/core), and 32-thread runs
+    # inflate iterative operators 2-3.4x (ARCHITECTURE.md item 24). The
+    # committed bench regime is 16; matching it keeps per-query ladder
+    # walls comparable to bench_full walls.
+    ap.add_argument("--cpus", default="16")
     ap.add_argument("--timeout", type=int, default=1200)
     args = ap.parse_args()
     repo = Path(__file__).resolve().parent.parent
