@@ -21,9 +21,47 @@ import scala.jdk.CollectionConverters._
   * round-over-round deltas.
   */
 object Bench {
+  /** The host's MEASURED physical-core count — encoded as a constant
+    * because it is not detectable from inside the guest: lscpu reports
+    * 32 cores / 1 thread per core, but the r18 regime measurement
+    * (ARCHITECTURE.md item 24) showed 32-thread runs behave exactly
+    * like 16 HT-contended physical cores — the calibration loop runs
+    * 1.9× SLOWER at 32 threads than at 16, and iterative multi-stage
+    * queries (graph kcore/CC family) inflate 2–3.4× from per-partition
+    * round overhead. Benchmarks above this width measure scheduler
+    * contention, not plan cost, and poison round-over-round
+    * comparison (the committed r18 map was re-run at 16 for this
+    * reason). This constant keeps the regime rule IN the tool instead
+    * of in prose: see [[resolveCpus]].
+    */
+  val PhysicalCores = 16
+
+  /** Resolve the benchmark thread count: SPARK_GRAFT_CPUS, CLAMPED to
+    * [[PhysicalCores]] with a loud warning — an oversubscribed sweep
+    * would silently regress the committed measurement regime (the
+    * driver sweeps at 32). SPARK_GRAFT_ALLOW_OVERSUBSCRIBE=1 honors
+    * the literal value for deliberate contention experiments.
+    */
+  def resolveCpus(): (Int, Int) = {
+    val requested = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      PhysicalCores.toString).toInt
+    val allow = sys.env.contains("SPARK_GRAFT_ALLOW_OVERSUBSCRIBE")
+    if (requested > PhysicalCores && !allow) {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_CPUS=$requested exceeds the measured " +
+        s"physical-core count $PhysicalCores (32 vCPUs = 16 HT-shared " +
+        "cores on this VM; 32-thread calib is 1.9x slower, iterative " +
+        s"queries 2-3.4x) — clamping to $PhysicalCores so the sweep " +
+        "stays in the committed measurement regime. Set " +
+        "SPARK_GRAFT_ALLOW_OVERSUBSCRIBE=1 to run oversubscribed.")
+      (PhysicalCores, requested)
+    } else (requested, requested)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val (cpusN, cpusRequested) = resolveCpus()
+    val cpus = cpusN.toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -178,7 +216,7 @@ object Bench {
     // of stdout, and with these keys at the front BENCH_r06 truncated
     // them away — trailing keys survive any prefix truncation.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","calib_sec":$calib,"parity_sec":$parity}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"cpus_requested":$cpusRequested,"calib_sec":$calib,"parity_sec":$parity}"""
     // The driver keeps only a TAIL of stdout, which has truncated away
     // parity_sec and half the per-query map in EVERY round so far
     // (BENCH_r* all carry "parsed": null with ~25-29 of the sweep's
@@ -252,7 +290,7 @@ object Bench {
         "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"failed":$failedJson,"queries":$qsCompact,"sf":"$sfDir","calib_sec":$calib,"parity_sec":$parity}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"failed":$failedJson,"queries":$qsCompact,"sf":"$sfDir","cpus":$cpus,"cpus_requested":$cpusRequested,"calib_sec":$calib,"parity_sec":$parity}""")
     spark.stop()
   }
 }

@@ -305,19 +305,34 @@ object BpeQueries {
       .orderBy("lang")
   }
 
-  val textBpeFertilitySql: String =
-    s"""WITH enc AS MATERIALIZED (
-       |$textBpeEncodeSql
-       |), w AS MATERIALIZED (
-       |  SELECT doc_id, lang,
-       |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-       |                              t -> t != '')) AS BIGINT) AS n_words
-       |  FROM documents
+  /** Fertility twin — LEAN tail, not [[textBpeEncodeSql]]'s: the r18
+    * twin reused the full encode chain, which materializes one row per
+    * SUBWORD OCCURRENCE (dt → ds → enc: ~10⁹ rows at sf10) only to
+    * count rows per doc — the Σ-blowup class the PORTING.md
+    * twin-scalability doctrine exists for, measured at 323 s / 40 GB
+    * at sf10 (the budget ceiling). Fertility needs only
+    * Σ_token len(syms(word)): `slen` collapses the learned model to
+    * one (word, subword-count) row per TYPE (small — the merge chain
+    * is types-level throughout), and the token stream is a STREAMING
+    * unnest hash-joined against it and aggregated per doc — nothing
+    * occurrence-level is ever materialized. Same shape as the engine
+    * side's count-then-join. The HUGEINT widening on the ppm product
+    * is unchanged (the r17 token-count-sum overflow find).
+    */
+  val textBpeFertilitySql: String = bpeCtes +
+    s"""
+       |, slen AS (
+       |  SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM t$Rounds
+       |), encdoc AS (
+       |  SELECT dt.doc_id, CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords
+       |  FROM (SELECT doc_id, unnest(toks) AS word FROM d) dt
+       |  JOIN slen s USING (word)
+       |  GROUP BY dt.doc_id
        |)
-       |SELECT w.lang, CAST(SUM(w.n_words) AS BIGINT) AS n_words,
+       |SELECT d.lang, CAST(SUM(len(d.toks)) AS BIGINT) AS n_words,
        |       CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
        |       CAST(CAST(SUM(e.n_subwords) AS HUGEINT) * 1000000
-       |            // SUM(w.n_words) AS BIGINT) AS fertility_ppm
-       |FROM enc e JOIN w USING (doc_id)
-       |GROUP BY w.lang ORDER BY w.lang""".stripMargin
+       |            // SUM(len(d.toks)) AS BIGINT) AS fertility_ppm
+       |FROM encdoc e JOIN d ON d.doc_id = e.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }

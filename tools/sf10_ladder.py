@@ -14,9 +14,18 @@ siblings (whose twins became sf10-checkable in r18 via the banded
 respell — see the PORTING.md twin-scalability doctrine), both span
 operators (replica-linearity at 1000x: rows must be exactly 100x the
 sf0.1 counts), the bucketed-layout gates, and one streaming query.
-NOT here: the exact-tier pair (containment/jaccard — hours at sf10 by
-design) and sim_dbscan_bucketed's ORACLE (the assign prefix alone is
-~1e9 dots DuckDB-side; its ENGINE run is included).
+sim_dbscan_bucketed is value-checked by the SAMPLED oracle
+(dbscan_sampled_check, r19): its FULL twin is measured-infeasible at
+sf10 (assign prefix ~1.1e9 dots; 1200 s / 64.7 GB on the one r18
+attempt), so ~1k deterministic points get their n_neighbors/role
+recomputed exactly and their labels consistency-proven instead.
+NOT here: the exact-tier quadratic queries — containment/jaccard
+(hours at sf10 by design) and dedup_embedding_cosine /
+sim_dbscan_bucketed_agreement (the exact 2e10-dot cross: engine
+MEASURED 334 s at sf1 (r19, 16 cpus) -> ~9 h at sf10; their exact
+tier stays sf1-certified, and the embedding-threshold family's 1000x
+value point is the sampled dbscan row, which verifies the same
+quantized eps-geometry on the same contaminated corpus).
 
 The r18 runs that created this tool caught one real bug each way:
 the first run's dedup_repeated_spans row count (2.46 M vs the linear
@@ -47,8 +56,14 @@ ENGINE_QUERIES = [
     "source_bucketed_agg", "stream_window_agg", "dedup_repeated_spans",
     "text_dup_span_fraction",
 ]
-# sim_dbscan_bucketed: engine-only (oracle's assign prefix ~1e9 dots)
+# sim_dbscan_bucketed gets the SAMPLED oracle (dbscan_sampled_check)
+# instead of the full twin: the full twin's assign prefix alone is
+# n*nCells ~ 1.1e9 dots at sf10 (measured r18: >1200 s / 64.7 GB).
 ORACLE_SKIP = {"sim_dbscan_bucketed"}
+# Every deterministic (vec_id % MOD == 0) point is exact-verified —
+# 199 is coprime to the replica stride (2000), so the ~1005-point
+# sample walks all 100 copies instead of pinning one offset per copy.
+DBSCAN_SAMPLE_MOD = 199
 # rows must be EXACTLY 100x the sf0.1 value (replica linearity)
 LINEAR_ROWS = {
     "dedup_minhash_lsh": 25600,          # 100 x 256
@@ -56,6 +71,193 @@ LINEAR_ROWS = {
     "dedup_repeated_spans": 893900,      # 100 x 8,939
     "text_dup_span_fraction": 500000,    # one per doc
 }
+
+
+def dbscan_sampled_check(sf10: str, out: str, timeout_s: float) -> dict:
+    """SAMPLED sf10 oracle for sim_dbscan_bucketed (r19): exact DuckDB
+    verification of a deterministic ~1k-point sample where the FULL twin
+    is measured-infeasible (assign prefix n*nCells ~ 1.1e9 dots; one r18
+    attempt hit 1200 s / 64.7 GB).
+
+    What is proven, exactly, for every sampled point p (vec_id %
+    DBSCAN_SAMPLE_MOD == 0):
+      1. n_neighbors — recomputed INDEPENDENTLY: p's exact eps-ball
+         against ALL 200k points (sample x corpus = 2e8 dots, the
+         affordable slice of the quadratic), intersected with the
+         shared-probe-cell predicate under the SAME derived geometry /
+         centroid seeding / (score, idx) tie order as the committed
+         full twin (bucketed candidates are a subset of exact eps-pairs,
+         so the eps-ball bounds every candidate — nothing outside it
+         can be a neighbor). Engine value must match exactly.
+      2. role 'core' <-> deg+1 >= minPts — fully independent.
+      3. label consistency on every incident core-core bucketed edge:
+         p core and its bucketed neighbor q engine-core => same cluster
+         id (q's role/cluster read from the ENGINE output — a local
+         consistency proof of the labeling, not an independent global
+         CC; documented as the sampled check's partial part).
+      4. border/noise: non-core p with >=1 engine-core bucketed
+         neighbor must be 'border' with cluster = MIN over those
+         neighbors' clusters; with none, 'noise' with NULL cluster.
+    Constants (eps2, minPts, nProbe, minCells, dim) are PARSED from the
+    dumped oracle_sql.json's sim_dbscan_bucketed entry, so this check
+    cannot desync from the one Scala definition feeding both engines.
+
+    Why the probe-cell assignment runs in NUMPY, not SQL: the sampled
+    points' eps-balls jointly cover the whole corpus (measured: 1005
+    samples -> 199,999 distinct neighbors), so the check needs top-6
+    cells for ALL n points — the same n*nCells scoring the full twin
+    chokes on. In SQL the blowup is the MATERIALIZATION (1.1e9 score
+    rows: >1200 s / 64.7 GB; a 10k-vector GROUP BY+list chunk measured
+    26 s / 12 GB). The scores themselves are bit-exact in float64
+    REGARDLESS of summation order — quantized coords make every dot an
+    exact integer < 2^53 (the committed twin's own EmbeddingDim
+    argument), and nrm/cosine are single deterministic IEEE ops — so a
+    BLAS matmul computes the identical score matrix in seconds, chunked
+    to bound memory, with the exact (s DESC, ci DESC) tie order
+    replicated by a stable argsort over column-reversed scores. The
+    quantized vectors are pulled FROM DuckDB so the round() semantics
+    (half away from zero) match the twin exactly.
+    Returns {"ok": bool, "detail": str, "sec": float}.
+    """
+    import duckdb
+    import numpy as np
+    sql_text = json.loads(
+        (Path(out) / "oracle_sql.json").read_text())["sim_dbscan_bucketed"]
+
+    def c(pat):
+        m = re.search(pat, sql_text)
+        if not m:
+            raise SystemExit(f"[ladder] dbscan const parse failed: {pat}")
+        return int(m.group(1))
+
+    eps2 = c(r"array_inner_product\(x\.av, y\.av\)\s*<=\s*(\d+)")
+    minpts = c(r"n_neighbors \+ 1 >= (\d+)")
+    nprobe = c(r"list_sort\(list\(\{'s': s, 'i': ci\}\)\)\), 1, (\d+)\)")
+    mincells = c(r"GREATEST\((\d+), 2 \* \d+ \* CAST\(ceil")
+    dim = c(r"AS DOUBLE\[(\d+)\]")
+
+    k = DBSCAN_SAMPLE_MOD
+    t0 = time.time()
+    con = duckdb.connect()
+    con.execute("""
+CREATE TEMP TABLE v AS
+  SELECT vec_id,
+         CAST(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS DOUBLE[{dim}]) AS av
+  FROM read_parquet('{sf10}/embeddings.parquet');
+CREATE TEMP TABLE vn AS
+  SELECT vec_id, av, array_inner_product(av, av) AS nq FROM v;
+""".format(dim=dim, sf10=sf10))
+
+    # ---- numpy probe-cell assignment (bit-exact, see docstring) ----
+    arr = con.sql("SELECT vec_id, av FROM v ORDER BY vec_id").arrow()
+    ids = arr["vec_id"].combine_chunks().to_numpy()
+    q_mat = arr["av"].combine_chunks().flatten().to_numpy().reshape(
+        len(ids), dim)
+    n = len(ids)
+    ncells = max(mincells,
+                 nprobe * 2 * int(__import__("math").ceil(n ** 0.5)))
+    cent = q_mat[:ncells]  # lowest-vec_id seeding (ORDER BY vec_id above)
+    nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    cnrm = nrm[:ncells]
+    cell_rows = []
+    chunk = 20000
+    for lo in range(0, n, chunk):
+        qc = q_mat[lo:lo + chunk]
+        s = qc @ cent.T                      # exact integer dots
+        s /= np.outer(nrm[lo:lo + chunk], cnrm)  # same two IEEE ops as SQL
+        s[:, cnrm == 0] = -2.0
+        # top-nprobe with tie order (s DESC, ci DESC) via nprobe argmax
+        # passes over the COLUMN-REVERSED matrix: argmax returns the
+        # FIRST max, which in reversed column order is the HIGHEST
+        # original ci — a full argsort of the 1e8-element chunk measured
+        # 75 s where six bandwidth-bound scans take ~1 s
+        s_rev = s[:, ::-1].copy()
+        rows = np.arange(s_rev.shape[0])
+        cells = np.empty((s_rev.shape[0], nprobe), dtype=np.int64)
+        for j in range(nprobe):
+            idx = s_rev.argmax(axis=1)
+            cells[:, j] = (ncells - 1) - idx
+            s_rev[rows, idx] = -np.inf
+        cids = np.repeat(ids[lo:lo + chunk], nprobe)
+        keep = np.repeat(nrm[lo:lo + chunk] > 0, nprobe)
+        cell_rows.append(
+            np.stack([cids[keep], cells.reshape(-1)[keep]], axis=1))
+    assign = np.concatenate(cell_rows)
+    import pandas as pd
+    con.register("cellsof", pd.DataFrame(
+        {"vec_id": assign[:, 0].astype("int64"),
+         "cell": assign[:, 1].astype("int64")}))
+    log_assign = (f"assign {time.time() - t0:.0f}s n={n} ncells={ncells} "
+                  f"rows={len(assign)}")
+
+    check_sql = f"""
+WITH samp AS MATERIALIZED (
+  SELECT vec_id FROM v WHERE vec_id % {k} = 0
+), sn AS MATERIALIZED (
+  SELECT a.vec_id AS p, b.vec_id AS q
+  FROM (SELECT * FROM vn WHERE vec_id % {k} = 0) a
+  JOIN vn b ON b.vec_id <> a.vec_id
+  WHERE a.nq + b.nq - 2 * array_inner_product(a.av, b.av) <= {eps2}
+), bnb AS MATERIALIZED (
+  SELECT DISTINCT sn.p, sn.q
+  FROM sn
+  JOIN cellsof cp ON cp.vec_id = sn.p
+  JOIN cellsof cq ON cq.vec_id = sn.q AND cq.cell = cp.cell
+), bdeg AS MATERIALIZED (
+  SELECT s.vec_id, COALESCE(c.nn, 0) AS deg
+  FROM samp s LEFT JOIN (SELECT p, COUNT(*) AS nn FROM bnb GROUP BY p) c
+    ON c.p = s.vec_id
+), eng AS MATERIALIZED (
+  SELECT * FROM read_parquet('{out}/sim_dbscan_bucketed/*.parquet')
+), es AS MATERIALIZED (
+  SELECT e.*, d.deg FROM eng e JOIN bdeg d ON d.vec_id = e.vec_id
+), corenbr AS MATERIALIZED (
+  SELECT b.p, MIN(eq.cluster) AS min_core_cluster, COUNT(*) AS n_core_nbrs
+  FROM bnb b JOIN eng eq ON eq.vec_id = b.q AND eq.role = 'core'
+  GROUP BY b.p
+)
+SELECT
+  (SELECT count(*) FROM v) AS n_points,
+  (SELECT count(*) FROM eng) AS n_eng_rows,
+  (SELECT count(*) FROM samp) AS n_sampled,
+  (SELECT count(*) FROM bdeg d LEFT JOIN eng e ON e.vec_id = d.vec_id
+    WHERE e.vec_id IS NULL) AS missing_rows,
+  (SELECT count(*) FROM es WHERE n_neighbors <> deg) AS deg_mismatch,
+  (SELECT count(*) FROM es
+    WHERE (deg + 1 >= {minpts}) <> (role = 'core')) AS core_mismatch,
+  (SELECT count(*) FROM es s
+    JOIN bnb b ON b.p = s.vec_id
+    JOIN eng eq ON eq.vec_id = b.q AND eq.role = 'core'
+    WHERE s.deg + 1 >= {minpts} AND s.cluster <> eq.cluster)
+    AS core_edge_label_viol,
+  (SELECT count(*) FROM es s LEFT JOIN corenbr c ON c.p = s.vec_id
+    WHERE s.deg + 1 < {minpts} AND (
+      CASE WHEN c.n_core_nbrs > 0
+           THEN s.role <> 'border' OR s.cluster IS DISTINCT FROM c.min_core_cluster
+           ELSE s.role <> 'noise' OR s.cluster IS NOT NULL END))
+    AS border_noise_viol
+"""
+    timer = None
+    try:
+        import threading
+        remaining = max(1.0, timeout_s - (time.time() - t0))
+        timer = threading.Timer(remaining, con.interrupt)
+        timer.start()
+        row = con.execute(check_sql).fetchone()
+    except Exception as e:
+        return {"ok": False, "detail": f"sampled-check error: {e}",
+                "sec": round(time.time() - t0, 1)}
+    finally:
+        if timer:
+            timer.cancel()
+    names = ["n_points", "n_eng_rows", "n_sampled", "missing_rows",
+             "deg_mismatch", "core_mismatch", "core_edge_label_viol",
+             "border_noise_viol"]
+    d = dict(zip(names, row))
+    d["assign"] = log_assign
+    ok = (d["n_eng_rows"] == d["n_points"] and d["n_sampled"] > 0
+          and all(d[n] == 0 for n in names[3:]))
+    return {"ok": ok, "detail": d, "sec": round(time.time() - t0, 1)}
 
 
 def main():
@@ -106,9 +308,19 @@ def main():
     rows = {q: int(n) for q, n in
             re.findall(r"^OK\s+(\w+): (\d+) rows", oracle.stdout, re.M)}
 
+    sampled = {}
+    if "sim_dbscan_bucketed" in walls:
+        print("[ladder] running the sampled dbscan oracle "
+              f"(~{200000 // DBSCAN_SAMPLE_MOD} exact-verified points) ...",
+              flush=True)
+        sampled["sim_dbscan_bucketed"] = dbscan_sampled_check(
+            args.sf10, args.out, args.timeout)
+
     bad = len(failed)
     for q in ENGINE_QUERIES:
-        if q in ORACLE_SKIP:
+        if q in sampled:
+            verdict = "SAMP" if sampled[q]["ok"] else "FAIL"
+        elif q in ORACLE_SKIP:
             verdict = "ENG " if q in walls else "FAIL"
         else:
             verdict = "OK  " if q in ok else "FAIL"
@@ -121,11 +333,16 @@ def main():
             else:
                 lin = f" LINEARITY-BREAK (want {LINEAR_ROWS[q]})"
                 bad += 1
+        samp = ""
+        if q in sampled:
+            s = sampled[q]
+            samp = f" sampled[{s['sec']}s]={s['detail']}"
         print(f"{verdict} {q:28s} engine={walls.get(q, '?'):>7s}s "
-              f"rows={rows.get(q, '?')}{lin}")
+              f"rows={rows.get(q, '?')}{lin}{samp}")
     summary = {
         "ladder": "sf10", "queries": len(ENGINE_QUERIES),
         "oracle_ok": len(ok), "oracle_attempted": len(checked),
+        "sampled_ok": sum(1 for s in sampled.values() if s["ok"]),
         "engine_wall_sec": round(engine_wall, 1),
         "per_query_sec": {q: float(w) for q, w in walls.items()},
     }
