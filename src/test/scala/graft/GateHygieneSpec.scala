@@ -660,4 +660,56 @@ class GateHygieneSpec extends AnyFunSuite {
         "fixtures (run python3 tools/audit_twin_scalability.py " +
         "--selftest for the other side):\n" + disagreements.mkString("\n"))
   }
+
+  /** The sf10 ladder's sampled dbscan oracle (tools/sf10_ladder.py,
+    * r19) PARSES its shared constants (eps², minPts, nProbe, minCells,
+    * dim) out of the dumped sim_dbscan_bucketed twin SQL, so it cannot
+    * carry its own magic literals. That coupling is only safe if the
+    * anchors it greps for survive twin respells — and a respell would
+    * otherwise surface as a SystemExit ten minutes into a ladder run.
+    * Pin the anchors here at test time, and cross-check the two
+    * values that have a public Scala definition to compare against.
+    */
+  test("the sampled-dbscan ladder check's constant-parse anchors hold") {
+    val sql = SparkEntry.oracleSql("sim_dbscan_bucketed")
+    def one(pat: String): Long = {
+      val m = pat.r.findFirstMatchIn(sql)
+      assert(m.isDefined,
+        s"tools/sf10_ladder.py dbscan_sampled_check anchor no longer " +
+          s"matches the twin SQL — update BOTH sides: $pat")
+      m.get.group(1).toLong
+    }
+    one("""array_inner_product\(x\.av, y\.av\)\s*<=\s*(\d+)""")
+    one("""n_neighbors \+ 1 >= (\d+)""")
+    val nprobe =
+      one("""list_sort\(list\(\{'s': s, 'i': ci\}\)\)\), 1, (\d+)\)""")
+    val mincells = one("""GREATEST\((\d+), 2 \* \d+ \* CAST\(ceil""")
+    one("""AS DOUBLE\[(\d+)\]""")
+    assert(nprobe == graft.ops.Similarity.DbscanNProbe,
+      "parsed nProbe diverged from Similarity.DbscanNProbe")
+    assert(mincells == 4L * nprobe * nprobe,
+      "parsed minCells diverged from the 4*nProbe^2 floor")
+  }
+
+  /** tools/aba_bench.py runs graft.Bench via DIRECT java and therefore
+    * duplicates build.sbt's jdk17AddOpens list; a build.sbt change
+    * that doesn't reach the tool produces IllegalAccessErrors only at
+    * the next cross-round triage. Keep the two lists in lockstep.
+    */
+  test("aba_bench.py's add-opens list matches build.sbt's") {
+    def pkgs(path: String): Set[String] = {
+      val p = java.nio.file.Paths.get(path)
+      assert(java.nio.file.Files.isRegularFile(p),
+        s"$path missing — run sbt test from the repo root")
+      val text = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """java\.base/[\w.]+""".r.findAllIn(text).toSet
+    }
+    val sbtList = pkgs("build.sbt")
+    val toolList = pkgs("tools/aba_bench.py")
+    assert(sbtList == toolList,
+      "build.sbt jdk17AddOpens and tools/aba_bench.py ADD_OPENS_PKGS " +
+        s"diverged: only-sbt=${(sbtList -- toolList).toSeq.sorted} " +
+        s"only-tool=${(toolList -- sbtList).toSeq.sorted}")
+  }
 }
