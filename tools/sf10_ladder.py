@@ -222,19 +222,29 @@ SELECT
   (SELECT count(*) FROM samp) AS n_sampled,
   (SELECT count(*) FROM bdeg d LEFT JOIN eng e ON e.vec_id = d.vec_id
     WHERE e.vec_id IS NULL) AS missing_rows,
-  (SELECT count(*) FROM es WHERE n_neighbors <> deg) AS deg_mismatch,
+  -- every comparison below is NULL-SAFE (IS DISTINCT FROM /
+  -- COALESCE): an engine regression emitting NULL n_neighbors, NULL
+  -- role, or NULL cluster on a core row must COUNT as a violation,
+  -- not vanish into three-valued logic
   (SELECT count(*) FROM es
-    WHERE (deg + 1 >= {minpts}) <> (role = 'core')) AS core_mismatch,
+    WHERE n_neighbors IS DISTINCT FROM deg) AS deg_mismatch,
+  (SELECT count(*) FROM es
+    WHERE (deg + 1 >= {minpts}) IS DISTINCT FROM
+          (COALESCE(role, '') = 'core')
+       OR (deg + 1 >= {minpts} AND cluster IS NULL)) AS core_mismatch,
   (SELECT count(*) FROM es s
     JOIN bnb b ON b.p = s.vec_id
     JOIN eng eq ON eq.vec_id = b.q AND eq.role = 'core'
-    WHERE s.deg + 1 >= {minpts} AND s.cluster <> eq.cluster)
+    WHERE s.deg + 1 >= {minpts}
+      AND s.cluster IS DISTINCT FROM eq.cluster)
     AS core_edge_label_viol,
   (SELECT count(*) FROM es s LEFT JOIN corenbr c ON c.p = s.vec_id
     WHERE s.deg + 1 < {minpts} AND (
       CASE WHEN c.n_core_nbrs > 0
-           THEN s.role <> 'border' OR s.cluster IS DISTINCT FROM c.min_core_cluster
-           ELSE s.role <> 'noise' OR s.cluster IS NOT NULL END))
+           THEN COALESCE(s.role, '') <> 'border'
+             OR s.cluster IS DISTINCT FROM c.min_core_cluster
+           ELSE COALESCE(s.role, '') <> 'noise'
+             OR s.cluster IS NOT NULL END))
     AS border_noise_viol
 """
     timer = None

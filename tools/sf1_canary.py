@@ -36,18 +36,20 @@ quadratic members (dedup_ngram_jaccard ~300 s + dedup_containment
 ~240 s at sf1) re-certify an UNCHANGED exact tier and were ~85% of the
 canary's ~650 s wall every round. They now run on a tool-enforced
 cadence, not prose: every EXACT_TIER_EVERY-th canary run, OR whenever
-the fingerprint of the exact-tier execution path
-(ops/Dedup.scala + queries/TextQueries.scala) differs from the one
-recorded at the last exact-tier run, OR on --exact-tier=always
+the fingerprint of the exact-tier execution path + corpus
+generator (EXACT_TIER_SOURCES) differs from the one recorded at the
+last exact-tier run, OR on --exact-tier=always
 (--exact-tier=skip forces a skip for window debugging; a skip still
 advances the ledger's run counter, so explicit skips cannot push the
 next automatic exact-tier run further out).
 State lives in tools/canary_ledger.json (committed). When the exact
 tier runs, the qualifying-Jaccard FLOOR is asserted from the actual
-pair list (min jaccard >= 0.8): the banded twins' ~2e-16
-both-families-miss recall budget rests on the corpus-measured min
-qualifying J of 0.818, so corpus drift toward the 0.7 threshold now
-fails the canary instead of silently eroding the margin.
+pair list — min over pairs at or above the 0.7 MinHash gate threshold
+must stay >= 0.8 (the exact query's own 0.5-threshold tail is
+legitimate non-qualifying output and is ignored): the banded twins'
+~2e-16 both-families-miss recall budget rests on the corpus-measured
+min qualifying J of 0.818, so corpus drift toward the 0.7 threshold
+now fails the canary instead of silently eroding the margin.
 
 Usage: python3 tools/sf1_canary.py [--sf1 /tmp/sf1] [--out /tmp/sf1_canary]
                                    [--cpus 16] [--timeout 900]
@@ -93,11 +95,23 @@ QUERIES = [
 # scale, dedup_containment as the cheapest exact-tier cost-curve point.
 EXACT_TIER = ["dedup_ngram_jaccard", "dedup_containment"]
 EXACT_TIER_EVERY = 3  # run the exact tier every Nth canary run
-# files whose diff forces an exact-tier run regardless of cadence
+# files whose diff forces an exact-tier run regardless of cadence:
+# the exact-tier execution path (Dedup + the TextQueries twins) AND
+# the corpus generator — the Jaccard floor is a property of the
+# GENERATED corpus, so a make_sf1.py change must re-prove it even
+# when the engine code is untouched (r19 itself changed the token
+# tags; the floor is bijection-invariant, but only measurement says
+# the next generator change is)
 EXACT_TIER_SOURCES = [
     "src/main/scala/graft/ops/Dedup.scala",
     "src/main/scala/graft/queries/TextQueries.scala",
+    "tools/make_sf1.py",
 ]
+# QUALIFYING means >= the MinHash gate threshold 0.7 (the banded
+# twins' recall budget is about pairs they must FIND); the exact
+# query's own output threshold is lower (0.5), and pairs in [0.5,
+# 0.7) are legitimate non-qualifying output the floor must ignore
+MINHASH_QUALIFYING_THRESHOLD = 0.7
 MIN_QUALIFYING_JACCARD = 0.8
 
 
@@ -189,7 +203,8 @@ def main():
         import duckdb
         min_j = duckdb.sql(
             "SELECT min(jaccard) FROM "
-            f"read_parquet('{args.out}/dedup_ngram_jaccard/*.parquet')"
+            f"read_parquet('{args.out}/dedup_ngram_jaccard/*.parquet') "
+            f"WHERE jaccard >= {MINHASH_QUALIFYING_THRESHOLD}"
         ).fetchone()[0]
         if min_j is None or min_j < MIN_QUALIFYING_JACCARD:
             bad += 1
