@@ -36,17 +36,17 @@ object Bench {
     */
   val PhysicalCores = 16
 
-  /** Resolve the benchmark thread count: SPARK_GRAFT_CPUS, CLAMPED to
-    * [[PhysicalCores]] with a loud warning — an oversubscribed sweep
-    * would silently regress the committed measurement regime (the
-    * driver sweeps at 32). SPARK_GRAFT_ALLOW_OVERSUBSCRIBE=1 honors
-    * the literal value for deliberate contention experiments.
+  /** Resolve the benchmark thread count: the requested value, CLAMPED
+    * to [[PhysicalCores]] with a loud warning — an oversubscribed
+    * sweep would silently regress the committed measurement regime
+    * (the driver sweeps at 32). `allowOversubscribe`
+    * (SPARK_GRAFT_ALLOW_OVERSUBSCRIBE=1) honors the literal value for
+    * deliberate contention experiments. Pure (env read in main) so
+    * BenchRegimeSpec can pin the clamp table.
     */
-  def resolveCpus(): (Int, Int) = {
-    val requested = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      PhysicalCores.toString).toInt
-    val allow = sys.env.contains("SPARK_GRAFT_ALLOW_OVERSUBSCRIBE")
-    if (requested > PhysicalCores && !allow) {
+  def resolveCpus(requested: Int,
+      allowOversubscribe: Boolean): (Int, Int) = {
+    if (requested > PhysicalCores && !allowOversubscribe) {
       System.err.println(
         s"[bench] SPARK_GRAFT_CPUS=$requested exceeds the measured " +
         s"physical-core count $PhysicalCores (32 vCPUs = 16 HT-shared " +
@@ -60,7 +60,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val (cpusN, cpusRequested) = resolveCpus()
+    val (cpusN, cpusRequested) = resolveCpus(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", PhysicalCores.toString).toInt,
+      sys.env.contains("SPARK_GRAFT_ALLOW_OVERSUBSCRIBE"))
     val cpus = cpusN.toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
