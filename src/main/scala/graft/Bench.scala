@@ -37,16 +37,26 @@ object Bench {
   val PhysicalCores = 16
 
   /** Resolve the benchmark thread count: the requested value, CLAMPED
-    * to [[PhysicalCores]] with a loud warning — an oversubscribed
-    * sweep would silently regress the committed measurement regime
-    * (the driver sweeps at 32). `allowOversubscribe`
-    * (SPARK_GRAFT_ALLOW_OVERSUBSCRIBE=1) honors the literal value for
-    * deliberate contention experiments. Pure (env read in main) so
-    * BenchRegimeSpec can pin the clamp table.
+    * to [1, [[PhysicalCores]]] with a loud warning on either side — an
+    * oversubscribed sweep would silently regress the committed
+    * measurement regime (the driver sweeps at 32), and a zero/negative
+    * request would reach `local[0]` and die later in Spark with an
+    * opaque scheduler error instead of here. `allowOversubscribe`
+    * (SPARK_GRAFT_ALLOW_OVERSUBSCRIBE=1) honors literal values above
+    * the cap for deliberate contention experiments (the lower bound
+    * always holds — `local[0]` is never an experiment). No state and
+    * no env reads (main passes both in), so BenchRegimeSpec can pin
+    * the clamp table; the warning goes to stderr, which the pin
+    * ignores.
     */
   def resolveCpus(requested: Int,
       allowOversubscribe: Boolean): (Int, Int) = {
-    if (requested > PhysicalCores && !allowOversubscribe) {
+    if (requested < 1) {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_CPUS=$requested is not a runnable thread " +
+        "count (local[0] has no executor threads) — clamping to 1.")
+      (1, requested)
+    } else if (requested > PhysicalCores && !allowOversubscribe) {
       System.err.println(
         s"[bench] SPARK_GRAFT_CPUS=$requested exceeds the measured " +
         s"physical-core count $PhysicalCores (32 vCPUs = 16 HT-shared " +

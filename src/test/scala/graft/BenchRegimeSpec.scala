@@ -33,4 +33,11 @@ class BenchRegimeSpec extends AnyFunSuite {
   test("the explicit oversubscribe escape hatch honors the literal value") {
     assert(Bench.resolveCpus(32, allowOversubscribe = true) == (32, 32))
   }
+
+  test("zero or negative requests clamp to 1 (local[0] would fail " +
+      "deep in Spark), even under the oversubscribe escape hatch") {
+    assert(Bench.resolveCpus(0, allowOversubscribe = false) == (1, 0))
+    assert(Bench.resolveCpus(-4, allowOversubscribe = false) == (1, -4))
+    assert(Bench.resolveCpus(0, allowOversubscribe = true) == (1, 0))
+  }
 }

@@ -691,6 +691,25 @@ class GateHygieneSpec extends AnyFunSuite {
       "parsed minCells diverged from the 4*nProbe^2 floor")
   }
 
+  /** The sf10 ladder's sampled checks must leave their wall + a host-
+    * speed calib IN the artifact and gate the wall against the ladder's
+    * own --timeout (r20, VERDICT ask 3): r19's 53 s quiet sampled check
+    * read 125 s in the driver's loaded window and the excess was only
+    * visible in prose. Pin the artifact keys and the budget gate so a
+    * refactor can't silently drop them.
+    */
+  test("sf10_ladder.py records sampled_wall_s + calib_sec and gates " +
+      "the sampled wall against its own timeout") {
+    val tool = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools", "sf10_ladder.py")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    for (anchor <- Seq("\"sampled_wall_s\": sampled_wall",
+        "\"calib_sec\": calib",
+        "s[\"sec\"] > args.timeout"))
+      assert(tool.contains(anchor),
+        s"sf10_ladder.py lost its sampled-budget anchor: $anchor")
+  }
+
   /** tools/aba_bench.py runs graft.Bench via DIRECT java and therefore
     * duplicates build.sbt's jdk17AddOpens list; a build.sbt change
     * that doesn't reach the tool produces IllegalAccessErrors only at
@@ -711,5 +730,33 @@ class GateHygieneSpec extends AnyFunSuite {
       "build.sbt jdk17AddOpens and tools/aba_bench.py ADD_OPENS_PKGS " +
         s"diverged: only-sbt=${(sbtList -- toolList).toSeq.sorted} " +
         s"only-tool=${(toolList -- sbtList).toSeq.sorted}")
+  }
+
+  /** tools/aba_bench.py PARSES its cpu clamp out of Bench.scala (r20,
+    * replacing a hardcoded 16 that would have silently survived a
+    * host-regime re-measure). The parse is only safe while its anchor
+    * regex matches the source AND yields the value the compiled
+    * constant actually has — pin both, same pattern as the sampled-
+    * dbscan anchors above.
+    */
+  test("aba_bench.py's PhysicalCores parse anchor matches Bench.scala " +
+      "and yields Bench.PhysicalCores") {
+    val tool = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools", "aba_bench.py")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val anchorDef =
+      """PHYSICAL_CORES_ANCHOR = r"([^"]+)"""".r.findFirstMatchIn(tool)
+    assert(anchorDef.isDefined,
+      "tools/aba_bench.py no longer defines PHYSICAL_CORES_ANCHOR")
+    val bench = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src", "main", "scala", "graft",
+        "Bench.scala")), java.nio.charset.StandardCharsets.UTF_8)
+    val parsed = anchorDef.get.group(1).r.findFirstMatchIn(bench)
+    assert(parsed.isDefined,
+      "aba_bench.py's PhysicalCores anchor no longer matches " +
+        "Bench.scala — update BOTH sides")
+    assert(parsed.get.group(1).toInt == Bench.PhysicalCores,
+      "aba_bench.py's anchor parses a different value than the " +
+        "compiled Bench.PhysicalCores")
   }
 }

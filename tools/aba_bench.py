@@ -59,6 +59,23 @@ ADD_OPENS_PKGS = [
 ]
 
 
+# Parsed (not duplicated) from Bench.scala so a re-measured host regime
+# can never leave this tool silently clamping to a stale literal; the
+# anchor regex is pinned by GateHygieneSpec alongside the add-opens
+# lockstep test.
+PHYSICAL_CORES_ANCHOR = r"val PhysicalCores = (\d+)"
+
+
+def physical_cores(repo: Path) -> int:
+    src = (repo / "src/main/scala/graft/Bench.scala").read_text()
+    m = re.search(PHYSICAL_CORES_ANCHOR, src)
+    if not m:
+        sys.exit("[aba] Bench.PhysicalCores anchor no longer matches "
+                 "Bench.scala — update PHYSICAL_CORES_ANCHOR (and the "
+                 "GateHygieneSpec pin) alongside the Bench change")
+    return int(m.group(1))
+
+
 def java_cmd(classes: Path) -> list:
     flags = []
     for p in ADD_OPENS_PKGS:
@@ -123,8 +140,9 @@ def main():
                     help="comma-separated SparkEntry query names")
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--cpus", type=int, default=16,
-                    help="16 = the committed regime (physical cores); "
-                         "values above 16 are clamped — see below")
+                    help="default 16 = the committed regime; values above "
+                         "Bench.PhysicalCores (parsed, currently 16) are "
+                         "clamped — see below")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--rm-worktree", action="store_true",
                     help="remove the old-commit worktree afterwards "
@@ -132,18 +150,21 @@ def main():
     args = ap.parse_args()
     repo = Path(__file__).resolve().parent.parent
 
-    # Clamp HERE, not just in Bench: the r19+ NEW binary clamps >16
-    # itself (Bench.resolveCpus) while OLD binaries honor the literal
-    # env value — an unclamped --cpus 32 would compare new@16 against
+    # Clamp HERE, not just in Bench: the r19+ NEW binary clamps itself
+    # (Bench.resolveCpus) while OLD binaries honor the literal env
+    # value — an unclamped --cpus 32 would compare new@16 against
     # old@32 and fabricate a 2-3x "improvement" on iterative queries
     # (the HT artifact) in the exact tool whose purpose is trustworthy
     # triage. Clamping in the tool keeps every phase, any vintage, in
-    # the same regime.
-    if args.cpus > 16:
-        print(f"[aba] --cpus {args.cpus} exceeds the 16 physical cores; "
-              "clamping so OLD binaries (no Bench-side clamp) run the "
-              "same regime as NEW ones", flush=True)
-        args.cpus = 16
+    # the same regime. The cap is PARSED from Bench.scala (r20), so a
+    # re-measured host constant propagates here automatically.
+    cores = physical_cores(repo)
+    if args.cpus > cores:
+        print(f"[aba] --cpus {args.cpus} exceeds the {cores} physical "
+              "cores (Bench.PhysicalCores); clamping so OLD binaries "
+              "(no Bench-side clamp) run the same regime as NEW ones",
+              flush=True)
+        args.cpus = cores
 
     sha = subprocess.run(["git", "rev-parse", "--short", args.old],
                          cwd=repo, capture_output=True, text=True,

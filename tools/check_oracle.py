@@ -114,6 +114,16 @@ def main(sf_dir: str, out_dir: str, only: str = "", timeout: str = "120") -> int
         # exact value compare, row order as produced (both sides ORDER BY)
         mismatch = None
         for c in gc:
+            # vectorized fast path (r20): Series.equals is NaN==NaN-true
+            # and C-speed; it returns False on a dtype difference (e.g.
+            # int32 vs int64), in which case the python loop below still
+            # does the value-level compare. Object (string) columns stay
+            # on the loop: equals() treats None and NaN as equivalent
+            # there, which the loop (correctly) flags. Needed since the
+            # sf10 ladder grew per-event outputs (10M rows x 5 cols was
+            # ~60 s of python-loop per query; this path is ~1 s).
+            if g[c].dtype.kind != "O" and g[c].equals(w[c]):
+                continue
             gv, wv = g[c].tolist(), w[c].tolist()
             for i, (a, b) in enumerate(zip(gv, wv)):
                 if a != b and not (a != a and b != b):  # NaN==NaN ok

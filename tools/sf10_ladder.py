@@ -7,7 +7,11 @@ chaining make_sf1.py over /tmp/sf1 (10 copies of 10 copies of sf0.1 —
 the scale-path subset through graft.Verify at local[32], then
 value-checks against DuckDB under a 1200 s/query budget.
 
-The subset is every sf1-canary member whose 1000x point is provable:
+The subset: every sf1-canary member whose 1000x point is provable,
+plus (r20) the stream/olap/analytics families' first >=sf1 rows —
+sessionization, per-group top-k, cube, and a RANGE event-time window —
+each with a full twin and a replica-linearity or closed-form row
+count. The original core is:
 the two fixed overflow queries (cum_cents*1e6 ~ 2.3e20 here — 25x past
 2^63), the preemptive widening, fertility, the banded dedup/sim
 siblings (whose twins became sf10-checkable in r18 via the banded
@@ -55,6 +59,28 @@ ENGINE_QUERIES = [
     "sim_ann_ivf", "sim_dbscan_bucketed", "source_bucketed_join",
     "source_bucketed_agg", "stream_window_agg", "dedup_repeated_spans",
     "text_dup_span_fraction",
+    # r20 (VERDICT ask 1): the stream/olap/analytics families' first
+    # >=sf1 standing rows — the shapes most sensitive to data volume
+    # that previously had only sf0.01-0.1 evidence. All four carry FULL
+    # twins (their DuckDB arms are linear window/agg shapes):
+    #   stream_sessionize      gap-window sessionization; rows are
+    #                          replica-linear (sessions partition by
+    #                          user_id, user ids are copy-strided, ts
+    #                          replicate verbatim -> per-copy sessions
+    #                          identical to sf0.1's 69,122)
+    #   olap_topk_per_group    rank-filter over a 60M-row join; rows
+    #                          closed-form 3 x 25 brands (brands
+    #                          replicate verbatim; ties across copies
+    #                          break on p_partkey identically in both
+    #                          engines)
+    #   olap_cube              4-way Expand over the leaf agg; rows
+    #                          closed-form 24 (3 statuses x 5
+    #                          priorities + margins, scale-invariant)
+    #   analytics_range_window RANGE (event-time value) frame; one
+    #                          output row per event -> rows must equal
+    #                          the events table count exactly
+    "stream_sessionize", "olap_topk_per_group", "olap_cube",
+    "analytics_range_window",
 ]
 # sim_dbscan_bucketed gets the SAMPLED oracle (dbscan_sampled_check)
 # instead of the full twin: the full twin's assign prefix alone is
@@ -64,13 +90,33 @@ ORACLE_SKIP = {"sim_dbscan_bucketed"}
 # 199 is coprime to the replica stride (2000), so the ~1005-point
 # sample walks all 100 copies instead of pinning one offset per copy.
 DBSCAN_SAMPLE_MOD = 199
-# rows must be EXACTLY 100x the sf0.1 value (replica linearity)
+# rows must be EXACTLY 100x the sf0.1 value (replica linearity) or the
+# query's closed form at sf10 (see the ENGINE_QUERIES comments)
 LINEAR_ROWS = {
     "dedup_minhash_lsh": 25600,          # 100 x 256
     "dedup_containment_minhash": 51200,  # 100 x 512
     "dedup_repeated_spans": 893900,      # 100 x 8,939
     "text_dup_span_fraction": 500000,    # one per doc
+    "stream_sessionize": 6912200,        # 100 x 69,122 sessions
+    "olap_topk_per_group": 75,           # 3 per brand x 25 brands
+    "olap_cube": 24,                     # (3+ALL) x (5+ALL) + gid margins
+    "analytics_range_window": 10000000,  # one per event
 }
+
+
+def calib_sec() -> float:
+    """Fixed CPU-bound calibration (numpy hash-mix over a constant
+    range, no I/O, no data dependence) timed alongside the sampled
+    checks, mirroring Bench.scala's calib_sec: the r19 sampled-dbscan
+    wall read 53 s quiet but 125 s in the driver's loaded window, and
+    without a host-speed sample IN the artifact that looked like
+    slow-creep. Quiet reference on this VM: ~0.10-0.15 s.
+    """
+    import numpy as np
+    t0 = time.time()
+    a = np.arange(30_000_000, dtype=np.uint64)
+    ((a * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)).sum()
+    return round(time.time() - t0, 3)
 
 
 def dbscan_sampled_check(sf10: str, out: str, timeout_s: float) -> dict:
@@ -319,6 +365,7 @@ def main():
             re.findall(r"^OK\s+(\w+): (\d+) rows", oracle.stdout, re.M)}
 
     sampled = {}
+    calib = calib_sec()
     if "sim_dbscan_bucketed" in walls:
         print("[ladder] running the sampled dbscan oracle "
               f"(~{200000 // DBSCAN_SAMPLE_MOD} exact-verified points) ...",
@@ -326,7 +373,10 @@ def main():
         sampled["sim_dbscan_bucketed"] = dbscan_sampled_check(
             args.sf10, args.out, args.timeout)
 
-    bad = len(failed)
+    # bad starts at 0 (r20, ADVICE): the per-query loop below already
+    # gives every engine-failed query a FAIL verdict (+1), so seeding
+    # with len(failed) double-counted engine failures in the exit code
+    bad = 0
     for q in ENGINE_QUERIES:
         if q in sampled:
             verdict = "SAMP" if sampled[q]["ok"] else "FAIL"
@@ -349,10 +399,23 @@ def main():
             samp = f" sampled[{s['sec']}s]={s['detail']}"
         print(f"{verdict} {q:28s} engine={walls.get(q, '?'):>7s}s "
               f"rows={rows.get(q, '?')}{lin}{samp}")
+    # sampled-check budget gate (r20, VERDICT ask 3): the sampled walls
+    # are asserted against the ladder's OWN per-query budget (the same
+    # --timeout every oracle row gets), and the wall + a host-speed
+    # calib land IN the artifact — so a loaded driver window (r19: 53 s
+    # quiet vs 125 s loaded) reads as "slow host, calib up" in the JSON
+    # instead of as silent slow-creep in prose.
+    sampled_wall = round(sum(s["sec"] for s in sampled.values()), 1)
+    for q, s in sampled.items():
+        if s["sec"] > args.timeout:
+            bad += 1
+            print(f"FAIL sampled check {q} wall {s['sec']}s exceeds the "
+                  f"ladder budget {args.timeout}s")
     summary = {
         "ladder": "sf10", "queries": len(ENGINE_QUERIES),
         "oracle_ok": len(ok), "oracle_attempted": len(checked),
         "sampled_ok": sum(1 for s in sampled.values() if s["ok"]),
+        "sampled_wall_s": sampled_wall, "calib_sec": calib,
         "engine_wall_sec": round(engine_wall, 1),
         "per_query_sec": {q: float(w) for q, w in walls.items()},
     }

@@ -104,6 +104,10 @@ EXACT_TIER_EVERY = 3  # run the exact tier every Nth canary run
 # the next generator change is)
 EXACT_TIER_SOURCES = [
     "src/main/scala/graft/ops/Dedup.scala",
+    # r20 (ADVICE): the exact path TOKENIZES via TextOps.tokens
+    # (Dedup.scala:139) and the twins' DuckToks must stay in lockstep
+    # with it, so a tokenizer change must force re-certification too
+    "src/main/scala/graft/ops/TextOps.scala",
     "src/main/scala/graft/queries/TextQueries.scala",
     "tools/make_sf1.py",
 ]
