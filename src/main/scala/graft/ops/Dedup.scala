@@ -383,4 +383,104 @@ object Dedup {
         col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
         contain.as("containment"))
   }
+
+  /** Shared core of the SAMPLED exact-tier profiles (r20): for every
+    * doc in the deterministic sample (doc_id % mod == 0), the exact
+    * (sample, other, intersect, n_s, n_o) stats against the WHOLE
+    * corpus, via the inverted-index count-join restricted to the
+    * sample on one side. Returns (sample of ALL sampled doc ids,
+    * per-candidate stats) — callers aggregate the stats into per-doc
+    * fingerprints and left-join onto the sample so docs with no
+    * candidates (or no shingles) still emit a zeros row.
+    *
+    * Why this exists: the full exact tier is quadratic BY DESIGN
+    * (hours at sf10), so its twins are sf1-certified only. Restricting
+    * one join side to ~1/mod of the corpus makes the same
+    * tokenize→shingle→count arithmetic LINEAR in the corpus (sample ×
+    * same-shingle partners), cheap enough for a full DuckDB twin at
+    * sf10 — the 1000x spot-evidence for the exact tier's semantics.
+    * The AND+POPCNT kernel itself stays sf1-certified by the canary's
+    * cadenced exact tier; what this path re-proves at 1000x is the
+    * shared substrate (TextOps.tokens, shingles(), the exact integer
+    * intersections and IEEE measure arithmetic).
+    *
+    * The join counts ARE the intersections (CountJoin's no-cap
+    * argument at ngramJaccardPairs): both sides explode DISTINCT
+    * shingle sets, so pair rows per (s, o) = |S_s ∩ S_o| exactly.
+    */
+  private def sampledPairStats(docs: DataFrame, n: Int,
+      mod: Int): (DataFrame, DataFrame) = {
+    require(mod >= 1, s"sample modulus must be >= 1 (got $mod)")
+    val sample = docs.select(col("doc_id"))
+      .where(pmod(col("doc_id"), lit(mod)) === 0)
+    val sh = shingles(docs, n).persistIntermediate
+    val ex = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
+    val exS = ex.where(pmod(col("doc_id"), lit(mod)) === 0)
+    val sizes = sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh"))
+    val stats = exS.as("a")
+      .join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("s"), col("b.doc_id").as("o"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("s"), col("n_sh").as("ns")), "s")
+      .join(sizes.select(col("doc_id").as("o"), col("n_sh").as("no")), "o")
+    (sample, stats)
+  }
+
+  /** SAMPLED exact-Jaccard neighbor fingerprint (r20): one row per
+    * sampled doc (doc_id % mod == 0) with its exact candidate count
+    * (docs sharing ≥ 1 shingle), qualifying-neighbor count (Jaccard ≥
+    * threshold, same formula as [[ngramJaccardPairs]]), the qualifying
+    * neighbors' id and intersect-size sums (a set fingerprint: any
+    * single wrong/missing neighbor moves the count or a sum), and the
+    * max Jaccard over all candidates (0.0 when none — a candidate's
+    * Jaccard is always > 0, so the sentinel is unambiguous).
+    *
+    * Row count is closed-form (⌊(max doc_id)/mod⌋ + 1 on contiguous
+    * ids), which doubles as the ladder's replica-linearity assert.
+    */
+  def jaccardNeighborProfile(docs: DataFrame, n: Int = 2,
+      threshold: Double = 0.5, mod: Int = 199): DataFrame = {
+    val (sample, stats) = sampledPairStats(docs, n, mod)
+    val jac = col("i").cast("double") / (col("ns") + col("no") - col("i"))
+    val qual = jac >= threshold
+    val prof = stats.groupBy(col("s").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(qual, 1L).otherwise(0L)).as("n_qualifying"),
+        sum(when(qual, col("o")).otherwise(0L)).as("nbr_id_sum"),
+        sum(when(qual, col("i")).otherwise(0L)).as("nbr_intersect_sum"),
+        max(jac).as("max_jaccard"))
+    sample.join(prof, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_qualifying", "nbr_id_sum",
+        "nbr_intersect_sum"))
+      .na.fill(0.0, Seq("max_jaccard"))
+  }
+
+  /** SAMPLED exact-containment neighbor fingerprint (r20): the
+    * directional sibling of [[jaccardNeighborProfile]] — per sampled
+    * doc, counts and id-sums of the docs it is ≥-threshold CONTAINED
+    * IN (C(s⊂o) = |∩|/|S_s|, [[containmentPairs]]'s d1-side) and of
+    * the docs it CONTAINS (C(o⊂s) = |∩|/|S_o|), plus the max
+    * containment of s in any candidate.
+    */
+  def containmentNeighborProfile(docs: DataFrame, n: Int = 2,
+      threshold: Double = 0.8, mod: Int = 199): DataFrame = {
+    val (sample, stats) = sampledPairStats(docs, n, mod)
+    val containedIn = col("i").cast("double") / col("ns") >= threshold
+    val contains = col("i").cast("double") / col("no") >= threshold
+    val prof = stats.groupBy(col("s").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(containedIn, 1L).otherwise(0L)).as("n_contained_in"),
+        sum(when(contains, 1L).otherwise(0L)).as("n_contains"),
+        sum(when(containedIn, col("o")).otherwise(0L))
+          .as("contained_id_sum"),
+        sum(when(contains, col("o")).otherwise(0L)).as("contains_id_sum"),
+        max(col("i").cast("double") / col("ns")).as("max_containment"))
+    sample.join(prof, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_contained_in", "n_contains",
+        "contained_id_sum", "contains_id_sum"))
+      .na.fill(0.0, Seq("max_containment"))
+  }
 }

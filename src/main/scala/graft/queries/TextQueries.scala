@@ -1373,6 +1373,114 @@ object TextQueries {
       |WHERE CAST(intersect_size AS DOUBLE) / s1.n >= 0.8
       |ORDER BY d1, d2""".stripMargin
 
+  /** Deterministic sample modulus shared by the two sampled exact-tier
+    * profiles and their twins (one Scala definition; the twins
+    * interpolate it). 199: prime, coprime to every documents replica
+    * stride (5000/50000 at the sf1/sf10 rungs), so the sample walks
+    * ALL copies instead of pinning one offset per copy — the same
+    * argument as the ladder's DBSCAN_SAMPLE_MOD. ~1/199 of the corpus:
+    * 3 docs at the sf0.01 gate (non-vacuous — every doc has same-copy
+    * shingle-sharing candidates), 2,513 at sf10 (where the sampled
+    * inverted-index join stays linear in the corpus).
+    */
+  val ExactSampleMod = 199
+
+  /** Shared twin scaffold for the sampled exact-tier profiles: the
+    * parent exact twins' shingle CTEs with ONE side of the
+    * inverted-index join restricted to the sample, plus the sample
+    * list itself for the zeros left-join.
+    */
+  private def sampledStatsCtes(mod: Int): String = DuckToks +
+    s"""
+      |, sh AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS s
+      |  FROM d
+      |), ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+      |exs AS MATERIALIZED (
+      |  SELECT doc_id, g FROM ex WHERE doc_id % $mod = 0
+      |), stats AS MATERIALIZED (
+      |  SELECT a.doc_id AS sd, b.doc_id AS o, count(*) AS i
+      |  FROM exs a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2
+      |), sized AS MATERIALIZED (
+      |  SELECT st.sd, st.o, st.i, len(s1.s) AS ns, len(s2.s) AS no
+      |  FROM stats st JOIN sh s1 ON st.sd = s1.doc_id
+      |                JOIN sh s2 ON st.o = s2.doc_id
+      |), samp AS MATERIALIZED (
+      |  SELECT doc_id FROM documents WHERE doc_id % $mod = 0
+      |)""".stripMargin
+
+  /** `dedup_jaccard_sampled` — the exact-Jaccard tier's SAMPLED
+    * 1000x value point (see [[graft.ops.Dedup.jaccardNeighborProfile]]
+    * for why the full tier can't carry a twin past sf1). One
+    * fingerprint row per sampled doc; same tokenizer, shingles,
+    * integer intersections and IEEE measure as `dedup_ngram_jaccard`.
+    */
+  def dedupJaccardSampled(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardNeighborProfile(docs(spark, sfDir), n = 2,
+        threshold = 0.5, mod = ExactSampleMod)
+      .orderBy("doc_id")
+
+  val dedupJaccardSampledSql: String = sampledStatsCtes(ExactSampleMod) +
+    """
+      |, prof AS MATERIALIZED (
+      |  SELECT sd AS doc_id, COUNT(*) AS n_candidates,
+      |         CAST(SUM(CASE WHEN CAST(i AS DOUBLE) / (ns + no - i) >= 0.5
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_qualifying,
+      |         CAST(SUM(CASE WHEN CAST(i AS DOUBLE) / (ns + no - i) >= 0.5
+      |                       THEN o ELSE 0 END) AS BIGINT) AS nbr_id_sum,
+      |         CAST(SUM(CASE WHEN CAST(i AS DOUBLE) / (ns + no - i) >= 0.5
+      |                       THEN i ELSE 0 END) AS BIGINT) AS nbr_intersect_sum,
+      |         MAX(CAST(i AS DOUBLE) / (ns + no - i)) AS max_jaccard
+      |  FROM sized GROUP BY sd
+      |)
+      |SELECT samp.doc_id,
+      |       COALESCE(n_candidates, 0) AS n_candidates,
+      |       COALESCE(n_qualifying, 0) AS n_qualifying,
+      |       COALESCE(nbr_id_sum, 0) AS nbr_id_sum,
+      |       COALESCE(nbr_intersect_sum, 0) AS nbr_intersect_sum,
+      |       COALESCE(max_jaccard, 0.0) AS max_jaccard
+      |FROM samp LEFT JOIN prof USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** `dedup_containment_sampled` — directional sibling of
+    * `dedup_jaccard_sampled` (see
+    * [[graft.ops.Dedup.containmentNeighborProfile]]).
+    */
+  def dedupContainmentSampled(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Dedup.containmentNeighborProfile(docs(spark, sfDir), n = 2,
+        threshold = 0.8, mod = ExactSampleMod)
+      .orderBy("doc_id")
+
+  val dedupContainmentSampledSql: String =
+    sampledStatsCtes(ExactSampleMod) +
+    """
+      |, prof AS MATERIALIZED (
+      |  SELECT sd AS doc_id, COUNT(*) AS n_candidates,
+      |         CAST(SUM(CASE WHEN CAST(i AS DOUBLE) / ns >= 0.8
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_contained_in,
+      |         CAST(SUM(CASE WHEN CAST(i AS DOUBLE) / no >= 0.8
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+      |         CAST(SUM(CASE WHEN CAST(i AS DOUBLE) / ns >= 0.8
+      |                       THEN o ELSE 0 END) AS BIGINT) AS contained_id_sum,
+      |         CAST(SUM(CASE WHEN CAST(i AS DOUBLE) / no >= 0.8
+      |                       THEN o ELSE 0 END) AS BIGINT) AS contains_id_sum,
+      |         MAX(CAST(i AS DOUBLE) / ns) AS max_containment
+      |  FROM sized GROUP BY sd
+      |)
+      |SELECT samp.doc_id,
+      |       COALESCE(n_candidates, 0) AS n_candidates,
+      |       COALESCE(n_contained_in, 0) AS n_contained_in,
+      |       COALESCE(n_contains, 0) AS n_contains,
+      |       COALESCE(contained_id_sum, 0) AS contained_id_sum,
+      |       COALESCE(contains_id_sum, 0) AS contains_id_sum,
+      |       COALESCE(max_containment, 0.0) AS max_containment
+      |FROM samp LEFT JOIN prof USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** `text_bigram_score` — corpus-conditional fluency proxy: each
     * document scored by how common its bigrams are in the whole
     * corpus (sum and count of corpus bigram frequencies, exact

@@ -759,4 +759,45 @@ class GateHygieneSpec extends AnyFunSuite {
       "aba_bench.py's anchor parses a different value than the " +
         "compiled Bench.PhysicalCores")
   }
+
+  /** Scala mirror of tools/aba_bench.py's per-query verdict rule (r20,
+    * VERDICT ask 4): ok / too-noisy / regressed / missing over the
+    * (new1, old, new2) phase medians. The arithmetic copies the python
+    * verbatim (multiplicative threshold form — see the tool) so both
+    * implementations agree bit-for-bit on the shared fixture table;
+    * `python3 tools/aba_bench.py --selftest` checks the other side.
+    */
+  private def abaVerdict(n1: Option[Double], o: Option[Double],
+      n2: Option[Double]): String = {
+    val news = Seq(n1, n2).flatten
+    if (news.isEmpty || o.forall(_ == 0.0) || o.isEmpty) return "missing"
+    val m = news.min
+    if (m <= o.get * (1.0 + 0.10)) return "ok"
+    if (news.length < 2) return "too-noisy"
+    val excess = m / o.get - 1.0
+    val noise = math.abs(n1.get - n2.get) / m
+    if (noise < excess) "regressed" else "too-noisy"
+  }
+
+  test("the Scala ABA-verdict mirror agrees with tools/aba_bench.py " +
+      "on the shared fixture table") {
+    val path = java.nio.file.Paths.get("tools", "aba_verdict_fixtures.tsv")
+    assert(java.nio.file.Files.isRegularFile(path),
+      s"$path missing — run sbt test from the repo root")
+    val disagreements = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.lines(path).iterator()).asScala
+      .filter(ln => ln.trim.nonEmpty && !ln.startsWith("#"))
+      .flatMap { ln =>
+        val Array(n1, o, n2, want) = ln.split("\t")
+        def conv(v: String): Option[Double] =
+          if (v == "-") None else Some(v.toDouble)
+        val got = abaVerdict(conv(n1), conv(o), conv(n2))
+        if (got != want) Some(s"($n1, $o, $n2): want=$want got=$got")
+        else None
+      }.toSeq
+    assert(disagreements.isEmpty,
+      "ABA verdict mirror disagrees with the shared fixtures (run " +
+        "python3 tools/aba_bench.py --selftest for the other side):\n" +
+        disagreements.mkString("\n"))
+  }
 }

@@ -122,4 +122,44 @@ class DedupSpec extends AnyFunSuite {
     val full = Dedup.ngramJaccardPairs(synth, 2, 0.5)
     assert(full.exceptAll(auto).isEmpty && auto.exceptAll(full).isEmpty)
   }
+
+  // ---- sampled exact-tier neighbor profiles (r20) ----------------------
+
+  test("jaccard neighbor profile fingerprints each sampled doc's exact " +
+      "neighbor set, zeros for no-candidate and no-shingle docs") {
+    // mod = 1 samples everyone; hand-derived on the fixture:
+    // doc1/2/4 share 7-8 of 8 bigrams; doc3 shares none; doc5 has no
+    // shingles at all — both of the latter must still emit a row
+    val out = Dedup.jaccardNeighborProfile(docs, n = 2, threshold = 0.5,
+        mod = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.length == 5)
+    assert(out(0) == ((1L, 2L, 2L, 6L, 15L, 1.0)))          // nbrs {2,4}
+    assert(out(1)._1 == 2L && out(1)._2 == 2L && out(1)._3 == 2L &&
+      out(1)._4 == 5L && out(1)._5 == 14L &&
+      math.abs(out(1)._6 - 7.0 / 9.0) < 1e-12)              // nbrs {1,4}
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0L, 0.0)))           // no candidates
+    assert(out(3) == ((4L, 2L, 2L, 3L, 15L, 1.0)))          // nbrs {1,2}
+    assert(out(4) == ((5L, 0L, 0L, 0L, 0L, 0.0)))           // no shingles
+  }
+
+  test("containment neighbor profile counts both directions and the " +
+      "sample modulus restricts the rows") {
+    val all = Dedup.containmentNeighborProfile(docs, n = 2,
+        threshold = 0.8, mod = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // doc1: contained in 2 (7/8) and 4 (8/8); contains both back
+    assert(all(0) == ((1L, 2L, 2L, 2L, 6L, 6L, 1.0)))
+    assert(all(2) == ((3L, 0L, 0L, 0L, 0L, 0L, 0.0)))
+    assert(all(4) == ((5L, 0L, 0L, 0L, 0L, 0L, 0.0)))
+    // mod = 2 keeps exactly the even ids
+    val even = Dedup.containmentNeighborProfile(docs, n = 2,
+        threshold = 0.8, mod = 2)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(even == Seq(2L, 4L))
+  }
 }

@@ -26,13 +26,17 @@ What it does:
      window, so host drift shows up as new1 vs new2 disagreement
      instead of silently biasing the new-vs-old ratio;
   4. prints per-query new1/old/new2 medians, the min(new)/old ratio,
-     and each phase's calib_sec.
+     each phase's calib_sec, and (r20) an explicit VERDICT per query —
+     ok / too-noisy / regressed / missing, the reading rule as code
+     (see verdict(); fixtures in aba_verdict_fixtures.tsv, mirrored by
+     GateHygieneSpec). Exit code = number of 'regressed' queries (3 if
+     a phase produced no record at all), so the triage is one command
+     AND one decision; 'too-noisy' means rerun, and exits 0.
 
-Reading the table: a real regression shows ratio > 1 with new1 ~= new2;
-if new1 and new2 disagree by more than the ratio's distance from 1.0,
-the window was too noisy to conclude anything — rerun. CHECK CODE
-IDENTITY FIRST (git diff old..HEAD -- <query's files>): a byte-identical
-execution path settles the question without any benchmark.
+CHECK CODE IDENTITY FIRST (git diff old..HEAD -- <query's files>): a
+byte-identical execution path settles the question without any
+benchmark. Run `python3 tools/aba_bench.py --selftest` to check the
+verdict rule against its fixture table.
 
 Per-query medians come from Bench.scala itself (interleaved passes,
 lower-middle median over successful runs); this tool never re-times
@@ -74,6 +78,65 @@ def physical_cores(repo: Path) -> int:
                  "Bench.scala — update PHYSICAL_CORES_ANCHOR (and the "
                  "GateHygieneSpec pin) alongside the Bench change")
     return int(m.group(1))
+
+
+# Apparent slowdowns up to this fraction over the old binary are read
+# as 'ok': the r18/r19 reproductions put same-window run-to-run medians
+# in a ~±10% band even on an idle machine.
+REGRESS_THRESHOLD = 0.10
+
+
+def verdict(n1, o, n2) -> str:
+    """Per-query ABA verdict (r20, VERDICT ask 4) — the reading rule
+    that used to live in the module docstring, as code:
+
+      missing    a phase has no sample for the query (typo, or the
+                 query doesn't exist in one commit)
+      ok         min(new)/old within 1 + REGRESS_THRESHOLD
+      regressed  excess over old larger than the threshold AND the two
+                 NEW phases agree more tightly than the excess — the
+                 window was steady, the slowdown is real
+      too-noisy  excess over old, but new1/new2 disagree by more than
+                 the excess (host drift swamped the signal — rerun),
+                 or only one NEW phase produced a sample
+
+    The r19 reproduction's quantile_sketch read 1.15x with new1/new2
+    apart by ~22% — this rule names that 'too-noisy' instead of leaving
+    the judgment to prose.
+    """
+    news = [x for x in (n1, n2) if x is not None]
+    if not news or not o:
+        return "missing"
+    # multiplicative form, not `ratio - 1 <= threshold`: 1.10/1.0 - 1.0
+    # is 0.10000000000000009 in floats and would flag the boundary.
+    # GateHygieneSpec's Scala mirror copies this arithmetic verbatim so
+    # the two implementations agree bit-for-bit on the fixtures.
+    if min(news) <= o * (1.0 + REGRESS_THRESHOLD):
+        return "ok"
+    if len(news) < 2:
+        return "too-noisy"
+    excess = min(news) / o - 1.0
+    noise = abs(n1 - n2) / min(news)
+    return "regressed" if noise < excess else "too-noisy"
+
+
+def selftest() -> int:
+    """Check verdict() against the shared fixture table (also mirrored
+    in Scala by GateHygieneSpec — the audit_* double-entry pattern)."""
+    bad = 0
+    path = Path(__file__).resolve().parent / "aba_verdict_fixtures.tsv"
+    for ln in path.read_text().splitlines():
+        if not ln.strip() or ln.startswith("#"):
+            continue
+        n1, o, n2, want = ln.split("\t")
+        conv = lambda v: None if v == "-" else float(v)
+        got = verdict(conv(n1), conv(o), conv(n2))
+        if got != want:
+            bad += 1
+            print(f"SELFTEST FAIL: verdict({n1}, {o}, {n2}) = {got}, "
+                  f"fixture says {want}")
+    print(f"[aba] selftest: {'OK' if not bad else f'{bad} FAIL'}")
+    return bad
 
 
 def java_cmd(classes: Path) -> list:
@@ -133,6 +196,8 @@ def run_phase(label: str, tree: Path, classes: Path, args) -> dict:
 
 
 def main():
+    if "--selftest" in sys.argv:
+        sys.exit(selftest())
     ap = argparse.ArgumentParser()
     ap.add_argument("--old", required=True,
                     help="commit/ref of the OLD binary to A/B against")
@@ -185,17 +250,20 @@ def main():
     new2 = run_phase("NEW(2)", repo, new_classes, args)
 
     qs = [q.strip() for q in args.queries.split(",") if q.strip()]
+    verdicts = {}
     print(f"\n{'query':30s} {'new1':>8s} {'old':>8s} {'new2':>8s} "
-          f"{'min(new)/old':>13s}")
+          f"{'min(new)/old':>13s} {'verdict':>10s}")
     for q in qs:
         n1 = new1.get("queries", {}).get(q)
         o = old.get("queries", {}).get(q)
         n2 = new2.get("queries", {}).get(q)
         ratio = (min(x for x in (n1, n2) if x is not None) / o
                  if o and (n1 is not None or n2 is not None) else None)
+        verdicts[q] = verdict(n1, o, n2)
         fmt = lambda v: f"{v:8.3f}" if isinstance(v, float) else f"{'?':>8s}"
         print(f"{q:30s} {fmt(n1)} {fmt(o)} {fmt(n2)} "
-              + (f"{ratio:13.2f}" if ratio else f"{'?':>13s}"))
+              + (f"{ratio:13.2f}" if ratio else f"{'?':>13s}")
+              + f" {verdicts[q]:>10s}")
     print(f"\ncalib_sec: new1={new1.get('calib_sec', '?')} "
           f"old={old.get('calib_sec', '?')} new2={new2.get('calib_sec', '?')}"
           f"  (adjacent-phase calib swings of ~1.8x were measured on an "
@@ -204,13 +272,21 @@ def main():
     if args.rm_worktree:
         subprocess.run(["git", "worktree", "remove", "--force",
                         str(old_tree)], cwd=repo, check=False)
-    missing = [q for q in qs if any(
-        q not in ph.get("queries", {}) for ph in (new1, old, new2))]
+    missing = [q for q in qs if verdicts.get(q) == "missing"]
     if missing:
         print(f"[aba] WARNING: no samples for {missing} in at least one "
               "phase — typo'd name, or the query does not exist in one "
               "of the two commits (check SparkEntry.queries keys)")
-    sys.exit(0 if (new1 and old and new2 and not missing) else 1)
+    # one command AND one decision (r20): nonzero ONLY when a verdict is
+    # 'regressed' (the window was steady and the slowdown real) or when
+    # a whole phase produced no record (infrastructure failure, exit 3).
+    # 'too-noisy' exits 0 — the table says to rerun, not to act.
+    if not (new1 and old and new2):
+        sys.exit(3)
+    regressed = [q for q, v in verdicts.items() if v == "regressed"]
+    if regressed:
+        print(f"[aba] REGRESSED: {regressed}")
+    sys.exit(min(len(regressed), 125))
 
 
 if __name__ == "__main__":

@@ -81,6 +81,16 @@ ENGINE_QUERIES = [
     #                          the events table count exactly
     "stream_sessionize", "olap_topk_per_group", "olap_cube",
     "analytics_range_window",
+    # r20 (VERDICT ask 2): the exact dedup tier's SAMPLED 1000x value
+    # points — one fingerprint row per doc_id % 199 == 0 doc (counts,
+    # id/intersect sums, max measure of its exact neighbor set), the
+    # same tokenize->shingle->intersect->IEEE-measure substrate as the
+    # quadratic exact tier but linear in the corpus, so they carry FULL
+    # twins here (the full tier's twins stay sf1-certified by the
+    # canary cadence). Negative controls recorded in ARCHITECTURE.md:
+    # a perturbed twin denominator and a shifted sample offset both
+    # FAIL the value compare loudly at sf1.
+    "dedup_jaccard_sampled", "dedup_containment_sampled",
 ]
 # sim_dbscan_bucketed gets the SAMPLED oracle (dbscan_sampled_check)
 # instead of the full twin: the full twin's assign prefix alone is
@@ -101,6 +111,9 @@ LINEAR_ROWS = {
     "olap_topk_per_group": 75,           # 3 per brand x 25 brands
     "olap_cube": 24,                     # (3+ALL) x (5+ALL) + gid margins
     "analytics_range_window": 10000000,  # one per event
+    # one row per sampled doc: floor(499999/199) + 1 on contiguous ids
+    "dedup_jaccard_sampled": 2513,
+    "dedup_containment_sampled": 2513,
 }
 
 

@@ -89,6 +89,15 @@ QUERIES = [
     # r19: one real byte-arithmetic media decoder, so the multimodal
     # family's mapPartitions path has a standing 100x point too
     "multimodal_png_decode",
+    # r20: one stream + one olap seat (VERDICT ask 5) — the families'
+    # every-round 100x points; both also hold sf10 ladder rows now
+    "stream_sessionize", "olap_topk_per_group",
+    # r20: the exact tier's SAMPLED siblings (VERDICT ask 2) run EVERY
+    # round at ~1/20 the full quadratic pair's cost — same tokenizer/
+    # shingle/measure substrate, value-checked via full twins; the
+    # full exact tier keeps re-certifying the AND+POPCNT kernel and
+    # the qualifying-Jaccard floor on its cadence below
+    "dedup_jaccard_sampled", "dedup_containment_sampled",
 ]
 # The deliberately-exact quadratic pair (cadence-gated, see docstring):
 # dedup_ngram_jaccard doubles as the strategy-AUTO check at 10x bench
