@@ -22,6 +22,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dump the oracle registry BEFORE the query loop (r20): it doesn't
+    // depend on query execution, and dumping it last meant a crash
+    // mid-loop left a STALE oracle_sql.json from a previous run in the
+    // same outDir — the r20 sf10 ladder's first run died of heap
+    // pressure after the loop and the checker silently skipped every
+    // query the stale dump didn't know about
+    writeOracleDump(outDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -38,7 +45,9 @@ object Verify {
           f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString, not getMessage: an OutOfMemoryError's message can
+        // be null, and the class name is the diagnosis
+        System.err.println(s"[verify] $name failed: ${e.toString}")
         // a reused outDir must not let a STALE previous result gate a
         // now-broken query green — remove the query's output entirely so
         // the compare reports a missing result instead
@@ -54,10 +63,24 @@ object Verify {
       // memoEdges re-caches on its next hit; any future cache() stays
       // bounded per query
       spark.catalog.clearCache()
+      // same reasoning as Bench's per-query GC: checkpoint/broadcast/
+      // shuffle state is reclaimed by the ContextCleaner only when the
+      // DRIVER GC collects the references, and a long all-queries run
+      // barely allocates driver-side — without the nudge, state
+      // accumulated over hundreds of executions leaks across queries
+      // (the r20 sf10 ladder lost three queries to exactly this at the
+      // 19-query scale that the 13-query r19 run survived)
+      System.gc()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    spark.stop()
+  }
+
+  /** oracle_sql.json for the driver's DuckDB compare.
+    * JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private def writeOracleDump(outDir: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -70,6 +93,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    ()
   }
 }

@@ -69,6 +69,20 @@ def main(sf_dir: str, out_dir: str, only: str = "", timeout: str = "120") -> int
 
     failures = 0
 
+    # a requested name absent from the dump must FAIL loudly, not be
+    # silently skipped (r20: a Verify crash left a STALE oracle_sql.json
+    # in a reused outDir and the new queries simply vanished from the
+    # check — "not attempted" read as green in the ladder table)
+    if names:
+        for name in sorted(names - set(oracle)):
+            failures += 1
+            print(f"FAIL {name}: not in oracle_sql.json (stale dump from "
+                  "a previous run, or the query has no oracle twin)",
+                  flush=True)
+            results[name] = {"status": "FAIL",
+                             "reason": "not in oracle_sql.json"}
+            flush()
+
     def fail(name, msg, t0):
         nonlocal failures
         failures += 1

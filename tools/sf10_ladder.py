@@ -359,14 +359,26 @@ def main():
         ["sbt", "-batch",
          f"runMain graft.Verify {args.sf10} {args.out} "
          f"{','.join(ENGINE_QUERIES)}"],
-        cwd=repo, env={**os.environ, "SPARK_GRAFT_CPUS": args.cpus},
+        cwd=repo, env={**os.environ, "SPARK_GRAFT_CPUS": args.cpus,
+                       # 24g, not the gate-SF 8g default: the r20 run
+                       # that grew the subset 13 -> 19 lost three
+                       # queries to cumulative heap pressure at 8g
+                       # (each passed in isolation); the sf10 rung has
+                       # the whole 128 GiB box to itself
+                       "SPARK_DRIVER_MEM": os.environ.get(
+                           "SPARK_DRIVER_MEM", "24g")},
         capture_output=True, text=True)
     engine_wall = time.time() - t0
     blob = proc.stderr + proc.stdout
     walls = dict(re.findall(r"\[verify\] (\w+) ok ([0-9.]+)s", blob))
+    # keep the MESSAGES, not just the names: the first r20 run reported
+    # three bare names and the diagnosis needed a manual re-run
+    failed_lines = re.findall(r"\[verify\] \w+ failed:.*", blob)
     failed = re.findall(r"\[verify\] (\w+) failed", blob)
     if failed:
-        print(f"[ladder] ENGINE FAILURES: {failed}")
+        print("[ladder] ENGINE FAILURES:")
+        for ln in failed_lines:
+            print(f"  {ln}")
 
     checked = [q for q in ENGINE_QUERIES if q not in ORACLE_SKIP]
     oracle = subprocess.run(

@@ -185,7 +185,15 @@ def main():
         ["sbt", "-batch",
          f"runMain graft.Verify {args.sf1} {args.out} {','.join(queries)}"],
         cwd=repo, env={**__import__('os').environ,
-                       "SPARK_GRAFT_CPUS": args.cpus},
+                       "SPARK_GRAFT_CPUS": args.cpus,
+                       # headroom over the gate-SF 8g default: the r20
+                       # sf10 ladder lost queries to cumulative session
+                       # heap pressure when its subset grew; the canary
+                       # grew 17 -> 21+2 the same round (see the ladder
+                       # for the mechanism — per-query System.gc() in
+                       # Verify is the main fix, this is belt)
+                       "SPARK_DRIVER_MEM": __import__('os').environ.get(
+                           "SPARK_DRIVER_MEM", "16g")},
         capture_output=True, text=True)
     engine_wall = time.time() - t0
     walls = dict(re.findall(r"\[verify\] (\w+) ok ([0-9.]+)s",
