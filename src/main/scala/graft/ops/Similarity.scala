@@ -149,6 +149,51 @@ object Similarity {
       .select("d1", "d2", "cos_sim")
   }
 
+  /** SAMPLED exact-cosine neighbor fingerprint (r20): the embedding
+    * sibling of [[graft.ops.Dedup.jaccardNeighborProfile]] — one row
+    * per sampled vector (vec_id % mod == 0) with its exact
+    * qualifying-neighbor count (cosine ≥ threshold, same quantized
+    * arithmetic as [[cosineNearDupPairs]]), the qualifying neighbors'
+    * id and exact-integer-dot sums, and the max cosine against the
+    * whole corpus. Restricting one side to ~1/mod makes the scan
+    * LINEAR in the corpus (sample × corpus dots — 2·10⁸ at sf10 vs
+    * the exact pair operator's 2·10¹⁰), so a full DuckDB twin holds at
+    * every rung: the exact cosine tier's 1000× value point, with the
+    * full quadratic operator staying sf1-certified by its own twin.
+    *
+    * Plan shape: the sample side BROADCASTS (annTopKCosine's query
+    * shape — bounded by construction at n/mod rows); the corpus
+    * streams once; the per-sample aggregate map-side combines into
+    * ≤ n/mod groups.
+    */
+  def cosineNeighborProfile(corpus: DataFrame, threshold: Double,
+      mod: Int = 199): DataFrame = {
+    require(mod >= 1, s"sample modulus must be >= 1 (got $mod)")
+    val base = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("ns", sqrt(normQ(col("v")).cast("double")))
+      .persistIntermediate
+    val sample = base.where(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("s_id"), col("v").as("sv"),
+        col("ns").as("sn"))
+    val scored = base
+      .select(col("vec_id").as("o_id"), col("v"), col("ns"))
+      .crossJoin(broadcast(sample))
+      .where(col("s_id") =!= col("o_id"))
+      .withColumn("dot", dotQ(col("sv"), col("v")))
+      // NULL on a zero-norm side, same contract as every cosine op
+      // here; the twin mirrors the guard so both engines agree
+      .withColumn("cs", cosineFrom(col("dot"), col("sn"), col("ns")))
+    val qual = col("cs") >= threshold
+    scored.groupBy("s_id")
+      .agg(
+        sum(when(qual, 1L).otherwise(0L)).as("n_qualifying"),
+        sum(when(qual, col("o_id")).otherwise(0L)).as("nbr_id_sum"),
+        sum(when(qual, col("dot")).otherwise(0L)).as("nbr_dot_sum"),
+        max(col("cs")).as("max_cos"))
+      .select(col("s_id").as("vec_id"), col("n_qualifying"),
+        col("nbr_id_sum"), col("nbr_dot_sum"), col("max_cos"))
+  }
+
   /** Public cell assignment over the shared deterministic seed
     * centroids — (n_id, cell) for the balance/ops reports. Same
     * assignment semantics as every IVF operator (−2.0 seed, strict >,

@@ -759,6 +759,46 @@ object SimilarityQueries {
       |WHERE array_inner_product(a.av, b.av) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY d1, d2""".stripMargin
 
+  /** `dedup_embedding_cosine_sampled` — the exact cosine tier's
+    * SAMPLED 1000x value point (see
+    * [[graft.ops.Similarity.cosineNeighborProfile]]): one fingerprint
+    * row per vec_id % TextQueries.ExactSampleMod vector, full twin at
+    * every rung where the quadratic parent's twin stops at sf1. Same
+    * quantization, dot kernel arithmetic (restated on DuckDB array
+    * kernels), threshold, and zero-norm NULL guard as the parent.
+    */
+  def dedupEmbeddingCosineSampled(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Similarity.cosineNeighborProfile(table(spark, sfDir, "embeddings"),
+        threshold = 0.4, mod = TextQueries.ExactSampleMod)
+      .orderBy("vec_id")
+
+  val dedupEmbeddingCosineSampledSql: String =
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         CAST(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS DOUBLE[$EmbeddingDim]) AS av
+      |  FROM embeddings
+      |), en AS MATERIALIZED (
+      |  SELECT vec_id, av, sqrt(array_inner_product(av, av)) AS nrm FROM e
+      |), s AS MATERIALIZED (
+      |  SELECT vec_id AS s_id, av AS sav, nrm AS snrm
+      |  FROM en WHERE vec_id % ${TextQueries.ExactSampleMod} = 0
+      |), scored AS (
+      |  SELECT s.s_id, b.vec_id AS o_id,
+      |         array_inner_product(s.sav, b.av) AS dot,
+      |         CASE WHEN s.snrm > 0 AND b.nrm > 0
+      |              THEN array_inner_product(s.sav, b.av) / (s.snrm * b.nrm)
+      |              END AS cs
+      |  FROM s JOIN en b ON b.vec_id <> s.s_id
+      |)
+      |SELECT s_id AS vec_id,
+      |       CAST(SUM(CASE WHEN cs >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_qualifying,
+      |       CAST(SUM(CASE WHEN cs >= 0.4 THEN o_id ELSE 0 END) AS BIGINT) AS nbr_id_sum,
+      |       CAST(SUM(CASE WHEN cs >= 0.4 THEN CAST(dot AS BIGINT) ELSE 0 END) AS BIGINT) AS nbr_dot_sum,
+      |       MAX(cs) AS max_cos
+      |FROM scored GROUP BY s_id
+      |ORDER BY vec_id""".stripMargin
+
   /** `dedup_semantic` — SemDeDup over the embeddings table: IVF-cell
     * blocking (the deterministic 32-seed coarse quantizer shared with
     * `sim_ann_ivf`) + within-cell cosine ≥ 0.4 domination, keep-smallest-

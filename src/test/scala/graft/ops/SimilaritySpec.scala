@@ -423,4 +423,29 @@ class SimilaritySpec extends AnyFunSuite {
     }.toMap
     assert(got == want)
   }
+
+  test("cosine neighbor profile fingerprints the sampled vectors' " +
+      "exact neighbor sets (r20 sampled exact tier)") {
+    import spark.implicits._
+    // hand geometry: v1 == v2 (cos 1), v3 orthogonal to both,
+    // v4 = v1 scaled (cos 1 with v1/v2, 0 with v3)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // mod = 1: every vector sampled; threshold 0.5
+    val out = Similarity.cosineNeighborProfile(vecs, 0.5, mod = 1)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // quantized dots: v1·v2 = 10000² = 1e8; v1·v4 = 10000·5000 = 5e7
+    assert(out(0) == ((1L, 2L, 6L, 150000000L, 1.0)))   // nbrs {2,4}
+    assert(out(1) == ((2L, 2L, 5L, 150000000L, 1.0)))   // nbrs {1,4}
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0.0)))           // orthogonal
+    assert(out(3) == ((4L, 2L, 3L, 100000000L, 1.0)))   // nbrs {1,2}
+    // mod = 2 restricts the rows to the even ids
+    val even = Similarity.cosineNeighborProfile(vecs, 0.5, mod = 2)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(even == Seq(2L, 4L))
+  }
 }

@@ -91,6 +91,10 @@ ENGINE_QUERIES = [
     # a perturbed twin denominator and a shifted sample offset both
     # FAIL the value compare loudly at sf1.
     "dedup_jaccard_sampled", "dedup_containment_sampled",
+    # r20: the embedding sibling — completes the sampled coverage of
+    # all three ledgered exact-tier exemptions (sample x corpus =
+    # 2e8 exact quantized dots here vs the parent's 2e10)
+    "dedup_embedding_cosine_sampled",
 ]
 # sim_dbscan_bucketed gets the SAMPLED oracle (dbscan_sampled_check)
 # instead of the full twin: the full twin's assign prefix alone is
@@ -114,6 +118,8 @@ LINEAR_ROWS = {
     # one row per sampled doc: floor(499999/199) + 1 on contiguous ids
     "dedup_jaccard_sampled": 2513,
     "dedup_containment_sampled": 2513,
+    # one row per sampled vector: floor(199999/199) + 1
+    "dedup_embedding_cosine_sampled": 1006,
 }
 
 

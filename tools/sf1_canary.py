@@ -98,6 +98,10 @@ QUERIES = [
     # full exact tier keeps re-certifying the AND+POPCNT kernel and
     # the qualifying-Jaccard floor on its cadence below
     "dedup_jaccard_sampled", "dedup_containment_sampled",
+    # r20: the embedding sibling, same contract (the exact cosine
+    # parent is sf1-certified separately; its twin is the ledgered
+    # 45 s exemption)
+    "dedup_embedding_cosine_sampled",
 ]
 # The deliberately-exact quadratic pair (cadence-gated, see docstring):
 # dedup_ngram_jaccard doubles as the strategy-AUTO check at 10x bench
