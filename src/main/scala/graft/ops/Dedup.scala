@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   * banded signatures.
   */
 object Dedup {
+  /** THE deterministic sample modulus for the r20 sampled exact-tier
+    * profiles (jaccard/containment here, cosine in [[Similarity]]) —
+    * single-sourced in the ops layer so the operator defaults, the
+    * query layer (TextQueries.ExactSampleMod aliases this), and the
+    * interpolated DuckDB twins can never drift apart. 199: prime,
+    * coprime to every documents/embeddings replica stride
+    * (5000/50000 and 2000/20000 at the sf1/sf10 rungs), so the
+    * sample walks ALL copies instead of pinning one offset per copy.
+    */
+  val ExactSampleMod = 199
+
 
   /** Candidate-generation strategy for exact pairwise n-gram Jaccard —
     * all three produce IDENTICAL output (spec-asserted); they differ
@@ -440,7 +451,7 @@ object Dedup {
     * ids), which doubles as the ladder's replica-linearity assert.
     */
   def jaccardNeighborProfile(docs: DataFrame, n: Int = 2,
-      threshold: Double = 0.5, mod: Int = 199): DataFrame = {
+      threshold: Double = 0.5, mod: Int = ExactSampleMod): DataFrame = {
     val (sample, stats) = sampledPairStats(docs, n, mod)
     val jac = col("i").cast("double") / (col("ns") + col("no") - col("i"))
     val qual = jac >= threshold
@@ -465,7 +476,7 @@ object Dedup {
     * containment of s in any candidate.
     */
   def containmentNeighborProfile(docs: DataFrame, n: Int = 2,
-      threshold: Double = 0.8, mod: Int = 199): DataFrame = {
+      threshold: Double = 0.8, mod: Int = ExactSampleMod): DataFrame = {
     val (sample, stats) = sampledPairStats(docs, n, mod)
     val containedIn = col("i").cast("double") / col("ns") >= threshold
     val contains = col("i").cast("double") / col("no") >= threshold

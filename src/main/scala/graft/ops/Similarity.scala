@@ -167,7 +167,7 @@ object Similarity {
     * ≤ n/mod groups.
     */
   def cosineNeighborProfile(corpus: DataFrame, threshold: Double,
-      mod: Int = 199): DataFrame = {
+      mod: Int = Dedup.ExactSampleMod): DataFrame = {
     require(mod >= 1, s"sample modulus must be >= 1 (got $mod)")
     val base = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("ns", sqrt(normQ(col("v")).cast("double")))

@@ -1381,9 +1381,11 @@ object TextQueries {
     * argument as the ladder's DBSCAN_SAMPLE_MOD. ~1/199 of the corpus:
     * 3 docs at the sf0.01 gate (non-vacuous — every doc has same-copy
     * shingle-sharing candidates), 2,513 at sf10 (where the sampled
-    * inverted-index join stays linear in the corpus).
+    * inverted-index join stays linear in the corpus). Aliases the
+    * ops-layer definition so operator defaults and twins share one
+    * number.
     */
-  val ExactSampleMod = 199
+  val ExactSampleMod: Int = Dedup.ExactSampleMod
 
   /** Shared twin scaffold for the sampled exact-tier profiles: the
     * parent exact twins' shingle CTEs with ONE side of the

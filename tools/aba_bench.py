@@ -29,9 +29,10 @@ What it does:
      each phase's calib_sec, and (r20) an explicit VERDICT per query —
      ok / too-noisy / regressed / missing, the reading rule as code
      (see verdict(); fixtures in aba_verdict_fixtures.tsv, mirrored by
-     GateHygieneSpec). Exit code = number of 'regressed' queries (3 if
-     a phase produced no record at all), so the triage is one command
-     AND one decision; 'too-noisy' means rerun, and exits 0.
+     GateHygieneSpec). Exit codes are disjoint decisions: 0 clean or
+     too-noisy (rerun, don't act), 1 regression(s) confirmed, 2 a
+     requested query was missing from a phase, 3 a phase produced no
+     record (infrastructure failure).
 
 CHECK CODE IDENTITY FIRST (git diff old..HEAD -- <query's files>): a
 byte-identical execution path settles the question without any
@@ -277,16 +278,21 @@ def main():
         print(f"[aba] WARNING: no samples for {missing} in at least one "
               "phase — typo'd name, or the query does not exist in one "
               "of the two commits (check SparkEntry.queries keys)")
-    # one command AND one decision (r20): nonzero ONLY when a verdict is
-    # 'regressed' (the window was steady and the slowdown real) or when
-    # a whole phase produced no record (infrastructure failure, exit 3).
-    # 'too-noisy' exits 0 — the table says to rerun, not to act.
+    # one decision per exit code (r20; codes kept DISJOINT so automation
+    # can branch): 0 = clean or merely too-noisy (the table says rerun,
+    # not act); 1 = at least one 'regressed' verdict (steady window,
+    # real slowdown — the list is printed); 2 = a requested query was
+    # 'missing' from a phase (typo'd name or not in one commit — the
+    # tool never measured what was asked, which must not read as
+    # clean); 3 = a whole phase produced no bench record at all
+    # (infrastructure failure).
     if not (new1 and old and new2):
         sys.exit(3)
     regressed = [q for q, v in verdicts.items() if v == "regressed"]
     if regressed:
         print(f"[aba] REGRESSED: {regressed}")
-    sys.exit(min(len(regressed), 125))
+        sys.exit(1)
+    sys.exit(2 if missing else 0)
 
 
 if __name__ == "__main__":
