@@ -178,7 +178,7 @@ object Dedup {
       blocks: Int = 8,
       maxVocab: Int = 1 << 16): DataFrame = {
     import JaccardStrategy._
-    val sh = shingles(docs, n).persistIntermediate
+    val sh = shingles(docs, n).persistHotIntermediate
     val exploded = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
     val strategy0 = strategy match {
       case Auto =>
@@ -313,7 +313,7 @@ object Dedup {
         transform(sequence(lit(0), lit(nWords - 1)),
           w => coalesce(element_at(col("wm"), w), lit(0L))).as("bm"))
       .join(sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh")), "doc_id")
-      .persistIntermediate
+      .persistHotIntermediate
     val base = packed
       .withColumn("blk", pmod(hash(col("doc_id")), lit(blocks)))
     val partners = array((0 until blocks).map(lit): _*)
@@ -362,7 +362,7 @@ object Dedup {
       threshold: Double = 0.9,
       blocks: Int = 8,
       maxVocab: Int = 1 << 16): DataFrame = {
-    val sh = shingles(docs, n).persistIntermediate
+    val sh = shingles(docs, n).persistHotIntermediate
     val exploded = sh.select(col("doc_id"), explode(col("shingle_set")).as("g"))
     // ONE vocabulary job decides the spelling AND feeds the bitmap id
     // assignment: collect at most maxVocab+1 sorted shingles — the

@@ -107,6 +107,60 @@ object Persist {
     }
   }
 
+  /** Persist a HOT RE-SCAN frame — one whose stored blocks the same
+    * plan scans two or more times (both sides of a self-join, a
+    * verify pass over candidate pairs re-reading the indexed frame).
+    * Same contract and ModeKey as [[intermediate]] — an EXPLICIT
+    * (non-`auto`) mode wins for both helpers, so a deployment can
+    * still force the whole engine onto one mechanism — but `auto` on
+    * STATIC executors resolves `cache()` instead of the doctrine's
+    * `localCheckpoint(false)`: cache stores codegen-friendly COLUMNAR
+    * batches while local-checkpoint blocks hold row-format partitions
+    * (the 20% copurchase tax measured in r16, scaladoc above), and on
+    * the re-scan-heavy operators the gap is larger still — r20
+    * isolated 5-run medians at sf0.1/16 cpus: dedup_ngram_jaccard
+    * 3.79 → 1.82 s, dedup_containment 3.09 → 1.99 s, graph_copurchase
+    * 3.27 → 1.95 s. The price is exactly the hygiene the doctrine
+    * bought: a cache entry belongs to the CacheManager and is freed
+    * by [[release]]/`clearCache`, not by the ContextCleaner when the
+    * frame is GC'd, so a long-lived session that never clears the
+    * cache accumulates one entry per operator invocation (the r13
+    * leak class; Bench and Verify clear per query, and the existing
+    * direct `.cache()` sites in GraphQueries carry the same
+    * ownership). Because the same r20 A/B measured the minhash-band
+    * frames 15–30% SLOWER under cache (dedup_containment_minhash
+    * 2.45 → 3.22 s, dedup_cross_source 2.65 → 3.31 s), hot is a
+    * PER-SITE, measurement-backed choice — never a blanket one; sites
+    * stay on [[intermediate]] unless the cache spelling measured
+    * faster there. Dynamic-allocation resolution is unchanged
+    * (reliable with a checkpoint dir, else cache).
+    */
+  def intermediateHot[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    spark.conf.get(ModeKey, "auto") match {
+      case "auto" =>
+        val resolved = hotAutoResolve(
+          dyn = spark.conf
+            .get("spark.dynamicAllocation.enabled", "false").toBoolean,
+          hasCheckpointDir =
+            spark.sparkContext.getCheckpointDir.isDefined)
+        resolved match {
+          case "cache" => ds.cache()
+          case "local" => ds.localCheckpoint(eager = false)
+          case "reliable" => ds.checkpoint(eager = false)
+        }
+      case _ => intermediate(ds) // explicit mode: one rule for all sites
+    }
+  }
+
+  /** The [[intermediateHot]] `auto` rule, as data: static executors →
+    * columnar `cache()` (re-scan speed; caller/session owns cleanup);
+    * dynamic allocation → exactly [[autoResolve]]'s legs.
+    */
+  private[ops] def hotAutoResolve(dyn: Boolean,
+      hasCheckpointDir: Boolean): String =
+    if (!dyn) "cache" else autoResolve(dyn, hasCheckpointDir)
+
   /** The `auto` rule, as data: static executors → the doctrine's
     * localCheckpoint; dynamic allocation → reliable checkpoint when
     * durable storage is configured, else lineage-preserving cache()
@@ -237,6 +291,9 @@ object Persist {
   implicit final class PersistOps[T](private val ds: Dataset[T])
       extends AnyVal {
     def persistIntermediate: Dataset[T] = intermediate(ds)
+
+    /** `frame.persistHotIntermediate` syntax for [[intermediateHot]]. */
+    def persistHotIntermediate: Dataset[T] = intermediateHot(ds)
 
     /** `frame.truncateLineage(eager)` syntax for [[truncate]]; the
       * no-arg default mirrors `Dataset.localCheckpoint()`'s eagerness.

@@ -84,9 +84,13 @@ object SimHashDedup {
       bands: Int): DataFrame = {
     require(bands > maxHamming, "pigeonhole needs bands > maxHamming")
     require(64 % bands == 0)
+    // hot-persisted: BOTH band-join sides scan the signature frame, so
+    // unpersisted the whole signature build (tokenize + 64 bit votes —
+    // or the image decode chain for phash callers) ran TWICE (r20)
+    val sig = graft.ops.Persist.intermediateHot(sh)
     val width = 64 / bands
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
-    val bandRows = sh.select(col("doc_id"), col("sim"),
+    val bandRows = sig.select(col("doc_id"), col("sim"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sim"), b * width).bitwiseAND(mask).as("chunk"))): _*))

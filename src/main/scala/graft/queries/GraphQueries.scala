@@ -2506,7 +2506,7 @@ object GraphQueries {
       .withColumn("rn", row_number().over(byCust))
       .where(col("rn") <= cap)
       .select("cust", "part")
-      .persistIntermediate
+      .persistHotIntermediate
     capped.select(col("cust"), col("part").as("p1"))
       .join(capped.select(col("cust"), col("part").as("p2")), "cust")
       .where(col("p1") < col("p2"))

@@ -816,11 +816,11 @@ object TextQueries {
     * only for the pairs that pass everything.
     */
   def dedupFuzzyEdit(spark: SparkSession, sfDir: String): DataFrame = {
-    // self-join input persisted: both sides re-run the scan otherwise
+    // self-join input hot-persisted: both sides re-run the scan otherwise
     val blocked = docs(spark, sfDir)
       .select(col("doc_id"), col("text"), substring(col("text"), 1, 16).as("pre"),
         length(col("text")).as("len"))
-      .persistIntermediate
+      .persistHotIntermediate
     blocked.as("a").join(blocked.as("c"),
         col("a.pre") === col("c.pre") &&
           col("a.doc_id") < col("c.doc_id") &&
@@ -2178,7 +2178,7 @@ object TextQueries {
     // persisted: the threshold aggregate AND the final flag projection both
     // consume the full five-pipeline join — unpersisted, every signal's
     // tokenize/score pipeline would run twice (measured ~2× wall-clock)
-    val joined = sigs.reduce(_.join(_, "doc_id")).persistIntermediate
+    val joined = sigs.reduce(_.join(_, "doc_id")).persistHotIntermediate
     val thExprs = (1 to 5).flatMap(i => Seq(
       percentile(col(s"s$i"), lit(0.1)).as(s"lo$i"),
       percentile(col(s"s$i"), lit(0.9)).as(s"hi$i")))

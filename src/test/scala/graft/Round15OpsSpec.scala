@@ -15,10 +15,13 @@ import graft.queries.GraphQueries
   *    leak class: a long-lived session running `sim_*`/`dedup_*`
   *    repeatedly accumulated one cached frame per invocation). One
   *    representative gated query per migrated family must leave the
-  *    session CacheManager empty. The ONLY sanctioned `cache()` sites
-  *    left in main are the session-lifetime [[graft.queries.GraphQueries]]
-  *    edgeMemo frames, probed separately: a migrated graph query may
-  *    add nothing beyond the memo's own entry.
+  *    session CacheManager empty. Sanctioned exceptions: the
+  *    session-lifetime [[graft.queries.GraphQueries]] edgeMemo frames
+  *    (probed separately — a migrated graph query may add nothing
+  *    beyond the memo's own entry), and, since r20, the HOT RE-SCAN
+  *    tier ([[graft.ops.Persist.intermediateHot]]): per-site,
+  *    measurement-backed columnar `cache()` whose hygiene contract is
+  *    "bounded per query, freed by clearCache", pinned below.
   * 2. SkewJoin.hotKeys must free its histogram checkpoint blocks on
   *    exit (its only persistence is function-local — the one operator
   *    whose frame never escapes, so leaving blocks to the
@@ -35,7 +38,6 @@ class Round15OpsSpec extends AnyFunSuite {
     "dedup (MinHash LSH)" -> "dedup_minhash_lsh",
     "dedup (connected components)" -> "dedup_clusters",
     "text" -> "text_tfidf",
-    "corpus (curation pipeline)" -> "corpus_curate",
     "behavior analytics" -> "analytics_basket_lift",
     "stat analytics" -> "analytics_churn",
     "sketch analytics" -> "analytics_sliding_hll",
@@ -50,6 +52,26 @@ class Round15OpsSpec extends AnyFunSuite {
         s"$name registered frames in the CacheManager — operator " +
           "intermediates must persist via lazy localCheckpoint " +
           "(ContextCleaner-owned), not cache() (the r13 leak class)")
+    }
+
+  // r20 hot-rescan tier: sites where the columnar cache() spelling
+  // MEASURED faster (Persist.intermediateHot scaladoc) own CacheManager
+  // entries by design. The hygiene contract for those is not "never
+  // registered" but "bounded per query and freed by clearCache" — the
+  // discipline Bench/Verify already run. corpus_curate (kept frame) is
+  // the curation rep; dedup_ngram_jaccard covers the Dedup bitmap tier.
+  for (name <- Seq("corpus_curate", "dedup_ngram_jaccard"))
+    test(s"$name hot frames are CacheManager entries freed by clearCache") {
+      spark.catalog.clearCache()
+      val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001).collect()
+      assert(rows.nonEmpty, s"$name returned no rows at sf0.001")
+      assert(!Bridge.cacheManagerIsEmpty(spark),
+        s"$name must persist its hot re-scan frames through the " +
+          "CacheManager (Persist.intermediateHot) — an empty manager " +
+          "means the hot tier silently stopped caching")
+      spark.catalog.clearCache()
+      assert(Bridge.cacheManagerIsEmpty(spark),
+        s"clearCache must free every frame $name registered")
     }
 
   test("graph queries add no CacheManager entries beyond the edgeMemo") {

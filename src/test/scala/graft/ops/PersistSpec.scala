@@ -83,6 +83,44 @@ class PersistSpec extends AnyFunSuite {
         "back to lineage-preserving cache(), never localCheckpoint")
   }
 
+  test("hot auto: static → columnar cache; dyn legs unchanged; rows identical") {
+    // the r20 per-site rule: hot re-scan frames cache() on static
+    // executors (measured 35-50% on the self-join dedup shapes), and
+    // under dynamic allocation resolve exactly like intermediate()
+    assert(Persist.hotAutoResolve(dyn = false, hasCheckpointDir = false) == "cache")
+    assert(Persist.hotAutoResolve(dyn = false, hasCheckpointDir = true) == "cache")
+    assert(Persist.hotAutoResolve(dyn = true, hasCheckpointDir = true) == "reliable")
+    assert(Persist.hotAutoResolve(dyn = true, hasCheckpointDir = false) == "cache")
+    spark.catalog.clearCache()
+    val expected = frame().collect().map(_.toString).sorted.toSeq
+    val p = Persist.intermediateHot(frame()).toDF()
+    assert(p.collect().map(_.toString).sorted.toSeq == expected,
+      "intermediateHot must never change result rows")
+    assert(Bridge.isPlanCached(p),
+      "hot auto on a static session must be a CacheManager entry")
+    Persist.release(p)
+    assert(Bridge.cacheManagerIsEmpty(spark))
+  }
+
+  test("hot: an explicit mode wins over the per-site hot choice") {
+    // a deployment that forces ModeKey=local must get localCheckpoint
+    // from BOTH helpers — hot is only a different *auto* resolution
+    spark.catalog.clearCache()
+    withMode(Some("local")) {
+      val p = Persist.intermediateHot(frame()).toDF()
+      assert(isLogicalRddBacked(p),
+        "explicit local mode must reach intermediateHot sites too")
+      assert(p.count() == 67)
+      assert(!Bridge.isPlanCached(p) && Bridge.cacheManagerIsEmpty(spark))
+      Persist.release(p)
+    }
+    withMode(Some("none")) {
+      val f = frame()
+      assert(Persist.intermediateHot(f) eq f,
+        "explicit none mode must pass hot sites through untouched")
+    }
+  }
+
   test("explicit cache mode: release frees the CacheManager entry") {
     spark.catalog.clearCache()
     withMode(Some("cache")) {
