@@ -143,7 +143,14 @@ object MinHashDedup {
     * rows — never all-pairs.
     */
   private def bandCandidates(sh: DataFrame, k: Int, bands: Int): DataFrame = {
-    val bandRows = bandRowsFromShingles(sh, k, bands)
+    // hot-persisted: BOTH join sides scan the band rows — unpersisted,
+    // the k×|shingles| signature kernel ran TWICE per doc (the
+    // incremental path at [[incrementalNearDupPairs]] already persisted
+    // its batch bands; this one-shot path didn't — r20 probe:
+    // dedup_minhash_lsh 3.11 → 2.18 s at sf0.1/16 cpus). The frame is
+    // three longs per (doc, band) — skinny either mechanism; columnar
+    // cache measured best.
+    val bandRows = bandRowsFromShingles(sh, k, bands).persistHotIntermediate
     val a = bandRows.as("a")
     val b = bandRows.as("b")
     a.join(b,

@@ -2636,6 +2636,16 @@ object GraphQueries {
         .groupBy("start")
         .agg(min(struct(col("mix"), col("dst"))).as("m"))
         .select(col("start"), col("m.dst").as("cur"))
+        // per-round truncation (the pagerank doctrine — this walk was
+        // the one iterative query missing it): without it each union
+        // branch nests the whole previous chain, so the t-th step's
+        // join+agg plans t times — 10 join+agg subtrees for 4 steps.
+        // Measured NEUTRAL at sf0.1 (r20 probe 1.72 → 1.68 s: edges is
+        // the memo-cached tradeEdges frame, so the nested recompute was
+        // cheap here); kept for the doctrine's real target — an
+        // uncached/expensive edge source, where each step would re-run
+        // the whole chain
+        .truncateLineage(true)
       out = out.unionByName(st.withColumn("step", lit(t.toLong)))
     }
     out.select(col("start"), col("step"), col("cur").as("node"))

@@ -666,7 +666,7 @@ object TextQueries {
       .select("tok")
     // persisted: norms and BOTH self-join sides scan it — unpersisted, the
     // df-aggregate + stopword join would recompute once per consumer
-    val kept = tf.join(rare, "tok").persistIntermediate
+    val kept = tf.join(rare, "tok").persistHotIntermediate
     val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -2500,12 +2500,21 @@ object TextQueries {
       .toDF("pattern", "n_tris")
     val d = docs(spark, sfDir).select(col("doc_id"),
       lower(col("text")).as("ltext"))
-    // the short-text guard matters: sequence(1, 0) DESCENDS in Spark,
-    // it does not produce an empty array
-    val index = d.select(col("doc_id"), explode(array_distinct(expr(
-      "CASE WHEN length(ltext) >= 3 THEN " +
-        "transform(sequence(1, length(ltext) - 2), i -> substring(ltext, i, 3)) " +
-        "ELSE CAST(array() AS array<string>) END"))).as("tri"))
+    // posting-list PROBE, not a full index build (r20): a query only
+    // ever reads ITS OWN trigrams' posting lists, so the exploded rows
+    // are restricted to the patterns' ~20 distinct trigrams up front —
+    // the old spelling exploded EVERY position of every document
+    // (≈ |corpus chars| rows, ~8 M at sf0.1) through the broadcast
+    // join and aggregate to then discard all but the pattern hits
+    // (guide §2.3, project/filter before the exchange; same-window r20
+    // probe 2.45 → 0.60 s at sf0.1/16 cpus). Candidate semantics unchanged:
+    // filter(contains) emits exactly the distinct pattern-trigrams
+    // present in the doc — the same (doc, tri) posting rows the full
+    // index would serve for these patterns.
+    val allPatTris = patterns.flatMap(tris).distinct
+    val index = d.select(col("doc_id"), explode(filter(
+      typedLit(allPatTris),
+      t => col("ltext").contains(t))).as("tri"))
     val cands = index.join(broadcast(patTris), "tri")
       .groupBy("pattern", "doc_id").agg(count(lit(1)).as("hit"))
       .join(broadcast(patN), "pattern")

@@ -35,8 +35,6 @@ class Round15OpsSpec extends AnyFunSuite {
   private val familyReps = Seq(
     "sim (IVF/bucketed DBSCAN)" -> "sim_dbscan_bucketed",
     "sim (exact pairwise)" -> "dedup_embedding_cosine",
-    "dedup (MinHash LSH)" -> "dedup_minhash_lsh",
-    "dedup (connected components)" -> "dedup_clusters",
     "text" -> "text_tfidf",
     "behavior analytics" -> "analytics_basket_lift",
     "stat analytics" -> "analytics_churn",
@@ -59,8 +57,12 @@ class Round15OpsSpec extends AnyFunSuite {
   // entries by design. The hygiene contract for those is not "never
   // registered" but "bounded per query and freed by clearCache" — the
   // discipline Bench/Verify already run. corpus_curate (kept frame) is
-  // the curation rep; dedup_ngram_jaccard covers the Dedup bitmap tier.
-  for (name <- Seq("corpus_curate", "dedup_ngram_jaccard"))
+  // the curation rep; dedup_ngram_jaccard covers the Dedup bitmap tier;
+  // dedup_minhash_lsh covers MinHashDedup's one-shot band frame (flipped
+  // in r20 batch 2) and dedup_clusters the connected-components path
+  // over those same hot band candidates.
+  for (name <- Seq("corpus_curate", "dedup_ngram_jaccard",
+      "dedup_minhash_lsh", "dedup_clusters"))
     test(s"$name hot frames are CacheManager entries freed by clearCache") {
       spark.catalog.clearCache()
       val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001).collect()
