@@ -52,6 +52,23 @@ class Round10dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kendall fast path agrees row-for-row with the distributed spelling") {
+    // r20: every test SF sits below the calendar bound, so the gated
+    // query always takes the driver-local fast path; this pin keeps the
+    // above-bound distributed spelling value-locked to it.
+    val dailyDf = graft.queries.RefQueries.table(spark, sf, "lineitem")
+      .selectExpr("l_returnflag AS g", "l_shipdate AS day",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc")
+      .groupBy("g", "day").agg(sum("xc").as("x"), sum("yc").as("y"))
+    val dist = graft.queries.StatQueries.kendallTauDistributed(dailyDf)
+      .collect().toSeq
+    val fast = graft.queries.StatQueries.analyticsKendallTau(spark, sf)
+      .collect().toSeq
+    assert(dist == fast,
+      s"distributed $dist != fast-path $fast — the two spellings diverged")
+  }
+
   test("analytics_theil_sen median slope sits inside the slope range") {
     val row = graft.queries.StatQueries.analyticsTheilSen(spark, sf).collect()(0)
     val revByDay = graft.queries.RefQueries.table(spark, sf, "lineitem")
