@@ -794,6 +794,16 @@ object Similarity {
         (id, updated.getOrElse(i, v))
       }
     }
+    ivfProbeTopK(assignFromQuant(quant, cents), queries, cents, k, nProbe)
+  }
+
+  /** The probe/score/top-k tail of [[ivfTopKCosine]] over an ALREADY
+    * assigned corpus — factored out (r20) so parameter sweeps can share
+    * one corpus assignment instead of re-running the per-row
+    * nearest-centroid kernel once per parameter point.
+    */
+  private def ivfProbeTopK(assigned: DataFrame, queries: DataFrame,
+      cents: Array[(Long, Array[Long])], k: Int, nProbe: Int): DataFrame = {
     // top-nProbe cells: sort the scored structs, slice
     val centsLit = centsLiteral(cents)
     def probeCells(v: Column, vn: Column): Column =
@@ -802,16 +812,43 @@ object Similarity {
         1, nProbe)
     // norms carried from the assignment/probe stages — never recomputed
     // per candidate pair
-    val c = assignFromQuant(quant, cents)
     val q = queries
       .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
       .withColumn("qn", sqrt(normQ(col("qv")).cast("double")))
       .withColumn("cell", explode(probeCells(col("qv"), col("qn")).getField("i")))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("dot_q", dotQ(col("qv"), col("cv")))
       .withColumn("cos_sim", cosineFrom(col("dot_q"), col("qn"), col("cn")))
     topKPerQuery(scored, k)
+  }
+
+  /** [[ivfTopKCosine]] at several `nProbe` depths sharing ONE seed
+    * assignment (r20): the corpus-side work — the quantize projection
+    * and the per-row nearest-centroid kernel over `nCells` centroids —
+    * is identical at every depth, so it is computed once and persisted
+    * (lazy localCheckpoint; the array-of-longs rows are the frame class
+    * the r20 cache probe measured SLOWER columnar, so the hot tier does
+    * not apply), and only the probe/score/top-k tail runs per depth.
+    * Per-depth results are value-identical to independent
+    * [[ivfTopKCosine]] calls (spec-pinned).
+    */
+  private[graft] def ivfTopKCosineSweep(queries: DataFrame,
+      corpus: DataFrame, k: Int, nCells: Int,
+      nProbes: Seq[Int]): Seq[(Int, DataFrame)] = {
+    val cents = seedCentroids(corpus, nCells)
+    if (cents.isEmpty)
+      // empty corpus: delegate per depth (each returns the typed empty
+      // frame through ivfTopKCosine's own guard)
+      nProbes.map(np =>
+        np -> ivfTopKCosine(queries, corpus, k, nCells, nProbe = np))
+    else {
+      import graft.ops.Persist.PersistOps
+      val assigned =
+        assignFromQuant(quantizedCorpus(corpus), cents).persistIntermediate
+      nProbes.map(np =>
+        np -> ivfProbeTopK(assigned, queries, cents, k, nProbe = np))
+    }
   }
 
   /** ANN top-k: bucket by RHP signature bands, exact cosine only within

@@ -30,6 +30,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 40, s"IVF recall $hits/50 < 0.8")
   }
 
+  test("ivfTopKCosineSweep equals independent ivfTopKCosine calls per depth") {
+    // r20: the sweep shares one persisted corpus assignment across
+    // depths — this pin keeps it value-identical to the composed-
+    // operator spelling it replaced in sim_ann_nprobe_sweep
+    val qs = emb.where(col("vec_id") < 10)
+    val swept = Similarity.ivfTopKCosineSweep(qs, emb, k = 5, nCells = 32,
+      nProbes = Seq(1, 4))
+    for ((np, frame) <- swept) {
+      val got = frame.orderBy("q_id", "n_id").collect().toSeq
+      val want = Similarity.ivfTopKCosine(qs, emb, 5, nProbe = np)
+        .orderBy("q_id", "n_id").collect().toSeq
+      assert(got == want, s"sweep diverged from ivfTopKCosine at nProbe=$np")
+    }
+  }
+
   test("PQ/ADC: rescored hits are EXACT and recall is the measured floor") {
     val exact = Similarity.topKCosine(emb.where(col("vec_id") < 10), emb, 5)
     val pq = Similarity.pqTopKCosine(emb.where(col("vec_id") < 10), emb, 5)
