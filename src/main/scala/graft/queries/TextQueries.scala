@@ -1570,10 +1570,20 @@ object TextQueries {
       .groupBy("w1").agg(sum(col("cg")).as("c1"))
     val vocab = d.select(explode(toks).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    bg.join(broadcast(cnt), "g")
+    // r20: the per-occurrence term depends only on the bigram TYPE —
+    // score the |types| table once (the joins + integer arithmetic run
+    // per TYPE) and attach the finished term to occurrences with ONE
+    // broadcast hash probe, instead of two broadcast joins + the
+    // arithmetic per OCCURRENCE (guide §1.2; the r19 fertility-twin
+    // per-type respelling, applied to the Spark side). Σterm per doc
+    // is the same integers in a different order — exact, order-free.
+    val scored = cnt
+      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
       .join(broadcast(pre), "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("term", expr("((cg + 1) * 1000000L) DIV (c1 + v)"))
+      .select("g", "term")
+    bg.join(broadcast(scored), "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(term) DIV count(1)").as("lm_score_1e6"))
@@ -1637,7 +1647,12 @@ object TextQueries {
       .groupBy("w1").agg(sum(col("cg")).as("c1"))
     val vocab = d.select(explode(toks).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    bg.join(broadcast(cnt), "g")
+    // r20: ll depends only on the bigram TYPE — run the joins and the
+    // two IntegerLog2 kernels per TYPE (the lm_score respelling; see
+    // [[textLmScore]]), then attach via one broadcast hash probe.
+    // Σll per doc sums the same integers in a different order — exact.
+    val scored = cnt
+      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
       .join(broadcast(pre), "w1")
       .crossJoin(broadcast(vocab))
       // P = (cg+1)/(c1+v) ≤ 1, so ll ≤ 0 and −Σll ≥ 0: the DIV below
@@ -1645,6 +1660,8 @@ object TextQueries {
       .withColumn("ll",
         IntegerLog2.log2s(col("cg") + 1) -
           IntegerLog2.log2s(col("c1") + col("v")))
+      .select("g", "ll")
+    bg.join(broadcast(scored), "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("ll")).as("ll_sum_1e6"),
