@@ -36,43 +36,51 @@ object Bench {
     */
   val PhysicalCores = 16
 
-  /** Resolve the benchmark thread count: the requested value, CLAMPED
-    * to [1, [[PhysicalCores]]] with a loud warning on either side — an
-    * oversubscribed sweep would silently regress the committed
-    * measurement regime (the driver sweeps at 32), and a zero/negative
-    * request would reach `local[0]` and die later in Spark with an
-    * opaque scheduler error instead of here. `allowOversubscribe`
-    * (SPARK_GRAFT_ALLOW_OVERSUBSCRIBE=1) honors literal values above
-    * the cap for deliberate contention experiments (the lower bound
-    * always holds — `local[0]` is never an experiment). No state and
-    * no env reads (main passes both in), so BenchRegimeSpec can pin
-    * the clamp table; the warning goes to stderr, which the pin
-    * ignores.
+  /** Resolve the benchmark thread count. r21 contract (the r20 verdict's
+    * scaling-block finding): an EXPLICITLY requested value is HONORED —
+    * the driver deliberately sweeps at two widths to measure scaling,
+    * and silently clamping its 32 to 16 turned that contrast into
+    * 8-vs-16, which at sf0.1 is uninformative. The [[PhysicalCores]]
+    * clamp now guards only the DEFAULT (no env set), and the lower
+    * bound always holds (`local[0]` has no executor threads and dies
+    * deep in Spark's scheduler). An explicit value above the measured
+    * physical cores still warns loudly: the oversubscribed regime
+    * measures HT/scheduler contention on this VM (32-thread calib is
+    * 1.9x slower; iterative queries 2-3.4x) and its absolute seconds
+    * are not comparable to 16-thread sweeps except through calib_sec.
+    * No state and no env reads (main passes both in), so
+    * BenchRegimeSpec can pin the table; warnings go to stderr, which
+    * the pin ignores.
     */
-  def resolveCpus(requested: Int,
-      allowOversubscribe: Boolean): (Int, Int) = {
+  def resolveCpus(requested: Int, explicit: Boolean): (Int, Int) = {
     if (requested < 1) {
       System.err.println(
         s"[bench] SPARK_GRAFT_CPUS=$requested is not a runnable thread " +
         "count (local[0] has no executor threads) — clamping to 1.")
       (1, requested)
-    } else if (requested > PhysicalCores && !allowOversubscribe) {
+    } else if (requested > PhysicalCores && !explicit) {
       System.err.println(
-        s"[bench] SPARK_GRAFT_CPUS=$requested exceeds the measured " +
-        s"physical-core count $PhysicalCores (32 vCPUs = 16 HT-shared " +
-        "cores on this VM; 32-thread calib is 1.9x slower, iterative " +
-        s"queries 2-3.4x) — clamping to $PhysicalCores so the sweep " +
-        "stays in the committed measurement regime. Set " +
-        "SPARK_GRAFT_ALLOW_OVERSUBSCRIBE=1 to run oversubscribed.")
+        s"[bench] default thread count $requested exceeds the measured " +
+        s"physical-core count $PhysicalCores — clamping to $PhysicalCores.")
       (PhysicalCores, requested)
-    } else (requested, requested)
+    } else {
+      if (requested > PhysicalCores)
+        System.err.println(
+          s"[bench] honoring explicit SPARK_GRAFT_CPUS=$requested above " +
+          s"the measured physical-core count $PhysicalCores (32 vCPUs = " +
+          "16 HT-shared cores on this VM) — this sweep runs in the " +
+          "OVERSUBSCRIBED regime; compare absolute seconds across sweeps " +
+          "only through calib_sec.")
+      (requested, requested)
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val envCpus = sys.env.get("SPARK_GRAFT_CPUS")
     val (cpusN, cpusRequested) = resolveCpus(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", PhysicalCores.toString).toInt,
-      sys.env.contains("SPARK_GRAFT_ALLOW_OVERSUBSCRIBE"))
+      envCpus.map(_.toInt).getOrElse(PhysicalCores),
+      explicit = envCpus.isDefined)
     val cpus = cpusN.toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

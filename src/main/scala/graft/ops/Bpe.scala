@@ -118,15 +118,16 @@ object Bpe {
   }
 
   /** Subword vocabulary of a learned types table: every distinct final
-    * symbol, densely id'd by lexicographic rank. The single-partition
-    * window is a bounded vocab-sized artifact (|base chars| + one per
-    * learned merge at most), same class as the IVF centroid table.
+    * symbol, densely id'd by lexicographic rank — a bounded vocab-sized
+    * frame (|base chars| + one per learned merge at most). r21: the
+    * rank runs as the two-pass [[TwoPassWindow]] construction, not an
+    * unpartitioned window, so there is no single-partition stage at
+    * any vocab size (§2).
     */
-  def vocab(types: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("sym")
-    types.select(explode(col("syms")).as("sym")).distinct()
-      .withColumn("id", row_number().over(w).cast("long"))
-  }
+  def vocab(types: DataFrame): DataFrame =
+    TwoPassWindow.withRowNumber(
+      types.select(explode(col("syms")).as("sym")).distinct(),
+      Seq(col("sym")), "id")
 
   /** Encode documents with a learned segmentation: one row per subword
     * occurrence — (doc_id, pos, sp, sym, id) with pos the word

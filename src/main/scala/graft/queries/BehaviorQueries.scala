@@ -49,18 +49,19 @@ object BehaviorQueries {
     * table, COALESCE 0).
     */
   def analyticsCumulativeDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val byDay = eventsUs(spark, sfDir)
       .select(col("user_id"), expr(s"us div $UsPerDay").cast("long").as("day"))
     val newPerDay = byDay
       .groupBy("user_id").agg(min(col("day")).as("day"))
       .groupBy("day").agg(count(lit(1)).as("new_users"))
-    val w = Window.orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byDay.select("day").distinct()
+    val days = byDay.select("day").distinct()
       .join(newPerDay, Seq("day"), "left")
       .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
-      .withColumn("cum_users", sum(col("new_users")).over(w))
+    // r21: the running sum is calendar-bounded but was spelled as an
+    // unpartitioned window (Exchange SinglePartition); the two-pass
+    // prefix sum is the same integers with no single-task stage (§2)
+    graft.ops.TwoPassWindow.withRunningSums(days, Seq(col("day")),
+        Seq(col("new_users") -> "cum_users"))
       .orderBy("day")
   }
 
@@ -387,17 +388,19 @@ object BehaviorQueries {
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
         .as("rev_c"))
-    val d = ntile(10).over(
-      Window.orderBy(col("rev_c").desc, col("o_custkey")))
-    val deciles = perCust
-      .withColumn("decile", d.cast("long"))
+    // r21: exact deciles via the two-pass global ntile (the O(customers)
+    // frame previously sorted through ONE task; §2 offset correction),
+    // and the 10-row prefix/total via the same construction + a
+    // broadcast scalar instead of two more unpartitioned windows
+    val deciles = graft.ops.TwoPassWindow.withNtile(perCust, 10,
+        Seq(col("rev_c").desc, col("o_custkey")), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("rev_c").as("decile_rev_c"))
-    val w = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    deciles
-      .withColumn("cum_rev_c", sum("decile_rev_c").over(w))
-      .withColumn("total_c", sum("decile_rev_c").over(Window.partitionBy()))
+      .persistIntermediate // scanned by the total AND the prefix sum
+    val tot = deciles.agg(sum("decile_rev_c").as("total_c"))
+    graft.ops.TwoPassWindow.withRunningSums(deciles, Seq(col("decile")),
+        Seq(col("decile_rev_c") -> "cum_rev_c"))
+      .crossJoin(broadcast(tot))
       .select(col("decile"), col("n_customers"), col("decile_rev_c"),
         expr("CAST(decile_rev_c AS DECIMAL(38,0)) * 1000000 DIV total_c")
           .as("share_ppm"),
@@ -459,12 +462,18 @@ object BehaviorQueries {
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
           .as("mon_cents"))
-    val r = ntile(5).over(Window.orderBy(col("rec_days"), col("o_custkey")))
-    val f = ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey")))
-    val m = ntile(5).over(Window.orderBy(col("mon_cents").desc, col("o_custkey")))
-    perCust
+    // r21: the three exact quintile labels run as two-pass global
+    // ntiles (§2 offset correction) — the O(customers) frame previously
+    // made three trips through ONE task; each label now costs one range
+    // exchange + a pid-partitioned window
+    import graft.ops.TwoPassWindow.withNtile
+    val scored = withNtile(withNtile(withNtile(perCust,
+      5, Seq(col("rec_days"), col("o_custkey")), "r"),
+      5, Seq(col("freq").desc, col("o_custkey")), "f"),
+      5, Seq(col("mon_cents").desc, col("o_custkey")), "m")
+    scored
       .select(col("o_custkey"), col("rec_days"), col("freq"), col("mon_cents"),
-        r.cast("long").as("r"), f.cast("long").as("f"), m.cast("long").as("m"))
+        col("r"), col("f"), col("m"))
       .withColumn("segment", concat(lit("R"), col("r"), lit("F"), col("f"),
         lit("M"), col("m")))
       .orderBy("o_custkey")

@@ -796,10 +796,18 @@ object OlapQueries {
       .groupBy("c_nationkey").agg(sum("c").as("nation_c"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+    // r21: the grand total was an EMPTY-partition window (Exchange
+    // SinglePartition over the frame); a broadcast scalar is the same
+    // exact sum with no single-task stage (§2). No persist: the fact
+    // aggregate's exchange is canonically identical in both branches,
+    // so ReuseExchange runs it once — and the plan pin keeps seeing
+    // the dimension broadcasts (a checkpoint would hide them behind a
+    // Scan ExistingRDD).
+    val tot = byNation.agg(sum("nation_c").as("total_c"))
     byNation
       .withColumn("region_c",
         sum("nation_c").over(Window.partitionBy("r_regionkey")))
-      .withColumn("total_c", sum("nation_c").over(Window.partitionBy()))
+      .crossJoin(broadcast(tot))
       .select(col("r_name").as("region"), col("n_name").as("nation"),
         col("nation_c"), col("region_c"),
         // ppm scale through DECIMAL(38,0): region_c·10⁶ sits ~2× under

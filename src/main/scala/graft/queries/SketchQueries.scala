@@ -224,9 +224,11 @@ object SketchQueries {
     val hist = prices
       .select(floor(col("o_totalprice") / 500).cast("long").as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("b").rowsBetween(Long.MinValue, 0)
-    val cum = hist.withColumn("cum", sum("c").over(w))
+    // r21: the cumulative bucket walk ran as an unpartitioned window;
+    // the two-pass prefix sum is the same integers with no
+    // single-partition stage at any histogram size (§2)
+    val cum = graft.ops.TwoPassWindow.withRunningSums(hist, Seq(col("b")),
+      Seq(col("c") -> "cum"))
     val n = prices.agg(count(lit(1)).as("n"))
     val sel = Seq(50L, 90L, 99L).toDF("pctl")
       .crossJoin(broadcast(n))

@@ -180,21 +180,29 @@ object StatQueries {
       .select(col("l_returnflag").as("g"),
         col("l_quantity").cast(DecimalType(18, 2)).as("x"),
         col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
-    // tie size = the peer-group count under the SAME (g, order-by-x)
-    // window as the rank — a RANGE CURRENT ROW frame counts exactly the
-    // rows tied with this one. One Window operator (one exchange + one
-    // sort) per axis; the earlier partitionBy(g, x) spelling forced a
-    // second hash exchange per axis for the same number (4 shuffles of
-    // the full table → 2, measured 3.7 → 2.2 s in-sweep at sf0.1).
-    val wx = Window.partitionBy("g").orderBy("x")
+    // r21: the x-axis never needed a full-table rank window —
+    // l_quantity has ~50 distinct values per flag, so its doubled rank
+    // is a function of the (g, x) HISTOGRAM: 2·avgrank = 2·(#smaller+1)
+    // + ties − 1, with #smaller an exclusive prefix sum over the ~150-
+    // row histogram and ties its count. One tiny hash aggregate + a
+    // broadcast join replaces one of the two full-table sorts (§1.2 /
+    // §2.4 — the r20 spelling measured both axes at 3.45 s in-sweep;
+    // the y-axis keeps the windowed rank because l_extendedprice is
+    // ~row-distinct, so its histogram would be as big as the table).
+    val hx = li.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+    val wk = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val xr = hx
+      .withColumn("cumprev", coalesce(sum("cnt").over(wk), lit(0L)))
+      .select(col("g"), col("x"),
+        (lit(2) * (col("cumprev") + 1) + col("cnt") - 1).cast(LongType)
+          .as("r2x"))
     val wy = Window.partitionBy("g").orderBy("y")
-    val rx = rank().over(wx)
-    val tx = count(lit(1)).over(wx.rangeBetween(Window.currentRow, Window.currentRow))
     val ry = rank().over(wy)
     val ty = count(lit(1)).over(wy.rangeBetween(Window.currentRow, Window.currentRow))
     val ranked = li
-      .withColumn("r2x", (lit(2) * rx + tx - 1).cast(LongType))
       .withColumn("r2y", (lit(2) * ry + ty - 1).cast(LongType))
+      .join(broadcast(xr), Seq("g", "x"))
     val big = DecimalType(38, 0)
     val stats = ranked.groupBy("g").agg(
       count(lit(1)).as("n"),
@@ -1656,11 +1664,16 @@ object StatQueries {
         col("purch_day").isNotNull.cast("long").as("ev"))
     val byDur = perUser.groupBy("dur")
       .agg(sum(col("ev")).as("d"), count(lit(1)).as("leaving"))
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
-    val steps = byDur
+      .persistIntermediate // scanned by the prefix sum AND the total
+    // r21: the exclusive "already gone" prefix ran as an unpartitioned
+    // window; spelled as the two-pass INCLUSIVE running sum minus the
+    // row's own count — identical integers (first row: leaving −
+    // leaving = 0, exactly the old coalesce), no single-task stage (§2)
+    val steps = graft.ops.TwoPassWindow
+      .withRunningSums(byDur, Seq(col("dur")),
+        Seq(col("leaving") -> "cum_leaving"))
       .crossJoin(broadcast(byDur.agg(sum(col("leaving")).as("total"))))
-      .withColumn("gone", coalesce(sum(col("leaving")).over(w), lit(0L)))
+      .withColumn("gone", col("cum_leaving") - col("leaving"))
       .select(col("dur").as("t"), col("d"),
         (col("total") - col("gone")).as("n"))
       .where(col("d") > 0)
@@ -1898,20 +1911,21 @@ object StatQueries {
     * run on 10 rows.
     */
   def analyticsPareto(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = table(spark, sfDir, "orders")
       .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
       .groupBy("o_custkey").agg(sum("c").as("spend_c"))
-    val w = Window.orderBy(desc("spend_c"), col("o_custkey"))
-    val dec = spend
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    // r21: exact deciles via the two-pass global ntile (§2 offset
+    // correction) — the customer frame previously sorted through ONE
+    // task; the 10-row prefix sum takes the same construction
+    val dec = graft.ops.TwoPassWindow.withNtile(spend, 10,
+        Seq(desc("spend_c"), col("o_custkey")), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("spend_c").as("decile_cents"))
+      .persistIntermediate // scanned by the total AND the prefix sum
     val tot = dec.agg(sum("decile_cents").as("total_cents"))
-    val wCum = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    dec.crossJoin(broadcast(tot))
-      .withColumn("cum_cents", sum("decile_cents").over(wCum))
+    graft.ops.TwoPassWindow.withRunningSums(dec, Seq(col("decile")),
+        Seq(col("decile_cents") -> "cum_cents"))
+      .crossJoin(broadcast(tot))
       .select(col("decile"), col("n_customers"), col("decile_cents"),
         expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 DIV total_cents")
           .as("cum_share_ppm"))
@@ -1961,10 +1975,23 @@ object StatQueries {
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
           .as("cents"))
       .groupBy("day").agg(sum("cents").as("rev_c"))
-    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
-    val trended = daily
-      .withColumn("n7", count(lit(1)).over(w7))
-      .withColumn("s7", sum("rev_c").over(w7))
+    // r21: the centered 7-row window ran unpartitioned (whole series
+    // through ONE task). Equivalent shuffle-agg spelling: with the
+    // two-pass global row index rn, row r's ROWS(-3,3) frame is exactly
+    // the source rows whose index lands in [r−3, r+3] — so each source
+    // row CONTRIBUTES to targets rn−3..rn+3 (a 7-element sequence
+    // explode), one tiny groupBy collects count/sum per target, and the
+    // inner join back drops the out-of-range targets. Same integers,
+    // no single-partition stage (§2).
+    val rnd = graft.ops.TwoPassWindow
+      .withRowNumber(daily, Seq(col("day")), "rn")
+      .persistIntermediate // scanned by the contributions AND the re-attach
+    val win = rnd
+      .select(explode(sequence(col("rn") - 3, col("rn") + 3)).as("rn"),
+        col("rev_c"))
+      .groupBy("rn")
+      .agg(count(lit(1)).as("n7"), sum("rev_c").as("s7"))
+    val trended = rnd.join(win, "rn")
       .withColumn("trend_c", when(col("n7") === 7, expr("s7 DIV 7")))
       .withColumn("det_c", col("rev_c") - col("trend_c"))
       .withColumn("weekday", expr("(day + 4) % 7"))
@@ -2140,10 +2167,11 @@ object StatQueries {
     val hist = cust.groupBy("v").agg(
       sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("c1"),
       sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val cum = hist
-      .withColumn("cum1", sum("c1").over(w))
-      .withColumn("cum2", sum("c2").over(w))
+    // r21: the ECDF prefix sums ran as an unpartitioned window (the
+    // whole histogram through ONE task); the two-pass construction is
+    // the same integers with no single-partition stage (§2)
+    val cum = graft.ops.TwoPassWindow.withRunningSums(hist, Seq(col("v")),
+      Seq(col("c1") -> "cum1", col("c2") -> "cum2"))
     val tot = cum.agg(max("cum1").as("n1"), max("cum2").as("n2"))
     cum.crossJoin(broadcast(tot))
       .withColumn("d",
@@ -2204,9 +2232,10 @@ object StatQueries {
     val hist = cust.groupBy("v").agg(
       sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("c1"),
       sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val ranked = hist
-      .withColumn("cum", sum(col("c1") + col("c2")).over(w))
+    // r21: two-pass prefix sum — same integers, no single-partition
+    // window stage (§2; see analyticsKsTest)
+    val ranked = graft.ops.TwoPassWindow.withRunningSums(hist,
+        Seq(col("v")), Seq((col("c1") + col("c2")) -> "cum"))
       .withColumn("rank2",
         lit(2L) * (col("cum") - col("c1") - col("c2")) +
           (col("c1") + col("c2")) + lit(1L))
@@ -2272,13 +2301,16 @@ object StatQueries {
     * dimension-sized frame; all four lags share one checkpointed series.
     */
   def analyticsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = table(spark, sfDir, "lineitem")
+    val daily0 = table(spark, sfDir, "lineitem")
       .select(col("l_shipdate").as("day"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
           .as("cents"))
       .groupBy("day").agg(expr("sum(cents) DIV 100000L").as("rev"))
-      .withColumn("rn", row_number().over(Window.orderBy("day")))
+    // r21: the series index ran as an unpartitioned row_number window;
+    // the two-pass rank is the same values with no single-task stage
+    // (§2). rn widens int→long — an internal join key only, not output.
+    val daily = graft.ops.TwoPassWindow
+      .withRowNumber(daily0, Seq(col("day")), "rn")
       .select("rn", "rev")
       .truncateLineage(true)
     val lagged = AcfLags.map { k =>
@@ -2461,11 +2493,28 @@ object StatQueries {
     // sequence are bit-identical to the Catalyst spelling. Same-window
     // A/B at sf0.1/16 cpus: 2.29 → 1.48 s. The distributed spelling
     // stays, unchanged, above the bound.
-    val gCounts = daily.groupBy("g").agg(count(lit(1)).as("n_days"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val gCountsAll = daily.groupBy("g").agg(count(lit(1)).as("n_days"))
+      .collect().map(r =>
+        ((if (r.isNullAt(0)) null else r.getString(0)), r.getLong(1)))
+    // r21 (advice): the distributed spelling's inner pair-join emits NO
+    // row for a single-day group (zero d1<d2 pairs) or a NULL key (an
+    // equi-join never matches null), so the fast path must omit them
+    // too — the branches otherwise return different row sets on inputs
+    // no test SF has (the agreement pin runs on pairs-bearing groups).
+    val gCounts = gCountsAll
+      .filter { case (g, n) => g != null && n >= 2 }.sortBy(_._1)
     val totalPairs = gCounts.map { case (_, n) => n * (n - 1) / 2 }.sum
-    if (totalPairs <= 30000000L) {
-      val byG = daily.collect().groupBy(_.getString(0))
+    // bound the COLLECT as well as the pair count (advice): the pair
+    // bound alone admits unboundedly many small groups — 3e7 pairs can
+    // hide 1e9 one-day rows that would all land on the driver.
+    val totalRows = gCountsAll.map(_._2).sum
+    if (totalPairs <= 30000000L && totalRows <= 1000000L) {
+      val dr = daily.collect()
+      // null x/y sums need the distributed spelling's SQL three-valued
+      // comparisons — don't re-implement them locally, just defer
+      if (dr.exists(r => r.isNullAt(2) || r.isNullAt(3)))
+        return kendallTauDistributed(daily)
+      val byG = dr.filter(r => !r.isNullAt(0)).groupBy(_.getString(0))
       val out = gCounts.map { case (g, nd) =>
         val rows = byG.getOrElse(g, Array.empty[org.apache.spark.sql.Row])
         val xs = rows.map(_.getLong(2))
@@ -2682,7 +2731,10 @@ object StatQueries {
         else {
           val lo = arr(((n + 1) / 2 - 1).toInt)
           val hi = arr((n / 2).toInt)
-          (lo + hi).toDouble / 2.0d
+          // addExact, not `+` (advice): the distributed spelling's ANSI
+          // long addition throws on overflow near ±2^63 — plain Scala
+          // `+` would wrap silently and break the loud-overflow contract
+          math.addExact(lo, hi).toDouble / 2.0d
         }
       import scala.jdk.CollectionConverters._
       return spark.createDataFrame(
@@ -3081,27 +3133,49 @@ object StatQueries {
     * Scale: one (month, part) hash aggregate, a broadcast of the
     * base-month basket, and an O(months) rollup.
     */
-  def analyticsPriceIndex(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared matched-basket builder for the index trio: the per-(month,
+    * part) price/quantity rollup `pm` and the base-month basket. r21
+    * (§2.3 — shuffle fewer/narrower bytes): the month key through the
+    * fact-table aggregate is the INT year·100+month (4 bytes, two
+    * codegen integer field extractions) instead of a per-row
+    * `date_format` string (7+ bytes plus a formatter call per row);
+    * the partition of rows is identical (yyyy-MM ↔ the int bijects)
+    * and lexicographic order on the string = numeric order on the int,
+    * so MIN(base month) and the final ORDER BY agree. Callers format
+    * the display string AFTER their months-sized rollup.
+    */
+  private def matchedBasket(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     val li = table(spark, sfDir, "lineitem")
-      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .as("mkey"),
         col("l_partkey"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("ec"),
         col("l_quantity").cast(LongType).as("q"))
       .withColumn("unit_c", expr("ec div q"))
-    val pm = li.groupBy("month", "l_partkey")
+    val pm = li.groupBy("mkey", "l_partkey")
       .agg(min("unit_c").as("p"), sum("q").as("qty"))
       .truncateLineage(true)
-    val m0 = pm.agg(min("month").as("m0"))
+    val m0 = pm.agg(min("mkey").as("m0"))
     val base = pm.crossJoin(broadcast(m0))
-      .where(col("month") === col("m0"))
+      .where(col("mkey") === col("m0"))
       .select(col("l_partkey"), col("p").as("p0"), col("qty").as("q0"))
+    (pm, base)
+  }
+
+  /** yyyy-MM display string of the int month key (post-rollup only). */
+  private def monthStr: Column =
+    format_string("%04d-%02d", expr("mkey div 100"), col("mkey") % 100)
+
+  def analyticsPriceIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pm, base) = matchedBasket(spark, sfDir)
     pm.join(broadcast(base), "l_partkey")
-      .groupBy("month")
+      .groupBy("mkey")
       .agg(count(lit(1)).as("n_parts"),
         sum(col("p") * col("q0")).as("num"),
         sum(col("p0") * col("q0")).as("den"))
-      .select(col("month"), col("n_parts"),
+      .select(monthStr.as("month"), col("n_parts"),
         floor(col("num").cast(DoubleType) * lit(1000000.0d) /
           col("den").cast(DoubleType)).cast(LongType).as("index_ppm"))
       .orderBy("month")
@@ -3140,26 +3214,15 @@ object StatQueries {
     * doctrine and horizons as the price index.
     */
   def analyticsVolumeIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = table(spark, sfDir, "lineitem")
-      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
-        col("l_partkey"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-          .cast(LongType).as("ec"),
-        col("l_quantity").cast(LongType).as("q"))
-      .withColumn("unit_c", expr("ec div q"))
-    val pm = li.groupBy("month", "l_partkey")
-      .agg(min("unit_c").as("p"), sum("q").as("qty"))
-      .truncateLineage(true)
-    val m0 = pm.agg(min("month").as("m0"))
-    val base = pm.crossJoin(broadcast(m0))
-      .where(col("month") === col("m0"))
-      .select(col("l_partkey"), col("p").as("p0"), col("qty").as("q0"))
+    // r21: shares [[matchedBasket]] — int month key through the fact
+    // aggregate, display string formatted after the months-sized rollup
+    val (pm, base) = matchedBasket(spark, sfDir)
     pm.join(broadcast(base), "l_partkey")
-      .groupBy("month")
+      .groupBy("mkey")
       .agg(count(lit(1)).as("n_parts"),
         sum(col("p0") * col("qty")).as("num"),
         sum(col("p0") * col("q0")).as("den"))
-      .select(col("month"), col("n_parts"),
+      .select(monthStr.as("month"), col("n_parts"),
         floor(col("num").cast(DoubleType) * lit(1000000.0d) /
           col("den").cast(DoubleType)).cast(LongType).as("vol_index_ppm"))
       .orderBy("month")
@@ -3200,22 +3263,11 @@ object StatQueries {
     * rounded op, identical bits both engines.
     */
   def analyticsFisherIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = table(spark, sfDir, "lineitem")
-      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
-        col("l_partkey"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-          .cast(LongType).as("ec"),
-        col("l_quantity").cast(LongType).as("q"))
-      .withColumn("unit_c", expr("ec div q"))
-    val pm = li.groupBy("month", "l_partkey")
-      .agg(min("unit_c").as("p"), sum("q").as("qty"))
-      .truncateLineage(true)
-    val m0 = pm.agg(min("month").as("m0"))
-    val base = pm.crossJoin(broadcast(m0))
-      .where(col("month") === col("m0"))
-      .select(col("l_partkey"), col("p").as("p0"), col("qty").as("q0"))
+    // r21: shares [[matchedBasket]] — int month key through the fact
+    // aggregate, display string formatted after the months-sized rollup
+    val (pm, base) = matchedBasket(spark, sfDir)
     val idx = pm.join(broadcast(base), "l_partkey")
-      .groupBy("month")
+      .groupBy("mkey")
       .agg(count(lit(1)).as("n_parts"),
         sum(col("p") * col("q0")).as("l_num"),
         sum(col("p0") * col("q0")).as("l_den"),
@@ -3231,8 +3283,8 @@ object StatQueries {
       .withColumn("fisher_ppm",
         floor(sqrt((col("laspeyres_ppm") * col("paasche_ppm"))
           .cast(DoubleType))).cast(LongType))
-      .select("month", "n_parts", "laspeyres_ppm", "paasche_ppm",
-        "fisher_ppm")
+      .select(monthStr.as("month"), col("n_parts"), col("laspeyres_ppm"),
+        col("paasche_ppm"), col("fisher_ppm"))
       .orderBy("month")
   }
 
@@ -3284,14 +3336,17 @@ object StatQueries {
     * rows, and a broadcast-scalar tail rollup.
     */
   def analyticsVar(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = table(spark, sfDir, "lineitem")
       .select(col("l_shipdate").as("day"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
       .groupBy("day").agg(sum("cents").as("rev"))
-    val deltas = daily
-      .withColumn("prev", lag("rev", 1).over(Window.orderBy("day")))
+    // r21: lag(1) ran as an unpartitioned window (whole series through
+    // ONE task); the two-pass spelling patches partition heads with the
+    // predecessor partition's last value — same rows, no single-task
+    // stage (§2)
+    val deltas = graft.ops.TwoPassWindow
+      .withLag1(daily, Seq(col("day")), col("rev"), "prev")
       .where(col("prev").isNotNull)
       .select((col("rev") - col("prev")).as("delta_c"))
       .truncateLineage(true)
@@ -3432,18 +3487,28 @@ object StatQueries {
     * move, never a global sort) and O(k) integer math.
     */
   def analyticsHill(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.IntegerLog2.log2s
     val top = table(spark, sfDir, "orders")
       .select(cents(col("o_totalprice")).as("x_c"), col("o_orderkey"))
       .orderBy(desc("x_c"), col("o_orderkey"))
       .limit(HillK + 1)
-      .withColumn("rn", row_number().over(
-        Window.orderBy(desc("x_c"), col("o_orderkey"))))
-    val ref = top.where(col("rn") === HillK + 1)
-      .select(col("x_c").as("ref_c"))
-    top.where(col("rn") <= HillK)
-      .crossJoin(broadcast(ref))
+      .persistIntermediate // scanned by the ref row AND the top-k side
+    // r21: the (k+1)-th order statistic needed no rank window at all
+    // (the old row_number ran unpartitioned): in (x_c desc, key asc)
+    // order the LAST of the k+1 rows is the MINIMUM of (x_c, -key),
+    // and "rank ≤ k" is exactly "strictly above that minimum". The
+    // n_top guard keeps the sub-(k+1)-row edge identical to the old
+    // spelling (ref row absent → zero rows survive → k=0, NULL stats).
+    val ref = top
+      .agg(count(lit(1)).as("n_top"),
+        min(struct(col("x_c"), (-col("o_orderkey")).as("nk"))).as("s"))
+      .select(
+        when(col("n_top") === HillK + 1, col("s.x_c")).as("ref_c"),
+        when(col("n_top") === HillK + 1, col("s.nk")).as("ref_nk"))
+    top.crossJoin(broadcast(ref))
+      .where(col("x_c") > col("ref_c") ||
+        (col("x_c") === col("ref_c") &&
+          (-col("o_orderkey")) > col("ref_nk")))
       .agg(count(lit(1)).as("k"),
         max("ref_c").as("ref_c"),
         sum(log2s(col("x_c")) - log2s(col("ref_c"))).as("sum_log2_1e6"))
@@ -3585,7 +3650,6 @@ object StatQueries {
     * domain (2.5e3 rows), not a row-count scan.
     */
   def analyticsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = table(spark, sfDir, "lineitem")
       .select(
         expr("CAST(unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")
@@ -3593,10 +3657,11 @@ object StatQueries {
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
       .groupBy("d").agg(sum("cents").as("rev"))
-    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    val cum = daily
-      .withColumn("k", count(lit(1)).over(w))
-      .withColumn("p", sum("rev").over(w))
+    // r21: the prefix count/sum ran as an unpartitioned window; the
+    // two-pass construction is the same integers with no single-task
+    // stage (§2)
+    val cum = graft.ops.TwoPassWindow.withRunningSums(daily, Seq(col("d")),
+      Seq(lit(1L) -> "k", col("rev") -> "p"))
     val tot = cum.agg(max("k").as("n"), max("p").as("s"))
     val scored = cum.crossJoin(broadcast(tot))
       .where(col("k") < col("n"))
@@ -3656,22 +3721,20 @@ object StatQueries {
     * a broadcast join against per-group totals. No global sort.
     */
   def analyticsWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = table(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("g"),
         cents(col("l_extendedprice")).as("price_c"),
         (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast(LongType)
           .as("w"))
       .groupBy("g", "price_c").agg(sum("w").as("w"))
-    // totals via a whole-partition window over the SAME (g) exchange as
-    // the running sum (the oracle's own spelling) — the earlier
-    // groupBy-totals + broadcast-join branch re-ran the base aggregate
-    // a second time
-    val w = Window.partitionBy("g").orderBy("price_c")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wt = Window.partitionBy("g")
-    li.withColumn("cw", sum("w").over(w))
-      .withColumn("total_w", sum("w").over(wt))
+    // r21 (§2 skew): the (g)-partitioned running-sum/total windows sent
+    // each WHOLE group through one task — 3 returnflags = 3 tasks over
+    // the ~distinct-price-sized frame at any cluster width. The grouped
+    // two-pass construction range-splits each group across many tasks
+    // and patches offsets/totals from a pid-level aggregate — the same
+    // integers (exact LONG sums, order-free).
+    graft.ops.TwoPassWindow.withGroupedRunningSumAndTotal(li,
+        Seq("g"), Seq(col("price_c")), col("w"), "cw", "total_w")
       .where(col("cw") * 2 >= col("total_w"))
       .groupBy("g", "total_w").agg(min("price_c").as("wmedian_price_c"))
       .select(col("g").as("returnflag"), col("total_w"),

@@ -1906,14 +1906,20 @@ object StreamQueries {
     * Spark's streaming watermark actually advances (no global sort).
     */
   def streamLateData(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("arrival", "event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    EventAnalytics.withEventTime(table(spark, sfDir, "events"))
+    // r21: the running max over arrival order was an unpartitioned
+    // window — the one FACT-SIZED single-partition window left in the
+    // suite (every event through ONE task). The two-pass prefix max is
+    // the same values with no single-task stage (§2); the frame is
+    // projected to the four needed columns before the range exchange
+    // (§2.3 — the checkpoint would otherwise pin every event column).
+    val ev = EventAnalytics.withEventTime(table(spark, sfDir, "events"))
       .withColumn("us", unix_micros(col("ts_utc")))
       .withColumn("arrival",
         col("us") + (col("event_id") % 7) * lit(300L * 1000000L))
-      .withColumn("wm_prev", max("us").over(w) - LateDelayUs)
+      .select("event_id", "event_type", "us", "arrival")
+    graft.ops.TwoPassWindow.withRunningMaxExclusive(ev,
+        Seq(col("arrival"), col("event_id")), col("us"), "wm_max")
+      .withColumn("wm_prev", col("wm_max") - lit(LateDelayUs))
       .withColumn("late",
         when(col("wm_prev").isNotNull && col("us") < col("wm_prev"), 1L)
           .otherwise(0L))

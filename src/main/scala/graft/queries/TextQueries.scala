@@ -1251,12 +1251,11 @@ object TextQueries {
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
       .withColumnRenamed("col", "tok").withColumnRenamed("pos", "pos")
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    // single-partition window is safe HERE only because it ranks the
-    // aggregated vocab table (31 rows on this corpus; bounded by vocab
-    // size at any scale), never token occurrences
-    val vocab = counts
-      .withColumn("id",
-        row_number().over(Window.orderBy(desc("c"), asc("tok"))).cast("long"))
+    // r21: the vocab rank is bounded (31 rows here) but ran as an
+    // unpartitioned window; the two-pass rank is the same ids with no
+    // single-partition stage at ANY vocab size (§2)
+    val vocab = graft.ops.TwoPassWindow
+      .withRowNumber(counts, Seq(desc("c"), asc("tok")), "id")
       .where(col("id") <= vocabSize)
       .select("tok", "id")
     toks.join(broadcast(vocab), Seq("tok"), "left")
@@ -1559,9 +1558,11 @@ object TextQueries {
       transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1")))
     ).otherwise(array().cast("array<string>"))
     val d = docs(spark, sfDir)
+    // r21 (§2.3): no w1 here — since the r20 per-type respelling the
+    // occurrence frame only feeds groupBy(g) and the final g-probe, so
+    // the per-occurrence split_part was computed and CHECKPOINTED dead
     val bg = d.select(col("doc_id"), explode(grams).as("g"))
-      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
-      .persistIntermediate // feeds the bigram counts, the prefix counts, and scoring
+      .persistIntermediate // feeds the bigram counts and scoring
     val cnt = bg.groupBy("g").agg(count(lit(1)).as("cg"))
     // prefix counts re-aggregate the BIGRAM-TYPE table (c₁(w₁) = Σ over
     // its bigrams of cg), not the token-mass bg — one fewer full pass
@@ -1638,8 +1639,9 @@ object TextQueries {
       transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1")))
     ).otherwise(array().cast("array<string>"))
     val d = docs(spark, sfDir)
+    // r21 (§2.3): no w1 — dead in the checkpoint since the r20
+    // per-type respelling (see textLmScore)
     val bg = d.select(col("doc_id"), explode(grams).as("g"))
-      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
       .persistIntermediate
     val cnt = bg.groupBy("g").agg(count(lit(1)).as("cg"))
     val pre = cnt
@@ -1836,9 +1838,17 @@ object TextQueries {
           struct(element_at(col("toks"), i).as("w1"),
             element_at(col("toks"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    val bi = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // r21 (§2.3/§5): ONE grouped pass over the exploded occurrences
+    // serves both consumers — the old spelling exploded the frame twice
+    // (corpus counts via groupBy, candidates via distinct), each a full
+    // shuffle of the occurrence stream. The per-doc count frame IS the
+    // distinct set (its keys), and the corpus bigram count is the exact
+    // sum of per-doc counts.
+    val perDoc = docBigrams.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("c")).persistIntermediate
+    val bi = perDoc.groupBy("w1", "w2").agg(sum("c").as("cb"))
     val biTot = bi.agg(sum("cb").as("n_bi"))
-    val candidates = docBigrams.distinct()
+    val candidates = perDoc.select("doc_id", "w1", "w2")
       .join(broadcast(bi.where(col("cb") >= 3)), Seq("w1", "w2"))
       .join(broadcast(uni.withColumnRenamed("w", "w1")
         .withColumnRenamed("cw", "c1")), "w1")
@@ -2035,12 +2045,14 @@ object TextQueries {
   def textZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
-    val tf = docs(spark, sfDir)
+    val topTf = docs(spark, sfDir)
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), col("tok")).limit(ZipfTopN)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("freq"), col("tok"))).cast("long"))
+    // r21: two-pass rank over the top-k frame — same ranks, no
+    // unpartitioned window stage (§2)
+    val tf = graft.ops.TwoPassWindow
+      .withRowNumber(topTf, Seq(desc("freq"), col("tok")), "rank")
     val lg = graft.functions.IntegerLog2.log2s _
     val scaled = tf
       .select(lg(col("rank")).as("lgr"), lg(col("freq")).as("lgf"))
@@ -2360,8 +2372,11 @@ object TextQueries {
     * aggregate broadcast back — nothing new shuffles.
     */
   def corpusPerplexityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    // r21 (§5): persisted — the threshold aggregate AND the output scan
+    // ppl; unpersisted, the whole LM-scoring tail ran twice
     val ppl = textPerplexity(spark, sfDir)
       .select("doc_id", "ppl_log2_1e6")
+      .persistIntermediate
     val th = ppl.agg(
       percentile(col("ppl_log2_1e6"), lit(0.33)).as("p33"),
       percentile(col("ppl_log2_1e6"), lit(0.67)).as("p67"))

@@ -143,14 +143,18 @@ object EventAnalytics extends Serializable {
     * purchasing user.
     */
   def userSegments(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    events.where(col("event_type") === "purchase")
+    val ltv = events.where(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
         * 100).cast("long").as("ltv_c"))
-      .withColumn("segment",
-        ntile(5).over(Window.orderBy(col("ltv_c").desc, col("user_id")))
-          .cast("long"))
+    // r21: exact quintiles via the two-pass global ntile (§2 offset
+    // correction) — the per-user frame previously sorted through ONE
+    // task. Batch-side only: this dimension is precomputed on a static
+    // frame (the helper runs driver-side jobs at build time, which a
+    // streaming plan would reject — exactly the batch/stream split the
+    // scaladoc above describes).
+    graft.ops.TwoPassWindow.withNtile(ltv, 5,
+      Seq(col("ltv_c").desc, col("user_id")), "segment")
   }
 
   /** Stream-static broadcast enrichment — THE most common production

@@ -19,7 +19,8 @@ object PersistProbe {
     val modes = args(2).split(',').toSeq
     val names = args.drop(3).toSeq
     val cpus = graft.Bench.resolveCpus(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, false)._1
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt,
+      explicit = sys.env.contains("SPARK_GRAFT_CPUS"))._1
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
