@@ -39,23 +39,24 @@ import org.apache.spark.sql.types.LongType
   * Equal full sort keys always land in the same range partition, so
   * ties never straddle an offset boundary.
   *
-  * The range exchange uses 4× the session's `spark.sql.shuffle
-  * .partitions` (scale-adaptive, never a host constant): the per-pid
-  * window hashes the pid values back into shuffle partitions, and a
-  * synthetic key needs several× more distinct values than partitions
-  * to spread evenly (guide §2.5).
+  * The range exchange deliberately passes NO explicit partition count
+  * (scale-adaptive, guide §2.5): an explicit N marks the exchange
+  * user-specified and BLOCKS AQE partition coalescing, so every
+  * helper round paid shuffle.partitions-wide task waves even on a
+  * 100-row calendar histogram (measured: the fixed-width spelling
+  * slowed the tiny-frame sites 1.4–3.4× at sf0.1). Without it the
+  * exchange starts at `spark.sql.shuffle.partitions` and AQE
+  * coalesces by size — tiny frames collapse to one or two bounded
+  * tasks, fact-sized frames keep the full width; the frozen pid keeps
+  * the offsets exact either way.
   */
 object TwoPassWindow {
   private val Pid = "__tp_pid"
 
-  private def numParts(df: DataFrame): Int =
-    math.max(1, df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt) * 4
-
   /** Range-partition by `sortCols` and freeze the row→pid binding. */
   private def pidded(df: DataFrame, sortCols: Seq[Column]): DataFrame =
     Persist.truncate(
-      df.repartitionByRange(numParts(df), sortCols: _*)
+      df.repartitionByRange(sortCols: _*)
         .withColumn(Pid, spark_partition_id()),
       eager = false)
 

@@ -165,19 +165,73 @@ object OlapQueries {
   /** `olap_percentile` — exact interpolated percentiles per group. Both
     * engines implement the standard continuous-quantile definition
     * (index p·(n−1) into the sorted values, linear interpolation), so
-    * the doubles match bit-for-bit. Exact percentile means a full sort
-    * of each group's values; at 100 TB the knob is
-    * approx_percentile (t-digest sketch, mergeable map-side), whose
-    * estimates are engine-specific and so not oracle-comparable.
+    * the doubles match bit-for-bit.
+    *
+    * r21 (§2 skew / §5 memory): the built-in `percentile` aggregate
+    * buffers a value→count map PER GROUP in the final aggregation task
+    * — 3 returnflags = 3 tasks each holding its group's whole distinct
+    * value set (row-distinct for extendedprice), the
+    * single-task-per-group shape that stops scaling first. Respelled
+    * via [[exactQuantilesCont]]: a (group, value) histogram aggregate,
+    * the grouped two-pass cumulative count, and ONE conditional-min
+    * pass selecting the two neighbor values per percentile, then the
+    * identical interpolation `(higher−pos)·lo + (pos−lower)·hi` (the
+    * built-in's exact op sequence, incl. its lowerKey shortcuts) — the
+    * same bits, no per-group buffer anywhere.
     */
-  def olapPercentile(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
-        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("p50_price"))
+  def olapPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val qty = exactQuantilesCont(
+      li.select(col("l_returnflag"), col("l_quantity")),
+      "l_returnflag", "l_quantity",
+      Seq(0.5 -> "p50_qty", 0.9 -> "p90_qty"))
+    val price = exactQuantilesCont(
+      li.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", Seq(0.5 -> "p50_price"))
+    qty.join(price, "l_returnflag")
+      .select("l_returnflag", "p50_qty", "p90_qty", "p50_price")
       .orderBy("l_returnflag")
+  }
+
+  /** Exact continuous quantiles of a DOUBLE column per group, computed
+    * from the (group, value) histogram instead of the built-in
+    * `percentile`'s per-group value buffer — bit-identical by
+    * construction: position = p·(n−1); lowerKey/higherKey are the 0-based
+    * floor/ceil ranks' values (min value whose cumulative count reaches
+    * rank+1 — the built-in's accumulated-counts binary search, spelled
+    * as a conditional min); the interpolation reproduces the built-in's
+    * `(higher−position)·lowerKey + (position−lower)·higherKey` with its
+    * two lowerKey shortcuts (higher == lower; higherKey == lowerKey).
+    * Scale shape: one hash aggregate to the histogram, the
+    * [[graft.ops.TwoPassWindow]] grouped cumulative count (no
+    * group-fat task), one aggregate pass back to one row per group.
+    */
+  private[graft] def exactQuantilesCont(df: DataFrame, group: String,
+      value: String, ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val hist = df.where(col(value).isNotNull)
+      .groupBy(group, value).agg(count(lit(1)).as("__c"))
+    val cum = graft.ops.TwoPassWindow.withGroupedRunningSumAndTotal(
+      hist, Seq(group), Seq(col(value)), col("__c"), "__cw", "__n")
+    def pos(i: Int) = lit(ps(i)._1) * (col(s"__n$i") - 1).cast(DoubleType)
+    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
+      val posRow = lit(p) * (col("__n") - 1).cast(DoubleType)
+      Seq(
+        min(when(col("__cw") >= floor(posRow).cast("long") + 1,
+          col(value))).as(s"__lo$i"),
+        min(when(col("__cw") >= ceil(posRow).cast("long") + 1,
+          col(value))).as(s"__hi$i"),
+        first(col("__n")).as(s"__n$i"))
+    }
+    val sel = cum.groupBy(group).agg(aggs.head, aggs.tail: _*)
+    ps.zipWithIndex.foldLeft(sel) { case (acc, ((_, name), i)) =>
+      acc.withColumn(name,
+        when(floor(pos(i)) === ceil(pos(i)) ||
+            col(s"__hi$i") === col(s"__lo$i"), col(s"__lo$i"))
+          .otherwise((ceil(pos(i)) - pos(i)) * col(s"__lo$i") +
+            (pos(i) - floor(pos(i))) * col(s"__hi$i")))
+    }.select(col(group) +: ps.map { case (_, n) => col(n) }: _*)
+  }
 
   val olapPercentileSql: String =
     """SELECT l_returnflag,

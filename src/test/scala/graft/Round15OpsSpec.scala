@@ -61,8 +61,15 @@ class Round15OpsSpec extends AnyFunSuite {
   // dedup_minhash_lsh covers MinHashDedup's one-shot band frame (flipped
   // in r20 batch 2) and dedup_clusters the connected-components path
   // over those same hot band candidates.
+  // r21 (advice): one representative per hot-flipped family that the
+  // r20 list missed — sim_sparse_cosine (TextQueries kept frame),
+  // dedup_fuzzy_edit (quality-flag join), dedup_simhash /
+  // multimodal_phash_dedup (SimHashDedup signature frame). Library
+  // callers of these operators own the same clearCache obligation the
+  // Persist scaladoc states.
   for (name <- Seq("corpus_curate", "dedup_ngram_jaccard",
-      "dedup_minhash_lsh", "dedup_clusters"))
+      "dedup_minhash_lsh", "dedup_clusters", "sim_sparse_cosine",
+      "dedup_fuzzy_edit", "dedup_simhash", "multimodal_phash_dedup"))
     test(s"$name hot frames are CacheManager entries freed by clearCache") {
       spark.catalog.clearCache()
       val rows = SparkEntry.queries(name)(spark, TestSpark.Sf0001).collect()

@@ -103,6 +103,31 @@ class TwoPassWindowSpec extends AnyFunSuite {
       !plan.contains("No Partition Defined"))
   }
 
+  test("exactQuantilesCont is bit-identical to the built-in percentile " +
+      "(ties, odd/even group sizes, singleton group)") {
+    // group sizes 1, 10, 997 with heavy ties — exercises n=1 (pos 0),
+    // even/odd interpolation, and equal-neighbor shortcuts
+    val df = frame().withColumn("g",
+        when(col("k") === 0, lit("s"))
+          .when(col("k") < 11, lit("ten")).otherwise(lit("big")))
+      .withColumn("x", (col("v") % 7).cast("double"))
+    val expected = df.groupBy("g").agg(
+      percentile(col("x"), lit(0.5)).as("p50"),
+      percentile(col("x"), lit(0.9)).as("p90"),
+      percentile(col("x"), lit(0.25)).as("p25"))
+    val got = graft.queries.OlapQueries.exactQuantilesCont(
+      df.select(col("g"), col("x")), "g", "x",
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.25 -> "p25"))
+    val e = expected.orderBy("g").collect()
+    val o = got.orderBy("g").collect()
+    assert(e.length == o.length)
+    for ((er, or) <- e.zip(o); i <- 1 to 3)
+      assert(java.lang.Double.doubleToLongBits(er.getDouble(i)) ==
+        java.lang.Double.doubleToLongBits(or.getDouble(i)),
+        s"group ${er.getString(0)} col $i: ${er.getDouble(i)} vs " +
+          s"${or.getDouble(i)}")
+  }
+
   test("empty and single-row frames survive every helper") {
     for (n <- Seq(0, 1)) {
       val df = spark.range(0, n).select(col("id").as("k"), col("id").as("v"))
