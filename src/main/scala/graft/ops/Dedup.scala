@@ -31,17 +31,6 @@ import org.apache.spark.sql.functions._
   * dynamic allocation — the conf-only loss-safety contract PORTING.md
   * documents.
   *
-  * HOT-TIER CALLER OBLIGATION (r21, advice): the re-scan-heavy frames
-  * that MEASURED faster as columnar `cache()` (shingle/bitmap frames
-  * here, signature frames in [[SimHashDedup]], band frames in
-  * [[MinHashDedup]]) register session [[org.apache.spark.sql.catalog
-  * .Catalog#clearCache CacheManager]] entries via
-  * [[Persist.intermediateHot]]. They are bounded per invocation, but a
-  * long-lived session that calls these operators as a LIBRARY must run
-  * `spark.catalog.clearCache()` between batches (as Bench/Verify do)
-  * or the entries accumulate — the r13 leak class, kept at bay by
-  * discipline, not by the mechanism.
-  *
   * Exact dedup is a hash aggregate on the content key — one shuffle,
   * map-side combined, AQE-skew-safe. N-gram Jaccard is the exact
   * pairwise baseline: inverted-index self-join on distinct shingles, so
@@ -223,10 +212,7 @@ object Dedup {
       // full index, no cap: the join's pair counts ARE the intersection
       // sizes — cheapest exact spelling on small-vocabulary corpora
       val sizes = sh.select(col("doc_id"), size(col("shingle_set")).as("n_sh"))
-      // r21 (§3): shuffle_hash — no sort of either posting side; the
-      // per-partition build side is one shingle-key group of postings
-      val pairs = exploded.as("a")
-        .join(exploded.as("b").hint("shuffle_hash"),
+      val pairs = exploded.as("a").join(exploded.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("intersect_size"))
@@ -241,9 +227,7 @@ object Dedup {
       // (cap/prefix prune CANDIDATE GENERATION only — join counts would
       // undercount for pairs sharing pruned shingles)
       def verifyCandidates(idx: DataFrame): DataFrame = {
-        // r21 (§3): shuffle_hash, same rationale as the CountJoin pair
-        // join above
-        val cands = idx.as("a").join(idx.as("b").hint("shuffle_hash"),
+        val cands = idx.as("a").join(idx.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .dropDuplicates("d1", "d2")

@@ -153,9 +153,7 @@ object MinHashDedup {
     val bandRows = bandRowsFromShingles(sh, k, bands).persistHotIntermediate
     val a = bandRows.as("a")
     val b = bandRows.as("b")
-    // r21 (§3): shuffle_hash — no sort of either band side; the build
-    // side per partition is one (band, bucket) group. Strategy only.
-    a.join(b.hint("shuffle_hash"),
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

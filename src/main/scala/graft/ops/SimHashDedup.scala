@@ -107,10 +107,7 @@ object SimHashDedup {
     // this operator's 12.9 s. Dedupe-after is safe here because the
     // verify is per-pair deterministic: duplicate candidates carry
     // identical sims and hamming.)
-    // r21 (§3): shuffle_hash — the band self-join defaulted to
-    // SortMergeJoin (two sorts of the band rows); the per-partition
-    // hash build is one (band, chunk) bucket group. Strategy only.
-    a.join(b.hint("shuffle_hash"),
+    a.join(b,
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("a.sim").as("sim1"),

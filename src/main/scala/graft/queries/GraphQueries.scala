@@ -2507,13 +2507,8 @@ object GraphQueries {
       .where(col("rn") <= cap)
       .select("cust", "part")
       .persistHotIntermediate
-    // r21 (§3): the self-join defaulted to SortMergeJoin — two full
-    // sorts of the capped frame for a join whose per-customer groups
-    // are bounded by the cap. shuffle_hash builds a per-partition hash
-    // map instead (no sort either side); same rows, strategy only.
     capped.select(col("cust"), col("part").as("p1"))
-      .join(capped.select(col("cust"), col("part").as("p2"))
-        .hint("shuffle_hash"), "cust")
+      .join(capped.select(col("cust"), col("part").as("p2")), "cust")
       .where(col("p1") < col("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_common"))

@@ -668,10 +668,7 @@ object TextQueries {
     // df-aggregate + stopword join would recompute once per consumer
     val kept = tf.join(rare, "tok").persistHotIntermediate
     val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
-    // r21 (§3): shuffle_hash — the default SortMergeJoin sorted both
-    // sides by the trigram STRING; the hash join builds per-partition
-    // posting maps instead (strategy only, same rows)
-    val pairs = kept.as("a").join(kept.as("b").hint("shuffle_hash"),
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
