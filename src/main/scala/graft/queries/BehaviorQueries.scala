@@ -389,18 +389,20 @@ object BehaviorQueries {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
         .as("rev_c"))
     // r21: exact deciles via the two-pass global ntile (the O(customers)
-    // frame previously sorted through ONE task; §2 offset correction),
-    // and the 10-row prefix/total via the same construction + a
-    // broadcast scalar instead of two more unpartitioned windows
+    // frame previously sorted through ONE task; §2 offset correction).
+    // The prefix/total over the TEN decile rows is one broadcast
+    // self-join with a conditional sum — same integers (decile unique
+    // per row), no window machinery, no single-task stage.
     val deciles = graft.ops.TwoPassWindow.withNtile(perCust, 10,
         Seq(col("rev_c").desc, col("o_custkey")), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("rev_c").as("decile_rev_c"))
-      .persistIntermediate // scanned by the total AND the prefix sum
-    val tot = deciles.agg(sum("decile_rev_c").as("total_c"))
-    graft.ops.TwoPassWindow.withRunningSums(deciles, Seq(col("decile")),
-        Seq(col("decile_rev_c") -> "cum_rev_c"))
-      .crossJoin(broadcast(tot))
+      .persistIntermediate // scanned by both sides of the 10-row join
+    deciles.join(broadcast(deciles.select(col("decile").as("bd"),
+        col("decile_rev_c").as("bc"))), lit(true))
+      .groupBy("decile", "n_customers", "decile_rev_c")
+      .agg(sum(when(col("bd") <= col("decile"), col("bc"))).as("cum_rev_c"),
+        sum("bc").as("total_c"))
       .select(col("decile"), col("n_customers"), col("decile_rev_c"),
         expr("CAST(decile_rev_c AS DECIMAL(38,0)) * 1000000 DIV total_c")
           .as("share_ppm"),

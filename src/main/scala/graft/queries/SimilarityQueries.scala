@@ -2022,28 +2022,24 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(rankW))
       .where(col("rn") <= MmrPool)
       .select("q_id", "n_id", "cv", "rel")
-      .truncateLineage(true)
-    var selected = pool.groupBy("q_id")
-      .agg(max(struct(col("rel").as("mmr"), (-col("n_id")).as("mn"))).as("m"))
-      .select(col("q_id"), (-col("m.mn")).as("n_id"),
-        lit(1L).as("pick_order"), (col("m.mmr") * 7).as("mmr_score"))
-      .truncateLineage(true)
-    for (r <- 2 to MmrK) {
-      val selVec = selected.join(pool, Seq("q_id", "n_id"))
-        .select(col("q_id"), col("cv").as("sv"))
-      val remaining = pool
-        .join(selected.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
-      val pick = remaining.join(broadcast(selVec), "q_id")
-        .withColumn("d", dotQ(col("cv"), col("sv")))
-        .groupBy("q_id", "n_id", "rel").agg(max("d").as("pen"))
-        .withColumn("mmr", col("rel") * 7 - col("pen") * 3)
-        .groupBy("q_id")
-        .agg(max(struct(col("mmr").as("mmr"), (-col("n_id")).as("mn"))).as("m"))
-        .select(col("q_id"), (-col("m.mn")).as("n_id"),
-          lit(r.toLong).as("pick_order"), col("m.mmr").as("mmr_score"))
-      selected = selected.unionByName(pick).truncateLineage(true)
-    }
-    selected.orderBy("q_id", "pick_order")
+    // r21 (§1.2): the greedy recurrence is sequential within a query
+    // but independent ACROSS queries — the old spelling ran k−1 GLOBAL
+    // rounds (anti-join + penalty join + two aggregates + a lineage
+    // truncation each, ~3 jobs a round over the whole pool frame); the
+    // LongArrayMmr kernel runs the identical integer selection once
+    // per query group over its ≤MmrPool candidates, so the per-query
+    // work parallelizes and the round-trips disappear. Same argmax,
+    // dots, and loud-overflow arithmetic — pinned by the unchanged
+    // unrolled oracle twin.
+    pool.groupBy("q_id")
+      .agg(collect_list(struct(col("n_id"), col("rel"), col("cv")))
+        .as("cands"))
+      .select(col("q_id"), explode(graft.functions.LongArrayMmr
+        .mmrSelect(col("cands"), MmrK, 7, 3)).as("p"))
+      .select(col("q_id"), col("p.n_id").as("n_id"),
+        col("p.pick_order").as("pick_order"),
+        col("p.mmr_score").as("mmr_score"))
+      .orderBy("q_id", "pick_order")
   }
 
   val simMmrDiversifySql: String = {

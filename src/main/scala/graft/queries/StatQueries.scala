@@ -1916,16 +1916,20 @@ object StatQueries {
       .groupBy("o_custkey").agg(sum("c").as("spend_c"))
     // r21: exact deciles via the two-pass global ntile (§2 offset
     // correction) — the customer frame previously sorted through ONE
-    // task; the 10-row prefix sum takes the same construction
+    // task. The prefix sum + grand total over the TEN decile rows need
+    // no window machinery at all: one broadcast self-join with a
+    // conditional sum is the same integers (decile is unique per row)
+    // with no single-task stage and no extra passes.
     val dec = graft.ops.TwoPassWindow.withNtile(spend, 10,
         Seq(desc("spend_c"), col("o_custkey")), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("spend_c").as("decile_cents"))
-      .persistIntermediate // scanned by the total AND the prefix sum
-    val tot = dec.agg(sum("decile_cents").as("total_cents"))
-    graft.ops.TwoPassWindow.withRunningSums(dec, Seq(col("decile")),
-        Seq(col("decile_cents") -> "cum_cents"))
-      .crossJoin(broadcast(tot))
+      .persistIntermediate // scanned by both sides of the 10-row join
+    dec.join(broadcast(dec.select(col("decile").as("bd"),
+        col("decile_cents").as("bc"))), lit(true))
+      .groupBy("decile", "n_customers", "decile_cents")
+      .agg(sum(when(col("bd") <= col("decile"), col("bc"))).as("cum_cents"),
+        sum("bc").as("total_cents"))
       .select(col("decile"), col("n_customers"), col("decile_cents"),
         expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 DIV total_cents")
           .as("cum_share_ppm"))

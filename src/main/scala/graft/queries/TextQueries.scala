@@ -2468,8 +2468,12 @@ object TextQueries {
   def textKwic(spark: SparkSession, sfDir: String): DataFrame = {
     val kw = "spark"
     val L = kw.length
+    // r21 (§2.3 filter early): docs without the keyword can't emit a
+    // row (explode of an empty position array), so the codegen'd
+    // contains() skips the per-position lambda scan for them entirely
     val d = docs(spark, sfDir).select(col("doc_id"),
       lower(col("text")).as("ltext"))
+      .where(col("ltext").contains(kw))
     d.select(col("doc_id"), col("ltext"),
         explode(expr(
           s"CASE WHEN length(ltext) >= $L THEN " +
