@@ -126,15 +126,27 @@ object TwoPassWindow {
       .collect().sortBy(_.getInt(0))
     val w = Window.partitionBy(col(Pid)).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nullLong = lit(null).cast(LongType)
     val withCums = sums.zipWithIndex.foldLeft(p) {
       case (acc, ((v, out), i)) =>
-        var run = 0L
-        val offs = rows.map { r =>
-          val o = run
-          if (!r.isNullAt(i + 1)) run = math.addExact(run, r.getLong(i + 1))
-          r.getInt(0) -> o
+        // offset = NONE until the first non-null per-partition sum —
+        // SQL's running sum is NULL while the prefix holds no non-null
+        // value, and a 0L offset would wrongly turn those rows into 0
+        // (or mask the carried sum when the LOCAL prefix is all-NULL:
+        // NULL + 0 stays NULL where the global spelling carries the
+        // earlier partitions' sum)
+        var run: Option[Long] = None
+        val offs = rows.flatMap { r =>
+          val entry = run.map(r.getInt(0) -> _)
+          if (!r.isNullAt(i + 1))
+            run = Some(math.addExact(run.getOrElse(0L), r.getLong(i + 1)))
+          entry
         }
-        acc.withColumn(out, sum(v).over(w) + offsetExpr(offs.toSeq, lit(0L)))
+        val off = offsetExpr(offs.toSeq, nullLong)
+        val local = sum(v).over(w)
+        acc.withColumn(out,
+          when(off.isNull, local)
+            .otherwise(off + coalesce(local, lit(0L))))
     }
     withCums.drop(Pid)
   }
@@ -219,16 +231,23 @@ object TwoPassWindow {
   def withLag1(df: DataFrame, sortCols: Seq[Column], value: Column,
       out: String): DataFrame = {
     val p = pidded(df, sortCols)
+    // count(1) distinguishes "no rows in this partition" from "the
+    // last row's value is NULL" — lag(1) must surface the predecessor
+    // ROW's value even when that value is NULL, so a NULL-valued last
+    // row patches the next head with NULL (no map entry → orElse),
+    // never with a stale earlier non-null
     val rows = p.groupBy(col(Pid))
-      .agg(max_by(value, struct(sortCols: _*)).as("v"))
+      .agg(count(lit(1)).as("n"), max_by(value, struct(sortCols: _*)).as("v"))
       .collect()
-      .map(r => r.getInt(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
       .sortBy(_._1)
-    var prev: Option[Long] = None
-    val offs = rows.flatMap { case (q, v) =>
-      val entry = prev.map(q -> _)
-      prev = v.orElse(prev)
+    // last = None before any row exists; Some(None) = predecessor row
+    // exists with NULL value; Some(Some(x)) = predecessor value x
+    var last: Option[Option[Long]] = None
+    val offs = rows.flatMap { case (q, n, v) =>
+      val entry = last.flatten.map(q -> _)
+      if (n > 0) last = Some(v)
       entry
     }
     val w = Window.partitionBy(col(Pid)).orderBy(sortCols: _*)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -209,28 +210,37 @@ object OlapQueries {
   private[graft] def exactQuantilesCont(df: DataFrame, group: String,
       value: String, ps: Seq[(Double, String)]): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val hist = df.where(col(value).isNotNull)
-      .groupBy(group, value).agg(count(lit(1)).as("__c"))
+    // histogram BEFORE the null filter: the built-in percentile emits
+    // every group (NULL percentiles for an all-NULL group), so the
+    // group list must come from the unfiltered histogram and re-attach
+    // via a left join — the quantile math itself ignores NULL values,
+    // exactly like the built-in
+    val histAll = df.groupBy(group, value).agg(count(lit(1)).as("__c"))
+      .persistIntermediate // scanned by the group list AND the cum path
+    val groups = histAll.select(group).distinct()
     val cum = graft.ops.TwoPassWindow.withGroupedRunningSumAndTotal(
-      hist, Seq(group), Seq(col(value)), col("__c"), "__cw", "__n")
-    def pos(i: Int) = lit(ps(i)._1) * (col(s"__n$i") - 1).cast(DoubleType)
-    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
-      val posRow = lit(p) * (col("__n") - 1).cast(DoubleType)
-      Seq(
-        min(when(col("__cw") >= floor(posRow).cast("long") + 1,
-          col(value))).as(s"__lo$i"),
-        min(when(col("__cw") >= ceil(posRow).cast("long") + 1,
-          col(value))).as(s"__hi$i"),
-        first(col("__n")).as(s"__n$i"))
-    }
+      histAll.where(col(value).isNotNull),
+      Seq(group), Seq(col(value)), col("__c"), "__cw", "__n")
+    val aggs = first(col("__n")).as("__n") +:
+      ps.zipWithIndex.flatMap { case ((p, _), i) =>
+        val posRow = lit(p) * (col("__n") - 1).cast(DoubleType)
+        Seq(
+          min(when(col("__cw") >= floor(posRow).cast("long") + 1,
+            col(value))).as(s"__lo$i"),
+          min(when(col("__cw") >= ceil(posRow).cast("long") + 1,
+            col(value))).as(s"__hi$i"))
+      }
     val sel = cum.groupBy(group).agg(aggs.head, aggs.tail: _*)
-    ps.zipWithIndex.foldLeft(sel) { case (acc, ((_, name), i)) =>
+    def posOut(i: Int) = lit(ps(i)._1) * (col("__n") - 1).cast(DoubleType)
+    val scored = ps.zipWithIndex.foldLeft(sel) { case (acc, ((_, name), i)) =>
       acc.withColumn(name,
-        when(floor(pos(i)) === ceil(pos(i)) ||
+        when(floor(posOut(i)) === ceil(posOut(i)) ||
             col(s"__hi$i") === col(s"__lo$i"), col(s"__lo$i"))
-          .otherwise((ceil(pos(i)) - pos(i)) * col(s"__lo$i") +
-            (pos(i) - floor(pos(i))) * col(s"__hi$i")))
-    }.select(col(group) +: ps.map { case (_, n) => col(n) }: _*)
+          .otherwise((ceil(posOut(i)) - posOut(i)) * col(s"__lo$i") +
+            (posOut(i) - floor(posOut(i))) * col(s"__hi$i")))
+    }
+    groups.join(scored, Seq(group), "left")
+      .select(col(group) +: ps.map { case (_, n) => col(n) }: _*)
   }
 
   val olapPercentileSql: String =

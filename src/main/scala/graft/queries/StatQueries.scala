@@ -192,9 +192,14 @@ object StatQueries {
     val hx = li.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
     val wk = Window.partitionBy("g").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-SAFE x equality in the probe: rank() treats a NULL x as a
+    // rankable value (NULLS FIRST), so the histogram row for NULL x
+    // must re-attach too — a plain equi-join would silently drop those
+    // rows and change n/sums vs the windowed spelling (latent on this
+    // corpus, where l_quantity is NOT NULL)
     val xr = hx
       .withColumn("cumprev", coalesce(sum("cnt").over(wk), lit(0L)))
-      .select(col("g"), col("x"),
+      .select(col("g").as("xg"), col("x").as("xx"),
         (lit(2) * (col("cumprev") + 1) + col("cnt") - 1).cast(LongType)
           .as("r2x"))
     val wy = Window.partitionBy("g").orderBy("y")
@@ -202,7 +207,9 @@ object StatQueries {
     val ty = count(lit(1)).over(wy.rangeBetween(Window.currentRow, Window.currentRow))
     val ranked = li
       .withColumn("r2y", (lit(2) * ry + ty - 1).cast(LongType))
-      .join(broadcast(xr), Seq("g", "x"))
+      .join(broadcast(xr),
+        col("g") === col("xg") && col("x") <=> col("xx"))
+      .drop("xg", "xx")
     val big = DecimalType(38, 0)
     val stats = ranked.groupBy("g").agg(
       count(lit(1)).as("n"),

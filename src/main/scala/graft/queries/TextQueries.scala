@@ -1245,7 +1245,6 @@ object TextQueries {
     * with in-group sort — same shape as dedup_lines.
     */
   def textVocabEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vocabSize = 20
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
@@ -2043,7 +2042,6 @@ object TextQueries {
     * quadratic anything.
     */
   def textZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
     val topTf = docs(spark, sfDir)
       .select(explode(TextOps.tokens(col("text"))).as("tok"))

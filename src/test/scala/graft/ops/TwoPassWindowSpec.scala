@@ -99,8 +99,34 @@ class TwoPassWindowSpec extends AnyFunSuite {
     assert(sorted(got.select(cols: _*), "k")
       .sameElements(sorted(expected.select(cols: _*), "k")))
     val plan = got.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange SinglePartition") ||
-      !plan.contains("No Partition Defined"))
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("withRunningSums carries the cross-partition offset over " +
+      "all-NULL prefixes and stays NULL before the first value") {
+    // leading rows NULL (global cum must be NULL there), then values,
+    // then a long NULL tail spanning whole range partitions (global
+    // cum must CARRY the earlier sum, not revert to NULL)
+    val df = spark.range(0, 997).select(col("id").as("k"),
+      when(col("id") < 5 || col("id") > 300, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"))
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("c", sum(col("v")).over(w))
+    val got = TwoPassWindow.withRunningSums(df, Seq(col("k")),
+      Seq(col("v") -> "c"))
+    assert(sorted(got, "k").sameElements(sorted(expected, "k")))
+  }
+
+  test("withLag1 surfaces a NULL predecessor value at partition heads " +
+      "(not a stale earlier non-null)") {
+    val df = spark.range(0, 997).select(col("id").as("k"),
+      when(col("id") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"))
+    val expected = df.withColumn("p",
+      lag(col("v"), 1).over(Window.orderBy(col("k"))))
+    val got = TwoPassWindow.withLag1(df, Seq(col("k")), col("v"), "p")
+    assert(sorted(got, "k").sameElements(sorted(expected, "k")))
   }
 
   test("exactQuantilesCont is bit-identical to the built-in percentile " +
@@ -151,7 +177,10 @@ class TwoPassWindowSpec extends AnyFunSuite {
       TwoPassWindow.withNtile(df, 5, Seq(col("v"), col("k")), "t"),
       TwoPassWindow.withRunningSums(df, Seq(col("k")), Seq(col("v") -> "c")),
       TwoPassWindow.withRunningMaxExclusive(df, Seq(col("k")), col("v"), "m"),
-      TwoPassWindow.withLag1(df, Seq(col("k")), col("v"), "p")
+      TwoPassWindow.withLag1(df, Seq(col("k")), col("v"), "p"),
+      TwoPassWindow.withGroupedRunningSumAndTotal(
+        df.withColumn("g", col("k") % 3), Seq("g"), Seq(col("k")),
+        col("v"), "c", "t")
     ).map(d => d.queryExecution.executedPlan.toString)
     for (p <- plans) assert(!p.contains("Exchange SinglePartition"), p)
   }
