@@ -1,6 +1,5 @@
 package graft.queries
 
-import graft.ops.Persist.PersistOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -210,17 +209,20 @@ object OlapQueries {
   private[graft] def exactQuantilesCont(df: DataFrame, group: String,
       value: String, ps: Seq[(Double, String)]): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    // histogram BEFORE the null filter: the built-in percentile emits
-    // every group (NULL percentiles for an all-NULL group), so the
-    // group list must come from the unfiltered histogram and re-attach
-    // via a left join — the quantile math itself ignores NULL values,
-    // exactly like the built-in
-    val histAll = df.groupBy(group, value).agg(count(lit(1)).as("__c"))
-      .persistIntermediate // scanned by the group list AND the cum path
-    val groups = histAll.select(group).distinct()
+    // NULL-value histogram rows are KEPT with a zeroed count: the
+    // built-in percentile emits every group (NULL percentiles for an
+    // all-NULL group) while ignoring NULL values in the math. A zeroed
+    // count keeps the group present in one pass — NULLs sort first
+    // with cumulative 0 and can never be selected (thresholds are
+    // ≥ 1 whenever any value exists), the per-group n counts only
+    // non-nulls, and an all-NULL group's neighbor mins come out NULL,
+    // which the three-valued interpolation propagates to the output,
+    // exactly the built-in's answer.
+    val hist = df.groupBy(group, value).agg(count(lit(1)).as("__c0"))
+      .select(col(group), col(value),
+        when(col(value).isNotNull, col("__c0")).otherwise(0L).as("__c"))
     val cum = graft.ops.TwoPassWindow.withGroupedRunningSumAndTotal(
-      histAll.where(col(value).isNotNull),
-      Seq(group), Seq(col(value)), col("__c"), "__cw", "__n")
+      hist, Seq(group), Seq(col(value)), col("__c"), "__cw", "__n")
     val aggs = first(col("__n")).as("__n") +:
       ps.zipWithIndex.flatMap { case ((p, _), i) =>
         val posRow = lit(p) * (col("__n") - 1).cast(DoubleType)
@@ -232,15 +234,13 @@ object OlapQueries {
       }
     val sel = cum.groupBy(group).agg(aggs.head, aggs.tail: _*)
     def posOut(i: Int) = lit(ps(i)._1) * (col("__n") - 1).cast(DoubleType)
-    val scored = ps.zipWithIndex.foldLeft(sel) { case (acc, ((_, name), i)) =>
+    ps.zipWithIndex.foldLeft(sel) { case (acc, ((_, name), i)) =>
       acc.withColumn(name,
         when(floor(posOut(i)) === ceil(posOut(i)) ||
             col(s"__hi$i") === col(s"__lo$i"), col(s"__lo$i"))
           .otherwise((ceil(posOut(i)) - posOut(i)) * col(s"__lo$i") +
             (posOut(i) - floor(posOut(i))) * col(s"__hi$i")))
-    }
-    groups.join(scored, Seq(group), "left")
-      .select(col(group) +: ps.map { case (_, n) => col(n) }: _*)
+    }.select(col(group) +: ps.map { case (_, n) => col(n) }: _*)
   }
 
   val olapPercentileSql: String =
